@@ -1,0 +1,123 @@
+"""Column-level normalization primitives (SURVEY.md §2.8).
+
+All JVM-side built-ins — no Python UDFs — so they stay inside
+whole-stage codegen at any scale.
+
+Parity targets in /root/reference:
+  - flatten_string_arrays: graph_etl/context.py:122,225 (List[Utf8] -> '|' join)
+  - strip_control_chars:   graph_etl/context.py:123,226 (CR/LF/backslash strip)
+  - dedup_by_key:          graph_etl/context.py:124,227 (unique on subset)
+  - coalesce remap:        graph_etl/pipeline.py:57-67 (fill_null + rename)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ARRAY_JOIN_SEP = "|"
+# Matches the reference regex '(\r|\n|\\)' — strips CR, LF and backslash
+# from every string column before staging (graph_etl/context.py:123).
+CONTROL_CHAR_RE = "[\\r\\n\\\\]"
+
+
+def flatten_string_arrays(df: DataFrame, sep: str = ARRAY_JOIN_SEP) -> DataFrame:
+    """Join every array<string> column into a sep-joined string (F1)."""
+    exprs = []
+    changed = False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            col = F.col(f.name)
+            if not isinstance(f.dataType.elementType, T.StringType):
+                col = F.transform(col, lambda x: x.cast("string"))
+            exprs.append(F.array_join(col, sep).alias(f.name))
+            changed = True
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs) if changed else df
+
+
+def strip_control_chars(df: DataFrame, pattern: str = CONTROL_CHAR_RE) -> DataFrame:
+    """Strip CR/LF/backslash from every string column (F2)."""
+    exprs = []
+    changed = False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StringType):
+            exprs.append(F.regexp_replace(F.col(f.name), pattern, "").alias(f.name))
+            changed = True
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs) if changed else df
+
+
+def dedup_by_key(df: DataFrame, keys: list[str], deterministic: bool = True) -> DataFrame:
+    """One row per key (A1).
+
+    The reference keeps an order-dependent arbitrary survivor
+    (polars ``unique(subset=...)``); Spark's ``dropDuplicates`` is also
+    arbitrary but run-to-run unstable. ``deterministic=True`` (default)
+    keeps the lexicographically-first row over all non-key columns so
+    results are reproducible for oracle checks (SURVEY.md §7.4.1).
+
+    Scale note: both forms are a single hash-shuffle on the key;
+    deterministic mode adds a per-key sort, not an extra shuffle.
+    """
+    if not deterministic:
+        return df.dropDuplicates(keys)
+    others = [c for c in df.columns if c not in keys]
+    if not others:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in others])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def coalesce_remap(
+    edges: DataFrame,
+    mapping: DataFrame,
+    endpoint: str,
+    keep_mapped_from: bool = True,
+) -> DataFrame:
+    """J1 explicit-remap join (graph_etl/pipeline.py:57-67).
+
+    Full-outer join ``edges.<endpoint> = mapping.old_value``;
+    endpoint := coalesce(new_value, old endpoint). Unmatched mapping
+    rows survive with a null opposite endpoint (filtered only at load
+    by the P6 predicate). ``keep_mapped_from`` preserves the pre-map
+    value in a ``mapped_from`` column (explicit remap does; auto-map
+    J2 drops it — pipeline.py:106).
+
+    Scale note: the mapping side is typically small — AQE converts to
+    broadcast-hash at runtime; full-outer forces sort-merge when both
+    sides are large, which is the correct plan there.
+    """
+    m = mapping.select(
+        F.col("old_value").alias("__old"), F.col("new_value").alias("__new")
+    )
+    cond = edges[endpoint].eqNullSafe(m["__old"])
+    joined = edges.join(m, cond, "full")
+    new_endpoint = F.coalesce(F.col("__new"), F.col(endpoint))
+    out_cols: list[Column] = []
+    for c in edges.columns:
+        if c == endpoint:
+            out_cols.append(new_endpoint.alias(endpoint))
+            if keep_mapped_from:
+                out_cols.append(F.col(endpoint).alias("mapped_from"))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def non_empty_endpoints(df: DataFrame, start: str = "start", end: str = "end") -> DataFrame:
+    """P6 DB-side predicate: both endpoints present and non-empty
+    (graph_etl/neo4j_loader.py:282)."""
+    return df.filter(
+        F.col(start).isNotNull()
+        & F.col(end).isNotNull()
+        & (F.col(start).cast("string") != "")
+        & (F.col(end).cast("string") != "")
+    )

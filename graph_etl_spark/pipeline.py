@@ -1,0 +1,243 @@
+"""Pipeline phases: init / parse / map / load
+(reference graph_etl/pipeline.py + utils.py entry points).
+
+The mapping engine (`_map_property`) is the semantic heart: it rewrites
+edge endpoints via join-based ID mapping (J1 explicit remap, J2
+natural-key auto-map — reference pipeline.py:48-114). Spark delta: the
+reference rewrites edge CSVs in place; Spark cannot overwrite an input
+it reads, so we write-new-then-swap and update the catalog
+(SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import CatalogStore, get_store, schema_to_ref_types, set_store
+from .context import EDGE_CHUNK_ROWS, Context
+from .functions import dedup_by_key
+
+logger = logging.getLogger("graph_etl_spark")
+
+LOADER_LEDGER = "log_loader.txt"
+
+
+# ---------------------------------------------------------------------------
+# init / clear (reference utils.py:129-133, pipeline.py:20-29)
+# ---------------------------------------------------------------------------
+
+
+def init(
+    spark: SparkSession,
+    filters: list | None = None,
+    callbacks: list | None = None,
+    output_folder: str = "./output",
+    staging_format: str = "parquet",
+    deterministic: bool = True,
+) -> CatalogStore:
+    """Configure the pipeline singleton: session, filters, callbacks,
+    output layout. Returns the store (also reachable via get_store())."""
+    store = CatalogStore(output_folder=output_folder)
+    store.spark = spark
+    store._filters = list(filters or [])
+    store._callbacks = list(callbacks or [])
+    store.staging_format = staging_format
+    store.deterministic = deterministic
+    store.ensure_dirs()
+    store.load_configs()
+    set_store(store)
+    return store
+
+
+def clear() -> None:
+    """Delete all staged output + catalog + ledgers (reference clear())."""
+    store = get_store()
+    store.clear()
+    store._configs = {"nodes": {}, "edges": {}}
+    store._spark_schemas = {}
+    store._ids_to_map = {}
+
+
+# ---------------------------------------------------------------------------
+# parse (reference utils.py:135-153 → pipeline.py:32-46)
+# ---------------------------------------------------------------------------
+
+
+def parse(use_mapper: bool = True) -> None:
+    """Run every registered parser (skips handled inside the wrapper),
+    then the mapping engine."""
+    store = get_store()
+    for fn_id, (wrapper, metadatas) in list(store._all_parsing_functions.items()):
+        skipped = any(f.skip_parse(metadatas) for f in store._filters)
+        if skipped:
+            logger.info("parse: filter skipped %s", fn_id)
+            continue
+        wrapper()
+    if use_mapper:
+        _map_property(store)
+    store.flush_configs()
+
+
+# ---------------------------------------------------------------------------
+# mapping engine (reference pipeline.py:48-114)
+# ---------------------------------------------------------------------------
+
+
+def _swap_staged_edge(
+    store: CatalogStoreType, ctx: Context, edge_type: str, old_file: str, df
+) -> str:
+    """Write the remapped edge frame to a new staged dataset, swap the
+    catalog entry, and delete the old dataset (in-place-rewrite parity,
+    SURVEY.md §7.4.5). Returns the new file name."""
+    new_file = f"{old_file}__m{uuid.uuid4().hex[:8]}"
+    path = f"{store.edges_dir}/{new_file}"
+    writer = df.write.mode("overwrite").option("maxRecordsPerFile", EDGE_CHUNK_ROWS)
+    if store.staging_format == "csv":
+        writer.option("sep", ";").option("header", True).csv(path)
+    else:
+        writer.parquet(path)
+
+    entry = store._configs["edges"][edge_type].pop(old_file)
+    store._configs["edges"][edge_type][new_file] = entry
+    store._spark_schemas.pop(f"edges/{old_file}", None)
+    store._spark_schemas[f"edges/{new_file}"] = df.schema.json()
+    shutil.rmtree(f"{store.edges_dir}/{old_file}", ignore_errors=True)
+    return new_file
+
+
+def _build_automap(store, ctx: Context, label: str, prop: str):
+    """J2 mapping: union every staged node dataset of ``label``, project
+    (primary_key, prop), null-drop (reference pipeline.py:85-96).
+
+    Scale note: this is a partitioned parquet read + projection — the
+    column pruning reaches the scan; the result is small (2 columns)
+    and AQE broadcast-joins it against the edges.
+    """
+    node_cfg = store._configs["nodes"].get(label)
+    if not node_cfg or prop not in node_cfg.get("properties_type", {}):
+        return None, None
+    pk = node_cfg.get("primary_key", "id")
+    dfs = [
+        ctx.read_staged("nodes", f).select(F.col(pk).alias("new_value"), F.col(prop).alias("old_value"))
+        for f in node_cfg["files"]
+    ]
+    if not dfs:
+        return None, None
+    from functools import reduce
+
+    mapping = reduce(lambda a, b: a.unionByName(b), dfs).na.drop()
+    return mapping, pk
+
+
+def _map_property(store) -> None:
+    """Rewrite edge endpoints: J1 explicit remaps from ``map_ids``
+    registrations, then J2 natural-key auto-maps."""
+    from .functions import coalesce_remap
+
+    ctx = Context(store, {})
+    for edge_type, files in list(store._configs["edges"].items()):
+        for file_name, info in list(files.items()):
+            if info.get("ignore_mapping"):
+                continue
+            df = None
+            current_file = file_name
+            changed = False
+
+            for endpoint_col, decl_key in (("start", "start"), ("end", "end")):
+                decl = info[decl_key]  # "Label:prop"
+                label, _, prop = decl.partition(":")
+                prop = prop or "id"
+
+                # J1: explicit registered mapping for this declaration
+                if decl in store._ids_to_map:
+                    if df is None:
+                        df = ctx.read_staged("edges", current_file)
+                    df = coalesce_remap(
+                        df, store._ids_to_map[decl], endpoint_col, keep_mapped_from=True
+                    )
+                    changed = True
+
+                # J2: natural-key endpoint (prop != primary key) → resolve to id
+                elif prop != "id":
+                    mapping, pk = _build_automap(store, ctx, label, prop)
+                    if mapping is None:
+                        continue
+                    if df is None:
+                        df = ctx.read_staged("edges", current_file)
+                    # auto-map drops the old value (no mapped_from) —
+                    # reference pipeline.py:106
+                    df = coalesce_remap(df, mapping, endpoint_col, keep_mapped_from=False)
+                    info[decl_key] = f"{label}:{pk}"  # catalog decl update (pipeline.py:111)
+                    changed = True
+
+            if changed:
+                df = dedup_by_key(df, ["start", "end"], deterministic=store.deterministic)
+                info["properties_type"] = schema_to_ref_types(df.schema)
+                current_file = _swap_staged_edge(store, ctx, edge_type, current_file, df)
+                logger.info("remapped %s/%s", edge_type, current_file)
+
+    # consumed mappings stay registered (reference keeps them for later files)
+    store.flush_configs()
+
+
+# ---------------------------------------------------------------------------
+# load (reference utils.py:156-175 → pipeline.py:125-199)
+# ---------------------------------------------------------------------------
+
+
+def load(loader, clear_source: bool = False) -> dict[str, int]:
+    """Materialize staged graph into a sink. Nodes first, then edges
+    (ordering is load-bearing for the 'match' endpoint strategy)."""
+    store = get_store()
+    totals = {"nodes": 0, "edges": 0}
+
+    for label, cfg in store._configs["nodes"].items():
+        for file_name, finfo in cfg["files"].items():
+            if any(f.skip_load_node(label, finfo["metadatas"]) for f in store._filters):
+                continue
+            if store.ledger_contains(LOADER_LEDGER, file_name):
+                continue
+            n = loader.load_nodes(
+                file_path=f"{store.nodes_dir}/{file_name}",
+                label=label,
+                primary_key=cfg["primary_key"],
+                metadatas=finfo["metadatas"],
+                properties_type=cfg["properties_type"],
+                constraints=cfg["constraints"],
+                indexs=cfg["indexs"],
+            )
+            totals["nodes"] += n or 0
+            store.ledger_append(LOADER_LEDGER, file_name)
+
+    for edge_type, files in store._configs["edges"].items():
+        for file_name, info in files.items():
+            if any(f.skip_load_edge(edge_type, info["metadatas"]) for f in store._filters):
+                continue
+            if store.ledger_contains(LOADER_LEDGER, file_name):
+                continue
+            n = loader.load_edges(
+                file_path=f"{store.edges_dir}/{file_name}",
+                edge_type=edge_type,
+                start=info["start"],
+                end=info["end"],
+                metadatas=info["metadatas"],
+                properties_type=info["properties_type"],
+            )
+            totals["edges"] += n or 0
+            store.ledger_append(LOADER_LEDGER, file_name)
+
+    # completed run: drop ledgers (reference pipeline.py:193-199)
+    store.ledger_delete_all()
+    if clear_source:
+        clear()
+    return totals
+
+
+# typing alias used above (kept late to avoid cycle in type checkers)
+CatalogStoreType = CatalogStore

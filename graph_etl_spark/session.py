@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for the graph-ETL workload.
+
+Single place to encode the scale posture: AQE on (runtime join-strategy
+selection + skew-join splitting for the remap joins), modest shuffle
+partitioning for local runs (overridable via env for cluster runs),
+Arrow enabled for the pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "graph-etl-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    On a real cluster the master/shuffle settings come from spark-submit;
+    everything set here is safe to override externally.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # AQE: runtime coalescing of shuffle partitions, broadcast-join
+        # conversion, and skew-join splitting — critical for the J1/J2
+        # remap joins whose mapping side size is data-dependent.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+        # Arrow for pandas_udf / applyInPandas extension operators.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Reference semantics rely on permissive casts (polars-style), not
+        # ANSI error-on-overflow; Spark 4 defaults ANSI on.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
