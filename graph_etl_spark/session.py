@@ -35,6 +35,9 @@ def get_spark(app_name: str = "graph-etl-spark", master: str | None = None) -> S
         # ANSI error-on-overflow; Spark 4 defaults ANSI on.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp — read as long and convert via ns_to_timestamp()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if master is not None:

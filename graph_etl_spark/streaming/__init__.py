@@ -1,0 +1,98 @@
+"""Structured Streaming surface (new capability beyond the reference —
+SURVEY.md §2.9: the reference is strictly batch).
+
+Three pieces:
+  * ``stream_save_nodes``: readStream → foreachBatch → the SAME
+    save_nodes normalization chain as batch — streaming ingest into
+    the staged graph without a second code path.
+  * ``windowed_event_counts``: watermarked tumbling-window aggregation
+    (the canonical late-data-tolerant streaming agg).
+  * ``sessionize``: gap-based session assignment, usable in batch
+    (window functions) and as a model for
+    ``applyInPandasWithState`` in streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stream_save_nodes(
+    stream_df: DataFrame,
+    label: str,
+    primary_key: str = "id",
+    checkpoint_dir: str = "./output/checkpoints",
+    trigger_once: bool = True,
+):
+    """Pipe a streaming DataFrame through the batch save_nodes chain
+    via foreachBatch. Each micro-batch is normalized (flatten, strip,
+    dedup, null-drop) and staged exactly like a batch save; the run
+    ledger makes replays idempotent at file granularity."""
+    from ..catalog import get_store
+    from ..context import Context
+
+    store = get_store()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ctx = Context(store, {"stream_batch": batch_id})
+        ctx.save_nodes(batch_df, label=label, primary_key=primary_key)
+        store.flush_configs()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{checkpoint_dir}/{label}")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts + value sum with a late-data watermark.
+    Works on both batch and streaming DataFrames (same plan; the
+    watermark only constrains state in streaming mode)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization (batch form): a new session starts when
+    the inter-event gap exceeds ``gap_minutes``. One shuffle on the
+    user key; cumulative-sum session ids via two windows."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return (
+        events.withColumn("__new", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .drop("__new")
+    )

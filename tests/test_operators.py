@@ -1,0 +1,217 @@
+"""Extension-operator tests on real testdata (sf0.001)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from graph_etl_spark import operators as ops
+from graph_etl_spark.streaming import sessionize, windowed_event_counts
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir=None):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    return spark.read.parquet(f"{sf}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    return spark.read.parquet(f"{sf}/embeddings.parquet").cache()
+
+
+# -- dedup ---------------------------------------------------------------------
+
+
+def test_exact_dedup_drops_injected_dup(spark, docs):
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dup = docs.unionByName(dup)
+    out = ops.exact_dedup(with_dup)
+    assert out.count() == docs.count()  # injected dup collapsed
+    # survivor is the lowest id
+    assert out.filter(F.col("doc_id") == 1_000_000).count() == 0
+
+
+def test_minhash_detects_near_dup(spark, docs):
+    # a doc with one word changed is a near-dup; unrelated docs aren't
+    base = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    tweaked = base.select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(tweaked)
+    pairs = ops.minhash_lsh_pairs(corpus).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 500_000 for r in pairs)
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    base = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 1).alias("doc_id"), "text")
+    pairs = ops.ngram_jaccard_pairs(base.unionByName(dup), threshold=0.99).collect()
+    assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_hamming_zero_for_identical(spark, docs):
+    two = docs.limit(2).select("doc_id", "text")
+    dup = two.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    pairs = ops.simhash_pairs(two.unionByName(dup), max_hamming=0).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 10_000) in ids or (1, 10_001) in ids
+
+
+# -- similarity -----------------------------------------------------------------
+
+
+def test_brute_force_topk_self_similarity(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 3)
+    out = ops.brute_force_topk(embeddings, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries × k
+    for r in rows:
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+        assert r["neighbor_id"] != r["query_id"]
+    # ranks are 1..5 per query
+    ranks = sorted(r["rank"] for r in rows if r["query_id"] == 0)
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ops.brute_force_topk(embeddings, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ops.ivf_topk(embeddings, q, k=3, nlist=4, nprobe=4).collect()
+    }
+    # nprobe == nlist → scans everything → recall 1.0
+    assert approx == exact
+
+
+def test_lsh_neardup_finds_identical_vectors(spark, embeddings):
+    dup = embeddings.limit(1).select(
+        (F.col("vec_id") + 90_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = embeddings.unionByName(dup)
+    pairs = ops.lsh_bucketed_neardup_pairs(corpus, threshold=0.99)
+    assert any(r["id_b"] == 90_000 and r["cos_sim"] >= 0.99 for r in pairs.collect())
+
+
+# -- text -----------------------------------------------------------------------
+
+
+def test_token_count_and_quality(spark, docs):
+    out = ops.quality_score(ops.token_count(docs)).limit(50).collect()
+    for r in out:
+        assert r["n_tokens"] > 0
+        assert 0 <= r["quality"] <= 1.0
+        assert 0 <= r["punct_ratio"] <= 1.0
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in the house"),
+            (2, "le chat et la maison est une des les"),
+            (3, "der hund ist ein und das mit von den zu"),
+            (4, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in ops.lang_id(df).collect()}
+    assert out == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta beta")], ["doc_id", "text"]
+    )
+    fps = [r["fingerprint"] for r in ops.fingerprint(df).collect()]
+    assert fps[0] == fps[1]  # same token set → same fingerprint
+
+
+# -- multimodal ------------------------------------------------------------------
+
+
+def test_binary_metadata_and_stub_decode(spark):
+    png = bytes.fromhex("89504E470D0A1A0A") + b"fakepngdata" * 10
+    wav = b"RIFF" + b"\x00" * 50
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(wav))], ["doc_id", "payload"])
+    meta = {r["doc_id"]: r.asDict() for r in ops.attach_binary_metadata(df).collect()}
+    assert meta[1]["media_type"] == "png"
+    assert meta[2]["media_type"] == "wav"
+    assert meta[1]["n_bytes"] == len(png)
+
+    decoded = ops.decode_image_stub(df).collect()
+    assert len(decoded) == 2
+    for r in decoded:
+        assert len(r["feature"]) == 8
+        assert r["width"] >= 16 and r["channels"] == 3
+
+    frames = ops.frame_sample_plan(df, every_n_bytes=16).collect()
+    assert {r["doc_id"] for r in frames} == {1, 2}
+    assert max(r["frame_idx"] for r in frames) >= 1
+
+
+# -- temporal / streaming ---------------------------------------------------------
+
+
+def test_as_of_join(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("B", 15, 50.0)], ["sym", "ts", "px"]
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 99.0), ("A", 15, 100.5), ("B", 20, 49.0)], ["sym", "ts", "bid"]
+    )
+    out = {
+        (r["sym"], r["ts"]): r["bid_right"]
+        for r in ops.as_of_join(trades, quotes, on="sym").collect()
+    }
+    assert out[("A", 10)] == 99.0
+    assert out[("A", 20)] == 100.5
+    assert out[("B", 15)] is None  # no quote at/before ts=15
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame([("A", 5), ("A", 25)], ["k", "v"])
+    ranges = spark.createDataFrame([("A", 0, 10, "low"), ("A", 20, 30, "high")],
+                                   ["k", "lo", "hi", "bucket"])
+    out = {r["v"]: r["bucket"] for r in ops.range_join(points, ranges, "k", "v", "lo", "hi").collect()}
+    assert out == {5: "low", 25: "high"}
+
+
+def test_sessionize_and_windowed_counts(spark):
+    import os
+
+    from graph_etl_spark.sources import read_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    events = read_table(spark, sf, "events")
+    sess = sessionize(events, gap_minutes=30)
+    agg = sess.groupBy("user_id").agg(F.max("session_id").alias("n_sessions")).collect()
+    assert all(r["n_sessions"] >= 1 for r in agg)
+    wc = windowed_event_counts(events).collect()
+    assert len(wc) > 0 and all(r["n_events"] > 0 for r in wc)
+
+
+def test_stream_save_nodes(spark, output_dir, tmp_path):
+    import graph_etl_spark as getl
+
+    getl.init(spark, output_folder=output_dir)
+    # file-source stream over a small parquet dir
+    src = str(tmp_path / "stream_src")
+    spark.range(10).selectExpr("id", "concat('u', id) as name").write.parquet(src)
+    stream = spark.readStream.schema("id long, name string").parquet(src)
+    from graph_etl_spark.streaming import stream_save_nodes
+
+    q = stream_save_nodes(stream, label="StreamedUser", checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    store = getl.get_store()
+    files = store._configs["nodes"]["StreamedUser"]["files"]
+    assert sum(f["count"] for f in files.values()) == 10
