@@ -499,6 +499,45 @@ def q_sim_embedding_norms(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# graph algorithms (GraphX-style, DataFrame-native)
+# ---------------------------------------------------------------------------
+
+
+def _nation_graph(spark, sf):
+    """Small directed graph: customer -> nation -> region, ids
+    namespaced by prefix to avoid key collisions."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    cn = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("dst"),
+    )
+    nr = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("dst"),
+    )
+    return cn.unionByName(nr)
+
+
+def q_graph_degrees(spark, sf):
+    return ops.degrees(_nation_graph(spark, sf))
+
+
+def q_graph_connected_components(spark, sf):
+    """Dedup clustering: connected components over the n-gram-Jaccard
+    near-dup pair graph; singleton docs keep their own id."""
+    d = _t(spark, sf, "documents")
+    pairs = ops.ngram_jaccard_pairs(d, threshold=0.12)
+    return ops.dedup_clusters(pairs, d.select("doc_id"))
+
+
+def q_graph_pagerank(spark, sf):
+    """PageRank power iteration (10 rounds, damping 0.85) on the
+    customer->nation->region graph."""
+    return ops.pagerank(_nation_graph(spark, sf), max_iter=10)
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 
@@ -574,6 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_embedding_norms": q_sim_embedding_norms,
+        "graph_degrees": q_graph_degrees,
+        "graph_connected_components": q_graph_connected_components,
+        "graph_pagerank": q_graph_pagerank,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_decode_stub": q_mm_decode_stub,
@@ -1003,6 +1045,79 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, COUNT(*)::BIGINT AS n_vecs,
                ROUND(AVG(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)), 4) AS avg_norm
         FROM embeddings GROUP BY label
+    """
+
+    _ngraph = """
+        SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer
+        UNION ALL
+        SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation
+    """
+    sql["graph_degrees"] = f"""
+        WITH g AS ({_ngraph}),
+        outd AS (SELECT src AS id, COUNT(*)::BIGINT AS out_degree FROM g GROUP BY src),
+        ind AS (SELECT dst AS id, COUNT(*)::BIGINT AS in_degree FROM g GROUP BY dst)
+        SELECT COALESCE(outd.id, ind.id) AS id,
+               COALESCE(in_degree, 0)::BIGINT AS in_degree,
+               COALESCE(out_degree, 0)::BIGINT AS out_degree,
+               (COALESCE(in_degree, 0) + COALESCE(out_degree, 0))::BIGINT AS degree
+        FROM outd FULL OUTER JOIN ind ON outd.id = ind.id
+    """
+
+    sql["graph_connected_components"] = f"""
+        WITH RECURSIVE pairs AS (
+          WITH sh AS (SELECT doc_id, unnest({_sh}) AS s FROM documents),
+          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          )
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+          WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 6) >= 0.12
+        ), sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+        )
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+          ON d.doc_id = c.id
+    """
+
+    # PageRank: 10 unrolled power iterations (no recursive aggregation)
+    pr_iters = []
+    prev = "rank_0"
+    for i in range(1, 11):
+        pr_iters.append(
+            f"""rank_{i} AS MATERIALIZED (
+              SELECT v.id,
+                     ((1 - 0.85) / (SELECT COUNT(*) FROM verts)
+                      + 0.85 * (SELECT COALESCE(SUM(rank), 0) FROM {prev}
+                                WHERE id NOT IN (SELECT id FROM outdeg))
+                        / (SELECT COUNT(*) FROM verts)
+                      + 0.85 * COALESCE(s.in_sum, 0)) AS rank
+              FROM verts v LEFT JOIN (
+                SELECT g.dst AS id, SUM(r.rank / d.out_deg) AS in_sum
+                FROM g JOIN {prev} r ON g.src = r.id
+                JOIN outdeg d ON g.src = d.id
+                GROUP BY g.dst
+              ) s ON v.id = s.id
+            )"""
+        )
+        prev = f"rank_{i}"
+    pr_body = ",\n".join(pr_iters)
+    sql["graph_pagerank"] = f"""
+        WITH g AS MATERIALIZED ({_ngraph}),
+        verts AS MATERIALIZED (SELECT src AS id FROM g UNION SELECT dst FROM g),
+        outdeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS out_deg FROM g GROUP BY src),
+        rank_0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts),
+        {pr_body}
+        SELECT id, ROUND(rank, 6) AS pagerank FROM rank_10
     """
 
     sql["mm_binary_metadata"] = """

@@ -3,6 +3,7 @@ step 7): dedup family, similarity search, text analysis, multimodal
 plumbing, temporal joins."""
 
 from .asof import as_of_join, range_join
+from .graph import connected_components, dedup_clusters, degrees, pagerank
 from .dedup import (
     exact_dedup,
     exact_dup_groups,
@@ -39,7 +40,11 @@ __all__ = [
     "attach_binary_metadata",
     "bpe_ish_token_count",
     "brute_force_topk",
+    "connected_components",
     "cosine",
+    "dedup_clusters",
+    "degrees",
+    "pagerank",
     "cosine_neardup_pairs",
     "decode_image_stub",
     "exact_dedup",

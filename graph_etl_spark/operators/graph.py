@@ -1,0 +1,177 @@
+"""Graph algorithms over node/edge DataFrames (GraphX-style surface,
+DataFrame-native — no RDDs).
+
+The staged property graph (SURVEY.md §1) is just two DataFrames, so
+graph ops compose directly: degrees (one agg), connected components
+(iterative small-star label propagation — the Pregel pattern as a
+driver loop over joins), PageRank (power iteration).
+
+Scale notes: each CC/PageRank iteration is one shuffle on the vertex
+id; iteration counts are O(log n) for CC small-star. Frames are
+checkpoint-persisted per iteration to truncate lineage (else the plan
+doubles every round and the driver OOMs on plan size long before data
+size matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, in_degree, out_degree, degree) for every endpoint."""
+    out_d = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "id", "full")
+        .select(
+            "id",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            (F.coalesce("in_degree", F.lit(0)) + F.coalesce("out_degree", F.lit(0))).alias(
+                "degree"
+            ),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) with component = min vertex id reachable
+    (undirected). Label propagation: every vertex repeatedly adopts the
+    min label in its closed neighborhood until fixpoint — O(diameter)
+    iterations, one shuffle each, early-exit via an AGGREGATE-only
+    convergence check (no collect of data rows)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .persist()
+    )
+    verts = sym.select(F.col("a").alias(id_col)).distinct()
+    if vertices is not None:
+        verts = verts.unionByName(vertices.select(id_col)).distinct()
+    labels = verts.select(id_col, F.col(id_col).alias("component")).persist()
+
+    for _ in range(max_iter):
+        # min label among neighbors
+        neighbor_min = (
+            sym.join(labels, sym.b == labels[id_col])
+            .groupBy(F.col("a").alias(id_col))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        # convergence: any vertex whose label changed this round?
+        changed = (
+            labels.select(id_col, F.col("component").alias("old"))
+            .join(new_labels, id_col)
+            .filter(F.col("old") != F.col("component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        # truncate lineage so the plan doesn't grow per iteration
+        labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment from a near-dup pair list: connected
+    components over the pair graph, singletons keeping their own id —
+    the standard 'minhash pairs → dedup groups' final stage.
+    Output: (doc_id, cluster_id = min doc_id in component)."""
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iter=max_iter,
+    )
+    return (
+        all_ids.select(F.col(id_col))
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, pagerank) by power iteration with uniform teleport over the
+    vertex set; dangling mass redistributed uniformly. One shuffle per
+    iteration; ranks checkpointed to truncate lineage."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    verts = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    out_deg = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+
+    for _ in range(max_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "a"), "a")
+            .join(out_deg.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = (
+            ranks.join(out_deg, "id", "left_anti").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    verts.unpersist()
+    return ranks.select("id", F.round("rank", round_to).alias("pagerank"))
