@@ -391,6 +391,80 @@ def q_range_join_parts(spark, sf):
     )
 
 
+def q_win_lag_lead(spark, sf):
+    """Analytic window functions: per-customer order-to-order deltas."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.filter(F.col("o_custkey") <= 50).select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        (
+            # NTZ won't cast straight to long; via timestamp (session UTC)
+            F.col("o_orderdate").cast("timestamp").cast("long")
+            - F.lag(F.col("o_orderdate").cast("timestamp").cast("long")).over(w)
+        ).alias("secs_since_prev"),
+    )
+
+
+def q_percentiles(spark, sf):
+    """Exact interpolated percentiles per order status."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def q_string_funcs(spark, sf):
+    """Scalar string-function battery over part names."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_brand", 1, 5).alias("brand_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+def q_date_funcs(spark, sf):
+    """Scalar date/time battery over order dates."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("q"),
+    )
+
+
+def q_conditional_agg(spark, sf):
+    """Conditional aggregation (count_if / filtered sums) per priority."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 100_000, F.col("o_totalprice").cast(DEC)).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        )
+        .cast("double")
+        .alias("big_total"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -590,6 +664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "win_running_total": q_win_running_total,
+        "win_lag_lead": q_win_lag_lead,
+        "percentiles": q_percentiles,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "conditional_agg": q_conditional_agg,
         "topk_orders": q_topk_orders,
         "set_intersect_custkeys": q_set_intersect_custkeys,
         "set_except_custkeys": q_set_except_custkeys,
@@ -794,6 +873,57 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS running_total
         FROM orders WHERE o_custkey <= 100
+    """
+
+    sql["win_lag_lead"] = """
+        SELECT o_custkey, o_orderkey,
+               lag(o_orderkey) OVER w AS prev_orderkey,
+               lead(o_orderkey) OVER w AS next_orderkey,
+               (epoch(o_orderdate) - lag(epoch(o_orderdate)) OVER w)::BIGINT AS secs_since_prev
+        FROM orders WHERE o_custkey <= 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    sql["percentiles"] = """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderstatus
+    """
+
+    sql["string_funcs"] = r"""
+        SELECT p_partkey,
+               upper(p_name) AS upper_name,
+               length(p_name)::INT AS name_len,
+               substr(p_brand, 1, 5) AS brand_prefix,
+               concat_ws('/', p_brand, p_type) AS brand_type,
+               COALESCE(regexp_extract(p_type, '^(\w+)', 1), '') AS type_head,
+               lpad(p_partkey::VARCHAR, 8, '0') AS padded_key,
+               reverse(p_brand) AS brand_rev
+        FROM part
+    """
+
+    sql["date_funcs"] = """
+        SELECT o_orderkey,
+               year(o_orderdate)::INT AS y,
+               month(o_orderdate)::INT AS m,
+               day(o_orderdate)::INT AS d,
+               date_trunc('month', o_orderdate) AS month_start,
+               (dayofweek(o_orderdate) + 1)::INT AS dow,
+               quarter(o_orderdate)::INT AS q
+        FROM orders
+    """
+
+    sql["conditional_agg"] = """
+        SELECT o_orderpriority,
+               COUNT(*)::BIGINT AS n,
+               COUNT(*) FILTER (o_orderstatus = 'F')::BIGINT AS n_finished,
+               SUM(CASE WHEN o_totalprice > 100000 THEN o_totalprice::DECIMAL(18,2)
+                        ELSE 0::DECIMAL(18,2) END)::DOUBLE AS big_total,
+               MAX(o_totalprice) AS max_price,
+               MIN(o_totalprice) AS min_price
+        FROM orders GROUP BY o_orderpriority
     """
 
     sql["topk_orders"] = """

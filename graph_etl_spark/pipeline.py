@@ -163,8 +163,13 @@ def _map_property(store) -> None:
                     )
                     changed = True
 
-                # J2: natural-key endpoint (prop != primary key) → resolve to id
-                elif prop != "id":
+                # J2: natural-key endpoint → resolve to the label's
+                # primary key. The reference compares prop to the
+                # literal "id" (pipeline.py:93) and would crash on a
+                # label whose pk isn't named id (its own example does
+                # this); we implement the intent: skip when the
+                # declared prop already IS that label's primary key.
+                elif prop != store._configs["nodes"].get(label, {}).get("primary_key", "id"):
                     mapping, pk = _build_automap(store, ctx, label, prop)
                     if mapping is None:
                         continue
