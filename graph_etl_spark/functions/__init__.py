@@ -91,15 +91,18 @@ def coalesce_remap(
     value in a ``mapped_from`` column (explicit remap does; auto-map
     J2 drops it — pipeline.py:106).
 
-    Scale note: the mapping side is typically small — AQE converts to
-    broadcast-hash at runtime; full-outer forces sort-merge when both
-    sides are large, which is the correct plan there.
+    Scale shape: Spark cannot broadcast a FULL OUTER join (it would
+    force a two-sided shuffle of the whole edge set), so the outer
+    semantics are decomposed into
+      left-join(edges, mapping)  UNION  anti-join(mapping, edge keys),
+    which is result-identical and lets AQE broadcast the small mapping
+    side in BOTH joins -- the big edge table never shuffles. The anti
+    side only ships the single pruned endpoint-key column.
     """
     m = mapping.select(
         F.col("old_value").alias("__old"), F.col("new_value").alias("__new")
     )
-    cond = edges[endpoint].eqNullSafe(m["__old"])
-    joined = edges.join(m, cond, "full")
+    matched = edges.join(m, edges[endpoint].eqNullSafe(m["__old"]), "left")
     new_endpoint = F.coalesce(F.col("__new"), F.col(endpoint))
     out_cols: list[Column] = []
     for c in edges.columns:
@@ -109,7 +112,23 @@ def coalesce_remap(
                 out_cols.append(F.col(endpoint).alias("mapped_from"))
         else:
             out_cols.append(F.col(c))
-    return joined.select(*out_cols)
+    left_part = matched.select(*out_cols)
+
+    # unmatched mapping rows survive with null edge columns (reference
+    # outer semantics; dropped only at load by the P6 predicate)
+    leftover = m.join(
+        edges.select(F.col(endpoint).alias("__old")), "__old", "left_anti"
+    )
+    lo_cols: list[Column] = []
+    for c in edges.columns:
+        if c == endpoint:
+            lo_cols.append(F.col("__new").alias(endpoint))
+            if keep_mapped_from:
+                lo_cols.append(F.lit(None).alias("mapped_from"))
+        else:
+            lo_cols.append(F.lit(None).alias(c))
+    right_part = leftover.select(*lo_cols)
+    return left_part.unionByName(right_part)
 
 
 def non_empty_endpoints(df: DataFrame, start: str = "start", end: str = "end") -> DataFrame:

@@ -44,8 +44,44 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def read_csv(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
-    """User-side CSV scan (S4 parity — reference example/imdb.py:12)."""
-    return spark.read.option("sep", sep).option("header", True).option(
-        "inferSchema", True
-    ).csv(path)
+def read_csv(
+    spark: SparkSession, path: str, sep: str = ",", schema: T.StructType | None = None
+) -> DataFrame:
+    """User-side CSV scan (S4 parity — reference example/imdb.py:12).
+    Pass ``schema`` to skip the inference pass (one full read saved)."""
+    reader = spark.read.option("sep", sep).option("header", True)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", True).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan — the common training-data interchange format.
+    Explicit schema strongly recommended at scale (inference reads
+    everything once)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_chunked(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    max_records_per_file: int = 200_000,
+    partition_by: list[str] | None = None,
+    sep: str = ";",
+) -> None:
+    """S5 chunked sink for arbitrary DataFrames: bounded file sizes via
+    the writer option (no global row-number shuffle), optional
+    partition columns for downstream pruning."""
+    writer = df.write.mode("overwrite").option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer.option("sep", sep).option("header", True).csv(path)
+    else:
+        writer.parquet(path)

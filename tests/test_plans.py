@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the scale-critical queries must compile
+to the plan shapes we designed for (broadcasts, no cartesian, pushdown).
+These are regression guards for the 100 TB posture, not correctness.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from graph_etl_spark.plans import assert_no_cartesian, plan_stats
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as em
+
+    return em
+
+
+def test_remap_j1_broadcasts_no_smj(spark, entry):
+    """The left+anti remap decomposition must broadcast the mapping
+    side — the edge table must not shuffle for the join."""
+    st = plan_stats(entry.q_etl_remap_j1(spark, SF))
+    assert st.sort_merge_joins == 0
+    assert st.broadcast_hash_joins == 2  # left part + anti part
+
+
+def test_q5_broadcasts_dims(spark, entry):
+    st = plan_stats(entry.q_q5_local_supplier_volume(spark, SF))
+    assert st.nested_loop_joins == 0
+    assert st.broadcast_hash_joins >= 2  # nation + region at minimum
+
+
+def test_q1_filter_pushdown(spark, entry):
+    st = plan_stats(entry.q_q1_pricing_summary(spark, SF))
+    assert any("l_shipdate" in f for f in st.pushed_filters)
+
+
+def test_column_pruning_reaches_scan(spark, entry):
+    # q1 reads 7 of 11 lineitem columns; the scan schema must not be *
+    st = plan_stats(entry.q_q1_pricing_summary(spark, SF))
+    assert st.read_schemas, "no ReadSchema in formatted plan"
+    assert "l_orderkey" not in st.read_schemas[0]  # unused column pruned
+
+
+def test_asof_join_single_shuffle(spark, entry):
+    st = plan_stats(entry.q_asof_join_events(spark, SF))
+    assert st.joins == 0  # union + window: no join operator at all
+    assert st.exchanges <= 1
+
+
+def test_topk_no_cartesian(spark, entry):
+    # broadcast-nested-loop against the tiny query side is deliberate
+    assert_no_cartesian(
+        entry.q_sim_cosine_topk(spark, SF), allow_broadcast_nested_loop=True
+    )
+
+
+def test_dedup_single_shuffle(spark, entry):
+    st = plan_stats(entry.q_etl_dedup_pk(spark, SF))
+    assert st.exchanges == 1
+    assert st.joins == 0
