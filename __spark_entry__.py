@@ -397,6 +397,67 @@ def q_events_sessionize(spark, sf):
     )
 
 
+def q_json_extract_events(spark, sf):
+    """Semi-structured access: extract a JSON field from the events
+    props column and aggregate on it."""
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+def q_q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 analog: pure scan-filter-aggregate (the pushdown
+    showcase — every predicate reaches the parquet scan)."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_q10_returned_items(spark, sf):
+    """TPC-H Q10 analog: top-20 customers by revenue from returned
+    items in a quarter."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= "1995-10-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_asof_join_events(spark, sf):
     """As-of join: for each click event, the latest error event of the
     same user at/before it."""
@@ -710,6 +771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         "distinct_counts": q_distinct_counts,
         "approx_distinct_custkeys": q_approx_distinct_custkeys,
+        "json_extract_events": q_json_extract_events,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q10_returned_items": q_q10_returned_items,
         "events_tumbling_counts": q_events_tumbling_counts,
         "events_sessionize": q_events_sessionize,
         "asof_join_events": q_asof_join_events,
@@ -1004,6 +1068,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_mktsegment, COUNT(DISTINCT c_nationkey)::BIGINT AS n_nations,
                COUNT(*)::BIGINT AS n_customers
         FROM customer GROUP BY c_mktsegment
+    """
+
+    sql["json_extract_events"] = """
+        SELECT event_type, COUNT(*)::BIGINT AS n,
+               MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
+               MAX(json_extract(props, '$.k')::BIGINT) AS max_k,
+               SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
+        FROM events GROUP BY event_type
+    """
+
+    sql["q6_forecast_revenue"] = """
+        SELECT SUM(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE AS revenue,
+               COUNT(*)::BIGINT AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+
+    sql["q10_returned_items"] = """
+        SELECT c_custkey, c_name, n_name,
+               SUM(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+          AND c_nationkey = n_nationkey
+          AND o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """
 
     sql["events_tumbling_counts"] = """

@@ -28,6 +28,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "json_extract_events",
     "win_running_total",
     "topk_orders",
     "events_tumbling_counts",
