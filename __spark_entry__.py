@@ -312,7 +312,9 @@ def q_set_except_custkeys(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     return c.select(F.col("c_custkey").alias("k")).exceptAll(
-        o.select(F.col("o_custkey").alias("k")).distinct()
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
     ).distinct()
 
 
@@ -419,8 +421,8 @@ def q_q6_forecast_revenue(spark, sf):
     l = _t(spark, sf, "lineitem")
     return (
         l.filter(
-            (F.col("l_shipdate") >= "1994-01-01")
-            & (F.col("l_shipdate") < "1995-01-01")
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -644,7 +646,7 @@ def q_sim_cosine_topk(spark, sf):
 
 def q_sim_cosine_neardup_pairs(spark, sf):
     e = _t(spark, sf, "embeddings")
-    return ops.cosine_neardup_pairs(e, threshold=0.55)
+    return ops.cosine_neardup_pairs(e, threshold=0.45)
 
 
 def q_sim_ivf_topk(spark, sf):
@@ -1042,7 +1044,7 @@ def oracle_sql() -> dict[str, str]:
     sql["set_except_custkeys"] = """
         SELECT c_custkey AS k FROM customer
         EXCEPT
-        SELECT o_custkey AS k FROM orders
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
     """
 
     sql["rollup_lineitem"] = """
@@ -1082,8 +1084,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT SUM(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE AS revenue,
                COUNT(*)::BIGINT AS n_items
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-          AND l_shipdate < TIMESTAMP '1995-01-01'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """
@@ -1311,7 +1313,7 @@ def oracle_sql() -> dict[str, str]:
     sql["sim_cosine_neardup_pairs"] = f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_cos} >= 0.55
+        WHERE {_cos} >= 0.45
     """
 
     sql["sim_embedding_norms"] = """
