@@ -90,7 +90,7 @@ def parse(use_mapper: bool = True) -> None:
 
 
 def _swap_staged_edge(
-    store: CatalogStoreType, ctx: Context, edge_type: str, old_file: str, df
+    store: CatalogStore, ctx: Context, edge_type: str, old_file: str, df
 ) -> str:
     """Write the remapped edge frame to a new staged dataset, swap the
     catalog entry, and delete the old dataset (in-place-rewrite parity,
@@ -242,7 +242,3 @@ def load(loader, clear_source: bool = False) -> dict[str, int]:
     if clear_source:
         clear()
     return totals
-
-
-# typing alias used above (kept late to avoid cycle in type checkers)
-CatalogStoreType = CatalogStore
