@@ -329,6 +329,84 @@ def q_rollup_lineitem(spark, sf):
     )
 
 
+def q_stats_agg(spark, sf):
+    """Statistical aggregates: correlation, covariance, stddev,
+    variance per return flag."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("std_discount"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_discount"),
+    )
+
+
+def q_pivot_status(spark, sf):
+    """Pivot: order counts per priority × status (wide form)."""
+    o = _t(spark, sf, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # nulls → 0 for statuses absent in a group
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}") for c in ["F", "O", "P"]],
+    )
+
+
+def q_moving_avg(spark, sf):
+    """Sliding-frame window: 7-row moving average of order totals per
+    customer (decimal-exact mean)."""
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return o.filter(F.col("o_custkey") <= 100).select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+            / F.count(F.lit(1)).over(w)
+        )
+        .cast("double")
+        .alias("ma7"),
+    )
+
+
+def q_pandas_udf_normalize(spark, sf):
+    """Vectorized Arrow pandas_udf: L2-normalize embeddings in numpy —
+    the sanctioned Python fast path (batch columnar, not per-row)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _l2norm(vecs):
+        import numpy as np
+
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype="float64")
+            n = float(np.sqrt((a * a).sum()))
+            out.append((a / n if n else a).round(4).tolist())
+        return pd.Series(out)
+
+    # this module uses `from __future__ import annotations`, which
+    # stringifies hints and breaks pandas_udf's signature inference —
+    # attach real annotation objects instead
+    _l2norm.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    l2norm = pandas_udf(_l2norm, "array<double>")
+
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.element_at(l2norm("embedding"), 1).alias("c0"),
+        F.element_at(l2norm("embedding"), 64).alias("c63"),
+    )
+
+
 def q_cube_agg(spark, sf):
     """CUBE grouping over (returnflag, linestatus) — all grouping-set
     combinations in one pass."""
@@ -375,6 +453,42 @@ def q_approx_distinct_custkeys(spark, sf):
     o = _t(spark, sf, "orders")
     return o.select(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys")
+    )
+
+
+def q_unpivot_part(spark, sf):
+    """Unpivot (melt): part numeric attributes to long form."""
+    p = _t(spark, sf, "part")
+    return p.select("p_partkey", "p_size", "p_retailprice").unpivot(
+        "p_partkey", ["p_size", "p_retailprice"], "attr", "val"
+    ).select("p_partkey", "attr", F.col("val").cast("double").alias("val"))
+
+
+def q_events_gap_fill(spark, sf):
+    """Time-series gap fill (hypertable-style): one row per hour ×
+    event_type across the full span, zero-filled where no events —
+    dimension grid via sequence+explode, left join of the actuals."""
+    e = _t(spark, sf, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        span.select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+        )
+        .crossJoin(e.select("event_type").distinct())
+    )
+    return (
+        grid.join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
     )
 
 
@@ -768,6 +882,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_custkeys": q_set_intersect_custkeys,
         "set_except_custkeys": q_set_except_custkeys,
         "rollup_lineitem": q_rollup_lineitem,
+        "stats_agg": q_stats_agg,
+        "pivot_status": q_pivot_status,
+        "moving_avg": q_moving_avg,
+        "pandas_udf_normalize": q_pandas_udf_normalize,
         "cube_agg": q_cube_agg,
         "approx_quantiles": q_approx_quantiles,
         "salted_count": q_salted_count,
@@ -776,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": q_json_extract_events,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q10_returned_items": q_q10_returned_items,
+        "unpivot_part": q_unpivot_part,
+        "events_gap_fill": q_events_gap_fill,
         "events_tumbling_counts": q_events_tumbling_counts,
         "events_sessionize": q_events_sessionize,
         "asof_join_events": q_asof_join_events,
@@ -1054,6 +1174,44 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 
+    sql["stats_agg"] = """
+        SELECT l_returnflag,
+               ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+               ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_price_qty,
+               ROUND(stddev_samp(l_discount), 6) AS std_discount,
+               ROUND(var_samp(l_discount), 6) AS var_discount
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["pivot_status"] = """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (o_orderstatus = 'F')::BIGINT AS n_F,
+               COUNT(*) FILTER (o_orderstatus = 'O')::BIGINT AS n_O,
+               COUNT(*) FILTER (o_orderstatus = 'P')::BIGINT AS n_P
+        FROM orders GROUP BY o_orderpriority
+    """
+
+    sql["moving_avg"] = """
+        SELECT o_custkey, o_orderkey,
+               (SUM(o_totalprice::DECIMAL(18,2)) OVER w
+                / COUNT(*) OVER w)::DOUBLE AS ma7
+        FROM orders WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+    sql["pandas_udf_normalize"] = """
+        WITH n AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        )
+        SELECT vec_id,
+               ROUND(e[1] / nrm, 4) AS c0,
+               ROUND(e[64] / nrm, 4) AS c63
+        FROM n
+    """
+
     sql["cube_agg"] = """
         SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n,
                SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price
@@ -1102,6 +1260,28 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """
+
+    sql["unpivot_part"] = """
+        SELECT p_partkey, 'p_size' AS attr, p_size::DOUBLE AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice::DOUBLE AS val FROM part
+    """
+
+    sql["events_gap_fill"] = """
+        WITH span AS (
+          SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+          FROM events
+        ), grid AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour, et.event_type
+          FROM span, (SELECT DISTINCT event_type FROM events) et
+        ), hourly AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT g.hour, g.event_type, COALESCE(h.n, 0)::BIGINT AS n_events
+        FROM grid g LEFT JOIN hourly h
+          ON g.hour = h.hour AND g.event_type = h.event_type
     """
 
     sql["events_tumbling_counts"] = """
