@@ -243,6 +243,23 @@ def q_q1_pricing_summary(spark, sf):
     )
 
 
+def q_sql_interface_q1(spark, sf):
+    """Same Q1 through the spark.sql() SQL surface (temp view + ANSI
+    SQL text) — the engine's second query language, same Catalyst plan."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               COUNT(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def q_q3_shipping_priority(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
@@ -870,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_chunk_counts": q_etl_chunk_counts,
         "etl_metadata_attach": q_etl_metadata_attach,
         "q1_pricing_summary": q_q1_pricing_summary,
+        "sql_interface_q1": q_sql_interface_q1,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "win_running_total": q_win_running_total,
@@ -1058,6 +1076,16 @@ def oracle_sql() -> dict[str, str]:
                SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
                SUM(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
                SUM(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * (1::DECIMAL(18,2) + l_tax::DECIMAL(18,2)))::DOUBLE AS sum_charge,
+               COUNT(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["sql_interface_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+               SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
                COUNT(*)::BIGINT AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -67,6 +67,24 @@ def read_jsonl(
     return reader.json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_col) at
+    WRITE time so equi-joins/aggregations between tables bucketed the
+    same way need no shuffle at READ time — the pre-partitioning lever
+    for repeated large joins (e.g. a fact table joined on the same key
+    every run). sortBy additionally enables shuffle-free sort-merge."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
 def write_chunked(
     df: DataFrame,
     path: str,
