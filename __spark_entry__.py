@@ -634,6 +634,44 @@ def q_win_lag_lead(spark, sf):
     )
 
 
+def q_win_rank_funcs(spark, sf):
+    """Ranking-function battery: rank/dense_rank/percent_rank/
+    cume_dist/ntile over order totals per status."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.filter(F.col("o_custkey") <= 200).select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_array_funcs(spark, sf):
+    """Array-function battery: build per-nation customer-key arrays and
+    exercise sort/slice/contains/intersect/size."""
+    c = _t(spark, sf, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_list("c_custkey")).alias("keys")
+    )
+    return per_nation.select(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.size("keys").alias("n_keys"),
+        F.element_at("keys", 1).alias("first_key"),
+        F.element_at("keys", -1).alias("last_key"),
+        F.slice("keys", 1, 3).cast("string").alias("first3"),
+        F.array_contains("keys", 1).alias("has_key_1"),
+        F.size(F.array_intersect("keys", F.sequence(F.lit(0), F.lit(99)))).alias(
+            "n_under_100"
+        ),
+    )
+
+
 def q_percentiles(spark, sf):
     """Exact interpolated percentiles per order status."""
     o = _t(spark, sf, "orders")
@@ -892,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "win_running_total": q_win_running_total,
         "win_lag_lead": q_win_lag_lead,
+        "win_rank_funcs": q_win_rank_funcs,
+        "array_funcs": q_array_funcs,
         "percentiles": q_percentiles,
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
@@ -1131,6 +1171,33 @@ def oracle_sql() -> dict[str, str]:
                (epoch(o_orderdate) - lag(epoch(o_orderdate)) OVER w)::BIGINT AS secs_since_prev
         FROM orders WHERE o_custkey <= 50
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    sql["win_rank_funcs"] = """
+        SELECT o_orderstatus, o_orderkey,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ROUND(percent_rank() OVER w, 6) AS prnk,
+               ROUND(cume_dist() OVER w, 6) AS cdist,
+               ntile(4) OVER w AS quartile
+        FROM orders WHERE o_custkey <= 200
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """
+
+    sql["array_funcs"] = """
+        WITH per_nation AS (
+          SELECT c_nationkey, list_sort(list(c_custkey)) AS keys
+          FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_nationkey::INT AS c_nationkey,
+               len(keys)::INT AS n_keys,
+               keys[1] AS first_key,
+               keys[-1] AS last_key,
+               list_slice(keys, 1, 3)::VARCHAR AS first3,
+               list_contains(keys, 1) AS has_key_1,
+               len(list_intersect(keys, range(0, 100)))::INT AS n_under_100
+        FROM per_nation
     """
 
     sql["percentiles"] = """
