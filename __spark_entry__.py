@@ -110,9 +110,16 @@ def q_etl_remap_j1(spark, sf):
     unmatched mapping rows survive with null end."""
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
-    edges = o.select(F.col("o_custkey").alias("start"), F.col("o_orderkey").alias("end"))
+    # Endpoint and mapping key cast to string up front so the remap
+    # coalesce is same-typed under any session (ANSI-proof even without
+    # coalesce_remap's own common-supertype fallback).
+    edges = o.select(
+        F.col("o_custkey").cast("string").alias("start"),
+        F.col("o_orderkey").alias("end"),
+    )
     mapping = c.select(
-        F.col("c_custkey").alias("old_value"), F.col("c_name").alias("new_value")
+        F.col("c_custkey").cast("string").alias("old_value"),
+        F.col("c_name").alias("new_value"),
     )
     out = coalesce_remap(edges, mapping, "start")
     return dedup_by_key(out, ["start", "end"]).select(

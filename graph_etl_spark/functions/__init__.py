@@ -102,8 +102,20 @@ def coalesce_remap(
     m = mapping.select(
         F.col("old_value").alias("__old"), F.col("new_value").alias("__new")
     )
+    # ANSI-proofing: when the replacement value's type differs from the
+    # endpoint's, coalesce would otherwise pick one side's type and hard-
+    # fail the cast under ANSI mode (e.g. 'Customer#000000899' -> BIGINT).
+    # String is the permissive common supertype the reference implies.
+    endpoint_dt = edges.schema[endpoint].dataType
+    new_dt = m.schema["__new"].dataType
+    coalesce_cast = "string" if endpoint_dt != new_dt else None
     matched = edges.join(m, edges[endpoint].eqNullSafe(m["__old"]), "left")
-    new_endpoint = F.coalesce(F.col("__new"), F.col(endpoint))
+    if coalesce_cast:
+        new_endpoint = F.coalesce(
+            F.col("__new").cast(coalesce_cast), F.col(endpoint).cast(coalesce_cast)
+        )
+    else:
+        new_endpoint = F.coalesce(F.col("__new"), F.col(endpoint))
     out_cols: list[Column] = []
     for c in edges.columns:
         if c == endpoint:

@@ -34,8 +34,40 @@ def ns_to_timestamp(col):
     return F.timestamp_micros((col / 1000).cast("long"))
 
 
+# Confs the engine needs but cannot assume: any caller (notably the
+# driver's correctness harness) may hand us a SparkSession built with
+# Spark 4 defaults — ANSI on, no parquet legacy confs. Both of these
+# are runtime-settable, so we pin them before every read instead of
+# relying on session-construction time.
+_RUNTIME_CONFS = {
+    # events.parquet stores TIMESTAMP(NANOS); without this the scan
+    # throws PARQUET_TYPE_ILLEGAL. With it, ns-timestamps arrive as
+    # long and read_table restores them to timestamp below.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Reference semantics are permissive-cast (polars); ANSI-on turns
+    # heterogeneous coalesce/comparison into hard cast errors.
+    "spark.sql.ansi.enabled": "false",
+    # Epoch<->wall-clock conversions (events windows, date_trunc) must
+    # agree with the DuckDB oracle's naive-UTC timestamps regardless of
+    # the host session's timezone.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Make the current session driver-proof (idempotent, cheap)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            current = spark.conf.get(k, None)
+        except Exception:
+            current = None
+        if current != v:
+            spark.conf.set(k, v)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with schema normalization."""
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         # nanosAsLong leaves ns-timestamps as LongType; restore them.

@@ -49,11 +49,28 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def driver_like_spark():
+    """Replicate the DRIVER's session, not the builder's get_spark():
+    Spark 4 defaults (ANSI on, no parquet legacy confs). Queries must
+    set any conf they need at runtime — running the gate on a pampered
+    session masked exactly that class of bug in round 1."""
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.appName("oracle-check-driverlike")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
-    from graph_etl_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    spark = driver_like_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
