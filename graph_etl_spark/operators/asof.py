@@ -63,20 +63,29 @@ def as_of_join(
 def range_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | None,
     point: str,
     lower: str,
     upper: str,
     how: str = "inner",
+    broadcast_right: bool = True,
 ) -> DataFrame:
-    """Rows where left.point ∈ [right.lower, right.upper) with equal
-    ``on`` keys. The equi-key keeps this a hash/sort-merge join; the
-    interval predicate is applied as a join condition so AQE can still
-    pick broadcast for a small right side."""
+    """Rows where left.point ∈ [right.lower, right.upper), optionally
+    with equal ``on`` keys.
+
+    With an equi-key this stays a hash/sort-merge join. With
+    ``on=None`` (pure interval join — e.g. binning a measure against a
+    small bucket table) the right side is BROADCAST and the interval
+    predicate evaluates map-side against the handful of broadcast rows:
+    the big side never shuffles. Never fabricate a constant equi-key
+    for this case — hashing every row to one bucket funnels the whole
+    table through a single reducer."""
     l, r = left.alias("l"), right.alias("r")
-    cond = (
-        (F.col(f"l.{on}") == F.col(f"r.{on}"))
-        & (F.col(f"l.{point}") >= F.col(f"r.{lower}"))
-        & (F.col(f"l.{point}") < F.col(f"r.{upper}"))
+    cond = (F.col(f"l.{point}") >= F.col(f"r.{lower}")) & (
+        F.col(f"l.{point}") < F.col(f"r.{upper}")
     )
-    return l.join(r, cond, how).drop(F.col(f"r.{on}"))
+    if on is not None:
+        cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond
+        return l.join(r, cond, how).drop(F.col(f"r.{on}"))
+    rr = F.broadcast(r) if broadcast_right else r
+    return l.join(rr, cond, how)

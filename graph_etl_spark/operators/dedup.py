@@ -205,14 +205,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 16,
 ) -> DataFrame:
-    """Exact Jaccard similarity over word-shingle sets for every pair
-    sharing ≥1 shingle; emits pairs with jaccard ≥ threshold.
+    """Jaccard similarity over word-shingle sets for every pair sharing
+    ≥1 (non-stop) shingle; emits pairs with jaccard ≥ threshold.
 
     Scale: the shingle self-join is the classic inverted-index join —
-    one shuffle on the shingle; hot shingles (stopword n-grams) are the
-    skew risk, handled by AQE. For 100 TB you'd pre-filter the top-p
-    most frequent shingles (stop-shingle removal) before the join.
+    one shuffle on the shingle. Hot shingles (stopword n-grams like
+    "of the and") are the skew/blowup risk: a shingle in d documents
+    produces C(d,2) join pairs, quadratic in d. ``max_shingle_df`` is
+    the stop-shingle cap: shingles whose document frequency exceeds it
+    are dropped from BOTH the inverted index and the set sizes, so the
+    result is the exact Jaccard of the filtered shingle sets (the
+    standard stop-shingle-removal semantics). The hot-shingle list is
+    tiny by construction (few shingles exceed the cap) and is applied
+    as a broadcast anti-join — no extra shuffle of the index. At 100 TB
+    set the cap around 1e-4 × corpus size; ``None`` disables.
 
     The exploded shingle frame feeds three consumers (both self-join
     sides + the size table); localCheckpoint materializes it once in
@@ -222,6 +230,14 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     ).localCheckpoint(eager=False)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -283,25 +299,56 @@ def simhash_pairs(
     bits: int = 16,
     max_hamming: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs whose simhash Hamming distance ≤ max_hamming.
+    """Near-dup pairs whose simhash Hamming distance ≤ max_hamming —
+    EXACT result via the pigeonhole equi-join.
 
-    Scale note: at 100 TB, replace the self-join below with the
-    pigeonhole trick (split the hash into max_hamming+1 segments; join
-    on exact segment equality) so the join is equi- not theta-. At
-    oracle scale the direct pair filter is exact and cheap.
+    Pigeonhole: split the ``bits``-bit hash into ``max_hamming + 1``
+    disjoint segments. Two hashes within Hamming distance max_hamming
+    differ in ≤ max_hamming bits, so at least one segment is bit-for-bit
+    identical. Candidates therefore come from an equi-join on
+    (segment_index, segment_value) — a hash-partitioned shuffle, never a
+    cartesian — and the exact Hamming filter keeps only true pairs.
+    Candidate volume per segment bucket is corpus_size / 2^(bits/(k+1))
+    expected; recall is 1.0 by construction (no LSH slack).
+
+    Segment values keep their bit positions (mask, no shift), so
+    equality-of-masked-value == equality-of-segment.
     """
     sig = simhash(df, text_col, id_col, bits)
-    a, b = sig.alias("a"), sig.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
+    n_seg = max_hamming + 1
+    widths = [bits // n_seg + (1 if i < bits % n_seg else 0) for i in range(n_seg)]
+    segs = []
+    off = 0
+    for i, w in enumerate(widths):
+        mask = ((1 << w) - 1) << off
+        segs.append(
+            F.struct(
+                F.lit(i).alias("seg_idx"),
+                F.col("simhash").bitwiseAND(F.lit(mask)).alias("seg_val"),
+            )
+        )
+        off += w
+    segged = sig.select(
+        id_col, "simhash", F.explode(F.array(*segs)).alias("s")
+    ).select(id_col, "simhash", "s.seg_idx", "s.seg_val")
+    a, b = segged.alias("a"), segged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
+            F.col("a.simhash").alias("__ha"),
+            F.col("b.simhash").alias("__hb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
