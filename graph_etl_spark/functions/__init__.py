@@ -81,6 +81,7 @@ def coalesce_remap(
     mapping: DataFrame,
     endpoint: str,
     keep_mapped_from: bool = True,
+    mapped_from_col: str = "mapped_from",
 ) -> DataFrame:
     """J1 explicit-remap join (graph_etl/pipeline.py:57-67).
 
@@ -88,8 +89,11 @@ def coalesce_remap(
     endpoint := coalesce(new_value, old endpoint). Unmatched mapping
     rows survive with a null opposite endpoint (filtered only at load
     by the P6 predicate). ``keep_mapped_from`` preserves the pre-map
-    value in a ``mapped_from`` column (explicit remap does; auto-map
-    J2 drops it — pipeline.py:106).
+    value in a ``mapped_from_col`` column (explicit remap does; auto-map
+    J2 drops it — pipeline.py:106). Callers remapping BOTH endpoints of
+    one frame must pass distinct ``mapped_from_col`` names — the
+    reference's fixed polars rename has a latent duplicate-column
+    collision there; raising keeps it from passing silently.
 
     Scale shape: Spark cannot broadcast a FULL OUTER join (it would
     force a two-sided shuffle of the whole edge set), so the outer
@@ -99,6 +103,11 @@ def coalesce_remap(
     side in BOTH joins -- the big edge table never shuffles. The anti
     side only ships the single pruned endpoint-key column.
     """
+    if keep_mapped_from and mapped_from_col in edges.columns:
+        raise ValueError(
+            f"coalesce_remap: column {mapped_from_col!r} already exists; "
+            "pass a distinct mapped_from_col (e.g. per endpoint)"
+        )
     m = mapping.select(
         F.col("old_value").alias("__old"), F.col("new_value").alias("__new")
     )
@@ -121,7 +130,7 @@ def coalesce_remap(
         if c == endpoint:
             out_cols.append(new_endpoint.alias(endpoint))
             if keep_mapped_from:
-                out_cols.append(F.col(endpoint).alias("mapped_from"))
+                out_cols.append(F.col(endpoint).alias(mapped_from_col))
         else:
             out_cols.append(F.col(c))
     left_part = matched.select(*out_cols)
@@ -136,7 +145,7 @@ def coalesce_remap(
         if c == endpoint:
             lo_cols.append(F.col("__new").alias(endpoint))
             if keep_mapped_from:
-                lo_cols.append(F.lit(None).alias("mapped_from"))
+                lo_cols.append(F.lit(None).alias(mapped_from_col))
         else:
             lo_cols.append(F.lit(None).alias(c))
     right_part = leftover.select(*lo_cols)

@@ -51,10 +51,16 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(id, component) with component = min vertex id reachable
-    (undirected). Label propagation: every vertex repeatedly adopts the
-    min label in its closed neighborhood until fixpoint — O(diameter)
-    iterations, one shuffle each, early-exit via an AGGREGATE-only
-    convergence check (no collect of data rows)."""
+    (undirected). Each round: (1) adopt the min label in the closed
+    neighborhood, (2) pointer-jump (component := component's component
+    — the Shiloach-Vishkin shortcut), so label distance roughly doubles
+    per round and convergence is ~O(log diameter) rounds, not
+    O(diameter). Two shuffles per round, early-exit via an
+    AGGREGATE-only convergence check (no collect of data rows).
+
+    Raises RuntimeError if ``max_iter`` rounds pass without reaching
+    the fixpoint — a silently-partial labeling would propagate wrong
+    cluster assignments into dedup_clusters."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -67,19 +73,32 @@ def connected_components(
         verts = verts.unionByName(vertices.select(id_col)).distinct()
     labels = verts.select(id_col, F.col(id_col).alias("component")).persist()
 
+    converged = False
     for _ in range(max_iter):
-        # min label among neighbors
+        # (1) min label among neighbors
         neighbor_min = (
             sym.join(labels, sym.b == labels[id_col])
             .groupBy(F.col("a").alias(id_col))
             .agg(F.min("component").alias("nbr_min"))
         )
+        propagated = labels.join(neighbor_min, id_col, "left").select(
+            id_col,
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # (2) pointer jump: follow the label one hop (labels are always
+        # existing vertex ids, so the self-join resolves); doubles the
+        # effective propagation distance each round
+        lookup = propagated.select(
+            F.col(id_col).alias("__cid"), F.col("component").alias("__cc")
+        )
         new_labels = (
-            labels.join(neighbor_min, id_col, "left")
+            propagated.join(lookup, propagated["component"] == F.col("__cid"), "left")
             .select(
                 id_col,
                 F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    F.col("component"), F.coalesce("__cc", F.col("component"))
                 ).alias("component"),
             )
             .persist()
@@ -97,8 +116,15 @@ def connected_components(
         # truncate lineage so the plan doesn't grow per iteration
         labels = labels.localCheckpoint(eager=True)
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels would be silently wrong — raise max_iter "
+            "(rounds needed ≈ log2(graph diameter) + 2)"
+        )
     return labels
 
 

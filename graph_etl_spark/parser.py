@@ -53,8 +53,14 @@ class Parser:
 
     def __call__(self, fn: Callable[[Context], None]) -> Callable[[], None]:
         params = inspect.signature(fn).parameters
-        if len(params) != 1:
-            # reference enforces exactly one arg (utils.py:286-292)
+        positional = [
+            p
+            for p in params.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        if len(positional) != 1 or len(params) != len(positional):
+            # reference enforces exactly one arg (utils.py:286-292);
+            # *args/**kwargs are rejected too (co_argcount semantics)
             raise TypeError(
                 f"parser function {fn.__name__!r} must take exactly 1 argument (ctx)"
             )

@@ -158,18 +158,35 @@ def _map_property(store) -> None:
                 if decl in store._ids_to_map:
                     if df is None:
                         df = ctx.read_staged("edges", current_file)
+                    # audit column per endpoint once one exists — both
+                    # endpoints of one file can carry J1 maps (the
+                    # reference's fixed polars rename collides there)
+                    mf_col = (
+                        "mapped_from"
+                        if "mapped_from" not in df.columns
+                        else f"mapped_from_{endpoint_col}"
+                    )
                     df = coalesce_remap(
-                        df, store._ids_to_map[decl], endpoint_col, keep_mapped_from=True
+                        df,
+                        store._ids_to_map[decl],
+                        endpoint_col,
+                        keep_mapped_from=True,
+                        mapped_from_col=mf_col,
                     )
                     changed = True
 
                 # J2: natural-key endpoint → resolve to the label's
-                # primary key. The reference compares prop to the
+                # primary key. NOT an elif — the reference applies its
+                # J1 and J2 blocks sequentially (pipeline.py:52-114), so
+                # a J1-remapped endpoint whose declared prop is still a
+                # natural key gets resolved to the pk and the catalog
+                # decl rewritten; otherwise DB loaders would MATCH on
+                # the wrong property. The reference compares prop to the
                 # literal "id" (pipeline.py:93) and would crash on a
                 # label whose pk isn't named id (its own example does
                 # this); we implement the intent: skip when the
                 # declared prop already IS that label's primary key.
-                elif prop != store._configs["nodes"].get(label, {}).get("primary_key", "id"):
+                if prop != store._configs["nodes"].get(label, {}).get("primary_key", "id"):
                     mapping, pk = _build_automap(store, ctx, label, prop)
                     if mapping is None:
                         continue
