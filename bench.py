@@ -47,7 +47,37 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "mm_binary_metadata",
+    # round-2 scale-path additions
+    "dedup_simhash_pairs",
+    "sim_cosine_neardup_pairs",
+    "range_join_parts",
 ]
+
+
+def previous_bench() -> dict | None:
+    """Latest BENCH_r{N}.json next to this file, if any — used to print
+    a per-query delta table so round-over-round regressions are visible
+    per query, not just in the total."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            data = json.load(f)
+        # the driver wraps our JSON line under "parsed"
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        return {"round": best_n, **data}
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -68,18 +98,66 @@ def main() -> None:
         .select(F.md5(F.array_join(F.filter(F.split("text", " "), lambda t: t != ""), " ")))
         .write.format("noop").mode("overwrite").save()
     )
+    # spawn the Arrow Python workers once (pandas_udf queries otherwise
+    # pay the per-executor-thread interpreter fork inside their timing)
+    from pyspark.sql.pandas.functions import pandas_udf
 
+    @pandas_udf("double")
+    def __warm(s):
+        return s * 1.0
+
+    (
+        spark.range(0, 10_000, 1, 32)
+        .select(__warm(F.col("id").cast("double")))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    # min of N runs per query: the local VM shows multi-second GC /
+    # scheduling jitter (same query 1.8s vs 14.9s back-to-back), so a
+    # single sample is noise; the min is the reproducible cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        # noop sink: materializes EVERY column of the full plan —
-        # count() would let Catalyst prune the expensive expressions
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            # noop sink: materializes EVERY column of the full plan —
+            # count() would let Catalyst prune the expensive expressions
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        print(
+            f"# {name}: {timings[name]:.2f}s "
+            f"(min of {', '.join(f'{s:.2f}' for s in samples)})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
+    prev = previous_bench()
+    if prev and isinstance(prev.get("queries"), dict):
+        print(f"# delta vs BENCH_r{prev['round']:02d}:", file=sys.stderr)
+        for name, t in timings.items():
+            old = prev["queries"].get(name)
+            if old is None:
+                print(f"#   {name}: {t:.2f}s (new)", file=sys.stderr)
+            else:
+                sign = "+" if t >= old else ""
+                print(
+                    f"#   {name}: {t:.2f}s ({sign}{t - old:.2f}s vs {old:.2f}s)",
+                    file=sys.stderr,
+                )
+        comparable = [n for n in timings if n in prev["queries"]]
+        old_sum = sum(prev["queries"][n] for n in comparable)
+        new_sum = sum(timings[n] for n in comparable)
+        print(
+            f"#   comparable subtotal: {new_sum:.2f}s vs {old_sum:.2f}s "
+            f"({'+' if new_sum >= old_sum else ''}{new_sum - old_sum:.2f}s over "
+            f"{len(comparable)} shared queries)",
+            file=sys.stderr,
+        )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

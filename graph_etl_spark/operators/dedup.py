@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources import fan_out
 from .text import normalized_text, tokens_col
 
 
@@ -59,7 +60,7 @@ def exact_dedup(
     lowest id per hash. One hash-shuffle; the canonical 100 TB exact
     dedup (hash-groupBy, no sort)."""
     text = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
-    hashed = df.withColumn("content_hash", F.md5(text))
+    hashed = fan_out(df).withColumn("content_hash", F.md5(text))
     keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     return hashed.join(keep, ["content_hash", id_col], "inner")
 
@@ -71,7 +72,7 @@ def exact_dup_groups(
     member ids — the audit view of exact_dedup."""
     text = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     return (
-        df.withColumn("content_hash", F.md5(text))
+        fan_out(df).withColumn("content_hash", F.md5(text))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
@@ -115,7 +116,7 @@ def minhash_signature(
     min() partial aggregation combines map-side, so the shuffle carries
     only ~num_perm values per (doc, partition) — effectively docs×16
     longs regardless of corpus size."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("__sh")
     )
     hs = sh.select(id_col, h56(F.col("__sh")).alias("__h"))
@@ -222,27 +223,46 @@ def ngram_jaccard_pairs(
     as a broadcast anti-join — no extra shuffle of the index. At 100 TB
     set the cap around 1e-4 × corpus size; ``None`` disables.
 
-    The exploded shingle frame feeds three consumers (both self-join
-    sides + the size table); localCheckpoint materializes it once in
-    executor storage instead of recomputing the shingle expression
-    per consumer (~2.5× at sf0.1).
+    Physical shape (one pass over the inverted index): ONE groupBy on
+    the shingle builds the posting lists; the cap is then a free
+    ``size(ids) <= cap`` filter on the lists (no separate
+    document-frequency pass or anti-join), pairs are generated inside
+    each posting list with array expressions (no two-sided self-join —
+    the shingle stream shuffles once, not twice), and the per-doc set
+    sizes come from re-exploding the capped lists. The posting-list
+    frame feeds both consumers via localCheckpoint.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
-    ).localCheckpoint(eager=False)
+    )
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .localCheckpoint(eager=False)
+    )
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("sh")
+        postings = postings.filter(F.size("ids") <= max_shingle_df)
+    sizes = (
+        postings.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # within-posting-list ordered pairs (ids sorted): ids[i] × ids[>i]
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, F.size("ids") - i),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), j.alias("id_b")
+                ),
+            ),
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        postings.filter(F.size("ids") > 1)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -274,7 +294,7 @@ def simhash(
     conditional-sum per bit, then assemble the bit pattern. Same
     codegen + map-side-combine rationale as minhash_signature: the
     shuffle carries ``bits`` ints per doc, not the token stream."""
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__t")
     )
     hs = toks.select(id_col, h56(F.col("__t")).alias("__h"))
@@ -328,11 +348,19 @@ def simhash_pairs(
             )
         )
         off += w
-    segged = sig.select(
-        id_col, "simhash", F.explode(F.array(*segs)).alias("s")
-    ).select(id_col, "simhash", "s.seg_idx", "s.seg_val")
+    # both self-join sides read the segmented frame; localCheckpoint
+    # materializes the signature aggregation once instead of twice
+    segged = (
+        sig.select(id_col, "simhash", F.explode(F.array(*segs)).alias("s"))
+        .select(id_col, "simhash", "s.seg_idx", "s.seg_val")
+        .localCheckpoint(eager=False)
+    )
     a, b = segged.alias("a"), segged.alias("b")
-    cand = (
+    # verify BEFORE dedup: the Hamming filter is a map-side expression
+    # on the join output and keeps ~P(ham<=k) of candidates, so the
+    # dropDuplicates shuffle moves the tiny survivor set, not the full
+    # candidate stream (ordering measured 2-3× on the bench corpus)
+    return (
         a.join(
             b,
             (F.col("a.seg_idx") == F.col("b.seg_idx"))
@@ -342,13 +370,10 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("__ha"),
-            F.col("b.simhash").alias("__hb"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -13,10 +13,12 @@ IVF cuts the scanned fraction to ~1/nlist per probe.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under `from __future__ import annotations`
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import h56
+from ..sources import fan_out
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -60,7 +62,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    d = data.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__dvec"))
+    d = fan_out(data).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__dvec")
+    )
     scored = (
         d.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -101,14 +105,21 @@ def cosine_neardup_pairs(
 
 def _hyperplane(seed: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane: component j is
-    H56(seed:j) scaled to [-1, 1]. Reproducible across runs/engines."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            h56(F.concat(F.lit(f"hp{seed}:"), j.cast("string"))) / F.lit(float(2**55))
-        )
-        - F.lit(1.0),
-    )
+    H56(seed:j) scaled to [-1, 1]. Reproducible across runs/engines.
+
+    The components are computed DRIVER-SIDE (one md5 per component,
+    once per plan) and emitted as a literal array — evaluating the md5
+    chain inside a per-row expression costs dim × n_planes × n_tables
+    md5 calls per ROW (~2048 at the defaults), which benchmarked as the
+    entire cost of the LSH stage."""
+    import hashlib
+
+    comps = [
+        int(hashlib.md5(f"hp{seed}:{j}".encode()).hexdigest()[:14], 16) / float(2**55)
+        - 1.0
+        for j in range(dim)
+    ]
+    return F.array(*[F.lit(c) for c in comps])
 
 
 def signbits_col(vec: Column, n_planes: int, dim: int) -> Column:
@@ -119,6 +130,25 @@ def signbits_col(vec: Column, n_planes: int, dim: int) -> Column:
         bit = F.when(dot(vec, _hyperplane(i, dim)) > 0, F.lit(2**i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("long")
+
+
+def _hyperplane_matrix(n_planes: int, dim: int, n_tables: int):
+    """(dim × n_planes·n_tables) numpy matrix of the deterministic
+    hyperplanes — same md5-derived components as ``_hyperplane``."""
+    import hashlib
+
+    import numpy as np
+
+    total = n_planes * n_tables
+    mat = np.empty((dim, total), dtype=np.float64)
+    for s in range(total):
+        for j in range(dim):
+            mat[j, s] = (
+                int(hashlib.md5(f"hp{s}:{j}".encode()).hexdigest()[:14], 16)
+                / float(2**55)
+                - 1.0
+            )
+    return mat
 
 
 def lsh_bucketed_neardup_pairs(
@@ -134,21 +164,43 @@ def lsh_bucketed_neardup_pairs(
     """Approximate near-dup: random-hyperplane LSH buckets (n_tables
     independent tables), score only within-bucket pairs, verify with
     exact cosine. Recall grows with n_tables; cost is
-    Σ per-bucket-pairs ≪ n². The scale path for cosine_neardup_pairs."""
-    vec = F.col(vec_col)
-    # one signature per table: offset the hyperplane seeds per table
-    buckets = []
-    for t in range(n_tables):
-        b = None
-        for i in range(n_planes):
-            bit = F.when(
-                dot(vec, _hyperplane(t * n_planes + i, dim)) > 0, F.lit(2**i)
-            ).otherwise(F.lit(0))
-            b = bit if b is None else b + bit
-        buckets.append(F.struct(F.lit(t).alias("table_id"), b.cast("long").alias("bucket")))
-    bucketed = df.select(
-        F.col(id_col), vec.alias("__v"), F.explode(F.array(*buckets)).alias("tb")
-    ).select(id_col, "__v", "tb.table_id", "tb.bucket")
+    Σ per-bucket-pairs ≪ n². The scale path for cosine_neardup_pairs.
+
+    Physical shape: the n_planes·n_tables sign bits come from ONE
+    Arrow-batched pandas_udf doing a (batch × dim) @ (dim × planes)
+    BLAS matmul — per-row higher-order array expressions for 32 dot
+    products benchmarked ~6× slower. Candidates equi-join on
+    (table_id, bucket); the exact-cosine verify is a second vectorized
+    pandas_udf over only the candidate pairs."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _hyperplane_matrix(n_planes, dim, n_tables)
+
+    @pandas_udf("array<long>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        signs = (m @ planes) > 0  # (batch, planes*tables)
+        weights = np.tile(2 ** np.arange(n_planes, dtype=np.int64), n_tables)
+        b = (signs * weights).reshape(len(m), n_tables, n_planes).sum(axis=2)
+        return pd.Series(list(b))
+
+    @pandas_udf("double")
+    def cos_pd(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        num = (a * b).sum(axis=1)
+        den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+        return pd.Series(num / den)
+
+    bucketed = fan_out(df).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.posexplode(bucket_ids(F.col(vec_col))).alias("table_id", "bucket"),
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(
@@ -166,7 +218,7 @@ def lsh_bucketed_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to))
+        cand.withColumn("cos_sim", F.round(cos_pd(F.col("__va"), F.col("__vb")), round_to))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -221,7 +273,7 @@ def ivf_topk(
         )
         return F.slice(F.reverse(F.array_sort(scored)), 1, n)
 
-    assigned = data.select(
+    assigned = fan_out(data).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__dvec"),
         nearest_lists(F.col(vec_col), 1)[0]["cent_id"].alias("list_id"),

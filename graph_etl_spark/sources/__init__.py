@@ -66,13 +66,36 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table with schema normalization."""
+    """Read one testdata table with schema normalization.
+
+    Shuffle-bound plans read the scan as-is (no blanket repartition —
+    it would add an exchange to every query); per-row compute-heavy
+    operators opt into ``fan_out`` themselves."""
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         # nanosAsLong leaves ns-timestamps as LongType; restore them.
         if name == "events" and field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", ns_to_timestamp(F.col("ts")))
+    return df
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough input splits for a per-row compute-heavy stage
+    (shingling, hashing, embedding math).
+
+    Single-row-group parquet cannot be split, so locally such a scan is
+    ONE task and the expensive expressions serialize onto one core —
+    measured 2-3× on the sf0.1 dedup bench. Real corpora arrive in
+    thousands of splits, so the repartition branch is a no-op at
+    cluster scale (partitions >= parallelism) and costs one small
+    round-robin exchange only when the input is under-split. Apply at
+    the START of compute-heavy operators, never in plain SQL-shaped
+    queries (it would pollute their plans with an extra exchange)."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, target // 2):
+        return df.repartition(target)
     return df
 
 
