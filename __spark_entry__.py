@@ -794,6 +794,13 @@ def q_text_fingerprint(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+def q_text_winnow_fingerprints(spark, sf):
+    """Winnowed rolling-hash fingerprints (MOSS scheme) — the
+    edit-robust document fingerprint; pure per-row array math."""
+    d = _t(spark, sf, "documents")
+    return ops.winnow_fingerprints(d, k=8, window=4)
+
+
 def q_dedup_exact_groups(spark, sf):
     d = _t(spark, sf, "documents")
     g = ops.exact_dup_groups(d)
@@ -1027,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": q_text_quality_scores,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
         # events / temporal
         "events_gap_fill": q_events_gap_fill,
         "events_tumbling_counts": q_events_tumbling_counts,
@@ -1042,8 +1050,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_custkeys": q_approx_distinct_custkeys,
         "salted_count": q_salted_count,
         "distinct_counts": q_distinct_counts,
-        "pandas_udf_normalize": q_pandas_udf_normalize,
         # ---- tail: >50, locally checked only ----
+        # (pandas_udf path is already driver-judged via the in-window
+        # sim_cosine_neardup_pairs, whose bucket+verify stages are
+        # Arrow pandas_udfs)
+        "pandas_udf_normalize": q_pandas_udf_normalize,
         "sql_interface_q1": q_sql_interface_q1,
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
@@ -1589,6 +1600,29 @@ def oracle_sql() -> dict[str, str]:
                md5(array_to_string(list_sort(list_distinct(
                  list_filter(string_split(lower(text), ' '), t -> t <> ''))), ' ')) AS fingerprint
         FROM documents
+    """
+
+    # Winnowing (k=8, window=4): k-gram H56 hashes, per-window minima,
+    # distinct+sorted, md5 — mirrors ops.text.winnow_fingerprints.
+    sql["text_winnow_fingerprints"] = """
+        WITH grams AS (
+          SELECT doc_id,
+                 CASE WHEN length(lower(text)) >= 8 THEN
+                   list_transform(range(1, length(lower(text)) - 6),
+                     i -> ('0x' || substr(md5(substr(lower(text), i::INT, 8)), 1, 14))::BIGINT)
+                 ELSE [('0x' || substr(md5(lower(text)), 1, 14))::BIGINT]
+                 END AS gh
+          FROM documents
+        ), sel AS (
+          SELECT doc_id, len(gh)::INT AS n_grams,
+                 list_sort(list_distinct(
+                   list_transform(range(1, greatest(len(gh) - 3, 1) + 1),
+                     j -> list_min(list_slice(gh, j::INT, (j + 3)::INT))))) AS fps
+          FROM grams
+        )
+        SELECT doc_id, n_grams, len(fps)::INT AS n_selected,
+               md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ',')) AS winnow_fp
+        FROM sel
     """
 
     sql["dedup_exact_groups"] = """

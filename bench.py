@@ -98,6 +98,16 @@ def main() -> None:
         .select(F.md5(F.array_join(F.filter(F.split("text", " "), lambda t: t != ""), " ")))
         .write.format("noop").mode("overwrite").save()
     )
+    # warm the 16-min-aggregate codegen shape (minhash signatures pay
+    # ~2s of one-time janino compilation on first use otherwise)
+    from graph_etl_spark.operators.dedup import minhash_signature
+
+    (
+        minhash_signature(spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     # spawn the Arrow Python workers once (pandas_udf queries otherwise
     # pay the per-executor-thread interpreter fork inside their timing)
     from pyspark.sql.pandas.functions import pandas_udf

@@ -34,6 +34,7 @@ from .text import (
     lang_id,
     quality_score,
     token_count,
+    winnow_fingerprints,
 )
 
 __all__ = [
@@ -68,4 +69,5 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "token_count",
+    "winnow_fingerprints",
 ]

@@ -25,13 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..sources import fan_out
-from .text import normalized_text, tokens_col
-
-
-def h56(col: Column) -> Column:
-    """56-bit deterministic hash: first 14 hex chars of md5 as int64.
-    DuckDB parity: ('0x' || substr(md5(x),1,14))::BIGINT."""
-    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+from .text import h56, normalized_text, tokens_col  # noqa: F401 — h56 re-exported
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:

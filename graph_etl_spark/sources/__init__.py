@@ -122,6 +122,29 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — same predicate-pushdown/column-pruning behavior as
+    parquet via the vectorized ORC reader."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw text scan: one row per line (``value`` string), or one row
+    per FILE with ``wholetext`` — the ingest shape for line-delimited
+    corpora respectively document-per-file dumps."""
+    # NB: must go through the text() kwarg — DataFrameReader.text()
+    # overwrites a previously-set "wholetext" option with its own
+    # parameter default
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

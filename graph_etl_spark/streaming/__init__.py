@@ -124,6 +124,30 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state size is O(keys per watermark window),
+    not O(all keys ever) — the only dedup form that survives an
+    unbounded stream. On a batch DataFrame it degrades to plain
+    dropDuplicates (same result set when all data is 'on time').
+
+    The streaming twin of ``operators.dedup.exact_dedup`` for ingest
+    paths: run this at the stream edge, run the batch MinHash/SimHash
+    passes on the staged output."""
+    cols = keys or [c for c in events.columns if c != ts_col]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            cols
+        )
+    return events.dropDuplicates(cols)
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -199,3 +199,101 @@ def test_cc_raises_on_exhausted_iterations(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(63)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         ops.connected_components(edges, max_iter=2)
+
+
+# -- winnowing fingerprints -------------------------------------------------------
+
+
+def test_winnow_fingerprints_edit_robustness(spark):
+    """Identical docs share the fingerprint; a doc sharing a long
+    substring shares selected hashes (the winnowing guarantee), while
+    the whole-document md5 differs."""
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, a), (2, a), (3, "PREFIX EDIT " + a), (4, "completely different text with nothing in common zzz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ops.winnow_fingerprints(df).collect()}
+    assert out[1]["winnow_fp"] == out[2]["winnow_fp"]  # identical docs
+    assert out[1]["winnow_fp"] != out[4]["winnow_fp"]
+    # the edited doc's fingerprint differs but n_selected is close and
+    # > 0 — local edit, not total change
+    assert out[3]["winnow_fp"] != out[1]["winnow_fp"]
+    assert out[1]["n_selected"] > 0 and out[3]["n_grams"] > out[1]["n_grams"]
+
+
+# -- streaming dedup with bounded state -------------------------------------------
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicates arriving across micro-batches inside the watermark
+    window are dropped; state is bounded by the watermark."""
+    import pandas as pd
+
+    from graph_etl_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "dd_src")
+    ckpt = str(tmp_path / "dd_ckpt")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows1 = pd.DataFrame(
+        [(1, base), (2, base + pd.Timedelta(minutes=1)), (1, base + pd.Timedelta(minutes=2))],
+        columns=["event_id", "ts"],
+    )
+    spark.createDataFrame(rows1).write.mode("append").parquet(src)
+    results: list = []
+
+    def run_once():
+        stream = spark.readStream.schema("event_id long, ts timestamp").parquet(src)
+        q = (
+            streaming_dedup(stream, keys=["event_id"], watermark="1 hour")
+            .writeStream.foreachBatch(
+                lambda bdf, bid: results.extend(r.asDict() for r in bdf.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(r["event_id"] for r in results) == [1, 2]  # in-batch dup dropped
+
+    # second micro-batch re-sends event 1 within the watermark → dropped
+    rows2 = pd.DataFrame([(1, base + pd.Timedelta(minutes=3)), (3, base + pd.Timedelta(minutes=4))], columns=["event_id", "ts"])
+    spark.createDataFrame(rows2).write.mode("append").parquet(src)
+    results.clear()
+    run_once()
+    assert sorted(r["event_id"] for r in results) == [3]  # only the new key
+
+    # batch-mode degradation: plain dropDuplicates
+    batch = spark.createDataFrame(rows1)
+    assert streaming_dedup(batch, keys=["event_id"]).count() == 2
+
+
+# -- source adapters: ORC / text round trips --------------------------------------
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from graph_etl_spark.sources import read_orc
+
+    path = str(tmp_path / "orc_tbl")
+    src = spark.read.parquet(f"{SF}/nation.parquet")
+    src.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    filtered = back.filter(F.col("n_regionkey") == 0).select("n_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert filtered.count() > 0
+    assert "n_regionkey" in plan  # predicate reaches the ORC scan
+
+
+def test_text_source_line_and_wholefile(spark, tmp_path):
+    from graph_etl_spark.sources import read_text
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo line\n")
+    lines = read_text(spark, str(d))
+    assert lines.count() == 3 and lines.columns == ["value"]
+    files = read_text(spark, str(d), whole_file=True)
+    assert files.count() == 2
+    assert any("line one\nline two" in r["value"] for r in files.collect())
