@@ -19,6 +19,7 @@ from .multimodal import (
     attach_binary_metadata,
     decode_image_stub,
     frame_sample_plan,
+    resize_image_stub,
 )
 from .skew import key_skew_report, salted_count, salted_join
 from .similarity import (
@@ -65,6 +66,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "quality_score",
     "range_join",
+    "resize_image_stub",
     "shingles_col",
     "simhash",
     "simhash_pairs",

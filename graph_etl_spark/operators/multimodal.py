@@ -106,6 +106,60 @@ def decode_image_stub(
     return df.select(id_col, bin_col).mapInPandas(decode_batches, DECODED_IMAGE_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("target_width", T.IntegerType()),
+        T.StructField("target_height", T.IntegerType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_image_stub(
+    df: DataFrame,
+    target_width: int = 64,
+    target_height: int = 64,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """'Resize' stage plumbing via mapInPandas: binary in → binary out
+    at a fixed target geometry (STUB resampler: deterministic
+    byte-stride subsample/pad to exactly w*h*3 bytes — swap for a real
+    resampler outside this container). The schema/batch shape is what a
+    real resize stage ships: bounded output row size regardless of
+    input payload size, which is what makes the downstream shuffle
+    plannable at 100 TB."""
+    out_len = target_width * target_height * 3
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "target_width": target_width,
+                "target_height": target_height,
+                "n_bytes_in": [],
+                "n_bytes_out": [],
+                "resized": [],
+            }
+            for payload in pdf[bin_col]:
+                raw = bytes(payload) if payload is not None else b""
+                if raw:
+                    stride = max(len(raw) // out_len, 1)
+                    sampled = raw[::stride][:out_len]
+                else:
+                    sampled = b""
+                resized = sampled + b"\x00" * (out_len - len(sampled))
+                rows["n_bytes_in"].append(len(raw))
+                rows["n_bytes_out"].append(len(resized))
+                rows["resized"].append(resized)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(resize_batches, RESIZED_IMAGE_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     bin_col: str = "payload",

@@ -271,6 +271,33 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
 # -- source adapters: ORC / text round trips --------------------------------------
 
 
+def test_resize_image_stub_bounded_output(spark, docs):
+    """Resize plumbing: Arrow-batched binary→binary with a FIXED output
+    row size (w*h*3), independent of input payload size."""
+    b = docs.limit(20).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = ops.resize_image_stub(b, target_width=8, target_height=8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["n_bytes_out"] == 8 * 8 * 3
+        assert len(r["resized"]) == 8 * 8 * 3
+    # deterministic: same input → same bytes
+    again = ops.resize_image_stub(b, target_width=8, target_height=8).collect()
+    assert {r["doc_id"]: bytes(r["resized"]) for r in out} == {
+        r["doc_id"]: bytes(r["resized"]) for r in again
+    }
+
+
+def test_lsh_neardup_plan_equijoin_only(spark, embeddings=None):
+    """The LSH near-dup candidate join must be an equi-join on
+    (table_id, bucket) — never a cartesian/broadcast nested loop."""
+    from graph_etl_spark.plans import assert_no_cartesian
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert_no_cartesian(ops.lsh_bucketed_neardup_pairs(e, threshold=0.9))
+
+
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     from graph_etl_spark.sources import read_orc
 
