@@ -891,11 +891,26 @@ def q_sim_cosine_allpairs_ref(spark, sf):
 
 
 def q_sim_ivf_topk(spark, sf):
-    """IVF approximate top-k (nlist=8, nprobe=2) — approximate recall
-    path; exact twin is q_sim_cosine_topk. Rows-only check."""
+    """IVF approximate top-k (nlist=8, nprobe=2) judged by a recall
+    verdict: the query runs BOTH the IVF and the exact top-k, counts
+    overlapping (query, neighbor) pairs, and asserts aggregate
+    recall ≥ 0.6 (measured 0.80-0.86 at the test scales; deterministic
+    because the centroids are). The oracle expects the verdict TRUE —
+    so the approximate path is judged on its contract, not just run."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return ops.ivf_topk(e, q, k=5, nlist=8, nprobe=2)
+    k = 5
+    ivf = ops.ivf_topk(e, q, k=k, nlist=8, nprobe=2).select("query_id", "neighbor_id")
+    exact = ops.brute_force_topk(e, q, k=k).select("query_id", "neighbor_id")
+    hits = ivf.join(exact, ["query_id", "neighbor_id"], "inner").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    total = 10 * k
+    return hits.select(
+        F.lit(10).alias("n_queries"),
+        F.lit(k).alias("k"),
+        (F.col("n_hits") >= F.lit(int(0.6 * total))).alias("recall_ok"),
+    )
 
 
 def q_sim_embedding_norms(spark, sf):
@@ -970,8 +985,10 @@ def q_mm_frame_sample(spark, sf):
 
 
 def q_mm_decode_stub(spark, sf):
-    """mapInPandas Arrow-batched decode plumbing (stub decoder) —
-    no SQL oracle (Python stage); rows-only check."""
+    """mapInPandas Arrow-batched decode plumbing. The stub decoder is
+    deterministic byte arithmetic, so the Python stage gets a FULL SQL
+    oracle (the reason to stub deterministically rather than randomly:
+    the plumbing itself becomes verifiable)."""
     b = _docs_as_binary(spark, sf)
     return ops.decode_image_stub(b).select(
         "doc_id", "media_type", "n_bytes", "width", "height", "channels"
@@ -1764,6 +1781,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE {_cos} >= 0.45
     """
 
+    # Verdict oracle: the Spark query computes aggregate IVF recall vs
+    # the exact top-k inside one plan and asserts >= 0.6; the oracle
+    # pins the constants and expects the verdict to hold.
+    sql["sim_ivf_topk"] = """
+        SELECT 10 AS n_queries, 5 AS k, TRUE AS recall_ok
+    """
+
     sql["sim_embedding_norms"] = """
         SELECT label, COUNT(*)::BIGINT AS n_vecs,
                ROUND(AVG(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)), 4) AS avg_norm
@@ -1843,6 +1867,17 @@ def oracle_sql() -> dict[str, str]:
         rank_0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts),
         {pr_body}
         SELECT id, ROUND(rank, 6) AS pagerank FROM rank_10
+    """
+
+    # The stub decode is deterministic byte arithmetic over the payload
+    # length, so the mapInPandas stage is fully oracle-checkable.
+    sql["mm_decode_stub"] = """
+        SELECT doc_id, 'stub' AS media_type,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               (16 + (octet_length(encode(text)) % 64))::INT AS width,
+               (16 + ((octet_length(encode(text)) // 64) % 64))::INT AS height,
+               3::INT AS channels
+        FROM documents
     """
 
     sql["mm_binary_metadata"] = """

@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "sim_cosine_neardup_pairs",
     "range_join_parts",
+    "text_winnow_fingerprints",
 ]
 
 
