@@ -1002,75 +1002,24 @@ def q_mm_decode_stub(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that EVERY operator family has representatives inside
-    the first 50 entries (the driver's per-round verdict window): core
-    ETL, TPC-H analytics, dedup (exact/MinHash/SimHash/Jaccard),
-    similarity, graph, multimodal, text, events/temporal, sketches.
-    The tail (>50) holds the scalar-function batteries and redundant
-    variants — still oracle-checked locally by tools/check_oracle.py."""
+    the first 50 entries (the driver's per-round verdict window).
+
+    Round-3 rotation: the 17 scalar/window/set-op batteries that sat
+    past slot 50 in round 2 (driver never judged them — only the local
+    tools/check_oracle.py replica did) are rotated INTO the window this
+    round; 17 rows with two consecutive green driver rounds (r1+r2 —
+    most etl_* rows plus q1/q3/q6/q10 and three window/agg rows) rotate
+    out to the tail. Every query stays oracle-checked locally every
+    round regardless of position."""
     return {
-        # core ETL (reference §2 heart)
-        "etl_normalize_nodes": q_etl_normalize_nodes,
-        "etl_dedup_pk": q_etl_dedup_pk,
-        "etl_remap_j1": q_etl_remap_j1,
-        "etl_automap_j2": q_etl_automap_j2,
-        "etl_semi_join_match": q_etl_semi_join_match,
-        "etl_anti_join_blanks": q_etl_anti_join_blanks,
-        "etl_array_flatten": q_etl_array_flatten,
-        "etl_split_explode": q_etl_split_explode,
-        "etl_union_sources": q_etl_union_sources,
-        "etl_chunk_counts": q_etl_chunk_counts,
-        "etl_metadata_attach": q_etl_metadata_attach,
-        # TPC-H analytics core
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "q5_local_supplier_volume": q_q5_local_supplier_volume,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q10_returned_items": q_q10_returned_items,
-        # LLM-pipeline: dedup family
+        # changed this round — must get a fresh driver verdict
         "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_signatures": q_dedup_minhash_signatures,
-        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
-        "dedup_simhash_signatures": q_dedup_simhash_signatures,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
-        # LLM-pipeline: similarity search
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_embedding_norms": q_sim_embedding_norms,
-        # graph algorithms
-        "graph_degrees": q_graph_degrees,
         "graph_connected_components": q_graph_connected_components,
         "graph_pagerank": q_graph_pagerank,
-        # multimodal plumbing
-        "mm_binary_metadata": q_mm_binary_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_decode_stub": q_mm_decode_stub,
-        # text analysis
-        "text_token_stats": q_text_token_stats,
-        "text_quality_scores": q_text_quality_scores,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
-        # events / temporal
-        "events_gap_fill": q_events_gap_fill,
-        "events_tumbling_counts": q_events_tumbling_counts,
-        "events_sessionize": q_events_sessionize,
-        "asof_join_events": q_asof_join_events,
-        "range_join_parts": q_range_join_parts,
-        "json_extract_events": q_json_extract_events,
-        # windows / aggregates / sketches
-        "win_running_total": q_win_running_total,
-        "percentiles": q_percentiles,
-        "conditional_agg": q_conditional_agg,
-        "approx_quantiles": q_approx_quantiles,
-        "approx_distinct_custkeys": q_approx_distinct_custkeys,
-        "salted_count": q_salted_count,
-        "distinct_counts": q_distinct_counts,
-        # ---- tail: >50, locally checked only ----
-        # (pandas_udf path is already driver-judged via the in-window
-        # sim_cosine_neardup_pairs, whose bucket+verify stages are
-        # Arrow pandas_udfs)
+        "etl_remap_j1": q_etl_remap_j1,
+        # rotated IN: driver-unjudged tail of round 2
         "pandas_udf_normalize": q_pandas_udf_normalize,
         "sql_interface_q1": q_sql_interface_q1,
         "win_lag_lead": q_win_lag_lead,
@@ -1088,6 +1037,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "unpivot_part": q_unpivot_part,
         "sim_cosine_allpairs_ref": q_sim_cosine_allpairs_ref,
+        # TPC-H analytics (q5 stays in: watching the r2 +23% drift)
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        # LLM-pipeline: dedup family
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_simhash_signatures": q_dedup_simhash_signatures,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        # LLM-pipeline: similarity search
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_embedding_norms": q_sim_embedding_norms,
+        # graph algorithms
+        "graph_degrees": q_graph_degrees,
+        # multimodal plumbing
+        "mm_binary_metadata": q_mm_binary_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_decode_stub": q_mm_decode_stub,
+        # text analysis
+        "text_token_stats": q_text_token_stats,
+        "text_quality_scores": q_text_quality_scores,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        # events / temporal
+        "events_gap_fill": q_events_gap_fill,
+        "events_tumbling_counts": q_events_tumbling_counts,
+        "events_sessionize": q_events_sessionize,
+        "asof_join_events": q_asof_join_events,
+        "range_join_parts": q_range_join_parts,
+        "json_extract_events": q_json_extract_events,
+        # sketches / skew
+        "approx_quantiles": q_approx_quantiles,
+        "approx_distinct_custkeys": q_approx_distinct_custkeys,
+        "salted_count": q_salted_count,
+        "distinct_counts": q_distinct_counts,
+        # ---- tail: >50 — two consecutive green driver rounds (r1+r2),
+        # rotated out for one round; still oracle-checked locally ----
+        "etl_normalize_nodes": q_etl_normalize_nodes,
+        "etl_dedup_pk": q_etl_dedup_pk,
+        "etl_automap_j2": q_etl_automap_j2,
+        "etl_semi_join_match": q_etl_semi_join_match,
+        "etl_anti_join_blanks": q_etl_anti_join_blanks,
+        "etl_array_flatten": q_etl_array_flatten,
+        "etl_split_explode": q_etl_split_explode,
+        "etl_union_sources": q_etl_union_sources,
+        "etl_chunk_counts": q_etl_chunk_counts,
+        "etl_metadata_attach": q_etl_metadata_attach,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q10_returned_items": q_q10_returned_items,
+        "win_running_total": q_win_running_total,
+        "percentiles": q_percentiles,
+        "conditional_agg": q_conditional_agg,
     }
 
 
@@ -1621,13 +1624,16 @@ def oracle_sql() -> dict[str, str]:
 
     # Winnowing (k=8, window=4): k-gram H56 hashes, per-window minima,
     # distinct+sorted, md5 — mirrors ops.text.winnow_fingerprints.
+    # COALESCE(text,'') matches the Spark side's ``(text or "")``: a
+    # NULL document degrades to the whole-''-hash fingerprint instead
+    # of silently diverging (md5(NULL) is NULL in SQL).
     sql["text_winnow_fingerprints"] = """
         WITH grams AS (
           SELECT doc_id,
-                 CASE WHEN length(lower(text)) >= 8 THEN
-                   list_transform(range(1, length(lower(text)) - 6),
-                     i -> ('0x' || substr(md5(substr(lower(text), i::INT, 8)), 1, 14))::BIGINT)
-                 ELSE [('0x' || substr(md5(lower(text)), 1, 14))::BIGINT]
+                 CASE WHEN length(lower(coalesce(text, ''))) >= 8 THEN
+                   list_transform(range(1, length(lower(coalesce(text, ''))) - 6),
+                     i -> ('0x' || substr(md5(substr(lower(coalesce(text, '')), i::INT, 8)), 1, 14))::BIGINT)
+                 ELSE [('0x' || substr(md5(lower(coalesce(text, ''))), 1, 14))::BIGINT]
                  END AS gh
           FROM documents
         ), sel AS (
@@ -1642,6 +1648,9 @@ def oracle_sql() -> dict[str, str]:
         FROM sel
     """
 
+    # member_ids is capped at 100 on the Spark side (bounded audit
+    # array); list_slice mirrors the cap exactly — a no-op at oracle
+    # scale but semantically identical at every scale.
     sql["dedup_exact_groups"] = """
         WITH hashed AS (
           SELECT doc_id,
@@ -1649,7 +1658,9 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT content_hash, COUNT(*)::BIGINT AS n_dups, MIN(doc_id) AS keep_id,
-               md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS members_fp
+               md5(array_to_string(list_transform(
+                 list_slice(list_sort(list(doc_id)), 1, 100),
+                 x -> x::VARCHAR), ',')) AS members_fp
         FROM hashed GROUP BY content_hash
     """
 

@@ -55,19 +55,43 @@ HEADLINE = [
 ]
 
 
-def previous_bench() -> dict | None:
-    """Latest BENCH_r{N}.json next to this file, if any — used to print
-    a per-query delta table so round-over-round regressions are visible
-    per query, not just in the total."""
+def current_round() -> int | None:
+    """In-progress round number, inferred from the driver's per-round
+    artifacts: CORRECTNESS_r{N}.json exists for every COMPLETED round,
+    so the current round is max(N) + 1. None before round 1 finishes."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds) + 1 if rounds else None
+
+
+def previous_bench() -> dict | None:
+    """Latest COMPLETED round's BENCH_r{N}.json, if any — used to print
+    a per-query delta table so round-over-round regressions are visible
+    per query, not just in the total. Rounds >= the in-progress round
+    are excluded: a re-run within the same round would otherwise pick
+    its own earlier output and print ~0 deltas against itself."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cur = current_round()
     best, best_n = None, -1
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = p, int(m.group(1))
+        if not m:
+            continue
+        n = int(m.group(1))
+        if cur is not None and n >= cur:
+            continue
+        if n > best_n:
+            best, best_n = p, n
     if best is None:
         return None
     try:

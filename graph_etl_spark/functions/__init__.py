@@ -143,7 +143,13 @@ def coalesce_remap(
     lo_cols: list[Column] = []
     for c in edges.columns:
         if c == endpoint:
-            lo_cols.append(F.col("__new").alias(endpoint))
+            # same ANSI-proof cast as the matched side: without it the
+            # unionByName would rely on implicit non-ANSI coercion when
+            # new_value is the non-string side
+            new_val = (
+                F.col("__new").cast(coalesce_cast) if coalesce_cast else F.col("__new")
+            )
+            lo_cols.append(new_val.alias(endpoint))
             if keep_mapped_from:
                 lo_cols.append(F.lit(None).alias(mapped_from_col))
         else:

@@ -21,7 +21,7 @@ slack needed).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources import fan_out
@@ -52,26 +52,50 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup by content hash: md5 of (normalized) text, keep the
     lowest id per hash. One hash-shuffle; the canonical 100 TB exact
-    dedup (hash-groupBy, no sort)."""
+    dedup (hash-groupBy, no sort).
+
+    No ``fan_out`` here: one md5 per row is not compute-heavy, the plan
+    is shuffle-bound, and a round-robin repartition would only add an
+    exchange (measured ~3× slower on the sf0.1 bench when it was
+    mistakenly applied)."""
     text = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
-    hashed = fan_out(df).withColumn("content_hash", F.md5(text))
+    hashed = df.withColumn("content_hash", F.md5(text))
     keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     return hashed.join(keep, ["content_hash", id_col], "inner")
 
 
 def exact_dup_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    max_members: int = 100,
 ) -> DataFrame:
-    """Duplicate-group summary: one row per content hash with count and
-    member ids — the audit view of exact_dedup."""
+    """Duplicate-group summary: one row per content hash with exact
+    count, the kept id, and up to ``max_members`` member ids — the
+    audit view of exact_dedup.
+
+    Scale: ``member_ids`` must be BOUNDED — a pathological hash with
+    millions of duplicates (empty docs, boilerplate) would otherwise
+    materialize one giant array row. The cap is enforced BEFORE the
+    aggregation buffer grows: rows are ranked per hash with row_number
+    over the same hash partitioning the groupBy then reuses (Catalyst
+    elides the second exchange — one shuffle total), and only ranks
+    <= max_members enter the collect_list, so no buffer ever holds more
+    than max_members ids. ``n_dups``/``keep_id`` stay exact;
+    ``member_ids`` is the max_members smallest ids, sorted."""
     text = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = df.withColumn("content_hash", F.md5(text))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
     return (
-        fan_out(df).withColumn("content_hash", F.md5(text))
+        hashed.withColumn("__rn", F.row_number().over(w))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
             F.min(id_col).alias("keep_id"),
-            F.array_sort(F.collect_list(id_col)).alias("member_ids"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("__rn") <= max_members, F.col(id_col)))
+            ).alias("member_ids"),
         )
     )
 
@@ -212,30 +236,42 @@ def ngram_jaccard_pairs(
     the stop-shingle cap: shingles whose document frequency exceeds it
     are dropped from BOTH the inverted index and the set sizes, so the
     result is the exact Jaccard of the filtered shingle sets (the
-    standard stop-shingle-removal semantics). The hot-shingle list is
-    tiny by construction (few shingles exceed the cap) and is applied
-    as a broadcast anti-join — no extra shuffle of the index. At 100 TB
-    set the cap around 1e-4 × corpus size; ``None`` disables.
+    standard stop-shingle-removal semantics). At 100 TB set the cap
+    around 1e-4 × corpus size; ``None`` disables.
 
-    Physical shape (one pass over the inverted index): ONE groupBy on
-    the shingle builds the posting lists; the cap is then a free
-    ``size(ids) <= cap`` filter on the lists (no separate
-    document-frequency pass or anti-join), pairs are generated inside
-    each posting list with array expressions (no two-sided self-join —
-    the shingle stream shuffles once, not twice), and the per-doc set
-    sizes come from re-exploding the capped lists. The posting-list
-    frame feeds both consumers via localCheckpoint.
+    Physical shape: hot shingles are removed BEFORE the posting lists
+    are built. A first pass computes document frequency as a count
+    aggregation (map-side combinable — the shuffle carries one (shingle,
+    partial count) per map partition, never a doc-id list); the
+    over-cap shingles form a tiny frame that is broadcast anti-joined
+    against the shingle stream map-side. Only then does collect_list
+    build posting lists, so no aggregation buffer ever holds a hot
+    shingle's full doc-id array (a df-in-the-millions stopword shingle
+    would otherwise OOM one reducer even though its pairs get
+    filtered). The shingle stream is recomputed for the second pass —
+    shingling is cheap map-side work, while localCheckpointing the
+    exploded stream (~shingle_n × corpus size) would be the worse
+    trade at scale. Pairs are generated inside each posting list with
+    array expressions (no two-sided self-join), and per-doc set sizes
+    come from re-exploding the capped lists; the posting-list frame
+    feeds both consumers via localCheckpoint.
     """
     sh = fan_out(df).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     postings = (
         sh.groupBy("sh")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .localCheckpoint(eager=False)
     )
-    if max_shingle_df is not None:
-        postings = postings.filter(F.size("ids") <= max_shingle_df)
     sizes = (
         postings.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)

@@ -162,7 +162,14 @@ def pagerank(
 ) -> DataFrame:
     """(id, pagerank) by power iteration with uniform teleport over the
     vertex set; dangling mass redistributed uniformly. One shuffle per
-    iteration; ranks checkpointed to truncate lineage."""
+    iteration; ranks checkpointed to truncate lineage.
+
+    The dangling-rank sum stays IN the plan: a 1-row global aggregate
+    broadcast-joined into the rank update, so each iteration is one
+    action (the eager checkpoint) instead of a separate driver
+    ``collect()`` job per round. Expression grouping mirrors the
+    oracle's ``(1-d)/n + d*dangling/n + d*in_sum`` left-to-right so the
+    IEEE-double results stay bit-identical."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a").isNotNull() & F.col("b").isNotNull()
     )
@@ -185,18 +192,18 @@ def pagerank(
             .agg(F.sum("c").alias("in_sum"))
         )
         dangling = (
-            ranks.join(out_deg, "id", "left_anti").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+            ranks.join(out_deg, "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        rank_expr = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("__dangling") / F.lit(float(n))
+            + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+        )
         ranks = (
             verts.join(contrib, "id", "left")
-            .select(
-                "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
+            .crossJoin(F.broadcast(dangling))
+            .select("id", rank_expr.alias("rank"))
             .localCheckpoint(eager=True)
         )
     verts.unpersist()

@@ -246,12 +246,7 @@ def ivf_topk(
     cents = (
         data.orderBy(id_col)
         .limit(nlist)
-        .select(
-            F.monotonically_increasing_id().alias("__tmp"),
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("cent_vec"),
-        )
-        .drop("__tmp")
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
     cent_rows = cents.collect()  # nlist rows — tiny, deliberate
     cent_arr = F.array(

@@ -55,7 +55,20 @@ _RUNTIME_CONFS = {
 
 
 def ensure_runtime_confs(spark: SparkSession) -> None:
-    """Make the current session driver-proof (idempotent, cheap)."""
+    """Make the current session driver-proof (idempotent, cheap).
+
+    SIDE EFFECT — this mutates the caller's SparkSession GLOBALLY and
+    for the rest of the session: ANSI mode off, UTC session timezone,
+    legacy nanos-as-long parquet reads. Every ``read_table`` call
+    applies it, so embedding this engine in a host application changes
+    the semantics of the host's own subsequent queries (e.g. permissive
+    casts where ANSI would have errored). This is deliberate: the
+    engine's semantics are defined under these confs, and they must
+    hold on ANY session handed to us, including the correctness
+    driver's ANSI-on default session. Hosts that need ANSI behavior for
+    their own queries should run them on a separate SparkSession (conf
+    isolation comes free with ``SparkSession.newSession()``... note
+    runtime confs are per-session there, shared SparkContext)."""
     for k, v in _RUNTIME_CONFS.items():
         try:
             current = spark.conf.get(k, None)
