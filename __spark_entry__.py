@@ -996,6 +996,67 @@ def q_mm_decode_stub(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# corpus-quality operators (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+
+def q_quality_repetition_stats(spark, sf):
+    """Gopher-style per-doc repetition signals — drop-or-keep features
+    computed with zero shuffle."""
+    d = _t(spark, sf, "documents")
+    return ops.repetition_stats(d).select(
+        "doc_id", "n_tokens", "dup_word_frac", "top_word_frac", "adjacent_repeat_frac"
+    )
+
+
+def q_quality_hash_sample(spark, sf):
+    """Stratified deterministic sampling: 5% of 'en', 100% of 'fr',
+    20% default — the reproducible rebalancing primitive (same rows
+    selected on ANY engine/partitioning, unlike df.sample)."""
+    d = _t(spark, sf, "documents")
+    return ops.stratified_hash_sample(
+        d, strata_col="lang", rates_permille={"en": 50, "fr": 1000}, default_permille=200
+    ).select("doc_id", "lang", "source")
+
+
+def q_quality_boilerplate_ngrams(spark, sf):
+    """Corpus-level template detection: word 5-grams shared by >= 3
+    documents (boilerplate that pairwise near-dup misses)."""
+    d = _t(spark, sf, "documents")
+    return ops.boilerplate_ngrams(d, n=5, min_df=3)
+
+
+def q_quality_scrub_contact(spark, sf):
+    """PII scrub over planted contact strings: every 5th doc gets a
+    deterministic email + URL appended, so redaction counts and the
+    scrubbed text are oracle-checkable (not vacuously zero)."""
+    d = _t(spark, sf, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or https://ex.com/"),
+                F.col("doc_id"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return ops.scrub_contact_strings(planted).select(
+        "doc_id", "n_emails", "n_urls", F.md5("scrubbed").alias("scrub_fp")
+    )
+
+
+def q_quality_tfidf_top_terms(spark, sf):
+    """Per-doc top-3 TF-IDF terms; tf per-row (array exprs), df
+    map-side-combined, N broadcast — no (doc,term) tf shuffle."""
+    d = _t(spark, sf, "documents")
+    return ops.tfidf_top_terms(d, k=3)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1091,6 +1152,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_running_total": q_win_running_total,
         "percentiles": q_percentiles,
         "conditional_agg": q_conditional_agg,
+        # new this round (corpus-quality family) — tail first, rotate
+        # into the window once locally green for a full round
+        "quality_repetition_stats": q_quality_repetition_stats,
+        "quality_hash_sample": q_quality_hash_sample,
+        "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
+        "quality_scrub_contact": q_quality_scrub_contact,
+        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
     }
 
 
@@ -1895,6 +1963,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
                md5(text) AS content_digest, 'unknown' AS media_type
         FROM documents
+    """
+
+    # --- corpus-quality family (operators/quality.py) ---
+
+    sql["quality_repetition_stats"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        m AS (
+          SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+                 list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t)))) AS top_cnt,
+                 len(list_filter(range(1, len(toks)),
+                   i -> toks[i] = toks[i + 1])) AS adj
+          FROM t
+        )
+        SELECT doc_id, n::INT AS n_tokens,
+               ROUND(CASE WHEN n > 0 THEN 1.0 - nd / n ELSE 0.0 END, 6) AS dup_word_frac,
+               ROUND(CASE WHEN n > 0 THEN top_cnt / n ELSE 0.0 END, 6) AS top_word_frac,
+               ROUND(CASE WHEN n > 1 THEN adj / (n - 1) ELSE 0.0 END, 6) AS adjacent_repeat_frac
+        FROM m
+    """
+
+    sql["quality_hash_sample"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE (('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 14))::BIGINT % 1000)
+              < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'fr' THEN 1000 ELSE 200 END
+    """
+
+    sql["quality_boilerplate_ngrams"] = f"""
+        WITH g AS (SELECT doc_id, unnest({_shingles(n=5)}) AS gram FROM documents)
+        SELECT gram, COUNT(*)::BIGINT AS df FROM g GROUP BY gram
+        HAVING COUNT(*) >= 3
+    """
+
+    _email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _url_re = r"https?://[^\s]+"
+    sql["quality_scrub_contact"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN
+                   text || ' contact user' || doc_id::VARCHAR ||
+                   '@example.com or https://ex.com/' || doc_id::VARCHAR
+                 ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_email_re}'))::INT AS n_emails,
+               len(regexp_extract_all(text, '{_url_re}'))::INT AS n_urls,
+               md5(regexp_replace(regexp_replace(text, '{_email_re}', '<EMAIL>', 'g'),
+                                  '{_url_re}', '<URL>', 'g')) AS scrub_fp
+        FROM planted
+    """
+
+    sql["quality_tfidf_top_terms"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents
+        ), per_doc AS (
+          SELECT doc_id, unnest(list_distinct(toks)) AS term, toks FROM t
+        ), tf AS (
+          SELECT doc_id, term, len(list_filter(toks, x -> x = term)) AS tf FROM per_doc
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+          SELECT doc_id, term, tf, df,
+                 ROUND(tf * ln((SELECT COUNT(*) FROM documents) / df), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term)
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf::INT AS tf, df::BIGINT AS df, tfidf, rank::INT AS rank
+        FROM ranked WHERE rank <= 3
     """
 
     sql["mm_frame_sample"] = """

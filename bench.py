@@ -52,7 +52,55 @@ HEADLINE = [
     "sim_cosine_neardup_pairs",
     "range_join_parts",
     "text_winnow_fingerprints",
+    # round-3 corpus-quality family
+    "quality_repetition_stats",
+    "quality_boilerplate_ngrams",
+    "quality_tfidf_top_terms",
 ]
+
+
+def bench_pipeline_flow(spark, sf_dir):
+    """§3 lifecycle as ONE timed unit: stage (parse) → map (J2
+    natural-key auto-map over the PLACED edges) → load into the native
+    sink. The edge start endpoint is deliberately declared against
+    Customer:c_name so the mapping engine must resolve it to the pk —
+    stage, automap broadcast join, write-new-then-swap, and the loader
+    all execute, not just the staging write."""
+    import shutil
+    import tempfile
+
+    import graph_etl_spark as getl
+    from pyspark.sql import functions as F
+
+    workdir = tempfile.mkdtemp(prefix="bench_flow_")
+    try:
+        getl.init(spark, output_folder=f"{workdir}/output")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+        @getl.Parser(source="bench_tpch")
+        def parse_bench(ctx):
+            ctx.save_nodes(
+                customer.withColumnRenamed("c_custkey", "id"), "Customer"
+            )
+            ctx.save_nodes(orders.withColumnRenamed("o_orderkey", "id"), "Order")
+            placed = orders.join(
+                customer, orders.o_custkey == customer.c_custkey
+            ).select(F.col("c_name").alias("start"), F.col("o_orderkey").alias("end"))
+            ctx.save_edges(placed, "PLACED", "Customer:c_name", "Order:id")
+
+        getl.parse()
+        loader = getl.SparkNativeGraphLoader(spark, graph_dir=f"{workdir}/graph")
+        totals = getl.load(loader)
+        assert totals["edges"] > 0, totals
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return None
+
+
+# end-to-end flows timed alongside the headline queries; these run
+# their own actions (no noop sink)
+FLOWS = {"pipeline_stage_map_load": bench_pipeline_flow}
 
 
 def current_round() -> int | None:
@@ -154,14 +202,19 @@ def main() -> None:
     # single sample is noise; the min is the reproducible cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
+    for name in HEADLINE + list(FLOWS):
+        flow = FLOWS.get(name)
+        fn = flow if flow is not None else qs[name]
         samples = []
         for _ in range(runs):
             t0 = time.time()
-            # noop sink: materializes EVERY column of the full plan —
-            # count() would let Catalyst prune the expensive expressions
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            if flow is not None:
+                # flows materialize themselves (stage+map+load writes)
+                fn(spark, SF_DIR)
+            else:
+                # noop sink: materializes EVERY column of the full plan —
+                # count() would let Catalyst prune the expensive expressions
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
         print(

@@ -21,6 +21,14 @@ from .multimodal import (
     frame_sample_plan,
     resize_image_stub,
 )
+from .quality import (
+    boilerplate_ngrams,
+    hash_sample,
+    repetition_stats,
+    scrub_contact_strings,
+    stratified_hash_sample,
+    tfidf_top_terms,
+)
 from .skew import key_skew_report, salted_count, salted_join
 from .similarity import (
     brute_force_topk,
@@ -72,4 +80,10 @@ __all__ = [
     "simhash_pairs",
     "token_count",
     "winnow_fingerprints",
+    "boilerplate_ngrams",
+    "hash_sample",
+    "repetition_stats",
+    "scrub_contact_strings",
+    "stratified_hash_sample",
+    "tfidf_top_terms",
 ]
