@@ -1056,6 +1056,31 @@ def q_quality_tfidf_top_terms(spark, sf):
     return ops.tfidf_top_terms(d, k=3)
 
 
+def q_quality_contamination(spark, sf):
+    """Benchmark decontamination: docs 0-19 stand in for an eval set;
+    every doc is scored for 3-gram overlap against it (a doc in the
+    'benchmark' overlaps itself fully — the planted positive)."""
+    d = _t(spark, sf, "documents")
+    benchmark = d.filter(F.col("doc_id") < 20)
+    return ops.contamination_report(d, benchmark, shingle_n=3)
+
+
+def q_quality_pack_sequences(spark, sf):
+    """Concat-and-split sequence packing into 512-token bins, sharded
+    by id hash so no global sort serializes the corpus."""
+    d = _t(spark, sf, "documents")
+    return ops.pack_sequences(d, token_budget=512, n_shards=8)
+
+
+def q_sim_kmeans_centroids(spark, sf):
+    """3 Lloyd's iterations, k=4, over the embedding corpus — the IVF
+    centroid trainer. Deterministic by construction (round-6 distances,
+    cent_id tiebreaks), so the unrolled DuckDB oracle matches
+    bit-for-bit."""
+    e = _t(spark, sf, "embeddings")
+    return ops.kmeans_centroids(e, k=4, max_iter=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1159,6 +1184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
         "quality_scrub_contact": q_quality_scrub_contact,
         "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
+        "quality_contamination": q_quality_contamination,
+        "quality_pack_sequences": q_quality_pack_sequences,
+        "sim_kmeans_centroids": q_sim_kmeans_centroids,
     }
 
 
@@ -2037,6 +2065,86 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, term, tf::INT AS tf, df::BIGINT AS df, tfidf, rank::INT AS rank
         FROM ranked WHERE rank <= 3
+    """
+
+    sql["quality_contamination"] = f"""
+        WITH bench AS (
+          SELECT DISTINCT unnest({_sh}) AS sh FROM documents WHERE doc_id < 20
+        ), doc_sh AS (
+          SELECT doc_id, unnest({_sh}) AS sh FROM documents
+        ), hits AS (
+          SELECT doc_id, COUNT(*) AS n_hits
+          FROM doc_sh JOIN bench USING (sh) GROUP BY doc_id
+        ), sizes AS (
+          SELECT doc_id, len({_sh})::INT AS n_shingles FROM documents
+        )
+        SELECT s.doc_id, n_shingles, COALESCE(n_hits, 0) AS n_hits,
+               ROUND(CASE WHEN n_shingles > 0
+                          THEN COALESCE(n_hits, 0) / n_shingles
+                          ELSE 0.0 END, 6) AS contamination_frac
+        FROM sizes s LEFT JOIN hits USING (doc_id)
+    """
+
+    sql["quality_pack_sequences"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 8 AS shard,
+                 len({_TOKS})::INT AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT *, COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+          FROM t
+        )
+        SELECT doc_id, shard, n_tokens,
+               (shard * 1000000000 + cum_excl // 512)::BIGINT AS bin_id
+        FROM c
+    """
+
+    # k-means: 3 unrolled Lloyd's iterations (pagerank-style CTE chain;
+    # MATERIALIZED so multiply-referenced frames don't inline
+    # exponentially). Distances round to 6 with cent_id tiebreaks and
+    # centroid components round each iteration — the same determinism
+    # contract as ops.similarity.kmeans_centroids, so assignments agree
+    # bit-for-bit. DuckDB lists are 1-based; pos-1 matches posexplode.
+    km_iters = []
+    prev = "c0"
+    for t in range(1, 4):
+        km_iters.append(f"""s{t} AS (
+          SELECT vec_id, vec, cent_id,
+                 ROUND(list_sum(list_transform(range(1, 65),
+                   i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))), 6) AS dist
+          FROM v CROSS JOIN {prev}
+        ), a{t} AS MATERIALIZED (
+          SELECT vec_id, vec, cent_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+            FROM s{t}
+          ) WHERE rn = 1
+        ), c{t} AS MATERIALIZED (
+          SELECT cent_id, list(val ORDER BY pos) AS cvec FROM (
+            SELECT cent_id, pos, ROUND(AVG(vec[pos]), 6) AS val
+            FROM a{t} CROSS JOIN dims GROUP BY cent_id, pos
+          ) GROUP BY cent_id
+        )""")
+        prev = f"c{t}"
+    km_body = ",\n".join(km_iters)
+    sql["sim_kmeans_centroids"] = f"""
+        WITH v AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        dims AS (SELECT unnest(range(1, 65)) AS pos),
+        c0 AS MATERIALIZED (
+          SELECT vec_id AS cent_id, vec AS cvec FROM v ORDER BY vec_id LIMIT 4
+        ),
+        {km_body},
+        members AS (
+          SELECT cent_id, COUNT(*)::BIGINT AS n_members FROM a3 GROUP BY cent_id
+        )
+        SELECT c.cent_id, (d.pos - 1)::INT AS pos, c.cvec[d.pos] AS value,
+               m.n_members
+        FROM c3 c CROSS JOIN dims d JOIN members m USING (cent_id)
     """
 
     sql["mm_frame_sample"] = """

@@ -56,6 +56,8 @@ HEADLINE = [
     "quality_repetition_stats",
     "quality_boilerplate_ngrams",
     "quality_tfidf_top_terms",
+    "quality_contamination",
+    "sim_kmeans_centroids",
 ]
 
 

@@ -23,7 +23,9 @@ from .multimodal import (
 )
 from .quality import (
     boilerplate_ngrams,
+    contamination_report,
     hash_sample,
+    pack_sequences,
     repetition_stats,
     scrub_contact_strings,
     stratified_hash_sample,
@@ -35,6 +37,7 @@ from .similarity import (
     cosine,
     cosine_neardup_pairs,
     ivf_topk,
+    kmeans_centroids,
     lsh_bucketed_neardup_pairs,
 )
 from .text import (
@@ -81,7 +84,10 @@ __all__ = [
     "token_count",
     "winnow_fingerprints",
     "boilerplate_ngrams",
+    "contamination_report",
     "hash_sample",
+    "kmeans_centroids",
+    "pack_sequences",
     "repetition_stats",
     "scrub_contact_strings",
     "stratified_hash_sample",

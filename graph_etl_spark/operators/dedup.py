@@ -28,9 +28,17 @@ from ..sources import fan_out
 from .text import h56, normalized_text, tokens_col  # noqa: F401 — h56 re-exported
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (no explode)."""
-    toks = tokens_col(text)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED
+    tokens column.
+
+    Pass a real column (``withColumn("__toks", tokens_col(...))``),
+    not the tokenization expression itself: higher-order lambdas are
+    interpreted without CSE, so a tokens EXPRESSION embedded here is
+    re-evaluated once per produced shingle — O(n²) re-tokenization per
+    document. A bound column reference is a row lookup. (Catalyst's
+    CollapseProject keeps the two-stage projection because the alias
+    is referenced more than once by non-cheap expressions.)"""
     return F.array_distinct(
         F.when(
             F.size(toks) >= n,
@@ -40,6 +48,14 @@ def shingles_col(text: Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array(F.array_join(toks, " ")))
     )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column — compatibility form. The
+    embedded tokenization lands inside the transform lambda and is
+    re-evaluated per shingle; every engine call site materializes
+    tokens and uses ``shingles_of`` instead."""
+    return shingles_of(tokens_col(text), n)
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +150,13 @@ def minhash_signature(
     min() partial aggregation combines map-side, so the shuffle carries
     only ~num_perm values per (doc, partition) — effectively docs×16
     longs regardless of corpus size."""
-    sh = fan_out(df).select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("__sh")
+    sh = (
+        fan_out(df)
+        .withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of(F.col("__toks"), shingle_n)).alias("__sh"),
+        )
     )
     hs = sh.select(id_col, h56(F.col("__sh")).alias("__h"))
     aggs = [
@@ -256,8 +277,13 @@ def ngram_jaccard_pairs(
     come from re-exploding the capped lists; the posting-list frame
     feeds both consumers via localCheckpoint.
     """
-    sh = fan_out(df).select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+    sh = (
+        fan_out(df)
+        .withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of(F.col("__toks"), shingle_n)).alias("sh"),
+        )
     )
     if max_shingle_df is not None:
         hot = (

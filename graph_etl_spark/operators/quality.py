@@ -30,6 +30,34 @@ from ..sources import fan_out
 from .text import h56, tokens_col
 
 
+def _run_starts(sorted_arr: Column, n: Column) -> Column:
+    """1-based indices where a new run starts in a sorted array —
+    one per distinct value. ``sorted_arr``/``n`` must be bound columns
+    (not expressions): lambda bodies re-evaluate embedded expressions
+    per element."""
+    return F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1)
+            | (F.element_at(sorted_arr, i) != F.element_at(sorted_arr, i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _run_lengths(starts: Column, n: Column) -> Column:
+    """Run lengths (= value multiplicities) from ``_run_starts``
+    output: next start minus this start, with n+1 as the sentinel."""
+    return F.zip_with(
+        starts,
+        F.concat(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+            F.array(n + 1),
+        ),
+        lambda a, b: b - a,
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher-style drop-or-keep features)
 # ---------------------------------------------------------------------------
@@ -47,27 +75,32 @@ def repetition_stats(
     - ``adjacent_repeat_frac``: fraction of adjacent token pairs that are
       equal — stutter/loop artifacts ("foo foo foo").
 
-    All per-row array expressions: zero shuffle, linear in splits. The
-    top-word count is O(distinct × n) per row — bounded by document
-    length, never by corpus size."""
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    All per-row array expressions: zero shuffle, linear in splits.
+    Term multiplicities come from RUN LENGTHS over the sorted token
+    array (O(n log n) per row) — the naive count-each-distinct-term
+    form is O(n²) AND re-tokenizes per element because higher-order
+    lambdas are interpreted without CSE (measured ~7× slower at
+    sf0.1). Tokens/sorted/starts are materialized as real columns so
+    lambda bodies only touch bound references."""
+    base = (
+        df.withColumn("__toks", tokens_col(F.col(text_col)))
+        .withColumn("__n", F.size("__toks"))
+        .withColumn("__sorted", F.array_sort("__toks"))
+        .withColumn("__starts", _run_starts(F.col("__sorted"), F.col("__n")))
     )
+    n = F.col("__n")
+    n_distinct = F.size("__starts")
+    top_cnt = F.array_max(_run_lengths(F.col("__starts"), n))
     adj = F.size(
         F.filter(
             F.sequence(F.lit(1), n - 1),
-            lambda i: F.element_at(toks, i) == F.element_at(toks, i + 1),
+            lambda i: F.element_at(F.col("__toks"), i)
+            == F.element_at(F.col("__toks"), i + 1),
         )
     )
     zero = F.lit(0.0)
-    return df.select(
-        "*",
+    return base.select(
+        *df.columns,
         n.alias("n_tokens"),
         F.round(F.when(n > 0, 1.0 - n_distinct / n).otherwise(zero), round_to).alias(
             "dup_word_frac"
@@ -146,10 +179,12 @@ def boilerplate_ngrams(
     (document frequency, not term frequency). The output is small by
     construction (only grams crossing min_df) and is typically
     broadcast back against the corpus to strip matching spans."""
-    from .dedup import shingles_col
+    from .dedup import shingles_of
 
-    grams = fan_out(df).select(
-        F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    grams = (
+        fan_out(df)
+        .withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(F.explode(shingles_of(F.col("__toks"), n)).alias("gram"))
     )
     return (
         grams.groupBy("gram")
@@ -189,6 +224,118 @@ def scrub_contact_strings(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document n-gram overlap with a benchmark/eval set — the
+    decontamination pass run before pre-training (a training document
+    sharing long n-grams with an eval benchmark leaks the test set).
+    Output: (id, n_shingles, n_hits, contamination_frac).
+
+    Scale: the benchmark side is SMALL by nature (eval sets are
+    thousands of documents, the corpus is billions) — its distinct
+    shingle set broadcasts with a hit flag, so the corpus is shingled
+    in ONE map-side pass (broadcast LEFT join keeps zero-hit shingles,
+    unlike a semi join that would force a second scan for sizes) and a
+    single map-side-combined groupBy yields both the shingle count and
+    the hit count per document; only those per-doc pairs shuffle. The
+    corpus side uses the same distinct word shingles as the dedup
+    family (one definition, one oracle contract)."""
+    from .dedup import shingles_of
+
+    bench_sh = (
+        benchmark.withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(F.explode(shingles_of(F.col("__toks"), shingle_n)).alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_sh = (
+        fan_out(corpus)
+        .withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of(F.col("__toks"), shingle_n)).alias("sh"),
+        )
+    )
+    counts = (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
+        )
+    )
+    return counts.select(
+        id_col,
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        "n_hits",
+        F.round(
+            F.when(
+                F.col("n_shingles") > 0, F.col("n_hits") / F.col("n_shingles")
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("contamination_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (token-budget bins)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training sequences via
+    concatenate-and-split packing (the GPT-style scheme: documents are
+    concatenated in deterministic id order and the stream is cut every
+    ``token_budget`` tokens; a document belongs to the sequence in
+    which it STARTS). Output: (id, shard, n_tokens, bin_id) with
+    bin_id globally unique.
+
+    Scale: a single global ordering would serialize the corpus through
+    one task, so packing is SHARDED — H56(id) mod n_shards buckets the
+    corpus, each shard packs independently under a window
+    (partitionBy shard, orderBy id), and bin ids are namespaced by
+    shard. Packing quality is unaffected (the cut decision is a local
+    prefix-sum) while the window parallelizes across shards; set
+    n_shards ≈ cluster parallelism at scale."""
+    toks = F.size(tokens_col(F.col(text_col)))
+    sharded = df.select(
+        F.col(id_col),
+        F.pmod(h56(F.col(id_col).cast("string")), F.lit(n_shards)).alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    # exclusive prefix sum = this doc's start offset in the shard's
+    # concatenated token stream; its sequence is the budget-window
+    # containing that offset
+    cum_excl = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    bin_local = F.floor(cum_excl / token_budget)
+    return sharded.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("shard") * F.lit(1_000_000_000) + bin_local).alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms
 # ---------------------------------------------------------------------------
 
@@ -204,26 +351,36 @@ def tfidf_top_terms(
     break on the lexicographically smaller term. Output:
     (id, term, tf, df, tfidf, rank).
 
-    Physical shape: term frequencies are PER-ROW array expressions (no
-    (doc, term) shuffle for tf — the classic MapReduce formulation pays
-    one). Document frequencies aggregate exploded DISTINCT terms —
-    map-side combined, the shuffle carries (term, partial count). The
-    df table joins back on the term (shuffle join; at corpus scale the
-    vocabulary outgrows a broadcast), and a per-doc window picks top-k.
-    N is resolved by a broadcast 1-row count, not a driver collect."""
-    toks = tokens_col(F.lower(F.col(text_col)))
-    per_doc = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.struct(
-                    t.alias("term"),
-                    F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
-                ),
-            )
-        ).alias("tt"),
-    ).select(id_col, "tt.term", "tt.tf")
+    Physical shape: term frequencies are PER-ROW array expressions via
+    sorted-run lengths — O(n log n) per row, no (doc, term) shuffle for
+    tf (the classic MapReduce formulation pays one, and the naive
+    count-per-distinct form is O(n²) in interpreted lambdas). Document
+    frequencies aggregate exploded DISTINCT terms — map-side combined,
+    the shuffle carries (term, partial count). The df table joins back
+    on the term (shuffle join; at corpus scale the vocabulary outgrows
+    a broadcast), and a per-doc window picks top-k. N is resolved by a
+    broadcast 1-row count, not a driver collect."""
+    base = (
+        df.select(F.col(id_col), tokens_col(F.lower(F.col(text_col))).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .withColumn("__sorted", F.array_sort("__toks"))
+        .withColumn("__starts", _run_starts(F.col("__sorted"), F.col("__n")))
+    )
+    term_tf = F.zip_with(
+        F.col("__starts"),
+        F.concat(
+            F.slice(
+                F.col("__starts"), 2, F.greatest(F.size("__starts") - 1, F.lit(0))
+            ),
+            F.array(F.col("__n") + 1),
+        ),
+        lambda a, b: F.struct(
+            F.element_at(F.col("__sorted"), a).alias("term"), (b - a).alias("tf")
+        ),
+    )
+    per_doc = base.select(F.col(id_col), F.explode(term_tf).alias("tt")).select(
+        id_col, "tt.term", "tt.tf"
+    )
     dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())

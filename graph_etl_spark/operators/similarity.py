@@ -224,6 +224,82 @@ def lsh_bucketed_neardup_pairs(
     )
 
 
+def kmeans_centroids(
+    data: DataFrame,
+    k: int = 4,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column,
+    DataFrame-native — the principled trainer for ``ivf_topk``'s
+    centroids (init matches its contract: the k lowest-id vectors, each
+    centroid keyed by its source vector id).
+
+    Output: one row per (cent_id, pos, value) — the trained centroid
+    components — plus the cluster population via ``n_members``.
+
+    Scale per iteration: assignment broadcast-crossJoins the k-row
+    centroid frame against the corpus (map-side ×k expansion, corpus
+    never shuffles) and keeps each vector's nearest centroid; the
+    update posexplodes assigned vectors to (cluster, dim, value) and
+    averages — a map-side-combinable agg whose shuffle carries
+    k × dim partial sums per map partition, nothing proportional to
+    the corpus. Ranks truncate lineage with an eager localCheckpoint
+    per iteration (same pattern as graph.pagerank).
+
+    Cross-engine determinism: all math in doubles; distances round to
+    ``round_to`` BEFORE the argmin with cent_id as tiebreak, and
+    centroid components round each iteration — so the DuckDB oracle
+    (unrolled CTE chain) reproduces every assignment bit-for-bit."""
+    vecs = data.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec"))
+    )
+    sqdist = F.round(
+        F.aggregate(
+            F.zip_with("vec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_to,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    for _ in range(max_iter):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("dist", sqdist)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "cent_id", "vec")
+        )
+        cents = (
+            assigned.select("cent_id", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg(F.round(F.avg("val"), round_to).alias("val"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    members = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cents.join(members, "cent_id")
+        .select("cent_id", "n_members", F.posexplode("cvec").alias("pos", "value"))
+        .select("cent_id", "pos", "value", "n_members")
+    )
+
+
 def ivf_topk(
     data: DataFrame,
     queries: DataFrame,

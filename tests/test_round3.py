@@ -139,6 +139,61 @@ def test_exact_dedup_no_roundrobin_exchange(spark):
     assert deduped.count() == 3
 
 
+def test_contamination_report(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with different words"),
+            (3, "the quick brown fox appears here too"),
+        ],
+    )
+    benchmark = corpus.filter(F.col("doc_id") == 1)
+    out = {r["doc_id"]: r for r in ops.contamination_report(corpus, benchmark).collect()}
+    assert out[1]["contamination_frac"] == 1.0     # benchmark doc overlaps itself
+    assert out[2]["n_hits"] == 0                   # no shared 3-grams
+    assert 0 < out[3]["contamination_frac"] < 1.0  # shares 'the quick brown' etc.
+    # benchmark side must broadcast, corpus must not cartesian
+    assert_no_cartesian(ops.contamination_report(corpus, benchmark))
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 50)) for i in range(40)], "doc_id long, text string"
+    )
+    out = ops.pack_sequences(df, token_budget=100, n_shards=4).collect()
+    assert len(out) == 40
+    # within a shard, docs in id order fill bins of <=2 docs (50+50=100)
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    assert all(len(rows) <= 2 for rows in by_bin.values())
+    # partition-layout invariance (same hash shards regardless of input split)
+    out2 = ops.pack_sequences(df.repartition(13), token_budget=100, n_shards=4).collect()
+    assert {(r["doc_id"], r["bin_id"]) for r in out} == {
+        (r["doc_id"], r["bin_id"]) for r in out2
+    }
+
+
+def test_kmeans_centroids_converges_to_planted_clusters(spark):
+    # two tight planted clusters around (0,0,..) and (10,10,..)
+    rows = []
+    for i in range(10):
+        rows.append((i, [float((i % 3) * 0.01)] * 4))
+        rows.append((100 + i, [10.0 + (i % 3) * 0.01] * 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ops.kmeans_centroids(df, k=2, max_iter=3).collect()
+    cents = {}
+    for r in out:
+        cents.setdefault(r["cent_id"], {})[r["pos"]] = (r["value"], r["n_members"])
+    assert len(cents) == 2
+    vals = sorted(v[0][0] for v in cents.values())
+    # one centroid near 0, one near 10; 10 members each
+    assert abs(vals[0] - 0.01) < 0.2 and abs(vals[1] - 10.01) < 0.2
+    assert all(v[0][1] == 10 for v in cents.values())
+    assert {p for c in cents.values() for p in c} == set(range(4))
+
+
 def test_ngram_jaccard_hot_shingle_prefilter(spark):
     # one shingle shared by ALL docs (hot), plus per-pair unique overlap
     df = _docs(
