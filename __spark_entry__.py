@@ -1072,6 +1072,30 @@ def q_quality_pack_sequences(spark, sf):
     return ops.pack_sequences(d, token_budget=512, n_shards=8)
 
 
+def q_sim_ivf_trained_topk(spark, sf):
+    """Train-then-index composition: kmeans_fit centroids feed
+    ivf_topk (nlist=8 from k=8, nprobe=2), judged by the same
+    aggregate-recall verdict as sim_ivf_topk. Trained, balanced lists
+    must clear the same >=0.6 bar the naive init does."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    k = 5
+    cents = ops.kmeans_fit(e, k=8, max_iter=2)
+    ivf = ops.ivf_topk(e, q, k=k, nprobe=2, centroids=cents).select(
+        "query_id", "neighbor_id"
+    )
+    exact = ops.brute_force_topk(e, q, k=k).select("query_id", "neighbor_id")
+    hits = ivf.join(exact, ["query_id", "neighbor_id"], "inner").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    total = 10 * k
+    return hits.select(
+        F.lit(10).alias("n_queries"),
+        F.lit(k).alias("k"),
+        (F.col("n_hits") >= F.lit(int(0.6 * total))).alias("recall_ok"),
+    )
+
+
 def q_sim_kmeans_centroids(spark, sf):
     """3 Lloyd's iterations, k=4, over the embedding corpus — the IVF
     centroid trainer. Deterministic by construction (round-6 distances,
@@ -1187,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_contamination": q_quality_contamination,
         "quality_pack_sequences": q_quality_pack_sequences,
         "sim_kmeans_centroids": q_sim_kmeans_centroids,
+        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
     }
 
 
@@ -1892,6 +1917,11 @@ def oracle_sql() -> dict[str, str]:
     # the exact top-k inside one plan and asserts >= 0.6; the oracle
     # pins the constants and expects the verdict to hold.
     sql["sim_ivf_topk"] = """
+        SELECT 10 AS n_queries, 5 AS k, TRUE AS recall_ok
+    """
+
+    # same verdict contract for the kmeans-trained IVF composition
+    sql["sim_ivf_trained_topk"] = """
         SELECT 10 AS n_queries, 5 AS k, TRUE AS recall_ok
     """
 

@@ -38,6 +38,7 @@ from .similarity import (
     cosine_neardup_pairs,
     ivf_topk,
     kmeans_centroids,
+    kmeans_fit,
     lsh_bucketed_neardup_pairs,
 )
 from .text import (
@@ -87,6 +88,7 @@ __all__ = [
     "contamination_report",
     "hash_sample",
     "kmeans_centroids",
+    "kmeans_fit",
     "pack_sequences",
     "repetition_stats",
     "scrub_contact_strings",

@@ -253,6 +253,38 @@ def kmeans_centroids(
     ``round_to`` BEFORE the argmin with cent_id as tiebreak, and
     centroid components round each iteration — so the DuckDB oracle
     (unrolled CTE chain) reproduces every assignment bit-for-bit."""
+    cents, assigned = _kmeans_fit(data, k, max_iter, id_col, vec_col, round_to)
+    members = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cents.join(members, "cent_id")
+        .select("cent_id", "n_members", F.posexplode("cvec").alias("pos", "value"))
+        .select("cent_id", "pos", "value", "n_members")
+    )
+
+
+def kmeans_fit(
+    data: DataFrame,
+    k: int = 4,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Trained centroids as (cent_id, cent_vec array<double>) — the
+    form ``ivf_topk(..., centroids=...)`` consumes, closing the
+    train-then-index loop."""
+    cents, _ = _kmeans_fit(data, k, max_iter, id_col, vec_col, round_to)
+    return cents.select("cent_id", F.col("cvec").alias("cent_vec"))
+
+
+def _kmeans_fit(
+    data: DataFrame,
+    k: int,
+    max_iter: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+):
     vecs = data.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
@@ -292,12 +324,7 @@ def kmeans_centroids(
             )
             .localCheckpoint(eager=True)
         )
-    members = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_members"))
-    return (
-        cents.join(members, "cent_id")
-        .select("cent_id", "n_members", F.posexplode("cvec").alias("pos", "value"))
-        .select("cent_id", "pos", "value", "n_members")
-    )
+    return cents, assigned
 
 
 def ivf_topk(
@@ -309,22 +336,28 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: deterministic centroids (the nlist
     lowest-id vectors — a fixed, reproducible 'training'), assign every
     vector to its nearest centroid, probe the nprobe nearest lists per
     query. Scanned fraction ≈ nprobe/nlist.
 
+    Pass ``centroids`` (cent_id, cent_vec — e.g. ``kmeans_fit``'s
+    output) to index against TRAINED lists instead of the naive init;
+    balanced lists tighten the scanned-fraction/recall trade.
+
     At cluster scale the assignment partitions the data by list id
     (write-time clustering); queries then prune partitions — the
     parquet-partition analog of a vector index.
     """
-    cents = (
-        data.orderBy(id_col)
-        .limit(nlist)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
-    cent_rows = cents.collect()  # nlist rows — tiny, deliberate
+    if centroids is None:
+        centroids = (
+            data.orderBy(id_col)
+            .limit(nlist)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        )
+    cent_rows = centroids.select("cent_id", "cent_vec").collect()  # nlist rows — tiny, deliberate
     cent_arr = F.array(
         *[
             F.struct(

@@ -194,6 +194,21 @@ def test_kmeans_centroids_converges_to_planted_clusters(spark):
     assert {p for c in cents.values() for p in c} == set(range(4))
 
 
+def test_kmeans_fit_feeds_ivf(spark):
+    # two planted clusters separated by DIRECTION (ivf routes by
+    # cosine, which is magnitude-blind)
+    rows = [(i, [1.0, (i % 5) * 0.01] + [0.0] * 6) for i in range(20)]
+    rows += [(100 + i, [(i % 5) * 0.01, 1.0] + [0.0] * 6) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ops.kmeans_fit(df, k=2, max_iter=2)
+    assert set(cents.columns) == {"cent_id", "cent_vec"}
+    q = df.filter(F.col("vec_id") == 100)
+    out = ops.ivf_topk(df, q, k=3, nprobe=1, centroids=cents).collect()
+    assert len(out) == 3
+    # all neighbors come from the planted far cluster, never the near one
+    assert all(r["neighbor_id"] >= 100 for r in out)
+
+
 def test_ngram_jaccard_hot_shingle_prefilter(spark):
     # one shingle shared by ALL docs (hot), plus per-pair unique overlap
     df = _docs(
