@@ -1096,6 +1096,22 @@ def q_sim_ivf_trained_topk(spark, sf):
     )
 
 
+def q_sim_quantize_int8(spark, sf):
+    """Symmetric int8 quantization audit: per-vector scale, quantized
+    fingerprint, mean reconstruction error — the 4× storage lever,
+    oracle-checked bit-for-bit (HALF_UP rounding both engines)."""
+    e = _t(spark, sf, "embeddings")
+    qd = ops.quantize_embeddings(e)
+    return qd.select(
+        "vec_id",
+        "scale",
+        F.md5(
+            F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")
+        ).alias("q_fp"),
+        "mae",
+    )
+
+
 def q_sim_kmeans_centroids(spark, sf):
     """3 Lloyd's iterations, k=4, over the embedding corpus — the IVF
     centroid trainer. Deterministic by construction (round-6 distances,
@@ -1212,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_pack_sequences": q_quality_pack_sequences,
         "sim_kmeans_centroids": q_sim_kmeans_centroids,
         "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
+        "sim_quantize_int8": q_sim_quantize_int8,
     }
 
 
@@ -1923,6 +1940,29 @@ def oracle_sql() -> dict[str, str]:
     # same verdict contract for the kmeans-trained IVF composition
     sql["sim_ivf_trained_topk"] = """
         SELECT 10 AS n_queries, 5 AS k, TRUE AS recall_ok
+    """
+
+    # int8 quantization: q uses the UNROUNDED scale; round-6 is
+    # display-only — mirrored exactly on the Spark side.
+    sql["sim_quantize_int8"] = """
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ), s AS (
+          SELECT vec_id, vec,
+                 CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale
+          FROM (SELECT vec_id, vec,
+                       list_max(list_transform(vec, x -> abs(x))) AS amax
+                FROM v)
+        ), q AS (
+          SELECT vec_id, vec, scale,
+                 list_transform(vec, x -> round(x * scale)::INT) AS qvec
+          FROM s
+        )
+        SELECT vec_id, ROUND(scale, 6) AS scale,
+               md5(array_to_string(list_transform(qvec, x -> x::VARCHAR), ',')) AS q_fp,
+               ROUND(list_sum(list_transform(range(1, len(vec) + 1),
+                     i -> abs(vec[i] - qvec[i] / scale))) / len(vec), 6) AS mae
+        FROM q
     """
 
     sql["sim_embedding_norms"] = """

@@ -22,6 +22,10 @@ from .loaders.spark_native import SparkNativeGraphLoader
 from .loaders.tigergraph import TigerGraphLoader
 from .parser import Parser
 from .pipeline import clear, init, load, parse
+
+# expose the extension-operator namespace at the package root so
+# `getl.operators.<op>` works without a separate submodule import
+from . import operators  # noqa: E402
 from .session import get_spark
 
 __all__ = [

@@ -40,6 +40,7 @@ from .similarity import (
     kmeans_centroids,
     kmeans_fit,
     lsh_bucketed_neardup_pairs,
+    quantize_embeddings,
 )
 from .text import (
     bpe_ish_token_count,
@@ -90,6 +91,7 @@ __all__ = [
     "kmeans_centroids",
     "kmeans_fit",
     "pack_sequences",
+    "quantize_embeddings",
     "repetition_stats",
     "scrub_contact_strings",
     "stratified_hash_sample",

@@ -224,6 +224,64 @@ def lsh_bucketed_neardup_pairs(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale =
+    127 / max|x| (1.0 for the zero vector), q_i = round(x_i × scale) ∈
+    [-127, 127] — the standard 4× storage/bandwidth lever for an
+    embedding corpus (float32 → int8), with the scale kept per vector
+    so reconstruction is q_i / scale.
+
+    Output: (id, scale, qvec array<int>, mae) where mae is the mean
+    absolute reconstruction error — the quality audit a pipeline
+    monitors when deciding whether int8 recall is acceptable.
+
+    Map-side only, zero shuffle. The scale is materialized as a column
+    BEFORE the quantization lambda (an embedded expression would
+    re-reduce the array per element — see the lambda-CSE rule in
+    operators/quality.py). All math in doubles with HALF_UP rounding,
+    reproduced exactly by the DuckDB oracle."""
+    base = (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        .withColumn(
+            "__amax", F.array_max(F.transform("__v", lambda x: F.abs(x)))
+        )
+        .withColumn(
+            "scale",
+            F.when(F.col("__amax") > 0, F.lit(127.0) / F.col("__amax")).otherwise(
+                F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "qvec",
+            F.transform(
+                "__v", lambda x: F.round(x * F.col("scale")).cast("int")
+            ),
+        )
+    )
+    n = F.size("__v")
+    err = F.aggregate(
+        F.zip_with(
+            "__v", "qvec", lambda x, q: F.abs(x - q.cast("double") / F.col("scale"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        id_col,
+        F.round("scale", round_to).alias("scale"),
+        "qvec",
+        F.round(err / n, round_to).alias("mae"),
+    )
+
+
 def kmeans_centroids(
     data: DataFrame,
     k: int = 4,

@@ -209,6 +209,22 @@ def test_kmeans_fit_feeds_ivf(spark):
     assert all(r["neighbor_id"] >= 100 for r in out)
 
 
+def test_quantize_embeddings_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in ops.quantize_embeddings(df).collect()}
+    # max|x|=1.0 → scale 127; components map to round(x*127)
+    assert out[1]["scale"] == 127.0
+    assert out[1]["qvec"] == [64, -127, 32, 0]
+    assert out[1]["mae"] < 0.01            # reconstruction error small
+    # zero vector: defined scale, all-zero codes, zero error
+    assert out[2]["scale"] == 1.0
+    assert out[2]["qvec"] == [0, 0, 0, 0]
+    assert out[2]["mae"] == 0.0
+
+
 def test_ngram_jaccard_hot_shingle_prefilter(spark):
     # one shingle shared by ALL docs (hot), plus per-pair unique overlap
     df = _docs(
