@@ -48,6 +48,34 @@ def stream_save_nodes(
     return writer.start()
 
 
+def streaming_quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_dup_word_frac: float = 0.5,
+    max_contact_strings: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-quality admission filter as a STREAMING stage: scrub
+    contact strings, compute repetition signals, and keep only
+    documents passing the gates — all stateless per-row expressions, so
+    the same plan runs on a batch frame or a readStream with no
+    watermark/state (ingest-time filtering, the shape a live crawl
+    pipeline uses before anything stateful sees the data).
+
+    Returns the filtered frame with the quality columns attached;
+    callers write it with ``writeStream`` (streaming) or a batch write.
+    """
+    from ..operators.quality import repetition_stats, scrub_contact_strings
+
+    scored = repetition_stats(scrub_contact_strings(docs, text_col=text_col),
+                              text_col=text_col)
+    return scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & ((F.col("n_emails") + F.col("n_urls")) <= max_contact_strings)
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
