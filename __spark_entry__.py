@@ -1096,6 +1096,23 @@ def q_sim_ivf_trained_topk(spark, sf):
     )
 
 
+def q_sim_kmeans_assign(spark, sf):
+    """Semantic-shard report: train (k=4, 2 iters), assign every vector
+    to its nearest centroid, aggregate shard sizes and tightness per
+    label — the cluster-balanced-sampling inventory."""
+    e = _t(spark, sf, "embeddings")
+    cents = ops.kmeans_fit(e, k=4, max_iter=2)
+    asn = ops.kmeans_assign(e, cents)
+    return (
+        asn.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cent_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+    )
+
+
 def q_sim_quantize_int8(spark, sf):
     """Symmetric int8 quantization audit: per-vector scale, quantized
     fingerprint, mean reconstruction error — the 4× storage lever,
@@ -1229,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_centroids": q_sim_kmeans_centroids,
         "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
         "sim_quantize_int8": q_sim_quantize_int8,
+        "sim_kmeans_assign": q_sim_kmeans_assign,
     }
 
 
@@ -1940,6 +1958,58 @@ def oracle_sql() -> dict[str, str]:
     # same verdict contract for the kmeans-trained IVF composition
     sql["sim_ivf_trained_topk"] = """
         SELECT 10 AS n_queries, 5 AS k, TRUE AS recall_ok
+    """
+
+    # kmeans-assign shard report: 2 unrolled training iterations, then
+    # one assignment pass against c2 — same determinism contract as
+    # the trainer oracle above.
+    ka_iters = []
+    prev = "c0"
+    for t in range(1, 3):
+        ka_iters.append(f"""s{t} AS (
+          SELECT vec_id, vec, cent_id,
+                 ROUND(list_sum(list_transform(range(1, 65),
+                   i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))), 6) AS dist
+          FROM v CROSS JOIN {prev}
+        ), a{t} AS MATERIALIZED (
+          SELECT vec_id, vec, cent_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+            FROM s{t}
+          ) WHERE rn = 1
+        ), c{t} AS MATERIALIZED (
+          SELECT cent_id, list(val ORDER BY pos) AS cvec FROM (
+            SELECT cent_id, pos, ROUND(AVG(vec[pos]), 6) AS val
+            FROM a{t} CROSS JOIN dims GROUP BY cent_id, pos
+          ) GROUP BY cent_id
+        )""")
+        prev = f"c{t}"
+    ka_body = ",\n".join(ka_iters)
+    sql["sim_kmeans_assign"] = f"""
+        WITH v AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        dims AS (SELECT unnest(range(1, 65)) AS pos),
+        c0 AS MATERIALIZED (
+          SELECT vec_id AS cent_id, vec AS cvec FROM v ORDER BY vec_id LIMIT 4
+        ),
+        {ka_body},
+        asn AS (
+          SELECT vec_id, cent_id, dist FROM (
+            SELECT vec_id, cent_id,
+                   ROUND(list_sum(list_transform(range(1, 65),
+                     i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))), 6) AS dist,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ROUND(list_sum(list_transform(range(1, 65),
+                       i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))), 6),
+                       cent_id) AS rn
+            FROM v CROSS JOIN c2
+          ) WHERE rn = 1
+        )
+        SELECT cent_id, e.label, COUNT(*)::BIGINT AS n_vecs,
+               ROUND(AVG(dist), 4) AS avg_dist
+        FROM asn JOIN embeddings e USING (vec_id)
+        GROUP BY cent_id, e.label
     """
 
     # int8 quantization: q uses the UNROUNDED scale; round-6 is

@@ -37,6 +37,7 @@ from .similarity import (
     cosine,
     cosine_neardup_pairs,
     ivf_topk,
+    kmeans_assign,
     kmeans_centroids,
     kmeans_fit,
     lsh_bucketed_neardup_pairs,
@@ -88,6 +89,7 @@ __all__ = [
     "boilerplate_ngrams",
     "contamination_report",
     "hash_sample",
+    "kmeans_assign",
     "kmeans_centroids",
     "kmeans_fit",
     "pack_sequences",

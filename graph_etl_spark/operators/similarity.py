@@ -329,10 +329,48 @@ def kmeans_fit(
     round_to: int = 6,
 ) -> DataFrame:
     """Trained centroids as (cent_id, cent_vec array<double>) — the
-    form ``ivf_topk(..., centroids=...)`` consumes, closing the
-    train-then-index loop."""
+    form ``ivf_topk(..., centroids=...)`` and ``kmeans_assign``
+    consume, closing the train-then-index/shard loop."""
     cents, _ = _kmeans_fit(data, k, max_iter, id_col, vec_col, round_to)
     return cents.select("cent_id", F.col("cvec").alias("cent_vec"))
+
+
+def kmeans_assign(
+    data: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, cent_id, dist): nearest trained centroid per vector — the
+    semantic-sharding primitive (cluster-balanced sampling, per-cluster
+    quotas, write-time clustering for IVF partition pruning).
+
+    One broadcast crossJoin of the k-row centroid frame against the
+    corpus + a per-vector argmin window — the corpus never shuffles on
+    anything but its own id. Same determinism contract as the trainer
+    (round-``round_to`` squared-L2, cent_id tiebreak)."""
+    vecs = data.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = centroids.select("cent_id", F.col("cent_vec").alias("cvec"))
+    sqdist = F.round(
+        F.aggregate(
+            F.zip_with("vec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_to,
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cent_id")
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dist", sqdist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cent_id", "dist")
+    )
 
 
 def _kmeans_fit(

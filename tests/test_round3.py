@@ -209,6 +209,28 @@ def test_kmeans_fit_feeds_ivf(spark):
     assert all(r["neighbor_id"] >= 100 for r in out)
 
 
+def test_quality_plan_shapes(spark):
+    """Plan-shape regression guards: the per-row operators must stay
+    map-only (zero exchanges), packing must cost exactly its one shard
+    window, and contamination must broadcast the benchmark side (never
+    sort-merge the corpus)."""
+    from graph_etl_spark.plans import plan_stats
+
+    docs = spark.range(0, 100).selectExpr(
+        "id as doc_id", "concat('w', id % 7, ' x y z w a b c d e') as text"
+    )
+    vecs = spark.range(0, 50).selectExpr(
+        "id as vec_id", "array(cast(id as float), 1.0f, 2.0f) as embedding"
+    )
+    assert plan_stats(ops.repetition_stats(docs)).exchanges == 0
+    assert plan_stats(ops.quantize_embeddings(vecs)).exchanges == 0
+    assert plan_stats(ops.scrub_contact_strings(docs)).exchanges == 0
+    assert plan_stats(ops.hash_sample(docs, permille=500)).exchanges == 0
+    assert plan_stats(ops.pack_sequences(docs, token_budget=16)).exchanges == 1
+    cont = plan_stats(ops.contamination_report(docs, docs.limit(5)))
+    assert cont.broadcast_hash_joins >= 1 and cont.sort_merge_joins == 0
+
+
 def test_streaming_quality_gate(spark, tmp_path):
     """The quality gate must run identically as a batch plan and as a
     Structured Streaming stage (stateless per-row exprs, no state)."""
@@ -262,6 +284,24 @@ def test_pagerank_no_driver_collect_in_loop(spark):
     # d is pure-dangling-fed source: lowest rank; a receives d + c
     assert ranks["d"] == min(ranks.values())
     assert abs(sum(ranks.values()) - 1.0) < 0.05
+
+
+def test_kmeans_assign_shards(spark):
+    rows = [(i, [1.0, (i % 5) * 0.01] + [0.0] * 6) for i in range(20)]
+    rows += [(100 + i, [(i % 5) * 0.01, 1.0] + [0.0] * 6) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ops.kmeans_fit(df, k=2, max_iter=2)
+    asn = ops.kmeans_assign(df, cents)
+    rows_out = asn.collect()
+    assert len(rows_out) == 40                     # every vector sharded once
+    shards = {}
+    for r in rows_out:
+        shards.setdefault(r["cent_id"], set()).add(r["vec_id"])
+    assert len(shards) == 2
+    # each planted direction lands wholly in one shard
+    sizes = sorted(len(v) for v in shards.values())
+    assert sizes == [20, 20]
+    assert all(r["dist"] >= 0 for r in rows_out)
 
 
 def test_quantize_embeddings_roundtrip(spark):
