@@ -1005,7 +1005,12 @@ def q_quality_repetition_stats(spark, sf):
     computed with zero shuffle."""
     d = _t(spark, sf, "documents")
     return ops.repetition_stats(d).select(
-        "doc_id", "n_tokens", "dup_word_frac", "top_word_frac", "adjacent_repeat_frac"
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        "top_word_frac",
+        "adjacent_repeat_frac",
+        "token_entropy",
     )
 
 
@@ -2135,20 +2140,32 @@ def oracle_sql() -> dict[str, str]:
 
     # --- corpus-quality family (operators/quality.py) ---
 
+    # Sorted-run formulation mirrors the Spark side exactly (same run
+    # ORDER feeding the entropy float sum; 0 - Σ matches the fold's
+    # acc-minus-term accumulation so no -0.0 divergence).
     sql["quality_repetition_stats"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        m AS (
-          SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
-                 list_max(list_transform(list_distinct(toks),
-                   t -> len(list_filter(toks, x -> x = t)))) AS top_cnt,
-                 len(list_filter(range(1, len(toks)),
-                   i -> toks[i] = toks[i + 1])) AS adj
-          FROM t
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n, list_sort(toks) AS ls FROM t
+        ), r AS (
+          SELECT doc_id, toks, n,
+                 list_filter(range(1, n + 1),
+                   i -> i = 1 OR ls[i] <> ls[i - 1]) AS starts
+          FROM s
+        ), m AS (
+          SELECT doc_id, toks, n, starts,
+                 list_transform(range(1, len(starts) + 1),
+                   j -> (CASE WHEN j < len(starts) THEN starts[j + 1]
+                         ELSE n + 1 END) - starts[j]) AS runs
+          FROM r
         )
         SELECT doc_id, n::INT AS n_tokens,
-               ROUND(CASE WHEN n > 0 THEN 1.0 - nd / n ELSE 0.0 END, 6) AS dup_word_frac,
-               ROUND(CASE WHEN n > 0 THEN top_cnt / n ELSE 0.0 END, 6) AS top_word_frac,
-               ROUND(CASE WHEN n > 1 THEN adj / (n - 1) ELSE 0.0 END, 6) AS adjacent_repeat_frac
+               ROUND(CASE WHEN n > 0 THEN 1.0 - len(starts) / n ELSE 0.0 END, 6) AS dup_word_frac,
+               ROUND(CASE WHEN n > 0 THEN list_max(runs) / n ELSE 0.0 END, 6) AS top_word_frac,
+               ROUND(CASE WHEN n > 1 THEN len(list_filter(range(1, n),
+                     i -> toks[i] = toks[i + 1])) / (n - 1) ELSE 0.0 END, 6) AS adjacent_repeat_frac,
+               ROUND(CASE WHEN n > 0 THEN 0 - list_sum(list_transform(runs,
+                     l -> (l / n) * ln(l / n))) ELSE 0.0 END, 6) AS token_entropy
         FROM m
     """
 

@@ -74,6 +74,9 @@ def repetition_stats(
       degenerate-content spike (one word dominating).
     - ``adjacent_repeat_frac``: fraction of adjacent token pairs that are
       equal — stutter/loop artifacts ("foo foo foo").
+    - ``token_entropy``: Shannon entropy of the token distribution
+      (nats) — the diversity signal; near 0 for degenerate content,
+      ~ln(n) for all-distinct text.
 
     All per-row array expressions: zero shuffle, linear in splits.
     Term multiplicities come from RUN LENGTHS over the sorted token
@@ -88,9 +91,18 @@ def repetition_stats(
         .withColumn("__sorted", F.array_sort("__toks"))
         .withColumn("__starts", _run_starts(F.col("__sorted"), F.col("__n")))
     )
+    base = base.withColumn("__runs", _run_lengths(F.col("__starts"), F.col("__n")))
     n = F.col("__n")
     n_distinct = F.size("__starts")
-    top_cnt = F.array_max(_run_lengths(F.col("__starts"), n))
+    top_cnt = F.array_max("__runs")
+    # entropy accumulated as acc - p·ln(p): ln(p) <= 0 so terms add
+    # positively and the p=1 case stays +0.0 (a leading unary minus
+    # would emit -0.0 and diverge from the oracle's canonical form)
+    entropy = F.aggregate(
+        F.col("__runs"),
+        F.lit(0.0),
+        lambda acc, l: acc - (l / n) * F.log(l / n),
+    )
     adj = F.size(
         F.filter(
             F.sequence(F.lit(1), n - 1),
@@ -110,6 +122,9 @@ def repetition_stats(
         ),
         F.round(F.when(n > 1, adj / (n - 1)).otherwise(zero), round_to).alias(
             "adjacent_repeat_frac"
+        ),
+        F.round(F.when(n > 0, entropy).otherwise(zero), round_to).alias(
+            "token_entropy"
         ),
     )
 

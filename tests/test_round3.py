@@ -33,6 +33,12 @@ def test_repetition_stats_values(spark):
     assert out[3]["dup_word_frac"] == 0.5
     assert out[3]["top_word_frac"] == 0.5
     assert out[3]["adjacent_repeat_frac"] == 0.0
+    # entropy: all-distinct → ln(4); degenerate → 0; two-symbol → ln(2)
+    import math
+
+    assert abs(out[1]["token_entropy"] - math.log(4)) < 1e-5
+    assert out[2]["token_entropy"] == 0.0
+    assert abs(out[3]["token_entropy"] - math.log(2)) < 1e-5
 
 
 def test_hash_sample_deterministic_and_partition_invariant(spark):
