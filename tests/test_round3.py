@@ -138,11 +138,15 @@ def test_exact_dup_groups_bounded_members(spark):
     assert ps.exchanges == 1
 
 
-def test_exact_dedup_no_roundrobin_exchange(spark):
+def test_exact_dedup_single_shuffle_no_join(spark):
     df = _docs(spark, [(i, f"text {i % 3}") for i in range(9)])
     deduped = ops.exact_dedup(df)
     assert "RoundRobinPartitioning" not in plan_string(deduped)
+    ps = plan_stats(deduped)
+    assert ps.exchanges == 1 and ps.joins == 0
     assert deduped.count() == 3
+    # survivor is the lowest id per content group
+    assert {r["doc_id"] for r in deduped.collect()} == {0, 1, 2}
 
 
 def test_contamination_report(spark):
