@@ -269,22 +269,21 @@ def ngram_jaccard_pairs(
     standard stop-shingle-removal semantics). At 100 TB set the cap
     around 1e-4 × corpus size; ``None`` disables.
 
-    Physical shape: hot shingles are removed BEFORE the posting lists
-    are built. A first pass computes document frequency as a count
-    aggregation (map-side combinable — the shuffle carries one (shingle,
-    partial count) per map partition, never a doc-id list); the
-    over-cap shingles form a tiny frame that is broadcast anti-joined
-    against the shingle stream map-side. Only then does collect_list
-    build posting lists, so no aggregation buffer ever holds a hot
-    shingle's full doc-id array (a df-in-the-millions stopword shingle
-    would otherwise OOM one reducer even though its pairs get
-    filtered). The shingle stream is recomputed for the second pass —
-    shingling is cheap map-side work, while localCheckpointing the
-    exploded stream (~shingle_n × corpus size) would be the worse
-    trade at scale. Pairs are generated inside each posting list with
-    array expressions (no two-sided self-join), and per-doc set sizes
-    come from re-exploding the capped lists; the posting-list frame
-    feeds both consumers via localCheckpoint.
+    Physical shape: ONE scan, ONE shuffle, bounded buffers. Rows are
+    ranked per shingle (row_number over the same hash partitioning the
+    groupBy then reuses — no second exchange), the collect_list admits
+    only ranks ≤ cap, and the EXACT document frequency rides along as a
+    count aggregate. Shingles with df > cap are dropped afterwards —
+    and because the cap equals the drop threshold, a truncated list
+    only ever belongs to a shingle that is dropped anyway, so kept
+    posting lists are complete and results are bit-identical to
+    unbounded collection. A hot stopword shingle's rows spill in the
+    window sorter (disk, bounded memory) instead of materializing a
+    df-sized array in one aggregation buffer. Pairs are generated
+    inside each posting list with array expressions (no two-sided
+    self-join), and per-doc set sizes come from re-exploding the
+    capped lists; the posting-list frame feeds both consumers via
+    localCheckpoint.
     """
     sh = (
         fan_out(df)
@@ -295,18 +294,26 @@ def ngram_jaccard_pairs(
         )
     )
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("sh")
+        w = Window.partitionBy("sh").orderBy(id_col)
+        postings = (
+            sh.withColumn("__rn", F.row_number().over(w))
+            .groupBy("sh")
+            .agg(
+                F.count(F.lit(1)).alias("__df"),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__rn") <= max_shingle_df, F.col(id_col))
+                    )
+                ).alias("ids"),
+            )
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("sh", "ids")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    postings = (
-        sh.groupBy("sh")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .localCheckpoint(eager=False)
-    )
+    else:
+        postings = sh.groupBy("sh").agg(
+            F.array_sort(F.collect_list(id_col)).alias("ids")
+        )
+    postings = postings.localCheckpoint(eager=False)
     sizes = (
         postings.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
