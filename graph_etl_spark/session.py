@@ -31,6 +31,14 @@ def get_spark(app_name: str = "graph-etl-spark", master: str | None = None) -> S
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
         # Arrow for pandas_udf / applyInPandas extension operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter join pruning: for selective joins whose
+        # small side is too big to broadcast (e.g. a mid-size remap
+        # table against the edge corpus), the big side gets a bloom
+        # filter pushed into its scan — at 100 TB this skips shuffling
+        # rows that would be dropped by the join anyway.
+        # (Do NOT also enable runtimeFilter.semiJoinReduction: on this
+        # PySpark 4.1 build it hangs session queries outright.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Reference semantics rely on permissive casts (polars-style), not
         # ANSI error-on-overflow; Spark 4 defaults ANSI on.
         .config("spark.sql.ansi.enabled", "false")

@@ -219,6 +219,24 @@ def test_kmeans_fit_feeds_ivf(spark):
     assert all(r["neighbor_id"] >= 100 for r in out)
 
 
+def test_partitioned_staging_prunes_at_scan(spark, tmp_path, sf_dir):
+    """write_chunked(partition_by=['lang']) must yield scans where a
+    lang filter becomes a PartitionFilter (directory pruning), not a
+    post-scan filter — the data-skipping contract for curated-corpus
+    staging at scale."""
+    from graph_etl_spark.plans import formatted_plan
+    from graph_etl_spark.sources import read_table, write_chunked
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "by_lang")
+    write_chunked(docs, out, partition_by=["lang"])
+    scan = spark.read.parquet(out).filter(F.col("lang") == "en")
+    fmt = formatted_plan(scan)
+    part_lines = [ln for ln in fmt.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any("lang" in ln for ln in part_lines)
+    assert scan.count() == docs.filter(F.col("lang") == "en").count()
+
+
 def test_quality_plan_shapes(spark):
     """Plan-shape regression guards: the per-row operators must stay
     map-only (zero exchanges), packing must cost exactly its one shard
