@@ -158,6 +158,39 @@ def read_text(
     return spark.read.text(path, wholetext=whole_file)
 
 
+def compact_dataset(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a many-small-files dataset into ~``target_file_mb``
+    outputs — the small-files remedy (a staged corpus accumulated over
+    thousands of incremental writes scans at metadata speed, not I/O
+    speed). Returns the number of output files requested.
+
+    Sizing reads the FILESYSTEM byte count (Hadoop FS, works on any
+    scheme Spark can read), not a row sample — compressed size is what
+    file targets mean. The rewrite is one round-robin repartition to
+    ceil(bytes/target): no shuffle key, so it parallelizes perfectly
+    and preserves nothing but the data (use write_bucketed instead
+    when downstream joins deserve co-location)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(path).getLength()
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(src_path)
+    writer = df.repartition(int(n_files)).write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(dst_path)
+    else:
+        writer.format(fmt).save(dst_path)
+    return int(n_files)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

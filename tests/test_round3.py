@@ -219,6 +219,26 @@ def test_kmeans_fit_feeds_ivf(spark):
     assert all(r["neighbor_id"] >= 100 for r in out)
 
 
+def test_compact_dataset_fixes_small_files(spark, tmp_path, sf_dir):
+    """Compaction must collapse a fragmented dataset into the computed
+    file budget without losing or duplicating rows."""
+    import glob
+
+    from graph_etl_spark.sources import compact_dataset, read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(64).write.parquet(frag)     # 64 tiny files
+    assert len(glob.glob(f"{frag}/part-*")) == 64
+    dst = str(tmp_path / "compacted")
+    n = compact_dataset(spark, frag, dst, target_file_mb=128)
+    assert n == 1                                 # tiny corpus -> one file
+    assert len(glob.glob(f"{dst}/part-*")) == 1
+    before = docs.count()
+    after = spark.read.parquet(dst).count()
+    assert after == before
+
+
 def test_partitioned_staging_prunes_at_scan(spark, tmp_path, sf_dir):
     """write_chunked(partition_by=['lang']) must yield scans where a
     lang filter becomes a PartitionFilter (directory pruning), not a
