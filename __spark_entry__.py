@@ -832,7 +832,7 @@ def q_dedup_minhash_lsh_pairs(spark, sf):
 
 def q_dedup_simhash_signatures(spark, sf):
     d = _t(spark, sf, "documents")
-    return ops.simhash(d, bits=16)
+    return ops.simhash(d, bits=32)
 
 
 def q_dedup_ngram_jaccard_pairs(spark, sf):
@@ -842,9 +842,12 @@ def q_dedup_ngram_jaccard_pairs(spark, sf):
 
 def q_dedup_simhash_pairs(spark, sf):
     """SimHash near-dup pairs via the pigeonhole equi-join (exact,
-    recall 1.0 — no theta self-join in the plan)."""
+    recall 1.0 — no theta self-join in the plan). 32-bit signatures:
+    the 10x scale probe showed 16-bit segments (~5 bits each) saturate
+    around 50k docs (candidates ~ N²/2^5); ~11-bit segments push the
+    quadratic knee out by 2^6."""
     d = _t(spark, sf, "documents")
-    return ops.simhash_pairs(d, bits=16, max_hamming=2)
+    return ops.simhash_pairs(d, bits=32, max_hamming=2)
 
 
 # ---------------------------------------------------------------------------
@@ -878,7 +881,7 @@ def q_sim_cosine_neardup_pairs(spark, sf):
     )
     corpus = e.unionByName(dups)
     return ops.lsh_bucketed_neardup_pairs(
-        corpus, threshold=0.95, n_planes=8, dim=64, n_tables=4
+        corpus, threshold=0.95, n_planes=12, dim=64, n_tables=4
     )
 
 
@@ -1866,7 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         f"(('0x' || substr(md5(t), 1, 14))::BIGINT & {1 << b}) <> 0 THEN 1 ELSE -1 END)) > 0 "
         f"THEN {1 << b} ELSE 0 END"
     )
-    sim_expr = " + ".join(vote(b) for b in range(16))
+    sim_expr = " + ".join(vote(b) for b in range(32))
     sql["dedup_simhash_signatures"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
         SELECT doc_id, ({sim_expr})::BIGINT AS simhash FROM t

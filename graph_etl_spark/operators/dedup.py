@@ -357,7 +357,7 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """(id, simhash) — per-bit majority vote over token hashes
     (with multiplicity).
@@ -388,11 +388,17 @@ def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 32,
     max_hamming: int = 2,
 ) -> DataFrame:
     """Near-dup pairs whose simhash Hamming distance ≤ max_hamming —
     EXACT result via the pigeonhole equi-join.
+
+    Size ``bits`` for the corpus: expected candidates per segment
+    bucket grow as N² / 2^(bits/(max_hamming+1)), so segment width is
+    the quadratic-knee dial — the 10× scale probe measured 16-bit
+    signatures (≈5-bit segments) blowing up ×23 at 50k docs while
+    32-bit (≈11-bit segments) stays linear. At 100 TB use 64.
 
     Pigeonhole: split the ``bits``-bit hash into ``max_hamming + 1``
     disjoint segments. Two hashes within Hamming distance max_hamming
