@@ -1986,10 +1986,15 @@ def oracle_sql() -> dict[str, str]:
             FROM s{t}
           ) WHERE rn = 1
         ), c{t} AS MATERIALIZED (
-          SELECT cent_id, list(val ORDER BY pos) AS cvec FROM (
-            SELECT cent_id, pos, ROUND(AVG(vec[pos]), 6) AS val
-            FROM a{t} CROSS JOIN dims GROUP BY cent_id, pos
-          ) GROUP BY cent_id
+          -- empty cluster keeps its previous centroid (left join onto
+          -- the prior frame), mirroring _kmeans_fit's carry-forward
+          SELECT p.cent_id, coalesce(n.cvec, p.cvec) AS cvec
+          FROM {prev} p LEFT JOIN (
+            SELECT cent_id, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cent_id, pos, ROUND(AVG(vec[pos]), 6) AS val
+              FROM a{t} CROSS JOIN dims GROUP BY cent_id, pos
+            ) GROUP BY cent_id
+          ) n USING (cent_id)
         )""")
         prev = f"c{t}"
     ka_body = ",\n".join(ka_iters)
@@ -2303,8 +2308,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT cent_id, COUNT(*)::BIGINT AS n_members FROM a3 GROUP BY cent_id
         )
         SELECT c.cent_id, (d.pos - 1)::INT AS pos, c.cvec[d.pos] AS value,
-               m.n_members
-        FROM c3 c CROSS JOIN dims d JOIN members m USING (cent_id)
+               coalesce(m.n_members, 0)::BIGINT AS n_members
+        FROM c3 c CROSS JOIN dims d LEFT JOIN members m USING (cent_id)
     """
 
     sql["mm_frame_sample"] = """

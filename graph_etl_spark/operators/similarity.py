@@ -310,11 +310,16 @@ def kmeans_centroids(
     Cross-engine determinism: all math in doubles; distances round to
     ``round_to`` BEFORE the argmin with cent_id as tiebreak, and
     centroid components round each iteration — so the DuckDB oracle
-    (unrolled CTE chain) reproduces every assignment bit-for-bit."""
+    (unrolled CTE chain) reproduces every assignment bit-for-bit.
+
+    A cluster whose membership empties mid-training keeps its previous
+    centroid (carried forward via left join), so k centroids in always
+    means k centroids out — ``n_members`` reports 0 for such a row."""
     cents, assigned = _kmeans_fit(data, k, max_iter, id_col, vec_col, round_to)
     members = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_members"))
     return (
-        cents.join(members, "cent_id")
+        cents.join(members, "cent_id", "left")
+        .withColumn("n_members", F.coalesce("n_members", F.lit(0)))
         .select("cent_id", "n_members", F.posexplode("cvec").alias("pos", "value"))
         .select("cent_id", "pos", "value", "n_members")
     )
@@ -347,9 +352,12 @@ def kmeans_assign(
     quotas, write-time clustering for IVF partition pruning).
 
     One broadcast crossJoin of the k-row centroid frame against the
-    corpus + a per-vector argmin window — the corpus never shuffles on
-    anything but its own id. Same determinism contract as the trainer
-    (round-``round_to`` squared-L2, cent_id tiebreak)."""
+    corpus + a per-vector argmin expressed as a min-struct AGGREGATE
+    (``min(struct(dist, cent_id))``), not a window: partial aggregation
+    collapses the k candidate rows per vector map-side, so the exchange
+    carries one row per vector instead of the k-expanded corpus. Same
+    determinism contract as the trainer (round-``round_to`` squared-L2,
+    cent_id tiebreak via struct field ordering)."""
     vecs = data.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
@@ -363,13 +371,16 @@ def kmeans_assign(
         ),
         round_to,
     )
-    w = Window.partitionBy(id_col).orderBy("dist", "cent_id")
     return (
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("dist", sqdist)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "cent_id", "dist")
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cent_id")).alias("__best"))
+        .select(
+            id_col,
+            F.col("__best.cent_id").alias("cent_id"),
+            F.col("__best.dist").alias("dist"),
+        )
     )
 
 
@@ -398,16 +409,26 @@ def _kmeans_fit(
         ),
         round_to,
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    # argmin as min(struct(dist, cent_id, vec)) rather than a
+    # row_number window: the window would exchange the k-expanded
+    # corpus (corpus x k rows) every iteration, while the aggregate's
+    # partial (map-side) combine collapses the k candidates per vector
+    # before the shuffle. cent_id is never reached as a tiebreak unless
+    # two rounded dists are equal, and vec is constant per vec_id, so
+    # the struct ordering reproduces the window's (dist, cent_id) sort.
     for _ in range(max_iter):
         assigned = (
             vecs.crossJoin(F.broadcast(cents))
             .withColumn("dist", sqdist)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("vec_id", "cent_id", "vec")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cent_id", "vec")).alias("__best"))
+            .select(
+                "vec_id",
+                F.col("__best.cent_id").alias("cent_id"),
+                F.col("__best.vec").alias("vec"),
+            )
         )
-        cents = (
+        updated = (
             assigned.select("cent_id", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cent_id", "pos")
             .agg(F.round(F.avg("val"), round_to).alias("val"))
@@ -418,6 +439,15 @@ def _kmeans_fit(
                     lambda s: s["val"],
                 ).alias("cvec")
             )
+        )
+        # A cluster whose membership empties keeps its previous centroid
+        # (left join onto the prior k-row frame) so kmeans_fit(k=N)
+        # always returns N centroids — the update would otherwise drop
+        # the row and silently shrink every downstream IVF/assign list.
+        cents = (
+            cents.select("cent_id", F.col("cvec").alias("__prev"))
+            .join(updated, "cent_id", "left")
+            .select("cent_id", F.coalesce("cvec", "__prev").alias("cvec"))
             .localCheckpoint(eager=True)
         )
     return cents, assigned

@@ -12,7 +12,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from graph_etl_spark.plans import assert_no_cartesian, plan_stats
+from graph_etl_spark.plans import assert_no_cartesian, plan_stats, plan_string
 
 SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -67,3 +67,14 @@ def test_dedup_single_shuffle(spark, entry):
     st = plan_stats(entry.q_etl_dedup_pk(spark, SF))
     assert st.exchanges == 1
     assert st.joins == 0
+
+
+def test_kmeans_argmin_is_partial_aggregate(spark, entry):
+    """The nearest-centroid argmin must be a map-side-combinable
+    min-struct aggregate, NOT a row_number window: the window form
+    exchanges the k-expanded corpus (corpus x k rows) per iteration,
+    the aggregate collapses the k candidates before the shuffle."""
+    for q in (entry.q_sim_kmeans_assign, entry.q_sim_kmeans_centroids):
+        p = plan_string(q(spark, SF))
+        assert "partial_min(struct(dist" in p, "argmin lost its partial stage"
+        assert "Window" not in p, "argmin regressed to a window"
