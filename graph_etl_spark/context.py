@@ -20,7 +20,7 @@ import logging
 import uuid
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .catalog import CatalogStore, schema_to_ref_types
@@ -181,23 +181,21 @@ class Context:
         """Write one staged dataset; returns row count.
 
         Chunking by ``maxRecordsPerFile`` (no global row_number shuffle —
-        SURVEY.md §2.5 W1 note). Count comes from a single ``.count()``
-        on the cached normalized frame so the write and the count share
-        one computation of the lineage.
+        SURVEY.md §2.5 W1 note). The catalog row count rides the write
+        itself via ``df.observe`` — ONE Spark action per save, no
+        persist/count double-pass and no cache memory pressure at scale
+        (previously: persist + count + write sharing a cached lineage).
         """
         self.store.ensure_dirs()
         path = f"{base_dir}/{file_name}"
-        df = df.persist()
-        try:
-            count = df.count()
-            writer = df.write.mode("overwrite").option("maxRecordsPerFile", chunk_rows)
-            if self.store.staging_format == "csv":
-                writer.option("sep", ";").option("header", True).csv(path)
-            else:
-                writer.parquet(path)
-        finally:
-            df.unpersist()
-        return count
+        observation = Observation(f"staged_rows_{file_name}")
+        df = df.observe(observation, F.count(F.lit(1)).alias("rows"))
+        writer = df.write.mode("overwrite").option("maxRecordsPerFile", chunk_rows)
+        if self.store.staging_format == "csv":
+            writer.option("sep", ";").option("header", True).csv(path)
+        else:
+            writer.parquet(path)
+        return observation.get["rows"]
 
     # -- staged read -----------------------------------------------------------
 

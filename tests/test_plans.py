@@ -78,3 +78,25 @@ def test_kmeans_argmin_is_partial_aggregate(spark, entry):
         p = plan_string(q(spark, SF))
         assert "partial_min(struct(dist" in p, "argmin lost its partial stage"
         assert "Window" not in p, "argmin regressed to a window"
+
+
+def test_save_nodes_single_action(spark, output_dir):
+    """A staged save must issue exactly ONE Spark action: the catalog
+    row count rides the write via ``df.observe`` — no persist+count
+    double-pass (that would scan the source twice / pin it in cache at
+    100 TB)."""
+    import graph_etl_spark as getl
+    from graph_etl_spark.catalog import get_store
+    from graph_etl_spark.context import Context
+
+    getl.init(spark, output_folder=output_dir)
+    ctx = Context(get_store(), {})
+    df = spark.range(1000).selectExpr("id", "cast(id as string) as name")
+    sc = spark.sparkContext
+    sc.setJobGroup("single-action-save", "plan guard", False)
+    try:
+        ctx.save_nodes(df, label="PlanGuard")
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("single-action-save")
+    assert len(jobs) == 1, f"expected 1 Spark job per save, got {len(jobs)}"
