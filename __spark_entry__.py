@@ -1155,22 +1155,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that EVERY operator family has representatives inside
     the first 50 entries (the driver's per-round verdict window).
 
-    Round-3 rotation: the 17 scalar/window/set-op batteries that sat
-    past slot 50 in round 2 (driver never judged them — only the local
-    tools/check_oracle.py replica did) are rotated INTO the window this
-    round; 17 rows with two consecutive green driver rounds (r1+r2 —
-    most etl_* rows plus q1/q3/q6/q10 and three window/agg rows) rotate
-    out to the tail. Every query stays oracle-checked locally every
-    round regardless of position."""
+    Round-4 rotation (VERDICT r3 item 1): the 11 round-3-new queries
+    (quality_* family, sim_kmeans_*, sim_ivf_trained_topk,
+    sim_quantize_int8) that only had local-replica verification rotate
+    INTO the window; 11 rows with two consecutive green driver rounds
+    (r2+r3: mm_*, text_* scalar batteries, sim_embedding_norms,
+    json_extract_events, approx_*) rotate out to the tail. The k-means
+    family also CHANGED this round (min-struct argmin + empty-cluster
+    carry-forward, commit a9163e9) so a driver verdict is mandatory.
+    Every query stays oracle-checked locally every round regardless of
+    position."""
     return {
-        # changed this round — must get a fresh driver verdict
+        # changed in r4 (a9163e9: kmeans argmin rewrite + empty-cluster
+        # carry-forward) — driver verdict mandatory
+        "sim_kmeans_centroids": q_sim_kmeans_centroids,
+        "sim_kmeans_assign": q_sim_kmeans_assign,
+        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
+        # rotated IN: round-3-new, never driver-judged
+        "sim_quantize_int8": q_sim_quantize_int8,
+        "quality_repetition_stats": q_quality_repetition_stats,
+        "quality_hash_sample": q_quality_hash_sample,
+        "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
+        "quality_scrub_contact": q_quality_scrub_contact,
+        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
+        "quality_contamination": q_quality_contamination,
+        "quality_pack_sequences": q_quality_pack_sequences,
+        # staging writer changed this round (observe-based count) —
+        # keep its closest query rows in-window via the etl battery
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
         "graph_connected_components": q_graph_connected_components,
         "graph_pagerank": q_graph_pagerank,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "etl_remap_j1": q_etl_remap_j1,
-        # rotated IN: driver-unjudged tail of round 2
         "pandas_udf_normalize": q_pandas_udf_normalize,
         "sql_interface_q1": q_sql_interface_q1,
         "win_lag_lead": q_win_lag_lead,
@@ -1199,32 +1216,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_embedding_norms": q_sim_embedding_norms,
         # graph algorithms
         "graph_degrees": q_graph_degrees,
-        # multimodal plumbing
-        "mm_binary_metadata": q_mm_binary_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_decode_stub": q_mm_decode_stub,
-        # text analysis
-        "text_token_stats": q_text_token_stats,
-        "text_quality_scores": q_text_quality_scores,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
         # events / temporal
         "events_gap_fill": q_events_gap_fill,
         "events_tumbling_counts": q_events_tumbling_counts,
         "events_sessionize": q_events_sessionize,
         "asof_join_events": q_asof_join_events,
         "range_join_parts": q_range_join_parts,
-        "json_extract_events": q_json_extract_events,
         # sketches / skew
-        "approx_quantiles": q_approx_quantiles,
-        "approx_distinct_custkeys": q_approx_distinct_custkeys,
         "salted_count": q_salted_count,
         "distinct_counts": q_distinct_counts,
-        # ---- tail: >50 — two consecutive green driver rounds (r1+r2),
-        # rotated out for one round; still oracle-checked locally ----
+        # ---- tail: >50 — rows with two consecutive green driver
+        # rounds (r2+r3), rotated out for one round; still
+        # oracle-checked locally every round ----
+        "sim_embedding_norms": q_sim_embedding_norms,
+        "mm_binary_metadata": q_mm_binary_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_decode_stub": q_mm_decode_stub,
+        "text_token_stats": q_text_token_stats,
+        "text_quality_scores": q_text_quality_scores,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "json_extract_events": q_json_extract_events,
+        "approx_quantiles": q_approx_quantiles,
+        "approx_distinct_custkeys": q_approx_distinct_custkeys,
         "etl_normalize_nodes": q_etl_normalize_nodes,
         "etl_dedup_pk": q_etl_dedup_pk,
         "etl_automap_j2": q_etl_automap_j2,
@@ -1242,19 +1258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_running_total": q_win_running_total,
         "percentiles": q_percentiles,
         "conditional_agg": q_conditional_agg,
-        # new this round (corpus-quality family) — tail first, rotate
-        # into the window once locally green for a full round
-        "quality_repetition_stats": q_quality_repetition_stats,
-        "quality_hash_sample": q_quality_hash_sample,
-        "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
-        "quality_scrub_contact": q_quality_scrub_contact,
-        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
-        "quality_contamination": q_quality_contamination,
-        "quality_pack_sequences": q_quality_pack_sequences,
-        "sim_kmeans_centroids": q_sim_kmeans_centroids,
-        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
-        "sim_quantize_int8": q_sim_quantize_int8,
-        "sim_kmeans_assign": q_sim_kmeans_assign,
     }
 
 
