@@ -282,6 +282,63 @@ def quantize_embeddings(
     )
 
 
+def _centroid_array_expr(cent_rows: list[tuple], id_sql_type: str) -> Column:
+    """Literal array of (cent_id, cvec) centroid structs, built as ONE
+    SQL string parsed JVM-side. Per-component ``F.lit()`` Columns would
+    cost k × dim py4j round-trips (~7 s of pure driver time at k=16,
+    dim=64, measured); one ``F.expr`` is one round-trip and the parsed
+    literal constant-folds. Components are embedded via ``repr`` +
+    string-cast: both Python repr and Spark's string→double cast are
+    correctly-rounded, so the literal is the bit-exact collected value."""
+    parts = []
+    for cid, cvec in cent_rows:
+        comps = ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in cvec)
+        cid_sql = f"'{cid}'" if isinstance(cid, str) else repr(cid)
+        parts.append(
+            f"named_struct('cent_id', CAST({cid_sql} AS {id_sql_type}), "
+            f"'cvec', array({comps}))"
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def _kmeans_argmin(vec: Column, cent_rows: list[tuple], round_to: int, id_sql_type: str) -> Column:
+    """Nearest-centroid argmin as a PURE PROJECTION over literal
+    centroids: ``array_min(transform(cands, c -> struct(dist, cent_id)))``
+    with the squared-L2 distance as the same sequential
+    ``zip_with``+``aggregate`` fold the join form used (0.0 seed,
+    left-to-right — bit-identical results).
+
+    Why literals, not a broadcast join: k centroids are a
+    hyperparameter-sized value (MLlib broadcasts cluster centers the
+    same way; this file's ``ivf_topk`` already probes cells off a
+    collected literal array). The previous ``crossJoin(broadcast) +
+    min(struct(...))`` aggregate kept the shuffle small but its
+    struct-typed buffer is not HashAggregate-compatible, so Spark
+    planned a SortAggregate that SORTED the k-expanded corpus map-side
+    every iteration — measured +50% on the sf0.1 bench. This form is
+    zero-join, zero-shuffle, one corpus scan.
+
+    Determinism: dists round to ``round_to`` BEFORE comparison and the
+    struct ordering breaks ties on the smaller cent_id — same contract
+    as the oracle's unrolled CTE chain."""
+    cands = _centroid_array_expr(cent_rows, id_sql_type)
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(vec, c["cvec"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_to,
+            ).alias("dist"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    return F.array_min(scored)
+
+
 def kmeans_centroids(
     data: DataFrame,
     k: int = 4,
@@ -298,14 +355,15 @@ def kmeans_centroids(
     Output: one row per (cent_id, pos, value) — the trained centroid
     components — plus the cluster population via ``n_members``.
 
-    Scale per iteration: assignment broadcast-crossJoins the k-row
-    centroid frame against the corpus (map-side ×k expansion, corpus
-    never shuffles) and keeps each vector's nearest centroid; the
+    Scale per iteration: assignment is a zero-shuffle codegen
+    projection over literal centroids (see ``_kmeans_argmin``); the
     update posexplodes assigned vectors to (cluster, dim, value) and
-    averages — a map-side-combinable agg whose shuffle carries
-    k × dim partial sums per map partition, nothing proportional to
-    the corpus. Ranks truncate lineage with an eager localCheckpoint
-    per iteration (same pattern as graph.pagerank).
+    averages — a map-side-combinable HashAggregate whose shuffle
+    carries k × dim partial sums per map partition, nothing
+    proportional to the corpus. The k × dim centroid frame is collected
+    driver-side each iteration (hyperparameter-sized, same posture as
+    MLlib's broadcast cluster centers), which also truncates lineage —
+    no localCheckpoint needed.
 
     Cross-engine determinism: all math in doubles; distances round to
     ``round_to`` BEFORE the argmin with cent_id as tiebreak, and
@@ -313,7 +371,7 @@ def kmeans_centroids(
     (unrolled CTE chain) reproduces every assignment bit-for-bit.
 
     A cluster whose membership empties mid-training keeps its previous
-    centroid (carried forward via left join), so k centroids in always
+    centroid (driver-side carry-forward), so k centroids in always
     means k centroids out — ``n_members`` reports 0 for such a row."""
     cents, assigned = _kmeans_fit(data, k, max_iter, id_col, vec_col, round_to)
     members = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_members"))
@@ -351,36 +409,30 @@ def kmeans_assign(
     semantic-sharding primitive (cluster-balanced sampling, per-cluster
     quotas, write-time clustering for IVF partition pruning).
 
-    One broadcast crossJoin of the k-row centroid frame against the
-    corpus + a per-vector argmin expressed as a min-struct AGGREGATE
-    (``min(struct(dist, cent_id))``), not a window: partial aggregation
-    collapses the k candidate rows per vector map-side, so the exchange
-    carries one row per vector instead of the k-expanded corpus. Same
-    determinism contract as the trainer (round-``round_to`` squared-L2,
-    cent_id tiebreak via struct field ordering)."""
+    The k-row centroid frame is collected to literals and the argmin is
+    a zero-join, zero-shuffle codegen projection (``_kmeans_argmin``) —
+    the corpus streams map-side untouched. Same determinism contract as
+    the trainer (round-``round_to`` squared-L2, cent_id tiebreak)."""
+    cent_rows = [
+        (r["cent_id"], list(r["cent_vec"]))
+        for r in centroids.select("cent_id", "cent_vec").collect()  # k rows — tiny, deliberate
+    ]
     vecs = data.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    cents = centroids.select("cent_id", F.col("cent_vec").alias("cvec"))
-    sqdist = F.round(
-        F.aggregate(
-            F.zip_with("vec", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        round_to,
-    )
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("dist", sqdist)
-        .groupBy(id_col)
-        .agg(F.min(F.struct("dist", "cent_id")).alias("__best"))
-        .select(
+    if not cent_rows:  # degenerate: no centroids -> no assignments
+        return vecs.filter(F.lit(False)).select(
             id_col,
-            F.col("__best.cent_id").alias("cent_id"),
-            F.col("__best.dist").alias("dist"),
+            F.col(id_col).alias("cent_id"),
+            F.lit(0.0).alias("dist"),
         )
+    id_sql_type = centroids.schema["cent_id"].dataType.simpleString()
+    best = _kmeans_argmin(F.col("vec"), cent_rows, round_to, id_sql_type)
+    return vecs.select(
+        id_col,
+        best["cent_id"].alias("cent_id"),
+        best["dist"].alias("dist"),
     )
 
 
@@ -392,64 +444,63 @@ def _kmeans_fit(
     vec_col: str,
     round_to: int,
 ):
+    """Lloyd's loop. Per iteration: ONE corpus scan (argmin projection
+    over literal centroids feeding a map-side-combinable HashAggregate
+    over (cent_id, pos)) whose k × dim result is collected driver-side
+    to become the next iteration's literals — the corpus itself never
+    shuffles and the collect is hyperparameter-sized. The driver-side
+    centroid list also makes the empty-cluster carry-forward a plain
+    dict lookup (a cluster whose membership empties keeps its previous
+    centroid, so kmeans_fit(k=N) always returns N centroids)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    spark = data.sparkSession
     vecs = data.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    cents = (
-        vecs.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec"))
-    )
-    sqdist = F.round(
-        F.aggregate(
-            F.zip_with("vec", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        round_to,
-    )
-    # argmin as min(struct(dist, cent_id, vec)) rather than a
-    # row_number window: the window would exchange the k-expanded
-    # corpus (corpus x k rows) every iteration, while the aggregate's
-    # partial (map-side) combine collapses the k candidates per vector
-    # before the shuffle. cent_id is never reached as a tiebreak unless
-    # two rounded dists are equal, and vec is constant per vec_id, so
-    # the struct ordering reproduces the window's (dist, cent_id) sort.
+    cent_rows = [
+        (r["vec_id"], list(r["vec"]))
+        for r in vecs.orderBy("vec_id").limit(k).collect()  # k rows — tiny, deliberate
+    ]
+    if not cent_rows:  # degenerate: empty corpus
+        empty = vecs.select("vec_id", F.col("vec_id").alias("cent_id"), "vec")
+        return empty.select("vec_id", F.col("vec").alias("cvec")).withColumnRenamed(
+            "vec_id", "cent_id"
+        ), empty
+    assigned = None
+    id_sql_type = vecs.schema["vec_id"].dataType.simpleString()
     for _ in range(max_iter):
-        assigned = (
-            vecs.crossJoin(F.broadcast(cents))
-            .withColumn("dist", sqdist)
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cent_id", "vec")).alias("__best"))
-            .select(
-                "vec_id",
-                F.col("__best.cent_id").alias("cent_id"),
-                F.col("__best.vec").alias("vec"),
-            )
+        best = _kmeans_argmin(F.col("vec"), cent_rows, round_to, id_sql_type)
+        assigned = vecs.select(
+            "vec_id", best["cent_id"].alias("cent_id"), "vec"
         )
-        updated = (
+        comp_rows = (
             assigned.select("cent_id", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cent_id", "pos")
             .agg(F.round(F.avg("val"), round_to).alias("val"))
-            .groupBy("cent_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
-                ).alias("cvec")
+            .collect()  # k x dim rows — tiny, deliberate
+        )
+        updated: dict = {}
+        for r in comp_rows:
+            updated.setdefault(r["cent_id"], {})[r["pos"]] = r["val"]
+        cent_rows = [
+            (
+                cid,
+                [v for _, v in sorted(updated[cid].items())] if cid in updated else prev,
             )
-        )
-        # A cluster whose membership empties keeps its previous centroid
-        # (left join onto the prior k-row frame) so kmeans_fit(k=N)
-        # always returns N centroids — the update would otherwise drop
-        # the row and silently shrink every downstream IVF/assign list.
-        cents = (
-            cents.select("cent_id", F.col("cvec").alias("__prev"))
-            .join(updated, "cent_id", "left")
-            .select("cent_id", F.coalesce("cvec", "__prev").alias("cvec"))
-            .localCheckpoint(eager=True)
-        )
+            for cid, prev in cent_rows
+        ]
+    id_type = vecs.schema["vec_id"].dataType
+    cents = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cent_rows],
+        StructType(
+            [
+                StructField("cent_id", id_type, True),
+                StructField("cvec", ArrayType(DoubleType()), True),
+            ]
+        ),
+    )
     return cents, assigned
 
 

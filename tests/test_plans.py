@@ -69,15 +69,18 @@ def test_dedup_single_shuffle(spark, entry):
     assert st.joins == 0
 
 
-def test_kmeans_argmin_is_partial_aggregate(spark, entry):
-    """The nearest-centroid argmin must be a map-side-combinable
-    min-struct aggregate, NOT a row_number window: the window form
-    exchanges the k-expanded corpus (corpus x k rows) per iteration,
-    the aggregate collapses the k candidates before the shuffle."""
+def test_kmeans_argmin_is_zero_shuffle_projection(spark, entry):
+    """The nearest-centroid argmin must be a codegen projection over
+    literal centroids — no window (exchanges the k-expanded corpus), no
+    min-struct aggregate (struct buffer forces a SortAggregate that
+    sorts the k-expanded corpus map-side), no join. The only exchanges
+    allowed in the kmeans plans are the k x dim update/member
+    HashAggregates."""
     for q in (entry.q_sim_kmeans_assign, entry.q_sim_kmeans_centroids):
         p = plan_string(q(spark, SF))
-        assert "partial_min(struct(dist" in p, "argmin lost its partial stage"
+        assert "SortAggregate" not in p, "argmin regressed to a sort aggregate"
         assert "Window" not in p, "argmin regressed to a window"
+        assert "array_min(transform(" in p, "literal-centroid argmin projection missing"
 
 
 def test_save_nodes_single_action(spark, output_dir):
