@@ -62,19 +62,26 @@ HEADLINE = [
 
 
 def bench_pipeline_flow(spark, sf_dir):
-    """§3 lifecycle as ONE timed unit: stage (parse) → map (J2
-    natural-key auto-map over the PLACED edges) → load into the native
-    sink. The edge start endpoint is deliberately declared against
-    Customer:c_name so the mapping engine must resolve it to the pk —
-    stage, automap broadcast join, write-new-then-swap, and the loader
-    all execute, not just the staging write."""
+    """§3 lifecycle: stage (parse) → map (J2 natural-key auto-map over
+    the PLACED edges) → load into the native sink. The edge start
+    endpoint is deliberately declared against Customer:c_name so the
+    mapping engine must resolve it to the pk — stage, automap broadcast
+    join, write-new-then-swap, and the loader all execute, not just the
+    staging write.
+
+    Returns per-phase wall times {"stage": s, "map": s, "load": s} so
+    a regression in one phase is attributable (VERDICT r3 item 4);
+    bench records them as pipeline_stage_map_load.{stage,map,load}
+    sub-entries plus the comparable total."""
     import shutil
     import tempfile
 
     import graph_etl_spark as getl
+    from graph_etl_spark.pipeline import _map_property
     from pyspark.sql import functions as F
 
     workdir = tempfile.mkdtemp(prefix="bench_flow_")
+    phases: dict[str, float] = {}
     try:
         getl.init(spark, output_folder=f"{workdir}/output")
         customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -91,13 +98,24 @@ def bench_pipeline_flow(spark, sf_dir):
             ).select(F.col("c_name").alias("start"), F.col("o_orderkey").alias("end"))
             ctx.save_edges(placed, "PLACED", "Customer:c_name", "Order:id")
 
-        getl.parse()
+        t0 = time.time()
+        getl.parse(use_mapper=False)
+        phases["stage"] = time.time() - t0
+
+        t0 = time.time()
+        store = getl.get_store()
+        _map_property(store)
+        store.flush_configs()  # parse(use_mapper=True) flushes post-map
+        phases["map"] = time.time() - t0
+
+        t0 = time.time()
         loader = getl.SparkNativeGraphLoader(spark, graph_dir=f"{workdir}/graph")
         totals = getl.load(loader)
+        phases["load"] = time.time() - t0
         assert totals["edges"] > 0, totals
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
-    return None
+    return phases
 
 
 # end-to-end flows timed alongside the headline queries; these run
@@ -208,24 +226,37 @@ def main() -> None:
         flow = FLOWS.get(name)
         fn = flow if flow is not None else qs[name]
         samples = []
+        phase_samples: dict[str, list[float]] = {}
         for _ in range(runs):
             t0 = time.time()
             if flow is not None:
                 # flows materialize themselves (stage+map+load writes)
-                fn(spark, SF_DIR)
+                phases = fn(spark, SF_DIR) or {}
+                for ph, sec in phases.items():
+                    phase_samples.setdefault(ph, []).append(sec)
             else:
                 # noop sink: materializes EVERY column of the full plan —
                 # count() would let Catalyst prune the expensive expressions
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
+        # per-phase minima as attributable sub-entries; the parent total
+        # stays min-of-total-runs so it remains comparable across rounds
+        # (phase minima may come from different runs and sum slightly
+        # below the parent)
+        for ph, vals in phase_samples.items():
+            timings[f"{name}.{ph}"] = round(min(vals), 3)
         print(
             f"# {name}: {timings[name]:.2f}s "
             f"(min of {', '.join(f'{s:.2f}' for s in samples)})",
             file=sys.stderr,
         )
+        for ph, vals in phase_samples.items():
+            print(f"#   .{ph}: {min(vals):.2f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # ".phase" sub-entries are attributions of their parent flow, not
+    # additional work — exclude them from the headline total
+    total = round(sum(t for n, t in timings.items() if "." not in n), 3)
     prev = previous_bench()
     if prev and isinstance(prev.get("queries"), dict):
         print(f"# delta vs BENCH_r{prev['round']:02d}:", file=sys.stderr)
