@@ -861,6 +861,16 @@ def q_sim_cosine_topk(spark, sf):
     return ops.brute_force_topk(e, q, k=5)
 
 
+def q_sim_cosine_topk_scale(spark, sf):
+    """Same exact top-k, cluster-scale physical plan: per-map-partition
+    Arrow top-k reduction, then a final window over partitions ×
+    queries × k rows — no single-reducer-per-query ranking of the full
+    scored corpus. Bit-identical to q_sim_cosine_topk (same oracle)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ops.brute_force_topk_scale(e, q, k=5)
+
+
 def q_sim_cosine_neardup_pairs(spark, sf):
     """Embedding near-dup via random-hyperplane LSH buckets + exact
     cosine verify — the 100 TB plan shape (equi-join on bucket, the
@@ -1214,12 +1224,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         # LLM-pipeline: similarity search
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_cosine_topk_scale": q_sim_cosine_topk_scale,  # new r4
         "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
         "sim_ivf_topk": q_sim_ivf_topk,
         # graph algorithms
         "graph_degrees": q_graph_degrees,
         # events / temporal
-        "events_gap_fill": q_events_gap_fill,
         "events_tumbling_counts": q_events_tumbling_counts,
         "events_sessionize": q_events_sessionize,
         "asof_join_events": q_asof_join_events,
@@ -1230,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: >50 — rows with two consecutive green driver
         # rounds (r2+r3), rotated out for one round; still
         # oracle-checked locally every round ----
+        "events_gap_fill": q_events_gap_fill,
         "sim_embedding_norms": q_sim_embedding_norms,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1934,6 +1945,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
     """
+
+    # the scale-path variant is exact and deterministic, so it shares
+    # the reference path's oracle verbatim
+    sql["sim_cosine_topk_scale"] = sql["sim_cosine_topk"]
 
     # Oracle for the LSH-bucketed near-dup query: exact all-pairs over
     # the SAME augmented corpus (50 planted 2×-scaled copies, cosine

@@ -34,6 +34,7 @@ from .quality import (
 from .skew import key_skew_report, salted_count, salted_join
 from .similarity import (
     brute_force_topk,
+    brute_force_topk_scale,
     cosine,
     cosine_neardup_pairs,
     ivf_topk,
@@ -57,6 +58,7 @@ __all__ = [
     "attach_binary_metadata",
     "bpe_ish_token_count",
     "brute_force_topk",
+    "brute_force_topk_scale",
     "connected_components",
     "cosine",
     "dedup_clusters",

@@ -80,6 +80,68 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_scale(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k, cluster-scale plan — identical results to
+    ``brute_force_topk``, different physical strategy.
+
+    ``brute_force_topk``'s final window partitions by query_id, so ONE
+    reducer ranks all n scored rows of a query — fine as the oracle
+    reference path, a straggler at 100 TB. Here every map partition
+    first reduces its local candidates to k per query (Arrow-batched
+    ``mapInPandas`` with a running per-batch top-k, so state is bounded
+    at queries × k rows regardless of partition size); the exchange
+    then carries only partitions × queries × k rows and the final
+    window ranks that tiny set. Scoring stays JVM-side; only the
+    3-column (query_id, neighbor_id, cos_sim) candidates cross the
+    Arrow boundary. Ties break identically in both stages
+    ((cos_sim desc, neighbor_id asc) — neighbor_id is unique per query)
+    so the result is bit-identical to the reference path."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    d = fan_out(data).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__dvec")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__dvec")), round_to))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    out_schema = scored.schema
+
+    def local_topk(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            both = both.sort_values(
+                ["query_id", "cos_sim", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            acc = both.groupby("query_id", sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    part = scored.mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

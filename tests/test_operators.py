@@ -215,3 +215,16 @@ def test_stream_save_nodes(spark, output_dir, tmp_path):
     store = getl.get_store()
     files = store._configs["nodes"]["StreamedUser"]["files"]
     assert sum(f["count"] for f in files.values()) == 10
+
+
+def test_topk_scale_matches_reference_path(spark, sf_dir):
+    """brute_force_topk_scale is the same exact operator under a
+    different physical plan — results must be bit-identical."""
+    from graph_etl_spark import operators as ops
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    ref = ops.brute_force_topk(e, q, k=5).orderBy("query_id", "rank").collect()
+    scale = ops.brute_force_topk_scale(e, q, k=5).orderBy("query_id", "rank").collect()
+    assert ref == scale

@@ -103,3 +103,14 @@ def test_save_nodes_single_action(spark, output_dir):
         sc.setJobGroup("", "")
     jobs = sc.statusTracker().getJobIdsForGroup("single-action-save")
     assert len(jobs) == 1, f"expected 1 Spark job per save, got {len(jobs)}"
+
+
+def test_topk_scale_partial_reduction(spark, entry):
+    """The scale-path top-k must reduce candidates per map partition
+    (MapInPandas) BEFORE the ranking window — the reference path's
+    window would give one reducer all n scored rows of a query."""
+    p = plan_string(entry.q_sim_cosine_topk_scale(spark, SF))
+    assert "MapInPandas" in p, "per-partition top-k reduction missing"
+    assert p.index("MapInPandas") > p.index("Window"), (
+        "window must rank the reduced set (plans print top-down)"
+    )
