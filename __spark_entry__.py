@@ -47,7 +47,17 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship §7.3 slice: orders→customer edges resolved through the
     J1 remap (custkey → customer name), then a per-nation graph
     neighborhood aggregate. Exercises ingest, remap join, broadcast
-    dims, and decimal-exact aggregation in one plan."""
+    dims, and decimal-exact aggregation in one plan.
+
+    Conf-neutral like queries(): builds under scoped engine semantics,
+    restores the caller's session confs before returning."""
+    from graph_etl_spark.sources import runtime_confs
+
+    with runtime_confs(spark):
+        return _entry_build(spark)
+
+
+def _entry_build(spark: SparkSession) -> DataFrame:
     sf = "/root/testdata/sf0.001"
     customer = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
@@ -1165,6 +1175,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that EVERY operator family has representatives inside
     the first 50 entries (the driver's per-round verdict window).
 
+    Every callable is wrapped in the scoped ``runtime_confs`` context:
+    the full DataFrame build runs under engine semantics (ANSI off,
+    UTC, nanos-as-long) and the caller's session confs are RESTORED
+    before the callable returns — safe because Spark bakes these
+    semantics into the plan at build time (see sources.runtime_confs),
+    so the driver's later collect executes the engine's semantics on
+    its own untouched session.
+
     Round-4 rotation (VERDICT r3 item 1): the 11 round-3-new queries
     (quality_* family, sim_kmeans_*, sim_ivf_trained_topk,
     sim_quantize_int8) that only had local-replica verification rotate
@@ -1175,7 +1193,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     carry-forward, commit a9163e9) so a driver verdict is mandatory.
     Every query stays oracle-checked locally every round regardless of
     position."""
-    return {
+    import functools
+
+    from graph_etl_spark.sources import runtime_confs
+
+    def _scoped(fn):
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            with runtime_confs(spark):
+                return fn(spark, sf_dir)
+
+        return wrapped
+
+    registry = {
         # changed in r4 (a9163e9: kmeans argmin rewrite + empty-cluster
         # carry-forward) — driver verdict mandatory
         "sim_kmeans_centroids": q_sim_kmeans_centroids,
@@ -1270,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "conditional_agg": q_conditional_agg,
     }
+    return {name: _scoped(fn) for name, fn in registry.items()}
 
 
 # ---------------------------------------------------------------------------

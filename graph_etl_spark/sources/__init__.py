@@ -10,6 +10,8 @@ operators see the same schema DuckDB does.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -54,21 +56,55 @@ _RUNTIME_CONFS = {
 }
 
 
-def ensure_runtime_confs(spark: SparkSession) -> None:
-    """Make the current session driver-proof (idempotent, cheap).
+@contextmanager
+def runtime_confs(spark: SparkSession):
+    """Scoped engine semantics: snapshot the host's values, set the
+    engine's runtime confs, RESTORE the host's values on exit — the
+    session is left exactly as handed to us.
 
-    SIDE EFFECT — this mutates the caller's SparkSession GLOBALLY and
-    for the rest of the session: ANSI mode off, UTC session timezone,
-    legacy nanos-as-long parquet reads. Every ``read_table`` call
-    applies it, so embedding this engine in a host application changes
-    the semantics of the host's own subsequent queries (e.g. permissive
-    casts where ANSI would have errored). This is deliberate: the
-    engine's semantics are defined under these confs, and they must
-    hold on ANY session handed to us, including the correctness
-    driver's ANSI-on default session. Hosts that need ANSI behavior for
-    their own queries should run them on a separate SparkSession (conf
-    isolation comes free with ``SparkSession.newSession()``... note
-    runtime confs are per-session there, shared SparkContext)."""
+    Why scoping is sound: Spark bakes all three semantics into the plan
+    while the DataFrame is being BUILT, not when it is executed —
+    parquet type mapping at ``spark.read`` (scan schema is captured in
+    the relation), cast/arithmetic EvalMode and the session timezone at
+    the eager per-transformation analysis PySpark performs. Verified
+    empirically on this build: a frame built inside the scope keeps
+    permissive casts, UTC timestamps, and a readable ns-timestamp scan
+    when collected AFTER restore under opposite host confs. The
+    corollary: everything that builds the frame (including any
+    driver-side collects an operator performs) must happen inside the
+    scope — which is why ``read_table`` scopes its own body and
+    ``__spark_entry__.queries()`` wraps each query builder whole."""
+    snapshot: dict[str, str | None] = {}
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            snapshot[k] = spark.conf.get(k, None)
+        except Exception:
+            snapshot[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, prev in snapshot.items():
+            try:
+                if prev is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, prev)
+            except Exception:
+                pass
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """STICKY escape hatch: pin the engine's runtime confs on the
+    session for the rest of its lifetime (idempotent, cheap).
+
+    Prefer the scoped ``runtime_confs`` context manager — it restores
+    the host's values on exit. Use this form when an application runs
+    the engine's semantics everywhere and wants them set once (e.g. a
+    dedicated session from ``get_spark``, which already applies them at
+    construction). SIDE EFFECT when called on a shared host session:
+    ANSI off / UTC timezone / nanos-as-long parquet reads persist and
+    change the semantics of the host's own subsequent queries."""
     for k, v in _RUNTIME_CONFS.items():
         try:
             current = spark.conf.get(k, None)
@@ -81,15 +117,19 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with schema normalization.
 
+    Conf-neutral: the scan + normalization build inside a scoped
+    ``runtime_confs`` block, so the returned frame carries engine
+    semantics while the caller's session confs are left untouched.
+
     Shuffle-bound plans read the scan as-is (no blanket repartition —
     it would add an exchange to every query); per-row compute-heavy
     operators opt into ``fan_out`` themselves."""
-    ensure_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for field in df.schema.fields:
-        # nanosAsLong leaves ns-timestamps as LongType; restore them.
-        if name == "events" and field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", ns_to_timestamp(F.col("ts")))
+    with runtime_confs(spark):
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for field in df.schema.fields:
+            # nanosAsLong leaves ns-timestamps as LongType; restore them.
+            if name == "events" and field.name == "ts" and isinstance(field.dataType, T.LongType):
+                df = df.withColumn("ts", ns_to_timestamp(F.col("ts")))
     return df
 
 

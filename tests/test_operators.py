@@ -228,3 +228,38 @@ def test_topk_scale_matches_reference_path(spark, sf_dir):
     ref = ops.brute_force_topk(e, q, k=5).orderBy("query_id", "rank").collect()
     scale = ops.brute_force_topk_scale(e, q, k=5).orderBy("query_id", "rank").collect()
     assert ref == scale
+
+
+def test_read_table_and_queries_are_conf_neutral(spark, sf_dir):
+    """A host handing us its session must get it back untouched:
+    read_table and every queries() callable build under scoped engine
+    confs and RESTORE the host's values (VERDICT r3 item 7). The
+    returned frames must still execute with engine semantics afterward
+    (Spark bakes them at build time)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from graph_etl_spark.sources import read_table
+
+    host = spark.newSession()
+    host.conf.set("spark.sql.ansi.enabled", "true")
+    host.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        host.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    keys = [
+        "spark.sql.ansi.enabled",
+        "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ]
+    before = {k: host.conf.get(k, None) for k in keys}
+
+    df = read_table(host, sf_dir, "events")
+    assert {k: host.conf.get(k, None) for k in keys} == before
+    # ns-timestamp scan + UTC semantics survive execution after restore
+    assert df.select(F.date_format("ts", "HH").alias("h")).limit(1).collect()
+
+    out = em.queries()["date_funcs"](host, sf_dir)
+    assert {k: host.conf.get(k, None) for k in keys} == before
+    assert out.limit(3).count() >= 0
