@@ -2201,7 +2201,8 @@ def oracle_sql() -> dict[str, str]:
     # ORDER feeding the entropy float sum; 0 - Σ matches the fold's
     # acc-minus-term accumulation so no -0.0 divergence).
     sql["quality_repetition_stats"] = f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM d0),
         s AS (
           SELECT doc_id, toks, len(toks) AS n, list_sort(toks) AS ls FROM t
         ), r AS (

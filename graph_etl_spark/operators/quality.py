@@ -35,12 +35,18 @@ def _run_starts(sorted_arr: Column, n: Column) -> Column:
     one per distinct value. ``sorted_arr``/``n`` must be bound columns
     (not expressions): lambda bodies re-evaluate embedded expressions
     per element."""
+    # greatest(i-1, 1) keeps element_at's index in range at i==1 (the
+    # i==1 disjunct already wins there) — correctness must not hinge on
+    # Or short-circuiting in interpreted lambda evaluation.
     return F.when(
         n > 0,
         F.filter(
             F.sequence(F.lit(1), n),
             lambda i: (i == 1)
-            | (F.element_at(sorted_arr, i) != F.element_at(sorted_arr, i - 1)),
+            | (
+                F.element_at(sorted_arr, i)
+                != F.element_at(sorted_arr, F.greatest(i - 1, F.lit(1)))
+            ),
         ),
     ).otherwise(F.array().cast("array<int>"))
 
@@ -86,7 +92,10 @@ def repetition_stats(
     sf0.1). Tokens/sorted/starts are materialized as real columns so
     lambda bodies only touch bound references."""
     base = (
-        df.withColumn("__toks", tokens_col(F.col(text_col)))
+        # coalesce: a NULL text row must report 0 tokens, not the
+        # legacy size(NULL) = -1 (and NULL in the oracle) — same
+        # defensive form as the winnow oracle.
+        df.withColumn("__toks", tokens_col(F.coalesce(F.col(text_col), F.lit(""))))
         .withColumn("__n", F.size("__toks"))
         .withColumn("__sorted", F.array_sort("__toks"))
         .withColumn("__starts", _run_starts(F.col("__sorted"), F.col("__n")))

@@ -220,6 +220,16 @@ def compact_dataset(
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(src_path)
     fs = path.getFileSystem(hconf)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    # the read is lazy — overwriting the source mid-scan would destroy
+    # it, so refuse dst==src outright (qualified-path equality covers
+    # relative/absolute/scheme spellings on the same filesystem)
+    wd = fs.getWorkingDirectory()
+    if path.makeQualified(fs.getUri(), wd).equals(dst.makeQualified(fs.getUri(), wd)):
+        raise ValueError(
+            f"compact_dataset: dst_path == src_path ({src_path!r}); "
+            "write to a new location, then swap"
+        )
     total_bytes = fs.getContentSummary(path).getLength()
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     df = spark.read.format(fmt).load(src_path)
@@ -228,7 +238,13 @@ def compact_dataset(
         writer.option("header", True).csv(dst_path)
     else:
         writer.format(fmt).save(dst_path)
-    return int(n_files)
+    # report what actually landed, not what was requested
+    actual = sum(
+        1
+        for st in fs.listStatus(dst)
+        if st.getPath().getName().startswith("part-")
+    )
+    return actual
 
 
 def write_bucketed(

@@ -5,6 +5,7 @@ exact-dedup audit view."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from graph_etl_spark import operators as ops
 from graph_etl_spark.plans import assert_no_cartesian, plan_stats, plan_string
@@ -39,6 +40,20 @@ def test_repetition_stats_values(spark):
     assert abs(out[1]["token_entropy"] - math.log(4)) < 1e-5
     assert out[2]["token_entropy"] == 0.0
     assert abs(out[3]["token_entropy"] - math.log(2)) < 1e-5
+
+
+def test_repetition_stats_null_and_empty_text(spark):
+    """NULL text must behave like empty text: n_tokens 0 and all
+    fractions 0.0 — not the legacy size(NULL) = -1 (and not a NULL the
+    DuckDB oracle would emit)."""
+    df = _docs(spark, [(1, None), (2, ""), (3, "   ")])
+    out = {r["doc_id"]: r for r in ops.repetition_stats(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_tokens"] == 0
+        assert out[i]["dup_word_frac"] == 0.0
+        assert out[i]["top_word_frac"] == 0.0
+        assert out[i]["adjacent_repeat_frac"] == 0.0
+        assert out[i]["token_entropy"] == 0.0
 
 
 def test_hash_sample_deterministic_and_partition_invariant(spark):
@@ -237,6 +252,12 @@ def test_compact_dataset_fixes_small_files(spark, tmp_path, sf_dir):
     before = docs.count()
     after = spark.read.parquet(dst).count()
     assert after == before
+    # dst==src would destroy the source mid-scan (lazy read) — refused,
+    # in any path spelling
+    with pytest.raises(ValueError, match="dst_path == src_path"):
+        compact_dataset(spark, frag, frag)
+    with pytest.raises(ValueError, match="dst_path == src_path"):
+        compact_dataset(spark, frag, str(tmp_path) + "/./fragmented")
 
 
 def test_partitioned_staging_prunes_at_scan(spark, tmp_path, sf_dir):
