@@ -913,6 +913,28 @@ def q_sim_cosine_allpairs_ref(spark, sf):
     return ops.cosine_neardup_pairs(e, threshold=0.45)
 
 
+def q_sim_semantic_dedup_pairs(spark, sf):
+    """SemDeDup-style semantic near-dup: spherical k-means cells, exact
+    cosine only within each cell — the TRAINED-partition alternative to
+    random-hyperplane LSH (duplicates concentrate inside semantic
+    clusters, so a data-following partition catches what random planes
+    split). Same planted-duplicate protocol as the LSH query: 50
+    vectors re-enter 2×-scaled; L2 normalization makes the copy
+    bit-identical to its source (power-of-two scaling is exact in FP),
+    so same-cell assignment and cosine 1.0 hold by construction while
+    the unrolled-k-means DuckDB oracle stays exact."""
+    e = _t(spark, sf, "embeddings")
+    dups = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = e.unionByName(dups)
+    return ops.semantic_dedup_pairs(corpus, k=8, max_iter=2, threshold=0.95)
+
+
 def q_sim_ivf_topk(spark, sf):
     """IVF approximate top-k (nlist=8, nprobe=2) judged by a recall
     verdict: the query runs BOTH the IVF and the exact top-k, counts
@@ -1256,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_cosine_topk_scale": q_sim_cosine_topk_scale,  # new r4
         "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
+        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,  # new r4
         "sim_ivf_topk": q_sim_ivf_topk,
         # graph algorithms
         "graph_degrees": q_graph_degrees,
@@ -1266,10 +1289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_parts": q_range_join_parts,
         # sketches / skew
         "salted_count": q_salted_count,
-        "distinct_counts": q_distinct_counts,
         # ---- tail: >50 — rows with two consecutive green driver
         # rounds (r2+r3), rotated out for one round; still
         # oracle-checked locally every round ----
+        "distinct_counts": q_distinct_counts,
         "events_gap_fill": q_events_gap_fill,
         "sim_embedding_norms": q_sim_embedding_norms,
         "mm_binary_metadata": q_mm_binary_metadata,

@@ -639,3 +639,100 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def l2_normalize(df: DataFrame, vec_col: str = "embedding", out: str | None = None) -> DataFrame:
+    """Unit-normalize an embedding column (doubles out). The norm is
+    materialized as a real column BEFORE the per-component divide —
+    embedding it in the transform lambda would re-reduce the whole
+    vector once per element (interpreted higher-order fns have no CSE).
+    Zero vectors pass through unchanged (norm 0 → divide-by-1)."""
+    out = out or vec_col
+    d = df.withColumn(
+        "__l2n",
+        norm(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    ).withColumn("__l2n", F.when(F.col("__l2n") > 0, F.col("__l2n")).otherwise(F.lit(1.0)))
+    nrm = F.col("__l2n")
+    return d.withColumn(
+        out, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    ).drop("__l2n")
+
+
+def semantic_dedup_pairs(
+    data: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    max_iter: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    normalize: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster the corpus with
+    k-means, then score exact cosine ONLY within each cluster — pairs
+    with ``cos_sim >= threshold`` plus the cluster they met in.
+
+    The semantic analog of ``lsh_bucketed_neardup_pairs``: LSH buckets
+    are random, k-means cells follow the data, so at equal candidate
+    budgets the trained partition catches near-dups random hyperplanes
+    split apart (the SemDeDup observation: duplicates concentrate
+    inside semantic clusters).
+
+    Physical shape: cluster tagging is the zero-shuffle literal-centroid
+    argmin projection (``_kmeans_argmin`` — the corpus streams map-side);
+    candidates come from ONE hash-partitioned self-equi-join on
+    ``cent_id``, so the pair work is Σ n_c² over cluster sizes, never
+    n². At 100 TB: size k so the expected cell fits an executor
+    (k ≈ corpus/50k), and train on a sample — ``kmeans_fit`` on a
+    ``hash_sample`` slice feeds the ``centroids`` parameter unchanged.
+    A skewed mega-cluster is visible in ``kmeans_centroids.n_members``
+    before the join runs (pair with ``skew.skew_report``).
+
+    ``normalize`` (the default, and what SemDeDup itself does)
+    L2-normalizes before clustering and scoring: k-means' squared-L2 on
+    unit vectors is monotone in cosine (spherical k-means), so scaled
+    duplicates land in the same cell and the cosine threshold acts on
+    direction alone.
+
+    Determinism contract matches the k-means family (round-6 distances,
+    cent_id tiebreak) so the DuckDB oracle reproduces every assignment;
+    cosine rounds to ``round_to`` before the threshold test.
+    """
+    if normalize:
+        data = l2_normalize(data, vec_col=vec_col)
+    if centroids is None:
+        centroids = kmeans_fit(data, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    cent_rows = [
+        (r["cent_id"], list(r["cent_vec"]))
+        for r in centroids.select("cent_id", "cent_vec").collect()  # k rows — tiny, deliberate
+    ]
+    vecs = fan_out(data).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    if not cent_rows:
+        return vecs.filter(F.lit(False)).select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col(id_col).alias("cent_id"),
+            F.lit(0.0).alias("cos_sim"),
+        )
+    id_sql_type = centroids.schema["cent_id"].dataType.simpleString()
+    best = _kmeans_argmin(F.col("__v"), cent_rows, round_to=6, id_sql_type=id_sql_type)
+    tagged = vecs.select(id_col, F.col("__v"), best["cent_id"].alias("cent_id"))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.cent_id").alias("cent_id"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
