@@ -2028,6 +2028,87 @@ def oracle_sql() -> dict[str, str]:
         WHERE {_cos} >= 0.45
     """
 
+    # SemDeDup oracle: the full semantic_dedup_pairs pipeline unrolled
+    # in SQL — augmented corpus (same 50 planted 2×-scaled dups as the
+    # LSH query), L2 normalization (zero-norm guard mirrored from
+    # l2_normalize), 2 Lloyd's iterations at k=8 with the same
+    # determinism contract as the kmeans oracles (round-6 distances,
+    # cent_id tiebreak, round-6 centroid components, empty-cluster
+    # carry-forward), one assignment pass against the trained frame,
+    # then the within-cell pair join at round-4 cosine >= 0.95 —
+    # exactly operators/similarity.py:semantic_dedup_pairs.
+    sd_iters = []
+    prev = "c0"
+    for t in range(1, 3):
+        sd_iters.append(f"""s{t} AS (
+          SELECT vec_id, vec, cent_id,
+                 ROUND(list_sum(list_transform(range(1, 65),
+                   i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))), 6) AS dist
+          FROM v CROSS JOIN {prev}
+        ), a{t} AS MATERIALIZED (
+          SELECT vec_id, vec, cent_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+            FROM s{t}
+          ) WHERE rn = 1
+        ), c{t} AS MATERIALIZED (
+          SELECT p.cent_id, coalesce(n.cvec, p.cvec) AS cvec
+          FROM {prev} p LEFT JOIN (
+            SELECT cent_id, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cent_id, pos, ROUND(AVG(vec[pos]), 6) AS val
+              FROM a{t} CROSS JOIN dims GROUP BY cent_id, pos
+            ) GROUP BY cent_id
+          ) n USING (cent_id)
+        )""")
+        prev = f"c{t}"
+    sd_body = ",\n".join(sd_iters)
+    _sd_cos = (
+        "ROUND(list_dot_product(a.vec, b.vec) / "
+        "(sqrt(list_dot_product(a.vec, a.vec)) * "
+        "sqrt(list_dot_product(b.vec, b.vec))), 4)"
+    )
+    sql["sim_semantic_dedup_pairs"] = f"""
+        WITH corpus AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))::DOUBLE[] AS raw
+          FROM embeddings WHERE vec_id < 50
+        ),
+        v AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(raw,
+                   x -> x / (CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END)) AS vec
+          FROM (
+            SELECT vec_id, raw,
+                   sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+            FROM corpus
+          )
+        ),
+        dims AS (SELECT unnest(range(1, 65)) AS pos),
+        c0 AS MATERIALIZED (
+          SELECT vec_id AS cent_id, vec AS cvec FROM v ORDER BY vec_id LIMIT 8
+        ),
+        {sd_body},
+        asn AS MATERIALIZED (
+          SELECT vec_id, vec, cent_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+            FROM (
+              SELECT vec_id, vec, cent_id,
+                     ROUND(list_sum(list_transform(range(1, 65),
+                       i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))), 6) AS dist
+              FROM v CROSS JOIN c2
+            )
+          ) WHERE rn = 1
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cent_id AS cent_id,
+               {_sd_cos} AS cos_sim
+        FROM asn a JOIN asn b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE {_sd_cos} >= 0.95
+    """
+
     # Verdict oracle: the Spark query computes aggregate IVF recall vs
     # the exact top-k inside one plan and asserts >= 0.6; the oracle
     # pins the constants and expects the verdict to hold.

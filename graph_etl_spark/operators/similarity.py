@@ -69,6 +69,12 @@ def brute_force_topk(
         d.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__dvec")), round_to))
+        # cosine is undefined for a zero-norm side (0/0 = NaN under
+        # permissive eval). Drop such rows HERE, in both exact paths:
+        # Spark's window orderBy desc ranks NaN greatest while pandas
+        # sort_values places NaN last, so leaving them in would make
+        # the scale path silently diverge from this reference path.
+        .filter(~F.isnan("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -113,6 +119,9 @@ def brute_force_topk_scale(
         d.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__dvec")), round_to))
+        # same NaN drop as the reference path (see brute_force_topk):
+        # keeps the two paths bit-identical even on zero-norm vectors
+        .filter(~F.isnan("cos_sim"))
         .select("query_id", "neighbor_id", "cos_sim")
     )
     out_schema = scored.schema
@@ -355,7 +364,13 @@ def _centroid_array_expr(cent_rows: list[tuple], id_sql_type: str) -> Column:
     parts = []
     for cid, cvec in cent_rows:
         comps = ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in cvec)
-        cid_sql = f"'{cid}'" if isinstance(cid, str) else repr(cid)
+        if isinstance(cid, str):
+            # escape backslashes then quotes — a cent_id containing ' or \
+            # must not terminate (or inject into) the SQL literal
+            escaped = cid.replace("\\", "\\\\").replace("'", "\\'")
+            cid_sql = f"'{escaped}'"
+        else:
+            cid_sql = repr(cid)
         parts.append(
             f"named_struct('cent_id', CAST({cid_sql} AS {id_sql_type}), "
             f"'cvec', array({comps}))"
@@ -532,7 +547,7 @@ def _kmeans_fit(
         ), empty
     assigned = None
     id_sql_type = vecs.schema["vec_id"].dataType.simpleString()
-    for _ in range(max_iter):
+    for _ in range(max(0, max_iter)):
         best = _kmeans_argmin(F.col("vec"), cent_rows, round_to, id_sql_type)
         assigned = vecs.select(
             "vec_id", best["cent_id"].alias("cent_id"), "vec"
@@ -563,6 +578,12 @@ def _kmeans_fit(
             ]
         ),
     )
+    if assigned is None:
+        # max_iter < 1: no training pass ran — return the seed
+        # centroids with ONE assignment pass against them so callers
+        # (kmeans_centroids' groupBy) always get a valid frame
+        best = _kmeans_argmin(F.col("vec"), cent_rows, round_to, id_sql_type)
+        assigned = vecs.select("vec_id", best["cent_id"].alias("cent_id"), "vec")
     return cents, assigned
 
 

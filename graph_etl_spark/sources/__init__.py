@@ -73,15 +73,24 @@ def runtime_confs(spark: SparkSession):
     corollary: everything that builds the frame (including any
     driver-side collects an operator performs) must happen inside the
     scope — which is why ``read_table`` scopes its own body and
-    ``__spark_entry__.queries()`` wraps each query builder whole."""
+    ``__spark_entry__.queries()`` wraps each query builder whole.
+
+    Conf mutation is session-global, so the scope assumes the session
+    is not concurrently building queries on another thread — the same
+    single-threaded-driver assumption Spark's own conf API makes.
+    """
     snapshot: dict[str, str | None] = {}
-    for k, v in _RUNTIME_CONFS.items():
-        try:
-            snapshot[k] = spark.conf.get(k, None)
-        except Exception:
-            snapshot[k] = None
-        spark.conf.set(k, v)
     try:
+        # snapshot+set INSIDE the try: if a set raises mid-loop (e.g. a
+        # conf made static in a future Spark), finally still restores
+        # every key snapshotted so far — the session is never left
+        # partially switched.
+        for k, v in _RUNTIME_CONFS.items():
+            try:
+                snapshot[k] = spark.conf.get(k, None)
+            except Exception:
+                snapshot[k] = None
+            spark.conf.set(k, v)
         yield spark
     finally:
         for k, prev in snapshot.items():
@@ -144,12 +153,32 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     cluster scale (partitions >= parallelism) and costs one small
     round-robin exchange only when the input is under-split. Apply at
     the START of compute-heavy operators, never in plain SQL-shaped
-    queries (it would pollute their plans with an extra exchange)."""
+    queries (it would pollute their plans with an extra exchange).
+
+    The under-split probe is FILE COUNT, not ``df.rdd`` partition
+    count: ``.rdd`` forces full physical planning of a throwaway RDD
+    plan at BUILD time, once per operator invocation (driver-side
+    latency on every compute-heavy operator). ``inputFiles()`` reads
+    the already-listed FileIndex — no planning. File count is the right
+    proxy for the failure mode this guards (row-group-limited local
+    parallelism): a corpus in >= target/2 files is split enough; a
+    few-file input gets the round-robin exchange, which in a
+    compute-heavy stage is noise next to the work it balances. Frames
+    with no file lineage (in-memory ingest) keep the exact RDD probe —
+    planning a LocalRelation is trivial, so the cost concern doesn't
+    apply there."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, target // 2):
-        return df.repartition(target)
-    return df
+    threshold = max(1, target // 2)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= threshold:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= threshold:
+        return df
+    return df.repartition(target)
 
 
 def read_csv(
