@@ -689,6 +689,10 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     round_to: int = 4,
     normalize: bool = True,
+    max_cell_size: int | None = None,
+    dim: int = 64,
+    sub_planes: int = 12,
+    sub_tables: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cluster the corpus with
     k-means, then score exact cosine ONLY within each cluster — pairs
@@ -716,6 +720,24 @@ def semantic_dedup_pairs(
     duplicates land in the same cell and the cosine threshold acts on
     direction alone.
 
+    ``max_cell_size`` bounds mega-cells BY CONSTRUCTION, not just by
+    observability: cells whose membership exceeds it are subdivided by
+    random-hyperplane LSH (``sub_planes`` sign bits over ``dim``
+    components, ``sub_tables`` independent tables) and pairs are
+    scored only within (cell, table, sub-bucket) — so a degenerate
+    cell holding 30% of an adversarially skewed corpus contributes
+    ~n²/2^sub_planes candidate work per table instead of n². Recall on
+    true near-dups is preserved the way LSH always preserves it:
+    similar vectors share sign bits with high probability (scaled/
+    identical duplicates share ALL of them, so planted-dup recall is
+    exactly 1.0), and each extra table is an independent retry for
+    pairs a table's planes split. Cells at-or-under the cap keep the
+    exact within-cell join (sub-bucket pinned to 0, table 0 only);
+    pairs caught by several tables are deduplicated on (id_a, id_b).
+    The cell-size frame is k rows — broadcast, never a corpus shuffle.
+    Leave ``max_cell_size=None`` (the default) for the exact
+    oracle-checked semantics with pair work Σ n_c².
+
     Determinism contract matches the k-means family (round-6 distances,
     cent_id tiebreak) so the DuckDB oracle reproduces every assignment;
     cosine rounds to ``round_to`` before the threshold test.
@@ -742,11 +764,64 @@ def semantic_dedup_pairs(
     id_sql_type = centroids.schema["cent_id"].dataType.simpleString()
     best = _kmeans_argmin(F.col("__v"), cent_rows, round_to=6, id_sql_type=id_sql_type)
     tagged = vecs.select(id_col, F.col("__v"), best["cent_id"].alias("cent_id"))
-    a, b = tagged.alias("a"), tagged.alias("b")
+
+    if max_cell_size is None:
+        a, b = tagged.alias("a"), tagged.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.cent_id") == F.col("b.cent_id"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.cent_id").alias("cent_id"),
+                F.round(cosine(F.col("a.__v"), F.col("b.__v")), round_to).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
+    # mega-cell guard: broadcast the k-row cell-size frame, LSH-subdivide
+    # rows of oversized cells, and join on (cent_id, table, sub-bucket)
+    sizes = tagged.groupBy("cent_id").agg(F.count(F.lit(1)).alias("__n_cell"))
+    sized = tagged.join(F.broadcast(sizes), "cent_id")
+    over = F.col("__n_cell") > F.lit(int(max_cell_size))
+
+    def _subbits(vec: Column, table: int) -> Column:
+        bits = None
+        for i in range(sub_planes):
+            bit = F.when(
+                dot(vec, _hyperplane(table * sub_planes + i, dim)) > 0,
+                F.lit(2**i),
+            ).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return bits.cast("long")
+
+    # table 0 carries everyone (small cells pinned to sub-bucket 0);
+    # tables 1.. carry ONLY oversized-cell rows — independent retries
+    # for near-dup pairs table 0's planes happened to split
+    parts = [
+        sized.withColumn(
+            "__sub", F.when(over, _subbits(F.col("__v"), 0)).otherwise(F.lit(0))
+        ).withColumn("__tbl", F.lit(0))
+    ]
+    for t in range(1, sub_tables):
+        parts.append(
+            sized.filter(over)
+            .withColumn("__sub", _subbits(F.col("__v"), t))
+            .withColumn("__tbl", F.lit(t))
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    a, b = cand.alias("a"), cand.alias("b")
     return (
         a.join(
             b,
             (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.__tbl") == F.col("b.__tbl"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -756,4 +831,6 @@ def semantic_dedup_pairs(
             F.round(cosine(F.col("a.__v"), F.col("b.__v")), round_to).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        # a pair found by several tables is the same (cell, cosine) row
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -114,3 +114,68 @@ def test_topk_scale_partial_reduction(spark, entry):
     assert p.index("MapInPandas") > p.index("Window"), (
         "window must rank the reduced set (plans print top-down)"
     )
+
+
+def test_semantic_dedup_mega_cell_bounded(spark):
+    """Mega-cell guard: plant a 100%-mass cell (one forced centroid —
+    the adversarial-skew worst case). With ``max_cell_size`` the cell
+    must be LSH-subdivided so candidate pair work stays far below the
+    n²/2 the unguarded within-cell join would score, while recall on
+    planted exact duplicates stays 1.0 (identical vectors share every
+    hyperplane sign bit — same sub-bucket in every table)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from graph_etl_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 64
+    base = rng.standard_normal((n, dim))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(n)]
+    # 10 planted exact duplicates: vec_id+10000 re-enters unchanged
+    rows += [(int(i + 10000), [float(x) for x in base[i]]) for i in range(10)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    # ONE centroid => every row lands in one cell (>=50%-mass planted)
+    cents = spark.createDataFrame(
+        [(0, [0.0] * dim)],
+        T.StructType(
+            [
+                T.StructField("cent_id", T.LongType()),
+                T.StructField("cent_vec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+
+    # candidate work (threshold -1 keeps every scored pair): the guard
+    # must cut it by orders of magnitude vs the 410*409/2 ≈ 84k the
+    # unguarded cell join would score
+    cand = semantic_dedup_pairs(
+        df, centroids=cents, threshold=-1.0, max_cell_size=50
+    ).count()
+    assert 0 < cand < 8000, f"mega-cell candidates not bounded: {cand}"
+
+    # planted-duplicate recall through the guard is exactly 1.0
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df, centroids=cents, threshold=0.99, max_cell_size=50
+        ).collect()
+    }
+    for i in range(10):
+        assert (i, i + 10000) in found, f"planted dup {i} lost by the guard"
+
+    # plan shape: the cell-size frame joins broadcast; the pair join
+    # must be an equi-join (hash/sort-merge), never a cartesian
+    guarded = semantic_dedup_pairs(
+        df, centroids=cents, threshold=0.9, max_cell_size=50
+    )
+    assert_no_cartesian(guarded)
+    st = plan_stats(guarded)
+    assert st.broadcast_hash_joins >= 1, "cell-size frame must broadcast"
