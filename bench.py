@@ -177,7 +177,24 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from graph_etl_spark.session import get_spark
 
-    spark = get_spark("graph-etl-bench")
+    # Session hygiene for a long measurement run (~40 queries × N runs
+    # in ONE JVM): the web UI's status store retains per-execution plan
+    # graphs and task tables (defaults: 1000 executions/jobs/stages) —
+    # with this workload's large higher-order-expression plans that is
+    # steady heap growth across the run, i.e. rising GC pressure late
+    # in the session. The bench JVM doesn't need a web UI; the
+    # statusTracker API the tests use lives in the app status store and
+    # keeps working. Driver heap default also goes 8g → 16g here
+    # (local-mode driver hosts all 32 executor threads; the box has
+    # 128 GiB) so full GCs stay rare. Both env-overridable.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark(
+        "graph-etl-bench",
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "50",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
@@ -222,6 +239,8 @@ def main() -> None:
     # single sample is noise; the min is the reproducible cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
+    load_start = os.getloadavg()
     for name in HEADLINE + list(FLOWS):
         flow = FLOWS.get(name)
         fn = flow if flow is not None else qs[name]
@@ -240,6 +259,7 @@ def main() -> None:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
+        all_samples[name] = [round(s, 3) for s in samples]
         # per-phase minima as attributable sub-entries; the parent total
         # stays min-of-total-runs so it remains comparable across rounds
         # (phase minima may come from different runs and sum slightly
@@ -288,6 +308,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # attribution data for the official record: every raw
+                # sample (a plan regression repeats across samples; a
+                # contended machine inflates whole stretches of them)
+                # plus the host's 1/5/15-min load at both ends — so an
+                # inflated record can be diagnosed from the record
+                # alone, without a re-run.
+                "samples": all_samples,
+                "runs": runs,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

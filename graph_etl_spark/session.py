@@ -13,11 +13,17 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "graph-etl-spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "graph-etl-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) a SparkSession with scale-aware defaults.
 
     On a real cluster the master/shuffle settings come from spark-submit;
-    everything set here is safe to override externally.
+    everything set here is safe to override externally. ``extra_confs``
+    lets a caller layer session-construction-time confs (e.g. bench's
+    UI hygiene) without duplicating this builder.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -48,6 +54,8 @@ def get_spark(app_name: str = "graph-etl-spark", master: str | None = None) -> S
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
