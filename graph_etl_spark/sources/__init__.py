@@ -2,10 +2,13 @@
 test harness.
 
 ``read_table`` centralizes the one physical-format quirk in the
-driver's testdata — ``events.parquet`` stores TIMESTAMP(NANOS), which
-Spark reads only as long (``spark.sql.legacy.parquet.nanosAsLong``) —
-and converts it back to a proper timestamp column so downstream
-operators see the same schema DuckDB does.
+driver's testdata: the ``events.parquet`` ``ts`` column's physical
+type has varied across driver generations — TIMESTAMP(NANOS) (which
+Spark reads only as long via ``spark.sql.legacy.parquet.nanosAsLong``)
+in earlier rounds, micros-without-tz (which Spark 4 reads as
+TIMESTAMP_NTZ) currently.  ``read_table`` normalizes BOTH to a plain
+TIMESTAMP (session-tz, UTC under ``runtime_confs``) so downstream
+operators see one stable schema that matches what DuckDB reads.
 """
 
 from __future__ import annotations
@@ -42,9 +45,11 @@ def ns_to_timestamp(col):
 # are runtime-settable, so we pin them before every read instead of
 # relying on session-construction time.
 _RUNTIME_CONFS = {
-    # events.parquet stores TIMESTAMP(NANOS); without this the scan
-    # throws PARQUET_TYPE_ILLEGAL. With it, ns-timestamps arrive as
-    # long and read_table restores them to timestamp below.
+    # Robustness for TIMESTAMP(NANOS) events data (earlier testdata
+    # generations): without this such a scan throws
+    # PARQUET_TYPE_ILLEGAL; with it ns-timestamps arrive as long and
+    # read_table restores them to timestamp below. Harmless no-op for
+    # the current micros-NTZ data.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Reference semantics are permissive-cast (polars); ANSI-on turns
     # heterogeneous coalesce/comparison into hard cast errors.
@@ -136,9 +141,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with runtime_confs(spark):
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for field in df.schema.fields:
-            # nanosAsLong leaves ns-timestamps as LongType; restore them.
-            if name == "events" and field.name == "ts" and isinstance(field.dataType, T.LongType):
-                df = df.withColumn("ts", ns_to_timestamp(F.col("ts")))
+            if name == "events" and field.name == "ts":
+                # Normalize every physical variant the testdata has
+                # shipped to ONE logical type (plain TIMESTAMP, UTC
+                # session tz) so downstream temporal operators never
+                # see a type drift:
+                if isinstance(field.dataType, T.LongType):
+                    # nanosAsLong left a ns-epoch long; restore it.
+                    df = df.withColumn("ts", ns_to_timestamp(F.col("ts")))
+                elif isinstance(field.dataType, T.TimestampNTZType):
+                    # micros-without-tz reads as TIMESTAMP_NTZ in
+                    # Spark 4; NTZ->TIMESTAMP resolves in the session
+                    # timezone (UTC here), matching DuckDB's naive-UTC
+                    # reading of the same file.
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -184,9 +184,17 @@ def sessionize(
 ) -> DataFrame:
     """Gap-based sessionization (batch form): a new session starts when
     the inter-event gap exceeds ``gap_minutes``. One shuffle on the
-    user key; cumulative-sum session ids via two windows."""
+    user key; cumulative-sum session ids via two windows.
+
+    Epoch extraction casts through ``timestamp`` first: TIMESTAMP_NTZ
+    (what parquet micros-without-tz reads as in Spark 4) cannot be cast
+    straight to long, but NTZ->TIMESTAMP is legal and resolves in the
+    session timezone (UTC under ``runtime_confs``), and is a no-op when
+    the column is already TIMESTAMP — so one expression covers both
+    types the testdata has shipped."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return (
         events.withColumn("__new", new_session)
