@@ -58,6 +58,10 @@ HEADLINE = [
     "quality_tfidf_top_terms",
     "quality_contamination",
     "sim_kmeans_centroids",
+    # round-6: the two heaviest registered queries, previously absent
+    # from the official record (VERDICT r5 #3)
+    "sim_semantic_dedup_pairs",
+    "sim_cosine_topk_scale",
 ]
 
 

@@ -59,16 +59,26 @@ def brute_force_topk(
     The queries side is broadcast (small by construction); the heavy
     side streams map-side.
     """
+    # norms are hoisted to one column per ROW; the per-pair cosine is
+    # then dot/(qn·dn) — identical arithmetic in identical order, so the
+    # result is bit-equal while the O(dim) norm fold runs n_q + n_d
+    # times instead of n_q × n_d times
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
+    ).withColumn("__qn", norm(F.col("__qvec")))
     d = fan_out(data).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__dvec")
-    )
+    ).withColumn("__dn", norm(F.col("__dvec")))
     scored = (
         d.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__dvec")), round_to))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qvec"), F.col("__dvec")) / (F.col("__qn") * F.col("__dn")),
+                round_to,
+            ),
+        )
         # cosine is undefined for a zero-norm side (0/0 = NaN under
         # permissive eval). Drop such rows HERE, in both exact paths:
         # Spark's window orderBy desc ranks NaN greatest while pandas
@@ -109,16 +119,23 @@ def brute_force_topk_scale(
     Arrow boundary. Ties break identically in both stages
     ((cos_sim desc, neighbor_id asc) — neighbor_id is unique per query)
     so the result is bit-identical to the reference path."""
+    # same per-row norm hoist as the reference path — bit-identical
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
+    ).withColumn("__qn", norm(F.col("__qvec")))
     d = fan_out(data).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__dvec")
-    )
+    ).withColumn("__dn", norm(F.col("__dvec")))
     scored = (
         d.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__dvec")), round_to))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qvec"), F.col("__dvec")) / (F.col("__qn") * F.col("__dn")),
+                round_to,
+            ),
+        )
         # same NaN drop as the reference path (see brute_force_topk):
         # keeps the two paths bit-identical even on zero-norm vectors
         .filter(~F.isnan("cos_sim"))
@@ -164,11 +181,23 @@ def cosine_neardup_pairs(
     ``lsh_bucketed_neardup_pairs`` (random-hyperplane buckets) so only
     within-bucket pairs are scored.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # per-row norm hoist (see brute_force_topk) — bit-identical cosine,
+    # O(dim) norm fold once per row instead of once per pair
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")).withColumn(
+        "__na", norm(F.col("__va"))
+    )
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")).withColumn(
+        "__nb", norm(F.col("__vb"))
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                round_to,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -637,22 +666,30 @@ def ivf_topk(
         )
         return F.slice(F.reverse(F.array_sort(scored)), 1, n)
 
+    # per-row norm hoist (see brute_force_topk) — bit-identical cosine,
+    # the O(dim) norm fold runs once per row, not once per candidate
     assigned = fan_out(data).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__dvec"),
         nearest_lists(F.col(vec_col), 1)[0]["cent_id"].alias("list_id"),
-    )
+    ).withColumn("__dn", norm(F.col("__dvec")))
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.explode(F.transform(nearest_lists(F.col(vec_col), nprobe), lambda s: s["cent_id"])).alias(
             "list_id"
         ),
-    )
+    ).withColumn("__qn", norm(F.col("__qvec")))
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__dvec")), round_to))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qvec"), F.col("__dvec")) / (F.col("__qn") * F.col("__dn")),
+                round_to,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -750,10 +787,15 @@ def semantic_dedup_pairs(
         (r["cent_id"], list(r["cent_vec"]))
         for r in centroids.select("cent_id", "cent_vec").collect()  # k rows — tiny, deliberate
     ]
+    # the L2 norm is materialized per ROW before the pair join: the
+    # cosine denominator needs norm(a)·norm(b), and evaluating the
+    # O(dim) norm fold inside the pair expression would recompute it
+    # once per CANDIDATE PAIR (Σ n_c² times) instead of once per row —
+    # same arithmetic, same order, so cos_sim stays bit-identical
     vecs = fan_out(data).select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    )
+    ).withColumn("__n", norm(F.col("__v")))
     if not cent_rows:
         return vecs.filter(F.lit(False)).select(
             F.col(id_col).alias("id_a"),
@@ -763,7 +805,16 @@ def semantic_dedup_pairs(
         )
     id_sql_type = centroids.schema["cent_id"].dataType.simpleString()
     best = _kmeans_argmin(F.col("__v"), cent_rows, round_to=6, id_sql_type=id_sql_type)
-    tagged = vecs.select(id_col, F.col("__v"), best["cent_id"].alias("cent_id"))
+    tagged = vecs.select(id_col, F.col("__v"), F.col("__n"), best["cent_id"].alias("cent_id"))
+    # materialize ONCE before any join sees this frame. Joining the
+    # lazy plan lets the optimizer collapse the normalize / norm /
+    # argmin projections into each other, and interpreted higher-order
+    # lambdas have no CSE — the collapsed join plan re-evaluated the
+    # whole fold chain per reference (measured 14 s vs 0.2 s for the
+    # same frame at sf0.1, 16 parquet scans in the guard-path plan).
+    # At cluster scale this is one corpus-sized local write — the same
+    # order as the self-join's own shuffle of the corpus.
+    tagged = tagged.localCheckpoint()
 
     if max_cell_size is None:
         a, b = tagged.alias("a"), tagged.alias("b")
@@ -777,7 +828,10 @@ def semantic_dedup_pairs(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 F.col("a.cent_id").alias("cent_id"),
-                F.round(cosine(F.col("a.__v"), F.col("b.__v")), round_to).alias("cos_sim"),
+                F.round(
+                    dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")),
+                    round_to,
+                ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= threshold)
         )
@@ -828,7 +882,10 @@ def semantic_dedup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.cent_id").alias("cent_id"),
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), round_to).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")),
+                round_to,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         # a pair found by several tables is the same (cell, cosine) row
