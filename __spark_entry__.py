@@ -1219,25 +1219,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's later collect executes the engine's semantics on
     its own untouched session.
 
-    Round-5 rotation (VERDICT r4 item 4): the 30 tail queries whose
-    only round-4 verdict was the local replica (etl_* battery,
-    q1/q3/q6/q10, win_running_total/percentiles/conditional_agg,
-    mm_*/text_* scalar batteries, json_extract_events, approx_*,
-    distinct_counts, events_gap_fill, sim_embedding_norms) rotate INTO
-    the window, so the union of driver-green rows across r4+r5 covers
-    all 80 registered queries. 30 rows green in the r4 driver window
+    Round-6 rotation (VERDICT r5 item 5): the 30 tail queries whose
+    last driver verdict was round 4 rotate back INTO the window —
+    including events_sessionize (its code CHANGED this round: the
+    TIMESTAMP_NTZ fix), asof_join_events, range_join_parts,
+    dedup_simhash_pairs, graph_degrees, and the win_/set_/rollup/cube
+    battery — so the union of driver-green rows across r5+r6 covers
+    all 80 registered queries. 30 rows green in the r5 driver window
     with unchanged code rotate out to the tail. Held in-window
-    alongside them: sim_semantic_dedup_pairs (oracle NEW this round —
-    its first driver verdict) and 19 keepers covering every code path
-    that changed in round 5 (brute-force top-k NaN drop → sim_cosine_
-    topk/_scale; _centroid_array_expr escaping + _kmeans_fit fallback →
-    kmeans/ivf family; fan_out file-count probe → dedup/quality/
-    winnowing representatives). Every query stays oracle-checked
-    locally every round regardless of position (tools/check_oracle.py).
+    alongside them: 20 keepers covering every code path that changed
+    in round 6 — the per-row norm hoist + localCheckpoint touched the
+    whole similarity join family (sim_cosine_topk/_scale/_neardup,
+    sim_ivf_*, sim_semantic_dedup_pairs — the last also gained
+    max_cell_size=150 in its registered form), and read_table's ts
+    normalization touched every events consumer (events_gap_fill,
+    json_extract_events in-window; the other events queries rotate in
+    from the tail anyway).
+
+    The tail is NOT trusted to a docstring promise (VERDICT r5 item
+    2): tools/preflight.py mechanically runs check_oracle.py over all
+    80 registered queries (plus pytest and a bench smoke) and is the
+    end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
     (49 green + sim_semantic_dedup_pairs no_oracle); r5 window = the
-    first 50 below."""
+    50 keys of CORRECTNESS_r05.json (50 green); r6 window = the first
+    50 below."""
     import functools
 
     from graph_etl_spark.sources import runtime_confs
@@ -1251,65 +1258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     registry = {
-        # NEW oracle this round — first driver verdict (VERDICT r4 #1)
-        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
-        # rotated IN: the 30 tail queries whose r4 verdict was
-        # replica-only — union(r4, r5) driver-green covers all 80
-        "etl_normalize_nodes": q_etl_normalize_nodes,
-        "etl_dedup_pk": q_etl_dedup_pk,
-        "etl_automap_j2": q_etl_automap_j2,
-        "etl_semi_join_match": q_etl_semi_join_match,
-        "etl_anti_join_blanks": q_etl_anti_join_blanks,
-        "etl_array_flatten": q_etl_array_flatten,
-        "etl_split_explode": q_etl_split_explode,
-        "etl_union_sources": q_etl_union_sources,
-        "etl_chunk_counts": q_etl_chunk_counts,
-        "etl_metadata_attach": q_etl_metadata_attach,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q10_returned_items": q_q10_returned_items,
-        "win_running_total": q_win_running_total,
-        "percentiles": q_percentiles,
-        "conditional_agg": q_conditional_agg,
-        "distinct_counts": q_distinct_counts,
-        "events_gap_fill": q_events_gap_fill,
-        "sim_embedding_norms": q_sim_embedding_norms,
-        "mm_binary_metadata": q_mm_binary_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_decode_stub": q_mm_decode_stub,
-        "text_token_stats": q_text_token_stats,
-        "text_quality_scores": q_text_quality_scores,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "json_extract_events": q_json_extract_events,
-        "approx_quantiles": q_approx_quantiles,
-        "approx_distinct_custkeys": q_approx_distinct_custkeys,
-        # keepers: every code path that CHANGED in round 5 stays under
-        # a driver verdict — brute-force top-k NaN drop, centroid
-        # literal escaping + kmeans max_iter fallback, fan_out probe
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_cosine_topk_scale": q_sim_cosine_topk_scale,
-        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
-        "sim_kmeans_centroids": q_sim_kmeans_centroids,
-        "sim_kmeans_assign": q_sim_kmeans_assign,
-        "sim_quantize_int8": q_sim_quantize_int8,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_signatures": q_dedup_minhash_signatures,
-        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
-        "dedup_simhash_signatures": q_dedup_simhash_signatures,
-        "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
-        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
-        "quality_contamination": q_quality_contamination,
-        "graph_connected_components": q_graph_connected_components,
-        "graph_pagerank": q_graph_pagerank,
-        "text_winnow_fingerprints": q_text_winnow_fingerprints,
-        "salted_count": q_salted_count,
-        # ---- tail: >50 — 30 rows green in the r4 driver window with
-        # unchanged code, rotated out for one round; still
-        # oracle-checked locally every round ----
+        # CHANGED this round: the TIMESTAMP_NTZ sessionize fix — held
+        # at the head of the window (VERDICT r5 items 1 + 5)
+        "events_sessionize": q_events_sessionize,
+        # rotated IN: the 29 other tail queries whose last driver
+        # verdict was r4 — union(r5, r6) driver-green covers all 80
         "quality_repetition_stats": q_quality_repetition_stats,
         "quality_hash_sample": q_quality_hash_sample,
         "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
@@ -1337,9 +1290,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "graph_degrees": q_graph_degrees,
         "events_tumbling_counts": q_events_tumbling_counts,
-        "events_sessionize": q_events_sessionize,
         "asof_join_events": q_asof_join_events,
         "range_join_parts": q_range_join_parts,
+        # keepers: every code path that CHANGED in round 6 stays under
+        # a driver verdict — per-row norm hoist + localCheckpoint
+        # (whole similarity join family), max_cell_size=150 in the
+        # registered semantic dedup, read_table ts normalization
+        # (events consumers)
+        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_cosine_topk_scale": q_sim_cosine_topk_scale,
+        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
+        "sim_kmeans_centroids": q_sim_kmeans_centroids,
+        "sim_kmeans_assign": q_sim_kmeans_assign,
+        "events_gap_fill": q_events_gap_fill,
+        "json_extract_events": q_json_extract_events,
+        # keepers: family representatives so every operator family has
+        # a row in every round's driver window
+        "etl_dedup_pk": q_etl_dedup_pk,
+        "etl_automap_j2": q_etl_automap_j2,
+        "etl_chunk_counts": q_etl_chunk_counts,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
+        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
+        "graph_pagerank": q_graph_pagerank,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
+        # ---- tail: >50 — 30 rows green in the r5 driver window with
+        # unchanged code, rotated out for one round; still
+        # oracle-checked every round by tools/preflight.py ----
+        "etl_normalize_nodes": q_etl_normalize_nodes,
+        "etl_semi_join_match": q_etl_semi_join_match,
+        "etl_anti_join_blanks": q_etl_anti_join_blanks,
+        "etl_array_flatten": q_etl_array_flatten,
+        "etl_split_explode": q_etl_split_explode,
+        "etl_union_sources": q_etl_union_sources,
+        "etl_metadata_attach": q_etl_metadata_attach,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q10_returned_items": q_q10_returned_items,
+        "win_running_total": q_win_running_total,
+        "percentiles": q_percentiles,
+        "conditional_agg": q_conditional_agg,
+        "distinct_counts": q_distinct_counts,
+        "sim_embedding_norms": q_sim_embedding_norms,
+        "mm_binary_metadata": q_mm_binary_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_decode_stub": q_mm_decode_stub,
+        "text_token_stats": q_text_token_stats,
+        "text_quality_scores": q_text_quality_scores,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "approx_quantiles": q_approx_quantiles,
+        "approx_distinct_custkeys": q_approx_distinct_custkeys,
+        "sim_quantize_int8": q_sim_quantize_int8,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_simhash_signatures": q_dedup_simhash_signatures,
+        "quality_contamination": q_quality_contamination,
+        "graph_connected_components": q_graph_connected_components,
+        "salted_count": q_salted_count,
     }
     return {name: _scoped(fn) for name, fn in registry.items()}
 

@@ -220,7 +220,16 @@ class CatalogStore:
             f.write(entry + "\n")
 
     def ledger_delete_all(self) -> None:
-        for name in ("log_parser.txt", "log_loader.txt", "log_mapper.txt"):
+        # log_stream.txt: the streaming micro-batch ledger
+        # (streaming.stream_batch_sink) — cleared with the rest on load
+        # completion, mirroring the reference's delete-all
+        # (pipeline.py:193-199)
+        for name in (
+            "log_parser.txt",
+            "log_loader.txt",
+            "log_mapper.txt",
+            "log_stream.txt",
+        ):
             path = self._ledger_path(name)
             if os.path.isfile(path):
                 os.remove(path)

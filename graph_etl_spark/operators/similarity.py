@@ -296,6 +296,11 @@ def lsh_bucketed_neardup_pairs(
         den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
         return pd.Series(num / den)
 
+    # both self-join sides re-evaluate the bucketed frame — deliberate:
+    # the frame appears only 2× and the Arrow matmul is BLAS-cheap, so
+    # a localCheckpoint's write+read costs MORE than the recompute
+    # (A/B measured 2.09 s vs 1.83 s at sf0.1; contrast semantic_dedup_
+    # pairs, where the frame appears 16× and the checkpoint wins 2×)
     bucketed = fan_out(df).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
@@ -813,7 +818,12 @@ def semantic_dedup_pairs(
     # whole fold chain per reference (measured 14 s vs 0.2 s for the
     # same frame at sf0.1, 16 parquet scans in the guard-path plan).
     # At cluster scale this is one corpus-sized local write — the same
-    # order as the self-join's own shuffle of the corpus.
+    # order as the self-join's own shuffle of the corpus. EAGER on
+    # purpose, unlike the lazy checkpoints in simhash/ngram/LSH pairs:
+    # those frames appear 2× downstream, this one 16× (union of tables
+    # × two join sides × the sizes probe), and with a lazy checkpoint
+    # the analyzer still re-processes the full subplan per reference —
+    # measured +1.2 s of pure driver planning at sf0.1.
     tagged = tagged.localCheckpoint()
 
     if max_cell_size is None:

@@ -18,6 +18,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def stream_batch_sink(store, label: str, primary_key: str = "id"):
+    """The foreachBatch sink for ``stream_save_nodes``, idempotent
+    under micro-batch re-delivery.
+
+    Structured Streaming's foreachBatch contract is at-least-once: on
+    failure recovery the SAME ``batch_id`` is delivered again, and the
+    sink — not the engine — must make the second delivery a no-op.
+    This applies the reference's P8 run-ledger contract
+    (``graph_etl/utils.py:21-42``: skip work whose id is already in
+    the ledger) at micro-batch granularity: a ``label:batch_id`` entry
+    in ``log_stream.txt`` is appended AFTER a successful save, and a
+    re-delivered batch whose entry exists is skipped — so the staged
+    files and catalog counts never double."""
+    from ..context import Context
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        entry = f"{label}:{batch_id}"
+        if store.ledger_contains("log_stream.txt", entry):
+            return  # re-delivered micro-batch: already staged
+        ctx = Context(store, {"stream_batch": batch_id})
+        ctx.save_nodes(batch_df, label=label, primary_key=primary_key)
+        store.flush_configs()
+        store.ledger_append("log_stream.txt", entry)
+
+    return sink
+
+
 def stream_save_nodes(
     stream_df: DataFrame,
     label: str,
@@ -27,21 +54,15 @@ def stream_save_nodes(
 ):
     """Pipe a streaming DataFrame through the batch save_nodes chain
     via foreachBatch. Each micro-batch is normalized (flatten, strip,
-    dedup, null-drop) and staged exactly like a batch save; the run
-    ledger makes replays idempotent at file granularity."""
+    dedup, null-drop) and staged exactly like a batch save; the
+    ``log_stream.txt`` ledger makes micro-batch re-delivery idempotent
+    (see ``stream_batch_sink``)."""
     from ..catalog import get_store
-    from ..context import Context
-
-    store = get_store()
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        ctx = Context(store, {"stream_batch": batch_id})
-        ctx.save_nodes(batch_df, label=label, primary_key=primary_key)
-        store.flush_configs()
 
     writer = (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{checkpoint_dir}/{label}")
+        stream_df.writeStream.foreachBatch(
+            stream_batch_sink(get_store(), label, primary_key)
+        ).option("checkpointLocation", f"{checkpoint_dir}/{label}")
     )
     if trigger_once:
         writer = writer.trigger(availableNow=True)

@@ -74,3 +74,45 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert results, "no output from resumed stateful query"
     final = {r["user_id"]: (r["session_id"], r["n_events"]) for r in results}
     assert final[1] == (2, 3)  # second session opened, 3 events total
+
+
+def test_stream_replay_ledger_idempotence(spark, output_dir, tmp_path):
+    """The reference's P8 run-ledger contract under micro-batch replay
+    (VERDICT r4 item 7): foreachBatch is at-least-once — on failure
+    recovery Spark re-delivers the SAME batch id — and the sink's
+    ``log_stream.txt`` ledger must make the second delivery a no-op so
+    staged files and catalog counts never double."""
+    import graph_etl_spark as getl
+    from graph_etl_spark.streaming import stream_batch_sink, stream_save_nodes
+
+    getl.init(spark, output_folder=output_dir)
+    src = str(tmp_path / "replay_src")
+    spark.range(25).selectExpr("id", "concat('u', id) as name").write.parquet(src)
+    stream = spark.readStream.schema("id long, name string").parquet(src)
+
+    q = stream_save_nodes(stream, label="ReplayUser", checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(60)
+
+    store = getl.get_store()
+    files = store._configs["nodes"]["ReplayUser"]["files"]
+    n_files, n_rows = len(files), sum(f["count"] for f in files.values())
+    assert n_rows == 25
+    assert store.ledger_contains("log_stream.txt", "ReplayUser:0")
+
+    # simulate the at-least-once failure path: the engine re-delivers
+    # batch 0 to the sink (exactly what foreachBatch does after a
+    # mid-commit crash) — the ledger entry must short-circuit it
+    sink = stream_batch_sink(store, "ReplayUser")
+    sink(spark.read.parquet(src), 0)
+
+    files2 = store._configs["nodes"]["ReplayUser"]["files"]
+    assert len(files2) == n_files, "re-delivered batch staged new files"
+    assert sum(f["count"] for f in files2.values()) == n_rows, (
+        "re-delivered batch double-counted rows"
+    )
+
+    # a genuinely NEW batch id must still stage (the ledger guards
+    # replays, not progress)
+    sink(spark.range(25, 30).selectExpr("id", "concat('u', id) as name"), 1)
+    files3 = store._configs["nodes"]["ReplayUser"]["files"]
+    assert sum(f["count"] for f in files3.values()) == 30
