@@ -197,6 +197,13 @@ def main() -> None:
         extra_confs={
             "spark.ui.enabled": "false",
             "spark.sql.ui.retainedExecutions": "50",
+            # The generated-class cache defaults to 100 entries; a full
+            # bench pass creates several codegen stages per query × ~40
+            # queries, so by a query's SECOND sample its classes may be
+            # evicted and recompiled — measured as the bimodal 1.4 s vs
+            # 17 s tfidf and the r4 "+20% session aging". Static conf:
+            # takes effect only at session build, which this is.
+            "spark.sql.codegen.cache.maxEntries": "10000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
