@@ -1083,6 +1083,17 @@ def q_quality_hash_sample(spark, sf):
     ).select("doc_id", "lang", "source")
 
 
+def q_quality_source_quota(spark, sf):
+    """Per-source quota cap (C4/RefinedWeb-style domain cap): keep at
+    most 10 docs per source, chosen by deterministic content-hash
+    order — so a giant domain cannot dominate the training mix and the
+    surviving subset is reproducible on any engine/partitioning."""
+    d = _t(spark, sf, "documents")
+    return ops.source_quota_cap(d, cap=10).select(
+        "doc_id", "lang", "source", "quota_rank"
+    )
+
+
 def q_quality_boilerplate_ngrams(spark, sf):
     """Corpus-level template detection: word 5-grams shared by >= 3
     documents (boilerplate that pairwise near-dup misses)."""
@@ -1311,7 +1322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a row in every round's driver window
         "etl_dedup_pk": q_etl_dedup_pk,
         "etl_automap_j2": q_etl_automap_j2,
-        "etl_chunk_counts": q_etl_chunk_counts,
         "q1_pricing_summary": q_q1_pricing_summary,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
@@ -1319,9 +1329,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
         "graph_pagerank": q_graph_pagerank,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
-        # ---- tail: >50 — 30 rows green in the r5 driver window with
+        # NEW in round 6 — first driver verdict pending, so in-window
+        # (etl_chunk_counts, r5-green and code-unchanged, moved to the
+        # tail to keep the window at 50)
+        "quality_source_quota": q_quality_source_quota,
+        # ---- tail: >50 — 31 rows green in the r5 driver window with
         # unchanged code, rotated out for one round; still
         # oracle-checked every round by tools/preflight.py ----
+        "etl_chunk_counts": q_etl_chunk_counts,
         "etl_normalize_nodes": q_etl_normalize_nodes,
         "etl_semi_join_match": q_etl_semi_join_match,
         "etl_anti_join_blanks": q_etl_anti_join_blanks,
@@ -2365,6 +2380,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source FROM documents
         WHERE (('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 14))::BIGINT % 1000)
               < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'fr' THEN 1000 ELSE 200 END
+    """
+
+    sql["quality_source_quota"] = """
+        WITH ranked AS (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (('0x' || substr(md5('quota' || doc_id::VARCHAR), 1, 14))::BIGINT
+                             % 1000000) ASC,
+                            doc_id ASC
+                 ) AS quota_rank
+          FROM documents
+        )
+        SELECT doc_id, lang, source, quota_rank FROM ranked WHERE quota_rank <= 10
     """
 
     sql["quality_boilerplate_ngrams"] = f"""

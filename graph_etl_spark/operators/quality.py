@@ -162,6 +162,44 @@ def hash_sample(
     return df.filter(bucket < permille)
 
 
+def source_quota_cap(
+    df: DataFrame,
+    source_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap each source/domain at ``cap`` documents, selected
+    deterministically — the per-domain cap every web-scale corpus
+    applies so a handful of giant domains can't dominate the mix
+    (C4/RefinedWeb-style), with reproducible membership (same docs
+    survive on any engine or partitioning).
+
+    Selection order within a source is (H56(salt||id), id): a
+    content-hash shuffle, so the kept subset is an unbiased
+    deterministic sample of the domain rather than its first-crawled
+    pages. Output = the surviving rows plus ``quota_rank`` (1..cap).
+
+    Scale shape: ONE shuffle on the source key; the rank window sorts
+    each source's rows on its reducer. A mega-domain (billions of
+    rows) makes that reducer's SORT big — but the window state itself
+    is O(1) (row_number needs no buffering, and Spark's window sorter
+    spills) and the output is bounded at cap rows per source. If the
+    sort cost itself bites at 100 TB, pre-prune with
+    ``hash_sample(permille≈10·cap·1000/max_domain_size)`` first — the
+    hash order is the SAME, so pre-pruning only risks under-filling
+    sources near the cap boundary, never changes which top-cap rows
+    win among survivors."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.pmod(h56(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(1000000)),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= cap)
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str = "lang",

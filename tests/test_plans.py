@@ -179,3 +179,24 @@ def test_semantic_dedup_mega_cell_bounded(spark):
     assert_no_cartesian(guarded)
     st = plan_stats(guarded)
     assert st.broadcast_hash_joins >= 1, "cell-size frame must broadcast"
+
+
+def test_semantic_dedup_materializes_tagged_frame_once(spark, entry):
+    """No-CSE guard (round 6): the self-join over the tagged corpus
+    must read the localCheckpoint, not re-instantiate the
+    normalize+argmin subplan per branch per side — the collapsed plan
+    scanned parquet 16x and cost 5x the whole stage. A checkpointed
+    plan has ZERO parquet scans of the embeddings file downstream of
+    the checkpoint; the only corpus scans left are the eager
+    checkpoint job itself (already executed at build time) and the
+    k-means fit's own scans."""
+    df = entry.q_sim_semantic_dedup_pairs(spark, SF)
+    p = plan_string(df)
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p or "Scan parquet" not in p, (
+        "tagged frame not materialized; plan is recomputing the corpus subplan"
+    )
+    # the fatal regression shape: the corpus parquet scanned many times
+    assert p.count("Scan parquet") <= 2, (
+        f"self-join re-instantiates the corpus subplan: "
+        f"{p.count('Scan parquet')} parquet scans in one query plan"
+    )

@@ -86,6 +86,30 @@ def test_stratified_hash_sample_rates(spark):
     assert len(out) == 500
 
 
+def test_source_quota_cap_deterministic_and_bounded(spark):
+    """Per-source quota: every source capped at N, membership invariant
+    to partitioning (content-hash order, not arrival order), ranks
+    dense 1..cap."""
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(400)], "doc_id long, source string"
+    )
+    out = ops.source_quota_cap(df, cap=25).collect()
+    per_src: dict = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append((r["quota_rank"], r["doc_id"]))
+    assert set(per_src) == {"src0", "src1", "src2", "src3"}
+    for src, rows in per_src.items():
+        assert sorted(rk for rk, _ in rows) == list(range(1, 26)), src
+    a = {(r["source"], r["doc_id"]) for r in out}
+    b = {
+        (r["source"], r["doc_id"])
+        for r in ops.source_quota_cap(df.repartition(7), cap=25).collect()
+    }
+    assert a == b, "quota membership must not depend on partitioning"
+    # hash order, not id order: the kept set is NOT simply the lowest ids
+    assert {d for _, d in a} != set(range(100))
+
+
 def test_boilerplate_ngrams_finds_shared_template(spark):
     template = "this document is provided as is without warranty"
     df = _docs(
