@@ -266,6 +266,14 @@ def lsh_bucketed_neardup_pairs(
     exact cosine. Recall grows with n_tables; cost is
     Σ per-bucket-pairs ≪ n². The scale path for cosine_neardup_pairs.
 
+    Size ``n_planes`` with the corpus (the sketch-width rule, same as
+    ``simhash_pairs``' bits): expected candidates grow as
+    n² · n_tables / 2^n_planes, so FIXED planes go quadratic as n grows
+    — the 10× scale probe measures ×6.7 runtime at 12 planes precisely
+    because 2^12 buckets hold 10× the rows. Keep per-bucket occupancy
+    roughly constant: n_planes ≈ log2(n / target_bucket_size)
+    (e.g. ~20 planes at 10M vectors, ~30 at 10B).
+
     Physical shape: the n_planes·n_tables sign bits come from ONE
     Arrow-batched pandas_udf doing a (batch × dim) @ (dim × planes)
     BLAS matmul — per-row higher-order array expressions for 32 dot

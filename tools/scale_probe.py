@@ -44,6 +44,7 @@ def replicate_docs(d, n):
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
                 F.regexp_replace(F.col("text"), " ", f" c{i}_").alias("text"),
                 "lang",
+                "source",
             )
         )
     out = parts[0]
@@ -59,21 +60,30 @@ def replicate_vecs(e, n):
         # copy are bit-identical to the original corpus (s_j^2 = 1), so
         # within-copy near-dup structure is preserved, while cross-copy
         # cosines decorrelate — no planted quadratic pair growth (a
-        # constant shift would make every copy-i vector collinear)
-        def make_flip(k):
-            # closure, not a default arg: a defaulted lambda param
-            # changes the arity PySpark infers for higher-order fns
-            def flip(x, j):
-                sign = 1 - 2 * ((j * 31 + k * 17) % 2)
-                return (x * sign.cast("float")).cast("float")
+        # constant shift would make every copy-i vector collinear).
+        # Signs come from md5(copy:j): the earlier arithmetic pattern
+        # ((j*31 + k*17) % 2) reduced to k mod 2, making all same-parity
+        # copies IDENTICAL vectors — 40k planted dup pairs at n=10, so
+        # the pair ops measured quadratic data growth, not plan scaling.
+        import hashlib
 
-            return flip
-
-        flip = make_flip(i)
+        dim = 64
+        signs = F.array(
+            *[
+                F.lit(
+                    1.0
+                    if int(hashlib.md5(f"copy{i}:{j}".encode()).hexdigest()[:4], 16) % 2
+                    else -1.0
+                )
+                for j in range(dim)
+            ]
+        )
         parts.append(
             e.select(
                 (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
-                F.transform("embedding", flip).alias("embedding"),
+                F.zip_with(
+                    "embedding", signs, lambda x, s: (x * s).cast("float")
+                ).alias("embedding"),
                 "label",
             )
         )
@@ -97,7 +107,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    d1 = read_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    d1 = read_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang", "source")
     e1 = read_table(spark, SF_DIR, "embeddings")
     dn, en = replicate_docs(d1, n), replicate_vecs(e1, n)
 
@@ -108,11 +118,21 @@ def main() -> None:
         "ngram_jaccard_pairs": lambda d: ops.ngram_jaccard_pairs(d, threshold=0.12),
         "repetition_stats": lambda d: ops.repetition_stats(d),
         "tfidf_top_terms": lambda d: ops.tfidf_top_terms(d, k=3),
+        # r6: sources stay fixed while docs 10x, so the quota window's
+        # per-source sort grows 10x — probes the documented skew note
+        # (output stays bounded at cap x n_sources)
+        "source_quota_cap": lambda d: ops.source_quota_cap(d, cap=10),
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
         "lsh_cosine_neardup": lambda e: ops.lsh_bucketed_neardup_pairs(
             e, threshold=0.95, n_planes=12, dim=64, n_tables=4
+        ),
+        # r6: the registered-form semantic dedup — k fixed at 8 while
+        # the corpus 10x's, so cells grow 10x past the cap and the LSH
+        # subdivision (not cell count) must hold pair work linear
+        "semantic_dedup_pairs": lambda e: ops.semantic_dedup_pairs(
+            e, k=8, max_iter=2, threshold=0.95, max_cell_size=150
         ),
     }
 
