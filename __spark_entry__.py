@@ -1238,7 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     battery — so the union of driver-green rows across r5+r6 covers
     all 80 registered queries. 30 rows green in the r5 driver window
     with unchanged code rotate out to the tail. Held in-window
-    alongside them: 20 keepers covering every code path that changed
+    alongside them: the NEW quality_source_quota (first verdict
+    pending) and 19 keepers covering every code path that changed
     in round 6 — the per-row norm hoist + localCheckpoint touched the
     whole similarity join family (sim_cosine_topk/_scale/_neardup,
     sim_ivf_*, sim_semantic_dedup_pairs — the last also gained

@@ -59,9 +59,11 @@ HEADLINE = [
     "quality_contamination",
     "sim_kmeans_centroids",
     # round-6: the two heaviest registered queries, previously absent
-    # from the official record (VERDICT r5 #3)
+    # from the official record (VERDICT r5 #3), plus the new
+    # per-source quota cap
     "sim_semantic_dedup_pairs",
     "sim_cosine_topk_scale",
+    "quality_source_quota",
 ]
 
 

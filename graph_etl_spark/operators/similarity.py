@@ -589,6 +589,17 @@ def _kmeans_fit(
         ), empty
     assigned = None
     id_sql_type = vecs.schema["vec_id"].dataType.simpleString()
+    if max_iter >= 2:
+        # each Lloyd iteration scans the corpus once; materialize the
+        # cast/normalized vectors so iterations 2..n read the local
+        # checkpoint instead of re-running parquet scan + transform
+        # chain per iteration. Partition contents are preserved, so
+        # per-partition partial sums (and the round-6 averages the
+        # oracle reproduces) are bit-identical. Skipped for a single
+        # iteration, where materialization cannot pay for itself; at
+        # cluster scale, train on a hash_sample slice (docstring) and
+        # the checkpoint is sample-sized.
+        vecs = vecs.localCheckpoint()
     for _ in range(max(0, max_iter)):
         best = _kmeans_argmin(F.col("vec"), cent_rows, round_to, id_sql_type)
         assigned = vecs.select(

@@ -45,6 +45,13 @@ def get_spark(
         # (Do NOT also enable runtimeFilter.semiJoinReduction: on this
         # PySpark 4.1 build it hangs session queries outright.)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Generated-class cache: the default 100 entries thrashes under
+        # this workload's many distinct codegen stages — an evicted
+        # class is recompiled by janino inside whatever query touches
+        # it next (measured as bimodal 1.4 s vs 17 s timings on an
+        # unchanged plan; see BENCH_NOTES round 6). Static conf: only
+        # effective when THIS builder creates the session.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         # Reference semantics rely on permissive casts (polars-style), not
         # ANSI error-on-overflow; Spark 4 defaults ANSI on.
         .config("spark.sql.ansi.enabled", "false")
