@@ -197,6 +197,55 @@ def streaming_dedup(
     return events.dropDuplicates(cols)
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+    right_suffix: str = "_right",
+) -> DataFrame:
+    """Stream-stream equi + interval join: pair each left event with
+    the right events of the same key whose timestamp falls in
+    ``[left_ts - within, left_ts]`` (e.g. clicks joined to the errors
+    that preceded them by at most 10 minutes).
+
+    Streaming semantics: BOTH sides get a watermark and the join
+    condition carries the two-sided time bound Structured Streaming
+    requires to expire join state — without it, stream-stream join
+    state grows without bound (every past right row is a potential
+    match forever). State per key is O(events per watermark window).
+
+    Batch semantics: the same plan with no watermark — an equi-join
+    plus interval predicate — so one function serves both the live
+    pipeline and its backfill, and the batch form is what the tests
+    compare against a hand-built join.
+
+    The right side's key/ts are renamed with ``right_suffix``; its
+    payload columns keep their names (callers project/rename when the
+    two sides share payload column names)."""
+    r = right.select(
+        F.col(on).alias(f"{on}{right_suffix}"),
+        F.col(right_ts).alias(f"{right_ts}{right_suffix}"),
+        *[F.col(c) for c in right.columns if c not in (on, right_ts)],
+    )
+    l_df = left
+    if l_df.isStreaming:
+        l_df = l_df.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"{right_ts}{right_suffix}", watermark)
+    rts = F.col(f"{right_ts}{right_suffix}")
+    lts = F.col(left_ts)
+    cond = (
+        (F.col(on) == F.col(f"{on}{right_suffix}"))
+        & (rts >= lts - F.expr(f"INTERVAL {within}"))
+        & (rts <= lts)
+    )
+    return l_df.join(r, cond, "inner").drop(f"{on}{right_suffix}")
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

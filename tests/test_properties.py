@@ -77,3 +77,56 @@ def test_h56_matches_hashlib(spark, s):
     got = df.select(h56(F.col("s")).alias("h")).collect()[0]["h"]
     expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16)
     assert got == expect
+
+
+asof_ts = st.integers(min_value=0, max_value=20)
+asof_key = st.integers(min_value=0, max_value=2)
+
+
+@given(
+    lefts=st.lists(st.tuples(asof_key, asof_ts), min_size=1, max_size=10),
+    rights=st.lists(st.tuples(asof_key, asof_ts, st.integers(0, 99)), min_size=0, max_size=10),
+)
+@SET
+def test_as_of_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """as_of_join must agree with pandas merge_asof (backward,
+    allow_exact_matches=True) on every generated case — including
+    duplicate timestamps, empty right side, keys with no right rows.
+    Tie rule: at equal right_ts the LATEST right row wins; pandas
+    merge_asof picks the last row among equal keys in sort order, so
+    rights are pre-reduced to one row per (key, ts) on both engines to
+    keep the comparison well-defined."""
+    import pandas as pd
+
+    from graph_etl_spark.operators.asof import as_of_join
+
+    # one value per (key, ts): max val wins — dedup on both sides
+    reduced: dict = {}
+    for k, ts, v in rights:
+        reduced[(k, ts)] = max(v, reduced.get((k, ts), -1))
+    r_rows = [(k, ts, v) for (k, ts), v in sorted(reduced.items())]
+
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lefts)], "k int, ts int, lid int"
+    )
+    right = (
+        spark.createDataFrame(r_rows, "k int, ts int, val int")
+        if r_rows
+        else spark.createDataFrame([], "k int, ts int, val int")
+    )
+    got = {
+        r["lid"]: r["val_right"]
+        for r in as_of_join(left, right, on="k").collect()
+    }
+
+    lp = pd.DataFrame([(k, ts, i) for i, (k, ts) in enumerate(lefts)], columns=["k", "ts", "lid"]).sort_values(["ts", "lid"])
+    rp = pd.DataFrame(r_rows, columns=["k", "ts", "val"]).sort_values(["ts", "k"])
+    if len(rp):
+        exp_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        expected = {
+            int(row.lid): (None if pd.isna(row.val) else int(row.val))
+            for row in exp_df.itertuples()
+        }
+    else:
+        expected = {int(row.lid): None for row in lp.itertuples()}
+    assert got == expected

@@ -76,6 +76,62 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert final[1] == (2, 3)  # second session opened, 3 events total
 
 
+def test_streaming_interval_join_stream_and_batch_agree(spark, tmp_path):
+    """Stream-stream interval join: the watermarked streaming run over
+    file sources must produce exactly the rows the batch form of the
+    SAME function produces on the same data — and both must equal the
+    hand-built equi+interval join."""
+    import pandas as pd
+
+    from graph_etl_spark.streaming import streaming_interval_join
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def at(m):
+        return (base + pd.Timedelta(minutes=m)).to_pydatetime()
+
+    clicks = [(1, at(m), f"c{m}") for m in (5, 20, 40)] + [(2, at(10), "c2a")]
+    errors = [(1, at(m), f"e{m}") for m in (0, 16, 39)] + [(2, at(50), "e2z")]
+
+    csrc, esrc = str(tmp_path / "clicks"), str(tmp_path / "errors")
+    spark.createDataFrame(clicks, "user_id long, ts timestamp, click_id string").write.parquet(csrc)
+    spark.createDataFrame(errors, "user_id long, ts timestamp, error_id string").write.parquet(esrc)
+
+    # batch form
+    cb = spark.read.parquet(csrc)
+    eb = spark.read.parquet(esrc)
+    batch = {
+        (r["user_id"], r["click_id"], r["error_id"])
+        for r in streaming_interval_join(cb, eb, on="user_id", within="10 minutes").collect()
+    }
+    # expectation: error within [click_ts - 10min, click_ts], same user
+    expected = {
+        (uk, cid, eid)
+        for (uk, cts, cid) in clicks
+        for (ek, ets, eid) in errors
+        if uk == ek
+        and cts - pd.Timedelta(minutes=10).to_pytimedelta() <= ets <= cts
+    }
+    assert batch == expected and expected  # non-vacuous
+
+    # streaming form: two file streams, availableNow, append sink
+    cs = spark.readStream.schema("user_id long, ts timestamp, click_id string").parquet(csrc)
+    es = spark.readStream.schema("user_id long, ts timestamp, error_id string").parquet(esrc)
+    rows: list = []
+    q = (
+        streaming_interval_join(cs, es, on="user_id", within="10 minutes")
+        .writeStream.foreachBatch(
+            lambda bdf, bid: rows.extend(r.asDict() for r in bdf.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {(r["user_id"], r["click_id"], r["error_id"]) for r in rows}
+    assert streamed == expected
+
+
 def test_stream_replay_ledger_idempotence(spark, output_dir, tmp_path):
     """The reference's P8 run-ledger contract under micro-batch replay
     (VERDICT r4 item 7): foreachBatch is at-least-once — on failure
