@@ -200,3 +200,20 @@ def test_semantic_dedup_materializes_tagged_frame_once(spark, entry):
         f"self-join re-instantiates the corpus subplan: "
         f"{p.count('Scan parquet')} parquet scans in one query plan"
     )
+
+
+def test_streaming_interval_join_batch_plans_as_equi_join(spark):
+    """The interval join's batch form must hash/sort-merge on the equi
+    key with the time bounds as post-join filters — a nested-loop plan
+    would mean Catalyst lost the equi conjunct and the join is O(n·m)."""
+    from graph_etl_spark.streaming import streaming_interval_join
+
+    left = spark.range(100).selectExpr(
+        "id % 5 as user_id", "timestamp_seconds(id * 60) as ts", "id as click_id"
+    )
+    right = spark.range(100).selectExpr(
+        "id % 5 as user_id", "timestamp_seconds(id * 50) as ts", "id as error_id"
+    )
+    st = plan_stats(streaming_interval_join(left, right, on="user_id"))
+    assert st.nested_loop_joins == 0, "interval join degenerated to a nested loop"
+    assert st.joins >= 1
