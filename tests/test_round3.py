@@ -427,3 +427,27 @@ def test_ngram_jaccard_hot_shingle_prefilter(spark):
     # doc pairs sharing tail{k} shingles survive; the hot shingle alone
     # must not connect everything to everything
     assert 0 < len(rows) < 28  # 28 = C(8,2) = all-pairs blowup
+
+
+def test_round6_operators_on_empty_inputs(spark):
+    """Degenerate-input battery: the round-6 operators must return
+    empty (correctly-typed) results on empty inputs, not throw —
+    empty partitions and empty filtered subsets are routine at scale."""
+    from graph_etl_spark.operators.similarity import semantic_dedup_pairs
+    from graph_etl_spark.streaming import streaming_interval_join
+
+    empty_docs = spark.createDataFrame([], "doc_id long, source string")
+    assert ops.source_quota_cap(empty_docs, cap=5).count() == 0
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = semantic_dedup_pairs(empty_vecs, k=4, max_iter=1, max_cell_size=10)
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "cent_id", "cos_sim"}
+
+    left = spark.range(3).selectExpr(
+        "id as user_id", "timestamp_seconds(id*60) as ts", "id as click_id"
+    )
+    empty_right = spark.createDataFrame(
+        [], "user_id long, ts timestamp, error_id long"
+    )
+    assert streaming_interval_join(left, empty_right, on="user_id").count() == 0
