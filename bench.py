@@ -249,11 +249,36 @@ def main() -> None:
 
     # min of N runs per query: the local VM shows multi-second GC /
     # scheduling jitter (same query 1.8s vs 14.9s back-to-back), so a
-    # single sample is noise; the min is the reproducible cost.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # single sample is noise; the min is the reproducible cost. Three
+    # samples (not two) so one contended sample still leaves a pair of
+    # clean ones to agree with each other (VERDICT r6 #1).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
+    # Quiet-machine gate (VERDICT r6 #1): a contended host inflates
+    # whole stretches of samples (r6 official run started at loadavg
+    # 8.87 and its record could not substantiate the round's claim).
+    # Wait for the 1-min load to settle below the threshold before
+    # timing anything; proceed with a loud warning if it never does —
+    # an inflated-but-flagged record beats no record (rc must stay 0).
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "180"))
+    waited = 0.0
+    while os.getloadavg()[0] > load_gate and waited < gate_wait:
+        print(
+            f"# loadavg {os.getloadavg()[0]:.2f} > gate {load_gate}; "
+            f"waiting ({waited:.0f}s/{gate_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
     load_start = os.getloadavg()
+    if load_start[0] > load_gate:
+        print(
+            f"# WARNING: starting under load {load_start[0]:.2f} > gate "
+            f"{load_gate} after {waited:.0f}s wait — timings suspect",
+            file=sys.stderr,
+        )
     for name in HEADLINE + list(FLOWS):
         flow = FLOWS.get(name)
         fn = flow if flow is not None else qs[name]
@@ -313,27 +338,45 @@ def main() -> None:
             file=sys.stderr,
         )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # attribution data for the official record: every raw
-                # sample (a plan regression repeats across samples; a
-                # contended machine inflates whole stretches of them)
-                # plus the host's 1/5/15-min load at both ends — so an
-                # inflated record can be diagnosed from the record
-                # alone, without a re-run.
-                "samples": all_samples,
-                "runs": runs,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Attribution data for the official record: every raw sample (a
+    # plan regression repeats across samples; a contended machine
+    # inflates whole stretches of them) plus the host's 1/5/15-min
+    # load at both ends — so an inflated record can be diagnosed from
+    # the record alone, without a re-run. This goes in a SIDECAR file,
+    # not the stdout line: the driver keeps only a ~2000-char tail of
+    # stdout, and r6's inline-attribution line overflowed it, leaving
+    # the official record unparsed (VERDICT r6 #1).
+    sidecar = dict(summary)
+    sidecar.update(
+        {
+            "samples": all_samples,
+            "runs": runs,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "load_gate": load_gate,
+            "gate_waited_sec": waited,
+        }
     )
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_SUMMARY.json"), "w") as f:
+        json.dump(sidecar, f, indent=1)
+    # The compact summary must be the LAST stdout line and must fit
+    # entirely inside the driver's tail capture.
+    line = json.dumps(summary)
+    if len(line) > 1900:
+        # drop per-phase sub-entries first, then truncate queries —
+        # never emit an unparseable line
+        slim = {n: t for n, t in timings.items() if "." not in n}
+        summary["queries"] = slim
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -220,16 +220,15 @@ class CatalogStore:
             f.write(entry + "\n")
 
     def ledger_delete_all(self) -> None:
-        # log_stream.txt: the streaming micro-batch ledger
-        # (streaming.stream_batch_sink) — cleared with the rest on load
-        # completion, mirroring the reference's delete-all
-        # (pipeline.py:193-199)
-        for name in (
-            "log_parser.txt",
-            "log_loader.txt",
-            "log_mapper.txt",
-            "log_stream.txt",
-        ):
+        names = ["log_parser.txt", "log_loader.txt", "log_mapper.txt"]
+        # log_stream.txt guards a LIVE streaming query's micro-batch
+        # replay, unlike the batch ledgers which guard completed
+        # pipeline steps — clearing it while a query is active would
+        # let a re-delivered micro-batch re-stage. Only clear it when
+        # no streaming query is running on this session.
+        if self.spark is None or not self.spark.streams.active:
+            names.append("log_stream.txt")
+        for name in names:
             path = self._ledger_path(name)
             if os.path.isfile(path):
                 os.remove(path)

@@ -71,6 +71,7 @@ class Context:
         primary_key: str = "id",
         constraints: list[str] | None = None,
         indexs: list[str] | None = None,
+        file_name: str | None = None,
     ) -> None:
         if not self.store:
             return  # dummy context (filtered-out parser), context.py:103
@@ -95,7 +96,18 @@ class Context:
         if primary_key not in constraints:
             constraints.append(primary_key)
 
-        file_name = f"FILE_{uuid.uuid4().hex}_{label}"
+        # Callers needing replay-idempotence (the streaming sink) pass a
+        # DETERMINISTIC file_name derived from their retry key: the
+        # overwrite-mode write and the dict-keyed catalog entry then make
+        # a re-delivered save a true overwrite, not a second copy.
+        file_name = file_name or f"FILE_{uuid.uuid4().hex}_{label}"
+        prev_count = (
+            self.store._configs["nodes"]
+            .get(label, {})
+            .get("files", {})
+            .get(file_name, {})
+            .get("count", 0)
+        )
         count = self._write_staged(df, self.store.nodes_dir, file_name, NODE_CHUNK_ROWS)
         self.store.register_node_file(
             label=label,
@@ -108,7 +120,7 @@ class Context:
             count=count,
             schema_json=df.schema.json(),
         )
-        self.store._stats["nodes"] += count
+        self.store._stats["nodes"] += count - prev_count
         logger.info("saved %d %s nodes -> %s", count, label, file_name)
 
     # -- edge save (reference context.py:200-250) ------------------------------

@@ -198,7 +198,10 @@ def cosine_neardup_pairs(
                 round_to,
             ),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        # zero-norm vectors yield 0/0 = NaN, and Spark ranks NaN above
+        # every numeric, so `>= threshold` would PASS such rows — drop
+        # them, same contract as brute_force_topk's exact path
+        .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
         .select("id_a", "id_b", "cos_sim")
     )
 
@@ -332,7 +335,8 @@ def lsh_bucketed_neardup_pairs(
     )
     return (
         cand.withColumn("cos_sim", F.round(cos_pd(F.col("__va"), F.col("__vb")), round_to))
-        .filter(F.col("cos_sim") >= threshold)
+        # numpy 0/0 is NaN too — same zero-norm drop as the exact path
+        .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
         .select("id_a", "id_b", "cos_sim")
     )
 
@@ -862,7 +866,10 @@ def semantic_dedup_pairs(
                     round_to,
                 ).alias("cos_sim"),
             )
-            .filter(F.col("cos_sim") >= threshold)
+            # zero-norm rows (normalize=False callers, or an all-zero
+            # input vector) produce NaN cosine, which Spark ranks above
+            # all numerics — drop, as in every other pair path
+            .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
         )
 
     # mega-cell guard: broadcast the k-row cell-size frame, LSH-subdivide
@@ -916,7 +923,8 @@ def semantic_dedup_pairs(
                 round_to,
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        # same zero-norm NaN drop as the exact-cell path above
+        .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
         # a pair found by several tables is the same (cell, cosine) row
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -27,10 +27,18 @@ def stream_batch_sink(store, label: str, primary_key: str = "id"):
     sink — not the engine — must make the second delivery a no-op.
     This applies the reference's P8 run-ledger contract
     (``graph_etl/utils.py:21-42``: skip work whose id is already in
-    the ledger) at micro-batch granularity: a ``label:batch_id`` entry
-    in ``log_stream.txt`` is appended AFTER a successful save, and a
-    re-delivered batch whose entry exists is skipped — so the staged
-    files and catalog counts never double."""
+    the ledger) at micro-batch granularity, with TWO layers so a crash
+    anywhere in the commit window still cannot double-count:
+
+      1. The staged file name is DERIVED from ``(label, batch_id)``
+         (not a fresh uuid), so a re-delivered batch that raced a crash
+         between the save and the ledger append overwrites its own
+         earlier staging directory and re-registers the same
+         dict-keyed catalog entry — a true overwrite, not a second
+         copy (the stats counter nets out the prior count too).
+      2. A ``label:batch_id`` entry in ``log_stream.txt`` is appended
+         after the catalog flush; a re-delivered batch whose entry
+         exists is skipped entirely (no redundant write)."""
     from ..context import Context
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -38,7 +46,12 @@ def stream_batch_sink(store, label: str, primary_key: str = "id"):
         if store.ledger_contains("log_stream.txt", entry):
             return  # re-delivered micro-batch: already staged
         ctx = Context(store, {"stream_batch": batch_id})
-        ctx.save_nodes(batch_df, label=label, primary_key=primary_key)
+        ctx.save_nodes(
+            batch_df,
+            label=label,
+            primary_key=primary_key,
+            file_name=f"FILE_STREAM_{label}_{batch_id}",
+        )
         store.flush_configs()
         store.ledger_append("log_stream.txt", entry)
 

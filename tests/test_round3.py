@@ -451,3 +451,41 @@ def test_round6_operators_on_empty_inputs(spark):
         [], "user_id long, ts timestamp, error_id long"
     )
     assert streaming_interval_join(left, empty_right, on="user_id").count() == 0
+
+
+def test_pair_ops_drop_zero_norm_vectors(spark):
+    """Zero-norm vectors make cosine 0/0 = NaN, and Spark ranks NaN
+    ABOVE every numeric — so `cos_sim >= threshold` would silently PASS
+    such rows in every pair path. All four must drop them instead
+    (ADVICE r6): a padding/failed-encoder all-zeros embedding is a
+    routine artifact at corpus scale."""
+    from graph_etl_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_bucketed_neardup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    dim = 8
+    rows = [
+        (1, [1.0] * dim),
+        (2, [1.0] * dim),  # exact dup of 1 → the one real pair
+        (3, [0.0] * dim),  # zero vector: must never appear in a pair
+        (4, [0.0] * dim),  # second zero vector (zero-zero pair too)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = cosine_neardup_pairs(vecs, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 2)}
+
+    lsh = lsh_bucketed_neardup_pairs(
+        vecs, threshold=0.9, n_planes=4, dim=dim, n_tables=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} == {(1, 2)}
+
+    # normalize=False exercises the raw zero-norm path in BOTH the
+    # exact-cell and the max_cell_size-subdivided join forms
+    for cap in (None, 1):
+        sem = semantic_dedup_pairs(
+            vecs, k=2, max_iter=1, threshold=0.9, normalize=False, max_cell_size=cap
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in sem} == {(1, 2)}, f"cap={cap}"

@@ -172,3 +172,68 @@ def test_stream_replay_ledger_idempotence(spark, output_dir, tmp_path):
     sink(spark.range(25, 30).selectExpr("id", "concat('u', id) as name"), 1)
     files3 = store._configs["nodes"]["ReplayUser"]["files"]
     assert sum(f["count"] for f in files3.values()) == 30
+
+
+def test_stream_replay_mid_commit_crash(spark, output_dir, tmp_path):
+    """ADVICE r6 (medium): a crash AFTER the staged write but BEFORE
+    the ledger append means the re-delivered batch finds no ledger
+    entry and stages again. The staged file name is derived from
+    (label, batch_id), so the replay must OVERWRITE its own earlier
+    staging — same file count, same row count, no double-count."""
+    import graph_etl_spark as getl
+    from graph_etl_spark.streaming import stream_batch_sink
+
+    getl.init(spark, output_folder=output_dir)
+    store = getl.get_store()
+    src = spark.range(20).selectExpr("id", "concat('u', id) as name")
+
+    sink = stream_batch_sink(store, "CrashUser")
+    sink(src, 0)
+    files = store._configs["nodes"]["CrashUser"]["files"]
+    assert len(files) == 1 and store._stats["nodes"] == 20
+
+    # simulate the mid-commit crash window: wipe the ledger entry (as
+    # if the process died between flush_configs and ledger_append),
+    # then let the engine re-deliver batch 0
+    import os
+
+    os.remove(store._ledger_path("log_stream.txt"))
+    sink(src, 0)
+
+    files2 = store._configs["nodes"]["CrashUser"]["files"]
+    assert len(files2) == 1, "replayed batch staged a second copy"
+    assert sum(f["count"] for f in files2.values()) == 20
+    assert store._stats["nodes"] == 20, "replayed batch double-counted stats"
+
+
+def test_ledger_delete_all_spares_live_stream_ledger(spark, output_dir, tmp_path):
+    """ADVICE r6 (low): ledger_delete_all must NOT clear the stream
+    ledger while a streaming query is active — it guards a live query's
+    micro-batch replay, unlike the batch ledgers which guard completed
+    steps. With no active query it clears like the rest."""
+    import graph_etl_spark as getl
+
+    getl.init(spark, output_folder=output_dir)
+    store = getl.get_store()
+    store.ledger_append("log_stream.txt", "X:0")
+    store.ledger_append("log_parser.txt", "p1")
+
+    # keep a trivial stream alive across the delete call
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck_rate"))
+        .start()
+    )
+    try:
+        store.ledger_delete_all()
+        assert store.ledger_contains("log_stream.txt", "X:0"), (
+            "stream ledger cleared under an active query"
+        )
+        assert not store.ledger_contains("log_parser.txt", "p1")
+    finally:
+        q.stop()
+    # once the stream is down, delete-all clears the stream ledger too
+    q.awaitTermination(30)
+    store.ledger_delete_all()
+    assert not store.ledger_contains("log_stream.txt", "X:0")

@@ -54,6 +54,11 @@ def replicate_docs(d, n):
 
 
 def replicate_vecs(e, n):
+    # dim from the data, not a constant: zip_with null-pads the shorter
+    # side, so a wrong hardcoded width would silently null vector
+    # components instead of failing
+    first = e.select("embedding").first()
+    dim = len(first["embedding"]) if first else 0
     parts = []
     for i in range(n):
         # per-copy deterministic sign pattern: dot products WITHIN a
@@ -67,7 +72,6 @@ def replicate_vecs(e, n):
         # the pair ops measured quadratic data growth, not plan scaling.
         import hashlib
 
-        dim = 64
         signs = F.array(
             *[
                 F.lit(
