@@ -154,6 +154,7 @@ def streaming_sessionize(
     (user_id long, session_id long, n_events long) — one row per
     updated user per micro-batch.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -166,12 +167,23 @@ def streaming_sessionize(
         else:
             last_ts, session_id, n_events = None, 0, 0
         for pdf in pdfs:
-            for ts in sorted(pdf[ts_col]):
-                epoch = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
-                if last_ts is None or epoch - last_ts > gap_secs:
-                    session_id += 1
-                last_ts = epoch
-                n_events += 1
+            if not len(pdf):
+                continue
+            # vectorized gap scan (no per-event Python loop): sort,
+            # diff against the previous event — seeding the diff with
+            # the carried state (or -inf for a fresh user, so the
+            # first event always opens a session) — and count the
+            # gap-exceeding boundaries in one numpy pass
+            s = pdf[ts_col].sort_values()
+            if pd.api.types.is_datetime64_any_dtype(s):
+                epochs = s.astype("int64").to_numpy() / 1e9  # ns → sec
+            else:
+                epochs = s.to_numpy(dtype="float64")
+            prev = last_ts if last_ts is not None else -np.inf
+            gaps = np.diff(epochs, prepend=prev)
+            session_id += int((gaps > gap_secs).sum())
+            last_ts = float(epochs[-1])
+            n_events += len(epochs)
         state.update((last_ts, session_id, n_events))
         yield pd.DataFrame(
             {"user_id": [user_id], "session_id": [session_id], "n_events": [n_events]}
