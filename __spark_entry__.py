@@ -1230,32 +1230,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's later collect executes the engine's semantics on
     its own untouched session.
 
-    Round-6 rotation (VERDICT r5 item 5): the 30 tail queries whose
-    last driver verdict was round 4 rotate back INTO the window —
-    including events_sessionize (its code CHANGED this round: the
-    TIMESTAMP_NTZ fix), asof_join_events, range_join_parts,
-    dedup_simhash_pairs, graph_degrees, and the win_/set_/rollup/cube
-    battery — so the union of driver-green rows across r5+r6 covers
-    all 80 registered queries. 30 rows green in the r5 driver window
-    with unchanged code rotate out to the tail. Held in-window
-    alongside them: the NEW quality_source_quota (first verdict
-    pending) and 19 keepers covering every code path that changed
-    in round 6 — the per-row norm hoist + localCheckpoint touched the
-    whole similarity join family (sim_cosine_topk/_scale/_neardup,
-    sim_ivf_*, sim_semantic_dedup_pairs — the last also gained
-    max_cell_size=150 in its registered form), and read_table's ts
-    normalization touched every events consumer (events_gap_fill,
-    json_extract_events in-window; the other events queries rotate in
-    from the tail anyway).
+    Round-7 rotation (VERDICT r6 item 3): the 31 tail queries whose
+    last driver verdict was r4/r5 rotate back INTO the window — the
+    etl_* parity battery, text_*, mm_*, approx_*, percentiles,
+    graph_connected_components, win_running_total, q3/q6/q10,
+    quality_contamination, salted_count, sim_quantize_int8,
+    sim_embedding_norms, and the minhash/simhash signature queries —
+    so the union of driver-green rows across r6+r7 covers all 81
+    registered queries. Held in-window alongside them, 19 keepers:
+    the three queries over code that CHANGED in round 7 (the
+    zero-norm NaN drop touched cosine_neardup_pairs →
+    sim_cosine_allpairs_ref, lsh_bucketed_neardup_pairs →
+    sim_cosine_neardup_pairs, and both semantic_dedup_pairs join
+    paths → sim_semantic_dedup_pairs; the save_nodes replay-
+    idempotence change touched the staged-save chain →
+    etl_dedup_pk), sim_ivf_topk (this round's bisect subject), and
+    family representatives so every operator family keeps a row in
+    every round's verdict. 31 rows green in the r6 driver window with
+    unchanged code rotate out to the tail.
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    80 registered queries (plus pytest and a bench smoke) and is the
+    81 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
     (49 green + sim_semantic_dedup_pairs no_oracle); r5 window = the
-    50 keys of CORRECTNESS_r05.json (50 green); r6 window = the first
+    50 keys of CORRECTNESS_r05.json (50 green); r6 window = the 50
+    keys of CORRECTNESS_r06.json (50 green); r7 window = the first
     50 below."""
     import functools
 
@@ -1270,73 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     registry = {
-        # CHANGED this round: the TIMESTAMP_NTZ sessionize fix — held
-        # at the head of the window (VERDICT r5 items 1 + 5)
-        "events_sessionize": q_events_sessionize,
-        # rotated IN: the 29 other tail queries whose last driver
-        # verdict was r4 — union(r5, r6) driver-green covers all 80
-        "quality_repetition_stats": q_quality_repetition_stats,
-        "quality_hash_sample": q_quality_hash_sample,
-        "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
-        "quality_scrub_contact": q_quality_scrub_contact,
-        "quality_pack_sequences": q_quality_pack_sequences,
-        "etl_remap_j1": q_etl_remap_j1,
-        "pandas_udf_normalize": q_pandas_udf_normalize,
-        "sql_interface_q1": q_sql_interface_q1,
-        "win_lag_lead": q_win_lag_lead,
-        "win_rank_funcs": q_win_rank_funcs,
-        "array_funcs": q_array_funcs,
-        "string_funcs": q_string_funcs,
-        "date_funcs": q_date_funcs,
-        "topk_orders": q_topk_orders,
-        "set_intersect_custkeys": q_set_intersect_custkeys,
-        "set_except_custkeys": q_set_except_custkeys,
-        "rollup_lineitem": q_rollup_lineitem,
-        "stats_agg": q_stats_agg,
-        "pivot_status": q_pivot_status,
-        "moving_avg": q_moving_avg,
-        "cube_agg": q_cube_agg,
-        "unpivot_part": q_unpivot_part,
-        "sim_cosine_allpairs_ref": q_sim_cosine_allpairs_ref,
-        "q5_local_supplier_volume": q_q5_local_supplier_volume,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "graph_degrees": q_graph_degrees,
-        "events_tumbling_counts": q_events_tumbling_counts,
-        "asof_join_events": q_asof_join_events,
-        "range_join_parts": q_range_join_parts,
-        # keepers: every code path that CHANGED in round 6 stays under
-        # a driver verdict — per-row norm hoist + localCheckpoint
-        # (whole similarity join family), max_cell_size=150 in the
-        # registered semantic dedup, read_table ts normalization
-        # (events consumers)
-        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_cosine_topk_scale": q_sim_cosine_topk_scale,
-        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
-        "sim_kmeans_centroids": q_sim_kmeans_centroids,
-        "sim_kmeans_assign": q_sim_kmeans_assign,
-        "events_gap_fill": q_events_gap_fill,
-        "json_extract_events": q_json_extract_events,
-        # keepers: family representatives so every operator family has
-        # a row in every round's driver window
-        "etl_dedup_pk": q_etl_dedup_pk,
-        "etl_automap_j2": q_etl_automap_j2,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
-        "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
-        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
-        "graph_pagerank": q_graph_pagerank,
-        "text_winnow_fingerprints": q_text_winnow_fingerprints,
-        # NEW in round 6 — first driver verdict pending, so in-window
-        # (etl_chunk_counts, r5-green and code-unchanged, moved to the
-        # tail to keep the window at 50)
-        "quality_source_quota": q_quality_source_quota,
-        # ---- tail: >50 — 31 rows green in the r5 driver window with
-        # unchanged code, rotated out for one round; still
-        # oracle-checked every round by tools/preflight.py ----
+        # rotated IN: the 31 tail queries whose last driver verdict
+        # was r4/r5 — union(r6, r7) driver-green covers all 81
         "etl_chunk_counts": q_etl_chunk_counts,
         "etl_normalize_nodes": q_etl_normalize_nodes,
         "etl_semi_join_match": q_etl_semi_join_match,
@@ -1368,6 +1305,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_contamination": q_quality_contamination,
         "graph_connected_components": q_graph_connected_components,
         "salted_count": q_salted_count,
+        # keepers: code that CHANGED in round 7 stays under a driver
+        # verdict — the zero-norm NaN drop (all cosine pair paths) and
+        # the save_nodes replay-idempotence change (staged-save chain)
+        "sim_cosine_allpairs_ref": q_sim_cosine_allpairs_ref,
+        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
+        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
+        "etl_dedup_pk": q_etl_dedup_pk,
+        # keeper: this round's bisect subject (load artifact, cleared)
+        "sim_ivf_topk": q_sim_ivf_topk,
+        # keepers: family representatives so every operator family has
+        # a row in every round's driver window
+        "events_sessionize": q_events_sessionize,
+        "asof_join_events": q_asof_join_events,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "etl_remap_j1": q_etl_remap_j1,
+        "etl_automap_j2": q_etl_automap_j2,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_kmeans_centroids": q_sim_kmeans_centroids,
+        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
+        "quality_source_quota": q_quality_source_quota,
+        "graph_pagerank": q_graph_pagerank,
+        # ---- tail: >50 — 31 rows green in the r6 driver window with
+        # unchanged code, rotated out for one round; still
+        # oracle-checked every round by tools/preflight.py ----
+        "quality_repetition_stats": q_quality_repetition_stats,
+        "quality_hash_sample": q_quality_hash_sample,
+        "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
+        "quality_scrub_contact": q_quality_scrub_contact,
+        "quality_pack_sequences": q_quality_pack_sequences,
+        "pandas_udf_normalize": q_pandas_udf_normalize,
+        "sql_interface_q1": q_sql_interface_q1,
+        "win_lag_lead": q_win_lag_lead,
+        "win_rank_funcs": q_win_rank_funcs,
+        "array_funcs": q_array_funcs,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "topk_orders": q_topk_orders,
+        "set_intersect_custkeys": q_set_intersect_custkeys,
+        "set_except_custkeys": q_set_except_custkeys,
+        "rollup_lineitem": q_rollup_lineitem,
+        "stats_agg": q_stats_agg,
+        "pivot_status": q_pivot_status,
+        "moving_avg": q_moving_avg,
+        "cube_agg": q_cube_agg,
+        "unpivot_part": q_unpivot_part,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "graph_degrees": q_graph_degrees,
+        "events_tumbling_counts": q_events_tumbling_counts,
+        "range_join_parts": q_range_join_parts,
+        "events_gap_fill": q_events_gap_fill,
+        "json_extract_events": q_json_extract_events,
+        "sim_cosine_topk_scale": q_sim_cosine_topk_scale,
+        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
+        "sim_kmeans_assign": q_sim_kmeans_assign,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
     }
     return {name: _scoped(fn) for name, fn in registry.items()}
 
