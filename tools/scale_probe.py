@@ -97,6 +97,66 @@ def replicate_vecs(e, n):
     return out
 
 
+def probe_streaming_state(spark, n: int) -> dict:
+    """Stream-stream interval-join state growth vs the watermark
+    (VERDICT r6 #5): feed 1x and Nx event volumes as MULTIPLE
+    micro-batches whose event time advances copy-over-copy (each copy
+    time-shifted past the watermark horizon), and read the state
+    store's final row count from the query progress. Bounded state
+    means the Nx run's final state stays ~flat (the watermark evicted
+    old copies), NOT ~Nx — the property that makes the operator
+    survivable on an unbounded stream."""
+    import glob
+    import shutil
+    import tempfile
+
+    from graph_etl_spark.streaming import streaming_interval_join
+
+    events = read_table(spark, SF_DIR, "events").select("user_id", "ts", "event_type")
+    span_expr = events.agg(
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("span")
+    ).first()
+    span_secs = int(span_expr["span"]) + 7200  # copy shift > watermark (1h)
+
+    def run(copies: int) -> int:
+        workdir = tempfile.mkdtemp(prefix="probe_stream_")
+        src = f"{workdir}/src"
+        for i in range(copies):
+            # one directory-of-files append per copy, mtime-ordered so
+            # the file source delivers copies in event-time order
+            shifted = events.select(
+                "user_id",
+                F.timestamp_seconds(
+                    F.col("ts").cast("long") + F.lit(i * span_secs)
+                ).alias("ts"),
+                "event_type",
+            )
+            shifted.coalesce(1).write.mode("append").parquet(src)
+        n_files = len(glob.glob(f"{src}/*.parquet"))
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).option("maxFilesPerTrigger", max(1, n_files // max(copies, 1))).parquet(src)
+        joined = streaming_interval_join(
+            stream, stream, on="user_id", within="10 minutes", watermark="30 minutes"
+        )
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", f"{workdir}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        state_rows = 0
+        for prog in q.recentProgress:
+            for op in prog.get("stateOperators") or []:
+                state_rows = max(state_rows, op.get("numRowsTotal") or 0)
+        shutil.rmtree(workdir, ignore_errors=True)
+        return state_rows
+
+    s1, sn = run(1), run(n)
+    return {"t1": s1, "tn": sn, "ratio": round(sn / max(s1, 1), 1), "unit": "state_rows"}
+
+
 def timed(df) -> float:
     best = None
     for _ in range(2):
@@ -126,6 +186,14 @@ def main() -> None:
         # per-source sort grows 10x — probes the documented skew note
         # (output stays bounded at cap x n_sources)
         "source_quota_cap": lambda d: ops.source_quota_cap(d, cap=10),
+        # r7 (VERDICT r6 #5): ONE mega-domain holding every row — the
+        # documented worst case for the per-source ranking window (all
+        # rows land on one reducer). The pre-prune remedy the docs
+        # prescribe is what keeps the ratio near-linear; a superlinear
+        # ratio here means the single-key sort became the bottleneck.
+        "source_quota_cap_megadomain": lambda d: ops.source_quota_cap(
+            d.withColumn("source", F.lit("the-one-domain.example")), cap=10
+        ),
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
@@ -152,6 +220,16 @@ def main() -> None:
         t1, tn = timed(fn(e1)), timed(fn(en))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
+
+    # r7: streaming interval-join STATE growth (rows, not seconds) —
+    # bounded state under the watermark means ratio ~1 at Nx input
+    result["streaming_interval_join_state"] = probe_streaming_state(spark, n)
+    r = result["streaming_interval_join_state"]
+    print(
+        f"# streaming_interval_join_state: {r['t1']} -> {r['tn']} rows "
+        f"(x{r['ratio']})",
+        file=sys.stderr,
+    )
 
     print(json.dumps({"n": n, "sf_dir": SF_DIR, "ops": result}))
 
