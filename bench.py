@@ -298,6 +298,17 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
         all_samples[name] = [round(s, 3) for s in samples]
+        # between-query session hygiene (UNTIMED): checkpointing
+        # queries (k-means input, semantic dedup's tagged frame) leave
+        # persisted blocks whose lazy ContextCleaner reclamation lags a
+        # ~40-query × 3-sample run — late-list queries then measure GC
+        # pressure, not their plan (observed: monotone 7→20→41 s
+        # samples on the last heavy queries of a full pass). Drop
+        # leftovers and compact the heap before the next query times.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         # per-phase minima as attributable sub-entries; the parent total
         # stays min-of-total-runs so it remains comparable across rounds
         # (phase minima may come from different runs and sum slightly
