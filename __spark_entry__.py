@@ -1147,6 +1147,14 @@ def q_quality_pack_sequences(spark, sf):
     return ops.pack_sequences(d, token_budget=512, n_shards=8)
 
 
+def q_quality_chunk_documents(spark, sf):
+    """RAG-style document chunking: 64-token windows, 16-token overlap
+    (stride 48) — one row per chunk with a stable start-derived
+    chunk_id; zero-shuffle map-only plan."""
+    d = _t(spark, sf, "documents")
+    return ops.chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
 def q_sim_ivf_trained_topk(spark, sf):
     """Train-then-index composition: kmeans_fit centroids feed
     ivf_topk (nlist=8 from k=8, nprobe=2), judged by the same
@@ -1236,7 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     graph_connected_components, win_running_total, q3/q6/q10,
     quality_contamination, salted_count, sim_quantize_int8,
     sim_embedding_norms, and the minhash/simhash signature queries —
-    so the union of driver-green rows across r6+r7 covers all 81
+    so the union of driver-green rows across r6+r7 covers all 82
     registered queries. Held in-window alongside them, 19 keepers:
     the three queries over code that CHANGED in round 7 (the
     zero-norm NaN drop touched cosine_neardup_pairs →
@@ -1251,7 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    81 registered queries (plus pytest and a bench smoke) and is the
+    82 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1273,7 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     registry = {
         # rotated IN: the 31 tail queries whose last driver verdict
-        # was r4/r5 — union(r6, r7) driver-green covers all 81
+        # was r4/r5 — union(r6, r7) driver-green covers all 82
+        # (the round-7 quality_chunk_documents enters in-window)
         "etl_chunk_counts": q_etl_chunk_counts,
         "etl_normalize_nodes": q_etl_normalize_nodes,
         "etl_semi_join_match": q_etl_semi_join_match,
@@ -1329,10 +1338,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_centroids": q_sim_kmeans_centroids,
         "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
         "quality_source_quota": q_quality_source_quota,
-        "graph_pagerank": q_graph_pagerank,
-        # ---- tail: >50 — 31 rows green in the r6 driver window with
+        # NEW in round 7 — first driver verdict pending, so in-window
+        # (graph_pagerank, r6-green and code-unchanged, moved to the
+        # tail to keep the window at 50)
+        "quality_chunk_documents": q_quality_chunk_documents,
+        # ---- tail: >50 — rows green in the r6 driver window with
         # unchanged code, rotated out for one round; still
         # oracle-checked every round by tools/preflight.py ----
+        "graph_pagerank": q_graph_pagerank,
         "quality_repetition_stats": q_quality_repetition_stats,
         "quality_hash_sample": q_quality_hash_sample,
         "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
@@ -2475,6 +2488,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, shard, n_tokens,
                (shard * 1000000000 + cum_excl // 512)::BIGINT AS bin_id
         FROM c
+    """
+
+    # stride 48 = chunk 64 − overlap 16; DuckDB range(0, n, 48)
+    # excludes n, matching Spark sequence(0, n−1, 48); list_slice is
+    # 1-based inclusive, matching slice(toks, start+1, 64)
+    sql["quality_chunk_documents"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), nz AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), s AS (
+          SELECT doc_id, toks, unnest(range(0, n, 48)) AS start FROM nz
+        )
+        SELECT doc_id,
+               (start // 48)::BIGINT AS chunk_id,
+               len(list_slice(toks, start + 1, start + 64))::INT AS n_tokens,
+               array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+        FROM s
     """
 
     # k-means: 3 unrolled Lloyd's iterations (pagerank-style CTE chain;

@@ -64,6 +64,8 @@ HEADLINE = [
     "sim_semantic_dedup_pairs",
     "sim_cosine_topk_scale",
     "quality_source_quota",
+    # round-7: RAG-style overlapping-window chunking
+    "quality_chunk_documents",
 ]
 
 

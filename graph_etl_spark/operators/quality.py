@@ -397,6 +397,60 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-width token windows —
+    the RAG/embedding-pipeline complement to ``pack_sequences`` (which
+    CONCATENATES short docs; this SPLITS long ones). Chunk ``i`` covers
+    tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the final chunk is short
+    rather than padded, and a chunk starts at every stride boundary
+    below the token count, so consecutive chunks share ``overlap``
+    tokens of context. Output: (id, chunk_id, n_tokens, chunk_text),
+    one row per chunk; empty/whitespace-only documents yield no rows.
+
+    Physical shape: pure per-row JVM array expressions
+    (split → sequence of starts → posexplode → slice + array_join) —
+    zero shuffle, zero Python; output row count is
+    Σ ceil(doc_tokens / stride), i.e. linear in corpus tokens with a
+    1/(1−overlap/chunk_tokens) expansion factor. At 100 TB this is a
+    map-only stage that pipelines into the staged write.
+
+    Determinism: chunk_id = start/stride is derived from the start
+    offset (not an explode ordinal), so ids are stable under any
+    partitioning; whitespace tokenization matches operators/text.py's
+    ``tokens_col``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    return (
+        base.filter(F.col("__n") > 0)
+        .select(
+            id_col, F.col("__toks"), F.explode(starts).alias("__start")
+        )
+        .select(
+            id_col,
+            (F.col("__start") / stride).cast("long").alias("chunk_id"),
+            F.size(F.slice("__toks", F.col("__start") + 1, chunk_tokens)).alias(
+                "n_tokens"
+            ),
+            F.array_join(
+                F.slice("__toks", F.col("__start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms
 # ---------------------------------------------------------------------------

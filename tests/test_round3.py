@@ -453,6 +453,44 @@ def test_round6_operators_on_empty_inputs(spark):
     assert streaming_interval_join(left, empty_right, on="user_id").count() == 0
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    """Hand-checkable chunking: 10 tokens, chunk 4, overlap 2 →
+    stride 2, starts 0/2/4/6/8; consecutive chunks share 2 tokens;
+    the last chunk is short, not padded."""
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    rows = (
+        ops.chunk_documents(df, chunk_tokens=4, overlap=2)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    # empty / whitespace-only docs contribute no chunks
+    assert all(r["doc_id"] == 1 for r in rows)
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3",
+        "t2 t3 t4 t5",
+        "t4 t5 t6 t7",
+        "t6 t7 t8 t9",
+        "t8 t9",
+    ]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 4, 2]
+
+    # zero-shuffle plan: chunking must stay a map-only projection
+    plan = (
+        ops.chunk_documents(df, chunk_tokens=4, overlap=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ops.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
 def test_pair_ops_drop_zero_norm_vectors(spark):
     """Zero-norm vectors make cosine 0/0 = NaN, and Spark ranks NaN
     ABOVE every numeric — so `cos_sim >= threshold` would silently PASS
