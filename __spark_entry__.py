@@ -1147,6 +1147,44 @@ def q_quality_pack_sequences(spark, sf):
     return ops.pack_sequences(d, token_budget=512, n_shards=8)
 
 
+def q_quality_gate(spark, sf):
+    """The streaming admission filter's BATCH twin, oracle-checked:
+    ``streaming_quality_gate`` is the same stateless plan on a batch or
+    a readStream frame, so a green batch verdict certifies the exact
+    expressions the live stream runs. Contacts are planted on every
+    5th doc (the scrub battery's scheme) and ``max_contact_strings=1``
+    so the contact gate actually drops them; the token/repetition
+    gates filter the rest."""
+    from graph_etl_spark.streaming import streaming_quality_gate
+
+    d = _t(spark, sf, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or https://ex.com/"),
+                F.col("doc_id"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    gated = streaming_quality_gate(
+        planted, min_tokens=10, max_dup_word_frac=0.5, max_contact_strings=1
+    )
+    return gated.select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        "token_entropy",
+        "n_emails",
+        "n_urls",
+        F.md5("scrubbed").alias("scrubbed_fp"),
+    )
+
+
 def q_quality_chunk_documents(spark, sf):
     """RAG-style document chunking: 64-token windows, 16-token overlap
     (stride 48) — one row per chunk with a stable start-derived
@@ -1244,7 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     graph_connected_components, win_running_total, q3/q6/q10,
     quality_contamination, salted_count, sim_quantize_int8,
     sim_embedding_norms, and the minhash/simhash signature queries —
-    so the union of driver-green rows across r6+r7 covers all 82
+    so the union of driver-green rows across r6+r7 covers all 83
     registered queries. Held in-window alongside them, 19 keepers:
     the three queries over code that CHANGED in round 7 (the
     zero-norm NaN drop touched cosine_neardup_pairs →
@@ -1259,7 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    82 registered queries (plus pytest and a bench smoke) and is the
+    83 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1281,7 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     registry = {
         # rotated IN: the 31 tail queries whose last driver verdict
-        # was r4/r5 — union(r6, r7) driver-green covers all 82
+        # was r4/r5 — union(r6, r7) driver-green covers all 83
         # (the round-7 quality_chunk_documents enters in-window)
         "etl_chunk_counts": q_etl_chunk_counts,
         "etl_normalize_nodes": q_etl_normalize_nodes,
@@ -1336,16 +1374,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_kmeans_centroids": q_sim_kmeans_centroids,
-        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
         "quality_source_quota": q_quality_source_quota,
-        # NEW in round 7 — first driver verdict pending, so in-window
-        # (graph_pagerank, r6-green and code-unchanged, moved to the
-        # tail to keep the window at 50)
+        # NEW in round 7 — first driver verdicts pending, so in-window
+        # (graph_pagerank + quality_tfidf_top_terms, r6-green and
+        # code-unchanged, moved to the tail to keep the window at 50)
         "quality_chunk_documents": q_quality_chunk_documents,
+        "quality_gate": q_quality_gate,
         # ---- tail: >50 — rows green in the r6 driver window with
         # unchanged code, rotated out for one round; still
         # oracle-checked every round by tools/preflight.py ----
         "graph_pagerank": q_graph_pagerank,
+        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
         "quality_repetition_stats": q_quality_repetition_stats,
         "quality_hash_sample": q_quality_hash_sample,
         "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
@@ -2429,6 +2468,53 @@ def oracle_sql() -> dict[str, str]:
                md5(regexp_replace(regexp_replace(text, '{_email_re}', '<EMAIL>', 'g'),
                                   '{_url_re}', '<URL>', 'g')) AS scrub_fp
         FROM planted
+    """
+
+    # batch twin of streaming_quality_gate: plant → scrub counts →
+    # repetition stats over the PLANTED (pre-scrub) text, exactly as
+    # the operator chains them, then the three admission gates. The
+    # dup_word_frac gate compares the ROUNDED value (the operator
+    # filters on its round-6 output column).
+    sql["quality_gate"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN
+                   text || ' contact user' || doc_id::VARCHAR ||
+                   '@example.com or https://ex.com/' || doc_id::VARCHAR
+                 ELSE text END AS text
+          FROM documents
+        ), scrubbed AS (
+          SELECT doc_id, text,
+                 len(regexp_extract_all(text, '{_email_re}'))::INT AS n_emails,
+                 len(regexp_extract_all(text, '{_url_re}'))::INT AS n_urls,
+                 regexp_replace(regexp_replace(text, '{_email_re}', '<EMAIL>', 'g'),
+                                '{_url_re}', '<URL>', 'g') AS scrubbed
+          FROM planted
+        ), t AS (
+          SELECT doc_id, n_emails, n_urls, scrubbed,
+                 list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
+          FROM scrubbed
+        ), s AS (
+          SELECT *, len(toks) AS n, list_sort(toks) AS ls FROM t
+        ), r AS (
+          SELECT *, list_filter(range(1, n + 1),
+                   i -> i = 1 OR ls[i] <> ls[i - 1]) AS starts
+          FROM s
+        ), m AS (
+          SELECT *, list_transform(range(1, len(starts) + 1),
+                   j -> (CASE WHEN j < len(starts) THEN starts[j + 1]
+                         ELSE n + 1 END) - starts[j]) AS runs
+          FROM r
+        ), stats AS (
+          SELECT doc_id, n::INT AS n_tokens,
+                 ROUND(CASE WHEN n > 0 THEN 1.0 - len(starts) / n ELSE 0.0 END, 6) AS dup_word_frac,
+                 ROUND(CASE WHEN n > 0 THEN 0 - list_sum(list_transform(runs,
+                       l -> (l / n) * ln(l / n))) ELSE 0.0 END, 6) AS token_entropy,
+                 n_emails, n_urls, md5(scrubbed) AS scrubbed_fp
+          FROM m
+        )
+        SELECT * FROM stats
+        WHERE n_tokens >= 10 AND dup_word_frac <= 0.5 AND n_emails + n_urls <= 1
     """
 
     sql["quality_tfidf_top_terms"] = """

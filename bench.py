@@ -64,8 +64,10 @@ HEADLINE = [
     "sim_semantic_dedup_pairs",
     "sim_cosine_topk_scale",
     "quality_source_quota",
-    # round-7: RAG-style overlapping-window chunking
+    # round-7: RAG-style overlapping-window chunking + the streaming
+    # admission filter's batch twin
     "quality_chunk_documents",
+    "quality_gate",
 ]
 
 
