@@ -118,3 +118,45 @@ def test_quantize_invariants(spark, vecs):
         assert r["mae"] >= 0
         # reconstruction error bounded by half a quantization step
         assert r["mae"] <= 0.5 / r["scale"] + 1e-9
+
+
+@given(
+    docs=st.lists(texts, min_size=1, max_size=6, unique=True),
+    chunk=st.integers(2, 8),
+    overlap=st.integers(0, 6),
+)
+@SET
+def test_chunk_documents_invariants(spark, docs, chunk, overlap):
+    """Chunking invariants for any (chunk, overlap < chunk): chunks
+    tile the token stream at stride boundaries, every token is covered,
+    the non-overlap prefixes reconstruct the document exactly, and no
+    chunk exceeds the width."""
+    from hypothesis import assume
+
+    assume(overlap < chunk)
+    stride = chunk - overlap
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = ops.chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(docs):
+        toks = [t for t in text.split(" ") if t != ""]
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not toks:
+            assert chunks == []
+            continue
+        import math as _math
+
+        assert len(chunks) == _math.ceil(len(toks) / stride)
+        assert [r["chunk_id"] for r in chunks] == list(range(len(chunks)))
+        for r in chunks:
+            ctoks = [t for t in r["chunk_text"].split(" ") if t != ""]
+            assert r["n_tokens"] == len(ctoks) <= chunk
+            start = r["chunk_id"] * stride
+            assert ctoks == toks[start : start + chunk]
+        # the stride-prefixes of all chunks concatenated reconstruct
+        # the document (the final chunk may stop overlap short)
+        prefix = [t for r in chunks for t in
+                  [x for x in r["chunk_text"].split(" ") if x != ""][: stride]]
+        assert prefix == toks[: len(prefix)] and len(prefix) >= len(toks) - overlap
