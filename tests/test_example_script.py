@@ -7,13 +7,13 @@ import importlib.util
 import os
 
 
-def _load_example():
+def _load_example(name="imdb_spark.py"):
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "examples",
-        "imdb_spark.py",
+        name,
     )
-    spec = importlib.util.spec_from_file_location("imdb_spark_example", path)
+    spec = importlib.util.spec_from_file_location(name.removesuffix(".py") + "_example", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -32,3 +32,11 @@ def test_example_imdb_spark_end_to_end(spark, tmp_path):
     acted = getl.get_store()._configs["edges"]["ACTED_IN"]
     # the example's natural-key declaration must have been auto-mapped
     assert all(info["end"] == "Movie:id" for info in acted.values())
+
+
+def test_example_streaming_ingest_end_to_end(spark, tmp_path):
+    mod = _load_example("streaming_ingest.py")
+    # 60 docs: every 10th is repetition-spam, every 7th (non-10th) too
+    # short — the gate admits the remaining 46; the script itself
+    # asserts replay idempotence
+    assert mod.main(workdir=str(tmp_path / "stream_wd")) == 46
