@@ -217,3 +217,13 @@ def test_streaming_interval_join_batch_plans_as_equi_join(spark):
     st = plan_stats(streaming_interval_join(left, right, on="user_id"))
     assert st.nested_loop_joins == 0, "interval join degenerated to a nested loop"
     assert st.joins >= 1
+
+
+def test_quality_gate_and_chunking_are_map_only(spark, entry):
+    """The streaming admission gate and document chunking are the two
+    operators a live ingest path runs per-row — both must stay pure
+    map-side projections (zero Exchange), or streaming latency and the
+    100 TB ingest plan are broken."""
+    for q in (entry.q_quality_gate, entry.q_quality_chunk_documents):
+        st = plan_stats(q(spark, SF))
+        assert st.exchanges == 0, f"{q.__name__} gained a shuffle"

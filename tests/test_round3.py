@@ -459,7 +459,8 @@ def test_chunk_documents_windows_and_overlap(spark):
     the last chunk is short, not padded."""
     toks = [f"t{i}" for i in range(10)]
     df = spark.createDataFrame(
-        [(1, " ".join(toks)), (2, ""), (3, "   ")], "doc_id long, text string"
+        [(1, " ".join(toks)), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
     )
     rows = (
         ops.chunk_documents(df, chunk_tokens=4, overlap=2)
