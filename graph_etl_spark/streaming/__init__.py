@@ -98,15 +98,40 @@ def streaming_quality_gate(
 
     Returns the filtered frame with the quality columns attached;
     callers write it with ``writeStream`` (streaming) or a batch write.
+
+    The admission predicates are LEAN re-expressions of the gated
+    columns, not references to them: Catalyst pushes deterministic
+    filters through projections by SUBSTITUTING the column's defining
+    expression into the predicate, so gating on
+    ``repetition_stats``' columns would re-evaluate its interpreted
+    sort + run-length lambda chain once per predicate per row at the
+    scan (measured 12.4 s vs 1.0 s for the unfiltered composition at
+    sf0.1). The lean forms — ``size(array_distinct(toks))`` for the
+    distinct count, ``size(tokens)`` for length — are lambda-free,
+    whole-stage-codegen expressions computing bit-identical gate
+    values (distinct-token count is distinct-token count), so the
+    pushed-down duplicates are cheap and the expensive stat columns
+    evaluate only for admitted rows. No optimizer barrier needed, so
+    the plan stays stateless and streaming-legal.
     """
-    from ..operators.quality import repetition_stats, scrub_contact_strings
+    from ..operators.quality import EMAIL_RE, URL_RE, repetition_stats, scrub_contact_strings
+    from ..operators.text import tokens_col
 
     scored = repetition_stats(scrub_contact_strings(docs, text_col=text_col),
                               text_col=text_col)
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    dup = F.round(
+        F.when(n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    contacts = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)) + F.regexp_count(
+        F.col(text_col), F.lit(URL_RE)
+    )
     return scored.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("dup_word_frac") <= max_dup_word_frac)
-        & ((F.col("n_emails") + F.col("n_urls")) <= max_contact_strings)
+        (n >= min_tokens) & (dup <= max_dup_word_frac) & (contacts <= max_contact_strings)
     )
 
 
