@@ -630,6 +630,208 @@ def q_q10_returned_items(spark, sf):
     )
 
 
+def q_q4_order_priority(spark, sf):
+    """TPC-H Q4 analog (the synthetic lineitem carries no commit/receipt
+    dates, so 'late' = any lineitem shipped after the order date):
+    priority histogram of a quarter's late orders. The EXISTS subquery
+    becomes a LEFT SEMI join with a mixed equi + non-equi condition —
+    the date filter prunes orders BEFORE the semi-join shuffle."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    window_o = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late = window_o.join(
+        l,
+        (window_o.o_orderkey == l.l_orderkey) & (l.l_shipdate > window_o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q_q7_volume_shipping(spark, sf):
+    """TPC-H Q7 analog: shipping volume between distinct nations of a
+    five-nation trading bloc, by supplier nation × customer nation ×
+    ship year. The nation dim joins twice under different roles, both
+    broadcast; the bloc membership filters prune customer/supplier
+    before the fact joins."""
+    bloc = [0, 1, 2, 3, 4]
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier").filter(F.col("s_nationkey").isin(bloc))
+    c = _t(spark, sf, "customer").filter(F.col("c_nationkey").isin(bloc))
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_q8_market_share(spark, sf):
+    """TPC-H Q8 analog: NATION_5's share of EUROPE's PROMO-part order
+    volume per order year. Sums stay decimal-exact; only the final
+    ratio is computed in double and rounded to 4 dp (the repo's cosine
+    convention), identically on both engines."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    vol = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    agg = vol.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0).cast(DEC)))
+        .cast("double")
+        .alias("nation_vol"),
+        F.sum(rev).cast("double").alias("total_vol"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("nation_vol") / F.col("total_vol"), 4).alias("mkt_share"),
+        "nation_vol",
+        "total_vol",
+    )
+
+
+def q_q13_customer_distribution(spark, sf):
+    """TPC-H Q13 analog: distribution of customers by order count — a
+    LEFT OUTER join that must preserve order-less customers (count of
+    the null-able side, not COUNT(*)), then a second aggregation over
+    the first's results."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_q14_promo_revenue(spark, sf):
+    """TPC-H Q14 analog: PROMO parts' share of one month's revenue.
+    Broadcast part join, conditional decimal aggregate, scalar result;
+    ratio in double rounded to 4 dp on both engines."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    j = l.filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    ).join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast(DEC)))
+        .cast("double")
+        .alias("promo_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 4).alias("promo_pct"),
+        "promo_rev",
+        "total_rev",
+    )
+
+
+def q_q18_large_volume(spark, sf):
+    """TPC-H Q18 analog: orders whose total quantity exceeds 300 — the
+    HAVING-subquery shape as aggregate-then-join (the aggregate runs
+    FIRST, shrinking the fact side to the few hundred qualifying
+    orders before any dimension join)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+def q_q19_discount_revenue(spark, sf):
+    """TPC-H Q19 analog: OR-of-ANDs bracket predicate spanning both
+    sides of the broadcast part join. Catalyst extracts the common
+    partkey equi-key; the brand/size legs push into the build side."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 24)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 34)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 44)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_q22_dormant_balance(spark, sf):
+    """TPC-H Q22 analog (every synthetic customer has orders, so
+    'dormant' = no order since 2000-01-01): above-average-balance
+    customers with no recent orders, grouped by nation. The average
+    threshold compares EXACTLY on both engines via cross-multiplication
+    (acctbal · n > Σ acctbal, all decimal) — no float average whose
+    last bit could flip a membership. Scalar agg broadcast + anti-join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_bal"),
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    return (
+        c.join(F.broadcast(bal))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("n_bal") > F.col("total_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def q_asof_join_events(spark, sf):
     """As-of join: for each click event, the latest error event of the
     same user at/before it."""
@@ -1021,6 +1223,22 @@ def q_graph_pagerank(spark, sf):
     return ops.pagerank(_nation_graph(spark, sf), max_iter=10)
 
 
+def q_dedup_neardup_survivors(spark, sf):
+    """End-to-end near-dup dedup — the full 'dedup the corpus' pipeline
+    a training-data run executes, as one plan: MinHash banded-LSH
+    candidate pairs → connected components over the pair graph → one
+    canonical survivor (min doc_id) per cluster with the member count
+    it absorbs. Composition of ops.minhash_lsh_pairs (bucketed
+    equi-join, never all-pairs) + ops.dedup_clusters (pointer-jumping
+    CC, O(log d) rounds) — both shapes hold at 100 TB."""
+    d = _t(spark, sf, "documents")
+    pairs = ops.minhash_lsh_pairs(d, num_perm=16, bands=8)
+    clusters = ops.dedup_clusters(pairs, d.select("doc_id"))
+    return clusters.groupBy(F.col("cluster_id").alias("survivor_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1282,8 +1500,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     graph_connected_components, win_running_total, q3/q6/q10,
     quality_contamination, salted_count, sim_quantize_int8,
     sim_embedding_norms, and the minhash/simhash signature queries —
-    so the union of driver-green rows across r6+r7 covers all 83
-    registered queries. Held in-window alongside them, 19 keepers:
+    so the union of driver-green rows across r6+r7 covers all 92
+    registered queries (the 9 round-7 additions — the TPC-H expansion
+    battery q4/q7/q8/q13/q14/q18/q19/q22 and the end-to-end
+    dedup_neardup_survivors pipeline — enter in-window for their first
+    verdicts, displacing 9 r6-green unchanged family reps to the
+    tail). Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
     zero-norm NaN drop touched cosine_neardup_pairs →
     sim_cosine_allpairs_ref, lsh_bucketed_neardup_pairs →
@@ -1297,7 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    83 registered queries (plus pytest and a bench smoke) and is the
+    92 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1319,7 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     registry = {
         # rotated IN: the 31 tail queries whose last driver verdict
-        # was r4/r5 — union(r6, r7) driver-green covers all 83
+        # was r4/r5 — union(r6, r7) driver-green covers all 92
         # (the round-7 quality_chunk_documents enters in-window)
         "etl_chunk_counts": q_etl_chunk_counts,
         "etl_normalize_nodes": q_etl_normalize_nodes,
@@ -1365,6 +1587,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a row in every round's driver window
         "events_sessionize": q_events_sessionize,
         "asof_join_events": q_asof_join_events,
+        "quality_source_quota": q_quality_source_quota,
+        # NEW in round 7 — first driver verdicts pending, so in-window.
+        # To make room, nine r6-driver-green family reps with unchanged
+        # code rotate to the tail (q1_pricing_summary, etl_remap_j1,
+        # etl_automap_j2, dedup_exact_groups, dedup_minhash_lsh_pairs,
+        # dedup_ngram_jaccard_pairs, dedup_simhash_pairs,
+        # sim_cosine_topk, sim_kmeans_centroids) alongside
+        # graph_pagerank + quality_tfidf_top_terms — the union
+        # invariant holds: every tail row is r6-driver-green.
+        "quality_chunk_documents": q_quality_chunk_documents,
+        "quality_gate": q_quality_gate,
+        # round-7 TPC-H expansion battery (join-shape coverage:
+        # non-equi semi, dual-role broadcast dims, outer-join agg,
+        # agg-then-join HAVING, OR-of-ANDs bracket, scalar-subquery
+        # threshold + anti-join) + the end-to-end dedup pipeline
+        "q4_order_priority": q_q4_order_priority,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q18_large_volume": q_q18_large_volume,
+        "q19_discount_revenue": q_q19_discount_revenue,
+        "q22_dormant_balance": q_q22_dormant_balance,
+        "dedup_neardup_survivors": q_dedup_neardup_survivors,
+        # ---- tail: >50 — rows green in the r6 driver window with
+        # unchanged code, rotated out for one round; still
+        # oracle-checked every round by tools/preflight.py ----
         "q1_pricing_summary": q_q1_pricing_summary,
         "etl_remap_j1": q_etl_remap_j1,
         "etl_automap_j2": q_etl_automap_j2,
@@ -1374,15 +1623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_kmeans_centroids": q_sim_kmeans_centroids,
-        "quality_source_quota": q_quality_source_quota,
-        # NEW in round 7 — first driver verdicts pending, so in-window
-        # (graph_pagerank + quality_tfidf_top_terms, r6-green and
-        # code-unchanged, moved to the tail to keep the window at 50)
-        "quality_chunk_documents": q_quality_chunk_documents,
-        "quality_gate": q_quality_gate,
-        # ---- tail: >50 — rows green in the r6 driver window with
-        # unchanged code, rotated out for one round; still
-        # oracle-checked every round by tools/preflight.py ----
         "graph_pagerank": q_graph_pagerank,
         "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
         "quality_repetition_stats": q_quality_repetition_stats,
@@ -1814,6 +2054,130 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 20
     """
 
+    sql["q4_order_priority"] = """
+        SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """
+
+    sql["q7_volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate)::INT AS l_year,
+               SUM(l.l_extendedprice::DECIMAL(18,2)
+                   * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE s.s_nationkey IN (0, 1, 2, 3, 4)
+          AND c.c_nationkey IN (0, 1, 2, 3, 4)
+          AND s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2, 3
+    """
+
+    sql["q8_market_share"] = """
+        WITH vol AS (
+          SELECT year(o.o_orderdate) AS o_year, n2.n_name AS supp_nation,
+                 l.l_extendedprice::DECIMAL(18,2)
+                   * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2)) AS rev
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+        ), agg AS (
+          SELECT o_year::INT AS o_year,
+                 SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                          ELSE 0::DECIMAL(18,2) END)::DOUBLE AS nation_vol,
+                 SUM(rev)::DOUBLE AS total_vol
+          FROM vol GROUP BY 1
+        )
+        SELECT o_year, ROUND(nation_vol / total_vol, 4) AS mkt_share,
+               nation_vol, total_vol
+        FROM agg
+    """
+
+    sql["q13_customer_distribution"] = """
+        WITH per_cust AS (
+          SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        SELECT c_count, COUNT(*)::BIGINT AS custdist
+        FROM per_cust GROUP BY c_count
+    """
+
+    sql["q14_promo_revenue"] = """
+        WITH agg AS (
+          SELECT SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                          THEN l.l_extendedprice::DECIMAL(18,2)
+                               * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))
+                          ELSE 0::DECIMAL(18,2) END)::DOUBLE AS promo_rev,
+                 SUM(l.l_extendedprice::DECIMAL(18,2)
+                     * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2)))::DOUBLE AS total_rev
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+            AND l.l_shipdate < TIMESTAMP '1997-10-01'
+        )
+        SELECT ROUND(100.0 * promo_rev / total_rev, 4) AS promo_pct,
+               promo_rev, total_rev
+        FROM agg
+    """
+
+    sql["q18_large_volume"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity::DECIMAL(18,2))::DOUBLE > 300
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, big.sum_qty
+        FROM big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """
+
+    sql["q19_discount_revenue"] = """
+        SELECT SUM(l.l_extendedprice::DECIMAL(18,2)
+                   * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+               COUNT(*)::BIGINT AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 24)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+               AND l.l_quantity BETWEEN 10 AND 34)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 20 AND 44)
+    """
+
+    sql["q22_dormant_balance"] = """
+        WITH bal AS (
+          SELECT SUM(c_acctbal::DECIMAL(18,2)) AS total_bal,
+                 COUNT(*)::BIGINT AS n_bal
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey, COUNT(*)::BIGINT AS numcust,
+               SUM(c.c_acctbal::DECIMAL(18,2))::DOUBLE AS totacctbal
+        FROM customer c, bal
+        WHERE c.c_acctbal::DECIMAL(18,2) * bal.n_bal > bal.total_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_nationkey
+    """
+
     sql["unpivot_part"] = """
         SELECT p_partkey, 'p_size' AS attr, p_size::DOUBLE AS val FROM part
         UNION ALL
@@ -2024,6 +2388,40 @@ def oracle_sql() -> dict[str, str]:
         FROM banded a JOIN banded b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+    """
+
+    # End-to-end dedup pipeline: the minhash pair body above, closed
+    # into components with a recursive reach CTE (the CC-oracle
+    # pattern), then one survivor row per cluster.
+    sql["dedup_neardup_survivors"] = f"""
+        WITH RECURSIVE pairs AS (
+          WITH sh AS (SELECT doc_id, {_sh} AS sh FROM documents),
+          hs AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs FROM sh),
+          sigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM hs),
+          banded AS (
+            SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                   unnest([{band_exprs}]) AS band_hash
+            FROM sigs
+          )
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ), sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+        ), assign AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+          FROM documents d
+          LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+            ON d.doc_id = c.id
+        )
+        SELECT cluster_id AS survivor_id, COUNT(*)::BIGINT AS n_members
+        FROM assign GROUP BY cluster_id
     """
 
     vote = lambda b: (  # noqa: E731

@@ -68,6 +68,17 @@ HEADLINE = [
     # admission filter's batch twin
     "quality_chunk_documents",
     "quality_gate",
+    # round-7: TPC-H expansion battery (join-shape coverage) + the
+    # end-to-end near-dup dedup pipeline
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume",
+    "q19_discount_revenue",
+    "q22_dormant_balance",
+    "dedup_neardup_survivors",
 ]
 
 

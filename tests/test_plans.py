@@ -227,3 +227,73 @@ def test_quality_gate_and_chunking_are_map_only(spark, entry):
     for q in (entry.q_quality_gate, entry.q_quality_chunk_documents):
         st = plan_stats(q(spark, SF))
         assert st.exchanges == 0, f"{q.__name__} gained a shuffle"
+
+
+def test_q7_q8_broadcast_dims_no_nested_loop(spark, entry):
+    """The dual-role nation dims (and region/part) must broadcast; a
+    nested-loop anywhere in these 6-7 way joins means Catalyst lost an
+    equi key and the fact table would cross-join at scale."""
+    for q, min_bhj in ((entry.q_q7_volume_shipping, 2), (entry.q_q8_market_share, 4)):
+        st = plan_stats(q(spark, SF))
+        assert st.nested_loop_joins == 0, f"{q.__name__} has a nested loop"
+        assert st.broadcast_hash_joins >= min_bhj, (
+            f"{q.__name__}: {st.broadcast_hash_joins} broadcast joins"
+        )
+
+
+def test_q4_semi_join_prunes_orders_first(spark, entry):
+    """The EXISTS shape: the quarter filter must reach the orders scan
+    (pruning before the semi-join shuffle), and the mixed equi+non-equi
+    condition must still plan as a hash/sort-merge semi join."""
+    st = plan_stats(entry.q_q4_order_priority(spark, SF))
+    assert st.nested_loop_joins == 0
+    assert any("o_orderdate" in f for f in st.pushed_filters)
+
+
+def test_q14_q19_part_broadcast(spark, entry):
+    """Fact-to-dim joins: part must be the broadcast build side — a
+    shuffled part join at 100 TB moves the lineitem fact for a
+    dim-sized table."""
+    for q in (entry.q_q14_promo_revenue, entry.q_q19_discount_revenue):
+        st = plan_stats(q(spark, SF))
+        assert st.nested_loop_joins == 0
+        assert st.broadcast_hash_joins >= 1, f"{q.__name__} shuffles the part join"
+
+
+def test_q18_aggregates_before_joining(spark, entry):
+    """The HAVING-subquery shape must aggregate lineitem FIRST — the
+    full fact table must never join orders/customer; only the few
+    hundred qualifying orders do. In the formatted plan the lineitem
+    scan feeds a HashAggregate below every join."""
+    p = plan_string(entry.q_q18_large_volume(spark, SF))
+    # map-side combine on the fact table
+    assert "partial_sum" in p, "lineitem aggregate lost its partial (map-side) phase"
+    # the >300 filter applies to the AGGREGATE's output (below the
+    # joins in the tree render: join index < filter index < agg index)
+    agg_idx = p.find("HashAggregate(keys=[l_orderkey")
+    filter_idx = p.find("> 300")
+    join_idx = p.find("Join")
+    assert 0 <= join_idx < filter_idx < agg_idx, (
+        "qualifying-order filter/aggregate no longer sit below the joins"
+    )
+    st = plan_stats(entry.q_q18_large_volume(spark, SF))
+    assert st.nested_loop_joins == 0
+
+
+def test_q22_scalar_broadcast_and_anti_join(spark, entry):
+    """The 1-row balance-threshold aggregate is the only legal
+    nested-loop side (broadcast, single row); the recent-orders
+    exclusion must be a proper anti join, not a subtraction scan."""
+    df = entry.q_q22_dormant_balance(spark, SF)
+    assert_no_cartesian(df, allow_broadcast_nested_loop=True)
+    p = plan_string(df)
+    assert "LeftAnti" in p or "left_anti" in p.lower()
+
+
+def test_neardup_survivors_no_cartesian(spark, entry):
+    """The end-to-end dedup pipeline inherits the LSH bucketed-join
+    shape: nothing in pairs -> components -> survivors may plan as a
+    cartesian product."""
+    assert_no_cartesian(
+        entry.q_dedup_neardup_survivors(spark, SF), allow_broadcast_nested_loop=True
+    )
