@@ -75,7 +75,9 @@ def connected_components(
 
     converged = False
     for _ in range(max_iter):
-        # (1) min label among neighbors
+        # (1) min label among neighbors; the round's STARTING label
+        # rides along as __old so convergence is checkable without a
+        # second join against the previous labels frame
         neighbor_min = (
             sym.join(labels, sym.b == labels[id_col])
             .groupBy(F.col("a").alias(id_col))
@@ -83,6 +85,7 @@ def connected_components(
         )
         propagated = labels.join(neighbor_min, id_col, "left").select(
             id_col,
+            F.col("component").alias("__old"),
             F.least(
                 F.col("component"), F.coalesce("nbr_min", F.col("component"))
             ).alias("component"),
@@ -93,28 +96,26 @@ def connected_components(
         lookup = propagated.select(
             F.col(id_col).alias("__cid"), F.col("component").alias("__cc")
         )
-        new_labels = (
-            propagated.join(lookup, propagated["component"] == F.col("__cid"), "left")
-            .select(
-                id_col,
-                F.least(
-                    F.col("component"), F.coalesce("__cc", F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
+        jumped = propagated.join(
+            lookup, propagated["component"] == F.col("__cid"), "left"
+        ).select(
+            id_col,
+            "__old",
+            F.least(
+                F.col("component"), F.coalesce("__cc", F.col("component"))
+            ).alias("component"),
         )
-        # convergence: any vertex whose label changed this round?
+        # ONE materialization pass per round: the eager checkpoint both
+        # truncates lineage and is the only full computation; the
+        # convergence probe then scans the checkpointed blocks (no
+        # shuffles, no recompute — previously this was a separate
+        # old-vs-new join that re-materialized the round's result)
+        snap = jumped.localCheckpoint(eager=True)
         changed = (
-            labels.select(id_col, F.col("component").alias("old"))
-            .join(new_labels, id_col)
-            .filter(F.col("old") != F.col("component"))
-            .limit(1)
-            .count()
+            snap.filter(F.col("__old") != F.col("component")).limit(1).count()
         )
         labels.unpersist()
-        labels = new_labels
-        # truncate lineage so the plan doesn't grow per iteration
-        labels = labels.localCheckpoint(eager=True)
+        labels = snap.select(id_col, "component")
         if changed == 0:
             converged = True
             break
