@@ -1411,6 +1411,23 @@ def q_quality_chunk_documents(spark, sf):
     return ops.chunk_documents(d, chunk_tokens=64, overlap=16)
 
 
+def q_dedup_passages(spark, sf):
+    """Sub-document exact dedup (CCNet paragraph-dedup analog over
+    32-token passages): corpus-wide first occurrence survives, docs
+    reassembled from surviving passages. Two-shuffle plan (hash-rank
+    window + per-doc reassembly)."""
+    d = _t(spark, sf, "documents")
+    return ops.passage_dedup(d, passage_tokens=32)
+
+
+def q_quality_unigram_logprob(spark, sf):
+    """Corpus-trained unigram LM score (KenLM-style quality filter
+    analog): per-doc mean ln P(token). Decimal-exact in-doc sums make
+    the score partitioning-independent and oracle-checkable."""
+    d = _t(spark, sf, "documents")
+    return ops.unigram_logprob(d)
+
+
 def q_sim_ivf_trained_topk(spark, sf):
     """Train-then-index composition: kmeans_fit centroids feed
     ivf_topk (nlist=8 from k=8, nprobe=2), judged by the same
@@ -1500,11 +1517,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     graph_connected_components, win_running_total, q3/q6/q10,
     quality_contamination, salted_count, sim_quantize_int8,
     sim_embedding_norms, and the minhash/simhash signature queries —
-    so the union of driver-green rows across r6+r7 covers all 92
-    registered queries (the 9 round-7 additions — the TPC-H expansion
-    battery q4/q7/q8/q13/q14/q18/q19/q22 and the end-to-end
-    dedup_neardup_survivors pipeline — enter in-window for their first
-    verdicts, displacing 9 r6-green unchanged family reps to the
+    so the union of driver-green rows across r6+r7 covers all 94
+    registered queries (the 11 round-7 additions — the TPC-H expansion
+    battery q4/q7/q8/q13/q14/q18/q19/q22, the end-to-end
+    dedup_neardup_survivors pipeline, sub-document dedup_passages,
+    and quality_unigram_logprob — enter in-window for their first
+    verdicts, displacing 11 r6-green unchanged family reps to the
     tail). Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
     zero-norm NaN drop touched cosine_neardup_pairs →
@@ -1519,7 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    92 registered queries (plus pytest and a bench smoke) and is the
+    94 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1541,7 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     registry = {
         # rotated IN: the 31 tail queries whose last driver verdict
-        # was r4/r5 — union(r6, r7) driver-green covers all 92
+        # was r4/r5 — union(r6, r7) driver-green covers all 94
         # (the round-7 quality_chunk_documents enters in-window)
         "etl_chunk_counts": q_etl_chunk_counts,
         "etl_normalize_nodes": q_etl_normalize_nodes,
@@ -1581,13 +1599,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
         "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
         "etl_dedup_pk": q_etl_dedup_pk,
-        # keeper: this round's bisect subject (load artifact, cleared)
-        "sim_ivf_topk": q_sim_ivf_topk,
         # keepers: family representatives so every operator family has
-        # a row in every round's driver window
+        # a row in every round's driver window (asof_join_events and
+        # sim_ivf_topk — both r6-green, code unchanged, the ivf bisect
+        # cleared as a load artifact — rotate to the tail to make room
+        # for the two newest operators below)
         "events_sessionize": q_events_sessionize,
-        "asof_join_events": q_asof_join_events,
         "quality_source_quota": q_quality_source_quota,
+        # NEW in round 7 (second batch): sub-document passage dedup +
+        # corpus-trained unigram LM scoring — first driver verdicts
+        "dedup_passages": q_dedup_passages,
+        "quality_unigram_logprob": q_quality_unigram_logprob,
         # NEW in round 7 — first driver verdicts pending, so in-window.
         # To make room, nine r6-driver-green family reps with unchanged
         # code rotate to the tail (q1_pricing_summary, etl_remap_j1,
@@ -1614,6 +1636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: >50 — rows green in the r6 driver window with
         # unchanged code, rotated out for one round; still
         # oracle-checked every round by tools/preflight.py ----
+        "asof_join_events": q_asof_join_events,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "q1_pricing_summary": q_q1_pricing_summary,
         "etl_remap_j1": q_etl_remap_j1,
         "etl_automap_j2": q_etl_automap_j2,
@@ -2990,6 +3014,55 @@ def oracle_sql() -> dict[str, str]:
                len(list_slice(toks, start + 1, start + 64))::INT AS n_tokens,
                array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
         FROM s
+    """
+
+    # Sub-document passage dedup: 32-token non-overlapping windows,
+    # corpus-wide first occurrence per passage hash survives, docs
+    # reassembled from surviving passages in position order.
+    sql["dedup_passages"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), nz AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), chunks AS (
+          SELECT doc_id, (start // 32)::BIGINT AS chunk_id,
+                 array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+          FROM (SELECT doc_id, toks, unnest(range(0, n, 32)) AS start FROM nz)
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) AS rn
+          FROM chunks
+        )
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS n_passages,
+               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               array_to_string(
+                 list_transform(
+                   list_sort(list({{'chunk_id': chunk_id, 'chunk_text': chunk_text}})
+                             FILTER (rn = 1)),
+                   x -> x.chunk_text),
+                 ' ') AS text_kept
+        FROM ranked GROUP BY doc_id
+    """
+
+    # Unigram LM score: per-token ln P rounded to 6 dp and summed as
+    # DECIMAL (order-independent exact sum = the Spark side's
+    # determinism contract), mean in double rounded to 6 dp.
+    sql["quality_unigram_logprob"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), vocab AS (
+          SELECT tok, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY tok
+        ), tot AS (
+          SELECT SUM(cnt)::BIGINT AS total FROM vocab
+        ), lp AS (
+          SELECT t.doc_id,
+                 ROUND(ln(v.cnt::DOUBLE / tot.total::DOUBLE), 6)::DECIMAL(18,6) AS lp
+          FROM toks t JOIN vocab v USING (tok), tot
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+               ROUND(SUM(lp)::DOUBLE / COUNT(*), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id
     """
 
     # k-means: 3 unrolled Lloyd's iterations (pagerank-style CTE chain;

@@ -79,6 +79,9 @@ HEADLINE = [
     "q19_discount_revenue",
     "q22_dormant_balance",
     "dedup_neardup_survivors",
+    # round-7: sub-document passage dedup + unigram LM scoring
+    "dedup_passages",
+    "quality_unigram_logprob",
 ]
 
 

@@ -455,3 +455,55 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    passage_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact dedup — the CCNet/RefinedWeb paragraph-dedup
+    stage, adapted to unstructured text: fixed NON-overlapping token
+    windows stand in for paragraphs (the corpus has no newline
+    structure). Every passage is hashed; a passage whose hash already
+    appeared earlier in the corpus — ordered by (doc id, passage
+    position) — is dropped, and each document is reassembled from its
+    surviving passages in order.
+
+    Output: (id_col, n_passages, n_kept, text_kept), one row per
+    non-empty document. A document consisting entirely of
+    already-seen passages survives with n_kept = 0 and empty text
+    (the caller filters, mirroring the reference pipelines where the
+    drop decision is a separate policy step).
+
+    Scale: two shuffles total — one window over the passage hash to
+    rank first-occurrences (partition count = corpus passages /
+    partition size, no skew because hashes are uniform), one group-by
+    to reassemble documents. Passages are bounded (``passage_tokens``)
+    so no row inflates; the reassembled text is at most the original.
+    Deterministic under any partitioning: ranking orders by
+    (id, passage position), reassembly sorts by position in-row."""
+    from .quality import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=passage_tokens, overlap=0, id_col=id_col, text_col=text_col
+    )
+    w = Window.partitionBy("__h").orderBy(id_col, "chunk_id")
+    ranked = chunks.withColumn("__h", F.md5("chunk_text")).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("chunk_id"), F.col("chunk_text"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )

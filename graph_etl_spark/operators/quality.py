@@ -511,3 +511,52 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained unigram language-model score — the KenLM-style
+    perplexity quality filter's simplest honest analog: P(t) =
+    count(t) / total over the WHOLE corpus, per-document score =
+    mean ln P(token). Low scores flag out-of-distribution documents
+    (the filtering signal CCNet/RedPajama derive from a real LM).
+
+    Output: (id_col, n_tokens, avg_logprob), one row per document
+    with at least one token.
+
+    Determinism: per-token ln P is rounded to 6 dp and summed as
+    DECIMAL — an order-independent exact sum — so any partitioning
+    (and a SQL oracle) produces bit-identical scores; only the final
+    mean is a double.
+
+    Scale: two aggregations (vocabulary counts, then the per-doc
+    mean) plus broadcast joins of the vocabulary and the 1-row total.
+    The natural-text vocabulary is ~millions of rows — broadcastable;
+    for a web-scale token universe swap the vocabulary join to a
+    shuffled hash join (same semantics, one extra exchange on tok)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("__lp"),
+        )
+    )
+    return lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("__lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )

@@ -263,3 +263,69 @@ def test_read_table_and_queries_are_conf_neutral(spark, sf_dir):
     out = em.queries()["date_funcs"](host, sf_dir)
     assert {k: host.conf.get(k, None) for k in keys} == before
     assert out.limit(3).count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# round-7: sub-document passage dedup + unigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_passage_dedup_drops_repeated_passages(spark):
+    """A passage repeated across docs survives only at its first
+    corpus position (doc_id, chunk_id order); within-doc repeats are
+    deduped too; unique text is untouched."""
+    from graph_etl_spark.operators import passage_dedup
+
+    shared = " ".join(f"w{i}" for i in range(4))  # one 4-token passage
+    uniq_a = " ".join(f"a{i}" for i in range(4))
+    uniq_b = " ".join(f"b{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} {uniq_a}"),          # first occurrence: keeps both
+            (2, f"{shared} {uniq_b}"),          # shared passage dropped
+            (3, f"{shared} {shared}"),          # all passages already seen
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(df, passage_tokens=4).collect()
+    }
+    assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_kept"] == f"{shared} {uniq_a}"
+    assert out[2]["n_kept"] == 1 and out[2]["text_kept"] == uniq_b
+    assert out[3]["n_kept"] == 0 and out[3]["text_kept"] == ""
+
+
+def test_passage_dedup_partitioning_invariant(spark):
+    """Survivor choice is (doc_id, chunk_id)-ordered, not
+    partition-ordered: a 1-partition and a 16-partition run agree."""
+    from graph_etl_spark.operators import passage_dedup
+
+    rows = [(i, " ".join(f"t{(i * 7 + j) % 9}" for j in range(12))) for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    df16 = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    a = sorted(map(tuple, passage_dedup(df1, passage_tokens=4).collect()))
+    b = sorted(map(tuple, passage_dedup(df16, passage_tokens=4).collect()))
+    assert a == b
+
+
+def test_unigram_logprob_known_values(spark):
+    """Hand-checked corpus: 4 'a', 2 'b', 2 'c' (total 8). ln P:
+    a=-0.693147, b=c=-1.386294."""
+    import math
+
+    from graph_etl_spark.operators import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a c"), (3, "b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    lp_a = round(math.log(4 / 8), 6)
+    lp_bc = round(math.log(2 / 8), 6)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == round((2 * lp_a + lp_bc) / 3, 6)
+    assert out[3]["avg_logprob"] == round(lp_bc, 6)
+    # rare tokens score lower (the filtering signal)
+    assert out[3]["avg_logprob"] < out[1]["avg_logprob"]

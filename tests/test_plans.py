@@ -297,3 +297,21 @@ def test_neardup_survivors_no_cartesian(spark, entry):
     assert_no_cartesian(
         entry.q_dedup_neardup_survivors(spark, SF), allow_broadcast_nested_loop=True
     )
+
+
+def test_passage_dedup_two_shuffles(spark, entry):
+    """Passage dedup must stay at its designed two exchanges (hash-rank
+    window + per-doc reassembly) with no join at all — the chunking and
+    hashing are map-side."""
+    st = plan_stats(entry.q_dedup_passages(spark, SF))
+    assert st.joins == 0
+    assert st.exchanges <= 2, f"{st.exchanges} exchanges; designed for 2"
+
+
+def test_unigram_logprob_vocab_broadcast(spark, entry):
+    """The vocabulary and 1-row total must join back as broadcasts —
+    a shuffled vocab join would re-shuffle the full exploded token
+    stream at 100 TB."""
+    st = plan_stats(entry.q_quality_unigram_logprob(spark, SF))
+    assert st.sort_merge_joins == 0
+    assert st.broadcast_hash_joins >= 1
