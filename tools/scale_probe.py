@@ -194,6 +194,22 @@ def main() -> None:
         "source_quota_cap_megadomain": lambda d: ops.source_quota_cap(
             d.withColumn("source", F.lit("the-one-domain.example")), cap=10
         ),
+        # r7: sub-document dedup — the hash-rank window partitions by
+        # passage hash (uniform) and reassembly by doc id; both
+        # shuffles are data-sized, so the ratio must stay near-linear
+        "passage_dedup": lambda d: ops.passage_dedup(d, passage_tokens=32),
+        # r7: unigram LM — the disjoint per-copy token sets grow the
+        # vocabulary ~Nx with the corpus (the broadcast join's worst
+        # growth direction); the per-doc mean agg is data-sized
+        "unigram_logprob": lambda d: ops.unigram_logprob(d),
+        # r7: full dedup pipeline incl. connected components — the
+        # pair graph stays copy-local (disjoint tokens), so CC round
+        # count is constant and the ratio probes the per-round scans
+        "neardup_survivors": lambda d: ops.dedup_clusters(
+            ops.minhash_lsh_pairs(d, num_perm=16, bands=8), d.select("doc_id")
+        )
+        .groupBy(F.col("cluster_id").alias("survivor_id"))
+        .agg(F.count(F.lit(1)).alias("n_members")),
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
