@@ -1428,6 +1428,48 @@ def q_quality_unigram_logprob(spark, sf):
     return ops.unigram_logprob(d)
 
 
+def q_pipeline_corpus_assembly(spark, sf):
+    """End-to-end training-corpus assembly — the flow a data pipeline
+    runs nightly, as ONE declarative plan spanning four operator
+    families: near-dup dedup (minhash LSH pairs → CC → canonical
+    survivors) → token-count admission filter → embedding join →
+    int8 quantization scale. One row per admitted canonical document
+    with its language, token count, and per-vector quantization
+    scale — the manifest a downstream trainer consumes."""
+    from graph_etl_spark.operators.text import tokens_col
+
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+    pairs = ops.minhash_lsh_pairs(d, num_perm=16, bands=8)
+    clusters = ops.dedup_clusters(pairs, d.select("doc_id"))
+    survivors = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    docs = d.select(
+        "doc_id", "lang", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    vec = (
+        e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            ).alias("__amax"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.when(F.col("__amax") > 0, F.lit(127.0) / F.col("__amax")).otherwise(
+                    F.lit(1.0)
+                ),
+                6,
+            ).alias("q_scale"),
+        )
+    )
+    return (
+        survivors.join(docs, "doc_id")
+        .filter(F.col("n_tokens") >= 20)
+        .join(vec, "doc_id")
+    )
+
+
 def q_sim_ivf_trained_topk(spark, sf):
     """Train-then-index composition: kmeans_fit centroids feed
     ivf_topk (nlist=8 from k=8, nprobe=2), judged by the same
@@ -1517,12 +1559,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     graph_connected_components, win_running_total, q3/q6/q10,
     quality_contamination, salted_count, sim_quantize_int8,
     sim_embedding_norms, and the minhash/simhash signature queries —
-    so the union of driver-green rows across r6+r7 covers all 94
-    registered queries (the 11 round-7 additions — the TPC-H expansion
+    so the union of driver-green rows across r6+r7 covers all 95
+    registered queries (the 12 round-7 additions — the TPC-H expansion
     battery q4/q7/q8/q13/q14/q18/q19/q22, the end-to-end
     dedup_neardup_survivors pipeline, sub-document dedup_passages,
-    and quality_unigram_logprob — enter in-window for their first
-    verdicts, displacing 11 r6-green unchanged family reps to the
+    quality_unigram_logprob, and the pipeline_corpus_assembly manifest — enter in-window for their first
+    verdicts, displacing 12 r6-green unchanged family reps to the
     tail). Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
     zero-norm NaN drop touched cosine_neardup_pairs →
@@ -1537,7 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    94 registered queries (plus pytest and a bench smoke) and is the
+    95 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1559,7 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     registry = {
         # rotated IN: the 31 tail queries whose last driver verdict
-        # was r4/r5 — union(r6, r7) driver-green covers all 94
+        # was r4/r5 — union(r6, r7) driver-green covers all 95
         # (the round-7 quality_chunk_documents enters in-window)
         "etl_chunk_counts": q_etl_chunk_counts,
         "etl_normalize_nodes": q_etl_normalize_nodes,
@@ -1605,11 +1647,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cleared as a load artifact — rotate to the tail to make room
         # for the two newest operators below)
         "events_sessionize": q_events_sessionize,
-        "quality_source_quota": q_quality_source_quota,
-        # NEW in round 7 (second batch): sub-document passage dedup +
-        # corpus-trained unigram LM scoring — first driver verdicts
+        # NEW in round 7 (second batch): sub-document passage dedup,
+        # corpus-trained unigram LM scoring, and the four-family
+        # corpus-assembly manifest — first driver verdicts
+        # (quality_source_quota, r6-green unchanged, rotates to the
+        # tail for the third slot)
         "dedup_passages": q_dedup_passages,
         "quality_unigram_logprob": q_quality_unigram_logprob,
+        "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
         # To make room, nine r6-driver-green family reps with unchanged
         # code rotate to the tail (q1_pricing_summary, etl_remap_j1,
@@ -1638,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked every round by tools/preflight.py ----
         "asof_join_events": q_asof_join_events,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "quality_source_quota": q_quality_source_quota,
         "q1_pricing_summary": q_q1_pricing_summary,
         "etl_remap_j1": q_etl_remap_j1,
         "etl_automap_j2": q_etl_automap_j2,
@@ -2446,6 +2492,53 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cluster_id AS survivor_id, COUNT(*)::BIGINT AS n_members
         FROM assign GROUP BY cluster_id
+    """
+
+    # Corpus-assembly manifest: the same component closure, then
+    # survivors (cluster_id = own id) x token filter x embedding
+    # quantization scale (the sim_quantize_int8 scale law).
+    sql["pipeline_corpus_assembly"] = f"""
+        WITH RECURSIVE pairs AS (
+          WITH sh AS (SELECT doc_id, {_sh} AS sh FROM documents),
+          hs AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs FROM sh),
+          sigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM hs),
+          banded AS (
+            SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                   unnest([{band_exprs}]) AS band_hash
+            FROM sigs
+          )
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ), sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+        ), assign AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+          FROM documents d
+          LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+            ON d.doc_id = c.id
+        ), survivors AS (
+          SELECT doc_id FROM assign WHERE cluster_id = doc_id
+        ), docs AS (
+          SELECT doc_id, lang, len({_TOKS})::INT AS n_tokens FROM documents
+        ), vec AS (
+          SELECT vec_id AS doc_id,
+                 ROUND(CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END, 6) AS q_scale
+          FROM (SELECT vec_id,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+                FROM embeddings)
+        )
+        SELECT d.doc_id, d.lang, d.n_tokens, v.q_scale
+        FROM survivors s
+        JOIN docs d ON s.doc_id = d.doc_id
+        JOIN vec v ON s.doc_id = v.doc_id
+        WHERE d.n_tokens >= 20
     """
 
     vote = lambda b: (  # noqa: E731

@@ -79,9 +79,11 @@ HEADLINE = [
     "q19_discount_revenue",
     "q22_dormant_balance",
     "dedup_neardup_survivors",
-    # round-7: sub-document passage dedup + unigram LM scoring
+    # round-7: sub-document passage dedup + unigram LM scoring + the
+    # four-family corpus-assembly manifest
     "dedup_passages",
     "quality_unigram_logprob",
+    "pipeline_corpus_assembly",
 ]
 
 

@@ -315,3 +315,13 @@ def test_unigram_logprob_vocab_broadcast(spark, entry):
     st = plan_stats(entry.q_quality_unigram_logprob(spark, SF))
     assert st.sort_merge_joins == 0
     assert st.broadcast_hash_joins >= 1
+
+
+def test_corpus_assembly_no_cartesian(spark, entry):
+    """The four-family assembly plan must keep every join keyed
+    (survivors/docs/vec all equi-join on doc_id) — no cartesian
+    anywhere, no nested loop beyond a broadcast 1-row side."""
+    df = entry.q_pipeline_corpus_assembly(spark, SF)
+    assert_no_cartesian(df, allow_broadcast_nested_loop=True)
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0
