@@ -1420,6 +1420,17 @@ def q_dedup_passages(spark, sf):
     return ops.passage_dedup(d, passage_tokens=32)
 
 
+def q_dedup_span_scrub(spark, sf):
+    """Exact duplicate-SPAN removal (Lee et al. 2022 substring-dedup
+    analog): every overlapping 8-token gram is position-hashed; grams
+    seen earlier in (doc_id, pos) order mark their token range for
+    removal, so one copy of each duplicated span survives corpus-wide
+    at ANY offset (vs passage_dedup's fixed windows). Output reports
+    merged removed-interval counts and the scrubbed text."""
+    d = _t(spark, sf, "documents")
+    return ops.dup_span_scrub(d, span_tokens=8)
+
+
 def q_quality_unigram_logprob(spark, sf):
     """Corpus-trained unigram LM score (KenLM-style quality filter
     analog): per-doc mean ln P(token). Decimal-exact in-doc sums make
@@ -1653,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (quality_source_quota, r6-green unchanged, rotates to the
         # tail for the third slot)
         "dedup_passages": q_dedup_passages,
+        "dedup_span_scrub": q_dedup_span_scrub,
         "quality_unigram_logprob": q_quality_unigram_logprob,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
@@ -3136,6 +3148,43 @@ def oracle_sql() -> dict[str, str]:
                    x -> x.chunk_text),
                  ' ') AS text_kept
         FROM ranked GROUP BY doc_id
+    """
+
+    # Duplicate-span scrub: overlapping 8-gram position hashes, global
+    # first occurrence per hash (doc_id, pos order) survives, covered
+    # token ranges removed; n_dup_spans counts MERGED intervals
+    # (covered position whose predecessor is uncovered). coalesce('')
+    # because DuckDB array_to_string(empty) is NULL, Spark's is ''.
+    sql["dedup_span_scrub"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKS} AS tk, len({_TOKS}) AS n FROM documents
+        ), grams AS (
+          SELECT doc_id, i AS pos,
+                 md5(array_to_string(list_slice(tk, i+1, i+8), ' ')) AS h
+          FROM base, unnest(range(0, n - 8 + 1)) AS t(i)
+          WHERE n >= 8
+        ), ranked AS (
+          SELECT doc_id, pos, row_number() OVER (
+            PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM grams
+        ), rem AS (
+          SELECT doc_id, list_sort(list(pos)) AS starts
+          FROM ranked WHERE rn > 1 GROUP BY doc_id
+        ), cvt AS (
+          SELECT b.doc_id, b.tk, b.n,
+            list_transform(range(1, b.n+1), i ->
+              len(list_filter(coalesce(r.starts, CAST([] AS BIGINT[])),
+                              s -> i-1 >= s AND i-1 < s + 8)) > 0) AS cv
+          FROM base b LEFT JOIN rem r USING (doc_id)
+        )
+        SELECT doc_id, n AS n_tokens,
+          CAST(len(list_filter(cv, c -> c)) AS BIGINT) AS n_removed,
+          CAST(len(list_filter(range(1, n+1),
+               i -> cv[i] AND (i = 1 OR NOT cv[i-1]))) AS BIGINT) AS n_dup_spans,
+          coalesce(array_to_string(list_transform(
+            list_filter(range(1, n+1), i -> NOT cv[i]), i -> tk[i]), ' '), '')
+            AS text_clean
+        FROM cvt
     """
 
     # Unigram LM score: per-token ln P rounded to 6 dp and summed as

@@ -507,3 +507,107 @@ def passage_dedup(
             " ",
         ).alias("text_kept"),
     )
+
+
+def dup_span_scrub(
+    df: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-SPAN removal — the suffix-array substring-dedup
+    stage of modern pretraining pipelines (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed for Spark: instead of a global suffix array, every
+    overlapping ``span_tokens``-gram is hashed with its position; a
+    gram whose hash already occurred earlier in the corpus — ordered
+    by (doc id, token position) — marks its token range for removal,
+    so exactly ONE copy of every duplicated span survives corpus-wide
+    (the first), and removal happens at sub-document granularity
+    (unlike ``passage_dedup``'s fixed windows, spans at ANY offset are
+    caught).
+
+    Output: (id_col, n_tokens, n_removed, n_dup_spans, text_clean),
+    one row per input document. ``n_dup_spans`` counts MERGED removed
+    intervals (overlapping/adjacent duplicated grams coalesce into one
+    span); ``text_clean`` is the document with covered tokens deleted.
+
+    Physical shape: the gram explode is per-row JVM array expressions
+    (map-only); the ONLY shuffles are the first-occurrence window on
+    the gram hash (uniform md5 keys — no skew beyond genuinely
+    mega-duplicated spans, where the within-partition sort is the
+    cost and a min_by-aggregate + join rewrite is the remedy) and the
+    per-document regroup of removed starts. Coverage/reassembly is
+    again per-row array logic: O(n_tokens × removed_starts) per doc,
+    bounded because removed starts ≤ n_tokens.
+
+    Determinism: global first-occurrence order is (id, pos) — stable
+    under any partitioning; md5 gram hashes match the DuckDB oracle
+    exactly.
+    """
+    k = span_tokens
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+
+    grams = (
+        base.filter(F.col("__n") >= k)
+        .select(
+            id_col,
+            F.col("__toks"),
+            F.explode(F.sequence(F.lit(0), F.col("__n") - k)).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.array_join(F.slice("__toks", F.col("pos") + 1, k), " ")).alias(
+                "__h"
+            ),
+        )
+    )
+    w = Window.partitionBy("__h").orderBy(id_col, "pos")
+    removed = (
+        grams.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
+    )
+
+    n = F.col("__n")
+    cv = F.col("__cv")
+    covered = base.join(removed, id_col, "left").select(
+        id_col,
+        "__toks",
+        "__n",
+        F.transform(
+            F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.exists(
+                F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+                lambda s: (i - 1 >= s) & (i - 1 < s + k),
+            ),
+        ).alias("__cv"),
+    )
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+    return covered.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.size(F.filter(cv, lambda c: c)).cast("long").alias("n_removed"),
+        F.size(
+            F.filter(
+                idx,
+                lambda i: F.element_at(cv, i)
+                & ((i == 1) | ~F.coalesce(F.element_at(cv, i - 1), F.lit(False))),
+            )
+        )
+        .cast("long")
+        .alias("n_dup_spans"),
+        F.array_join(
+            F.transform(
+                F.filter(idx, lambda i: ~F.element_at(cv, i)),
+                lambda i: F.element_at(F.col("__toks"), i),
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

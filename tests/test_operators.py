@@ -329,3 +329,81 @@ def test_unigram_logprob_known_values(spark):
     assert out[3]["avg_logprob"] == round(lp_bc, 6)
     # rare tokens score lower (the filtering signal)
     assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
+
+
+# ---------------------------------------------------------------------------
+# round-7 (cont.): duplicate-span scrub
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_scrub_removes_later_copies(spark):
+    """A 4-token span shared by three docs survives only in doc 1;
+    later copies are removed at ANY offset (doc 3 carries it
+    mid-document). Unique text is untouched."""
+    from graph_etl_spark.operators import dup_span_scrub
+
+    span = "w0 w1 w2 w3"
+    df = spark.createDataFrame(
+        [
+            (1, f"{span} alpha beta"),            # first occurrence: kept whole
+            (2, f"{span} gamma delta"),           # span at offset 0 removed
+            (3, f"pre1 pre2 {span} post1 post2"), # span mid-doc removed
+            (4, "u0 u1 u2 u3 u4"),                # no dups at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_scrub(df, span_tokens=4).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text_clean"] == f"{span} alpha beta"
+    assert out[2]["n_removed"] == 4 and out[2]["n_dup_spans"] == 1
+    assert out[2]["text_clean"] == "gamma delta"
+    assert out[3]["n_removed"] == 4 and out[3]["n_dup_spans"] == 1
+    assert out[3]["text_clean"] == "pre1 pre2 post1 post2"
+    assert out[4]["n_removed"] == 0 and out[4]["text_clean"] == "u0 u1 u2 u3 u4"
+
+
+def test_dup_span_scrub_merges_overlapping_grams(spark):
+    """A duplicated run longer than span_tokens yields overlapping
+    duplicated grams that coalesce into ONE merged span covering the
+    whole run — n_dup_spans counts intervals, not grams."""
+    from graph_etl_spark.operators import dup_span_scrub
+
+    run = " ".join(f"r{i}" for i in range(6))  # 6-token duplicated run
+    df = spark.createDataFrame(
+        [(1, run), (2, f"x0 {run} x1")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_scrub(df, span_tokens=4).collect()}
+    # doc 2: grams at pos 1,2,3 are dups -> covered tokens 1..8 merge to 1 span
+    assert out[2]["n_dup_spans"] == 1
+    assert out[2]["n_removed"] == 6
+    assert out[2]["text_clean"] == "x0 x1"
+
+
+def test_dup_span_scrub_short_and_empty_docs(spark):
+    """Docs shorter than span_tokens produce no grams and survive
+    unchanged; an empty doc yields an empty clean text, not an error."""
+    from graph_etl_spark.operators import dup_span_scrub
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_scrub(df, span_tokens=4).collect()}
+    assert out[1]["text_clean"] == "a b" and out[1]["n_removed"] == 0
+    assert out[2]["n_tokens"] == 0 and out[2]["text_clean"] == ""
+    assert out[3]["text_clean"] == "a b"  # too short to gram -> kept
+
+
+def test_dup_span_scrub_partitioning_invariant(spark):
+    """First-occurrence choice is (doc_id, pos)-ordered, not
+    partition-ordered: 1-partition and 16-partition runs agree."""
+    from graph_etl_spark.operators import dup_span_scrub
+
+    rows = [
+        (i, " ".join(f"t{(i * 5 + j) % 7}" for j in range(15))) for i in range(30)
+    ]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    df16 = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    a = sorted(map(tuple, dup_span_scrub(df1, span_tokens=4).collect()))
+    b = sorted(map(tuple, dup_span_scrub(df16, span_tokens=4).collect()))
+    assert a == b
