@@ -1431,6 +1431,32 @@ def q_dedup_span_scrub(spark, sf):
     return ops.dup_span_scrub(d, span_tokens=8)
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental (nightly-crawl) dedup: vet a NEW batch against the
+    EXISTING indexed corpus. Index = doc_id % 3 != 0; batch = the rest
+    plus planted copies (3 index re-crawls -> exact_index, 3
+    within-batch dupes at higher ids -> exact_batch) so every verdict
+    path is exercised. Near-dup = shared MinHash LSH band bucket with
+    an index doc — semi-join shaped, no pair generation."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    idx = d.filter(did % 3 != 0)
+    bat = (
+        d.filter(did % 3 == 0)
+        .unionByName(
+            d.filter((did % 3 != 0) & (did < 5)).select(
+                (did + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter((did % 3 == 0) & (did < 7)).select(
+                (did + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return ops.incremental_dedup(idx, bat)
+
+
 def q_quality_unigram_logprob(spark, sf):
     """Corpus-trained unigram LM score (KenLM-style quality filter
     analog): per-doc mean ln P(token). Decimal-exact in-doc sums make
@@ -1665,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail for the third slot)
         "dedup_passages": q_dedup_passages,
         "dedup_span_scrub": q_dedup_span_scrub,
+        "dedup_incremental": q_dedup_incremental,
         "quality_unigram_logprob": q_quality_unigram_logprob,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
@@ -3185,6 +3212,62 @@ def oracle_sql() -> dict[str, str]:
             list_filter(range(1, n+1), i -> NOT cv[i]), i -> tk[i]), ' '), '')
             AS text_clean
         FROM cvt
+    """
+
+    # Incremental dedup: batch-vs-index verdicts. Same normalized
+    # content hash as dedup_exact_groups, same minhash/band contract
+    # as dedup_minhash_lsh_pairs (mh_list/band_exprs above), semi-join
+    # existence instead of pair generation.
+    sql["dedup_incremental"] = f"""
+        WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        bat AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id < 5
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+          WHERE doc_id % 3 = 0 AND doc_id < 7
+        ),
+        ih AS (SELECT DISTINCT
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS bh
+               FROM idx),
+        bhh AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS bh
+                FROM bat),
+        brn AS (SELECT doc_id, bh,
+                  row_number() OVER (PARTITION BY bh ORDER BY doc_id) AS rn
+                FROM bhh),
+        i_sigs AS (
+          SELECT doc_id, [{mh_list}] AS minhash FROM (
+            SELECT doc_id,
+                   list_transform({_sh}, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs
+            FROM idx)
+        ),
+        b_sigs AS (
+          SELECT doc_id, [{mh_list}] AS minhash FROM (
+            SELECT doc_id,
+                   list_transform({_sh}, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs
+            FROM bat)
+        ),
+        ibanded AS (
+          SELECT DISTINCT band_idx, band_hash FROM (
+            SELECT unnest(generate_series(0, 7)) AS band_idx,
+                   unnest([{band_exprs}]) AS band_hash FROM i_sigs)
+        ),
+        bbanded AS (
+          SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                 unnest([{band_exprs}]) AS band_hash FROM b_sigs
+        ),
+        near AS (SELECT DISTINCT b.doc_id
+                 FROM bbanded b JOIN ibanded i USING (band_idx, band_hash))
+        SELECT r.doc_id,
+          CASE WHEN i.bh IS NOT NULL THEN 'exact_index'
+               WHEN r.rn > 1 THEN 'exact_batch'
+               WHEN n.doc_id IS NOT NULL THEN 'near_index'
+               ELSE 'kept' END AS verdict
+        FROM brn r LEFT JOIN ih i ON r.bh = i.bh
+        LEFT JOIN near n ON r.doc_id = n.doc_id
     """
 
     # Unigram LM score: per-token ln P rounded to 6 dp and summed as

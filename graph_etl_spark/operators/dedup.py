@@ -179,24 +179,17 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def _banded(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 16,
-    bands: int = 4,
-    shingle_n: int = 3,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH over the MinHash
-    signature: docs sharing any band hash become a candidate pair.
-
-    Scale: explode to (doc, band) — a constant ×bands blowup — then ONE
-    shuffle groups each (band_idx, band_hash) bucket and pairs are
-    generated inside the bucket with array expressions (no self-join,
-    so the signature pipeline is computed exactly once). LSH buckets
-    are small by design; a pathological giant bucket means the corpus
-    is near-identical and pairwise output is inherently quadratic.
-    """
+    """(id, band_idx, band_hash) — the banded-LSH bucket keys over the
+    MinHash signature, shared by the pair generator and the
+    incremental (batch-vs-index) path."""
     rows_per_band = num_perm // bands
     sig = minhash_signature(df, text_col, id_col, num_perm, shingle_n)
     band_arr = F.array(
@@ -216,9 +209,30 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(id_col, F.explode(band_arr).alias("band")).select(
+    return sig.select(id_col, F.explode(band_arr).alias("band")).select(
         id_col, "band.band_idx", "band.band_hash"
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over the MinHash
+    signature: docs sharing any band hash become a candidate pair.
+
+    Scale: explode to (doc, band) — a constant ×bands blowup — then ONE
+    shuffle groups each (band_idx, band_hash) bucket and pairs are
+    generated inside the bucket with array expressions (no self-join,
+    so the signature pipeline is computed exactly once). LSH buckets
+    are small by design; a pathological giant bucket means the corpus
+    is near-identical and pairwise output is inherently quadratic.
+    """
+    banded = _banded(df, text_col, id_col, num_perm, bands, shingle_n)
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -610,4 +624,73 @@ def dup_span_scrub(
             ),
             " ",
         ).alias("text_clean"),
+    )
+
+
+def incremental_dedup(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the nightly-crawl stage of
+    a training-data pipeline: vet a NEW batch of documents against an
+    EXISTING indexed corpus without re-deduping the corpus itself.
+    Every batch doc gets a verdict, first match wins:
+
+    - ``exact_index``: normalized content hash already in the index,
+    - ``exact_batch``: an earlier batch doc (smaller id) has the same
+      content hash — within-batch exact keep-first,
+    - ``near_index``: shares at least one MinHash LSH band bucket with
+      an index doc (banded candidate semantics, same signature
+      contract as ``minhash_lsh_pairs``),
+    - ``kept``: admit to the corpus.
+
+    Within-batch NEAR-dup is deliberately out of scope (run the full
+    pair pipeline over admitted docs for that); this operator's
+    contract is batch-vs-index.
+
+    Output: (id_col, verdict), one row per batch document.
+
+    Scale: everything is hash-equi semi-join shaped — no pair
+    generation at all, so no quadratic blowup even for mega-buckets:
+    the index side reduces to DISTINCT content hashes and DISTINCT
+    (band_idx, band_hash) bucket keys (both partial-aggregated
+    map-side), and the batch probes them with left-semi joins that AQE
+    can broadcast when the daily batch is small relative to the index.
+    The within-batch window shuffles only the batch.
+    """
+    bh = F.md5(normalized_text(F.col(text_col)))
+
+    index_hashes = index_df.select(bh.alias("__bh")).distinct().withColumn(
+        "__in_index", F.lit(True)
+    )
+    batch_h = batch_df.select(F.col(id_col), F.col(text_col), bh.alias("__bh"))
+    w = Window.partitionBy("__bh").orderBy(id_col)
+    flagged = (
+        batch_h.withColumn("__rn", F.row_number().over(w))
+        .join(index_hashes, "__bh", "left")
+    )
+
+    index_buckets = _banded(
+        index_df, text_col, id_col, num_perm, bands, shingle_n
+    ).select("band_idx", "band_hash").distinct()
+    near_ids = (
+        _banded(batch_df, text_col, id_col, num_perm, bands, shingle_n)
+        .join(index_buckets, ["band_idx", "band_hash"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+
+    return flagged.join(near_ids, id_col, "left").select(
+        id_col,
+        F.when(F.col("__in_index"), F.lit("exact_index"))
+        .when(F.col("__rn") > 1, F.lit("exact_batch"))
+        .when(F.col("__near"), F.lit("near_index"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
     )

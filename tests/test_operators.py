@@ -407,3 +407,47 @@ def test_dup_span_scrub_partitioning_invariant(spark):
     a = sorted(map(tuple, dup_span_scrub(df1, span_tokens=4).collect()))
     b = sorted(map(tuple, dup_span_scrub(df16, span_tokens=4).collect()))
     assert a == b
+
+
+def test_incremental_dedup_verdict_priority(spark):
+    """Each verdict path: an index re-crawl is exact_index (even
+    though it also near-matches), a within-batch dup of a kept doc is
+    exact_batch, a doc sharing 3-gram shingles with an index doc but
+    not its exact hash is near_index, and novel text is kept."""
+    from graph_etl_spark.operators import incremental_dedup
+
+    idx_text = " ".join(f"i{j}" for j in range(12))
+    novel = " ".join(f"n{j}" for j in range(12))
+    near = " ".join(f"i{j}" for j in range(12)) + " extra trailing tokens"
+    index = spark.createDataFrame([(1, idx_text)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (10, idx_text),   # exact_index
+            (11, novel),      # kept (first occurrence in batch)
+            (12, novel),      # exact_batch (same hash, higher id)
+            (13, near),       # near_index (shares shingles/bands with idx)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["verdict"] for r in incremental_dedup(index, batch).collect()}
+    assert out[10] == "exact_index"
+    assert out[11] == "kept"
+    assert out[12] == "exact_batch"
+    assert out[13] == "near_index"
+
+
+def test_incremental_dedup_normalized_hash(spark):
+    """Exact match is over NORMALIZED text (case/whitespace folded),
+    matching exact_dedup's contract."""
+    from graph_etl_spark.operators import incremental_dedup
+
+    index = spark.createDataFrame(
+        [(1, "Hello   World From The Index Corpus Today")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "hello world from the index corpus today")],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(index, batch).collect()
+    assert out[0]["verdict"] == "exact_index"
