@@ -1531,6 +1531,89 @@ def q_sim_ivf_trained_topk(spark, sf):
     )
 
 
+def q_sim_pq_codebooks(spark, sf):
+    """Product-quantization codebooks (m=4 subspaces × 8 codes, 2
+    fused Lloyd iterations): the trained (subspace, code, pos, value)
+    components, hash-exact against a 4-chain unrolled DuckDB oracle
+    under the kmeans determinism contract (round-6 distances, code
+    tiebreak, round-6 components, empty-code carry-forward)."""
+    e = _t(spark, sf, "embeddings")
+    books = ops.pq_train(e, m=4, k_codes=8, max_iter=2)
+    return books.select(
+        "subspace", "code", F.posexplode("cvec").alias("pos", "value")
+    )
+
+
+def q_sim_pq_codes(spark, sf):
+    """PQ encode: every vector compressed to its 4 per-subspace code
+    ids — a zero-shuffle literal-codebook argmin projection. The codes
+    list is hash-exact against the oracle's per-subspace argmin over
+    the same unrolled codebooks (array fingerprinted to md5 + scalar
+    probes, the signature-query convention)."""
+    e = _t(spark, sf, "embeddings")
+    books = ops.pq_train(e, m=4, k_codes=8, max_iter=2)
+    enc = ops.pq_encode(e, books)
+    return enc.select(
+        "vec_id",
+        F.md5(
+            F.array_join(F.transform("codes", lambda x: x.cast("string")), ",")
+        ).alias("codes_fp"),
+        F.element_at("codes", 1).alias("code_0"),
+        F.element_at("codes", 4).alias("code_3"),
+    )
+
+
+def q_sim_pq_refine_topk(spark, sf):
+    """PQ shortlist-then-refine ANN (the production query path: O(m)
+    ADC winnow to 100 candidates, exact L2 re-rank of only those),
+    judged by a recall verdict vs the exact L2 top-k — measured
+    0.84 (sf0.01) / 0.74 (sf0.1) recall@5, asserted >= 0.5."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    k = 5
+    books = ops.pq_train(e, m=4, k_codes=16, max_iter=2)
+    ref = ops.pq_refine_topk(e, q, books, k=k, shortlist=100).select(
+        "query_id", "neighbor_id"
+    )
+    # exact squared-L2 top-k reference, same tiebreak contract
+    d = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__dv"),
+    )
+    qq = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__qv"),
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("__qv", "__dv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        d.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("l2_dist", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = ref.join(exact, ["query_id", "neighbor_id"], "inner").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    total = 10 * k
+    return hits.select(
+        F.lit(10).alias("n_queries"),
+        F.lit(k).alias("k"),
+        (F.col("n_hits") >= F.lit(int(0.5 * total))).alias("recall_ok"),
+    )
+
+
 def q_sim_kmeans_assign(spark, sf):
     """Semantic-shard report: train (k=4, 2 iters), assign every vector
     to its nearest centroid, aggregate shard sizes and tightness per
@@ -1692,6 +1775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": q_dedup_passages,
         "dedup_span_scrub": q_dedup_span_scrub,
         "dedup_incremental": q_dedup_incremental,
+        "sim_pq_codebooks": q_sim_pq_codebooks,
+        "sim_pq_codes": q_sim_pq_codes,
+        "sim_pq_refine_topk": q_sim_pq_refine_topk,
         "quality_unigram_logprob": q_quality_unigram_logprob,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
@@ -2824,6 +2910,90 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(dist), 4) AS avg_dist
         FROM asn JOIN embeddings e USING (vec_id)
         GROUP BY cent_id, e.label
+    """
+
+    # Product quantization: 4 per-subspace kmeans chains (2 unrolled
+    # Lloyd iterations each over list_slice sub-vectors), same
+    # determinism contract as the kmeans oracles. Codes are the seed
+    # rank (row_number over ascending vec_id, 0-based); codebooks
+    # union the 4 final frames; encode is one more argmin pass per
+    # subspace against them.
+    pq_chains = []
+    for s in range(4):
+        lo, hi = s * 16 + 1, (s + 1) * 16
+        pq_chains.append(f"""v{s} AS MATERIALIZED (
+          SELECT vec_id, list_slice(vec, {lo}, {hi}) AS sub FROM v
+        ), c{s}_0 AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, sub AS cvec
+          FROM (SELECT vec_id, sub FROM v{s} ORDER BY vec_id LIMIT 8)
+        )""")
+        for t in (1, 2):
+            pq_chains.append(f"""s{s}_{t} AS (
+          SELECT vec_id, sub, code,
+                 ROUND(list_sum(list_transform(range(1, 17),
+                   i -> (sub[i] - cvec[i]) * (sub[i] - cvec[i]))), 6) AS dist
+          FROM v{s} CROSS JOIN c{s}_{t - 1}
+        ), a{s}_{t} AS MATERIALIZED (
+          SELECT vec_id, sub, code FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, code) AS rn
+            FROM s{s}_{t}
+          ) WHERE rn = 1
+        ), c{s}_{t} AS MATERIALIZED (
+          SELECT p.code, coalesce(n.cvec, p.cvec) AS cvec
+          FROM c{s}_{t - 1} p LEFT JOIN (
+            SELECT code, list(val ORDER BY pos) AS cvec FROM (
+              SELECT code, pos, ROUND(AVG(sub[pos]), 6) AS val
+              FROM a{s}_{t} CROSS JOIN dims16 GROUP BY code, pos
+            ) GROUP BY code
+          ) n USING (code)
+        )""")
+    pq_body = ",\n".join(pq_chains)
+    pq_books_union = " UNION ALL ".join(
+        f"SELECT {s} AS subspace, code, cvec FROM c{s}_2" for s in range(4)
+    )
+    sql["sim_pq_codebooks"] = f"""
+        WITH v AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        dims16 AS (SELECT unnest(range(1, 17)) AS pos),
+        {pq_body},
+        books AS ({pq_books_union})
+        SELECT subspace::INT AS subspace, code::INT AS code,
+               (pos - 1)::INT AS pos, cvec[pos] AS value
+        FROM books CROSS JOIN dims16
+    """
+    pq_enc_ctes = ",\n".join(
+        f"""e{s} AS MATERIALIZED (
+          SELECT vec_id, code FROM (
+            SELECT x.vec_id, c.code, row_number() OVER (
+              PARTITION BY x.vec_id ORDER BY
+                ROUND(list_sum(list_transform(range(1, 17),
+                  i -> (x.sub[i] - c.cvec[i]) * (x.sub[i] - c.cvec[i]))), 6),
+                c.code) AS rn
+            FROM v{s} x CROSS JOIN c{s}_2 c
+          ) WHERE rn = 1
+        )"""
+        for s in range(4)
+    )
+    sql["sim_pq_codes"] = f"""
+        WITH v AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        dims16 AS (SELECT unnest(range(1, 17)) AS pos),
+        {pq_body},
+        {pq_enc_ctes}
+        SELECT e0.vec_id,
+               md5(array_to_string(
+                 list_transform([e0.code, e1.code, e2.code, e3.code],
+                                x -> x::VARCHAR), ',')) AS codes_fp,
+               e0.code::INT AS code_0, e3.code::INT AS code_3
+        FROM e0 JOIN e1 USING (vec_id) JOIN e2 USING (vec_id) JOIN e3 USING (vec_id)
+    """
+
+    # PQ refine verdict: same contract as the IVF recall oracles.
+    sql["sim_pq_refine_topk"] = """
+        SELECT 10 AS n_queries, 5 AS k, TRUE AS recall_ok
     """
 
     # int8 quantization: q uses the UNROUNDED scale; round-6 is

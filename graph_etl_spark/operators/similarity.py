@@ -928,3 +928,341 @@ def semantic_dedup_pairs(
         # a pair found by several tables is the same (cell, cosine) row
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): codebooks -> codes -> ADC top-k
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    data: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    max_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    is split into ``m`` contiguous subspaces and each subspace gets its
+    own ``k_codes``-centroid k-means codebook, so a ``dim``-float
+    vector compresses to ``m`` small codes (m bytes at k_codes<=256)
+    while ADC distance lookups stay O(m) per pair — the memory/compute
+    story that makes billion-vector ANN fit a cluster.
+
+    Output: (subspace, code, cvec array<double>) — m × k_codes rows.
+
+    Physical shape — FUSED Lloyd's loop: one corpus scan per iteration
+    trains ALL m subspaces (per-subspace argmin projections over
+    literal codebooks in a single select, then one exploded
+    (subspace, code, pos) HashAggregate whose shuffle carries
+    m × k_codes × sub_dim partial sums per map partition — never the
+    corpus). m separate kmeans_fit calls would scan the corpus
+    m × max_iter times; this scans it max_iter times.
+
+    Determinism contract (same as kmeans_fit): init = the k_codes
+    lowest-id vectors' slices with code = their ascending rank;
+    distances round to ``round_to`` BEFORE the argmin with the smaller
+    code as tiebreak; centroid components round each iteration; a code
+    whose membership empties keeps its previous centroid.
+    """
+    vecs = data.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    first = vecs.select(F.size("vec").alias("d")).first()
+    if first is None:  # degenerate: empty corpus -> empty codebooks
+        return vecs.sparkSession.createDataFrame(
+            [], "subspace int, code int, cvec array<double>"
+        )
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+
+    seed = vecs.orderBy("vec_id").limit(k_codes).collect()  # k rows — tiny, deliberate
+    books: dict[int, list[tuple]] = {
+        s: [
+            (code, list(r["vec"])[s * sub_dim : (s + 1) * sub_dim])
+            for code, r in enumerate(seed)
+        ]
+        for s in range(m)
+    }
+    if max_iter >= 2:
+        # same rationale as _kmeans_fit: iterations 2..n re-scan the
+        # cast corpus; materialize it once (partition-preserving, so
+        # the round-6 averages are bit-identical)
+        vecs = vecs.localCheckpoint()
+    for _ in range(max(0, max_iter)):
+        assigned = vecs.select(
+            "vec",
+            *[
+                _kmeans_argmin(
+                    F.slice("vec", s * sub_dim + 1, sub_dim), books[s], round_to, "int"
+                )["cent_id"].alias(f"__c{s}")
+                for s in range(m)
+            ],
+        )
+        stacked = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("subspace"),
+                            F.col(f"__c{s}").alias("code"),
+                            F.slice("vec", s * sub_dim + 1, sub_dim).alias("sub"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.subspace", "e.code", F.posexplode("e.sub").alias("pos", "val"))
+        comp_rows = (
+            stacked.groupBy("subspace", "code", "pos")
+            .agg(F.round(F.avg("val"), round_to).alias("val"))
+            .collect()  # m × k_codes × sub_dim rows — tiny, deliberate
+        )
+        updated: dict = {}
+        for r in comp_rows:
+            updated.setdefault((r["subspace"], r["code"]), {})[r["pos"]] = r["val"]
+        books = {
+            s: [
+                (
+                    code,
+                    [v for _, v in sorted(updated[(s, code)].items())]
+                    if (s, code) in updated
+                    else prev,
+                )
+                for code, prev in books[s]
+            ]
+            for s in range(m)
+        }
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    return data.sparkSession.createDataFrame(
+        [(s, code, cvec) for s in range(m) for code, cvec in books[s]],
+        StructType(
+            [
+                StructField("subspace", IntegerType(), True),
+                StructField("code", IntegerType(), True),
+                StructField("cvec", ArrayType(DoubleType()), True),
+            ]
+        ),
+    )
+
+
+def _collect_books(codebooks: DataFrame) -> dict[int, list[tuple]]:
+    """codebooks frame -> {subspace: [(code, cvec), ...] code-ordered}.
+    m × k_codes rows — hyperparameter-sized collect, deliberate."""
+    books: dict[int, list[tuple]] = {}
+    for r in codebooks.select("subspace", "code", "cvec").collect():
+        books.setdefault(r["subspace"], []).append((r["code"], list(r["cvec"])))
+    return {s: sorted(rows) for s, rows in books.items()}
+
+
+def pq_encode(
+    data: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to its
+    per-subspace nearest-code ids. Zero-join, zero-shuffle codegen
+    projection over literal codebooks (the ``kmeans_assign`` posture):
+    the corpus streams map-side, m argmins per row. Same determinism
+    contract as pq_train."""
+    books = _collect_books(codebooks)
+    m = len(books)
+    vecs = data.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+    )
+    if m == 0:  # degenerate: no codebooks -> no codes
+        return vecs.filter(F.lit(False)).select(
+            id_col, F.array().cast("array<int>").alias("codes")
+        )
+    sub_dim = len(books[0][0][1])
+    return vecs.select(
+        id_col,
+        F.array(
+            *[
+                _kmeans_argmin(
+                    F.slice("__vec", s * sub_dim + 1, sub_dim), books[s], round_to, "int"
+                )["cent_id"]
+                for s in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation: the query
+    stays a full vector, the corpus is its PQ codes, and
+    dist(q, x) ≈ Σ_s dtable[s][code_s] where dtable is the per-query
+    table of squared-L2 distances from the query's subspace slice to
+    every codebook centroid — m array lookups per candidate instead of
+    an O(dim) fold, the PQ scan speedup.
+
+    Output: (query_id, neighbor_id, adc_dist, rank) with rank <= k;
+    ranking breaks distance ties on the smaller neighbor id.
+
+    Physical shape: the dtable is computed IN-PLAN on the query row
+    (m × k_codes rounded lookups over literal codebooks), queries
+    broadcast, the encoded corpus streams map-side (no shuffle until
+    the per-query ranking window, which partitions on query_id —
+    n_queries × corpus candidate rows, the same posture as
+    brute_force_topk, with the per-partition Arrow top-k reduction of
+    ``brute_force_topk_scale`` as the documented scale path)."""
+    books = _collect_books(codebooks)
+    m = len(books)
+    if m == 0:
+        enc = data.select(F.col(id_col)).filter(F.lit(False))
+        return enc.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).alias("rank"),
+        )
+    sub_dim = len(books[0][0][1])
+
+    def _l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # per-subspace literal centroid arrays ORDERED BY code, so the
+    # dtable row for subspace s is indexed by code+1
+    def _book_lit(s: int) -> Column:
+        parts = []
+        for _, cvec in books[s]:
+            comps = ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in cvec)
+            parts.append(f"array({comps})")
+        return F.expr("array(" + ", ".join(parts) + ")")
+
+    def _dt_row(s: int) -> Column:
+        # closure factory, NOT a default-arg lambda: a two-parameter
+        # lambda would make F.transform pass the ELEMENT INDEX as the
+        # second argument, silently clobbering the subspace binding
+        qslice = F.slice("__qvec", s * sub_dim + 1, sub_dim)
+        return F.transform(
+            _book_lit(s), lambda cv: F.round(_l2sq(qslice, cv), round_to)
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qvec"),
+    ).withColumn("__dt", F.array(*[_dt_row(s) for s in range(m)]))
+    enc = pq_encode(data, codebooks, id_col=id_col, vec_col=vec_col, round_to=round_to)
+    scored = (
+        enc.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(q.select("query_id", "__dt")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc_dist",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(m)),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.element_at(
+                        F.element_at("__dt", i), F.element_at("codes", i) + 1
+                    ),
+                ),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def pq_refine_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ shortlist-then-refine top-k — how production PQ indexes are
+    actually queried: the O(m)-per-pair ADC scan produces a
+    ``shortlist``-sized candidate set per query, then ONLY those
+    candidates are re-ranked with the exact squared-L2 distance
+    against the full vectors. At 100 TB the exact O(dim) arithmetic
+    touches n_queries × shortlist rows instead of n_queries × corpus —
+    the ADC scan does the winnowing, the refine fixes its
+    quantization error.
+
+    Output: (query_id, neighbor_id, l2_dist, rank), rank <= k, ties on
+    (rounded dist, neighbor id).
+
+    Physical shape: ADC stage as ``pq_adc_topk``; the refine joins the
+    shortlist back to the corpus on the ID hash (shuffle bounded by
+    n_queries × shortlist, NOT the corpus) and broadcasts the query
+    vectors again for the exact fold."""
+    sl = pq_adc_topk(
+        data,
+        queries,
+        codebooks,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+    ).select("query_id", "neighbor_id")
+    d = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__dvec"),
+    )
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qvec"),
+    )
+    refined = (
+        sl.join(d, "neighbor_id")
+        .join(F.broadcast(qq), "query_id")
+        .withColumn(
+            "l2_dist",
+            F.round(
+                F.aggregate(
+                    F.zip_with("__qvec", "__dvec", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )

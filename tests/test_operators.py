@@ -451,3 +451,90 @@ def test_incremental_dedup_normalized_hash(spark):
     )
     out = incremental_dedup(index, batch).collect()
     assert out[0]["verdict"] == "exact_index"
+
+
+# ---------------------------------------------------------------------------
+# round-7 (cont.): product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_toy_df(spark):
+    # 4-dim vectors, m=2 subspaces of dim 2; two tight groups per
+    # subspace so codebooks are interpretable
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [0.1, 0.1, 10.1, 10.1]),
+        (2, [5.0, 5.0, 0.0, 0.0]),
+        (3, [5.1, 5.1, 0.1, 0.1]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_train_shape_and_carry(spark):
+    from graph_etl_spark.operators import pq_train
+
+    books = pq_train(_pq_toy_df(spark), m=2, k_codes=2, max_iter=2)
+    rows = books.collect()
+    assert len(rows) == 4  # m=2 x k_codes=2
+    assert {(r["subspace"], r["code"]) for r in rows} == {
+        (0, 0), (0, 1), (1, 0), (1, 1)
+    }
+    assert all(len(r["cvec"]) == 2 for r in rows)
+
+
+def test_pq_train_dim_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from graph_etl_spark.operators import pq_train
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, k_codes=2, max_iter=1)
+
+
+def test_pq_encode_groups_agree(spark):
+    """Vectors in the same tight group share codes; different groups
+    get different codes (per subspace the groups are well-separated)."""
+    from graph_etl_spark.operators import pq_encode, pq_train
+
+    df = _pq_toy_df(spark)
+    books = pq_train(df, m=2, k_codes=2, max_iter=2)
+    enc = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert enc[0] == enc[1] and enc[2] == enc[3]
+    assert enc[0] != enc[2]
+
+
+def test_pq_adc_topk_prefers_same_group(spark):
+    """ADC ranks the same-group vector first: its codes reconstruct a
+    centroid right next to the query."""
+    from graph_etl_spark.operators import pq_adc_topk, pq_train
+
+    df = _pq_toy_df(spark)
+    books = pq_train(df, m=2, k_codes=2, max_iter=2)
+    out = pq_adc_topk(df, df.filter("vec_id = 0"), books, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3] or out[0]["neighbor_id"] == 1
+    assert out[0]["adc_dist"] is not None  # regression: index-lambda bug gave NULLs
+
+
+def test_pq_refine_subset_and_exact_order(spark):
+    """Refined top-k is drawn from the ADC shortlist and ordered by
+    EXACT L2 distance (same-group neighbor first, then by true dist)."""
+    from graph_etl_spark.operators import pq_refine_topk, pq_train
+
+    df = _pq_toy_df(spark)
+    books = pq_train(df, m=2, k_codes=2, max_iter=2)
+    out = pq_refine_topk(df, df.filter("vec_id = 0"), books, k=3, shortlist=3).collect()
+    assert out[0]["neighbor_id"] == 1
+    dists = [r["l2_dist"] for r in out]
+    assert dists == sorted(dists)
+
+
+def test_pq_train_partitioning_invariant(spark):
+    from graph_etl_spark.operators import pq_train
+
+    df = _pq_toy_df(spark)
+    a = sorted(map(tuple, pq_train(df.coalesce(1), m=2, k_codes=2, max_iter=2).collect()))
+    b = sorted(map(tuple, pq_train(df.repartition(8), m=2, k_codes=2, max_iter=2).collect()))
+    assert a == b
