@@ -1673,33 +1673,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's later collect executes the engine's semantics on
     its own untouched session.
 
-    Round-7 rotation (VERDICT r6 item 3): the 31 tail queries whose
-    last driver verdict was r4/r5 rotate back INTO the window — the
-    etl_* parity battery, text_*, mm_*, approx_*, percentiles,
-    graph_connected_components, win_running_total, q3/q6/q10,
-    quality_contamination, salted_count, sim_quantize_int8,
-    sim_embedding_norms, and the minhash/simhash signature queries —
-    so the union of driver-green rows across r6+r7 covers all 95
-    registered queries (the 12 round-7 additions — the TPC-H expansion
-    battery q4/q7/q8/q13/q14/q18/q19/q22, the end-to-end
-    dedup_neardup_survivors pipeline, sub-document dedup_passages,
-    quality_unigram_logprob, and the pipeline_corpus_assembly manifest — enter in-window for their first
-    verdicts, displacing 12 r6-green unchanged family reps to the
-    tail). Held in-window alongside them, keepers:
+    Round-7 rotation (VERDICT r6 item 3): the r4/r5-stale tail queries
+    rotate back INTO the window — the etl_* parity battery, text_*,
+    mm_*, approx_quantiles, graph_connected_components, q3/q6/q10,
+    quality_contamination, salted_count, sim_quantize_int8, and the
+    minhash/simhash signature queries — and ALL 19 round-7 additions
+    enter in-window for their first verdicts: the TPC-H expansion
+    battery (q4/q7/q8/q13/q14/q18/q19/q22), dedup_neardup_survivors,
+    dedup_passages, quality_unigram_logprob, pipeline_corpus_assembly,
+    quality_chunk_documents, quality_gate, the duplicate-span scrub
+    (dedup_span_scrub), incremental batch-vs-index dedup
+    (dedup_incremental), and the product-quantization trio
+    (sim_pq_codebooks / sim_pq_codes / sim_pq_refine_topk). To fit the
+    50-slot window, six long-stable built-in-function batteries
+    (win_running_total, percentiles, conditional_agg, distinct_counts,
+    sim_embedding_norms, approx_distinct_custkeys — r4/r5-green,
+    unchanged native-function code) stay in the tail one more round
+    and head the r8 window; preflight still oracle-checks them every
+    round. Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
     zero-norm NaN drop touched cosine_neardup_pairs →
     sim_cosine_allpairs_ref, lsh_bucketed_neardup_pairs →
     sim_cosine_neardup_pairs, and both semantic_dedup_pairs join
     paths → sim_semantic_dedup_pairs; the save_nodes replay-
     idempotence change touched the staged-save chain →
-    etl_dedup_pk), sim_ivf_topk (this round's bisect subject), and
-    family representatives so every operator family keeps a row in
-    every round's verdict. 31 rows green in the r6 driver window with
-    unchanged code rotate out to the tail.
+    etl_dedup_pk; the banded-LSH helper factoring additionally touched
+    dedup_minhash_lsh_pairs, dedup_minhash_signatures,
+    dedup_neardup_survivors and pipeline_corpus_assembly — all held
+    in-window), and family representatives so every operator family
+    keeps a row in every round's verdict. Rows green in the r6 driver
+    window with unchanged code rotate out to the tail.
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    95 registered queries (plus pytest and a bench smoke) and is the
+    100 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1720,9 +1727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     registry = {
-        # rotated IN: the 31 tail queries whose last driver verdict
-        # was r4/r5 — union(r6, r7) driver-green covers all 95
-        # (the round-7 quality_chunk_documents enters in-window)
+        # rotated IN: tail queries whose last driver verdict was
+        # r4/r5 (six long-stable function batteries wait for r8 —
+        # see docstring); all 19 round-7 additions are in-window
         "etl_chunk_counts": q_etl_chunk_counts,
         "etl_normalize_nodes": q_etl_normalize_nodes,
         "etl_semi_join_match": q_etl_semi_join_match,
@@ -1734,11 +1741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q10_returned_items": q_q10_returned_items,
-        "win_running_total": q_win_running_total,
-        "percentiles": q_percentiles,
-        "conditional_agg": q_conditional_agg,
-        "distinct_counts": q_distinct_counts,
-        "sim_embedding_norms": q_sim_embedding_norms,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_decode_stub": q_mm_decode_stub,
@@ -1747,7 +1749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "approx_quantiles": q_approx_quantiles,
-        "approx_distinct_custkeys": q_approx_distinct_custkeys,
         "sim_quantize_int8": q_sim_quantize_int8,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_simhash_signatures": q_dedup_simhash_signatures,
@@ -1761,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
         "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
         "etl_dedup_pk": q_etl_dedup_pk,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         # keepers: family representatives so every operator family has
         # a row in every round's driver window (asof_join_events and
         # sim_ivf_topk — both r6-green, code unchanged, the ivf bisect
@@ -1807,13 +1809,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged code, rotated out for one round; still
         # oracle-checked every round by tools/preflight.py ----
         "asof_join_events": q_asof_join_events,
+        "win_running_total": q_win_running_total,
+        "percentiles": q_percentiles,
+        "conditional_agg": q_conditional_agg,
+        "distinct_counts": q_distinct_counts,
+        "sim_embedding_norms": q_sim_embedding_norms,
+        "approx_distinct_custkeys": q_approx_distinct_custkeys,
         "sim_ivf_topk": q_sim_ivf_topk,
         "quality_source_quota": q_quality_source_quota,
         "q1_pricing_summary": q_q1_pricing_summary,
         "etl_remap_j1": q_etl_remap_j1,
         "etl_automap_j2": q_etl_automap_j2,
         "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,

@@ -84,6 +84,12 @@ HEADLINE = [
     "dedup_passages",
     "quality_unigram_logprob",
     "pipeline_corpus_assembly",
+    # round-7 (cont.): duplicate-span scrub, incremental batch-vs-index
+    # dedup, and the product-quantization ANN path
+    "dedup_span_scrub",
+    "dedup_incremental",
+    "sim_pq_codes",
+    "sim_pq_refine_topk",
 ]
 
 

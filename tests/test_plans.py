@@ -325,3 +325,55 @@ def test_corpus_assembly_no_cartesian(spark, entry):
     assert_no_cartesian(df, allow_broadcast_nested_loop=True)
     st = plan_stats(df)
     assert st.nested_loop_joins == 0
+
+
+def test_dup_span_scrub_plan_shape(spark, entry):
+    """Duplicate-span scrub: gram build and coverage/reassembly are
+    map-side array logic; the only heavyweight operators are the
+    first-occurrence window and the per-doc regroup plus the (left)
+    join of removed starts back to the doc base — no cartesian, no
+    sort-merge explosion beyond those."""
+    df = entry.q_dedup_span_scrub(spark, SF)
+    assert_no_cartesian(df)
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0
+    assert st.joins <= 1  # the removed-starts left join only
+
+
+def test_incremental_dedup_semi_join_shape(spark, entry):
+    """Batch-vs-index vetting must stay semi-join shaped: no pair
+    generation means no cartesian anywhere; the band-bucket and
+    content-hash probes are equi-joins."""
+    df = entry.q_dedup_incremental(spark, SF)
+    assert_no_cartesian(df, allow_broadcast_nested_loop=True)
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0
+
+
+def test_pq_encode_zero_shuffle_projection(spark, entry):
+    """PQ encode is the kmeans_assign posture: literal codebooks, one
+    corpus scan, NO exchange and NO join in the encode plan."""
+    from graph_etl_spark import operators as ops
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = ops.pq_train(e, m=4, k_codes=8, max_iter=1)
+    st = plan_stats(ops.pq_encode(e, books))
+    assert st.joins == 0
+    assert st.exchanges == 0
+
+
+def test_pq_adc_broadcasts_queries(spark, entry):
+    """The ADC scan must broadcast the query/dtable side (corpus
+    streams map-side); the only exchange is the per-query ranking
+    window."""
+    from graph_etl_spark import operators as ops
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = ops.pq_train(e, m=4, k_codes=8, max_iter=1)
+    df = ops.pq_adc_topk(e, e.filter("vec_id < 3"), books, k=5)
+    st = plan_stats(df)
+    assert st.sort_merge_joins == 0
+    # broadcast-nested-loop against the broadcast query side is the
+    # designed shape (same as brute_force_topk); the only exchanges are
+    # the broadcast build + the per-query ranking window
+    assert st.exchanges <= 2
