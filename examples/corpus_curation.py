@@ -1,0 +1,136 @@
+"""End-to-end training-corpus curation demo: the nightly pipeline a
+pretraining data team runs, as one Spark-first script over the
+synthetic testdata tables.
+
+Stages (each prints a one-line summary):
+  1. QUALITY GATE   — heuristic scores + repetition stats; drop the
+                      bottom tail (operators.quality / text).
+  2. EXACT DEDUP    — normalized content hash, keep lowest doc_id
+                      (operators.dedup.exact_dedup).
+  3. SPAN SCRUB     — substring-level duplicate-span removal at any
+                      offset (operators.dedup.dup_span_scrub): one
+                      copy of every duplicated 8-token span survives
+                      corpus-wide.
+  4. NEAR-DUP       — MinHash LSH pairs → connected components → one
+                      canonical survivor per cluster
+                      (dedup + graph.dedup_clusters).
+  5. INCREMENTAL    — vet a simulated "tomorrow" batch against
+                      today's survivors without re-deduping them
+                      (operators.dedup.incremental_dedup).
+  6. ANN INDEX      — train PQ codebooks over the embeddings, encode
+                      the corpus, and answer a query via the ADC
+                      shortlist → exact-refine path
+                      (operators.similarity.pq_*).
+
+Every stage is a declarative DataFrame plan — the same operators the
+oracle-checked `__spark_entry__` queries run, composed the way a real
+pipeline would chain them.
+
+Run:  python examples/corpus_curation.py   (~1 min, local[*])
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graph_etl_spark import operators as ops  # noqa: E402
+from graph_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main(spark=None, sf_dir: str | None = None) -> dict:
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("corpus-curation-demo")
+        spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_dir or SF_DIR
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n0 = docs.count()
+    print(f"[0] corpus: {n0} docs")
+
+    # 1. quality gate: composite heuristic score + repetition signals
+    scored = ops.quality_score(docs)
+    gated = scored.filter(F.col("quality") >= 0.3).select(
+        "doc_id", "text", "lang", "source"
+    )
+    n1 = gated.count()
+    print(f"[1] quality gate: {n1} kept ({n0 - n1} dropped)")
+
+    # 2. exact dedup (normalized content hash, keep-first)
+    exact = ops.exact_dedup(gated)
+    n2 = exact.count()
+    print(f"[2] exact dedup: {n2} kept ({n1 - n2} exact dups)")
+
+    # 3. duplicate-span scrub (substring-level, any offset)
+    scrubbed = ops.dup_span_scrub(exact, span_tokens=8)
+    stats = scrubbed.agg(
+        F.sum("n_removed").alias("tok"), F.sum("n_dup_spans").alias("spans")
+    ).collect()[0]
+    print(
+        f"[3] span scrub: removed {stats['tok']} tokens "
+        f"across {stats['spans']} duplicated spans"
+    )
+    clean = scrubbed.filter(F.length("text_clean") > 0).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+
+    # 4. near-dup clustering: LSH pairs -> CC -> canonical survivors
+    pairs = ops.minhash_lsh_pairs(clean, num_perm=16, bands=8)
+    clusters = ops.dedup_clusters(pairs, clean.select("doc_id"))
+    survivors = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+    n4 = survivors.count()
+    print(f"[4] near-dup: {n4} survivors of {clean.count()} docs")
+
+    # 5. incremental vetting of a simulated new batch (every 5th doc
+    # re-crawled + genuinely novel ids) against the survivor index
+    index = clean.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    batch = clean.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    verdicts = ops.incremental_dedup(index, batch)
+    counts = {
+        r["verdict"]: r["n"]
+        for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+    print(f"[5] incremental vetting of {batch.count()} new docs: {counts}")
+
+    # 6. PQ ANN index: train, encode, and query via shortlist+refine
+    books = ops.pq_train(emb, m=4, k_codes=16, max_iter=2)
+    codes = ops.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 3)
+    topk = ops.pq_refine_topk(emb, q, books, k=3, shortlist=50)
+    print(
+        f"[6] PQ index: {codes.count()} vectors -> 4-byte codes; "
+        f"sample ANN results:"
+    )
+    for r in topk.collect():
+        print(
+            f"      q{r['query_id']} -> neighbor {r['neighbor_id']} "
+            f"(L2² {r['l2_dist']:.4f}, rank {r['rank']})"
+        )
+
+    if own_session:
+        spark.stop()
+    print("corpus curation demo complete")
+    return {
+        "docs_in": n0,
+        "after_gate": n1,
+        "after_exact": n2,
+        "tokens_scrubbed": int(stats["tok"]),
+        "dup_spans": int(stats["spans"]),
+        "survivors": n4,
+        "batch_verdicts": counts,
+        "pq_vectors": codes.count(),
+    }
+
+
+if __name__ == "__main__":
+    main()

@@ -40,3 +40,17 @@ def test_example_streaming_ingest_end_to_end(spark, tmp_path):
     # short — the gate admits the remaining 46; the script itself
     # asserts replay idempotence
     assert mod.main(workdir=str(tmp_path / "stream_wd")) == 46
+
+
+def test_example_corpus_curation_end_to_end(spark):
+    """The training-data curation demo must run every stage against
+    the real sf0.001 tables and report coherent counts."""
+    mod = _load_example("corpus_curation.py")
+    out = mod.main(spark=spark, sf_dir="/root/testdata/sf0.001")
+    assert out["docs_in"] > 0
+    assert 0 < out["survivors"] <= out["after_exact"] <= out["docs_in"]
+    # every simulated re-crawl must be caught by the incremental vet
+    assert set(out["batch_verdicts"]) <= {
+        "exact_index", "exact_batch", "near_index", "kept"
+    }
+    assert out["pq_vectors"] > 0

@@ -210,6 +210,19 @@ def main() -> None:
         )
         .groupBy(F.col("cluster_id").alias("survivor_id"))
         .agg(F.count(F.lit(1)).alias("n_members")),
+        # r7 (cont.): duplicate-span scrub — gram postings are corpus-
+        # sized (one row per token position), the first-occurrence
+        # window keys on uniform md5 hashes, coverage/reassembly is
+        # per-row; disjoint per-copy tokens keep removed-span counts
+        # flat so the ratio probes plan scaling, not dup growth
+        "dup_span_scrub": lambda d: ops.dup_span_scrub(d, span_tokens=8),
+        # r7 (cont.): incremental vetting — index AND batch both grow
+        # Nx (the nightly-crawl worst case); everything is semi-join
+        # shaped so the ratio must stay near-linear even though the
+        # index side's distinct hash/bucket sets grow with the corpus
+        "incremental_dedup": lambda d: ops.incremental_dedup(
+            d.filter(F.col("doc_id") % 3 != 0), d.filter(F.col("doc_id") % 3 == 0)
+        ),
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
@@ -221,6 +234,19 @@ def main() -> None:
         # subdivision (not cell count) must hold pair work linear
         "semantic_dedup_pairs": lambda e: ops.semantic_dedup_pairs(
             e, k=8, max_iter=2, threshold=0.95, max_cell_size=150
+        ),
+        # r7 (cont.): PQ — training cost is max_iter corpus scans (the
+        # codebooks stay hyperparameter-sized as the corpus grows);
+        # encode+ADC is a map-only scan + per-query ranking. Queries
+        # fixed at 10 while the corpus 10x's, the production shape.
+        "pq_encode": lambda e: ops.pq_encode(
+            e, ops.pq_train(e, m=4, k_codes=8, max_iter=1)
+        ),
+        "pq_adc_topk": lambda e: ops.pq_adc_topk(
+            e,
+            e.filter(F.col("vec_id") < 10),
+            ops.pq_train(e, m=4, k_codes=8, max_iter=1),
+            k=5,
         ),
     }
 
