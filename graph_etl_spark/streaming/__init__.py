@@ -324,3 +324,89 @@ def sessionize(
         )
         .drop("__new")
     )
+
+
+def incremental_ingest_sink(
+    index_df: DataFrame,
+    admitted_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **dedup_kw,
+):
+    """foreachBatch sink for ``streaming_incremental_ingest``: vet each
+    micro-batch with the batch ``incremental_dedup`` operator against
+    the static index PLUS everything already admitted from earlier
+    micro-batches, and persist only the survivors — the index GROWS as
+    the stream runs, so a doc admitted in batch 3 blocks its re-crawl
+    in batch 7 (true incremental semantics, not per-batch amnesia).
+
+    Replay idempotence (foreachBatch is at-least-once): the output
+    path is DERIVED from the batch id (``batch_id=N`` partition dir,
+    overwritten on re-delivery), and the accumulated-index read
+    excludes the current batch id — so a re-delivered batch is vetted
+    against exactly the same index it saw the first time and
+    overwrites its own earlier output. No ledger needed: the write is
+    idempotent by construction.
+    """
+    import os
+
+    from ..operators.dedup import incremental_dedup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = index_df.select(id_col, text_col)
+        try:
+            prior = spark.read.parquet(admitted_dir)
+            idx = idx.unionByName(
+                prior.filter(F.col("batch_id") != batch_id).select(id_col, text_col)
+            )
+        except Exception:
+            pass  # no admitted batches yet (first delivery)
+        verdicts = incremental_dedup(
+            idx,
+            batch_df.select(id_col, text_col),
+            text_col=text_col,
+            id_col=id_col,
+            **dedup_kw,
+        )
+        kept = batch_df.join(
+            verdicts.filter(F.col("verdict") == "kept"), id_col, "left_semi"
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(admitted_dir, f"batch_id={batch_id}")
+        )
+
+    return sink
+
+
+def streaming_incremental_ingest(
+    stream_docs: DataFrame,
+    index_df: DataFrame,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_once: bool = True,
+    **dedup_kw,
+):
+    """The nightly-crawl admission pipeline as a STREAMING stage: a
+    live document stream is vetted batch-by-batch against a static
+    indexed corpus (exact content hash + MinHash band buckets, all
+    semi-joins — ``operators.dedup.incremental_dedup``) plus the
+    stream's own previously-admitted docs; survivors land under
+    ``admitted_dir`` partitioned by micro-batch.
+
+    State posture: the vetting itself is stateless per micro-batch
+    (the \"state\" is the admitted parquet, re-read per batch — at
+    cluster scale that read is partition-pruned to nothing by the
+    batch_id filter and the index side reduces to distinct
+    hash/bucket keys); no watermark needed.
+    """
+    writer = stream_docs.writeStream.foreachBatch(
+        incremental_ingest_sink(
+            index_df, admitted_dir, id_col=id_col, text_col=text_col, **dedup_kw
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

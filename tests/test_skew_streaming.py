@@ -237,3 +237,55 @@ def test_ledger_delete_all_spares_live_stream_ledger(spark, output_dir, tmp_path
     q.awaitTermination(30)
     store.ledger_delete_all()
     assert not store.ledger_contains("log_stream.txt", "X:0")
+
+
+def test_streaming_incremental_ingest_grows_index(spark, tmp_path):
+    """Cross-batch accumulation: a doc admitted in batch 0 must block
+    its re-crawl in batch 1 even though the STATIC index never saw it;
+    and a re-delivered batch overwrites its own output (idempotent by
+    construction, no ledger)."""
+    from graph_etl_spark.streaming import (
+        incremental_ingest_sink,
+        streaming_incremental_ingest,
+    )
+
+    idx_text = " ".join(f"i{j}" for j in range(12))
+    novel = " ".join(f"n{j}" for j in range(12))
+    index = spark.createDataFrame([(1, idx_text)], "doc_id long, text string")
+
+    src = str(tmp_path / "crawl_src")
+    admitted = str(tmp_path / "admitted")
+    ck = str(tmp_path / "ck")
+
+    # batch 0: one novel doc + one exact index re-crawl
+    spark.createDataFrame(
+        [(10, novel), (11, idx_text)], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    q = streaming_incremental_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        index, admitted, ck,
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in spark.read.parquet(admitted).collect()}
+    assert got == {10}  # novel admitted, re-crawl blocked by static index
+
+    # batch 1: a re-crawl of the doc admitted in batch 0 (new id, same
+    # text) — only the GROWN index can block it
+    spark.createDataFrame(
+        [(20, novel)], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    q2 = streaming_incremental_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        index, admitted, ck,
+    )
+    q2.awaitTermination(60)
+    got2 = {r["doc_id"] for r in spark.read.parquet(admitted).collect()}
+    assert got2 == {10}, f"re-crawl of an admitted doc leaked through: {got2}"
+
+    # replay batch 0 directly (the at-least-once path): output must be
+    # unchanged — same verdicts, overwritten in place
+    sink = incremental_ingest_sink(index, admitted)
+    sink(spark.createDataFrame([(10, novel), (11, idx_text)],
+                               "doc_id long, text string"), 0)
+    got3 = {r["doc_id"] for r in spark.read.parquet(admitted).collect()}
+    assert got3 == {10}
