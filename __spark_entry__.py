@@ -1465,6 +1465,27 @@ def q_quality_unigram_logprob(spark, sf):
     return ops.unigram_logprob(d)
 
 
+def q_quality_mixture_sample(spark, sf):
+    """Temperature-weighted data mixing (GPT-3/LLaMA corpus-recipe
+    analog): per-source weights ∝ tokens^0.5, token budget 300‰ of
+    the corpus, deterministic hash membership. Output is the
+    per-source audit: weight, rate, and what actually survived.
+    τ=0.5 goes through sqrt (IEEE correctly-rounded), per-source
+    weights sum as DECIMAL — bit-exact against the DuckDB oracle."""
+    d = _t(spark, sf, "documents")
+    sampled = ops.mixture_sample(d, target_permille=300, temperature=0.5)
+    return (
+        sampled.groupBy("source", "weight", "rate_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+        .select("source", "weight", "rate_ppm", "n_sampled", "sampled_tokens")
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -1684,13 +1705,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     quality_chunk_documents, quality_gate, the duplicate-span scrub
     (dedup_span_scrub), incremental batch-vs-index dedup
     (dedup_incremental), and the product-quantization trio
-    (sim_pq_codebooks / sim_pq_codes / sim_pq_refine_topk). To fit the
-    50-slot window, six long-stable built-in-function batteries
-    (win_running_total, percentiles, conditional_agg, distinct_counts,
-    sim_embedding_norms, approx_distinct_custkeys — r4/r5-green,
-    unchanged native-function code) stay in the tail one more round
-    and head the r8 window; preflight still oracle-checks them every
-    round. Held in-window alongside them, keepers:
+    (sim_pq_codebooks / sim_pq_codes / sim_pq_refine_topk), and the
+    temperature-weighted mixture sampler (quality_mixture_sample). To
+    fit the 50-slot window, seven long-stable built-in-function
+    batteries (win_running_total, percentiles, conditional_agg,
+    distinct_counts, sim_embedding_norms, approx_distinct_custkeys,
+    approx_quantiles — r2-r5-green, unchanged native-function code)
+    stay in the tail one more round and head the r8 window; preflight
+    still oracle-checks them every round. Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
     zero-norm NaN drop touched cosine_neardup_pairs →
     sim_cosine_allpairs_ref, lsh_bucketed_neardup_pairs →
@@ -1706,7 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    100 registered queries (plus pytest and a bench smoke) and is the
+    101 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1748,7 +1770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": q_text_quality_scores,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
-        "approx_quantiles": q_approx_quantiles,
         "sim_quantize_int8": q_sim_quantize_int8,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_simhash_signatures": q_dedup_simhash_signatures,
@@ -1781,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_codes": q_sim_pq_codes,
         "sim_pq_refine_topk": q_sim_pq_refine_topk,
         "quality_unigram_logprob": q_quality_unigram_logprob,
+        "quality_mixture_sample": q_quality_mixture_sample,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
         # To make room, nine r6-driver-green family reps with unchanged
@@ -1815,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": q_distinct_counts,
         "sim_embedding_norms": q_sim_embedding_norms,
         "approx_distinct_custkeys": q_approx_distinct_custkeys,
+        "approx_quantiles": q_approx_quantiles,
         "sim_ivf_topk": q_sim_ivf_topk,
         "quality_source_quota": q_quality_source_quota,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -3389,6 +3412,43 @@ def oracle_sql() -> dict[str, str]:
             list_filter(range(1, n+1), i -> NOT cv[i]), i -> tk[i]), ' '), '')
             AS text_clean
         FROM cvt
+    """
+
+    # Mixture sampling: per-source sqrt-temperature weights (6-dp
+    # rounded, DECIMAL-summed total, one rounded double division),
+    # integer token budget, floor'd ppm rate, H56 membership — every
+    # step an exactly-reproducible operation, so the sampled SET (not
+    # just its size) matches bit-for-bit.
+    sql["quality_mixture_sample"] = f"""
+        WITH per AS (
+          SELECT source, COUNT(*)::BIGINT AS n_docs,
+                 SUM(len({_TOKS}))::BIGINT AS n_tokens
+          FROM documents GROUP BY source
+        ), w AS (
+          SELECT source, n_docs, n_tokens,
+                 ROUND(sqrt(n_tokens::DOUBLE), 6)::DECIMAL(18,6) AS w6
+          FROM per
+        ), tot AS (
+          SELECT SUM(w6) AS wtot, SUM(n_tokens)::BIGINT AS total_tokens FROM w
+        ), rates AS (
+          SELECT source, n_tokens,
+                 ROUND(w6::DOUBLE / wtot::DOUBLE, 9) AS weight,
+                 LEAST(1000000,
+                   FLOOR(ROUND(w6::DOUBLE / wtot::DOUBLE, 9)
+                         * ((total_tokens * 300 // 1000)::BIGINT)::DOUBLE
+                         / n_tokens::DOUBLE * 1e6))::BIGINT AS rate_ppm
+          FROM w CROSS JOIN tot
+        ), sampled AS (
+          SELECT d.source, r.weight, r.rate_ppm,
+                 len({_TOKS}) AS doc_tokens
+          FROM documents d JOIN rates r USING (source)
+          WHERE ('0x' || substr(md5('mixture' || d.doc_id::VARCHAR), 1, 14))::BIGINT
+                % 1000000 < r.rate_ppm
+        )
+        SELECT source, weight, rate_ppm,
+               COUNT(*)::BIGINT AS n_sampled,
+               SUM(doc_tokens)::BIGINT AS sampled_tokens
+        FROM sampled GROUP BY source, weight, rate_ppm
     """
 
     # Incremental dedup: batch-vs-index verdicts. Same normalized

@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_incremental",
     "sim_pq_codes",
     "sim_pq_refine_topk",
+    "quality_mixture_sample",
 ]
 
 

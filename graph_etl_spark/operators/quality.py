@@ -560,3 +560,112 @@ def unigram_logprob(
             "avg_logprob"
         ),
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    temperature: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-flattened sampling distribution over sources — the
+    data-MIXING stage of a pretraining pipeline (the per-source
+    multinomial weights of GPT-3/LLaMA-style corpus recipes):
+    p_s ∝ tokens_s^temperature, so τ=1 samples proportionally, τ→0
+    flattens toward uniform, and the standard τ≈0.5 boosts small
+    high-quality sources without drowning the corpus in them.
+
+    Output: (source, n_docs, n_tokens, weight) with Σ weight ≈ 1.
+
+    Cross-engine determinism: τ=0.5 (the default) computes the
+    weight via sqrt — correctly rounded in IEEE, so DuckDB reproduces
+    it bit-for-bit; the per-source sqrt values round to 6 dp and sum
+    as DECIMAL (order-independent exact total), and the final weight
+    is ONE correctly-rounded double division rounded to 9 dp. Other
+    temperatures go through pow(), whose libm rounding is not
+    guaranteed identical across engines — fine for production, but
+    the oracle-checked query pins τ=0.5.
+
+    Scale: one map-side-combinable aggregation over (source); the
+    result is n_sources rows."""
+    toks = F.size(tokens_col(F.col(text_col)))
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    if abs(temperature - 0.5) < 1e-12:
+        w_raw = F.sqrt(F.col("n_tokens").cast("double"))
+    else:
+        w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(temperature)))
+    per = per.withColumn("__w6", F.round(w_raw, 6).cast("decimal(18,6)"))
+    tot = per.agg(F.sum("__w6").alias("__tot"))  # exact decimal total
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "weight",
+            F.round(
+                F.col("__w6").cast("double") / F.col("__tot").cast("double"), 9
+            ),
+        )
+        .select(source_col, "n_docs", "n_tokens", "weight")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    target_permille: int = 300,
+    temperature: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Sample the corpus down to ~``target_permille``/1000 of its
+    tokens, allocated across sources by the temperature-flattened
+    mixture weights — small sources are UP-weighted relative to their
+    share (rate capped at 100%), giant sources down-weighted: the
+    deterministic version of the mixing step that turns a raw crawl
+    into a training recipe.
+
+    Per source: ideal_tokens = weight × (total_tokens ×
+    target_permille // 1000), rate_ppm = min(10⁶,
+    floor(ideal/n_tokens × 10⁶)); a doc survives iff
+    H56(salt‖id) mod 10⁶ < rate_ppm — the ``hash_sample`` membership
+    contract, so the selected set is reproducible on any engine or
+    partitioning and a doc's membership is decidable without a scan.
+
+    Output: surviving rows + (weight, rate_ppm).
+
+    Scale: the weights aggregation is tiny (n_sources rows) and
+    broadcast back; the sampling filter is map-side. One small
+    shuffle total."""
+    weights = mixture_weights(
+        df, temperature=temperature, source_col=source_col, text_col=text_col
+    )
+    total = weights.agg(
+        F.sum("n_tokens").cast("long").alias("__total_tokens")
+    )
+    rates = (
+        weights.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__target",
+            (F.col("__total_tokens") * target_permille / 1000).cast("long"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000),
+                F.floor(
+                    F.col("weight")
+                    * F.col("__target").cast("double")
+                    / F.col("n_tokens").cast("double")
+                    * 1e6
+                ).cast("long"),
+            ),
+        )
+        .select(source_col, "weight", "rate_ppm")
+    )
+    bucket = F.pmod(
+        h56(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(1_000_000)
+    )
+    return df.join(F.broadcast(rates), source_col).filter(bucket < F.col("rate_ppm"))

@@ -538,3 +538,49 @@ def test_pq_train_partitioning_invariant(spark):
     a = sorted(map(tuple, pq_train(df.coalesce(1), m=2, k_codes=2, max_iter=2).collect()))
     b = sorted(map(tuple, pq_train(df.repartition(8), m=2, k_codes=2, max_iter=2).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# round-7 (cont.): temperature-weighted mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def _mixture_df(spark):
+    rows = []
+    for i in range(90):  # big source: 90 docs x 10 tokens
+        rows.append((i, "big", " ".join(f"b{i}_{j}" for j in range(10))))
+    for i in range(10):  # small source: 10 docs x 10 tokens
+        rows.append((100 + i, "small", " ".join(f"s{i}_{j}" for j in range(10))))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mixture_weights_flatten_toward_small(spark):
+    """τ=0.5 up-weights the small source relative to its token share:
+    weight(small) > 10% (its proportional share) and weights sum to 1."""
+    from graph_etl_spark.operators import mixture_weights
+
+    w = {r["source"]: r for r in mixture_weights(_mixture_df(spark)).collect()}
+    assert abs(w["big"]["weight"] + w["small"]["weight"] - 1.0) < 1e-6
+    assert w["small"]["weight"] > 0.1
+    assert w["big"]["n_tokens"] == 900 and w["small"]["n_tokens"] == 100
+
+
+def test_mixture_sample_rates_and_cap(spark):
+    """The small source's rate exceeds the big source's (temperature
+    boost); no rate exceeds 10⁶ ppm; survivors carry their rate."""
+    from graph_etl_spark.operators import mixture_sample
+
+    out = mixture_sample(_mixture_df(spark), target_permille=300)
+    rates = {r["source"]: r["rate_ppm"] for r in out.select("source", "rate_ppm").distinct().collect()}
+    assert rates["small"] > rates["big"]
+    assert all(0 <= v <= 1_000_000 for v in rates.values())
+
+
+def test_mixture_sample_partitioning_invariant(spark):
+    """Hash membership: the same docs survive at any partitioning."""
+    from graph_etl_spark.operators import mixture_sample
+
+    df = _mixture_df(spark)
+    a = sorted(r["doc_id"] for r in mixture_sample(df.coalesce(1)).collect())
+    b = sorted(r["doc_id"] for r in mixture_sample(df.repartition(16)).collect())
+    assert a == b and len(a) > 0

@@ -160,3 +160,61 @@ def test_chunk_documents_invariants(spark, docs, chunk, overlap):
         prefix = [t for r in chunks for t in
                   [x for x in r["chunk_text"].split(" ") if x != ""][: stride]]
         assert prefix == toks[: len(prefix)] and len(prefix) >= len(toks) - overlap
+
+
+# ---------------------------------------------------------------------------
+# round-7: duplicate-span scrub + incremental dedup invariants
+# ---------------------------------------------------------------------------
+
+
+@given(docs=st.lists(texts, min_size=1, max_size=6))
+@SET
+def test_dup_span_scrub_invariants(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ops.dup_span_scrub(df, span_tokens=3).collect()}
+    assert len(out) == len(docs)
+    for i, text in enumerate(docs):
+        r = out[i]
+        toks = [t for t in text.split(" ") if t]
+        clean = [t for t in r["text_clean"].split(" ") if t]
+        # token accounting is exact
+        assert r["n_tokens"] == len(toks)
+        assert r["n_tokens"] - r["n_removed"] == len(clean)
+        # clean text is a subsequence of the original tokens
+        it = iter(toks)
+        assert all(any(t == o for o in it) for t in clean)
+        # spans only exist where something was removed
+        assert (r["n_dup_spans"] == 0) == (r["n_removed"] == 0)
+    # the lowest-id doc among identical docs is never scrubbed
+    # (first occurrence of every gram lives there or earlier)
+    first = out[0]
+    if len(set(docs)) == 1 and len([t for t in docs[0].split() if t]) >= 3:
+        assert first["n_removed"] == 0
+
+
+@given(
+    idx_texts=st.lists(texts, min_size=1, max_size=5, unique=True),
+    bat_texts=st.lists(texts, min_size=1, max_size=5, unique=True),
+)
+@SET
+def test_incremental_dedup_invariants(spark, idx_texts, bat_texts):
+    index = spark.createDataFrame(
+        list(enumerate(idx_texts)), "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bat_texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["verdict"] for r in ops.incremental_dedup(index, batch).collect()}
+    assert len(out) == len(bat_texts)  # one verdict per batch doc, always
+    norm = lambda s: " ".join(s.lower().split())  # noqa: E731
+    idx_norm = {norm(t) for t in idx_texts}
+    seen: set = set()
+    for i, t in enumerate(bat_texts):
+        v = out[100 + i]
+        if norm(t) in idx_norm:
+            assert v == "exact_index", (t, v)
+        elif norm(t) in seen:
+            assert v == "exact_batch", (t, v)
+        else:
+            assert v in ("kept", "near_index"), (t, v)
+        seen.add(norm(t))
