@@ -1486,6 +1486,17 @@ def q_quality_mixture_sample(spark, sf):
     )
 
 
+def q_text_bpe_merges(spark, sf):
+    """Corpus-trained BPE merge rules (Sennrich et al. 2016), 3
+    rounds: the tokenizer-training stage. Per round: one map-side-
+    combinable pair count over the distinct-word frequency table plus
+    a 1-row argmax collect; merge application is a literal string
+    replace. Hash-exact vs a 3-round unrolled DuckDB chain (count
+    ties break on the pair lexicographically)."""
+    d = _t(spark, sf, "documents")
+    return ops.bpe_learn_merges(d, rounds=3)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -1706,12 +1717,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (dedup_span_scrub), incremental batch-vs-index dedup
     (dedup_incremental), and the product-quantization trio
     (sim_pq_codebooks / sim_pq_codes / sim_pq_refine_topk), and the
-    temperature-weighted mixture sampler (quality_mixture_sample). To
+    temperature-weighted mixture sampler (quality_mixture_sample) and
+    the corpus-trained BPE merge learner (text_bpe_merges). To
     fit the 50-slot window, seven long-stable built-in-function
     batteries (win_running_total, percentiles, conditional_agg,
     distinct_counts, sim_embedding_norms, approx_distinct_custkeys,
     approx_quantiles — r2-r5-green, unchanged native-function code)
-    stay in the tail one more round and head the r8 window; preflight
+    plus mm_decode_stub (its mm family keeps two in-window reps) stay
+    in the tail one more round and head the r8 window; preflight
     still oracle-checks them every round. Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
     zero-norm NaN drop touched cosine_neardup_pairs →
@@ -1728,7 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    101 registered queries (plus pytest and a bench smoke) and is the
+    102 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1765,7 +1778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_frame_sample": q_mm_frame_sample,
-        "mm_decode_stub": q_mm_decode_stub,
         "text_token_stats": q_text_token_stats,
         "text_quality_scores": q_text_quality_scores,
         "text_lang_id": q_text_lang_id,
@@ -1803,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_refine_topk": q_sim_pq_refine_topk,
         "quality_unigram_logprob": q_quality_unigram_logprob,
         "quality_mixture_sample": q_quality_mixture_sample,
+        "text_bpe_merges": q_text_bpe_merges,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
         # To make room, nine r6-driver-green family reps with unchanged
@@ -1838,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_norms": q_sim_embedding_norms,
         "approx_distinct_custkeys": q_approx_distinct_custkeys,
         "approx_quantiles": q_approx_quantiles,
+        "mm_decode_stub": q_mm_decode_stub,
         "sim_ivf_topk": q_sim_ivf_topk,
         "quality_source_quota": q_quality_source_quota,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -3449,6 +3463,47 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*)::BIGINT AS n_sampled,
                SUM(doc_tokens)::BIGINT AS sampled_tokens
         FROM sampled GROUP BY source, weight, rate_ppm
+    """
+
+    # BPE merge learning: 3 unrolled rounds. chr(31) is the symbol
+    # separator (BPE_SEP); the merge is ONE left-to-right literal
+    # replace per round — the documented run-seam contract, identical
+    # in both engines.
+    bpe_rounds = []
+    bpe_sel = []
+    prev = "s0"
+    for r in (1, 2, 3):
+        bpe_rounds.append(f"""p{r} AS (
+          SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt)::BIGINT AS pair_count
+          FROM (SELECT list_filter(string_split(w, chr(31)), s -> s <> '') AS syms,
+                       cnt
+                FROM {prev}),
+               unnest(range(1, len(syms))) AS t(i)
+          GROUP BY a, b
+        ), m{r} AS MATERIALIZED (
+          SELECT a, b, pair_count FROM p{r} ORDER BY pair_count DESC, a, b LIMIT 1
+        ), s{r} AS MATERIALIZED (
+          SELECT replace(w, chr(31)||m{r}.a||chr(31)||m{r}.b||chr(31),
+                            chr(31)||m{r}.a||m{r}.b||chr(31)) AS w, cnt
+          FROM {prev}, m{r}
+        )""")
+        bpe_sel.append(
+            f"SELECT {r} AS round, a AS merge_a, b AS merge_b, pair_count FROM m{r}"
+        )
+        prev = f"s{r}"
+    sql["text_bpe_merges"] = f"""
+        WITH words AS (
+          SELECT word, COUNT(*)::BIGINT AS cnt FROM (
+            SELECT unnest({_TOKS.replace("text", "lower(text)")}) AS word
+            FROM documents
+          ) GROUP BY word
+        ), s0 AS MATERIALIZED (
+          SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS w,
+                 cnt
+          FROM words
+        ),
+        {','.join(bpe_rounds)}
+        {' UNION ALL '.join(bpe_sel)}
     """
 
     # Incremental dedup: batch-vs-index verdicts. Same normalized

@@ -91,6 +91,7 @@ HEADLINE = [
     "sim_pq_codes",
     "sim_pq_refine_topk",
     "quality_mixture_sample",
+    "text_bpe_merges",
 ]
 
 

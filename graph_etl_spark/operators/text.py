@@ -192,3 +192,106 @@ def normalized_text(text: Column) -> Column:
     """Canonical text for exact-dedup hashing: lowercase, collapse
     whitespace runs, trim."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+BPE_SEP = "\x1f"
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-trained BPE merge rules (Sennrich et al. 2016) — the
+    tokenizer-TRAINING stage of a data pipeline, DataFrame-native:
+    start from characters, repeatedly count adjacent symbol pairs
+    across the corpus (weighted by word frequency) and merge the most
+    frequent pair, ``rounds`` times.
+
+    Output: (round, merge_a, merge_b, pair_count) — one row per
+    learned merge rule, the artifact a tokenizer builds its vocab
+    from.
+
+    Physical shape per round: ONE aggregation over the distinct-word
+    frequency table (pairs exploded per word — map-side combinable,
+    the shuffle carries pair partial counts, never word occurrences) +
+    a 1-row argmax collect; the merge application is a map-side
+    literal string replace. The word-frequency table is computed once
+    and localCheckpointed: corpus tokens shuffle exactly once total,
+    regardless of ``rounds``.
+
+    Determinism contract (mirrored by the DuckDB oracle): the winning
+    pair breaks count ties on (merge_a, merge_b) ascending; merge
+    application is ONE left-to-right non-overlapping literal replace
+    of ``SEP·a·SEP·b·SEP`` per word per round — for runs of repeated
+    symbols this merges fewer occurrences than ideal BPE within the
+    round (the seam separator is consumed), which is identical in
+    both engines and self-corrects in later rounds.
+    """
+    spark = df.sparkSession
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = (
+        df.select(F.explode(tokens_col(text)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sep = F.lit(BPE_SEP)
+    wrapped = F.concat(
+        sep, F.array_join(F.split(F.col("word"), ""), BPE_SEP), sep
+    )
+    state = words.select(wrapped.alias("w"), "cnt").localCheckpoint()
+
+    out_rows = []
+    for r in range(1, max(0, rounds) + 1):
+        syms = F.filter(F.split(F.col("w"), BPE_SEP), lambda s: s != "")
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            state.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()  # 1 row — the argmax, deliberate
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["pair_count"]
+        out_rows.append((r, a, b, int(cnt)))
+        state = state.select(
+            F.replace(
+                F.col("w"),
+                F.lit(f"{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}"),
+                F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+            ).alias("w"),
+            "cnt",
+        ).localCheckpoint()
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        out_rows,
+        StructType(
+            [
+                StructField("round", IntegerType(), True),
+                StructField("merge_a", StringType(), True),
+                StructField("merge_b", StringType(), True),
+                StructField("pair_count", LongType(), True),
+            ]
+        ),
+    )

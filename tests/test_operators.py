@@ -584,3 +584,42 @@ def test_mixture_sample_partitioning_invariant(spark):
     a = sorted(r["doc_id"] for r in mixture_sample(df.coalesce(1)).collect())
     b = sorted(r["doc_id"] for r in mixture_sample(df.repartition(16)).collect())
     assert a == b and len(a) > 0
+
+
+def test_bpe_learn_merges_hand_corpus(spark):
+    """Hand-checked corpus 'aa ab aa ab aa': word 'aa' (freq 3)
+    contributes pair (a,a) weight 3; 'ab' (freq 2) -> (a,b) weight 2.
+    Round 1 merges (a,a) at count 3; round 2 sees words [aa] (no
+    pairs) and [a,b] -> merges (a,b) at count 2."""
+    from graph_etl_spark.operators import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "aa ab aa ab aa")], "doc_id long, text string"
+    )
+    out = {r["round"]: r for r in bpe_learn_merges(df, rounds=2).collect()}
+    assert (out[1]["merge_a"], out[1]["merge_b"]) == ("a", "a")
+    assert out[1]["pair_count"] == 3
+    assert (out[2]["merge_a"], out[2]["merge_b"]) == ("a", "b")
+    assert out[2]["pair_count"] == 2
+
+
+def test_bpe_merge_count_weighted_by_word_frequency(spark):
+    """Counts weight by word FREQUENCY: 'xy' appearing 3 times beats
+    'zq' appearing once."""
+    from graph_etl_spark.operators import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "xy xy xy zq")], "doc_id long, text string"
+    )
+    out = bpe_learn_merges(df, rounds=1).collect()
+    assert (out[0]["merge_a"], out[0]["merge_b"]) == ("x", "y")
+    assert out[0]["pair_count"] == 3
+
+
+def test_bpe_learn_merges_tie_breaks_lexicographic(spark):
+    """Equal-count pairs break on (a, b) ascending."""
+    from graph_etl_spark.operators import bpe_learn_merges
+
+    df = spark.createDataFrame([(1, "cd ab")], "doc_id long, text string")
+    out = bpe_learn_merges(df, rounds=1).collect()
+    assert (out[0]["merge_a"], out[0]["merge_b"]) == ("a", "b")
