@@ -528,3 +528,34 @@ def test_pair_ops_drop_zero_norm_vectors(spark):
             vecs, k=2, max_iter=1, threshold=0.9, normalize=False, max_cell_size=cap
         ).collect()
         assert {(r["id_a"], r["id_b"]) for r in sem} == {(1, 2)}, f"cap={cap}"
+
+
+def test_round7_operators_on_empty_inputs(spark):
+    """Degenerate-input battery for the round-7 session operators:
+    empty corpora must yield empty correctly-typed frames, not
+    throw."""
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    out = ops.dup_span_scrub(empty_docs, span_tokens=4)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "n_tokens", "n_removed", "n_dup_spans", "text_clean"
+    }
+
+    # empty batch, empty index, and both
+    some = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert ops.incremental_dedup(some, empty_docs).count() == 0
+    v = ops.incremental_dedup(empty_docs, some).collect()
+    assert len(v) == 1 and v[0]["verdict"] == "kept"
+    assert ops.incremental_dedup(empty_docs, empty_docs).count() == 0
+
+    empty_src = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert ops.mixture_weights(empty_src).count() == 0
+    assert ops.mixture_sample(empty_src).count() == 0
+
+    assert ops.bpe_learn_merges(empty_docs, rounds=2).count() == 0
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    books = ops.pq_train(empty_vecs, m=4, k_codes=4, max_iter=1)
+    assert books.count() == 0
+    assert ops.pq_encode(empty_vecs, books).count() == 0
+    assert ops.pq_adc_topk(empty_vecs, empty_vecs, books, k=3).count() == 0
