@@ -92,6 +92,7 @@ HEADLINE = [
     "sim_pq_refine_topk",
     "quality_mixture_sample",
     "text_bpe_merges",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -1266,3 +1266,197 @@ def pq_refine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "l2_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    shortlist: int = 100,
+    coarse_iter: int = 2,
+    pq_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ top-k — the FAISS-style billion-scale index, composed
+    from this module's pieces: a coarse k-means quantizer routes every
+    vector to one of ``nlist`` inverted lists; vectors are PQ-encoded
+    on their RESIDUAL (x − coarse centroid), which is what makes the
+    codes tight enough to rank with; a query probes only its
+    ``nprobe`` nearest lists (the scanned fraction ≈ nprobe/nlist),
+    scores candidates by ADC against a per-(query, probed-list)
+    residual distance table, and the top ``shortlist`` refine with
+    exact L2.
+
+    Output: (query_id, neighbor_id, l2_dist, rank), rank <= k.
+
+    Physical shape at scale: the corpus is touched by (a) the coarse
+    assignment + residual encode — zero-shuffle literal-centroid
+    projections — and (b) the probe join, an equi-join on cent_id
+    against a broadcast (query × nprobe)-row frame, so only probed
+    lists produce candidate rows; the ADC is m array lookups per
+    candidate; the refine joins shortlist×queries rows back to the
+    corpus by id. Write-time clustering by cent_id (kmeans_assign +
+    partitionBy) turns the probe join into partition pruning.
+
+    Determinism: every stage inherits the kmeans/PQ contracts
+    (round-6 distances, id tiebreaks); ranking ties break on
+    neighbor id.
+    """
+    cents = kmeans_fit(data, k=nlist, max_iter=coarse_iter, id_col=id_col, vec_col=vec_col, round_to=round_to)
+    cent_rows = [
+        (r["cent_id"], list(r["cent_vec"]))
+        for r in cents.collect()  # nlist rows — tiny, deliberate
+    ]
+    if not cent_rows:
+        e = data.select(F.col(id_col)).filter(F.lit(False))
+        return e.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("l2_dist"),
+            F.lit(0).alias("rank"),
+        )
+    id_sql_type = cents.schema["cent_id"].dataType.simpleString()
+
+    vecs = data.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+    )
+    best = _kmeans_argmin(F.col("__vec"), cent_rows, round_to, id_sql_type)
+    cent_lit = _centroid_array_expr(cent_rows, id_sql_type)
+    assigned = vecs.select(
+        id_col,
+        "__vec",
+        best["cent_id"].alias("cent_id"),
+    ).withColumn(
+        "__res",
+        F.zip_with(
+            "__vec",
+            F.element_at(
+                F.map_from_entries(
+                    F.transform(cent_lit, lambda c: F.struct(c["cent_id"], c["cvec"]))
+                ),
+                F.col("cent_id"),
+            ),
+            lambda a, b: a - b,
+        ),
+    )
+    books = pq_train(
+        assigned, m=m, k_codes=k_codes, max_iter=pq_iter,
+        id_col=id_col, vec_col="__res", round_to=round_to,
+    )
+    enc = pq_encode(
+        assigned, books, id_col=id_col, vec_col="__res", round_to=round_to
+    ).join(assigned.select(id_col, "cent_id"), id_col)
+
+    # query side: nprobe nearest coarse lists, residual per probed list
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qvec"),
+    )
+    scored_cents = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("__qvec"), c["cvec"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_to,
+            ).alias("dist"),
+            c["cent_id"].alias("cent_id"),
+            c["cvec"].alias("cvec"),
+        ),
+    )
+    probes = (
+        qv.select("query_id", "__qvec", F.explode(F.slice(F.array_sort(scored_cents), 1, nprobe)).alias("p"))
+        .select(
+            "query_id",
+            F.col("p.cent_id").alias("cent_id"),
+            F.zip_with("__qvec", F.col("p.cvec"), lambda a, b: a - b).alias("__qres"),
+        )
+    )
+
+    # per-(query, probed list) residual distance table, then ADC
+    pq_books = _collect_books(books)
+    m_eff = len(pq_books)
+    sub_dim = len(pq_books[0][0][1]) if m_eff else 0
+
+    def _l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _book_lit(s: int) -> Column:
+        parts = []
+        for _, cvec in pq_books[s]:
+            comps = ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in cvec)
+            parts.append(f"array({comps})")
+        return F.expr("array(" + ", ".join(parts) + ")")
+
+    def _dt_row(s: int) -> Column:
+        qslice = F.slice("__qres", s * sub_dim + 1, sub_dim)
+        return F.transform(
+            _book_lit(s), lambda cv: F.round(_l2sq(qslice, cv), round_to)
+        )
+
+    probes_dt = probes.withColumn(
+        "__dt", F.array(*[_dt_row(s) for s in range(m_eff)])
+    ).select("query_id", "cent_id", "__dt")
+
+    candidates = (
+        enc.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes_dt), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc_dist",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(m_eff)),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.element_at(
+                        F.element_at("__dt", i), F.element_at("codes", i) + 1
+                    ),
+                ),
+                round_to,
+            ),
+        )
+    )
+    w_sl = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    sl = (
+        candidates.withColumn("__r", F.row_number().over(w_sl))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    d_full = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__dvec"),
+    )
+    refined = (
+        sl.join(d_full, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "l2_dist",
+            F.round(_l2sq(F.col("__qvec"), F.col("__dvec")), round_to),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )

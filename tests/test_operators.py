@@ -623,3 +623,18 @@ def test_bpe_learn_merges_tie_breaks_lexicographic(spark):
     df = spark.createDataFrame([(1, "cd ab")], "doc_id long, text string")
     out = bpe_learn_merges(df, rounds=1).collect()
     assert (out[0]["merge_a"], out[0]["merge_b"]) == ("a", "b")
+
+
+def test_ivfpq_topk_finds_tight_neighbors(spark):
+    """IVF-PQ with full probing (nprobe=nlist) on the toy clustered
+    corpus must surface the same-group neighbor first after refine."""
+    from graph_etl_spark.operators import ivfpq_topk
+
+    df = _pq_toy_df(spark)
+    out = ivfpq_topk(
+        df, df.filter("vec_id = 0"), k=2, nlist=2, nprobe=2, m=2,
+        k_codes=2, shortlist=3, coarse_iter=2, pq_iter=1,
+    ).collect()
+    assert out[0]["neighbor_id"] == 1
+    dists = [r["l2_dist"] for r in out]
+    assert dists == sorted(dists) and all(d is not None for d in dists)

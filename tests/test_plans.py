@@ -377,3 +377,19 @@ def test_pq_adc_broadcasts_queries(spark, entry):
     # designed shape (same as brute_force_topk); the only exchanges are
     # the broadcast build + the per-query ranking window
     assert st.exchanges <= 2
+
+
+def test_ivfpq_probe_join_prunes_lists(spark, entry):
+    """The IVF-PQ candidate join must be an equi-join on cent_id
+    against the broadcast probe frame — never a cartesian over the
+    corpus (the list pruning IS the index)."""
+    from graph_etl_spark import operators as ops
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = ops.ivfpq_topk(
+        e, e.filter("vec_id < 3"), k=3, nlist=4, nprobe=1, m=4,
+        k_codes=4, shortlist=10, coarse_iter=1, pq_iter=1,
+    )
+    assert_no_cartesian(df)
+    st = plan_stats(df)
+    assert st.broadcast_hash_joins >= 1  # probe frame broadcast on cent_id
