@@ -21,6 +21,8 @@ Stages (each prints a one-line summary):
                       the corpus, and answer a query via the ADC
                       shortlist → exact-refine path
                       (operators.similarity.pq_*).
+  7. TOKENIZER      — learn the first BPE merge rules from the
+                      curated corpus (operators.text.bpe_learn_merges).
 
 Every stage is a declarative DataFrame plan — the same operators the
 oracle-checked `__spark_entry__` queries run, composed the way a real
@@ -107,15 +109,20 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
     codes = ops.pq_encode(emb, books)
     q = emb.filter(F.col("vec_id") < 3)
     topk = ops.pq_refine_topk(emb, q, books, k=3, shortlist=50)
-    print(
-        f"[6] PQ index: {codes.count()} vectors -> 4-byte codes; "
-        f"sample ANN results:"
-    )
+    n_codes = codes.count()
+    print(f"[6] PQ index: {n_codes} vectors -> 4-byte codes; sample ANN results:")
     for r in topk.collect():
         print(
             f"      q{r['query_id']} -> neighbor {r['neighbor_id']} "
             f"(L2² {r['l2_dist']:.4f}, rank {r['rank']})"
         )
+
+    # 7. tokenizer training: BPE merges from the curated text
+    merges = ops.bpe_learn_merges(clean, rounds=3).collect()
+    rules = ", ".join(
+        f"{r['merge_a']}+{r['merge_b']}({r['pair_count']})" for r in merges
+    )
+    print(f"[7] BPE merges learned on curated corpus: {rules}")
 
     if own_session:
         spark.stop()
@@ -128,7 +135,8 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
         "dup_spans": int(stats["spans"]),
         "survivors": n4,
         "batch_verdicts": counts,
-        "pq_vectors": codes.count(),
+        "pq_vectors": n_codes,
+        "bpe_merges": len(merges),
     }
 
 

@@ -54,3 +54,4 @@ def test_example_corpus_curation_end_to_end(spark):
         "exact_index", "exact_batch", "near_index", "kept"
     }
     assert out["pq_vectors"] > 0
+    assert out["bpe_merges"] == 3

@@ -223,6 +223,10 @@ def main() -> None:
         "incremental_dedup": lambda d: ops.incremental_dedup(
             d.filter(F.col("doc_id") % 3 != 0), d.filter(F.col("doc_id") % 3 == 0)
         ),
+        # r7 (cont.): BPE training — disjoint per-copy tokens grow the
+        # distinct-word table ~Nx (the pair-count aggregation's worst
+        # direction); per round the shuffle carries pair partials only
+        "bpe_merges": lambda d: ops.bpe_learn_merges(d, rounds=2),
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
@@ -247,6 +251,22 @@ def main() -> None:
             e.filter(F.col("vec_id") < 10),
             ops.pq_train(e, m=4, k_codes=8, max_iter=1),
             k=5,
+        ),
+        # r7 (cont.): the composed IVF-PQ index — training scans are
+        # untimed (eager collects during construction); the timed plan
+        # is assignment + residual encode + probe join + ADC + refine,
+        # all data-sized with the probe join pruning to nprobe/nlist
+        "ivfpq_topk": lambda e: ops.ivfpq_topk(
+            e,
+            e.filter(F.col("vec_id") < 10),
+            k=5,
+            nlist=8,
+            nprobe=2,
+            m=4,
+            k_codes=8,
+            shortlist=50,
+            coarse_iter=1,
+            pq_iter=1,
         ),
     }
 
