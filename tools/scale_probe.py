@@ -167,6 +167,18 @@ def timed(df) -> float:
     return round(best, 2)
 
 
+def timed_thunk(thunk) -> float:
+    """Time df-construction AND materialization — for operators that
+    train eagerly (driver-side collects) during construction."""
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        thunk().write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale-probe")
@@ -223,10 +235,14 @@ def main() -> None:
         "incremental_dedup": lambda d: ops.incremental_dedup(
             d.filter(F.col("doc_id") % 3 != 0), d.filter(F.col("doc_id") % 3 == 0)
         ),
-        # r7 (cont.): BPE training — disjoint per-copy tokens grow the
-        # distinct-word table ~Nx (the pair-count aggregation's worst
-        # direction); per round the shuffle carries pair partials only
-        "bpe_merges": lambda d: ops.bpe_learn_merges(d, rounds=2),
+    }
+    # BPE trains EAGERLY during construction (per-round argmax
+    # collects), so it is timed as a thunk — df-construction plus the
+    # result write — not as a lazy plan. Disjoint per-copy tokens grow
+    # the distinct-word table ~Nx (the pair-count aggregation's worst
+    # direction); per round the shuffle carries pair partials only.
+    thunk_cases = {
+        "bpe_merges": lambda d: (lambda: ops.bpe_learn_merges(d, rounds=2)),
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
@@ -276,6 +292,10 @@ def main() -> None:
     result: dict[str, dict] = {}
     for name, fn in cases.items():
         t1, tn = timed(fn(d1)), timed(fn(dn))
+        result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
+        print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
+    for name, fn in thunk_cases.items():
+        t1, tn = timed_thunk(fn(d1)), timed_thunk(fn(dn))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
     for name, fn in vec_cases.items():
