@@ -1497,6 +1497,18 @@ def q_text_bpe_merges(spark, sf):
     return ops.bpe_learn_merges(d, rounds=3)
 
 
+def q_quality_clf_weights(spark, sf):
+    """Model-based quality filtering trained IN-ENGINE: logistic
+    regression distilling the heuristic gate (label = length band +
+    dup-word fraction) over [bias, centered dup, capped length, 16
+    hashed bag-of-words buckets], 8 gradient iterations at lr=4 —
+    train accuracy 0.78/0.80 at sf0.01/0.1. Hash-exact against an
+    8-iteration unrolled DuckDB chain (decimal-summed gradients,
+    round-6 weights per iteration)."""
+    d = _t(spark, sf, "documents")
+    return ops.quality_classifier_train(d, dim=16, iters=8, lr=4.0)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -1775,8 +1787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     batteries (win_running_total, percentiles, conditional_agg,
     distinct_counts, sim_embedding_norms, approx_distinct_custkeys,
     approx_quantiles — r2-r5-green, unchanged native-function code)
-    plus mm_decode_stub (its mm family keeps two in-window reps) and
-    text_fingerprint (text family keeps three in-window reps) stay
+    plus mm_decode_stub (its mm family keeps two in-window reps),
+    text_fingerprint (text family keeps three in-window reps), and
+    etl_split_explode (native split+explode, r1-stable, F4/F5 also
+    covered by test_example_flow) stay
     in the tail one more round and head the r8 window; preflight
     still oracle-checks them every round. Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
@@ -1794,7 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    103 registered queries (plus pytest and a bench smoke) and is the
+    104 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1823,7 +1837,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_semi_join_match": q_etl_semi_join_match,
         "etl_anti_join_blanks": q_etl_anti_join_blanks,
         "etl_array_flatten": q_etl_array_flatten,
-        "etl_split_explode": q_etl_split_explode,
         "etl_union_sources": q_etl_union_sources,
         "etl_metadata_attach": q_etl_metadata_attach,
         "q3_shipping_priority": q_q3_shipping_priority,
@@ -1868,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "quality_unigram_logprob": q_quality_unigram_logprob,
         "quality_mixture_sample": q_quality_mixture_sample,
+        "quality_clf_weights": q_quality_clf_weights,
         "text_bpe_merges": q_text_bpe_merges,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
@@ -1906,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": q_approx_quantiles,
         "mm_decode_stub": q_mm_decode_stub,
         "text_fingerprint": q_text_fingerprint,
+        "etl_split_explode": q_etl_split_explode,
         "sim_ivf_topk": q_sim_ivf_topk,
         "quality_source_quota": q_quality_source_quota,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -3562,6 +3577,65 @@ def oracle_sql() -> dict[str, str]:
         ),
         {','.join(bpe_rounds)}
         {' UNION ALL '.join(bpe_sel)}
+    """
+
+    # Quality classifier: 8 unrolled logistic-regression iterations.
+    # Per iteration: rounded margin -> rounded sigmoid -> per-doc
+    # gradient terms rounded and DECIMAL-summed (order-independent) ->
+    # round-6 gradient and weights — ops.quality_classifier_train's
+    # exact contract. 19 = 3 engineered + 16 hashed features.
+    clf_feat = f"""feat AS MATERIALIZED (
+      SELECT doc_id, n,
+        list_concat(
+          [1.0,
+           ROUND((CASE WHEN n > 0 THEN 1.0 - len(list_distinct(tk))::DOUBLE / n
+                       ELSE 0.0 END) - 0.5, 6),
+           ROUND(LEAST(n, 1000)::DOUBLE / 1000, 6)],
+          list_transform(range(0, 16), b ->
+            CASE WHEN n > 0
+                 THEN ROUND(len(list_filter(hs, h -> h = b))::DOUBLE / n, 6)
+                 ELSE 0.0 END)
+        ) AS f,
+        CASE WHEN n >= 10 AND n <= 100000 AND
+          (CASE WHEN n > 0 THEN 1.0 - len(list_distinct(tk))::DOUBLE / n
+                ELSE 0.0 END) <= 0.5
+          THEN 1.0 ELSE 0.0 END AS y
+      FROM (
+        SELECT doc_id, tk, len(tk) AS n,
+               list_transform(tk, t -> ('0x' || substr(md5(t),1,14))::BIGINT % 16) AS hs
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+      )
+    ),
+    nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM feat),
+    wl0 AS (SELECT list_transform(range(0, 19), i -> 0.0) AS wl)"""
+    clf_iters = []
+    prev = "wl0"
+    for r in range(1, 9):
+        clf_iters.append(f"""g{r} AS (
+          SELECT u.i AS pos,
+                 ROUND(SUM(ROUND(pmy * f[u.i + 1], 6)::DECIMAL(18,6))::DOUBLE
+                       / (SELECT n_docs FROM nd), 6) AS g
+          FROM (
+            SELECT f,
+              ROUND(1.0/(1.0 + exp(-ROUND(list_sum(
+                list_transform(range(1, 20), i -> f[i] * wl[i])), 6))), 6) - y AS pmy
+            FROM feat CROSS JOIN {prev}
+          ), unnest(range(0, 19)) AS u(i)
+          GROUP BY u.i
+        ), wl{r} AS MATERIALIZED (
+          SELECT list(wn ORDER BY pos) AS wl FROM (
+            SELECT u.i AS pos,
+                   ROUND(p.wl[u.i + 1] - 4.0 * coalesce(g.g, 0.0), 6) AS wn
+            FROM {prev} p, unnest(range(0, 19)) AS u(i)
+            LEFT JOIN g{r} g ON g.pos = u.i
+          )
+        )""")
+        prev = f"wl{r}"
+    sql["quality_clf_weights"] = f"""
+        WITH {clf_feat},
+        {','.join(clf_iters)}
+        SELECT CAST(u.i AS INT) AS pos, wl[u.i + 1] AS weight
+        FROM wl8, unnest(range(0, 19)) AS u(i)
     """
 
     # Incremental dedup: batch-vs-index verdicts. Same normalized

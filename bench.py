@@ -93,6 +93,7 @@ HEADLINE = [
     "quality_mixture_sample",
     "text_bpe_merges",
     "sim_ivfpq_topk",
+    "quality_clf_weights",
 ]
 
 

@@ -669,3 +669,159 @@ def mixture_sample(
         h56(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(1_000_000)
     )
     return df.join(F.broadcast(rates), source_col).filter(bucket < F.col("rate_ppm"))
+
+
+def _doc_features(text_col: str, dim: int) -> tuple[Column, Column, Column]:
+    """(features array<double> of dim+1 incl leading bias 1.0, label)
+    for the quality-classifier trainer. Features are normalized
+    hashed bag-of-words bucket frequencies (H56(token) mod dim);
+    the label distills the heuristic gate: 10 <= tokens <= 100k AND
+    duplicate-word fraction <= 0.5. Token hashes materialize ONCE per
+    row (bound column, not re-evaluated per bucket — interpreted
+    lambdas have no CSE)."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    hs = F.transform(toks, lambda t: F.pmod(h56(t), F.lit(dim)))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.when(
+            n > 0,
+            F.round(
+                F.size(F.filter(F.col("__hs"), lambda h: h == b)).cast("double")
+                / n,
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    dup = F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
+    label = ((n >= 10) & (n <= 100_000) & (dup <= 0.5)).cast("double")
+    # engineered features FIRST (the signals the gate actually uses —
+    # the classifier can then distill the gate nearly exactly), hashed
+    # bag-of-words buckets after (token-level generalization)
+    # dup is CENTERED at the gate threshold (0.5): the feature is the
+    # signed distance from the decision boundary, so the classifier
+    # separates without needing many iterations to learn the offset
+    feats = F.concat(
+        F.array(
+            F.lit(1.0),
+            F.round(dup - F.lit(0.5), 6),
+            F.round(F.least(n, F.lit(1000)).cast("double") / 1000, 6),
+        ),
+        counts,
+    )
+    return feats, label, hs
+
+
+def quality_classifier_train(
+    df: DataFrame,
+    dim: int = 16,
+    iters: int = 2,
+    lr: float = 0.5,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Model-based quality filtering, trained IN-ENGINE: a logistic
+    regression over hashed bag-of-words features, distilling the
+    heuristic quality gate into a classifier that generalizes
+    token-level signals — the fasttext-classifier stage of modern
+    corpus pipelines (quality models trained on cheap labels), as a
+    deterministic DataFrame plan.
+
+    Output: (pos, weight) — the trained weight vector: pos 0 = bias,
+    pos 1 = duplicate-word fraction, pos 2 = capped length/1000,
+    pos 3.. = hashed bag-of-words buckets.
+
+    Physical shape per iteration (the kmeans posture): ONE corpus
+    scan — per-row sigmoid score against LITERAL weights feeding a
+    map-side-combinable per-dimension gradient aggregate — and a
+    (dim+1)-row collect that becomes the next iteration's literals.
+    The corpus never shuffles; the shuffle carries dim+1 partial sums
+    per map partition.
+
+    Cross-engine determinism: the margin z rounds to ``round_to``
+    before the sigmoid; per-doc gradient terms round and sum as
+    DECIMAL (order-independent exact total); gradient components and
+    updated weights round each iteration — the DuckDB oracle unrolls
+    the same chain bit-for-bit (the sigmoid's exp is the same last-
+    ulp bet the green unigram-logprob oracle already takes on ln)."""
+    feats, label, hs = _doc_features(text_col, dim)
+    base = (
+        df.withColumn("__hs", hs)
+        .select(feats.alias("__f"), label.alias("__y"))
+    )
+    if iters >= 1:
+        base = base.localCheckpoint()
+    n_docs = base.count()
+    w = [0.0] * (dim + 3)
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame(
+            [(i, wi) for i, wi in enumerate(w)], "pos int, weight double"
+        )
+    for _ in range(max(0, iters)):
+        w_lit = F.expr(
+            "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in w) + ")"
+        )
+        z = F.round(
+            F.aggregate(
+                F.zip_with(F.col("__f"), w_lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+        terms = F.transform(
+            F.col("__f"),
+            lambda fj: F.round((p - F.col("__y")) * fj, round_to).cast(
+                "decimal(18,6)"
+            ),
+        )
+        grad_rows = (
+            base.select(F.posexplode(terms).alias("pos", "t"))
+            .groupBy("pos")
+            .agg(F.sum("t").alias("s"))  # DECIMAL: exact, order-free
+            .collect()  # dim+3 rows — tiny, deliberate
+        )
+        grad = {r["pos"]: float(r["s"]) / n_docs for r in grad_rows}
+        w = [
+            round(wi - lr * round(grad.get(i, 0.0), round_to), round_to)
+            for i, wi in enumerate(w)
+        ]
+    return df.sparkSession.createDataFrame(
+        [(i, wi) for i, wi in enumerate(w)], "pos int, weight double"
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """(id, clf_score): sigmoid quality probability under a trained
+    weight vector — the inference pass, a zero-join zero-shuffle
+    projection over literal weights (kmeans_assign posture)."""
+    w_rows = sorted(
+        (r["pos"], r["weight"]) for r in weights.collect()  # dim+1 — tiny
+    )
+    w = [x for _, x in w_rows]
+    feats, _, hs = _doc_features(text_col, dim)
+    w_lit = F.expr(
+        "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in w) + ")"
+    )
+    z = F.round(
+        F.aggregate(
+            F.zip_with(feats, w_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return df.withColumn("__hs", hs).select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to).alias("clf_score"),
+    )

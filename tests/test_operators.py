@@ -638,3 +638,43 @@ def test_ivfpq_topk_finds_tight_neighbors(spark):
     assert out[0]["neighbor_id"] == 1
     dists = [r["l2_dist"] for r in out]
     assert dists == sorted(dists) and all(d is not None for d in dists)
+
+
+# ---------------------------------------------------------------------------
+# round-7 (cont.): in-engine quality classifier
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_separates_dup_spam(spark):
+    """Trained on the distilled gate labels, the classifier must score
+    clean varied text above repetition spam."""
+    from graph_etl_spark.operators import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    clean = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(10)]
+    spam = [" ".join(["spam"] * 30) for _ in range(10)]
+    rows = [(i, t) for i, t in enumerate(clean)] + [
+        (100 + i, t) for i, t in enumerate(spam)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = quality_classifier_train(df, dim=16, iters=8, lr=4.0)
+    scores = {
+        r["doc_id"]: r["clf_score"]
+        for r in quality_classifier_score(df, w, dim=16).collect()
+    }
+    avg_clean = sum(scores[i] for i in range(10)) / 10
+    avg_spam = sum(scores[100 + i] for i in range(10)) / 10
+    assert avg_clean > avg_spam + 0.1, (avg_clean, avg_spam)
+
+
+def test_quality_classifier_partitioning_invariant(spark):
+    from graph_etl_spark.operators import quality_classifier_train
+
+    rows = [(i, " ".join(f"t{(i + j) % 9}" for j in range(20))) for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    df16 = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    a = sorted(map(tuple, quality_classifier_train(df1, iters=3).collect()))
+    b = sorted(map(tuple, quality_classifier_train(df16, iters=3).collect()))
+    assert a == b
