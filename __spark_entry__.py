@@ -1509,6 +1509,15 @@ def q_quality_clf_weights(spark, sf):
     return ops.quality_classifier_train(d, dim=16, iters=8, lr=4.0)
 
 
+def q_quality_curriculum_order(spark, sf):
+    """Deterministic curriculum ordering: quality-banded (10 bands),
+    16 hash sub-buckets per band so ranking parallelism is
+    band×bucket (not band), reproducible H56 within-band order.
+    Total training order = (band DESC, sub_bucket, train_rank)."""
+    d = _t(spark, sf, "documents")
+    return ops.curriculum_order(d, n_bands=10, sub_buckets=16)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -1789,8 +1798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     approx_quantiles — r2-r5-green, unchanged native-function code)
     plus mm_decode_stub (its mm family keeps two in-window reps),
     text_fingerprint (text family keeps three in-window reps), and
-    etl_split_explode (native split+explode, r1-stable, F4/F5 also
-    covered by test_example_flow) stay
+    etl_split_explode and etl_array_flatten (r1-stable normalization
+    primitives, F1/F4/F5 also covered by the normalization-chain
+    pytest) stay
     in the tail one more round and head the r8 window; preflight
     still oracle-checks them every round. Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
@@ -1808,7 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    104 registered queries (plus pytest and a bench smoke) and is the
+    105 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1836,7 +1846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_normalize_nodes": q_etl_normalize_nodes,
         "etl_semi_join_match": q_etl_semi_join_match,
         "etl_anti_join_blanks": q_etl_anti_join_blanks,
-        "etl_array_flatten": q_etl_array_flatten,
         "etl_union_sources": q_etl_union_sources,
         "etl_metadata_attach": q_etl_metadata_attach,
         "q3_shipping_priority": q_q3_shipping_priority,
@@ -1882,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_unigram_logprob": q_quality_unigram_logprob,
         "quality_mixture_sample": q_quality_mixture_sample,
         "quality_clf_weights": q_quality_clf_weights,
+        "quality_curriculum_order": q_quality_curriculum_order,
         "text_bpe_merges": q_text_bpe_merges,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
@@ -1921,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_stub": q_mm_decode_stub,
         "text_fingerprint": q_text_fingerprint,
         "etl_split_explode": q_etl_split_explode,
+        "etl_array_flatten": q_etl_array_flatten,
         "sim_ivf_topk": q_sim_ivf_topk,
         "quality_source_quota": q_quality_source_quota,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -3577,6 +3588,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         {','.join(bpe_rounds)}
         {' UNION ALL '.join(bpe_sel)}
+    """
+
+    # Curriculum ordering: the text_quality_scores composite feeds
+    # banding (floor of quality x 10 — quality is hash-exact between
+    # engines, so the floor agrees bit-for-bit), H56 hash order.
+    sql["quality_curriculum_order"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 len({_TOKS}) AS n_tok,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                 len(list_filter({_TOKS}, t -> lower(t) IN
+                   ('the','and','of','to','a','in','is','it','you','that'))) AS stop_hits
+          FROM documents
+        ), ratios AS (
+          SELECT doc_id, n_tok,
+                 CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok::DOUBLE ELSE 0.0 END AS mwl,
+                 CASE WHEN n_chars > 0 THEN n_punct / n_chars::DOUBLE ELSE 0.0 END AS pr,
+                 CASE WHEN n_tok > 0 THEN stop_hits / n_tok::DOUBLE ELSE 0.0 END AS sr
+          FROM base
+        ), q AS (
+          SELECT doc_id,
+               ROUND(CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN mwl BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END
+                   + CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END
+                   + CASE WHEN sr >= 0.05 THEN 0.1 ELSE 0.0 END, 2) AS quality
+          FROM ratios
+        ), b AS (
+          SELECT doc_id,
+                 LEAST(9, FLOOR(quality * 10))::INT AS band,
+                 ('0x' || substr(md5('curriculum' || doc_id::VARCHAR), 1, 14))::BIGINT
+                   % 1000000 AS h
+          FROM q
+        )
+        SELECT doc_id, band, (h % 16)::INT AS sub_bucket,
+               row_number() OVER (
+                 PARTITION BY band, h % 16 ORDER BY h, doc_id)::INT AS train_rank
+        FROM b
     """
 
     # Quality classifier: 8 unrolled logistic-regression iterations.

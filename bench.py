@@ -94,6 +94,7 @@ HEADLINE = [
     "text_bpe_merges",
     "sim_ivfpq_topk",
     "quality_clf_weights",
+    "quality_curriculum_order",
 ]
 
 

@@ -825,3 +825,53 @@ def quality_classifier_score(
         F.col(id_col),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to).alias("clf_score"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    n_bands: int = 10,
+    sub_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Deterministic curriculum ordering — the corpus→training-file
+    step: documents are stratified into quality bands (floor of the
+    heuristic composite × n_bands) and given a reproducible
+    pseudo-random order within each band, so a trainer can consume
+    highest-quality-first (annealing/curriculum schedules) while the
+    within-band order stays unbiased and identical on any engine or
+    partitioning.
+
+    Output: (id, band, sub_bucket, train_rank). The TOTAL order is
+    lexicographic (band DESC, sub_bucket, train_rank) — a consumer
+    concatenates bands high-to-low and sub-buckets in order.
+
+    Scale: ranking partitions on (band, sub_bucket) — n_bands ×
+    sub_buckets reducers, so parallelism never collapses to n_bands
+    (the naive per-band window's failure mode at 100 TB); within a
+    partition row_number needs no buffering. Order within a band is
+    H56-uniform across sub-buckets, so band-level concatenation
+    preserves the unbiased shuffle. On a corpus that is homogeneous
+    under the composite (every doc passes the same gates) all rows
+    share one band and the ordering degenerates gracefully to the
+    pure hash shuffle — expected, not an error."""
+    from .text import quality_score
+
+    scored = quality_score(df, text_col=text_col)
+    h = F.pmod(h56(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(1_000_000))
+    banded = scored.select(
+        F.col(id_col),
+        F.least(
+            F.lit(n_bands - 1), F.floor(F.col("quality") * n_bands).cast("int")
+        ).alias("band"),
+        F.pmod(h, F.lit(sub_buckets)).cast("int").alias("sub_bucket"),
+        h.alias("__h"),
+    )
+    w = Window.partitionBy("band", "sub_bucket").orderBy("__h", id_col)
+    return banded.select(
+        id_col,
+        "band",
+        "sub_bucket",
+        F.row_number().over(w).alias("train_rank"),
+    )

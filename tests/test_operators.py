@@ -678,3 +678,42 @@ def test_quality_classifier_partitioning_invariant(spark):
     a = sorted(map(tuple, quality_classifier_train(df1, iters=3).collect()))
     b = sorted(map(tuple, quality_classifier_train(df16, iters=3).collect()))
     assert a == b
+
+
+def test_curriculum_order_total_order_and_bands(spark):
+    """Every doc gets exactly one (band, sub_bucket, train_rank) slot;
+    ranks are dense 1..n per (band, sub_bucket); docs passing the
+    heuristic composite land in higher bands than ones that fail its
+    length gate."""
+    from graph_etl_spark.operators import curriculum_order
+
+    clean = [(i, "the quick brown foxes jumped over " +
+              " ".join(f"word{i}x{j}" for j in range(24)))
+             for i in range(10)]
+    spam = [(100 + i, f"tiny{i} doc")  # < 10 tokens: fails the length gate
+            for i in range(10)]
+    df = spark.createDataFrame(clean + spam, "doc_id long, text string")
+    out = curriculum_order(df, n_bands=10, sub_buckets=4).collect()
+    assert len(out) == 20
+    by_doc = {r["doc_id"]: r for r in out}
+    avg_clean = sum(by_doc[i]["band"] for i in range(10)) / 10
+    avg_spam = sum(by_doc[100 + i]["band"] for i in range(10)) / 10
+    assert avg_clean > avg_spam
+    # dense ranks per partition
+    from collections import defaultdict
+    parts = defaultdict(list)
+    for r in out:
+        parts[(r["band"], r["sub_bucket"])].append(r["train_rank"])
+    for ranks in parts.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_curriculum_order_partitioning_invariant(spark):
+    from graph_etl_spark.operators import curriculum_order
+
+    rows = [(i, " ".join(f"t{(i * 3 + j) % 11}" for j in range(15))) for i in range(50)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    df16 = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    a = sorted(map(tuple, curriculum_order(df1).collect()))
+    b = sorted(map(tuple, curriculum_order(df16).collect()))
+    assert a == b

@@ -22,7 +22,7 @@ ROUND7_NEW = [
     "dedup_span_scrub", "dedup_incremental", "quality_mixture_sample",
     "text_bpe_merges",
     "sim_pq_codebooks", "sim_pq_codes", "sim_pq_refine_topk",
-    "sim_ivfpq_topk", "quality_clf_weights",
+    "sim_ivfpq_topk", "quality_clf_weights", "quality_curriculum_order",
 ]
 
 
