@@ -561,6 +561,51 @@ def q_events_tumbling_counts(spark, sf):
     )
 
 
+def q_events_hopping_counts(spark, sf):
+    """Hopping-window agg (1h windows sliding every 15m): each event
+    lands in 4 overlapping windows. Window starts epoch-aligned,
+    emitted as epoch seconds (timezone-free compare)."""
+    e = _t(spark, sf, "events")
+    from graph_etl_spark.streaming import hopping_event_counts
+
+    out = hopping_event_counts(e, window_duration="1 hour", slide="15 minutes")
+    return out.select(
+        "window_start", "event_type", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+def q_etl_upsert_nodes(spark, sf):
+    """SCD-1 keyed merge: a delta batch (200 modified customers with
+    uppercased names + 50 brand-new synthetic ids) upserts into the
+    customer table — updates win on collision, everything else passes
+    through. One hash shuffle (union + preference window, no join)."""
+    from graph_etl_spark.functions import upsert_by_key
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    did = F.col("c_custkey")
+    updates = (
+        c.filter(did % 7 == 0)
+        .select(
+            "c_custkey",
+            F.upper(F.col("c_name")).alias("c_name"),
+            F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            c.filter(did < 50).select(
+                (did + 9_000_000).alias("c_custkey"),
+                F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    return upsert_by_key(c, updates, keys="c_custkey")
+
+
 def q_events_sessionize(spark, sf):
     e = _t(spark, sf, "events")
     sess = sessionize(e, gap_minutes=30)
@@ -1800,7 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_fingerprint (text family keeps three in-window reps), and
     etl_split_explode and etl_array_flatten (r1-stable normalization
     primitives, F1/F4/F5 also covered by the normalization-chain
-    pytest) stay
+    pytest), and q6/q10 (r1-stable single-join TPC-H analogs — the
+    battery keeps q3 plus the eight fresh r7 queries in-window) stay
     in the tail one more round and head the r8 window; preflight
     still oracle-checks them every round. Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
@@ -1818,7 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    105 registered queries (plus pytest and a bench smoke) and is the
+    107 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1849,8 +1895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_union_sources": q_etl_union_sources,
         "etl_metadata_attach": q_etl_metadata_attach,
         "q3_shipping_priority": q_q3_shipping_priority,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q10_returned_items": q_q10_returned_items,
         "mm_binary_metadata": q_mm_binary_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "text_token_stats": q_text_token_stats,
@@ -1892,6 +1936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_mixture_sample": q_quality_mixture_sample,
         "quality_clf_weights": q_quality_clf_weights,
         "quality_curriculum_order": q_quality_curriculum_order,
+        "events_hopping_counts": q_events_hopping_counts,
+        "etl_upsert_nodes": q_etl_upsert_nodes,
         "text_bpe_merges": q_text_bpe_merges,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
@@ -1932,6 +1978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "etl_split_explode": q_etl_split_explode,
         "etl_array_flatten": q_etl_array_flatten,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q10_returned_items": q_q10_returned_items,
         "sim_ivf_topk": q_sim_ivf_topk,
         "quality_source_quota": q_quality_source_quota,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -2524,6 +2572,37 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*)::BIGINT AS n_events,
                ROUND(SUM(value), 4)::DOUBLE AS sum_value
         FROM events GROUP BY 1, 2
+    """
+
+    # Hopping windows: event at t belongs to the 4 windows starting at
+    # floor(epoch/900)*900 - k*900 for k in 0..3 (1h/15m, epoch-aligned
+    # — the F.window contract).
+    sql["events_hopping_counts"] = """
+        SELECT (FLOOR(epoch(ts) / 900) * 900 - k.k * 900)::BIGINT AS window_start,
+               event_type, COUNT(*)::BIGINT AS n_events,
+               ROUND(SUM(value), 4)::DOUBLE AS sum_value
+        FROM events, unnest(range(0, 4)) AS k(k)
+        GROUP BY 1, 2
+    """
+
+    # SCD-1 upsert: updates win on key collision; full-outer coalesce
+    # expresses the same contract relationally.
+    sql["etl_upsert_nodes"] = """
+        WITH c AS (
+          SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        ), updates AS (
+          SELECT c_custkey, upper(c_name) AS c_name,
+                 ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+          FROM c WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey + 9000000, 'NEW-' || c_name, c_acctbal, c_mktsegment
+          FROM c WHERE c_custkey < 50
+        )
+        SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+               coalesce(u.c_name, c.c_name) AS c_name,
+               coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal,
+               coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+        FROM c FULL OUTER JOIN updates u USING (c_custkey)
     """
 
     sql["events_sessionize"] = """

@@ -95,6 +95,8 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "quality_clf_weights",
     "quality_curriculum_order",
+    "events_hopping_counts",
+    "etl_upsert_nodes",
 ]
 
 

@@ -167,3 +167,38 @@ def non_empty_endpoints(df: DataFrame, start: str = "start", end: str = "end") -
         & (F.col(start).cast("string") != "")
         & (F.col(end).cast("string") != "")
     )
+
+
+def upsert_by_key(
+    current: DataFrame, updates: DataFrame, keys: list[str] | str = "id"
+) -> DataFrame:
+    """SCD-1 keyed merge: rows from ``updates`` REPLACE same-key rows
+    in ``current``; unmatched rows pass through from either side — the
+    incremental-refresh primitive for staged node tables (full
+    re-stage is the reference's only refresh model; this gives the
+    nightly-delta path).
+
+    Deterministic: on a key collision the updates side always wins;
+    duplicate keys WITHIN a side resolve by the ``dedup_by_key``
+    contract (lexicographically-first over non-key columns), so the
+    merged table is reproducible on any engine or partitioning.
+
+    Scale: ONE hash shuffle on the key (union is free; the preference
+    window rides the same partitioning as the dedup rank). No join —
+    the union+window form replaces the full-outer-join+coalesce
+    per-column rewrite and keeps every column untouched."""
+    if isinstance(keys, str):
+        keys = [keys]
+    tagged = current.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    others = [c for c in tagged.columns if c not in keys and c != "__src"]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__src").desc(),
+        *[F.col(c).asc_nulls_last() for c in others],
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )

@@ -410,3 +410,43 @@ def streaming_incremental_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hopping_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Hopping (sliding) window counts + value sum: every event
+    contributes to duration/slide overlapping windows — the smoothing
+    complement to the tumbling agg (rate dashboards, rolling SLO
+    windows). Same plan in batch and streaming; the watermark bounds
+    state only when streaming. Window starts align to the epoch (the
+    ``F.window`` contract), emitted as epoch SECONDS so the output is
+    timezone-free.
+
+    Scale: the window expansion is a map-side ×(duration/slide) row
+    blowup feeding one map-side-combinable aggregation — the shuffle
+    carries (windows × groups) partial sums, never raw events."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_duration, slide).alias("win"),
+            F.col(group_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("window_start"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -717,3 +717,46 @@ def test_curriculum_order_partitioning_invariant(spark):
     a = sorted(map(tuple, curriculum_order(df1).collect()))
     b = sorted(map(tuple, curriculum_order(df16).collect()))
     assert a == b
+
+
+def test_upsert_by_key_updates_win(spark):
+    from graph_etl_spark.functions import upsert_by_key
+
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, bal double",
+    )
+    upd = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)], "id long, name string, bal double"
+    )
+    out = {r["id"]: r for r in upsert_by_key(cur, upd, keys="id").collect()}
+    assert len(out) == 4
+    assert out[2]["name"] == "B2" and out[2]["bal"] == 99.0  # replaced
+    assert out[1]["name"] == "a" and out[4]["name"] == "d"   # pass-through
+
+
+def test_upsert_by_key_duplicate_update_keys_deterministic(spark):
+    from graph_etl_spark.functions import upsert_by_key
+
+    cur = spark.createDataFrame([(1, "old")], "id long, name string")
+    upd = spark.createDataFrame([(1, "zzz"), (1, "aaa")], "id long, name string")
+    out = upsert_by_key(cur, upd, keys="id").collect()
+    # within the updates side: lexicographically-first non-key wins
+    assert len(out) == 1 and out[0]["name"] == "aaa"
+
+
+def test_hopping_counts_four_windows_per_event(spark):
+    """1h window / 15m slide: one event produces exactly 4 window rows
+    whose starts are 900s apart and all contain the event."""
+    from graph_etl_spark.streaming import hopping_event_counts
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:07:00", "click", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(r["window_start"] for r in hopping_event_counts(df).collect())
+    assert len(out) == 4
+    assert all(b - a == 900 for a, b in zip(out, out[1:]))
+    import datetime as dt
+    t = int(dt.datetime(2024, 1, 1, 10, 7, tzinfo=dt.timezone.utc).timestamp())
+    assert all(ws <= t < ws + 3600 for ws in out)
