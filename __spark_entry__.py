@@ -606,6 +606,26 @@ def q_etl_upsert_nodes(spark, sf):
     return upsert_by_key(c, updates, keys="c_custkey")
 
 
+def q_text_fuzzy_pairs(spark, sf):
+    """Fuzzy record linkage over distinct part names: q-gram blocking
+    (shared character 3-gram -> candidate) + exact Levenshtein verify
+    <= 2 — the classic record-linkage shape, no all-pairs scan."""
+    d = _t(spark, sf, "part")
+    return ops.fuzzy_pairs(d, col="p_name", max_dist=2, qgram=3)
+
+
+def q_etl_profile_table(spark, sf):
+    """Data-quality profile of lineitem (Deequ-style): per-column
+    null count, exact distinct count, and min/max/avg of the value
+    (numerics) or the length (strings) — uniform double stats, no
+    float string-formatting to diverge on."""
+    d = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_shipdate", "l_linestatus",
+    )
+    return ops.profile_table(d)
+
+
 def q_events_sessionize(spark, sf):
     e = _t(spark, sf, "events")
     sess = sessionize(e, gap_minutes=30)
@@ -1845,8 +1865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_fingerprint (text family keeps three in-window reps), and
     etl_split_explode and etl_array_flatten (r1-stable normalization
     primitives, F1/F4/F5 also covered by the normalization-chain
-    pytest), and q6/q10 (r1-stable single-join TPC-H analogs — the
-    battery keeps q3 plus the eight fresh r7 queries in-window) stay
+    pytest), q6/q10 (r1-stable single-join TPC-H analogs — the
+    battery keeps q3 plus the eight fresh r7 queries in-window),
+    mm_frame_sample (mm keeps mm_binary_metadata in-window), and
+    text_lang_id (text keeps token_stats + quality_scores) stay
     in the tail one more round and head the r8 window; preflight
     still oracle-checks them every round. Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
@@ -1864,7 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    107 registered queries (plus pytest and a bench smoke) and is the
+    109 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1896,10 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_metadata_attach": q_etl_metadata_attach,
         "q3_shipping_priority": q_q3_shipping_priority,
         "mm_binary_metadata": q_mm_binary_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
         "text_token_stats": q_text_token_stats,
         "text_quality_scores": q_text_quality_scores,
-        "text_lang_id": q_text_lang_id,
         "sim_quantize_int8": q_sim_quantize_int8,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_simhash_signatures": q_dedup_simhash_signatures,
@@ -1938,6 +1958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_curriculum_order": q_quality_curriculum_order,
         "events_hopping_counts": q_events_hopping_counts,
         "etl_upsert_nodes": q_etl_upsert_nodes,
+        "text_fuzzy_pairs": q_text_fuzzy_pairs,
+        "etl_profile_table": q_etl_profile_table,
         "text_bpe_merges": q_text_bpe_merges,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
@@ -1980,6 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_array_flatten": q_etl_array_flatten,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q10_returned_items": q_q10_returned_items,
+        "mm_frame_sample": q_mm_frame_sample,
+        "text_lang_id": q_text_lang_id,
         "sim_ivf_topk": q_sim_ivf_topk,
         "quality_source_quota": q_quality_source_quota,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -2604,6 +2628,65 @@ def oracle_sql() -> dict[str, str]:
                coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
         FROM c FULL OUTER JOIN updates u USING (c_custkey)
     """
+
+    sql["text_fuzzy_pairs"] = """
+        WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+        grams AS (
+          SELECT DISTINCT name, g FROM (
+            SELECT name,
+                   CASE WHEN length(name) >= 3
+                        THEN unnest(list_transform(range(1, length(name) - 1),
+                                    i -> substr(name, i, 3)))
+                        ELSE name END AS g
+            FROM names
+          )
+        ),
+        cands AS (
+          SELECT DISTINCT a.name AS name_a, b.name AS name_b
+          FROM grams a JOIN grams b ON a.g = b.g AND a.name < b.name
+        )
+        SELECT name_a, name_b, levenshtein(name_a, name_b)::INT AS edit_dist
+        FROM cands
+        WHERE levenshtein(name_a, name_b) <= 2
+          AND abs(length(name_a) - length(name_b)) <= 2
+    """
+
+    # Per-column profile: UNION ALL of per-column aggregates; numeric
+    # stats cast through DOUBLE, string stats over LENGTH — mirroring
+    # ops.quality.profile_table's uniform schema.
+    _prof_num = lambda c: f"""
+        SELECT '{c}' AS column, 'numeric' AS kind,
+               (SELECT COUNT(*) FROM li)::BIGINT AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+               COUNT(DISTINCT {c})::BIGINT AS n_distinct,
+               ROUND(MIN({c}::DOUBLE), 6) AS min_val,
+               ROUND(MAX({c}::DOUBLE), 6) AS max_val,
+               ROUND(SUM(ROUND({c}::DOUBLE, 6)::DECIMAL(18,6))::DOUBLE / COUNT({c}), 6) AS avg_val
+        FROM li"""  # noqa: E731
+    _prof_len = lambda c, kind: f"""
+        SELECT '{c}' AS column, '{kind}' AS kind,
+               (SELECT COUNT(*) FROM li)::BIGINT AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+               COUNT(DISTINCT {c})::BIGINT AS n_distinct,
+               ROUND(MIN(length({c}::VARCHAR)::DOUBLE), 6) AS min_val,
+               ROUND(MAX(length({c}::VARCHAR)::DOUBLE), 6) AS max_val,
+               ROUND(SUM(ROUND(length({c}::VARCHAR)::DOUBLE, 6)::DECIMAL(18,6))::DOUBLE / COUNT({c}), 6) AS avg_val
+        FROM li"""  # noqa: E731
+    sql["etl_profile_table"] = (
+        "WITH li AS (SELECT l_orderkey, l_quantity, l_extendedprice, "
+        "l_discount, l_returnflag, l_shipdate, l_linestatus FROM lineitem)\n"
+        + " UNION ALL ".join(
+            [
+                _prof_num("l_orderkey"),
+                _prof_num("l_quantity"),
+                _prof_num("l_extendedprice"),
+                _prof_num("l_discount"),
+                _prof_len("l_returnflag", "string_len"),
+                _prof_len("l_shipdate", "other_str_len"),
+                _prof_len("l_linestatus", "string_len"),
+            ]
+        )
+    )
 
     sql["events_sessionize"] = """
         WITH gaps AS (

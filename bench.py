@@ -97,6 +97,8 @@ HEADLINE = [
     "quality_curriculum_order",
     "events_hopping_counts",
     "etl_upsert_nodes",
+    "text_fuzzy_pairs",
+    "etl_profile_table",
 ]
 
 

@@ -295,3 +295,71 @@ def bpe_learn_merges(
             ]
         ),
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str = "name",
+    max_dist: int = 2,
+    qgram: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Fuzzy record-linkage pairs: DISTINCT values of ``col`` whose
+    Levenshtein distance is <= ``max_dist``, found without an
+    all-pairs scan — candidates must share at least one character
+    q-gram (the classic q-gram blocking of record-linkage systems),
+    then verify with the exact JVM ``levenshtein``.
+
+    Output: (name_a, name_b, edit_dist), name_a < name_b.
+
+    CANDIDATE semantics (like the LSH pair ops): a pair of strings so
+    different in composition that they share no q-gram is not
+    emitted — for strings with len >= qgram + max_dist·qgram the
+    q-gram count filter guarantees a shared gram, so blocking is
+    lossless there; shorter strings fall back to their whole-string
+    gram. ``max_df`` drops q-grams appearing in more than that many
+    distinct values (stop-gram pruning — the ngram_jaccard posture);
+    None keeps all.
+
+    Scale: distinct-value table (one agg) → q-gram explode (bounded:
+    len(s) grams/value) → equi-join on the gram → distinct candidate
+    pairs → O(len²) verify only on candidates. The verify join's key
+    is the gram hash — uniform unless a stop-gram survives, which is
+    what ``max_df`` is for."""
+    names = df.select(F.col(col).alias("name")).filter(F.col("name").isNotNull()).distinct()
+    grams = names.select(
+        "name",
+        F.explode(
+            F.when(
+                F.length("name") >= qgram,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name") - qgram + 1),
+                    lambda i: F.col("name").substr(i, F.lit(qgram)),
+                ),
+            ).otherwise(F.array(F.col("name")))
+        ).alias("g"),
+    ).distinct()
+    if max_df is not None:
+        keep = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        grams = grams.join(keep, "g", "left_semi")
+    cands = (
+        grams.alias("a")
+        .join(grams.alias("b"), "g")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+    return (
+        cands.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(
+            (F.col("edit_dist") <= max_dist)
+            # free exact filter: the length difference lower-bounds lev
+            & ((F.length("name_a") - F.length("name_b")).between(-max_dist, max_dist))
+        )
+        .select("name_a", "name_b", "edit_dist")
+    )

@@ -760,3 +760,47 @@ def test_hopping_counts_four_windows_per_event(spark):
     import datetime as dt
     t = int(dt.datetime(2024, 1, 1, 10, 7, tzinfo=dt.timezone.utc).timestamp())
     assert all(ws <= t < ws + 3600 for ws in out)
+
+
+def test_fuzzy_pairs_blocking_and_verify(spark):
+    from graph_etl_spark.operators import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "blue bolt"), (2, "blue bolts"), (3, "red widget"),
+         (4, "red midget"), (5, "totally different")],
+        "id long, name string",
+    )
+    out = {(r["name_a"], r["name_b"]): r["edit_dist"]
+           for r in fuzzy_pairs(df, col="name", max_dist=2).collect()}
+    assert out[("blue bolt", "blue bolts")] == 1
+    assert out[("red midget", "red widget")] == 1
+    assert all("totally different" not in k for pair in out for k in pair)
+
+
+def test_fuzzy_pairs_stop_gram_cap(spark):
+    """max_df drops ubiquitous q-grams: with every name sharing the
+    'aaa' prefix gram, cap=1 removes it from blocking, and pairs that
+    ONLY shared that gram disappear (candidate semantics)."""
+    from graph_etl_spark.operators import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aaax"), (2, "aaay"), (3, "aaaz")], "id long, name string"
+    )
+    assert fuzzy_pairs(df, col="name", max_dist=1).count() == 3
+    assert fuzzy_pairs(df, col="name", max_dist=1, max_df=1).count() == 0
+
+
+def test_profile_table_stats(spark):
+    from graph_etl_spark.operators import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ab"), (2, None, "abcd"), (3, 30.0, None)],
+        "id long, val double, s string",
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert out["val"]["n_nulls"] == 1 and out["val"]["n_distinct"] == 2
+    assert out["val"]["min_val"] == 10.0 and out["val"]["max_val"] == 30.0
+    assert out["val"]["avg_val"] == 20.0
+    assert out["s"]["kind"] == "string_len"
+    assert out["s"]["min_val"] == 2.0 and out["s"]["max_val"] == 4.0
+    assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 3
