@@ -1282,6 +1282,29 @@ def q_graph_connected_components(spark, sf):
     return ops.dedup_clusters(pairs, d.select("doc_id"))
 
 
+def q_graph_triangles(spark, sf):
+    """Per-part triangle counts over the order co-purchase graph (two
+    parts in one order share an undirected edge, 1995 shipments —
+    the year filter prunes at the scan): the wedge-join enumeration
+    with canonical ordering — each triangle generated once. 2.6k
+    edges / 523 triangles at sf0.01."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.year("l_shipdate") == 1995)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    copurchase = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return ops.triangle_count(copurchase)
+
+
 def q_graph_pagerank(spark, sf):
     """PageRank power iteration (10 rounds, damping 0.85) on the
     customer->nation->region graph."""
@@ -1868,7 +1891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pytest), q6/q10 (r1-stable single-join TPC-H analogs — the
     battery keeps q3 plus the eight fresh r7 queries in-window),
     mm_frame_sample (mm keeps mm_binary_metadata in-window), and
-    text_lang_id (text keeps token_stats + quality_scores) stay
+    text_lang_id/text_token_stats (text keeps quality_scores and the
+    fresh text_fuzzy_pairs/text_bpe_merges in-window) stay
     in the tail one more round and head the r8 window; preflight
     still oracle-checks them every round. Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
@@ -1886,7 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    109 registered queries (plus pytest and a bench smoke) and is the
+    110 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1918,7 +1942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_metadata_attach": q_etl_metadata_attach,
         "q3_shipping_priority": q_q3_shipping_priority,
         "mm_binary_metadata": q_mm_binary_metadata,
-        "text_token_stats": q_text_token_stats,
         "text_quality_scores": q_text_quality_scores,
         "sim_quantize_int8": q_sim_quantize_int8,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -1960,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_upsert_nodes": q_etl_upsert_nodes,
         "text_fuzzy_pairs": q_text_fuzzy_pairs,
         "etl_profile_table": q_etl_profile_table,
+        "graph_triangles": q_graph_triangles,
         "text_bpe_merges": q_text_bpe_merges,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
         # NEW in round 7 — first driver verdicts pending, so in-window.
@@ -2004,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "mm_frame_sample": q_mm_frame_sample,
         "text_lang_id": q_text_lang_id,
+        "text_token_stats": q_text_token_stats,
         "sim_ivf_topk": q_sim_ivf_topk,
         "quality_source_quota": q_quality_source_quota,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -3329,6 +3354,25 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(out_degree, 0)::BIGINT AS out_degree,
                (COALESCE(in_degree, 0) + COALESCE(out_degree, 0))::BIGINT AS degree
         FROM outd FULL OUTER JOIN ind ON outd.id = ind.id
+    """
+
+    sql["graph_triangles"] = """
+        WITH e AS (
+          SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                          GREATEST(a.l_partkey, b.l_partkey) AS v
+          FROM (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) a
+          JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), t AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1 JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT id, COUNT(*)::BIGINT AS n_triangles FROM (
+          SELECT unnest([a, b, c]) AS id FROM t
+        ) GROUP BY id
     """
 
     sql["graph_connected_components"] = f"""

