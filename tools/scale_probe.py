@@ -244,6 +244,42 @@ def main() -> None:
     thunk_cases = {
         "bpe_merges": lambda d: (lambda: ops.bpe_learn_merges(d, rounds=2)),
     }
+
+    # graph/fuzzy cases run over lineitem-derived frames: copies get
+    # namespaced part keys, so edges/candidates stay copy-local and
+    # the ratio measures plan scaling (the wedge join's fan-out is the
+    # quadratic this probe exists to catch — the registered query's
+    # 1995 prune came from exactly this measurement)
+    li = read_table(spark, SF_DIR, "lineitem").filter(
+        F.expr("year(l_shipdate) = 1995")
+    ).select("l_orderkey", "l_partkey")
+
+    def replicate_li(n_copies: int):
+        parts = [
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias("l_orderkey"),
+                (F.col("l_partkey") + F.lit(i * 100_000_000)).alias("l_partkey"),
+            )
+            for i in range(n_copies)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def copurchase(frame):
+        a, b = frame.alias("a"), frame.alias("b")
+        return a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        ).select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+
+    li_cases = {
+        "triangle_count": lambda f: ops.triangle_count(copurchase(f)),
+    }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
         "lsh_cosine_neardup": lambda e: ops.lsh_bucketed_neardup_pairs(
@@ -292,6 +328,10 @@ def main() -> None:
     result: dict[str, dict] = {}
     for name, fn in cases.items():
         t1, tn = timed(fn(d1)), timed(fn(dn))
+        result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
+        print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
+    for name, fn in li_cases.items():
+        t1, tn = timed(fn(replicate_li(1))), timed(fn(replicate_li(n)))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
     for name, fn in thunk_cases.items():
