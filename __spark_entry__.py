@@ -1606,6 +1606,17 @@ def q_quality_curriculum_order(spark, sf):
     return ops.curriculum_order(d, n_bands=10, sub_buckets=16)
 
 
+def q_quality_bigram_logprob(spark, sf):
+    """Interpolated bigram LM score (lambda=0.7 bigram + 0.3 unigram;
+    first token unigram-only): one step closer to the KenLM
+    perplexity filter than the unigram query. Decimal-exact in-doc
+    sums; the interpolation literals mirror the oracle's exactly
+    (1.0 - 0.7 in BOTH engines — the SQL literal 0.3 is a different
+    double)."""
+    d = _t(spark, sf, "documents")
+    return ops.bigram_logprob(d, lam=0.7)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -1892,7 +1903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     battery keeps q3 plus the eight fresh r7 queries in-window),
     mm_frame_sample (mm keeps mm_binary_metadata in-window), and
     text_lang_id/text_token_stats (text keeps quality_scores and the
-    fresh text_fuzzy_pairs/text_bpe_merges in-window) stay
+    fresh text_fuzzy_pairs/text_bpe_merges in-window), and
+    sim_quantize_int8 (its scale law is also exercised in-window by
+    pipeline_corpus_assembly) stay
     in the tail one more round and head the r8 window; preflight
     still oracle-checks them every round. Held in-window alongside them, keepers:
     the three queries over code that CHANGED in round 7 (the
@@ -1910,7 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
-    110 registered queries (plus pytest and a bench smoke) and is the
+    111 registered queries (plus pytest and a bench smoke) and is the
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
@@ -1943,7 +1956,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "mm_binary_metadata": q_mm_binary_metadata,
         "text_quality_scores": q_text_quality_scores,
-        "sim_quantize_int8": q_sim_quantize_int8,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_simhash_signatures": q_dedup_simhash_signatures,
         "quality_contamination": q_quality_contamination,
@@ -1976,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_refine_topk": q_sim_pq_refine_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "quality_unigram_logprob": q_quality_unigram_logprob,
+        "quality_bigram_logprob": q_quality_bigram_logprob,
         "quality_mixture_sample": q_quality_mixture_sample,
         "quality_clf_weights": q_quality_clf_weights,
         "quality_curriculum_order": q_quality_curriculum_order,
@@ -2029,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "text_lang_id": q_text_lang_id,
         "text_token_stats": q_text_token_stats,
+        "sim_quantize_int8": q_sim_quantize_int8,
         "sim_ivf_topk": q_sim_ivf_topk,
         "quality_source_quota": q_quality_source_quota,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -3832,6 +3846,41 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (
                  PARTITION BY band, h % 16 ORDER BY h, doc_id)::INT AS train_rank
         FROM b
+    """
+
+    # Interpolated bigram LM: lag window per doc, model tables joined
+    # back; ln p rounds to 6 dp and DECIMAL-sums. (1.0 - 0.7) is
+    # computed, not the literal 0.3 — bit-parity with the Spark side.
+    sql["quality_bigram_logprob"] = f"""
+        WITH toks AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+               unnest(range(1, len(tk) + 1)) AS t(i)
+        ), stream AS (
+          SELECT doc_id, pos, tok,
+                 lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM toks
+        ), vocab AS (SELECT tok, COUNT(*)::BIGINT AS ucnt FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(ucnt)::BIGINT AS total FROM vocab),
+        bi AS (SELECT prev, tok, COUNT(*)::BIGINT AS bcnt
+               FROM stream WHERE prev IS NOT NULL GROUP BY prev, tok),
+        ctx AS (SELECT prev, SUM(bcnt)::BIGINT AS ccnt FROM bi GROUP BY prev),
+        lp AS (
+          SELECT s.doc_id,
+            ROUND(ln(
+              CASE WHEN s.prev IS NULL
+                   THEN v.ucnt::DOUBLE / tot.total::DOUBLE
+                   ELSE 0.7 * (CASE WHEN b.bcnt IS NULL THEN 0.0
+                               ELSE b.bcnt::DOUBLE / c.ccnt::DOUBLE END)
+                        + (1.0 - 0.7) * (v.ucnt::DOUBLE / tot.total::DOUBLE)
+              END), 6)::DECIMAL(18,6) AS lp
+          FROM stream s JOIN vocab v USING (tok) CROSS JOIN tot
+          LEFT JOIN bi b ON b.prev = s.prev AND b.tok = s.tok
+          LEFT JOIN ctx c ON c.prev = s.prev
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+               ROUND(SUM(lp)::DOUBLE / COUNT(*), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id
     """
 
     # Quality classifier: 8 unrolled logistic-regression iterations.

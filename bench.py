@@ -100,6 +100,7 @@ HEADLINE = [
     "text_fuzzy_pairs",
     "etl_profile_table",
     "graph_triangles",
+    "quality_bigram_logprob",
 ]
 
 

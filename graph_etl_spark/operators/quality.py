@@ -941,3 +941,71 @@ def profile_table(
         "column string, kind string, n_rows long, n_nulls long, "
         "n_distinct long, min_val double, max_val double, avg_val double",
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained INTERPOLATED BIGRAM language-model score — one
+    honest step closer to the KenLM perplexity filter than
+    ``unigram_logprob``: P(w|prev) = λ·P_bi(w|prev) + (1−λ)·P_uni(w),
+    with the document's first token scored by the unigram alone.
+    Repetitive or formulaic text scores HIGH, out-of-distribution
+    gibberish LOW — the two tails a perplexity filter trims.
+
+    Output: (id_col, n_tokens, avg_logprob), one row per non-empty
+    document.
+
+    Determinism: per-token ln p rounds to 6 dp and sums as DECIMAL
+    (the unigram contract); the interpolation arithmetic is plain
+    IEEE doubles — identical in any engine.
+
+    Scale: the bigram stream derives from a per-document lag window
+    (one shuffle on the doc id, already required to order tokens);
+    model tables (bigram counts, context counts, vocabulary, 1-row
+    total) broadcast — at web scale swap the bigram join to a
+    shuffled hash join on (prev, cur), same semantics."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    stream = toks.withColumn("prev", F.lag("tok").over(w))
+
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ucnt"))
+    total = vocab.agg(F.sum("ucnt").alias("total"))
+    bigrams = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    contexts = bigrams.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
+
+    p_uni = F.col("ucnt").cast("double") / F.col("total").cast("double")
+    p_bi = F.when(
+        F.col("bcnt").isNotNull(),
+        F.col("bcnt").cast("double") / F.col("ccnt").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p = F.when(
+        F.col("prev").isNull(), p_uni
+    ).otherwise(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+
+    lp = (
+        stream.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .join(F.broadcast(bigrams), ["prev", "tok"], "left")
+        .join(F.broadcast(contexts), "prev", "left")
+        .select(
+            id_col,
+            F.round(F.log(p), 6).cast("decimal(18,6)").alias("__lp"),
+        )
+    )
+    return lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("__lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )

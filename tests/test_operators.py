@@ -804,3 +804,29 @@ def test_profile_table_stats(spark):
     assert out["s"]["kind"] == "string_len"
     assert out["s"]["min_val"] == 2.0 and out["s"]["max_val"] == 4.0
     assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 3
+
+
+def test_bigram_logprob_rewards_predictable_sequences(spark):
+    """A doc of a frequent fixed bigram chain scores higher than one
+    shuffling the same tokens unpredictably."""
+    from graph_etl_spark.operators import bigram_logprob
+
+    predictable = " ".join(["a b"] * 10)       # b always follows a
+    shuffled = "a a b b a b b a a b a b a b b a a b b a"
+    df = spark.createDataFrame(
+        [(1, predictable), (2, shuffled)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 20 and out[2]["n_tokens"] == 20
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+def test_bigram_logprob_partitioning_invariant(spark):
+    from graph_etl_spark.operators import bigram_logprob
+
+    rows = [(i, " ".join(f"t{(i + j) % 5}" for j in range(12))) for i in range(30)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    df16 = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    a = sorted(map(tuple, bigram_logprob(df1).collect()))
+    b = sorted(map(tuple, bigram_logprob(df16).collect()))
+    assert a == b

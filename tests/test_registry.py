@@ -24,7 +24,7 @@ ROUND7_NEW = [
     "sim_pq_codebooks", "sim_pq_codes", "sim_pq_refine_topk",
     "sim_ivfpq_topk", "quality_clf_weights", "quality_curriculum_order",
     "events_hopping_counts", "etl_upsert_nodes",
-    "text_fuzzy_pairs", "etl_profile_table", "graph_triangles",
+    "text_fuzzy_pairs", "etl_profile_table", "graph_triangles", "quality_bigram_logprob",
 ]
 
 
