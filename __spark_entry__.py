@@ -2633,7 +2633,7 @@ def oracle_sql() -> dict[str, str]:
     sql["events_tumbling_counts"] = """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*)::BIGINT AS n_events,
-               ROUND(SUM(value), 4)::DOUBLE AS sum_value
+               SUM(ROUND(value, 4)::DECIMAL(18,4))::DOUBLE AS sum_value
         FROM events GROUP BY 1, 2
     """
 
@@ -2643,13 +2643,15 @@ def oracle_sql() -> dict[str, str]:
     sql["events_hopping_counts"] = """
         SELECT (FLOOR(epoch(ts) / 900) * 900 - k.k * 900)::BIGINT AS window_start,
                event_type, COUNT(*)::BIGINT AS n_events,
-               ROUND(SUM(value), 4)::DOUBLE AS sum_value
+               SUM(ROUND(value, 4)::DECIMAL(18,4))::DOUBLE AS sum_value
         FROM events, unnest(range(0, 4)) AS k(k)
         GROUP BY 1, 2
     """
 
-    # SCD-1 upsert: updates win on key collision; full-outer coalesce
-    # expresses the same contract relationally.
+    # SCD-1 upsert: updates win on key collision. Anti-join + union
+    # encodes ROW-REPLACE semantics unconditionally (a full-outer
+    # per-column coalesce would silently keep the current side's value
+    # wherever an update row carries a NULL non-key column).
     sql["etl_upsert_nodes"] = """
         WITH c AS (
           SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
@@ -2661,11 +2663,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT c_custkey + 9000000, 'NEW-' || c_name, c_acctbal, c_mktsegment
           FROM c WHERE c_custkey < 50
         )
-        SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
-               coalesce(u.c_name, c.c_name) AS c_name,
-               coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal,
-               coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
-        FROM c FULL OUTER JOIN updates u USING (c_custkey)
+        SELECT * FROM updates
+        UNION ALL
+        SELECT c.* FROM c ANTI JOIN updates u USING (c_custkey)
     """
 
     sql["text_fuzzy_pairs"] = """

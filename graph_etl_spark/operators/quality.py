@@ -648,8 +648,11 @@ def mixture_sample(
     rates = (
         weights.crossJoin(F.broadcast(total))
         .withColumn(
+            # integer DIV in-plan: double division + truncation diverges
+            # from the oracle's floor division once total_tokens ×
+            # permille exceeds 2^53 — the web-scale regime this targets.
             "__target",
-            (F.col("__total_tokens") * target_permille / 1000).cast("long"),
+            F.expr(f"__total_tokens * CAST({int(target_permille)} AS BIGINT) DIV 1000"),
         )
         .withColumn(
             "rate_ppm",
@@ -669,6 +672,20 @@ def mixture_sample(
         h56(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(1_000_000)
     )
     return df.join(F.broadcast(rates), source_col).filter(bucket < F.col("rate_ppm"))
+
+
+def _round_half_up(x: float, ndigits: int) -> float:
+    """Half-AWAY-FROM-ZERO rounding, matching Spark ``F.round`` and
+    DuckDB ``ROUND`` — Python's builtin ``round`` is banker's
+    (half-to-even), so a driver-side gradient/weight landing exactly
+    on a representable .5 boundary would silently break hash-exact
+    oracle parity. One rounding mode on all three paths."""
+    import decimal
+
+    d = decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal(1).scaleb(-ndigits), rounding=decimal.ROUND_HALF_UP
+    )
+    return float(d)
 
 
 def _doc_features(text_col: str, dim: int) -> tuple[Column, Column, Column]:
@@ -786,7 +803,7 @@ def quality_classifier_train(
         )
         grad = {r["pos"]: float(r["s"]) / n_docs for r in grad_rows}
         w = [
-            round(wi - lr * round(grad.get(i, 0.0), round_to), round_to)
+            _round_half_up(wi - lr * _round_half_up(grad.get(i, 0.0), round_to), round_to)
             for i, wi in enumerate(w)
         ]
     return df.sparkSession.createDataFrame(

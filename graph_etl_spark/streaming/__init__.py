@@ -152,7 +152,12 @@ def windowed_event_counts(
         df.groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # round-then-DECIMAL-sum: double summation is order-dependent
+            # (quality.py saw a 6th-decimal divergence at 60k rows), so sum
+            # exact decimals of the rounded values — order-free, oracle-safe.
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -355,13 +360,26 @@ def incremental_ingest_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         idx = index_df.select(id_col, text_col)
+        # First-delivery detection must be NARROW: only a missing/empty
+        # admitted_dir means "no prior batches". Any other read failure
+        # (corrupt file, permissions, FS hiccup) must fail the batch —
+        # swallowing it would vet the batch against an index missing
+        # all previously admitted docs and silently re-admit duplicates.
+        from pyspark.errors import AnalysisException
+
         try:
             prior = spark.read.parquet(admitted_dir)
             idx = idx.unionByName(
                 prior.filter(F.col("batch_id") != batch_id).select(id_col, text_col)
             )
-        except Exception:
-            pass  # no admitted batches yet (first delivery)
+        except AnalysisException as e:
+            msg = str(e)
+            if not (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg  # dir exists but empty
+            ):
+                raise  # real analysis failure: do not admit blindly
         verdicts = incremental_dedup(
             idx,
             batch_df.select(id_col, text_col),
@@ -441,7 +459,10 @@ def hopping_event_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # round-then-DECIMAL-sum (see windowed_event_counts): order-free.
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("win.start").cast("long").alias("window_start"),
