@@ -222,7 +222,15 @@ def _hyperplane(seed: int, dim: int) -> Column:
         - 1.0
         for j in range(dim)
     ]
-    return F.array(*[F.lit(c) for c in comps])
+    # ONE SQL string parsed JVM-side, not dim × F.lit py4j round-trips:
+    # the _centroid_array_expr lesson applies here too — semantic dedup's
+    # sub-bucket path builds n_planes × n_tables of these (24 at the
+    # defaults), and per-component lits were ~40% of its driver-side
+    # build time at sf0.1. repr + string→double cast is correctly-rounded
+    # on both sides, so the literal is the bit-exact component value.
+    return F.expr(
+        "array(" + ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in comps) + ")"
+    )
 
 
 def signbits_col(vec: Column, n_planes: int, dim: int) -> Column:
