@@ -623,7 +623,38 @@ def q_etl_profile_table(spark, sf):
         "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
         "l_returnflag", "l_shipdate", "l_linestatus",
     )
-    return ops.profile_table(d)
+    return ops.profile_table(d, exact_distinct=True)
+
+
+def q_etl_profile_table_fast(spark, sf):
+    """The DEFAULT single-scan profile (VERDICT r7 #3): all columns'
+    null/min/max/decimal-avg plus HLL distinct estimates in ONE
+    aggregation pass — at 100 TB a 7-column profile is one corpus
+    scan, not seven. Judged by the sketch-verdict convention
+    (approx_distinct_custkeys): exact stats compare exactly; the HLL
+    estimate must land within 5% of an exact distinct recomputed
+    in-query (deterministic — approx_count_distinct is seed-fixed)."""
+    d = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_shipdate", "l_linestatus",
+    )
+    prof = ops.profile_table(d)  # single scan, approx n_distinct
+    # exact distincts for the verdict, ONE Expand agg (×7 locally —
+    # verification cost only; the operator itself never pays it).
+    # fan_out: the Expand straggles an under-split scan the same way
+    # the profile agg does
+    from graph_etl_spark.sources import fan_out
+
+    exact = fan_out(d).agg(
+        *[F.countDistinct(c).alias(c) for c in d.columns]
+    ).unpivot([], d.columns, "column", "exact_distinct")
+    return prof.join(F.broadcast(exact), "column").select(
+        "column", "kind", "n_rows", "n_nulls", "min_val", "max_val", "avg_val",
+        (
+            F.abs(F.col("n_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct").cast("double")
+        ).alias("distinct_ok"),
+    )
 
 
 def q_events_sessionize(spark, sf):
@@ -1996,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_upsert_nodes": q_etl_upsert_nodes,
         "text_fuzzy_pairs": q_text_fuzzy_pairs,
         "etl_profile_table": q_etl_profile_table,
+        "etl_profile_table_fast": q_etl_profile_table_fast,
         "graph_triangles": q_graph_triangles,
         "text_bpe_merges": q_text_bpe_merges,
         "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
@@ -2723,6 +2755,43 @@ def oracle_sql() -> dict[str, str]:
                 _prof_len("l_returnflag", "string_len"),
                 _prof_len("l_shipdate", "other_str_len"),
                 _prof_len("l_linestatus", "string_len"),
+            ]
+        )
+    )
+
+    # fast single-scan profile: exact stats must match exactly; the
+    # HLL distinct estimate is judged by a TRUE verdict (within 5% of
+    # exact — deterministic, approx_count_distinct is seed-fixed)
+    _proff_num = lambda c: f"""
+        SELECT '{c}' AS column, 'numeric' AS kind,
+               (SELECT COUNT(*) FROM li)::BIGINT AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+               ROUND(MIN({c}::DOUBLE), 6) AS min_val,
+               ROUND(MAX({c}::DOUBLE), 6) AS max_val,
+               ROUND(SUM(ROUND({c}::DOUBLE, 6)::DECIMAL(18,6))::DOUBLE / COUNT({c}), 6) AS avg_val,
+               TRUE AS distinct_ok
+        FROM li"""  # noqa: E731
+    _proff_len = lambda c, kind: f"""
+        SELECT '{c}' AS column, '{kind}' AS kind,
+               (SELECT COUNT(*) FROM li)::BIGINT AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+               ROUND(MIN(length({c}::VARCHAR)::DOUBLE), 6) AS min_val,
+               ROUND(MAX(length({c}::VARCHAR)::DOUBLE), 6) AS max_val,
+               ROUND(SUM(ROUND(length({c}::VARCHAR)::DOUBLE, 6)::DECIMAL(18,6))::DOUBLE / COUNT({c}), 6) AS avg_val,
+               TRUE AS distinct_ok
+        FROM li"""  # noqa: E731
+    sql["etl_profile_table_fast"] = (
+        "WITH li AS (SELECT l_orderkey, l_quantity, l_extendedprice, "
+        "l_discount, l_returnflag, l_shipdate, l_linestatus FROM lineitem)\n"
+        + " UNION ALL ".join(
+            [
+                _proff_num("l_orderkey"),
+                _proff_num("l_quantity"),
+                _proff_num("l_extendedprice"),
+                _proff_num("l_discount"),
+                _proff_len("l_returnflag", "string_len"),
+                _proff_len("l_shipdate", "other_str_len"),
+                _proff_len("l_linestatus", "string_len"),
             ]
         )
     )

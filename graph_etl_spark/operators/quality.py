@@ -894,65 +894,135 @@ def curriculum_order(
     )
 
 
+def _profile_val(df: DataFrame, c: str):
+    """(kind, value-Column) for a profiled column: numerics profile
+    the VALUE cast to double, strings the LENGTH — uniform double
+    stats, no float string-formatting to diverge on."""
+    from pyspark.sql.types import NumericType, StringType
+
+    dt = df.schema[c].dataType
+    if isinstance(dt, NumericType):
+        return "numeric", F.col(c).cast("double")
+    if isinstance(dt, StringType):
+        return "string_len", F.length(F.col(c)).cast("double")
+    return "other_str_len", F.length(F.col(c).cast("string")).cast("double")
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
     round_to: int = 6,
+    exact_distinct: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Data-quality profile (the Deequ/great-expectations primitive):
-    one row per column with null count, exact distinct count, and
-    value stats — numeric columns report min/max/avg of the VALUE
-    (cast to double), string columns of the LENGTH, so the output
-    schema is uniform and engine-comparable (no string-formatting of
-    floats).
+    one row per column with null count, distinct count, and value
+    stats (numerics: the value cast to double; strings: the length —
+    see ``_profile_val``).
 
     Output: (column, kind, n_rows, n_nulls, n_distinct,
     min_val, max_val, avg_val).
 
-    Scale: one aggregation pass PER COLUMN (exact count(distinct)
-    for oracle-checkability; multiple exact distincts in one agg
-    would Expand the scan x n_columns instead). At 100 TB profile a
-    hash_sample slice or switch to approx_count_distinct, which
-    collapses the whole profile to a single scan (the approx_*
-    queries document that sketch-verdict pattern)."""
-    from pyspark.sql.types import NumericType, StringType
+    DEFAULT (``exact_distinct=False``): ONE aggregation pass over the
+    whole table — every column's null count, min/max, decimal-exact
+    avg, and an HLL distinct estimate computed in a single
+    map-side-combined agg whose result is one row, pivoted
+    driver-side. At 100 TB a 7-column profile is ONE corpus scan;
+    only n_distinct is approximate (standard error ~``rsd``), every
+    other stat is exact. The sketch is DataSketches HLL
+    (``hll_sketch_agg``, lgConfigK derived from ``rsd``) rather than
+    ``approx_count_distinct``: measured 3× faster at equal accuracy
+    on the sf0.1 bench (HLL++ at rsd=0.02 was the hot group of the
+    whole profile agg). Sketch inputs must be int/long/string/binary,
+    so other types profile their string form — fine for distinctness.
+
+    ``exact_distinct=True``: one aggregation pass PER COLUMN with an
+    exact count(distinct) — the oracle-checkable form (multiple exact
+    distincts in one agg would Expand the scan × n_columns). Use for
+    audit-grade profiles at moderate scale.
+
+    avg is a round-``round_to`` DECIMAL element sum divided by the
+    non-null count: a plain double AVG is summation-order-dependent
+    (differed in the 6th decimal vs the oracle on 60k rows) — the
+    unigram-logprob contract."""
+    import math
+
+    from pyspark.sql.types import BinaryType, IntegerType, LongType, StringType
 
     cols = columns or df.columns
-    n_rows = df.count()
     spark = df.sparkSession
-    out_rows = []
-    for c in cols:
-        dt = df.schema[c].dataType
-        if isinstance(dt, NumericType):
-            kind, val = "numeric", F.col(c).cast("double")
-        elif isinstance(dt, StringType):
-            kind, val = "string_len", F.length(F.col(c)).cast("double")
-        else:
-            kind, val = "other_str_len", F.length(F.col(c).cast("string")).cast("double")
-        # avg via round-6 DECIMAL element sum: a plain double AVG is
-        # summation-order-dependent (differed in the 6th decimal vs
-        # the oracle on 60k rows) — the unigram-logprob contract
-        nn = F.count(val)
-        r = df.agg(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
-            F.countDistinct(F.col(c)).alias("n_distinct"),
-            F.round(F.min(val), round_to).alias("min_val"),
-            F.round(F.max(val), round_to).alias("max_val"),
-            F.when(
-                nn > 0,
-                F.round(
-                    F.sum(F.round(val, round_to).cast("decimal(18,6)")).cast(
-                        "double"
-                    )
-                    / nn,
-                    round_to,
-                ),
-            ).alias("avg_val"),
-        ).collect()[0]
-        out_rows.append(
-            (c, kind, n_rows, int(r["n_nulls"]), int(r["n_distinct"]),
-             r["min_val"], r["max_val"], r["avg_val"])
-        )
+    if not exact_distinct:
+        # under-split inputs straggle this 5×n_cols-expression agg on
+        # one task (measured 3.6 → 1.5 s at sf0.1); no-op on split inputs
+        df = fan_out(df)
+        # lgConfigK from the requested relative error: rsd ~ 1.04/sqrt(2^lgk)
+        lgk = min(21, max(4, math.ceil(math.log2((1.04 / rsd) ** 2))))
+        exprs = [F.count(F.lit(1)).alias("__n_rows")]
+        kinds = {}
+        for i, c in enumerate(cols):
+            kind, val = _profile_val(df, c)
+            kinds[c] = kind
+            nn = F.count(val)
+            sk_in = (
+                F.col(c)
+                if isinstance(
+                    df.schema[c].dataType,
+                    (StringType, IntegerType, LongType, BinaryType),
+                )
+                else F.col(c).cast("string")
+            )
+            exprs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__{i}_nulls"),
+                # coalesce: an all-null/empty column yields a null sketch
+                F.coalesce(
+                    F.hll_sketch_estimate(F.hll_sketch_agg(sk_in, lgk)), F.lit(0)
+                ).alias(f"__{i}_dist"),
+                F.round(F.min(val), round_to).alias(f"__{i}_min"),
+                F.round(F.max(val), round_to).alias(f"__{i}_max"),
+                F.when(
+                    nn > 0,
+                    F.round(
+                        F.sum(F.round(val, round_to).cast("decimal(18,6)")).cast("double")
+                        / nn,
+                        round_to,
+                    ),
+                ).alias(f"__{i}_avg"),
+            ]
+        r = df.agg(*exprs).collect()[0]  # ONE row — the whole profile
+        out_rows = [
+            (
+                c, kinds[c], int(r["__n_rows"]), int(r[f"__{i}_nulls"]),
+                int(r[f"__{i}_dist"]), r[f"__{i}_min"], r[f"__{i}_max"],
+                r[f"__{i}_avg"],
+            )
+            for i, c in enumerate(cols)
+        ]
+    else:
+        n_rows = df.count()
+        out_rows = []
+        for c in cols:
+            kind, val = _profile_val(df, c)
+            nn = F.count(val)
+            r = df.agg(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.countDistinct(F.col(c)).alias("n_distinct"),
+                F.round(F.min(val), round_to).alias("min_val"),
+                F.round(F.max(val), round_to).alias("max_val"),
+                F.when(
+                    nn > 0,
+                    F.round(
+                        F.sum(F.round(val, round_to).cast("decimal(18,6)")).cast(
+                            "double"
+                        )
+                        / nn,
+                        round_to,
+                    ),
+                ).alias("avg_val"),
+            ).collect()[0]
+            out_rows.append(
+                (c, kind, n_rows, int(r["n_nulls"]), int(r["n_distinct"]),
+                 r["min_val"], r["max_val"], r["avg_val"])
+            )
     return spark.createDataFrame(
         out_rows,
         "column string, kind string, n_rows long, n_nulls long, "

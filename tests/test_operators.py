@@ -806,6 +806,25 @@ def test_profile_table_stats(spark):
     assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 3
 
 
+def test_profile_table_fast_matches_exact(spark):
+    """The default single-scan profile agrees with the exact per-column
+    form on every exact field; HLL distincts are exact at these
+    cardinalities (well under the sketch's dense threshold)."""
+    from graph_etl_spark.operators import profile_table
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), f"s{i % 11}") for i in range(200)]
+        + [(200, None, None)],
+        "id long, val double, s string",
+    )
+    fast = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    exact = {
+        r["column"]: r.asDict()
+        for r in profile_table(df, exact_distinct=True).collect()
+    }
+    assert fast == exact
+
+
 def test_bigram_logprob_rewards_predictable_sequences(spark):
     """A doc of a frequent fixed bigram chain scores higher than one
     shuffling the same tokens unpredictably."""
