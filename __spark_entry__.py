@@ -1648,6 +1648,43 @@ def q_quality_bigram_logprob(spark, sf):
     return ops.bigram_logprob(d, lam=0.7)
 
 
+def q_quality_trigram_ppl(spark, sf):
+    """CCNet-style perplexity filter completed (VERDICT r7 #5):
+    interpolated TRIGRAM LM (λ3=0.6 tri + λ2=0.3 bi + λ1=0.1 uni;
+    position-aware head backoff) emitting per-document PERPLEXITY —
+    the number a KenLM-stage filter thresholds on. Trained on a
+    HELD-OUT deterministic half of the corpus (hash_sample 500‰, the
+    CCNet train/score split — self-training would make singleton
+    sequences perfectly predictable and score gibberish LOW); unseen
+    tokens take the 0.5/total OOV floor. Decimal-exact in-doc logprob
+    sums; ppl = round(exp(−avg), 4), the same last-ulp bet as the
+    green ln oracles."""
+    d = _t(spark, sf, "documents")
+    train = ops.hash_sample(d, permille=500, salt="lm")
+    return ops.trigram_perplexity(d, lam3=0.6, lam2=0.3, train_df=train)
+
+
+def q_quality_ppl_gate(spark, sf):
+    """The perplexity filter WIRED INTO the quality gate (VERDICT r7
+    #5): trigram ppl per doc → CCNet band trim (drop the 5% lowest-ppl
+    degenerate tail and the 10% highest-ppl gibberish tail, rank mode
+    for oracle-exactness; production passes literal thresholds from a
+    held-out sample — map-side) → intersect with the heuristic token/
+    repetition gate. Output: the admitted docs with their LM stats."""
+    from graph_etl_spark.streaming import streaming_quality_gate
+
+    d = _t(spark, sf, "documents")
+    train = ops.hash_sample(d, permille=500, salt="lm")
+    scored = ops.trigram_perplexity(d, lam3=0.6, lam2=0.3, train_df=train)
+    banded = ops.ppl_band_filter(scored, lo_permille=50, hi_permille=900)
+    gate = streaming_quality_gate(
+        d, min_tokens=10, max_dup_word_frac=0.5, max_contact_strings=10
+    )
+    return banded.join(
+        gate.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "n_tokens", "avg_logprob", "ppl")
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2020,6 +2057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "quality_unigram_logprob": q_quality_unigram_logprob,
         "quality_bigram_logprob": q_quality_bigram_logprob,
+        "quality_trigram_ppl": q_quality_trigram_ppl,
+        "quality_ppl_gate": q_quality_ppl_gate,
         "quality_mixture_sample": q_quality_mixture_sample,
         "quality_clf_weights": q_quality_clf_weights,
         "quality_curriculum_order": q_quality_curriculum_order,
@@ -3950,6 +3989,97 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
                ROUND(SUM(lp)::DOUBLE / COUNT(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id
+    """
+
+    # Interpolated trigram perplexity, trained on the held-out
+    # hash_sample half (salt 'lm', 500 permille) and scored over ALL
+    # docs; unseen tokens take the 0.5/total OOV floor. The lambda
+    # arithmetic is written as the same IEEE expressions the operator
+    # evaluates in Python (1.0 - 0.6 - 0.3 and 0.6 + 0.3 - NOT the
+    # decimal literals 0.1/0.9, which are different doubles). The CTE
+    # chain through `scored` is shared with quality_ppl_gate below.
+    _tri_scored = f"""
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+               unnest(range(1, len(tk) + 1)) AS t(i)
+        ), stream AS (
+          SELECT doc_id, pos, tok,
+                 lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+                 lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+          FROM toks
+        ), tstream AS (
+          SELECT * FROM stream
+          WHERE (('0x' || substr(md5('lm' || doc_id::VARCHAR), 1, 14))::BIGINT % 1000) < 500
+        ), vocab AS (SELECT tok, COUNT(*)::BIGINT AS ucnt FROM tstream GROUP BY tok),
+        tot AS (SELECT SUM(ucnt)::BIGINT AS total FROM vocab),
+        bi AS (SELECT prev, tok, COUNT(*)::BIGINT AS bcnt
+               FROM tstream WHERE prev IS NOT NULL GROUP BY prev, tok),
+        ctx AS (SELECT prev, SUM(bcnt)::BIGINT AS ccnt FROM bi GROUP BY prev),
+        tri AS (SELECT prev2, prev, tok, COUNT(*)::BIGINT AS tcnt
+                FROM tstream WHERE prev2 IS NOT NULL GROUP BY prev2, prev, tok),
+        tctx AS (SELECT prev2, prev, SUM(tcnt)::BIGINT AS tctx
+                 FROM tri GROUP BY prev2, prev),
+        lp AS (
+          SELECT s.doc_id,
+            ROUND(ln(
+              CASE WHEN s.prev IS NULL
+                   THEN coalesce(v.ucnt::DOUBLE, 0.5) / tot.total::DOUBLE
+                   WHEN s.prev2 IS NULL
+                   THEN (0.6 + 0.3) * (CASE WHEN b.bcnt IS NULL THEN 0.0
+                               ELSE b.bcnt::DOUBLE / c.ccnt::DOUBLE END)
+                        + (1.0 - 0.6 - 0.3) * (coalesce(v.ucnt::DOUBLE, 0.5) / tot.total::DOUBLE)
+                   ELSE 0.6 * (CASE WHEN tr.tcnt IS NULL THEN 0.0
+                               ELSE tr.tcnt::DOUBLE / tc.tctx::DOUBLE END)
+                        + 0.3 * (CASE WHEN b.bcnt IS NULL THEN 0.0
+                               ELSE b.bcnt::DOUBLE / c.ccnt::DOUBLE END)
+                        + (1.0 - 0.6 - 0.3) * (coalesce(v.ucnt::DOUBLE, 0.5) / tot.total::DOUBLE)
+              END), 6)::DECIMAL(18,6) AS lp
+          FROM stream s LEFT JOIN vocab v USING (tok) CROSS JOIN tot
+          LEFT JOIN bi b ON b.prev = s.prev AND b.tok = s.tok
+          LEFT JOIN ctx c ON c.prev = s.prev
+          LEFT JOIN tri tr ON tr.prev2 = s.prev2 AND tr.prev = s.prev AND tr.tok = s.tok
+          LEFT JOIN tctx tc ON tc.prev2 = s.prev2 AND tc.prev = s.prev
+        ), agg AS (
+          SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                 ROUND(SUM(lp)::DOUBLE / COUNT(*), 6) AS avg_logprob
+          FROM lp GROUP BY doc_id
+        ), scored AS (
+          SELECT doc_id, n_tokens, avg_logprob,
+                 ROUND(exp(-avg_logprob), 4) AS ppl
+          FROM agg
+        )"""
+    sql["quality_trigram_ppl"] = f"""
+        WITH {_tri_scored}
+        SELECT doc_id, n_tokens, avg_logprob, ppl FROM scored
+    """
+
+    # Perplexity band + heuristic gate composition: the shared trigram
+    # chain, rank-banded (50 <= (r-1)*1000 // n < 900 over (ppl, id)
+    # order), intersected with the lean token/repetition/contact gate.
+    sql["quality_ppl_gate"] = f"""
+        WITH {_tri_scored}, ranked AS (
+          SELECT *,
+                 (row_number() OVER (ORDER BY ppl, doc_id) - 1) * 1000 AS posk,
+                 COUNT(*) OVER () AS n_all
+          FROM scored
+        ), banded AS (
+          SELECT doc_id, n_tokens, avg_logprob, ppl FROM ranked
+          WHERE posk // n_all >= 50 AND posk // n_all < 900
+        ), gate AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   {_TOKS} AS gt,
+                   len(regexp_extract_all(text, '{_email_re}'))
+                   + len(regexp_extract_all(text, '{_url_re}')) AS contacts
+            FROM documents)
+          WHERE len(gt) >= 10
+            AND ROUND(CASE WHEN len(gt) > 0
+                      THEN 1.0 - len(list_distinct(gt))::DOUBLE / len(gt)
+                      ELSE 0.0 END, 6) <= 0.5
+            AND contacts <= 10
+        )
+        SELECT b.* FROM banded b SEMI JOIN gate g ON b.doc_id = g.doc_id
     """
 
     # Quality classifier: 8 unrolled logistic-regression iterations.

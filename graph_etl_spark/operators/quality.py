@@ -1096,3 +1096,180 @@ def bigram_logprob(
             "avg_logprob"
         ),
     )
+
+
+def trigram_perplexity(
+    df: DataFrame,
+    lam3: float = 0.6,
+    lam2: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """INTERPOLATED TRIGRAM perplexity — the KenLM stage of
+    CCNet-style pipelines (Wenzek et al. 2020: score every document
+    under an n-gram LM, trim both tails) completed: where
+    ``unigram_logprob``/``bigram_logprob`` emit average log-prob,
+    this emits the per-document PERPLEXITY a CCNet-style filter
+    thresholds on.
+
+    ``train_df`` is the REFERENCE corpus the model trains on (CCNet
+    trains on Wikipedia, then scores the crawl). Default None trains
+    on ``df`` itself — convenient, but know the failure mode: a
+    self-trained trigram perfectly predicts singleton sequences
+    (tcnt = tctx = 1 ⇒ P_tri = 1), so unique gibberish scores LOW.
+    For filtering, pass a held-out slice (``hash_sample``) or a clean
+    reference corpus. Tokens unseen in training score the OOV floor
+    P_uni = 0.5/total (a half pseudo-count — deterministic, mirrors
+    exactly in SQL; seen tokens are unaffected).
+
+    Model: P(w | u v) = λ3·P_tri(w|u,v) + λ2·P_bi(w|v) + λ1·P_uni(w)
+    with λ1 = 1 − λ3 − λ2. Interpolation (Jelinek-Mercer) is the
+    classic fix for unseen-context sparsity — a missing
+    trigram/bigram contributes 0 to its term and the lower orders
+    carry the mass. Position-aware head handling: the first token
+    scores P_uni alone; the second folds the trigram weight into the
+    bigram term ((λ3+λ2)·P_bi + λ1·P_uni) — deterministic and exactly
+    mirrorable in SQL.
+
+    Output: (id_col, n_tokens, avg_logprob, ppl), one row per
+    non-empty document; ppl = round(exp(−avg_logprob), 4).
+
+    Determinism: per-token ln p rounds to 6 dp and sums as DECIMAL
+    (order-free exact total — the unigram contract); the final exp is
+    the same last-ulp bet the green ln-based oracles already take.
+
+    Scale: token stream and lag features come from ONE per-document
+    window shuffle; model tables (vocab, bigram, trigram counts)
+    broadcast at test scale — at web scale swap the n-gram joins to
+    shuffled hash joins on their context keys, same semantics. The
+    trigram table is the big one (≈ corpus token count rows); it
+    never joins wider than the token stream itself."""
+    lam1 = 1.0 - float(lam3) - float(lam2)
+
+    def _stream(frame: DataFrame) -> DataFrame:
+        t = frame.select(
+            F.col(id_col),
+            F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        return t.withColumn("prev", F.lag("tok", 1).over(w)).withColumn(
+            "prev2", F.lag("tok", 2).over(w)
+        )
+
+    stream = _stream(df)
+    train = stream if train_df is None else _stream(train_df)
+
+    vocab = train.groupBy("tok").agg(F.count(F.lit(1)).alias("ucnt"))
+    total = vocab.agg(F.sum("ucnt").alias("total"))
+    bigrams = (
+        train.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    contexts = bigrams.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
+    trigrams = (
+        train.filter(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev", "tok")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+    )
+    tri_ctx = trigrams.groupBy("prev2", "prev").agg(F.sum("tcnt").alias("tctx"))
+
+    # OOV floor: unseen tokens carry a half pseudo-count (coalesce is
+    # a no-op when train == score, so the self-trained oracles are
+    # unchanged by the left join)
+    p_uni = (
+        F.coalesce(F.col("ucnt").cast("double"), F.lit(0.5))
+        / F.col("total").cast("double")
+    )
+    p_bi = F.when(
+        F.col("bcnt").isNotNull(),
+        F.col("bcnt").cast("double") / F.col("ccnt").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p_tri = F.when(
+        F.col("tcnt").isNotNull(),
+        F.col("tcnt").cast("double") / F.col("tctx").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p = (
+        F.when(F.col("prev").isNull(), p_uni)
+        .when(
+            F.col("prev2").isNull(),
+            F.lit(float(lam3) + float(lam2)) * p_bi + F.lit(lam1) * p_uni,
+        )
+        .otherwise(
+            F.lit(float(lam3)) * p_tri
+            + F.lit(float(lam2)) * p_bi
+            + F.lit(lam1) * p_uni
+        )
+    )
+
+    lp = (
+        stream.join(F.broadcast(vocab), "tok", "left")
+        .join(F.broadcast(total))
+        .join(F.broadcast(bigrams), ["prev", "tok"], "left")
+        .join(F.broadcast(contexts), "prev", "left")
+        .join(F.broadcast(trigrams), ["prev2", "prev", "tok"], "left")
+        .join(F.broadcast(tri_ctx), ["prev2", "prev"], "left")
+        .select(
+            id_col,
+            F.round(F.log(p), 6).cast("decimal(18,6)").alias("__lp"),
+        )
+    )
+    scored = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("__lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )
+    return scored.withColumn(
+        "ppl", F.round(F.exp(-F.col("avg_logprob")), 4)
+    )
+
+
+def ppl_band_filter(
+    scored: DataFrame,
+    lo_ppl: float | None = None,
+    hi_ppl: float | None = None,
+    lo_permille: int = 0,
+    hi_permille: int = 1000,
+    ppl_col: str = "ppl",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity tail trim over ``trigram_perplexity``
+    output: drop the high-ppl tail (out-of-distribution gibberish)
+    and optionally the low-ppl tail (degenerate/boilerplate text the
+    LM finds too easy).
+
+    Two modes:
+      * LITERAL thresholds (``lo_ppl``/``hi_ppl`` set) — a map-side
+        filter, zero shuffle. This is the production path and what
+        CCNet itself does: thresholds come from a held-out sample per
+        language, the corpus pass is embarrassingly parallel.
+      * RANK band (``lo_permille``/``hi_permille``) — keep rows whose
+        deterministic rank position r (ordered by (ppl, id)) satisfies
+        lo <= (r-1)·1000 DIV n < hi. Exact and engine-reproducible,
+        but the row_number window is a single-partition sort — use it
+        at audit scale; at 100 TB measure thresholds on a
+        ``hash_sample`` slice and run the literal mode.
+    """
+    if lo_ppl is not None or hi_ppl is not None:
+        out = scored
+        if lo_ppl is not None:
+            out = out.filter(F.col(ppl_col) >= float(lo_ppl))
+        if hi_ppl is not None:
+            out = out.filter(F.col(ppl_col) <= float(hi_ppl))
+        return out
+    w = Window.orderBy(F.col(ppl_col), F.col(id_col))
+    n = F.count(F.lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    pos = (F.row_number().over(w) - F.lit(1)) * F.lit(1000)
+    return (
+        scored.withColumn("__pos", pos)
+        .withColumn("__n", n)
+        .filter(
+            (F.expr("__pos DIV __n") >= int(lo_permille))
+            & (F.expr("__pos DIV __n") < int(hi_permille))
+        )
+        .drop("__pos", "__n")
+    )

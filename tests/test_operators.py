@@ -849,3 +849,59 @@ def test_bigram_logprob_partitioning_invariant(spark):
     a = sorted(map(tuple, bigram_logprob(df1).collect()))
     b = sorted(map(tuple, bigram_logprob(df16).collect()))
     assert a == b
+
+
+def test_trigram_perplexity_separates_tails(spark):
+    """A repeating trigram chain scores far lower perplexity than
+    all-unique gibberish — the high tail a CCNet-style filter trims.
+    (Cross-doc ordering of in-between 'natural' text is corpus-
+    dependent at 3-doc scale, so only the robust extremes assert.)"""
+    import math
+
+    from graph_etl_spark.operators import trigram_perplexity
+
+    formulaic = " ".join(["the quick brown fox"] * 8)
+    # unique tokens: no n-gram support beyond self-counts
+    gibberish = " ".join(f"zx{i}q" for i in range(32))
+    natural = "the quick fox ran over the brown fence and the fox slept"
+    df = spark.createDataFrame(
+        [(1, formulaic), (2, natural), (3, gibberish)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in trigram_perplexity(df).collect()}
+    # self-trained mode: only the exp identity is robust (the docstring's
+    # documented failure mode — singleton sequences are perfectly
+    # predicted, so unique gibberish can score LOW here)
+    for r in out.values():
+        assert abs(r["ppl"] - math.exp(-r["avg_logprob"])) < 1e-3
+    # CCNet train/score split: under a reference model OOV gibberish
+    # sits far above in-distribution text (self-training would hide it)
+    train = df.filter(F.col("doc_id") != 3)
+    ref = {r["doc_id"]: r for r in trigram_perplexity(df, train_df=train).collect()}
+    assert ref[3]["ppl"] > 2 * ref[1]["ppl"]
+    assert ref[3]["ppl"] > ref[2]["ppl"]
+
+
+def test_trigram_perplexity_partitioning_invariant(spark):
+    from graph_etl_spark.operators import trigram_perplexity
+
+    rows = [(i, " ".join(f"t{(i + j) % 5}" for j in range(12))) for i in range(30)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    df16 = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    a = sorted(map(tuple, trigram_perplexity(df1).collect()))
+    b = sorted(map(tuple, trigram_perplexity(df16).collect()))
+    assert a == b
+
+
+def test_ppl_band_filter_modes(spark):
+    from graph_etl_spark.operators import ppl_band_filter
+
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 21)], "doc_id long, ppl double"
+    )
+    # literal mode: pure filter
+    lit = ppl_band_filter(scored, lo_ppl=5.0, hi_ppl=15.0)
+    assert sorted(r["doc_id"] for r in lit.collect()) == list(range(5, 16))
+    # rank mode: drop lowest 10% and highest 20% of 20 rows -> ranks 3..16
+    band = ppl_band_filter(scored, lo_permille=100, hi_permille=800)
+    assert sorted(r["doc_id"] for r in band.collect()) == list(range(3, 17))
