@@ -23,6 +23,9 @@ Stages (each prints a one-line summary):
                       (operators.similarity.pq_*).
   7. TOKENIZER      — learn the first BPE merge rules from the
                       curated corpus (operators.text.bpe_learn_merges).
+  8. NIGHTLY DELTA  — SCD-1 upsert of the admitted new batch into the
+                      staged corpus, then a single-scan profile gate
+                      (functions.upsert_by_key + operators.profile_table).
 
 Every stage is a declarative DataFrame plan — the same operators the
 oracle-checked `__spark_entry__` queries run, composed the way a real
@@ -124,6 +127,27 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
     )
     print(f"[7] BPE merges learned on curated corpus: {rules}")
 
+    # 8. nightly delta: SCD-1 refresh of the staged corpus with the
+    # admitted new docs (stage 5's 'kept' verdicts replace/extend by
+    # doc_id), then a single-scan profile gate over the refreshed
+    # table — refuse the refresh if nulls appear or the corpus shrank
+    from graph_etl_spark.functions import upsert_by_key
+
+    admitted = batch.join(
+        verdicts.filter(F.col("verdict") == "kept"), "doc_id", "left_semi"
+    )
+    refreshed = upsert_by_key(index, admitted, keys="doc_id")
+    n8 = refreshed.count()
+    profile = ops.profile_table(refreshed)  # ONE scan, HLL distincts
+    prof = {r["column"]: r for r in profile.collect()}
+    assert prof["text"]["n_nulls"] == 0, "profile gate: refreshed corpus has NULL text"
+    assert n8 >= n4, "profile gate: refresh shrank the corpus"
+    print(
+        f"[8] nightly delta: {admitted.count()} admitted docs upserted -> "
+        f"{n8} docs; profile gate passed "
+        f"(text len avg {prof['text']['avg_val']}, ~{prof['doc_id']['n_distinct']} ids)"
+    )
+
     if own_session:
         spark.stop()
     print("corpus curation demo complete")
@@ -137,6 +161,8 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
         "batch_verdicts": counts,
         "pq_vectors": n_codes,
         "bpe_merges": len(merges),
+        "refreshed_docs": n8,
+        "profile_columns": len(prof),
     }
 
 

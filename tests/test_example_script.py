@@ -55,3 +55,8 @@ def test_example_corpus_curation_end_to_end(spark):
     }
     assert out["pq_vectors"] > 0
     assert out["bpe_merges"] == 3
+    # nightly delta: upsert can only grow the corpus (admitted novel
+    # ids extend it; re-crawls replace), and the profile gate saw every
+    # column of the refreshed (doc_id, text) table
+    assert out["refreshed_docs"] >= out["survivors"]
+    assert out["profile_columns"] == 2
