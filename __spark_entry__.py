@@ -1945,49 +1945,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's later collect executes the engine's semantics on
     its own untouched session.
 
-    Round-7 rotation (VERDICT r6 item 3): the r4/r5-stale tail queries
-    rotate back INTO the window — the etl_* parity battery, text_*,
-    mm_*, approx_quantiles, graph_connected_components, q3/q6/q10,
-    quality_contamination, salted_count, sim_quantize_int8, and the
-    minhash/simhash signature queries — and ALL 19 round-7 additions
-    enter in-window for their first verdicts: the TPC-H expansion
-    battery (q4/q7/q8/q13/q14/q18/q19/q22), dedup_neardup_survivors,
-    dedup_passages, quality_unigram_logprob, pipeline_corpus_assembly,
-    quality_chunk_documents, quality_gate, the duplicate-span scrub
-    (dedup_span_scrub), incremental batch-vs-index dedup
-    (dedup_incremental), and the product-quantization trio
-    (sim_pq_codebooks / sim_pq_codes / sim_pq_refine_topk), and the
-    temperature-weighted mixture sampler (quality_mixture_sample) and
-    the corpus-trained BPE merge learner (text_bpe_merges). To
-    fit the 50-slot window, seven long-stable built-in-function
-    batteries (win_running_total, percentiles, conditional_agg,
-    distinct_counts, sim_embedding_norms, approx_distinct_custkeys,
-    approx_quantiles — r2-r5-green, unchanged native-function code)
-    plus mm_decode_stub (its mm family keeps two in-window reps),
-    text_fingerprint (text family keeps three in-window reps), and
-    etl_split_explode and etl_array_flatten (r1-stable normalization
-    primitives, F1/F4/F5 also covered by the normalization-chain
-    pytest), q6/q10 (r1-stable single-join TPC-H analogs — the
-    battery keeps q3 plus the eight fresh r7 queries in-window),
-    mm_frame_sample (mm keeps mm_binary_metadata in-window), and
-    text_lang_id/text_token_stats (text keeps quality_scores and the
-    fresh text_fuzzy_pairs/text_bpe_merges in-window), and
-    sim_quantize_int8 (its scale law is also exercised in-window by
-    pipeline_corpus_assembly) stay
-    in the tail one more round and head the r8 window; preflight
-    still oracle-checks them every round. Held in-window alongside them, keepers:
-    the three queries over code that CHANGED in round 7 (the
-    zero-norm NaN drop touched cosine_neardup_pairs →
-    sim_cosine_allpairs_ref, lsh_bucketed_neardup_pairs →
-    sim_cosine_neardup_pairs, and both semantic_dedup_pairs join
-    paths → sim_semantic_dedup_pairs; the save_nodes replay-
-    idempotence change touched the staged-save chain →
-    etl_dedup_pk; the banded-LSH helper factoring additionally touched
-    dedup_minhash_lsh_pairs, dedup_minhash_signatures,
-    dedup_neardup_survivors and pipeline_corpus_assembly — all held
-    in-window), and family representatives so every operator family
-    keeps a row in every round's verdict. Rows green in the r6 driver
-    window with unchanged code rotate out to the tail.
+    Round-8 rotation (VERDICT r7 #7): the window leads with the ten
+    queries over code that CHANGED this round — the profile family
+    (single-scan default + the new etl_profile_table_fast sketch
+    verdict), the new trigram-perplexity family (quality_trigram_ppl,
+    quality_ppl_gate), the decimal-sum event aggregations
+    (events_tumbling_counts, events_hopping_counts), the rewritten
+    etl_upsert_nodes oracle, quality_mixture_sample's integer-DIV
+    budget, quality_clf_weights' half-up driver rounding, and
+    sim_semantic_dedup_pairs' one-expression hyperplane literals —
+    followed by the FORTY stalest tail rows (last driver verdicts
+    r4-r6: the ETL parity battery, window/rank/array/string batteries,
+    approx sketches, kmeans/cosine family, pagerank, the quality_*
+    heuristics — every one oracle-checked green by preflight in every
+    round since). The 20 remaining stale rows (string/date funcs, set
+    ops, rollup/cube/pivot/moving_avg/unpivot, graph_degrees,
+    range/gap/json, cosine-scale, ivf_trained, kmeans_assign, winnow)
+    head the tail and MUST lead the r9 window; after them sit the
+    r7-driver-green rows with unchanged code.
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
@@ -1995,10 +1970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
-    (49 green + sim_semantic_dedup_pairs no_oracle); r5 window = the
-    50 keys of CORRECTNESS_r05.json (50 green); r6 window = the 50
-    keys of CORRECTNESS_r06.json (50 green); r7 window = the first
-    50 below."""
+    (49 green + sim_semantic_dedup_pairs no_oracle); r5/r6/r7 windows
+    = the 50 keys of their CORRECTNESS_r{N}.json (each 50/50 green);
+    r8 window = the first 50 below."""
     import functools
 
     from graph_etl_spark.sources import runtime_confs
@@ -2012,90 +1986,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     registry = {
-        # rotated IN: tail queries whose last driver verdict was
-        # r4/r5 (six long-stable function batteries wait for r8 —
-        # see docstring); all 19 round-7 additions are in-window
-        "etl_chunk_counts": q_etl_chunk_counts,
-        "etl_normalize_nodes": q_etl_normalize_nodes,
-        "etl_semi_join_match": q_etl_semi_join_match,
-        "etl_anti_join_blanks": q_etl_anti_join_blanks,
-        "etl_union_sources": q_etl_union_sources,
-        "etl_metadata_attach": q_etl_metadata_attach,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "mm_binary_metadata": q_mm_binary_metadata,
-        "text_quality_scores": q_text_quality_scores,
-        "dedup_minhash_signatures": q_dedup_minhash_signatures,
-        "dedup_simhash_signatures": q_dedup_simhash_signatures,
-        "quality_contamination": q_quality_contamination,
-        "graph_connected_components": q_graph_connected_components,
-        "salted_count": q_salted_count,
-        # keepers: code that CHANGED in round 7 stays under a driver
-        # verdict — the zero-norm NaN drop (all cosine pair paths) and
-        # the save_nodes replay-idempotence change (staged-save chain)
-        "sim_cosine_allpairs_ref": q_sim_cosine_allpairs_ref,
-        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
-        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
-        "etl_dedup_pk": q_etl_dedup_pk,
-        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
-        # keepers: family representatives so every operator family has
-        # a row in every round's driver window (asof_join_events and
-        # sim_ivf_topk — both r6-green, code unchanged, the ivf bisect
-        # cleared as a load artifact — rotate to the tail to make room
-        # for the two newest operators below)
-        "events_sessionize": q_events_sessionize,
-        # NEW in round 7 (second batch): sub-document passage dedup,
-        # corpus-trained unigram LM scoring, and the four-family
-        # corpus-assembly manifest — first driver verdicts
-        # (quality_source_quota, r6-green unchanged, rotates to the
-        # tail for the third slot)
-        "dedup_passages": q_dedup_passages,
-        "dedup_span_scrub": q_dedup_span_scrub,
-        "dedup_incremental": q_dedup_incremental,
-        "sim_pq_codebooks": q_sim_pq_codebooks,
-        "sim_pq_codes": q_sim_pq_codes,
-        "sim_pq_refine_topk": q_sim_pq_refine_topk,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
-        "quality_unigram_logprob": q_quality_unigram_logprob,
-        "quality_bigram_logprob": q_quality_bigram_logprob,
-        "quality_trigram_ppl": q_quality_trigram_ppl,
-        "quality_ppl_gate": q_quality_ppl_gate,
-        "quality_mixture_sample": q_quality_mixture_sample,
-        "quality_clf_weights": q_quality_clf_weights,
-        "quality_curriculum_order": q_quality_curriculum_order,
-        "events_hopping_counts": q_events_hopping_counts,
-        "etl_upsert_nodes": q_etl_upsert_nodes,
-        "text_fuzzy_pairs": q_text_fuzzy_pairs,
+        # ---- r8 window slots 1-10: queries over code that CHANGED
+        # in round 8 (single-scan profile + fast variant, trigram ppl
+        # family, decimal event sums, upsert oracle rewrite, mixture DIV,
+        # classifier half-up rounding, hyperplane literal emission) ----
         "etl_profile_table": q_etl_profile_table,
         "etl_profile_table_fast": q_etl_profile_table_fast,
-        "graph_triangles": q_graph_triangles,
-        "text_bpe_merges": q_text_bpe_merges,
-        "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
-        # NEW in round 7 — first driver verdicts pending, so in-window.
-        # To make room, nine r6-driver-green family reps with unchanged
-        # code rotate to the tail (q1_pricing_summary, etl_remap_j1,
-        # etl_automap_j2, dedup_exact_groups, dedup_minhash_lsh_pairs,
-        # dedup_ngram_jaccard_pairs, dedup_simhash_pairs,
-        # sim_cosine_topk, sim_kmeans_centroids) alongside
-        # graph_pagerank + quality_tfidf_top_terms — the union
-        # invariant holds: every tail row is r6-driver-green.
-        "quality_chunk_documents": q_quality_chunk_documents,
-        "quality_gate": q_quality_gate,
-        # round-7 TPC-H expansion battery (join-shape coverage:
-        # non-equi semi, dual-role broadcast dims, outer-join agg,
-        # agg-then-join HAVING, OR-of-ANDs bracket, scalar-subquery
-        # threshold + anti-join) + the end-to-end dedup pipeline
-        "q4_order_priority": q_q4_order_priority,
-        "q7_volume_shipping": q_q7_volume_shipping,
-        "q8_market_share": q_q8_market_share,
-        "q13_customer_distribution": q_q13_customer_distribution,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q18_large_volume": q_q18_large_volume,
-        "q19_discount_revenue": q_q19_discount_revenue,
-        "q22_dormant_balance": q_q22_dormant_balance,
-        "dedup_neardup_survivors": q_dedup_neardup_survivors,
-        # ---- tail: >50 — rows green in the r6 driver window with
-        # unchanged code, rotated out for one round; still
-        # oracle-checked every round by tools/preflight.py ----
+        "quality_trigram_ppl": q_quality_trigram_ppl,
+        "quality_ppl_gate": q_quality_ppl_gate,
+        "events_tumbling_counts": q_events_tumbling_counts,
+        "events_hopping_counts": q_events_hopping_counts,
+        "etl_upsert_nodes": q_etl_upsert_nodes,
+        "quality_mixture_sample": q_quality_mixture_sample,
+        "quality_clf_weights": q_quality_clf_weights,
+        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
+        # ---- slots 11-50: the stalest tail rotates IN (VERDICT r7 #7:
+        # last driver verdicts r4-r6; preflight kept them green every
+        # round in between) ----
         "asof_join_events": q_asof_join_events,
         "win_running_total": q_win_running_total,
         "percentiles": q_percentiles,
@@ -2136,6 +2043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
         "array_funcs": q_array_funcs,
+        # ---- tail: >50 — first the 20 remaining stale rows (they head
+        # the r9 window), then the r7-driver-green rows with unchanged
+        # code; ALL still oracle-checked every round by tools/preflight ----
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
         "topk_orders": q_topk_orders,
@@ -2149,7 +2059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_part": q_unpivot_part,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "graph_degrees": q_graph_degrees,
-        "events_tumbling_counts": q_events_tumbling_counts,
         "range_join_parts": q_range_join_parts,
         "events_gap_fill": q_events_gap_fill,
         "json_extract_events": q_json_extract_events,
@@ -2157,6 +2066,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
         "sim_kmeans_assign": q_sim_kmeans_assign,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
+        "etl_chunk_counts": q_etl_chunk_counts,
+        "etl_normalize_nodes": q_etl_normalize_nodes,
+        "etl_semi_join_match": q_etl_semi_join_match,
+        "etl_anti_join_blanks": q_etl_anti_join_blanks,
+        "etl_union_sources": q_etl_union_sources,
+        "etl_metadata_attach": q_etl_metadata_attach,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "mm_binary_metadata": q_mm_binary_metadata,
+        "text_quality_scores": q_text_quality_scores,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_simhash_signatures": q_dedup_simhash_signatures,
+        "quality_contamination": q_quality_contamination,
+        "graph_connected_components": q_graph_connected_components,
+        "salted_count": q_salted_count,
+        "sim_cosine_allpairs_ref": q_sim_cosine_allpairs_ref,
+        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
+        "etl_dedup_pk": q_etl_dedup_pk,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "events_sessionize": q_events_sessionize,
+        "dedup_passages": q_dedup_passages,
+        "dedup_span_scrub": q_dedup_span_scrub,
+        "dedup_incremental": q_dedup_incremental,
+        "sim_pq_codebooks": q_sim_pq_codebooks,
+        "sim_pq_codes": q_sim_pq_codes,
+        "sim_pq_refine_topk": q_sim_pq_refine_topk,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "quality_unigram_logprob": q_quality_unigram_logprob,
+        "quality_bigram_logprob": q_quality_bigram_logprob,
+        "quality_curriculum_order": q_quality_curriculum_order,
+        "text_fuzzy_pairs": q_text_fuzzy_pairs,
+        "graph_triangles": q_graph_triangles,
+        "text_bpe_merges": q_text_bpe_merges,
+        "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
+        "quality_chunk_documents": q_quality_chunk_documents,
+        "quality_gate": q_quality_gate,
+        "q4_order_priority": q_q4_order_priority,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q18_large_volume": q_q18_large_volume,
+        "q19_discount_revenue": q_q19_discount_revenue,
+        "q22_dormant_balance": q_q22_dormant_balance,
+        "dedup_neardup_survivors": q_dedup_neardup_survivors,
     }
     return {name: _scoped(fn) for name, fn in registry.items()}
 
