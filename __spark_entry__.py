@@ -928,6 +928,268 @@ def q_q22_dormant_balance(spark, sf):
     )
 
 
+def q_q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 analog (no partsupp table: the supply relation derives
+    from lineitem as each supplier's best offer price per part) — the
+    CORRELATED-MIN subquery shape: per-part minimum offer computed
+    first, then equality-joined back so only min-cost suppliers
+    survive. All money stays DECIMAL so the equality cannot flip on a
+    float last bit."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    p = _t(spark, sf, "part")
+    offers = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast(DEC)).alias("offer_price"))
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("offer_price").alias("min_price"))
+    return (
+        offers.join(best, "l_partkey")
+        .filter(F.col("offer_price") == F.col("min_price"))
+        .join(F.broadcast(p.filter(F.col("p_size") == 15)), offers.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+    )
+
+
+def q_q9_product_type_profit(spark, sf):
+    """TPC-H Q9 analog (no ps_supplycost: cost proxies as half the
+    part's retail price per unit): profit by (nation, order year) over
+    the red-part supply chain — the five-way star join whose fact side
+    shuffles once and whose dims all broadcast. Decimal profit sum."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders")
+    amount = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        - F.col("p_retailprice").cast(DEC) * F.lit(0.5).cast(DEC)
+        * F.col("l_quantity").cast(DEC)
+    )
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_name").like("red%"))), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q_q11_important_supply(spark, sf):
+    """TPC-H Q11 analog (supply value derives from lineitem): parts
+    whose total supplied value exceeds 1/1000 of the corpus-wide
+    value (1/1500: with 2000 parts the canonical 1/1000 = 2x the
+    average share is vacuous on the uniform synthetic data; 1/1500
+    keeps the filter selective at 156 of 2000 parts at sf0.01) — the
+    GLOBAL-SCALAR-THRESHOLD shape (one tiny aggregate
+    broadcast against the per-part aggregate; the fraction compares by
+    cross-multiplication so both engines decide membership on exact
+    decimals)."""
+    l = _t(spark, sf, "lineitem")
+    val = F.col("l_extendedprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+    per_part = l.groupBy("l_partkey").agg(F.sum(val).alias("part_value"))
+    total = l.agg(F.sum(val).alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") * 1500 > F.col("total_value"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+def q_q12_priority_shipping(spark, sf):
+    """TPC-H Q12 analog (no l_shipmode/commitdate: the late-shipment
+    predicate is shipdate > orderdate + 30 days, bucketed by return
+    flag): per-flag counts of high- vs low-priority late orders — the
+    join + CASE-sum conditional aggregation shape."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "__odate", F.col("o_orderdate").cast("date")
+    )
+    return (
+        joined.filter(
+            (F.col("l_shipdate").cast("date") > F.date_add(F.col("__odate"), 30))
+            & (F.year("l_shipdate") == 1997)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+    )
+
+
+def q_q15_top_supplier(spark, sf):
+    """TPC-H Q15 analog: each supplier's Q1-1996 revenue, then the
+    supplier(s) achieving the MAX — the scalar-subquery-on-an-
+    aggregate shape. Revenue stays DECIMAL end-to-end so the max
+    equality is exact on both engines."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_q16_supplier_part_counts(spark, sf):
+    """TPC-H Q16 analog: distinct-supplier counts per (brand, type,
+    size) bucket over the lineitem-derived supply relation, excluding
+    one brand, one type prefix, and 'complaint' suppliers (acctbal<0
+    stands in for the comment scan) — the NOT-IN double-exclusion
+    shape as broadcast anti-join + filtered dims."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    supply = l.select("l_partkey", "l_suppkey").distinct()
+    keep_p = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    complaints = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        supply.join(F.broadcast(keep_p), supply.l_partkey == keep_p.p_partkey)
+        .join(F.broadcast(complaints), supply.l_suppkey == complaints.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 analog: revenue lost to small-quantity orders of one
+    brand — the CORRELATED-AVG subquery shape (per-part average
+    quantity joined back; the 20%-of-average comparison cross-
+    multiplies to exact decimals: qty · 5 · n < Σqty)."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    brand = p.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    return (
+        l.join(F.broadcast(brand), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(per_part.withColumnRenamed("l_partkey", "__pk")),
+              F.col("l_partkey") == F.col("__pk"))
+        .filter(
+            F.col("l_quantity").cast(DEC) * 5 * F.col("n_li") < F.col("sum_qty")
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)) / F.lit(7).cast(DEC))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+def q_q20_dominant_suppliers(spark, sf):
+    """TPC-H Q20 analog (availability derives from shipped volume):
+    suppliers who in 1995 shipped MORE THAN HALF of some small-part's
+    total 1995 volume — the nested semi-join chain (per-(supp,part)
+    agg vs per-part scalar, then supplier semi-join). The half
+    comparison doubles the left side instead of halving the right, so
+    membership is decided on exact decimals."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    y95 = l.filter(F.year("l_shipdate") == 1995)
+    small = p.filter(F.col("p_name").like("small%")).select("p_partkey")
+    sp = (
+        y95.join(F.broadcast(small), y95.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("supp_qty"))
+    )
+    per_part = sp.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        sp.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+def q_q21_waiting_orders(spark, sf):
+    """TPC-H Q21 analog (lateness = shipped over 60 days after the
+    order date): per-supplier count of multi-supplier 'F' orders where
+    THIS supplier shipped late, at least one OTHER supplier exists on
+    the order (EXISTS -> left_semi on a non-equal suppkey), and no
+    OTHER supplier was late (NOT EXISTS -> left_anti) — the canonical
+    exists/not-exists pair as semi/anti joins over the same fact."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("__odate")
+    )
+    li = l.select("l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("__sdate"))
+    base = li.join(f_orders, li.l_orderkey == f_orders.o_orderkey)
+    late = base.filter(F.col("__sdate") > F.date_add(F.col("__odate"), 60)).select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    # both join sides derive from the same li scan: explicit aliases
+    # keep the self-join keys unambiguous (Spark would otherwise
+    # resolve both to one attribute - a trivially-true predicate)
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_supp")
+    ).distinct()
+    late_others = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_supp")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_supp")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l_suppkey") != F.col("y_supp")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q_asof_join_events(spark, sf):
     """As-of join: for each click event, the latest error event of the
     same user at/before it."""
@@ -1954,15 +2216,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     etl_upsert_nodes oracle, quality_mixture_sample's integer-DIV
     budget, quality_clf_weights' half-up driver rounding, and
     sim_semantic_dedup_pairs' one-expression hyperplane literals —
-    followed by the FORTY stalest tail rows (last driver verdicts
+    then the NINE new TPC-H completion analogs (q2/q9/q11/q12/q15/
+    q16/q17/q20/q21 — correlated-min, star-profit, global-threshold,
+    conditional-agg, scalar-max, NOT-IN, correlated-avg, nested-semi,
+    exists/not-exists shapes; first verdicts) — followed by the
+    THIRTY-ONE stalest tail rows (last driver verdicts
     r4-r6: the ETL parity battery, window/rank/array/string batteries,
     approx sketches, kmeans/cosine family, pagerank, the quality_*
     heuristics — every one oracle-checked green by preflight in every
-    round since). The 20 remaining stale rows (string/date funcs, set
-    ops, rollup/cube/pivot/moving_avg/unpivot, graph_degrees,
-    range/gap/json, cosine-scale, ivf_trained, kmeans_assign, winnow)
-    head the tail and MUST lead the r9 window; after them sit the
-    r7-driver-green rows with unchanged code.
+    round since). The 29 remaining stale rows (hash_sample,
+    boilerplate, scrub, pack, pandas_udf, sql_interface, lag/rank
+    windows, array/string/date funcs, set ops, rollup/cube/pivot/
+    moving_avg/unpivot, graph_degrees, range/gap/json, cosine-scale,
+    ivf_trained, kmeans_assign, winnow) head the tail and MUST lead
+    the r9 window; after them sit the r7-driver-green rows with
+    unchanged code.
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
@@ -2000,7 +2268,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_mixture_sample": q_quality_mixture_sample,
         "quality_clf_weights": q_quality_clf_weights,
         "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
-        # ---- slots 11-50: the stalest tail rotates IN (VERDICT r7 #7:
+        # ---- slots 11-19: NEW in round 8 — the TPC-H completion
+        # battery (q2/q9/q11/q12/q15/q16/q17/q20/q21 analogs; first
+        # driver verdicts) ----
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q9_product_type_profit": q_q9_product_type_profit,
+        "q11_important_supply": q_q11_important_supply,
+        "q12_priority_shipping": q_q12_priority_shipping,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_part_counts": q_q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+        "q20_dominant_suppliers": q_q20_dominant_suppliers,
+        "q21_waiting_orders": q_q21_waiting_orders,
+        # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
         "asof_join_events": q_asof_join_events,
@@ -2034,6 +2314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
         "quality_repetition_stats": q_quality_repetition_stats,
+        # ---- tail: >50 — first the 29 remaining stale rows (they lead
+        # the r9 window), then the r7-driver-green rows with unchanged
+        # code; ALL still oracle-checked every round by tools/preflight ----
         "quality_hash_sample": q_quality_hash_sample,
         "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
         "quality_scrub_contact": q_quality_scrub_contact,
@@ -2043,9 +2326,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
         "array_funcs": q_array_funcs,
-        # ---- tail: >50 — first the 20 remaining stale rows (they head
-        # the r9 window), then the r7-driver-green rows with unchanged
-        # code; ALL still oracle-checked every round by tools/preflight ----
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
         "topk_orders": q_topk_orders,
@@ -2690,6 +2970,162 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM updates
         UNION ALL
         SELECT c.* FROM c ANTI JOIN updates u USING (c_custkey)
+    """
+
+    # Round-8 TPC-H completion battery (the nine analogs the r7
+    # expansion left out; partsupp-dependent queries derive the supply
+    # relation from lineitem, date-only schemas adapt the lateness
+    # predicates — each docstring states the preserved join shape)
+    sql["q2_min_cost_supplier"] = """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(l_extendedprice::DECIMAL(18,2)) AS offer_price
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), best AS (
+          SELECT l_partkey, MIN(offer_price) AS min_price
+          FROM offers GROUP BY l_partkey
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+               b.min_price::DOUBLE AS min_price
+        FROM offers o
+        JOIN best b ON o.l_partkey = b.l_partkey AND o.offer_price = b.min_price
+        JOIN part p ON o.l_partkey = p.p_partkey AND p.p_size = 15
+        JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """
+
+    sql["q9_product_type_profit"] = """
+        SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
+               SUM(l.l_extendedprice::DECIMAL(18,2)
+                   * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))
+                   - p.p_retailprice::DECIMAL(18,2) * 0.5::DECIMAL(18,2)
+                     * l.l_quantity::DECIMAL(18,2))::DOUBLE AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'red%'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """
+
+    sql["q11_important_supply"] = """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 SUM(l_extendedprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)) AS part_value
+          FROM lineitem GROUP BY l_partkey
+        ), tot AS (
+          SELECT SUM(l_extendedprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)) AS total_value
+          FROM lineitem
+        )
+        SELECT l_partkey, part_value::DOUBLE AS part_value
+        FROM per_part, tot
+        WHERE part_value * 1500 > total_value
+    """
+
+    sql["q12_priority_shipping"] = """
+        SELECT l.l_returnflag,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate::DATE > o.o_orderdate::DATE + 30
+          AND year(l.l_shipdate) = 1997
+        GROUP BY l.l_returnflag
+    """
+
+    sql["q15_top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 SUM(l_extendedprice::DECIMAL(18,2)
+                     * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        ), mx AS (SELECT MAX(total_revenue) AS max_revenue FROM rev)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue::DOUBLE AS total_revenue
+        FROM rev r, mx
+        JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_revenue = mx.max_revenue
+    """
+
+    sql["q16_supplier_part_counts"] = """
+        WITH supply AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT su.l_suppkey)::BIGINT AS supplier_cnt
+        FROM supply su
+        JOIN part p ON su.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type NOT LIKE 'PROMO%'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND su.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """
+
+    sql["q17_small_quantity_revenue"] = """
+        WITH per_part AS (
+          SELECT l_partkey, SUM(l_quantity::DECIMAL(18,2)) AS sum_qty,
+                 COUNT(*)::BIGINT AS n_li
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT (SUM(l.l_extendedprice::DECIMAL(18,2))
+                / 7::DECIMAL(18,2))::DOUBLE AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#13'
+        JOIN per_part pp ON l.l_partkey = pp.l_partkey
+        WHERE l.l_quantity::DECIMAL(18,2) * 5 * pp.n_li < pp.sum_qty
+    """
+
+    sql["q20_dominant_suppliers"] = """
+        WITH y95 AS (
+          SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+          WHERE year(l.l_shipdate) = 1995
+        ), sp AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(l_quantity::DECIMAL(18,2)) AS supp_qty
+          FROM y95 GROUP BY l_partkey, l_suppkey
+        ), per_part AS (
+          SELECT l_partkey, SUM(supp_qty) AS part_qty FROM sp GROUP BY l_partkey
+        ), dominant AS (
+          SELECT DISTINCT sp.l_suppkey
+          FROM sp JOIN per_part pp ON sp.l_partkey = pp.l_partkey
+          WHERE sp.supp_qty * 2 > pp.part_qty
+        )
+        SELECT s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """
+
+    sql["q21_waiting_orders"] = """
+        WITH f_orders AS (
+          SELECT o_orderkey, o_orderdate::DATE AS odate
+          FROM orders WHERE o_orderstatus = 'F'
+        ), li AS (
+          SELECT l_orderkey, l_suppkey, l_shipdate::DATE AS sdate FROM lineitem
+        ), late AS (
+          SELECT DISTINCT li.l_orderkey, li.l_suppkey
+          FROM li JOIN f_orders f ON li.l_orderkey = f.o_orderkey
+          WHERE li.sdate > f.odate + 60
+        ), waiting AS (
+          SELECT lt.l_orderkey, lt.l_suppkey
+          FROM late lt
+          WHERE EXISTS (SELECT 1 FROM li o2
+                        WHERE o2.l_orderkey = lt.l_orderkey
+                          AND o2.l_suppkey <> lt.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM late l2
+                            WHERE l2.l_orderkey = lt.l_orderkey
+                              AND l2.l_suppkey <> lt.l_suppkey)
+        )
+        SELECT s.s_name, COUNT(*)::BIGINT AS numwait
+        FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
     """
 
     sql["text_fuzzy_pairs"] = """

@@ -104,6 +104,15 @@ HEADLINE = [
     "quality_bigram_logprob",
     "quality_trigram_ppl",
     "quality_ppl_gate",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_supply",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_orders",
 ]
 
 

@@ -20,6 +20,10 @@ ROUND8_NEW = [
     "events_tumbling_counts", "events_hopping_counts",
     "etl_upsert_nodes", "quality_mixture_sample", "quality_clf_weights",
     "sim_semantic_dedup_pairs",
+    # the round-8 TPC-H completion battery (first driver verdicts)
+    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_supply",
+    "q12_priority_shipping", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q20_dominant_suppliers", "q21_waiting_orders",
 ]
 
 
