@@ -1947,6 +1947,43 @@ def q_quality_ppl_gate(spark, sf):
     ).select("doc_id", "n_tokens", "avg_logprob", "ppl")
 
 
+def q_text_bpe_encode(spark, sf):
+    """Tokenizer loop CLOSED: learn 3 BPE merge rounds on the corpus,
+    then encode every document under the learned rules — per doc the
+    word count, post-merge symbol count, and an md5 fingerprint of
+    the full symbol sequence in word order. The oracle re-learns the
+    same rules (the text_bpe_merges unrolled chain) and re-encodes —
+    hash-exact end-to-end."""
+    d = _t(spark, sf, "documents")
+    merges = ops.bpe_learn_merges(d, rounds=3)
+    enc = ops.bpe_encode(d, merges)
+    return enc.select(
+        "doc_id", "n_words", "n_symbols", F.md5("encoded").alias("encoded_fp")
+    )
+
+
+def q_sim_random_projection(spark, sf):
+    """Johnson-Lindenstrauss random projection (64 -> 8 dims): the
+    cheap ANN prefilter — deterministic md5-derived projection rows,
+    exploded to (vec_id, k, proj_val) so the oracle compares every
+    component bit-for-bit (both engines evaluate literal plane
+    components embedded from the same Python md5 arithmetic)."""
+    e = _t(spark, sf, "embeddings")
+    proj = ops.random_projection(e, out_dim=8, dim=64)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("k", "proj_val")
+    )
+
+
+def q_text_bm25_rank(spark, sf):
+    """BM25 top-20 for a three-term query over the documents table —
+    one stats aggregation (N, total length, per-term document
+    frequencies as conditional sums), broadcast back, map-side
+    per-doc scoring, deterministic (score desc, id asc) ranking."""
+    d = _t(spark, sf, "documents")
+    return ops.bm25_rank(d, ["vector", "hash", "spark"], k=20)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2280,14 +2317,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
         "q20_dominant_suppliers": q_q20_dominant_suppliers,
         "q21_waiting_orders": q_q21_waiting_orders,
+        "text_bpe_encode": q_text_bpe_encode,
+        "sim_random_projection": q_sim_random_projection,
+        "text_bm25_rank": q_text_bm25_rank,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
         "asof_join_events": q_asof_join_events,
         "win_running_total": q_win_running_total,
-        "percentiles": q_percentiles,
-        "conditional_agg": q_conditional_agg,
-        "distinct_counts": q_distinct_counts,
         "sim_embedding_norms": q_sim_embedding_norms,
         "approx_distinct_custkeys": q_approx_distinct_custkeys,
         "approx_quantiles": q_approx_quantiles,
@@ -2317,6 +2354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: >50 — first the 29 remaining stale rows (they lead
         # the r9 window), then the r7-driver-green rows with unchanged
         # code; ALL still oracle-checked every round by tools/preflight ----
+        "percentiles": q_percentiles,
+        "conditional_agg": q_conditional_agg,
+        "distinct_counts": q_distinct_counts,
         "quality_hash_sample": q_quality_hash_sample,
         "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
         "quality_scrub_contact": q_quality_scrub_contact,
@@ -4305,6 +4345,111 @@ def oracle_sql() -> dict[str, str]:
         ),
         {','.join(bpe_rounds)}
         {' UNION ALL '.join(bpe_sel)}
+    """
+
+    # BPE encode: the SAME learned-rule chain (m1..m3), then each
+    # document's word stream is wrapped, merged in round order, and
+    # reassembled in word order (string_agg ORDER BY pos).
+    sql["text_bpe_encode"] = f"""
+        WITH words AS (
+          SELECT word, COUNT(*)::BIGINT AS cnt FROM (
+            SELECT unnest({_TOKS.replace("text", "lower(text)")}) AS word
+            FROM documents
+          ) GROUP BY word
+        ), s0 AS MATERIALIZED (
+          SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS w,
+                 cnt
+          FROM words
+        ),
+        {','.join(bpe_rounds)},
+        docw AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS word
+          FROM (SELECT doc_id, {_TOKS.replace("text", "lower(text)")} AS tk FROM documents),
+               unnest(range(1, len(tk) + 1)) AS t(i)
+        ), e0 AS (
+          SELECT doc_id, pos,
+                 chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS w
+          FROM docw
+        ), e1 AS (
+          SELECT doc_id, pos, replace(w, chr(31)||m1.a||chr(31)||m1.b||chr(31),
+                                         chr(31)||m1.a||m1.b||chr(31)) AS w
+          FROM e0, m1
+        ), e2 AS (
+          SELECT doc_id, pos, replace(w, chr(31)||m2.a||chr(31)||m2.b||chr(31),
+                                         chr(31)||m2.a||m2.b||chr(31)) AS w
+          FROM e1, m2
+        ), e3 AS (
+          SELECT doc_id, pos, replace(w, chr(31)||m3.a||chr(31)||m3.b||chr(31),
+                                         chr(31)||m3.a||m3.b||chr(31)) AS w
+          FROM e2, m3
+        ), symsd AS (
+          SELECT doc_id, pos,
+                 list_filter(string_split(w, chr(31)), s -> s <> '') AS syms
+          FROM e3
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+               SUM(len(syms))::BIGINT AS n_symbols,
+               md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS encoded_fp
+        FROM symsd GROUP BY doc_id
+    """
+
+    # JL random projection: plane components are embedded as the SAME
+    # Python-repr literals the Spark side parses (BIGINT/DOUBLE division
+    # in-SQL would round the 56-bit hash to 53 bits BEFORE dividing -
+    # a 1-ulp divergence risk the literal embedding removes).
+    sql["sim_random_projection"] = """
+        WITH planes(k, pk) AS (VALUES
+          (0, [CAST('0.2930236946467757' AS DOUBLE), CAST('0.23930063120365963' AS DOUBLE), CAST('0.9243615795147213' AS DOUBLE), CAST('-0.3164870869874066' AS DOUBLE), CAST('-0.7628106141111879' AS DOUBLE), CAST('0.2608767340679081' AS DOUBLE), CAST('0.14648764513931756' AS DOUBLE), CAST('-0.06041172394004135' AS DOUBLE), CAST('-0.19400232193884925' AS DOUBLE), CAST('0.8604371292475848' AS DOUBLE), CAST('0.06328428373388162' AS DOUBLE), CAST('-0.8051113962884263' AS DOUBLE), CAST('0.3202304534268894' AS DOUBLE), CAST('0.06634525212016129' AS DOUBLE), CAST('0.11719754316466169' AS DOUBLE), CAST('-0.21343300721014213' AS DOUBLE), CAST('-0.9015618784768461' AS DOUBLE), CAST('-0.8009463405007042' AS DOUBLE), CAST('-0.061499248318588995' AS DOUBLE), CAST('-0.33207689716266775' AS DOUBLE), CAST('-0.5382481792788976' AS DOUBLE), CAST('0.880381484723753' AS DOUBLE), CAST('-0.6310842378503634' AS DOUBLE), CAST('-0.9752724115353627' AS DOUBLE), CAST('-0.19679381294985676' AS DOUBLE), CAST('0.3687818297984742' AS DOUBLE), CAST('0.9799466416460938' AS DOUBLE), CAST('0.5541994016546816' AS DOUBLE), CAST('-0.927163502201665' AS DOUBLE), CAST('-0.6002296522986297' AS DOUBLE), CAST('-0.38746911917640847' AS DOUBLE), CAST('0.7523951697169875' AS DOUBLE), CAST('0.3761298517736187' AS DOUBLE), CAST('0.8832424348439745' AS DOUBLE), CAST('-0.052612590268427795' AS DOUBLE), CAST('0.19599123218391856' AS DOUBLE), CAST('-0.06544779881117702' AS DOUBLE), CAST('0.5674963732219662' AS DOUBLE), CAST('-0.08476431227445735' AS DOUBLE), CAST('-0.006638054069759147' AS DOUBLE), CAST('0.741016201762454' AS DOUBLE), CAST('-0.21215692963182542' AS DOUBLE), CAST('0.1380847197827495' AS DOUBLE), CAST('-0.7788678458497256' AS DOUBLE), CAST('-0.6487744126214745' AS DOUBLE), CAST('-0.44872886499964193' AS DOUBLE), CAST('0.4757818215362133' AS DOUBLE), CAST('-0.9395520361915164' AS DOUBLE), CAST('-0.7952771169059414' AS DOUBLE), CAST('-0.004025701931116843' AS DOUBLE), CAST('-0.26506089252642107' AS DOUBLE), CAST('-0.389143142370286' AS DOUBLE), CAST('-0.14318914994549625' AS DOUBLE), CAST('0.7232645791473415' AS DOUBLE), CAST('0.7098791351954796' AS DOUBLE), CAST('-0.6782586890657645' AS DOUBLE), CAST('-0.6206533474135378' AS DOUBLE), CAST('-0.034872277332422597' AS DOUBLE), CAST('0.5503836310667622' AS DOUBLE), CAST('-0.48754565465315747' AS DOUBLE), CAST('-0.6611641085477631' AS DOUBLE), CAST('0.23210181123584084' AS DOUBLE), CAST('0.9093812487027757' AS DOUBLE), CAST('0.11589868326316788' AS DOUBLE)]),
+          (1, [CAST('0.184934078349972' AS DOUBLE), CAST('-0.279717454882381' AS DOUBLE), CAST('-0.3861549288272442' AS DOUBLE), CAST('0.6979655393142512' AS DOUBLE), CAST('0.8537637105621612' AS DOUBLE), CAST('0.30279283365487486' AS DOUBLE), CAST('0.5294649937083804' AS DOUBLE), CAST('-0.34910242403045755' AS DOUBLE), CAST('0.6772065058833279' AS DOUBLE), CAST('0.46464867867512094' AS DOUBLE), CAST('0.6377165927237556' AS DOUBLE), CAST('-0.2408594626080679' AS DOUBLE), CAST('0.8065917689665782' AS DOUBLE), CAST('0.7065640103275217' AS DOUBLE), CAST('-0.5356126766274287' AS DOUBLE), CAST('-0.260612011329153' AS DOUBLE), CAST('0.44882835121178943' AS DOUBLE), CAST('-0.8515156786635822' AS DOUBLE), CAST('0.7323440930124232' AS DOUBLE), CAST('0.8683857089334737' AS DOUBLE), CAST('0.7838595414520786' AS DOUBLE), CAST('0.5974420334427704' AS DOUBLE), CAST('0.5004181648551707' AS DOUBLE), CAST('-0.13386652524515763' AS DOUBLE), CAST('0.8049880128069191' AS DOUBLE), CAST('0.8973796327559089' AS DOUBLE), CAST('-0.25192605383713385' AS DOUBLE), CAST('0.9660960211446774' AS DOUBLE), CAST('-0.47121920070034196' AS DOUBLE), CAST('0.45500593017183233' AS DOUBLE), CAST('0.7104906171899705' AS DOUBLE), CAST('0.38238867296793044' AS DOUBLE), CAST('-0.05146910850324615' AS DOUBLE), CAST('-0.018062564170365558' AS DOUBLE), CAST('0.2557984445025323' AS DOUBLE), CAST('-0.24416217750145974' AS DOUBLE), CAST('-0.0955448427651393' AS DOUBLE), CAST('0.43811905587967503' AS DOUBLE), CAST('0.11938076786788332' AS DOUBLE), CAST('-0.01357800426436584' AS DOUBLE), CAST('0.23543850628578622' AS DOUBLE), CAST('0.7778983841719684' AS DOUBLE), CAST('-0.7861489742430149' AS DOUBLE), CAST('-0.42832366506183217' AS DOUBLE), CAST('-0.21274215002550434' AS DOUBLE), CAST('0.2860962045823283' AS DOUBLE), CAST('-0.3839389144667117' AS DOUBLE), CAST('-0.16620425442063735' AS DOUBLE), CAST('-0.24432436442092453' AS DOUBLE), CAST('0.9861214176104238' AS DOUBLE), CAST('-0.10600914128498828' AS DOUBLE), CAST('0.09056543859052257' AS DOUBLE), CAST('0.9820525740688373' AS DOUBLE), CAST('-0.5178531375289391' AS DOUBLE), CAST('-0.8408934248533315' AS DOUBLE), CAST('0.11112571199659382' AS DOUBLE), CAST('-0.05168347758602865' AS DOUBLE), CAST('-0.8760622448864439' AS DOUBLE), CAST('0.6384113512502925' AS DOUBLE), CAST('-0.9565417746306892' AS DOUBLE), CAST('-0.6895752238261937' AS DOUBLE), CAST('-0.08655667071709883' AS DOUBLE), CAST('0.6914487223164687' AS DOUBLE), CAST('0.7689423833655578' AS DOUBLE)]),
+          (2, [CAST('-0.25001089877537475' AS DOUBLE), CAST('-0.12326251016250378' AS DOUBLE), CAST('-0.5678810930529886' AS DOUBLE), CAST('-0.8173071630487952' AS DOUBLE), CAST('0.8280095082170484' AS DOUBLE), CAST('-0.6176039770034114' AS DOUBLE), CAST('0.08887461852743295' AS DOUBLE), CAST('0.6039516456730532' AS DOUBLE), CAST('0.18857417637448814' AS DOUBLE), CAST('-0.7498494745370052' AS DOUBLE), CAST('0.42273958578380366' AS DOUBLE), CAST('-0.28692085114341204' AS DOUBLE), CAST('-0.7751245190671702' AS DOUBLE), CAST('0.2961012213016836' AS DOUBLE), CAST('-0.4525119883389094' AS DOUBLE), CAST('0.830743167209645' AS DOUBLE), CAST('-0.1534600288335215' AS DOUBLE), CAST('0.009445035903393295' AS DOUBLE), CAST('0.44159468965541504' AS DOUBLE), CAST('-0.5266087747539936' AS DOUBLE), CAST('0.38866732807028304' AS DOUBLE), CAST('0.028957082279080115' AS DOUBLE), CAST('-0.14006620455985097' AS DOUBLE), CAST('0.3159278102472387' AS DOUBLE), CAST('-0.10975071962253646' AS DOUBLE), CAST('-0.9035440947807554' AS DOUBLE), CAST('0.229975411287203' AS DOUBLE), CAST('-0.4904032330930286' AS DOUBLE), CAST('-0.45675518682951277' AS DOUBLE), CAST('0.8228531747594334' AS DOUBLE), CAST('-0.28807575297955124' AS DOUBLE), CAST('0.7874939134718835' AS DOUBLE), CAST('-0.047784658406353264' AS DOUBLE), CAST('0.5850862675357615' AS DOUBLE), CAST('-0.7641803022826852' AS DOUBLE), CAST('-0.6735634720040081' AS DOUBLE), CAST('0.7269118586461114' AS DOUBLE), CAST('0.12367433693641483' AS DOUBLE), CAST('-0.7578729301304603' AS DOUBLE), CAST('-0.7905209565951445' AS DOUBLE), CAST('-0.5011490831503285' AS DOUBLE), CAST('-0.3083936290144962' AS DOUBLE), CAST('-0.13190777731692016' AS DOUBLE), CAST('0.14574534280182916' AS DOUBLE), CAST('0.7086489994715621' AS DOUBLE), CAST('-0.9613033266935898' AS DOUBLE), CAST('0.004629403906230012' AS DOUBLE), CAST('-0.3772952584246314' AS DOUBLE), CAST('0.4916793203876617' AS DOUBLE), CAST('0.7725878916488651' AS DOUBLE), CAST('-0.06886127775379602' AS DOUBLE), CAST('0.939043228288251' AS DOUBLE), CAST('0.7740793592836273' AS DOUBLE), CAST('-0.4049090883234594' AS DOUBLE), CAST('-0.7503711528693239' AS DOUBLE), CAST('0.7674853004729347' AS DOUBLE), CAST('-0.3591341416769158' AS DOUBLE), CAST('0.7778684697816574' AS DOUBLE), CAST('-0.04675199945831077' AS DOUBLE), CAST('0.586519263905066' AS DOUBLE), CAST('-0.059776208238294326' AS DOUBLE), CAST('0.13626285556407924' AS DOUBLE), CAST('0.41771956313319136' AS DOUBLE), CAST('0.4915155585414843' AS DOUBLE)]),
+          (3, [CAST('0.15594976099555669' AS DOUBLE), CAST('-0.8515422649528405' AS DOUBLE), CAST('0.390000884378231' AS DOUBLE), CAST('0.44082205170456046' AS DOUBLE), CAST('0.7401070692749914' AS DOUBLE), CAST('0.6016221446567509' AS DOUBLE), CAST('-0.24293348513174018' AS DOUBLE), CAST('-0.2717988821382221' AS DOUBLE), CAST('-0.749555675785035' AS DOUBLE), CAST('-0.8764001476550048' AS DOUBLE), CAST('0.3915804600031134' AS DOUBLE), CAST('-0.20089047700819296' AS DOUBLE), CAST('0.5683828996178237' AS DOUBLE), CAST('-0.2574709128247489' AS DOUBLE), CAST('-0.4338562700582549' AS DOUBLE), CAST('-0.7843362211250354' AS DOUBLE), CAST('-0.16134821286864032' AS DOUBLE), CAST('0.5523306846213665' AS DOUBLE), CAST('0.5796824407931529' AS DOUBLE), CAST('-0.8892897583208692' AS DOUBLE), CAST('-0.3531548197010078' AS DOUBLE), CAST('0.47395094069759813' AS DOUBLE), CAST('0.2520205974183789' AS DOUBLE), CAST('-0.15584819735687172' AS DOUBLE), CAST('0.5386196817771702' AS DOUBLE), CAST('0.8214066932288715' AS DOUBLE), CAST('-0.7034038696080428' AS DOUBLE), CAST('0.646369653226613' AS DOUBLE), CAST('0.5417261789611458' AS DOUBLE), CAST('0.1193983215829233' AS DOUBLE), CAST('0.606562315707301' AS DOUBLE), CAST('0.0081500784289672' AS DOUBLE), CAST('0.812477671403588' AS DOUBLE), CAST('-0.9733823045571997' AS DOUBLE), CAST('-0.13226899176051643' AS DOUBLE), CAST('-0.2502395746941165' AS DOUBLE), CAST('0.5294166013273516' AS DOUBLE), CAST('-0.1090300443601655' AS DOUBLE), CAST('-0.4005472300859896' AS DOUBLE), CAST('-0.4382297513400558' AS DOUBLE), CAST('-0.7577657932169566' AS DOUBLE), CAST('-0.04407894073284524' AS DOUBLE), CAST('-0.12086934735368327' AS DOUBLE), CAST('-0.45048883935614603' AS DOUBLE), CAST('0.5163894999031795' AS DOUBLE), CAST('0.5926618040679545' AS DOUBLE), CAST('0.7108680856945142' AS DOUBLE), CAST('0.685263785468263' AS DOUBLE), CAST('-0.936046833021904' AS DOUBLE), CAST('-0.9541137291663087' AS DOUBLE), CAST('0.6669824356219891' AS DOUBLE), CAST('0.40052844308334845' AS DOUBLE), CAST('0.339013798693085' AS DOUBLE), CAST('0.6534684810950906' AS DOUBLE), CAST('-0.7181981450471202' AS DOUBLE), CAST('0.8363825568101872' AS DOUBLE), CAST('0.5320228285647324' AS DOUBLE), CAST('-0.12122470153471665' AS DOUBLE), CAST('0.7871993618219109' AS DOUBLE), CAST('-0.5433810269959035' AS DOUBLE), CAST('0.3413809457596322' AS DOUBLE), CAST('0.223043776957224' AS DOUBLE), CAST('0.2575381706664812' AS DOUBLE), CAST('-0.5317072393181118' AS DOUBLE)]),
+          (4, [CAST('0.6160494141835631' AS DOUBLE), CAST('-0.6332295111594853' AS DOUBLE), CAST('0.5134764524394879' AS DOUBLE), CAST('0.7426969445191893' AS DOUBLE), CAST('0.43245846231316687' AS DOUBLE), CAST('-0.8907755275049591' AS DOUBLE), CAST('0.7764964053895791' AS DOUBLE), CAST('0.2142177835910315' AS DOUBLE), CAST('0.13819233974907208' AS DOUBLE), CAST('-0.4100416882526291' AS DOUBLE), CAST('0.9455042214147455' AS DOUBLE), CAST('0.4126035685242031' AS DOUBLE), CAST('-0.3353800726247669' AS DOUBLE), CAST('0.8347593271806604' AS DOUBLE), CAST('0.7605027850799744' AS DOUBLE), CAST('-0.38494561740489375' AS DOUBLE), CAST('-0.5302319905399535' AS DOUBLE), CAST('-0.8714811406497845' AS DOUBLE), CAST('0.5608102010487885' AS DOUBLE), CAST('0.22152208835777665' AS DOUBLE), CAST('-0.2591012165740304' AS DOUBLE), CAST('0.4410713917471769' AS DOUBLE), CAST('-0.15265875311412658' AS DOUBLE), CAST('-0.255467797279161' AS DOUBLE), CAST('0.36350466075274834' AS DOUBLE), CAST('0.39944977574580665' AS DOUBLE), CAST('-0.8477561139946588' AS DOUBLE), CAST('-0.5132734800084353' AS DOUBLE), CAST('0.5783762835993318' AS DOUBLE), CAST('-0.2829011547522209' AS DOUBLE), CAST('0.15221248976077373' AS DOUBLE), CAST('-0.45733517370131416' AS DOUBLE), CAST('0.4453130599596522' AS DOUBLE), CAST('-0.9892937300494509' AS DOUBLE), CAST('-0.36390619695622006' AS DOUBLE), CAST('-0.5470277604095617' AS DOUBLE), CAST('0.03544551208342561' AS DOUBLE), CAST('0.3191110066170806' AS DOUBLE), CAST('-0.14371598140435604' AS DOUBLE), CAST('0.5918524161098406' AS DOUBLE), CAST('0.744477727574185' AS DOUBLE), CAST('0.9788253589654998' AS DOUBLE), CAST('-0.9005843695718743' AS DOUBLE), CAST('-0.7216950753648761' AS DOUBLE), CAST('-0.8712648472986803' AS DOUBLE), CAST('-0.1949190924410057' AS DOUBLE), CAST('0.14375196692021142' AS DOUBLE), CAST('0.8620585875806877' AS DOUBLE), CAST('0.38350423649357124' AS DOUBLE), CAST('-0.705540349875313' AS DOUBLE), CAST('-0.28011561799976126' AS DOUBLE), CAST('0.42308340323890326' AS DOUBLE), CAST('-0.5560498652722439' AS DOUBLE), CAST('-0.34603497223238366' AS DOUBLE), CAST('-0.6642500989445448' AS DOUBLE), CAST('0.11580700852532155' AS DOUBLE), CAST('0.938394406335453' AS DOUBLE), CAST('0.9226403497820128' AS DOUBLE), CAST('0.5165011619550746' AS DOUBLE), CAST('-0.6842760950737965' AS DOUBLE), CAST('0.9307632246419077' AS DOUBLE), CAST('0.59092759360507' AS DOUBLE), CAST('-0.8772129484618322' AS DOUBLE), CAST('-0.9065892218551814' AS DOUBLE)]),
+          (5, [CAST('-0.9808833653094047' AS DOUBLE), CAST('-0.7375190430592959' AS DOUBLE), CAST('-0.4490877568682048' AS DOUBLE), CAST('-0.30790743362774964' AS DOUBLE), CAST('-0.923924243542666' AS DOUBLE), CAST('0.6015489664827793' AS DOUBLE), CAST('-0.707815256198903' AS DOUBLE), CAST('-0.18655124093094577' AS DOUBLE), CAST('0.4668089217628941' AS DOUBLE), CAST('0.5149296801523313' AS DOUBLE), CAST('-0.6332607677259386' AS DOUBLE), CAST('-0.11130412046830696' AS DOUBLE), CAST('0.24176021560559935' AS DOUBLE), CAST('0.09278877714247402' AS DOUBLE), CAST('-0.05012677728038972' AS DOUBLE), CAST('-0.3875455124966105' AS DOUBLE), CAST('-0.20055620214555625' AS DOUBLE), CAST('0.49587872233618824' AS DOUBLE), CAST('0.11111280532764267' AS DOUBLE), CAST('0.1269118032998373' AS DOUBLE), CAST('0.17418147367104408' AS DOUBLE), CAST('-0.04202902800987185' AS DOUBLE), CAST('0.5118214279587676' AS DOUBLE), CAST('0.4173333454776058' AS DOUBLE), CAST('0.09670352006588279' AS DOUBLE), CAST('0.39513473787569486' AS DOUBLE), CAST('-0.18771717910422536' AS DOUBLE), CAST('0.7836669948944215' AS DOUBLE), CAST('0.45147433104183277' AS DOUBLE), CAST('-0.6649385480200399' AS DOUBLE), CAST('-0.5473743753709948' AS DOUBLE), CAST('0.10794871881390034' AS DOUBLE), CAST('-0.621802023948789' AS DOUBLE), CAST('0.9761783029632527' AS DOUBLE), CAST('0.04679067779369772' AS DOUBLE), CAST('-0.068793276613059' AS DOUBLE), CAST('-0.03650929681445203' AS DOUBLE), CAST('-0.24082608350759704' AS DOUBLE), CAST('-0.3883847355000327' AS DOUBLE), CAST('-0.7746224828786765' AS DOUBLE), CAST('-0.3662325158386609' AS DOUBLE), CAST('-0.6303652898683857' AS DOUBLE), CAST('-0.9577693556107628' AS DOUBLE), CAST('-0.24036601919333855' AS DOUBLE), CAST('0.27797203310084817' AS DOUBLE), CAST('-0.5647327556152646' AS DOUBLE), CAST('-0.34291403187351155' AS DOUBLE), CAST('-0.7868329253466487' AS DOUBLE), CAST('0.6274132773988221' AS DOUBLE), CAST('-0.08418482120800719' AS DOUBLE), CAST('-0.29243439876999333' AS DOUBLE), CAST('0.28660611508276124' AS DOUBLE), CAST('0.1191341041907954' AS DOUBLE), CAST('0.38559743934689306' AS DOUBLE), CAST('-0.21789688146844155' AS DOUBLE), CAST('0.3872529500642048' AS DOUBLE), CAST('0.7394499523235902' AS DOUBLE), CAST('-0.694964288315413' AS DOUBLE), CAST('-0.053408962621680156' AS DOUBLE), CAST('0.5547066758927903' AS DOUBLE), CAST('-0.9470272898237444' AS DOUBLE), CAST('0.43879190104203514' AS DOUBLE), CAST('0.4419824890414321' AS DOUBLE), CAST('-0.29877287759124593' AS DOUBLE)]),
+          (6, [CAST('-0.977407191816175' AS DOUBLE), CAST('-0.040613685089090135' AS DOUBLE), CAST('0.22331527373021332' AS DOUBLE), CAST('-0.6734179945219397' AS DOUBLE), CAST('0.4216303851417029' AS DOUBLE), CAST('-0.39139341087672574' AS DOUBLE), CAST('0.7857616628215602' AS DOUBLE), CAST('0.2633829516135917' AS DOUBLE), CAST('-0.008287472890228353' AS DOUBLE), CAST('-0.22710998212692746' AS DOUBLE), CAST('-0.9249111940819587' AS DOUBLE), CAST('-0.4877241776943628' AS DOUBLE), CAST('-0.2527852743700375' AS DOUBLE), CAST('-0.8807667235705332' AS DOUBLE), CAST('-0.6894817805596272' AS DOUBLE), CAST('0.21669878233908269' AS DOUBLE), CAST('0.25745785916026875' AS DOUBLE), CAST('0.7574417076530535' AS DOUBLE), CAST('0.9676944935957563' AS DOUBLE), CAST('-0.2778970250702877' AS DOUBLE), CAST('0.9168765159020642' AS DOUBLE), CAST('-0.6731484283173662' AS DOUBLE), CAST('0.9643015557277859' AS DOUBLE), CAST('-0.4168921296621536' AS DOUBLE), CAST('-0.4206394789639796' AS DOUBLE), CAST('-0.9665842663336113' AS DOUBLE), CAST('-0.3530035953903474' AS DOUBLE), CAST('-0.5478103478398058' AS DOUBLE), CAST('0.4850802031549697' AS DOUBLE), CAST('-0.4682817551932883' AS DOUBLE), CAST('-0.6110509261159113' AS DOUBLE), CAST('-0.730318403641464' AS DOUBLE), CAST('0.8894131311870122' AS DOUBLE), CAST('0.5803394162828495' AS DOUBLE), CAST('-0.4664590337427347' AS DOUBLE), CAST('-0.029747659178674946' AS DOUBLE), CAST('-0.5976928095783186' AS DOUBLE), CAST('-0.09045503733343307' AS DOUBLE), CAST('0.5981655768170291' AS DOUBLE), CAST('0.2530477562999618' AS DOUBLE), CAST('0.3649512106569168' AS DOUBLE), CAST('0.5783908671242395' AS DOUBLE), CAST('-0.05178673648351595' AS DOUBLE), CAST('-0.661525818512676' AS DOUBLE), CAST('0.006011616980480472' AS DOUBLE), CAST('0.5864823500125578' AS DOUBLE), CAST('0.31333517217234474' AS DOUBLE), CAST('-0.8770453604069625' AS DOUBLE), CAST('-0.4390186817987175' AS DOUBLE), CAST('0.9636187052947107' AS DOUBLE), CAST('0.43603371089945653' AS DOUBLE), CAST('0.26501398711576973' AS DOUBLE), CAST('0.20646779466930942' AS DOUBLE), CAST('0.18263703010931343' AS DOUBLE), CAST('-0.08756350130479018' AS DOUBLE), CAST('-0.9161882337677055' AS DOUBLE), CAST('0.272328815804294' AS DOUBLE), CAST('0.22097932778456775' AS DOUBLE), CAST('-0.3818247277901884' AS DOUBLE), CAST('0.007005108052217324' AS DOUBLE), CAST('-0.551374300154603' AS DOUBLE), CAST('-0.755989297464407' AS DOUBLE), CAST('0.3963150703899849' AS DOUBLE), CAST('-0.8100403016456288' AS DOUBLE)]),
+          (7, [CAST('0.9017382627791288' AS DOUBLE), CAST('0.8997600885133465' AS DOUBLE), CAST('0.7079703149249079' AS DOUBLE), CAST('-0.6371490526667865' AS DOUBLE), CAST('0.193580343898081' AS DOUBLE), CAST('0.03005166047356389' AS DOUBLE), CAST('-0.7361082963120256' AS DOUBLE), CAST('-0.9754891012159979' AS DOUBLE), CAST('0.20273385649427467' AS DOUBLE), CAST('-0.9828240770304858' AS DOUBLE), CAST('-0.441305358996684' AS DOUBLE), CAST('0.9944433937385244' AS DOUBLE), CAST('0.34467357941006815' AS DOUBLE), CAST('0.9402754662733441' AS DOUBLE), CAST('-0.4971743978507239' AS DOUBLE), CAST('-0.16959660611198224' AS DOUBLE), CAST('0.5804045346155733' AS DOUBLE), CAST('-0.6136490133781516' AS DOUBLE), CAST('0.843822049530107' AS DOUBLE), CAST('0.9929501413853952' AS DOUBLE), CAST('-0.633072272715758' AS DOUBLE), CAST('-0.12062924609349446' AS DOUBLE), CAST('0.2510437551457956' AS DOUBLE), CAST('-0.38854464875509953' AS DOUBLE), CAST('-0.4421824480171618' AS DOUBLE), CAST('0.42098731372102804' AS DOUBLE), CAST('-0.08738572777791387' AS DOUBLE), CAST('0.36506871490481374' AS DOUBLE), CAST('-0.8394356239617031' AS DOUBLE), CAST('-0.5780985060419992' AS DOUBLE), CAST('-0.30045636749943017' AS DOUBLE), CAST('-0.7554747751099471' AS DOUBLE), CAST('0.25335575554746903' AS DOUBLE), CAST('0.45698969409524137' AS DOUBLE), CAST('-0.41450396507541387' AS DOUBLE), CAST('0.5506493654974964' AS DOUBLE), CAST('-0.44562497212535157' AS DOUBLE), CAST('-0.5880888359946159' AS DOUBLE), CAST('-0.04826056362810571' AS DOUBLE), CAST('-0.42364344379439145' AS DOUBLE), CAST('-0.03387702864446718' AS DOUBLE), CAST('-0.08974353525114831' AS DOUBLE), CAST('-0.18854266886881887' AS DOUBLE), CAST('-0.37647376638107977' AS DOUBLE), CAST('0.6535076704292295' AS DOUBLE), CAST('0.9659149145890569' AS DOUBLE), CAST('0.12948159489493416' AS DOUBLE), CAST('0.8453471272467361' AS DOUBLE), CAST('0.36301578016693004' AS DOUBLE), CAST('0.8873653370444203' AS DOUBLE), CAST('0.07426483668609474' AS DOUBLE), CAST('-0.9960209302381718' AS DOUBLE), CAST('-0.04098402193877082' AS DOUBLE), CAST('-0.6702437287463254' AS DOUBLE), CAST('0.0031859395129036905' AS DOUBLE), CAST('-0.8520594733375073' AS DOUBLE), CAST('-0.5548136666917786' AS DOUBLE), CAST('0.7160960200636519' AS DOUBLE), CAST('-0.7469147178838905' AS DOUBLE), CAST('-0.0300127656306719' AS DOUBLE), CAST('0.6872335303624659' AS DOUBLE), CAST('0.3393890372564332' AS DOUBLE), CAST('0.8563226452832926' AS DOUBLE), CAST('-0.8251125970215173' AS DOUBLE)]))
+        SELECT e.vec_id, p.k,
+               ROUND(list_sum(list_transform(range(1, 65),
+                     j -> e.embedding[j]::DOUBLE * p.pk[j])), 6) AS proj_val
+        FROM embeddings e, planes p
+    """
+
+    # BM25: same one-agg stats, same Lucene idf, same fixed-order
+    # term sum; dl/avgdl cross-multiplies before the one division.
+    sql["text_bm25_rank"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), sized AS (
+          SELECT doc_id, toks, len(toks) AS dl FROM base
+        ), stats AS (
+          SELECT COUNT(*)::BIGINT AS n_docs,
+                 SUM(dl)::BIGINT AS total_len,
+                 SUM(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)::BIGINT AS df0,
+                 SUM(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END)::BIGINT AS df1,
+                 SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)::BIGINT AS df2
+          FROM sized
+        ), scored AS (
+          SELECT s.doc_id,
+            ROUND(
+              ln(1.0 + (st.n_docs::DOUBLE - df0 + 0.5) / (df0::DOUBLE + 0.5))
+                * (len(list_filter(toks, x -> x = 'vector'))::DOUBLE * 2.2)
+                / (len(list_filter(toks, x -> x = 'vector'))::DOUBLE
+                   + 1.2 * (0.25 + 0.75 * ((s.dl::BIGINT * st.n_docs)::DOUBLE / st.total_len::DOUBLE)))
+              + ln(1.0 + (st.n_docs::DOUBLE - df1 + 0.5) / (df1::DOUBLE + 0.5))
+                * (len(list_filter(toks, x -> x = 'hash'))::DOUBLE * 2.2)
+                / (len(list_filter(toks, x -> x = 'hash'))::DOUBLE
+                   + 1.2 * (0.25 + 0.75 * ((s.dl::BIGINT * st.n_docs)::DOUBLE / st.total_len::DOUBLE)))
+              + ln(1.0 + (st.n_docs::DOUBLE - df2 + 0.5) / (df2::DOUBLE + 0.5))
+                * (len(list_filter(toks, x -> x = 'spark'))::DOUBLE * 2.2)
+                / (len(list_filter(toks, x -> x = 'spark'))::DOUBLE
+                   + 1.2 * (0.25 + 0.75 * ((s.dl::BIGINT * st.n_docs)::DOUBLE / st.total_len::DOUBLE))),
+            6) AS bm25
+          FROM sized s, stats st
+        )
+        SELECT doc_id, bm25, rank FROM (
+          SELECT doc_id, bm25,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)::INT AS rank
+          FROM scored WHERE bm25 > 0
+        ) WHERE rank <= 20
     """
 
     # Curriculum ordering: the text_quality_scores composite feeds

@@ -113,6 +113,10 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q20_dominant_suppliers",
     "q21_waiting_orders",
+    # round-8: tokenizer apply, JL projection, BM25 ranking
+    "text_bpe_encode",
+    "sim_random_projection",
+    "text_bm25_rank",
 ]
 
 

@@ -1468,3 +1468,44 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "l2_dist", "rank")
     )
+
+
+def random_projection(
+    data: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress each
+    ``dim``-float embedding to ``out_dim`` components v'_k =
+    round(v · P_k, round_to) against deterministic md5-derived
+    projection rows (component j of row k = H56("rp{k}:{j}") scaled
+    to [-1, 1] — the `_hyperplane` recipe under an "rp" namespace, so
+    any engine recomputes the exact same matrix from nothing but the
+    seed strings). The cheap dimensionality-reduction prefilter in
+    front of exact cosine re-ranking: at 100 TB a 4× narrower vector
+    column is a 4× cheaper ANN scan, and JL keeps pairwise distances
+    within (1±ε) with high probability.
+
+    Output: (id_col, proj array<double> of out_dim).
+
+    Scale: pure map-side projection — zero shuffle, zero joins; the
+    matrix is out_dim SQL literal arrays parsed once driver-side (the
+    _centroid_array_expr lesson — never per-component py4j lits)."""
+    import hashlib
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = []
+    for k in range(out_dim):
+        row = [
+            int(hashlib.md5(f"rp{k}:{j}".encode()).hexdigest()[:14], 16) / float(2**55)
+            - 1.0
+            for j in range(dim)
+        ]
+        plane = F.expr(
+            "array(" + ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in row) + ")"
+        )
+        comps.append(F.round(dot(vec, plane), round_to))
+    return data.select(F.col(id_col), F.array(*comps).alias("proj"))

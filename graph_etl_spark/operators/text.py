@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under `from __future__ import annotations`
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword inventories for the n-gram/stopword
@@ -362,4 +362,144 @@ def fuzzy_pairs(
             & ((F.length("name_a") - F.length("name_b")).between(-max_dist, max_dist))
         )
         .select("name_a", "name_b", "edit_dist")
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply learned BPE merge rules (``bpe_learn_merges`` output) to
+    the corpus — the tokenizer-APPLY stage that closes the loop:
+    learn merges on the corpus, then encode every document under the
+    learned vocabulary (the shape a pipeline uses to materialize
+    token counts/sequences for packing and budgeting).
+
+    Output: one row per non-empty document —
+    (id_col, n_words, n_symbols, encoded) where ``encoded`` is the
+    space-joined symbol sequence in word order (fingerprintable) and
+    ``n_symbols`` shrinks as rules merge pairs.
+
+    Determinism: rules apply in ROUND order, each as the same single
+    left-to-right non-overlapping ``SEP·a·SEP·b·SEP`` literal replace
+    the learner used (identical in DuckDB); word order is restored by
+    an explicit (pos, symbols) sort inside the doc — never collect_list
+    arrival order.
+
+    Scale: the rule table is hyperparameter-sized (collected to
+    literals — the kmeans/centroid posture); encoding is a map-side
+    per-word string-replace chain; the only shuffle is the per-doc
+    reassembly groupBy."""
+    rules = sorted(
+        (r["round"], r["merge_a"], r["merge_b"]) for r in merges.collect()  # tiny
+    )
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text)).alias("pos", "word")
+    )
+    w = F.concat(
+        F.lit(BPE_SEP), F.array_join(F.split(F.col("word"), ""), BPE_SEP), F.lit(BPE_SEP)
+    )
+    for _, a, b in rules:
+        w = F.replace(
+            w,
+            F.lit(f"{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}"),
+            F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+        )
+    syms = F.filter(F.split(w, BPE_SEP), lambda s: s != "")
+    per_word = words.select(
+        id_col,
+        F.struct(F.col("pos"), F.array_join(syms, " ").alias("s")).alias("ws"),
+        F.size(syms).alias("n_syms"),
+    )
+    return per_word.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_syms").alias("n_symbols"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("ws")), lambda x: x["s"]), " "
+        ).alias("encoded"),
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_tokens: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 document ranking for a literal query token set — the
+    search-engine relevance baseline (Robertson/Spärck Jones; the
+    Lucene idf variant ln(1 + (N − df + 0.5)/(df + 0.5))) that
+    complements TF-IDF's per-doc top terms with query-time scoring.
+
+    Output: the top ``k`` docs as (id_col, bm25, rank), ranked by
+    (rounded score desc, id asc) — deterministic at ties.
+
+    Physical shape: ONE corpus aggregation produces every global
+    statistic (N, total token count, and per-query-term document
+    frequencies as conditional sums — the query is hyperparameter-
+    sized, so df_t are columns, not a term-table join); the 1-row
+    stats frame broadcasts back and scoring is a map-side expression
+    per document (per-term tf via array filters on the literal
+    tokens). No explode, no term join, one final top-k sort.
+
+    Determinism: dl/avgdl evaluates as (dl·N)/total_len — integer
+    cross-multiplication then ONE double division, identical in any
+    engine; per-term contributions add in fixed query order; the
+    score rounds to ``round_to`` before ranking."""
+    terms = list(dict.fromkeys(query_tokens))  # dedupe, keep order
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__dl", F.size("__toks")
+    )
+    stat_exprs = [
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").cast("long").alias("__total_len"),
+    ]
+    for i, t in enumerate(terms):
+        stat_exprs.append(
+            F.sum(F.array_contains("__toks", t).cast("long")).alias(f"__df_{i}")
+        )
+    stats = base.agg(*stat_exprs)
+    scored = base.crossJoin(F.broadcast(stats))
+    ratio = (
+        (F.col("__dl").cast("long") * F.col("__n_docs")).cast("double")
+        / F.col("__total_len").cast("double")
+    )
+    def _tf(term: str) -> Column:
+        # closure, not a defaulted lambda param: PySpark derives lambda
+        # arity from the signature, and a second param would silently
+        # select the (element, index) form (see lang_id._hits)
+        return F.size(F.filter(F.col("__toks"), lambda x: x == term)).cast("double")
+
+    score = None
+    for i, t in enumerate(terms):
+        tf = _tf(t)
+        # N, df are integer-valued doubles far below 2^52, so the
+        # additions are exact and association-order-free cross-engine
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n_docs").cast("double") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}").cast("double") + 0.5)
+        )
+        term_score = idf * (
+            tf * F.lit(float(k1) + 1.0)
+        ) / (tf + F.lit(float(k1)) * (F.lit(1.0 - float(b)) + F.lit(float(b)) * ratio))
+        score = term_score if score is None else score + term_score
+    if score is None:
+        score = F.lit(0.0)
+    ranked = scored.select(
+        id_col, F.round(score, round_to).alias("bm25")
+    ).filter(F.col("bm25") > 0)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
     )

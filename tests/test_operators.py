@@ -905,3 +905,71 @@ def test_ppl_band_filter_modes(spark):
     # rank mode: drop lowest 10% and highest 20% of 20 rows -> ranks 3..16
     band = ppl_band_filter(scored, lo_permille=100, hi_permille=800)
     assert sorted(r["doc_id"] for r in band.collect()) == list(range(3, 17))
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    """Encoding under learned rules shrinks the symbol count by the
+    merged pairs, and an un-merged corpus round-trips to characters."""
+    from graph_etl_spark.operators import bpe_encode, bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "abab abab"), (2, "ab cd")], "doc_id long, text string"
+    )
+    merges = bpe_learn_merges(df, rounds=2)
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    # rules learned: (a,b) -> ab (count 5), then (ab,ab) -> abab (2)
+    rules = [(r["merge_a"], r["merge_b"]) for r in merges.collect()]
+    assert rules[0] == ("a", "b")
+    # doc1: each 'abab' word merges to (ab, ab) — the round-1 replace
+    # consumes the seam separator, round 2 re-merges the second pair
+    assert out[1]["n_words"] == 2 and out[1]["n_symbols"] == 4
+    assert out[1]["encoded"] == "ab ab ab ab"
+    # doc2: 'ab' merges, 'cd' stays chars
+    assert out[2]["encoded"] == "ab c d"
+    # no rules: every word splits to characters
+    empty = merges.filter("round < 0")
+    out0 = {r["doc_id"]: r for r in bpe_encode(df, empty).collect()}
+    assert out0[2]["encoded"] == "a b c d"
+    assert out0[1]["n_symbols"] == 8
+
+
+def test_random_projection_shape_and_determinism(spark, embeddings):
+    from graph_etl_spark.operators import random_projection
+
+    out = random_projection(embeddings, out_dim=8)
+    rows = out.limit(5).collect()
+    assert all(len(r["proj"]) == 8 for r in rows)
+    # deterministic: same input -> identical projection on re-run
+    again = {r["vec_id"]: r["proj"] for r in random_projection(embeddings, out_dim=8).limit(5).collect()}
+    for r in rows:
+        assert again[r["vec_id"]] == r["proj"]
+    # a scaled vector projects to the scaled projection (linearity)
+    one = embeddings.limit(1)
+    doubled = one.select(
+        "vec_id", F.transform("embedding", lambda x: x * 2.0).alias("embedding")
+    )
+    p1 = random_projection(one, out_dim=4).collect()[0]["proj"]
+    p2 = random_projection(doubled, out_dim=4).collect()[0]["proj"]
+    for a, b in zip(p1, p2):
+        assert abs(b - 2 * a) < 1e-4
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from graph_etl_spark.operators import bm25_rank
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark fast"),
+            (2, "spark slow"),
+            (3, "nothing relevant here"),
+            (4, "spark is ok but this document is much longer than the rest of them"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_rank(df, ["spark"], k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1            # highest tf, short doc
+    assert 3 not in ranked           # no match -> excluded
+    assert len(ranked) == 3
+    # empty query -> empty result
+    assert bm25_rank(df, [], k=5).count() == 0

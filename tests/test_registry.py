@@ -24,6 +24,8 @@ ROUND8_NEW = [
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_supply",
     "q12_priority_shipping", "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q20_dominant_suppliers", "q21_waiting_orders",
+    # round-8 second batch: tokenizer apply, JL projection, BM25
+    "text_bpe_encode", "sim_random_projection", "text_bm25_rank",
 ]
 
 
