@@ -117,6 +117,9 @@ HEADLINE = [
     "text_bpe_encode",
     "sim_random_projection",
     "text_bm25_rank",
+    "graph_kcore",
+    "quality_dataset_split",
+    "text_url_dedup",
 ]
 
 

@@ -1273,3 +1273,35 @@ def ppl_band_filter(
         )
         .drop("__pos", "__n")
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    ratios_permille: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: H56(salt‖id) mod 1000
+    lands in cumulative permille ranges ([0,900) train, [900,950)
+    val, [950,1000) test by default). The ``hash_sample`` membership
+    contract extended to a PARTITION: every row gets exactly one
+    label, the same label on any engine/partitioning/run, and a doc's
+    split is decidable from its id alone — so train/test leakage is
+    impossible to introduce by re-partitioning, and late-arriving
+    docs join their split without touching the others. Map-side
+    column, zero shuffle."""
+    ratios = dict(ratios_permille or {"train": 900, "val": 50, "test": 50})
+    if sum(ratios.values()) != 1000:
+        raise ValueError(f"ratios_permille must sum to 1000, got {ratios}")
+    bucket = F.pmod(
+        h56(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(1000)
+    )
+    expr = None
+    lo = 0
+    for name, width in ratios.items():  # insertion order = range order
+        hi = lo + width
+        cond = bucket < hi if expr is None else (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return df.withColumn(out, expr)

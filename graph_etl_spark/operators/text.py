@@ -503,3 +503,37 @@ def bm25_rank(
         ranked.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form for dedup: lowercase, drop the fragment,
+    drop the http(s) scheme, drop a leading ``www.``, drop one
+    trailing slash. Pure sequential regexp_replace chain — identical
+    in any RE2/Java-regex engine (no lookaround), map-side."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"#.*$", "")        # fragment
+    u = F.regexp_replace(u, r"^https?://", "")  # scheme
+    u = F.regexp_replace(u, r"^www\.", "")      # www prefix
+    u = F.regexp_replace(u, r"/$", "")          # trailing slash
+    return u
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One surviving row per CANONICAL url (lowest id wins — the
+    exact_dedup convention): the crawl-frontier dedup that collapses
+    http/https, www, fragment, and trailing-slash variants of the
+    same page before any content fetch. One ranked-window shuffle on
+    the canonical-url hash; survivors keep their original url plus
+    the canonical form."""
+    w = Window.partitionBy("__canon").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__canon", canonicalize_url(F.col(url_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("__canon", "canonical_url")
+    )

@@ -973,3 +973,57 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert len(ranked) == 3
     # empty query -> empty result
     assert bm25_rank(df, [], k=5).count() == 0
+
+
+def test_kcore_peels_low_degree_shell(spark):
+    from graph_etl_spark.operators import kcore
+
+    # triangle (1,2,3) fully connected + pendant chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    core2 = {r["id"]: r["degree"] for r in kcore(edges, k=2).collect()}
+    assert set(core2) == {1, 2, 3}          # chain peels away
+    assert all(d == 2 for d in core2.values())
+    assert kcore(edges, k=3).count() == 0   # no 3-core in a triangle
+    # self-loops and duplicate/reversed edges must not inflate degrees
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3)], "src long, dst long"
+    )
+    assert {r["id"] for r in kcore(noisy, k=2).collect()} == {1, 2, 3}
+
+
+def test_dataset_split_partition_properties(spark):
+    from graph_etl_spark.operators import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = dataset_split(df)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000          # total partition
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # membership invariant under repartitioning
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"]) for r in dataset_split(df.repartition(16)).collect()}
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dataset_split(df, ratios_permille={"train": 500, "test": 400})
+
+
+def test_url_dedup_collapses_variants(spark):
+    from graph_etl_spark.operators import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Example.com/Page"),
+            (2, "http://www.example.com/page/"),
+            (3, "example.com/page#section"),
+            (4, "https://other.org/x"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r["canonical_url"] for r in url_dedup(df).collect()}
+    assert set(out) == {1, 4}                    # lowest id survives per page
+    assert out[1] == "example.com/page"
+    assert out[4] == "other.org/x"

@@ -393,3 +393,75 @@ def test_ivfpq_probe_join_prunes_lists(spark, entry):
     assert_no_cartesian(df)
     st = plan_stats(df)
     assert st.broadcast_hash_joins >= 1  # probe frame broadcast on cent_id
+
+
+def test_random_projection_zero_shuffle(spark):
+    """The JL projection is a pure map-side select: no exchange, no
+    join, and the scan must prune to (vec_id, embedding)."""
+    from graph_etl_spark import operators as ops
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    st = plan_stats(ops.random_projection(e, out_dim=8))
+    assert st.exchanges == 0
+    assert st.joins == 0
+
+
+def test_bm25_single_stats_agg_broadcast(spark):
+    """BM25: one stats aggregation broadcast back into map-side
+    scoring — no sort-merge join, no per-term explode/join."""
+    from graph_etl_spark import operators as ops
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    st = plan_stats(ops.bm25_rank(d, ["vector", "hash"], k=5))
+    assert st.sort_merge_joins == 0
+    assert st.generates == 0 if hasattr(st, "generates") else True  # no explode
+    # exchanges: stats agg (2: partial/final) + final ranking window
+    assert st.exchanges <= 3
+
+
+def test_profile_table_fast_single_scan(spark):
+    """The default profile must read the table ONCE: its plan is one
+    aggregation over one scan (the exact path is per-column by
+    design and not asserted here)."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    # build the agg plan the operator runs (profile_table collects
+    # eagerly, so assert on an equivalent single-agg shape instead):
+    from graph_etl_spark.operators.quality import _profile_val
+
+    exprs = [F.count(F.lit(1)).alias("n")]
+    for c in d.columns:
+        kind, val = _profile_val(d, c)
+        exprs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)),
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.col(c).cast("string"), 12)),
+            F.min(val), F.max(val),
+        ]
+    st = plan_stats(d.agg(*exprs))
+    assert len(st.read_schemas) == 1  # ONE scan feeds the whole profile
+    assert st.joins == 0
+
+
+def test_url_dedup_one_ranked_window_shuffle(spark):
+    """URL dedup: canonicalization is map-side; the only exchange is
+    the per-canonical-url ranking window."""
+    from graph_etl_spark import operators as ops
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("https://ex.com/"), F.col("doc_id")).alias("url")
+    )
+    st = plan_stats(ops.url_dedup(d))
+    assert st.exchanges == 1
+    assert st.joins == 0
+
+
+def test_dataset_split_map_side_only(spark):
+    from graph_etl_spark import operators as ops
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    st = plan_stats(ops.dataset_split(d))
+    assert st.exchanges == 0 and st.joins == 0

@@ -26,6 +26,7 @@ ROUND8_NEW = [
     "q17_small_quantity_revenue", "q20_dominant_suppliers", "q21_waiting_orders",
     # round-8 second batch: tokenizer apply, JL projection, BM25
     "text_bpe_encode", "sim_random_projection", "text_bm25_rank",
+    "graph_kcore", "quality_dataset_split", "text_url_dedup",
 ]
 
 
