@@ -2038,6 +2038,30 @@ def q_text_url_dedup(spark, sf):
     return out.select("doc_id", "url", "canonical_url")
 
 
+def q_text_normalize(spark, sf):
+    """Canonical text normalization over accent/control/whitespace
+    noise planted per doc_id class — output compares the normalized
+    form's md5 plus length deltas, so every branch of the chain
+    (accent fold, control strip, whitespace collapse, trim) is
+    hash-verified."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    noisy = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("  Héllo\tWörld  "), F.col("text")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit(" naïve  café\u0007")))
+        .otherwise(F.upper(F.col("text"))),
+    )
+    out = ops.normalize_text(noisy)
+    return out.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length("text_norm").alias("norm_len"),
+        F.md5("text_norm").alias("norm_fp"),
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2377,12 +2401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "quality_dataset_split": q_quality_dataset_split,
         "text_url_dedup": q_text_url_dedup,
+        "text_normalize": q_text_normalize,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
         "asof_join_events": q_asof_join_events,
         "win_running_total": q_win_running_total,
-        "mm_decode_stub": q_mm_decode_stub,
         "text_fingerprint": q_text_fingerprint,
         "etl_split_explode": q_etl_split_explode,
         "etl_array_flatten": q_etl_array_flatten,
@@ -2412,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": q_conditional_agg,
         "distinct_counts": q_distinct_counts,
         "sim_embedding_norms": q_sim_embedding_norms,
+        "mm_decode_stub": q_mm_decode_stub,
         "approx_distinct_custkeys": q_approx_distinct_custkeys,
         "approx_quantiles": q_approx_quantiles,
         "quality_hash_sample": q_quality_hash_sample,
@@ -4658,6 +4683,30 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY canonical_url ORDER BY doc_id ASC) AS rn
           FROM canon
         ) WHERE rn = 1
+    """
+
+    sql["text_normalize"] = r"""
+        WITH noisy AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN '  Héllo' || chr(9) || 'Wörld  ' || text
+                      WHEN doc_id % 3 = 1 THEN text || ' naïve  café' || chr(7)
+                      ELSE upper(text) END AS text
+          FROM documents
+        ), norm AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(
+                   regexp_replace(
+                     translate(lower(text),
+                       'áàâäãåéèêëíìîïóòôöõúùûüýÿñç',
+                       'aaaaaaeeeeiiiiooooouuuuyync'),
+                     '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '\s+', ' ', 'g')) AS text_norm
+          FROM noisy
+        )
+        SELECT doc_id, length(text)::INT AS raw_len,
+               length(text_norm)::INT AS norm_len,
+               md5(text_norm) AS norm_fp
+        FROM norm
     """
 
     # Curriculum ordering: the text_quality_scores composite feeds

@@ -120,6 +120,7 @@ HEADLINE = [
     "graph_kcore",
     "quality_dataset_split",
     "text_url_dedup",
+    "text_normalize",
 ]
 
 

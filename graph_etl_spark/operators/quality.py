@@ -998,9 +998,15 @@ def profile_table(
             for i, c in enumerate(cols)
         ]
     else:
+        # the per-column exact aggs are INDEPENDENT Spark jobs — submit
+        # them from a thread pool (Spark's scheduler is thread-safe for
+        # concurrent actions) so wall time is the slowest column's
+        # scan, not the sum of all scans; results keep column order
+        from concurrent.futures import ThreadPoolExecutor
+
         n_rows = df.count()
-        out_rows = []
-        for c in cols:
+
+        def _one(c: str):
             kind, val = _profile_val(df, c)
             nn = F.count(val)
             r = df.agg(
@@ -1019,10 +1025,13 @@ def profile_table(
                     ),
                 ).alias("avg_val"),
             ).collect()[0]
-            out_rows.append(
-                (c, kind, n_rows, int(r["n_nulls"]), int(r["n_distinct"]),
-                 r["min_val"], r["max_val"], r["avg_val"])
+            return (
+                c, kind, n_rows, int(r["n_nulls"]), int(r["n_distinct"]),
+                r["min_val"], r["max_val"], r["avg_val"],
             )
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(cols)))) as pool:
+            out_rows = list(pool.map(_one, cols))
     return spark.createDataFrame(
         out_rows,
         "column string, kind string, n_rows long, n_nulls long, "

@@ -537,3 +537,25 @@ def url_dedup(
         .drop("__rn")
         .withColumnRenamed("__canon", "canonical_url")
     )
+
+
+# accent-fold table for normalize_text: one-to-one char translation
+# (expressible as `translate` in any engine — no ICU dependency)
+_ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüýÿñç"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyync"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out: str = "text_norm"
+) -> DataFrame:
+    """Canonical text form for hashing/dedup/matching: lowercase,
+    one-to-one accent fold (explicit translate table — deterministic
+    everywhere, unlike locale-dependent ICU normalization), control
+    characters dropped, whitespace runs collapsed to single spaces,
+    ends trimmed. Pure map-side column chain (zero shuffle); the
+    regexes avoid lookaround so Java regex and RE2 agree."""
+    t = F.lower(F.col(text_col))
+    t = F.translate(t, _ACCENT_SRC, _ACCENT_DST)
+    t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return df.withColumn(out, F.trim(t))

@@ -1027,3 +1027,16 @@ def test_url_dedup_collapses_variants(spark):
     assert set(out) == {1, 4}                    # lowest id survives per page
     assert out[1] == "example.com/page"
     assert out[4] == "other.org/x"
+
+
+def test_normalize_text_chain(spark):
+    from graph_etl_spark.operators import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Héllo\tWörld  "), (2, "naïve\x07 CAFÉ"), (3, "a  b\n\nc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text_norm"] for r in normalize_text(df).collect()}
+    assert out[1] == "hello world"
+    assert out[2] == "naive cafe"
+    assert out[3] == "a b c"

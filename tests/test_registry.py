@@ -27,6 +27,7 @@ ROUND8_NEW = [
     # round-8 second batch: tokenizer apply, JL projection, BM25
     "text_bpe_encode", "sim_random_projection", "text_bm25_rank",
     "graph_kcore", "quality_dataset_split", "text_url_dedup",
+    "text_normalize",
 ]
 
 
