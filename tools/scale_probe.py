@@ -244,6 +244,16 @@ def main() -> None:
         # fixed while docs 10x, so the weights agg shrinks relatively
         # and the membership filter is map-side; near-linear expected
         "mixture_sample": lambda d: ops.mixture_sample(d, target_permille=300),
+        # r8 batch 2: canonical normalization + BM25 + dataset split —
+        # all map-side or one-agg shapes, near-linear expected
+        "normalize_text": lambda d: ops.normalize_text(d),
+        "bm25_rank": lambda d: ops.bm25_rank(d, ["vector", "hash", "spark"], k=20),
+        "dataset_split": lambda d: ops.dataset_split(d),
+        # r8: URL dedup — urls derive from the namespaced doc ids, so
+        # canonical groups are copy-local; one ranked-window shuffle
+        "url_dedup": lambda d: ops.url_dedup(
+            d.withColumn("url", F.concat(F.lit("https://ex.com/"), F.col("doc_id")))
+        ),
         # r8: trigram perplexity — disjoint per-copy token sets grow
         # the bigram/trigram model tables ~Nx (broadcast-join worst
         # direction, same note as unigram); the scoring stream is
@@ -255,6 +265,7 @@ def main() -> None:
     # result write — not as a lazy plan. Disjoint per-copy tokens grow
     # the distinct-word table ~Nx (the pair-count aggregation's worst
     # direction); per round the shuffle carries pair partials only.
+    _base_merges = ops.bpe_learn_merges(d1, rounds=2)  # fixed rules for the encode probe
     thunk_cases = {
         "bpe_merges": lambda d: (lambda: ops.bpe_learn_merges(d, rounds=2)),
         # r8 (VERDICT r7 #6): the logistic trainer — per iteration one
@@ -266,6 +277,12 @@ def main() -> None:
         # r8: the default single-scan profile — collects its one-row
         # agg during construction, so timed as a thunk; near-linear or
         # the single-scan claim is wrong
+        # r8: tokenizer APPLY under rules learned ONCE on the base
+        # corpus (fixed rules at both scales, so the ratio measures the
+        # encode scan + per-doc reassembly, not re-learning)
+        "bpe_encode": lambda d: (
+            lambda: ops.bpe_encode(d, _base_merges)
+        ),
         "profile_table_fast": lambda d: (
             lambda: ops.profile_table(d.select("doc_id", "text", "lang", "source"))
         ),
@@ -305,6 +322,10 @@ def main() -> None:
 
     li_cases = {
         "triangle_count": lambda f: ops.triangle_count(copurchase(f)),
+        # r8: k-core peel — namespaced copies keep the shell structure
+        # per copy, so round count stays constant while edges 10x; the
+        # ratio probes the per-round degree agg + semi-joins
+        "kcore": lambda f: ops.kcore(copurchase(f), k=4, max_iter=15),
     }
 
     # r8 (VERDICT r7 #6): fuzzy record-linkage — copies get a per-copy
@@ -337,6 +358,8 @@ def main() -> None:
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
+        # r8: JL projection — pure map-side literal-matrix product
+        "random_projection": lambda e: ops.random_projection(e, out_dim=8),
         "lsh_cosine_neardup": lambda e: ops.lsh_bucketed_neardup_pairs(
             e, threshold=0.95, n_planes=12, dim=64, n_tables=4
         ),
