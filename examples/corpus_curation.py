@@ -26,6 +26,10 @@ Stages (each prints a one-line summary):
   8. NIGHTLY DELTA  — SCD-1 upsert of the admitted new batch into the
                       staged corpus, then a single-scan profile gate
                       (functions.upsert_by_key + operators.profile_table).
+  9. SPLIT + SEARCH — leak-proof train/val/test assignment
+                      (operators.dataset_split) and a BM25 retrieval
+                      sanity probe over the refreshed corpus
+                      (operators.bm25_rank).
 
 Every stage is a declarative DataFrame plan — the same operators the
 oracle-checked `__spark_entry__` queries run, composed the way a real
@@ -148,6 +152,24 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
         f"(text len avg {prof['text']['avg_val']}, ~{prof['doc_id']['n_distinct']} ids)"
     )
 
+    # 9. train/val/test split (decidable per id — leak-proof under any
+    # repartition) + a BM25 retrieval probe over the refreshed corpus
+    from graph_etl_spark.operators import bm25_rank, dataset_split
+
+    splits = {
+        r["split"]: r["n"]
+        for r in dataset_split(refreshed)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(splits.values()) == n8, splits
+    hits = bm25_rank(refreshed, ["vector", "hash"], k=3).collect()
+    print(
+        f"[9] split {splits}; BM25 probe top-{len(hits)}: "
+        + ", ".join(f"doc {r['doc_id']} ({r['bm25']:.2f})" for r in hits)
+    )
+
     if own_session:
         spark.stop()
     print("corpus curation demo complete")
@@ -163,6 +185,8 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
         "bpe_merges": len(merges),
         "refreshed_docs": n8,
         "profile_columns": len(prof),
+        "splits": splits,
+        "bm25_hits": len(hits),
     }
 
 

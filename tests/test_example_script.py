@@ -60,3 +60,7 @@ def test_example_corpus_curation_end_to_end(spark):
     # column of the refreshed (doc_id, text) table
     assert out["refreshed_docs"] >= out["survivors"]
     assert out["profile_columns"] == 2
+    # the split is a partition of the refreshed corpus; the BM25 probe
+    # must surface at least one hit on the common vocabulary
+    assert sum(out["splits"].values()) == out["refreshed_docs"]
+    assert out["bm25_hits"] >= 1
