@@ -795,13 +795,23 @@ def quality_classifier_train(
                 "decimal(18,6)"
             ),
         )
-        grad_rows = (
-            base.select(F.posexplode(terms).alias("pos", "t"))
-            .groupBy("pos")
-            .agg(F.sum("t").alias("s"))  # DECIMAL: exact, order-free
-            .collect()  # dim+3 rows — tiny, deliberate
-        )
-        grad = {r["pos"]: float(r["s"]) / n_docs for r in grad_rows}
+        # one agg of dim+3 DECIMAL sums (exact, order-free) — the
+        # earlier posexplode + groupBy('pos') shuffled (dim+3)·n rows
+        # into a hash aggregate for the same 19 numbers; component
+        # sums of identical decimals are identical values, so the
+        # unrolled oracle chain is untouched (measured 8.3 → ~5 s for
+        # the 8-iteration registered query at sf0.1)
+        grad_row = base.select(terms.alias("__t")).agg(
+            *[
+                F.sum(F.element_at(F.col("__t"), i + 1)).alias(f"g{i}")
+                for i in range(len(w))
+            ]
+        ).collect()[0]  # 1 row × dim+3 cols — tiny, deliberate
+        grad = {
+            i: float(grad_row[f"g{i}"]) / n_docs
+            for i in range(len(w))
+            if grad_row[f"g{i}"] is not None
+        }
         w = [
             _round_half_up(wi - lr * _round_half_up(grad.get(i, 0.0), round_to), round_to)
             for i, wi in enumerate(w)
