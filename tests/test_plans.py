@@ -465,3 +465,43 @@ def test_dataset_split_map_side_only(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     st = plan_stats(ops.dataset_split(d))
     assert st.exchanges == 0 and st.joins == 0
+
+
+def test_q9_star_broadcasts_all_dims(spark, entry):
+    """Q9's five-way star: part/supplier/nation broadcast; the only
+    sort-merge join is lineitem-orders (both fact-sized)."""
+    st = plan_stats(entry.q_q9_product_type_profit(spark, SF))
+    assert st.broadcast_hash_joins >= 3
+    assert st.nested_loop_joins == 0
+
+
+def test_q21_semi_anti_no_cartesian(spark, entry):
+    """The exists/not-exists pair must plan as equi semi/anti joins,
+    never a cartesian over lineitem."""
+    df = entry.q_q21_waiting_orders(spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_q2_min_join_back_no_cartesian(spark, entry):
+    df = entry.q_q2_min_cost_supplier(spark, SF)
+    assert_no_cartesian(df)
+    st = plan_stats(df)
+    assert st.broadcast_hash_joins >= 2  # part + supplier + nation dims
+
+
+def test_kcore_rounds_are_semi_joins(spark):
+    """Each peel round must prune with semi-joins (never materialize
+    the degree table against the edges as an inner join duplicating
+    edge rows)."""
+    from graph_etl_spark import operators as ops
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(1, 3), (2, 4)], "src long, dst long"
+    )
+    out = ops.kcore(e, k=2, max_iter=3)
+    # the RESULT plan is just the degree agg over the checkpointed
+    # core — assert it carries no join at all (peeling happened in
+    # materialized rounds, not in a lingering lazy join tree)
+    st = plan_stats(out)
+    assert st.joins == 0
