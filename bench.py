@@ -121,6 +121,9 @@ HEADLINE = [
     "quality_dataset_split",
     "text_url_dedup",
     "text_normalize",
+    "events_funnel",
+    "events_retention",
+    "basket_frequent_pairs",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Event analytics over the (event_id, ts, user_id, event_type, value)
+stream: funnel conversion, cohort retention, and per-basket frequent
+pairs — the product-analytics battery (Amplitude/Mixpanel-style)
+expressed as declarative DataFrame plans.
+
+Scale design: funnels are k chained per-user min-aggregations (one
+shuffle on user id, reused across steps); cohorts are two aggregations
+on (user, period); frequent pairs are a within-basket self-equi-join
+with canonical ordering (the triangle-count posture — never all-pairs
+across baskets). Everything is oracle-expressible: no UDFs, and every
+timestamp comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: for each prefix of ``steps``, the
+    number of users who completed it IN ORDER (each step strictly
+    after the previous step's first completion — the classic
+    first-touch funnel semantics, deterministic because every step
+    anchors on the MINIMUM qualifying timestamp).
+
+    Output: (step int 1-based, event_type, n_users) — monotonically
+    non-increasing user counts down the funnel.
+
+    Scale: one shuffle on the user key total — each step is a
+    per-user min-aggregation over the same hash partitioning, and the
+    step frames are user-count-sized (<< event count) from step 1 on.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    base = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t"), F.col(type_col).alias("et")
+    )
+    # step 1: first occurrence of steps[0] per user
+    reached = (
+        base.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t1"))
+    )
+    out_rows = [(1, steps[0], reached)]
+    for i, step in enumerate(steps[1:], start=2):
+        prev = out_rows[-1][2]
+        nxt = (
+            base.filter(F.col("et") == step)
+            .join(prev, "u")
+            .filter(F.col("t") > F.col(f"t{i-1}"))
+            .groupBy("u", f"t{i-1}")
+            .agg(F.min("t").alias(f"t{i}"))
+        )
+        out_rows.append((i, step, nxt))
+    counts = None
+    for i, step, frame in out_rows:
+        c = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(step).alias("event_type"), "n_users"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their FIRST-seen
+    period (cohort), counted in every later period they return.
+
+    Output: (cohort_period long, period_offset long, n_users) where
+    periods are epoch-day DIV ``period_days`` buckets (deterministic
+    integer arithmetic — no timezone/calendar ambiguity across
+    engines) and offset 0 is the cohort period itself (n_users there
+    = cohort size).
+
+    Scale: two aggregations — per-(user) first-seen, then
+    per-(cohort, offset) distinct users; both shuffle on bounded
+    keys."""
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(
+            f"CAST(CAST({ts_col} AS LONG) / 86400 AS LONG) DIV {int(period_days)}"
+        ).alias("p"),
+    ).distinct()
+    first = base.groupBy("u").agg(F.min("p").alias("cohort_period"))
+    return (
+        base.join(first, "u")
+        .groupBy(
+            "cohort_period",
+            (F.col("p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count_distinct(F.col("u")).alias("n_users"))
+    )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Co-occurring item pairs with support >= ``min_support`` — the
+    market-basket/frequent-itemset k=2 primitive. Pairs form ONLY
+    within a basket (distinct items, canonical a < b ordering — the
+    triangle-count posture), so candidate work is Σ basket_size², not
+    corpus²; support counts baskets, not occurrences.
+
+    Output: (item_a, item_b, support)."""
+    items = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    a, bb = items.alias("a"), items.alias("bb")
+    return (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("bb.b")) & (F.col("a.i") < F.col("bb.i")),
+        )
+        .groupBy(F.col("a.i").alias("item_a"), F.col("bb.i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )

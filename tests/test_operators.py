@@ -1040,3 +1040,51 @@ def test_normalize_text_chain(spark):
     assert out[1] == "hello world"
     assert out[2] == "naive cafe"
     assert out[3] == "a b c"
+
+
+def test_funnel_counts_order_semantics(spark):
+    from graph_etl_spark.operators import funnel_counts
+
+    rows = [
+        # u1 completes A->B->C in order
+        (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+        # u2 has B BEFORE A: reaches step 1 only
+        (2, 20, "B"), (2, 30, "A"),
+        # u3 completes A->B, C missing
+        (3, 5, "A"), (3, 6, "B"),
+    ]
+    e = spark.createDataFrame(
+        [(u, __import__("datetime").datetime(2024, 1, 1, 0, 0, t), et) for u, t, et in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_counts(e, ["A", "B", "C"]).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_cohorts_triangle(spark):
+    import datetime
+
+    from graph_etl_spark.operators import retention_cohorts
+
+    day = lambda d: datetime.datetime(1970, 1, 1) + datetime.timedelta(days=d)
+    rows = [(1, day(0)), (1, day(8)), (2, day(0)), (3, day(8)), (3, day(15))]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(e, period_days=7).collect()
+    }
+    assert out[(0, 0)] == 2      # cohort week 0: users 1,2
+    assert out[(0, 1)] == 1      # user 1 returns in week 1
+    assert out[(1, 0)] == 1 and out[(1, 1)] == 1  # user 3 cohort week 1
+
+
+def test_frequent_pairs_within_basket_only(spark):
+    from graph_etl_spark.operators import frequent_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"), (3, "x")],
+        "basket long, item string",
+    )
+    out = {(r["item_a"], r["item_b"]): r["support"]
+           for r in frequent_pairs(df, "basket", "item", min_support=2).collect()}
+    assert out == {("x", "y"): 2}     # (x,z) support 1; duplicate item rows don't inflate

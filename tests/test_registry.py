@@ -28,6 +28,7 @@ ROUND8_NEW = [
     "text_bpe_encode", "sim_random_projection", "text_bm25_rank",
     "graph_kcore", "quality_dataset_split", "text_url_dedup",
     "text_normalize",
+    "events_funnel", "events_retention", "basket_frequent_pairs",
 ]
 
 
