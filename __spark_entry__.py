@@ -2089,6 +2089,30 @@ def q_basket_frequent_pairs(spark, sf):
     return ops.frequent_pairs(li, basket_col="l_orderkey", item_col="l_partkey", min_support=3)
 
 
+def q_text_entity_clusters(spark, sf):
+    """Entity RESOLUTION end-to-end: q-gram-blocked fuzzy pairs over
+    part names (edit distance <= 2) become an undirected similarity
+    graph, pointer-jumping connected components collapse variant
+    spellings into entities, and each cluster reports its canonical
+    (minimum) name + member count — the fuzzy_pairs -> CC composition
+    a master-data pipeline runs. Singleton names keep themselves."""
+    p = _t(spark, sf, "part")
+    names = p.select(F.col("p_name").alias("name")).filter(
+        F.col("name").isNotNull()
+    ).distinct()
+    pairs = ops.fuzzy_pairs(p, col="p_name", max_dist=2)
+    cc = ops.connected_components(
+        pairs.select("name_a", "name_b"),
+        vertices=names.select(F.col("name").alias("id")),
+        src="name_a",
+        dst="name_b",
+    )
+    return cc.groupBy(F.col("component").alias("entity")).agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.max("id").alias("max_variant"),
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2430,12 +2454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "basket_frequent_pairs": q_basket_frequent_pairs,
+        "text_entity_clusters": q_text_entity_clusters,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
         "asof_join_events": q_asof_join_events,
         "win_running_total": q_win_running_total,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
         "q10_returned_items": q_q10_returned_items,
         "mm_frame_sample": q_mm_frame_sample,
         "text_lang_id": q_text_lang_id,
@@ -2461,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": q_conditional_agg,
         "distinct_counts": q_distinct_counts,
         "sim_embedding_norms": q_sim_embedding_norms,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
         "text_fingerprint": q_text_fingerprint,
         "etl_split_explode": q_etl_split_explode,
         "etl_array_flatten": q_etl_array_flatten,
@@ -4773,6 +4798,46 @@ def oracle_sql() -> dict[str, str]:
         FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
         GROUP BY 1, 2
         HAVING COUNT(*) >= 3
+    """
+
+    # Entity resolution: the text_fuzzy_pairs candidate chain feeds a
+    # recursive min-label reachability closure (the CC oracle pattern);
+    # singletons keep themselves via the left join.
+    sql["text_entity_clusters"] = """
+        WITH RECURSIVE names AS (
+          SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+        ), grams AS (
+          SELECT DISTINCT name, g FROM (
+            SELECT name,
+                   CASE WHEN length(name) >= 3
+                        THEN unnest(list_transform(range(1, length(name) - 1),
+                                    i -> substr(name, i, 3)))
+                        ELSE name END AS g
+            FROM names
+          )
+        ), cands AS (
+          SELECT DISTINCT a.name AS name_a, b.name AS name_b
+          FROM grams a JOIN grams b ON a.g = b.g AND a.name < b.name
+        ), pairs AS (
+          SELECT name_a, name_b FROM cands
+          WHERE levenshtein(name_a, name_b) <= 2
+            AND abs(length(name_a) - length(name_b)) <= 2
+        ), sym AS (
+          SELECT name_a AS a, name_b AS b FROM pairs
+          UNION SELECT name_b, name_a FROM pairs
+        ), reach(id, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+        ), comp AS (
+          SELECT n.name AS id, COALESCE(c.component, n.name) AS component
+          FROM names n
+          LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+            ON n.name = c.id
+        )
+        SELECT component AS entity, COUNT(*)::BIGINT AS n_variants,
+               MAX(id) AS max_variant
+        FROM comp GROUP BY component
     """
 
     # Curriculum ordering: the text_quality_scores composite feeds

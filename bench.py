@@ -124,6 +124,7 @@ HEADLINE = [
     "events_funnel",
     "events_retention",
     "basket_frequent_pairs",
+    "text_entity_clusters",
 ]
 
 

@@ -29,6 +29,7 @@ ROUND8_NEW = [
     "graph_kcore", "quality_dataset_split", "text_url_dedup",
     "text_normalize",
     "events_funnel", "events_retention", "basket_frequent_pairs",
+    "text_entity_clusters",
 ]
 
 
