@@ -2113,6 +2113,19 @@ def q_text_entity_clusters(spark, sf):
     )
 
 
+def q_events_threshold_crossings(spark, sf):
+    """The stateful streaming alert operator's BATCH twin (the
+    quality-gate certification pattern): per (user, event_type), the
+    epoch seconds of the 10th event in (ts, event_id) order — the
+    moment streaming_threshold_alerts fires its one-shot alert. A
+    green verdict certifies the crossing semantics the
+    applyInPandasWithState operator applies per micro-batch."""
+    from graph_etl_spark.streaming import threshold_crossings
+
+    e = _t(spark, sf, "events")
+    return threshold_crossings(e, threshold=10)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2455,12 +2468,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "basket_frequent_pairs": q_basket_frequent_pairs,
         "text_entity_clusters": q_text_entity_clusters,
+        "events_threshold_crossings": q_events_threshold_crossings,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
         "asof_join_events": q_asof_join_events,
         "win_running_total": q_win_running_total,
-        "q10_returned_items": q_q10_returned_items,
         "mm_frame_sample": q_mm_frame_sample,
         "text_lang_id": q_text_lang_id,
         "text_token_stats": q_text_token_stats,
@@ -2486,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": q_distinct_counts,
         "sim_embedding_norms": q_sim_embedding_norms,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q10_returned_items": q_q10_returned_items,
         "text_fingerprint": q_text_fingerprint,
         "etl_split_explode": q_etl_split_explode,
         "etl_array_flatten": q_etl_array_flatten,
@@ -4838,6 +4852,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT component AS entity, COUNT(*)::BIGINT AS n_variants,
                MAX(id) AS max_variant
         FROM comp GROUP BY component
+    """
+
+    sql["events_threshold_crossings"] = """
+        SELECT user_id, event_type,
+               floor(epoch(ts))::BIGINT::DOUBLE AS crossed_at
+        FROM (
+          SELECT user_id, event_type, ts,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events
+        ) WHERE rn = 10
     """
 
     # Curriculum ordering: the text_quality_scores composite feeds

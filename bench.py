@@ -125,6 +125,7 @@ HEADLINE = [
     "events_retention",
     "basket_frequent_pairs",
     "text_entity_clusters",
+    "events_threshold_crossings",
 ]
 
 

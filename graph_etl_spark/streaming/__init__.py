@@ -471,3 +471,104 @@ def hopping_event_counts(
             "sum_value",
         )
     )
+
+
+def streaming_threshold_alerts(
+    events: DataFrame,
+    threshold: int = 5,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+):
+    """Custom stateful streaming operator: per-(user, event_type)
+    cumulative counts with a one-shot ALERT row when the running count
+    first crosses ``threshold`` — the alerting/rate-limit primitive
+    (abuse detection, quota enforcement) as ``applyInPandasWithState``.
+
+    State per key: (count so far, fired flag, epoch seconds of the
+    threshold-th event). Exactly ONE alert per key ever fires (the
+    fired flag survives micro-batches), and the alert timestamp is
+    the threshold-th event's — deterministic under any batch split,
+    which is what makes the batch twin (``threshold_crossings``)
+    oracle-checkable.
+
+    Returns an unstarted transformed frame with schema
+    (user_id long, event_type string, crossed_at double) — one row
+    per key, emitted in the micro-batch where the crossing happens.
+
+    Scale: state is O(active keys) × 3 scalars; no timeline is
+    retained (only a count), so state never grows with event volume.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        user_id, event_type = key
+        if state.exists:
+            count, fired, crossed_at = state.get
+        else:
+            count, fired, crossed_at = 0, 0, 0.0
+        newly_fired = False
+        for pdf in pdfs:
+            if not len(pdf) or fired:
+                count += len(pdf)
+                continue
+            s = pdf[ts_col].sort_values()
+            if pd.api.types.is_datetime64_any_dtype(s):
+                epochs = s.astype("int64").to_numpy() / 1e9
+            else:
+                epochs = s.to_numpy(dtype="float64")
+            if count + len(epochs) >= threshold:
+                crossed_at = float(epochs[threshold - count - 1])
+                fired = 1
+                newly_fired = True
+            count += len(epochs)
+        state.update((count, fired, crossed_at))
+        if newly_fired:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "event_type": [event_type],
+                    "crossed_at": [crossed_at],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"user_id": [], "event_type": [], "crossed_at": []}
+            ).astype({"user_id": "int64", "event_type": "object", "crossed_at": "float64"})
+
+    return events.groupBy(user_col, type_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_type string, crossed_at double",
+        stateStructType="count long, fired long, crossed_at double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def threshold_crossings(
+    events: DataFrame,
+    threshold: int = 5,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """BATCH twin of ``streaming_threshold_alerts``: for every
+    (user, event_type) with at least ``threshold`` events, the epoch
+    seconds of the threshold-th event in timestamp order (event-id
+    tiebreak for determinism at equal timestamps). Oracle-checkable —
+    a green batch verdict certifies the same crossing semantics the
+    stateful stream applies per micro-batch."""
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == int(threshold))
+        .select(
+            user_col,
+            type_col,
+            F.col(ts_col).cast("long").cast("double").alias("crossed_at"),
+        )
+    )

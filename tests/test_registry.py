@@ -30,6 +30,7 @@ ROUND8_NEW = [
     "text_normalize",
     "events_funnel", "events_retention", "basket_frequent_pairs",
     "text_entity_clusters",
+    "events_threshold_crossings",
 ]
 
 

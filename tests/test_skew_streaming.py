@@ -289,3 +289,76 @@ def test_streaming_incremental_ingest_grows_index(spark, tmp_path):
                                "doc_id long, text string"), 0)
     got3 = {r["doc_id"] for r in spark.read.parquet(admitted).collect()}
     assert got3 == {10}
+
+
+def test_streaming_threshold_alerts_one_shot_across_batches(spark, tmp_path):
+    """The alert must fire EXACTLY ONCE per key, in the micro-batch
+    where the running count crosses the threshold, with the
+    threshold-th event's timestamp — and agree with the batch twin."""
+    import pandas as pd
+
+    from graph_etl_spark.streaming import (
+        streaming_threshold_alerts,
+        threshold_crossings,
+    )
+
+    src = str(tmp_path / "alert_src")
+    ckpt = str(tmp_path / "alert_ckpt")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+
+    results: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        q = (
+            streaming_threshold_alerts(stream, threshold=3)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: results.extend(r.asDict() for r in bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: user 1 has 2 clicks (below threshold 3) -> no alert
+    write_batch([
+        (1, 1, "click", base),
+        (2, 1, "click", base + pd.Timedelta(minutes=1)),
+        (3, 2, "click", base),
+    ])
+    run_once()
+    assert results == []
+
+    # batch 2: user 1's third click crosses -> ONE alert with its ts
+    write_batch([
+        (4, 1, "click", base + pd.Timedelta(minutes=2)),
+        (5, 1, "click", base + pd.Timedelta(minutes=3)),
+    ])
+    results.clear()
+    run_once()
+    assert len(results) == 1
+    alert = results[0]
+    assert alert["user_id"] == 1 and alert["event_type"] == "click"
+    assert alert["crossed_at"] == (base + pd.Timedelta(minutes=2)).timestamp()
+
+    # batch 3: more clicks must NOT re-fire (one-shot flag in state)
+    write_batch([(6, 1, "click", base + pd.Timedelta(minutes=9))])
+    results.clear()
+    run_once()
+    assert results == []
+
+    # batch twin agrees on the crossing timestamp
+    batch = spark.read.parquet(src)
+    twin = {
+        (r["user_id"], r["event_type"]): r["crossed_at"]
+        for r in threshold_crossings(batch, threshold=3).collect()
+    }
+    assert twin[(1, "click")] == float(int(alert["crossed_at"]))
