@@ -328,3 +328,26 @@ def write_chunked(
         writer.option("sep", sep).option("header", True).csv(path)
     else:
         writer.parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | str,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout — the 100 TB data-skipping
+    staple: a reader filtering on a partition column scans ONLY the
+    matching directories (partition pruning happens at planning, before
+    any file I/O; see the PartitionFilters plan guard). Choose LOW
+    cardinality columns (date, language, source) — a high-cardinality
+    partition key explodes into millions of tiny directories.
+
+    ``max_records_per_file`` additionally bounds file size inside each
+    partition (the write_chunked knob)."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    writer = df.write.mode(mode).partitionBy(*cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(path)

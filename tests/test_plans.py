@@ -12,7 +12,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from graph_etl_spark.plans import assert_no_cartesian, plan_stats, plan_string
+from graph_etl_spark.plans import assert_no_cartesian, formatted_plan, plan_stats, plan_string
 
 SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -505,3 +505,23 @@ def test_kcore_rounds_are_semi_joins(spark):
     # materialized rounds, not in a lingering lazy join tree)
     st = plan_stats(out)
     assert st.joins == 0
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must prune at PLANNING time:
+    the scan's PartitionFilters carries the predicate and the
+    partition count visible to the scan drops to the one matching
+    directory (data skipping — no I/O on other partitions)."""
+    from graph_etl_spark.sources import write_partitioned
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    out = str(tmp_path / "events_parted")
+    write_partitioned(events, out, "event_type")
+
+    back = spark.read.parquet(out).filter("event_type = 'click'")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]")[0]
+    n = back.count()
+    total = spark.read.parquet(out).count()
+    assert 0 < n < total
