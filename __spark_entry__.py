@@ -2126,6 +2126,28 @@ def q_events_threshold_crossings(spark, sf):
     return threshold_crossings(e, threshold=10)
 
 
+def q_etl_expectations(spark, sf):
+    """Deequ-style expectation suite over customer, ONE scan for all
+    six rules: pk not-null + unique (pass), balance >= 0 (violated by
+    the negative-balance rows — non-vacuous), segment within an
+    allowed set missing HOUSEHOLD (violated), name matching the
+    Customer# pattern (pass), and balance <= 10000 (pass/fail as the
+    data says) — violation counts + verdicts per rule."""
+    c = _t(spark, sf, "customer")
+    return ops.check_expectations(
+        c,
+        [
+            {"col": "c_custkey", "kind": "not_null"},
+            {"col": "c_custkey", "kind": "unique"},
+            {"col": "c_acctbal", "kind": "min", "value": 0},
+            {"col": "c_acctbal", "kind": "max", "value": 10000},
+            {"col": "c_mktsegment", "kind": "in_set",
+             "values": ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE"]},
+            {"col": "c_name", "kind": "matches", "pattern": "^Customer#[0-9]+$"},
+        ],
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2469,12 +2491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_frequent_pairs": q_basket_frequent_pairs,
         "text_entity_clusters": q_text_entity_clusters,
         "events_threshold_crossings": q_events_threshold_crossings,
+        "etl_expectations": q_etl_expectations,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
         "asof_join_events": q_asof_join_events,
         "win_running_total": q_win_running_total,
-        "mm_frame_sample": q_mm_frame_sample,
         "text_lang_id": q_text_lang_id,
         "text_token_stats": q_text_token_stats,
         "sim_quantize_int8": q_sim_quantize_int8,
@@ -2498,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": q_conditional_agg,
         "distinct_counts": q_distinct_counts,
         "sim_embedding_norms": q_sim_embedding_norms,
+        "mm_frame_sample": q_mm_frame_sample,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q10_returned_items": q_q10_returned_items,
         "text_fingerprint": q_text_fingerprint,
@@ -4864,6 +4887,30 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY ts ASC, event_id ASC) AS rn
           FROM events
         ) WHERE rn = 10
+    """
+
+    sql["etl_expectations"] = """
+        WITH s AS (
+          SELECT COUNT(*)::BIGINT AS n,
+            SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
+            (COUNT(*) - COUNT(DISTINCT c_custkey)
+               - SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END))::BIGINT AS v1,
+            SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT AS v2,
+            SUM(CASE WHEN c_acctbal > 10000 THEN 1 ELSE 0 END)::BIGINT AS v3,
+            SUM(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                ('MACHINERY','BUILDING','FURNITURE','AUTOMOBILE')
+                THEN 1 ELSE 0 END)::BIGINT AS v4,
+            SUM(CASE WHEN c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+                THEN 1 ELSE 0 END)::BIGINT AS v5
+          FROM customer
+        )
+        SELECT 0 AS rule_id, 'c_custkey' AS column, 'not_null' AS kind,
+               v0 AS n_violations, n AS n_rows, v0 = 0 AS passed FROM s
+        UNION ALL SELECT 1, 'c_custkey', 'unique', v1, n, v1 = 0 FROM s
+        UNION ALL SELECT 2, 'c_acctbal', 'min', v2, n, v2 = 0 FROM s
+        UNION ALL SELECT 3, 'c_acctbal', 'max', v3, n, v3 = 0 FROM s
+        UNION ALL SELECT 4, 'c_mktsegment', 'in_set', v4, n, v4 = 0 FROM s
+        UNION ALL SELECT 5, 'c_name', 'matches', v5, n, v5 = 0 FROM s
     """
 
     # Curriculum ordering: the text_quality_scores composite feeds

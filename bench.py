@@ -126,6 +126,7 @@ HEADLINE = [
     "basket_frequent_pairs",
     "text_entity_clusters",
     "events_threshold_crossings",
+    "etl_expectations",
 ]
 
 

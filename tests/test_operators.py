@@ -1088,3 +1088,37 @@ def test_frequent_pairs_within_basket_only(spark):
     out = {(r["item_a"], r["item_b"]): r["support"]
            for r in frequent_pairs(df, "basket", "item", min_support=2).collect()}
     assert out == {("x", "y"): 2}     # (x,z) support 1; duplicate item rows don't inflate
+
+
+def test_check_expectations_kinds(spark):
+    from graph_etl_spark.operators import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a@x.io"), (2, -1.0, "bad"), (2, 50.0, None), (None, 3.0, "c@y.io")],
+        "id long, val double, email string",
+    )
+    out = {
+        (r["column"], r["kind"]): r
+        for r in check_expectations(
+            df,
+            [
+                {"col": "id", "kind": "not_null"},
+                {"col": "id", "kind": "unique"},
+                {"col": "val", "kind": "min", "value": 0},
+                {"col": "val", "kind": "max", "value": 10},
+                {"col": "id", "kind": "in_set", "values": [1, 2]},
+                {"col": "email", "kind": "matches",
+                 "pattern": "^[a-z]+@[a-z]+[.][a-z]+$"},
+            ],
+        ).collect()
+    }
+    assert out[("id", "not_null")]["n_violations"] == 1
+    assert out[("id", "unique")]["n_violations"] == 1      # one duplicate of 2
+    assert out[("val", "min")]["n_violations"] == 1        # -1.0
+    assert out[("val", "max")]["n_violations"] == 1        # 50.0
+    assert out[("id", "in_set")]["n_violations"] == 0      # NULL not counted
+    assert out[("email", "matches")]["n_violations"] == 1  # 'bad'
+    assert not out[("val", "min")]["passed"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        check_expectations(df, [{"col": "id", "kind": "nope"}])

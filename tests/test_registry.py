@@ -31,6 +31,7 @@ ROUND8_NEW = [
     "events_funnel", "events_retention", "basket_frequent_pairs",
     "text_entity_clusters",
     "events_threshold_crossings",
+    "etl_expectations",
 ]
 
 
