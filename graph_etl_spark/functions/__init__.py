@@ -202,3 +202,63 @@ def upsert_by_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def scd2_history(
+    changelog: DataFrame,
+    keys: list[str] | str,
+    ts_col: str,
+    tracked: list[str] | str,
+) -> DataFrame:
+    """SCD TYPE-2 history from a change log: collapse consecutive
+    rows whose ``tracked`` attributes did not change, then interval-ize
+    each surviving state — the versioned-dimension complement to the
+    SCD-1 ``upsert_by_key`` (current-state only) above.
+
+    Output: key columns + tracked columns + (valid_from, valid_to,
+    is_current) where valid_to is the NEXT state's valid_from (NULL on
+    the open/current version) — the standard half-open [from, to)
+    convention.
+
+    Deterministic: rows sharing an exact (key, ts) collapse to the
+    lexicographically-first tracked tuple (the ``dedup_by_key``
+    contract), and change detection compares NULL-safely (``<=>``), so
+    the history is reproducible on any engine or partitioning.
+
+    Scale: every step (tie-dedup, lag change-compare, lead interval
+    close) is a window over the SAME partitionBy(keys) — ONE hash
+    shuffle on the key total; no joins, no self-union."""
+    if isinstance(keys, str):
+        keys = [keys]
+    if isinstance(tracked, str):
+        tracked = [tracked]
+    # tie-dedup rides the SAME keys partitioning as the later windows:
+    # with rows ordered (ts, tracked...) inside the key, a row is a
+    # (key, ts) tie-duplicate iff the previous row has the same ts —
+    # keeping exactly the lexicographically-first tracked tuple
+    w_tie = Window.partitionBy(*keys).orderBy(
+        ts_col, *[F.col(c).asc_nulls_last() for c in tracked]
+    )
+    w_seq = Window.partitionBy(*keys).orderBy(ts_col)
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w_seq))
+    first_row = F.row_number().over(w_seq) == 1
+    deduped = (
+        changelog.select(*keys, ts_col, *tracked)
+        .withColumn(
+            "__tie", F.col(ts_col).eqNullSafe(F.lag(ts_col).over(w_tie))
+        )
+        .filter(~F.col("__tie"))
+        .drop("__tie")
+    )
+    states = deduped.withColumn(
+        "__chg", first_row | changed
+    ).filter(F.col("__chg")).drop("__chg")
+    return states.select(
+        *keys,
+        *tracked,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w_seq).alias("valid_to"),
+        F.lead(ts_col).over(w_seq).isNull().alias("is_current"),
+    )

@@ -13,7 +13,7 @@ timestamp comparison is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -100,6 +100,72 @@ def retention_cohorts(
             (F.col("p") - F.col("cohort_period")).alias("period_offset"),
         )
         .agg(F.count_distinct(F.col("u")).alias("n_users"))
+    )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    model: str = "last_touch",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Single-touch conversion attribution: for every conversion event,
+    the touch event (ad click / view / ...) credited under the
+    ``last_touch`` or ``first_touch`` model — the marketing-analytics
+    primitive completing the events family (funnel / retention /
+    attribution).
+
+    "Before" is the total order (ts, event_id) — strictly earlier
+    rows in that order qualify, so ties at the same timestamp resolve
+    deterministically on any engine or partitioning. Conversions with
+    no prior touch are kept with NULL touch columns (they are the
+    unattributed bucket every attribution report needs).
+
+    Output: (user_id, conv_event_id, conv_ts, touch_event_id,
+    touch_ts, touch_type).
+
+    Scale: ONE shuffle on the user key — the credited touch is a
+    running conditional min/max of a (ts, event_id, type) struct over
+    the per-user event order (struct comparison is lexicographic, so
+    max picks the latest-then-highest-id touch), never a self-join of
+    the event log against itself."""
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(f"unknown attribution model: {model!r}")
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("et").isin(list(touch_types)),
+        F.struct(
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("t_id"),
+            F.col("et").alias("t_type"),
+        ),
+    )
+    pick = F.max(touch).over(w) if model == "last_touch" else F.min(touch).over(w)
+    return (
+        base.withColumn("__touch", pick)
+        .filter(F.col("et") == conversion_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("conv_event_id"),
+            F.col("ts").alias("conv_ts"),
+            F.col("__touch.t_id").alias("touch_event_id"),
+            F.col("__touch.t_ts").alias("touch_ts"),
+            F.col("__touch.t_type").alias("touch_type"),
+        )
     )
 
 

@@ -325,3 +325,109 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.filter(F.col("degree") >= int(k))
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA):
+    every vertex starts with its own id and each round adopts the most
+    frequent label in its CLOSED neighborhood (self + neighbors), ties
+    broken toward the smallest label — the cheap community-structure
+    primitive between connected components (pure reachability) and
+    the density family (triangles / k-core).
+
+    Runs a FIXED ``n_iter`` synchronous rounds rather than to a
+    fixpoint: synchronous LPA can oscillate on bipartite-ish regions,
+    so the fixed round count plus the deterministic
+    (count DESC, label ASC) vote makes the output reproducible on any
+    engine/partitioning — exactly what the unrolled SQL oracle mirrors.
+
+    Output: (id, label). Scale: per round one neighbor-join, one
+    (id, label) count aggregation, and one per-id argmax window — all
+    shuffling on vertex id; labels localCheckpoint per round (the
+    connected_components lineage discipline)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window as _W
+
+    argmax = _W.partitionBy("id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(max(1, int(n_iter))):
+        votes = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .select(F.col("a").alias("id"), "label")
+            .unionAll(labels)
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(argmax))
+            .filter(F.col("__rn") == 1)
+            .select("id", "label")
+            .localCheckpoint()
+        )
+    return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distance over the undirected graph:
+    (id, distance) for every vertex reachable from ANY source within
+    ``max_hops`` hops (distance = hops to the NEAREST source) — the
+    shortest-path primitive (ego networks, blast-radius, seed
+    expansion) completing the traversal side of the graph family.
+
+    Frontier algorithm: each round expands only the rows discovered
+    last round (the frontier), anti-joins away already-visited
+    vertices, and stops early when the frontier empties — per round
+    one join shuffle on vertex id, with visited/frontier frames
+    localCheckpointed to truncate lineage. At 100 TB the frontier and
+    visited sets are vertex-sized (<< edge count) and the single big
+    edge frame is only ever the probe side of the expansion join."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    [src_col] = sources.columns
+    frontier = (
+        sources.select(F.col(src_col).alias("id")).distinct().localCheckpoint()
+    )
+    visited = frontier.withColumn("distance", F.lit(0)).localCheckpoint()
+    for hop in range(1, max(1, int(max_hops)) + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("distance", F.lit(hop))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited

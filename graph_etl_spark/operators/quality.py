@@ -1390,3 +1390,55 @@ def check_expectations(
         "rule_id int, column string, kind string, n_violations long, "
         "n_rows long, passed boolean",
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-group z-score anomaly detection: flag rows whose value sits
+    more than ``threshold`` population standard deviations from their
+    group's mean — the statistical outlier gate (sensor spikes, fraud
+    amounts, corrupt metric rows) completing the data-quality family
+    next to ``check_expectations`` (rule-based) and
+    ``repetition_stats`` (structural).
+
+    Determinism contract: values are rounded to 4 dp and summed as
+    DECIMAL(28,8) (sum and sum-of-squares), so the group moments are
+    exact rationals on any engine/partitioning; the final
+    z = (x - mean) / sqrt(var) is then one IEEE-double expression
+    evaluated in the identical operand order as the SQL oracle
+    (division and sqrt are correctly-rounded per IEEE-754, so the
+    doubles agree bit-for-bit), rounded to 4 dp.
+
+    Output: group + value + z columns for flagged rows only.
+
+    Scale: ONE map-side-combined aggregation on the group key (counts
+    + two decimal sums), re-joined to the stream; groups are
+    dimension-sized so the join broadcasts; zero-variance groups emit
+    nothing (every value is the mean)."""
+    v4 = F.round(F.col(value_col), 4).cast("decimal(19,4)")
+    stats = (
+        df.select(F.col(group_col).alias("__g"), v4.alias("__v"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__v").cast("decimal(28,8)")).alias("__s"),
+            F.sum((F.col("__v") * F.col("__v")).cast("decimal(28,8)")).alias("__ss"),
+        )
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    var = F.col("__ss").cast("double") / F.col("__n") - mean * mean
+    z = (v4.cast("double") - mean) / F.sqrt(var)
+    return (
+        df.join(
+            F.broadcast(stats),
+            df[group_col] == F.col("__g"),
+        )
+        .filter((F.col("__ss").cast("double") / F.col("__n") - mean * mean) > 0)
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) > float(threshold))
+        .drop("__g", "__n", "__s", "__ss")
+    )

@@ -559,3 +559,73 @@ def normalize_text(
     t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
     t = F.regexp_replace(t, r"\s+", " ")
     return df.withColumn(out, F.trim(t))
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level pointwise mutual information of ADJACENT token
+    pairs — the collocation/keyphrase-mining primitive ("new york"
+    scores high, "of the" scores low) used to seed tokenizer vocab
+    merges and phrase-aware dedup shingles.
+
+    PMI = ln( p(a,b) / (p(a) p(b)) ) with p(a,b) over the bigram
+    population and p(a)/p(b) over the token population, computed from
+    EXACT integer counts and rounded to 6 dp; the single ln per output
+    row is evaluated in the identical operand order as the SQL oracle,
+    so IEEE doubles agree bit-for-bit.
+
+    Output: (token_a, token_b, n_pair, pmi), pairs with
+    n_pair >= ``min_count``.
+
+    Scale: tokens explode map-side; bigrams come from ONE window lead
+    over (doc, position) — no positional self-join of the exploded
+    frame; the three count aggregations shuffle on token keys and the
+    two global totals broadcast back as literal-sized frames."""
+    toks = (
+        df.select(
+            F.col(doc_col).alias("d"),
+            F.posexplode(tokens_col(F.col(text_col))).alias("i", "tok"),
+        )
+    )
+    w = Window.partitionBy("d").orderBy("i")
+    bigrams = (
+        toks.withColumn("tok_b", F.lead("tok").over(w))
+        .filter(F.col("tok_b").isNotNull())
+        .select(F.col("tok").alias("token_a"), F.col("tok_b").alias("token_b"))
+    )
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    n_big = bigrams.agg(F.count(F.lit(1)).alias("n_big"))
+    uni = toks.groupBy(F.col("tok")).agg(F.count(F.lit(1)).alias("n_uni"))
+    pair = (
+        bigrams.groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    return (
+        # vocab joins stay un-hinted: the unigram frame is vocab-sized
+        # (Heaps' law — sublinear in corpus size) so AQE broadcasts it
+        # when it fits and falls back to a token-keyed hash join when a
+        # web-scale vocab doesn't
+        pair.join(uni.withColumnRenamed("tok", "token_a")
+                  .withColumnRenamed("n_uni", "n_a"), "token_a")
+        .join(uni.withColumnRenamed("tok", "token_b")
+              .withColumnRenamed("n_uni", "n_b"), "token_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "token_a",
+            "token_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * 1.0 * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_big") * 1.0 * F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -259,3 +259,42 @@ def load(loader, clear_source: bool = False) -> dict[str, int]:
     if clear_source:
         clear()
     return totals
+
+
+def cascade_delete(
+    seed_keys,
+    levels: list[tuple[str, Any, str, str | None]],
+):
+    """GDPR-style erasure propagation: delete the seed keys from the
+    first table, follow each level's primary key into the next
+    table's foreign key, and return the purged survivor frame per
+    table — right-to-be-forgotten over a staged star/snowflake chain
+    (customer -> orders -> lineitem), the deletion complement of the
+    SCD-1/SCD-2 refresh primitives in ``functions``.
+
+    ``levels`` is the chain root-first: (name, df, fk_col, pk_col)
+    where ``fk_col`` matches the PREVIOUS level's emitted keys (the
+    seed frame's single column for the root) and ``pk_col`` is the
+    column whose deleted values seed the NEXT level (None on the
+    leaf). Returns ``{name: purged DataFrame}`` preserving each
+    table's full schema.
+
+    Scale: per level, one broadcast semi-join (the doomed rows, to
+    emit the next level's keys) and one broadcast anti-join (the
+    survivors) against a DISTINCT key frame — deletion sets are
+    dim-sized while the chained fact tables are the 100-TB side, so
+    the fact tables never shuffle; key frames stay un-collected
+    (no driver round-trip, the chain is one lazy plan)."""
+    [seed_col] = seed_keys.columns
+    keys = seed_keys.select(F.col(seed_col).alias("__k")).distinct()
+    purged: dict[str, Any] = {}
+    for name, df, fk_col, pk_col in levels:
+        doomed_keys = F.broadcast(keys.withColumnRenamed("__k", fk_col))
+        purged[name] = df.join(doomed_keys, fk_col, "left_anti")
+        if pk_col is not None:
+            keys = (
+                df.join(doomed_keys, fk_col, "left_semi")
+                .select(F.col(pk_col).alias("__k"))
+                .distinct()
+            )
+    return purged

@@ -1,0 +1,167 @@
+"""Unit tests for the round-8 fourth batch: attribution, SCD-2
+history, cascade delete, label propagation, BFS distances, PMI
+bigrams, z-score outliers."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)
+
+
+def test_attribution_last_and_first_touch(spark):
+    from graph_etl_spark.operators import attribution
+
+    rows = [
+        # user 1: click(1), view(2), purchase(3), purchase(4)
+        (10, _ts(1), 1, "click", 0.0),
+        (11, _ts(2), 1, "view", 0.0),
+        (12, _ts(3), 1, "purchase", 5.0),
+        (13, _ts(4), 1, "purchase", 6.0),
+        # user 2: purchase with no prior touch
+        (20, _ts(1), 2, "purchase", 1.0),
+        # user 3: touch at the SAME ts as the conversion — ties resolve
+        # by event_id: touch 30 < conv 31 so it IS before
+        (30, _ts(5), 3, "click", 0.0),
+        (31, _ts(5), 3, "purchase", 2.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    last = {
+        r["conv_event_id"]: (r["touch_event_id"], r["touch_type"])
+        for r in attribution(e, "purchase", ["click", "view"]).collect()
+    }
+    assert last[12] == (11, "view")      # latest touch before conv 12
+    assert last[13] == (11, "view")      # purchases are not touches
+    assert last[20] == (None, None)      # unattributed kept with NULLs
+    assert last[31] == (30, "click")     # same-ts touch with lower id counts
+    first = {
+        r["conv_event_id"]: r["touch_event_id"]
+        for r in attribution(e, "purchase", ["click", "view"], model="first_touch").collect()
+    }
+    assert first[12] == 10 and first[13] == 10
+    with pytest.raises(ValueError):
+        attribution(e, "purchase", ["click"], model="linear")
+
+
+def test_scd2_history_intervals(spark):
+    from graph_etl_spark.functions import scd2_history
+
+    rows = [
+        # user 1: A, A (no change), B, B, A — three versions
+        (1, _ts(0), "A"),
+        (1, _ts(1), "A"),
+        (1, _ts(2), "B"),
+        (1, _ts(3), "B"),
+        (1, _ts(4), "A"),
+        # user 2: tie at same ts keeps lexicographically-first ("C")
+        (2, _ts(0), "D"),
+        (2, _ts(0), "C"),
+        # user 3: NULL state handled null-safely (one version)
+        (3, _ts(0), None),
+        (3, _ts(1), None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, state string")
+    out = scd2_history(df, "user_id", "ts", "state").collect()
+    hist = sorted(
+        [(r["user_id"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in out]
+    )
+    assert [(u, s) for u, s, *_ in hist] == [
+        (1, "A"), (1, "A"), (1, "B"), (2, "C"), (3, None)
+    ]
+    u1 = [h for h in hist if h[0] == 1]
+    assert u1[0][2:] == (_ts(0), _ts(2), False)
+    assert u1[2][2:] == (_ts(2), _ts(4), False)   # B interval closed by the re-A
+    assert u1[1][2:] == (_ts(4), None, True)      # reopened A is current
+    assert [h[4] for h in hist if h[0] == 2] == [True]
+
+
+def test_cascade_delete_chain(spark):
+    from graph_etl_spark.pipeline import cascade_delete
+
+    cust = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "ck long, name string")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], "ok long, ck long"
+    )
+    items = spark.createDataFrame(
+        [(10, 100), (11, 101), (12, 102), (13, 103), (13, 104)], "ok long, pk long"
+    )
+    seeds = spark.createDataFrame([(1,), (3,)], "ck long")
+    purged = cascade_delete(
+        seeds,
+        [("cust", cust, "ck", "ck"), ("orders", orders, "ck", "ok"),
+         ("items", items, "ok", None)],
+    )
+    assert sorted(r["ck"] for r in purged["cust"].collect()) == [2]
+    assert sorted(r["ok"] for r in purged["orders"].collect()) == [12]
+    assert sorted(r["pk"] for r in purged["items"].collect()) == [102]
+
+
+def test_label_propagation_two_communities(spark):
+    from graph_etl_spark.operators import label_propagation
+
+    # two triangles joined by one bridge edge: LPA keeps two communities
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r["id"]: r["label"] for r in label_propagation(edges, n_iter=4).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == out[6]
+    assert out[4] != out[1]
+
+
+def test_bfs_distances_hops_and_cap(spark):
+    from graph_etl_spark.operators import bfs_distances
+
+    # path 1-2-3-4-5 plus a disconnected 8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r["distance"] for r in bfs_distances(edges, srcs, max_hops=6).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}   # 8,9 unreachable
+    capped = {r["id"]: r["distance"]
+              for r in bfs_distances(edges, srcs, max_hops=2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2}
+    # multi-source: nearest source wins
+    multi = {r["id"]: r["distance"]
+             for r in bfs_distances(edges, spark.createDataFrame([(1,), (5,)], "id long"),
+                                    max_hops=6).collect()}
+    assert multi[3] == 2 and multi[4] == 1
+
+
+def test_pmi_bigrams_counts(spark):
+    import math
+
+    from graph_etl_spark.operators import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {(r["token_a"], r["token_b"]): r for r in
+           pmi_bigrams(docs, min_count=2).collect()}
+    # bigrams: (a,b)x3, (b,a)x1, (b,c)x1 — only (a,b) passes min_count=2
+    assert list(out) == [("a", "b")]
+    r = out[("a", "b")]
+    assert r["n_pair"] == 3
+    # n_tok=7, n_big=5, n_a=3, n_b=3: pmi = ln(3*7*7/(5*3*3))
+    assert r["pmi"] == pytest.approx(round(math.log(3 * 7 * 7 / (5 * 3 * 3)), 6))
+
+
+def test_zscore_outliers_flags_spike(spark):
+    from graph_etl_spark.operators import zscore_outliers
+
+    rows = [("a", float(v)) for v in [10, 10, 10, 10, 10, 10, 10, 10, 10, 100]] + [
+        ("b", 1.0), ("b", 1.0)  # zero-variance group emits nothing
+    ]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    out = zscore_outliers(df, "grp", "val", threshold=2.5).collect()
+    assert len(out) == 1
+    assert out[0]["grp"] == "a" and out[0]["val"] == 100.0 and out[0]["z"] > 2.5
