@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graph_etl_spark import functions as ops_fn
 from graph_etl_spark import operators as ops
+from graph_etl_spark import pipeline as pipeline_mod
 from graph_etl_spark.functions import coalesce_remap, dedup_by_key
 from graph_etl_spark.sources import read_table
 from graph_etl_spark.streaming import sessionize, windowed_event_counts
@@ -2148,6 +2150,111 @@ def q_etl_expectations(spark, sf):
     )
 
 
+def q_events_attribution(spark, sf):
+    """Last-touch conversion attribution: every purchase credited to
+    the user's latest click/view strictly before it in the
+    (ts, event_id) total order; unattributed purchases kept with NULL
+    touch columns. One window shuffle on the user key — the oracle
+    cross-checks with an independent join+row_number formulation."""
+    e = _t(spark, sf, "events")
+    return ops.attribution(e, "purchase", ["click", "view"], model="last_touch")
+
+
+def q_etl_scd2_history(spark, sf):
+    """SCD-2 dimension history from the event changelog: each user's
+    event_type state collapsed to change intervals with
+    (valid_from, valid_to, is_current) — ONE hash shuffle on the user
+    key (tie-dedup, change-lag, and interval-lead all ride the same
+    partitioning)."""
+    e = _t(spark, sf, "events")
+    return ops_fn.scd2_history(e, "user_id", "ts", "event_type")
+
+
+def q_etl_cascade_delete(spark, sf):
+    """GDPR-style erasure propagation: negative-balance customers
+    deleted, their orders and those orders' lineitems cascading —
+    per-table kept/deleted counts. The deletion key frames broadcast
+    at every level; the fact tables never shuffle."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    seeds = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    purged = pipeline_mod.cascade_delete(
+        seeds,
+        [
+            ("customer", cust, "c_custkey", "c_custkey"),
+            ("orders", orders, "o_custkey", "o_orderkey"),
+            ("lineitem", li, "l_orderkey", None),
+        ],
+    )
+    originals = {"customer": cust, "orders": orders, "lineitem": li}
+    out = None
+    for name in ["customer", "orders", "lineitem"]:
+        kept = purged[name].agg(F.count(F.lit(1)).alias("n_kept"))
+        total = originals[name].agg(F.count(F.lit(1)).alias("__total"))
+        row = kept.crossJoin(total).select(
+            F.lit(name).alias("tbl"),
+            "n_kept",
+            (F.col("__total") - F.col("n_kept")).alias("n_deleted"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _copurchase_1995(spark, sf):
+    """The shared graph-family input: 1995 co-purchase edges
+    (parts on the same order, canonical src < dst)."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.year("l_shipdate") == 1995)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+
+
+def q_graph_label_propagation(spark, sf):
+    """Synchronous label propagation (3 fixed rounds, closed-
+    neighborhood mode vote, ties to the smallest label) over the 1995
+    co-purchase graph — deterministic communities the unrolled SQL
+    oracle mirrors round for round."""
+    return ops.label_propagation(_copurchase_1995(spark, sf), n_iter=3)
+
+
+def q_graph_bfs_distances(spark, sf):
+    """Multi-source-capable BFS from the smallest vertex of the 1995
+    co-purchase graph, capped at 3 hops: (id, hop distance) for every
+    reached vertex. Frontier expansion with visited anti-join — the
+    oracle is an independent recursive-CTE formulation taking MIN(d)
+    per vertex."""
+    cop = _copurchase_1995(spark, sf)
+    sources = cop.agg(F.min("src").alias("id"))
+    return ops.bfs_distances(cop, sources, max_hops=3)
+
+
+def q_text_pmi_bigrams(spark, sf):
+    """Corpus-level PMI of adjacent token pairs (min pair count 5):
+    collocation mining from exact integer counts, the single ln per
+    row evaluated in oracle-identical operand order and rounded to
+    6 dp."""
+    return ops.pmi_bigrams(_t(spark, sf, "documents"), min_count=5)
+
+
+def q_quality_zscore_outliers(spark, sf):
+    """Per-event-type z-score outliers (|z| > 2.5) over the event
+    value stream: group moments from exact integer-unit sums, the
+    final z one IEEE-double expression both engines evaluate
+    identically."""
+    e = _t(spark, sf, "events")
+    return ops.zscore_outliers(e, "event_type", "value", threshold=2.5).select(
+        "event_id", "event_type", "value", "z"
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2420,8 +2527,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exists/not-exists); slots 20-29 the other NEW round-8 operators
     (bpe_encode, random_projection, bm25, kcore, dataset_split,
     url_dedup, normalize_text, funnel, retention, frequent pairs);
-    slots 30-50 the twenty-one stalest tail rows (last driver
-    verdicts r4-r6, preflight-green every round since). THIRTY-NINE
+    then the mid-round additions (entity clusters, threshold
+    crossings, expectations) and the fourth batch (attribution,
+    SCD-2, cascade delete, LPA, BFS, PMI, z-score outliers); the
+    remaining slots to 50 hold the stalest tail rows (last driver
+    verdicts r4-r6, preflight-green every round since). FORTY-SIX
     stale rows remain at the head of the tail — they MUST lead the
     r9 window (window/rank/array/string/date batteries, set ops,
     rollup/cube/pivot/moving_avg/unpivot, percentile + approx
@@ -2492,6 +2602,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entity_clusters": q_text_entity_clusters,
         "events_threshold_crossings": q_events_threshold_crossings,
         "etl_expectations": q_etl_expectations,
+        "events_attribution": q_events_attribution,
+        "etl_scd2_history": q_etl_scd2_history,
+        "etl_cascade_delete": q_etl_cascade_delete,
+        "graph_label_propagation": q_graph_label_propagation,
+        "graph_bfs_distances": q_graph_bfs_distances,
+        "text_pmi_bigrams": q_text_pmi_bigrams,
+        "quality_zscore_outliers": q_quality_zscore_outliers,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -4911,6 +5028,208 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 3, 'c_acctbal', 'max', v3, n, v3 = 0 FROM s
         UNION ALL SELECT 4, 'c_mktsegment', 'in_set', v4, n, v4 = 0 FROM s
         UNION ALL SELECT 5, 'c_name', 'matches', v5, n, v5 = 0 FROM s
+    """
+
+    # Last-touch attribution: the oracle is an INDEPENDENT formulation
+    # (join + row_number over touches-before, plus a NOT EXISTS branch
+    # for the unattributed bucket) of the operator's single running
+    # conditional-max window — agreement validates the semantics, not
+    # just the arithmetic.
+    sql["events_attribution"] = """
+        WITH conv AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        ), t AS (
+          SELECT user_id, event_id, ts, event_type FROM events
+          WHERE event_type IN ('click', 'view')
+        ), pick AS (
+          SELECT c.user_id, c.event_id AS conv_event_id, c.ts AS conv_ts,
+                 t.event_id AS touch_event_id, t.ts AS touch_ts,
+                 t.event_type AS touch_type,
+                 row_number() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY t.ts DESC, t.event_id DESC) AS rn
+          FROM conv c JOIN t ON t.user_id = c.user_id
+            AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))
+        )
+        SELECT user_id, conv_event_id, conv_ts,
+               touch_event_id, touch_ts, touch_type
+        FROM pick WHERE rn = 1
+        UNION ALL
+        SELECT c.user_id, c.event_id, c.ts,
+               NULL::BIGINT, NULL::TIMESTAMP, NULL::VARCHAR
+        FROM conv c WHERE NOT EXISTS (
+          SELECT 1 FROM t WHERE t.user_id = c.user_id
+            AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id)))
+    """
+
+    # SCD-2 history: tie-dedup at exact (key, ts), change-suppress via
+    # lag (first row kept unconditionally — IS DISTINCT FROM alone
+    # would drop a leading NULL state), interval-ize via lead.
+    sql["etl_scd2_history"] = """
+        WITH dd AS (
+          SELECT user_id, ts, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id, ts
+                   ORDER BY event_type ASC NULLS LAST) AS tie
+          FROM events
+        ), d AS (SELECT user_id, ts, event_type FROM dd WHERE tie = 1),
+        s AS (
+          SELECT user_id, ts, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM d
+        ), st AS (
+          SELECT user_id, ts, event_type FROM s
+          WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        FROM st
+    """
+
+    sql["etl_cascade_delete"] = """
+        WITH seeds AS (
+          SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < 0
+        ), del_orders AS (
+          SELECT DISTINCT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM seeds)
+        )
+        SELECT 'customer' AS tbl,
+          (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT c_custkey FROM seeds))::BIGINT AS n_kept,
+          (SELECT COUNT(*) FROM customer
+             WHERE c_custkey IN (SELECT c_custkey FROM seeds))::BIGINT AS n_deleted
+        UNION ALL
+        SELECT 'orders',
+          (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM seeds))::BIGINT,
+          (SELECT COUNT(*) FROM orders
+             WHERE o_custkey IN (SELECT c_custkey FROM seeds))::BIGINT
+        UNION ALL
+        SELECT 'lineitem',
+          (SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders))::BIGINT,
+          (SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))::BIGINT
+    """
+
+    # Synchronous LPA, 3 unrolled rounds: closed-neighborhood vote,
+    # (votes DESC, label ASC) argmax — mirrors the operator round for
+    # round.
+    _lpa_round = """
+        {out} AS MATERIALIZED (
+          SELECT id, label FROM (
+            SELECT id, label, row_number() OVER (
+              PARTITION BY id ORDER BY votes DESC, label ASC) AS rn
+            FROM (
+              SELECT id, label, COUNT(*)::BIGINT AS votes FROM (
+                SELECT e.a AS id, l.label FROM sym e JOIN {prev} l ON l.id = e.b
+                UNION ALL SELECT id, label FROM {prev}
+              ) GROUP BY id, label
+            )
+          ) WHERE rn = 1
+        )"""
+    sql["graph_label_propagation"] = (
+        """
+        WITH cop AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995
+        ), sym AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM cop
+            UNION ALL SELECT dst AS a, src AS b FROM cop
+          ) WHERE a <> b
+        ), l0 AS (SELECT DISTINCT a AS id, a AS label FROM sym),
+        """
+        + _lpa_round.format(out="r1", prev="l0")
+        + ","
+        + _lpa_round.format(out="r2", prev="r1")
+        + ","
+        + _lpa_round.format(out="r3", prev="r2")
+        + """
+        SELECT id, label FROM r3
+    """
+    )
+
+    # BFS hop distance: independent recursive-CTE formulation — the
+    # UNION-dedup explores every (id, d<=cap) pair, MIN(d) per vertex
+    # equals the frontier algorithm's first-discovery distance.
+    sql["graph_bfs_distances"] = """
+        WITH RECURSIVE cop AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995
+        ), sym AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM cop
+            UNION ALL SELECT dst AS a, src AS b FROM cop
+          ) WHERE a <> b
+        ), walk(id, d) AS (
+          SELECT MIN(src), 0 FROM cop
+          UNION
+          SELECT e.b, w.d + 1 FROM walk w JOIN sym e ON e.a = w.id
+          WHERE w.d < 3
+        )
+        SELECT id, MIN(d)::INT AS distance FROM walk GROUP BY id
+    """
+
+    # PMI of adjacent token pairs: exact integer counts; the single ln
+    # per row in operand order identical to the Spark expression.
+    sql["text_pmi_bigrams"] = f"""
+        WITH toks AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+               unnest(range(1, len(tk) + 1)) AS t(i)
+        ), stream AS (
+          SELECT doc_id, pos, tok,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM toks
+        ), big AS (
+          SELECT tok AS token_a, nxt AS token_b FROM stream WHERE nxt IS NOT NULL
+        ),
+        ntok AS (SELECT COUNT(*)::BIGINT AS n_tok FROM toks),
+        nbig AS (SELECT COUNT(*)::BIGINT AS n_big FROM big),
+        uni AS (SELECT tok, COUNT(*)::BIGINT AS n_uni FROM toks GROUP BY tok),
+        pair AS (
+          SELECT token_a, token_b, COUNT(*)::BIGINT AS n_pair
+          FROM big GROUP BY token_a, token_b HAVING COUNT(*) >= 5
+        )
+        SELECT p.token_a, p.token_b, p.n_pair,
+               ROUND(ln((p.n_pair * 1.0 * ntok.n_tok * ntok.n_tok)
+                        / (nbig.n_big * 1.0 * ua.n_uni * ub.n_uni)), 6) AS pmi
+        FROM pair p
+        JOIN uni ua ON ua.tok = p.token_a
+        JOIN uni ub ON ub.tok = p.token_b
+        CROSS JOIN ntok CROSS JOIN nbig
+    """
+
+    # z-score outliers: integer-unit (1e-4) exact sums; z is one
+    # IEEE-double expression in Spark-identical operand order.
+    sql["quality_zscore_outliers"] = """
+        WITH v AS (
+          SELECT event_id, event_type, value,
+                 CAST(CAST(ROUND(value, 4) AS DECIMAL(19,4)) * 10000 AS BIGINT) AS vi
+          FROM events
+        ), s AS (
+          SELECT event_type, COUNT(*)::BIGINT AS n,
+                 SUM(CAST(vi AS DECIMAL(38,0))) AS sm,
+                 SUM(CAST(vi AS DECIMAL(19,0)) * CAST(vi AS DECIMAL(19,0))) AS ss
+          FROM v GROUP BY event_type
+        ), z AS (
+          SELECT v.event_id, v.event_type, v.value,
+                 ROUND((CAST(v.vi AS DOUBLE) - CAST(s.sm AS DOUBLE) / s.n)
+                       / SQRT(CAST(s.ss AS DOUBLE) / s.n
+                              - (CAST(s.sm AS DOUBLE) / s.n)
+                                * (CAST(s.sm AS DOUBLE) / s.n)), 4) AS z
+          FROM v JOIN s USING (event_type)
+          WHERE CAST(s.ss AS DOUBLE) / s.n
+                - (CAST(s.sm AS DOUBLE) / s.n) * (CAST(s.sm AS DOUBLE) / s.n) > 0
+        )
+        SELECT event_id, event_type, value, z FROM z WHERE ABS(z) > 2.5
     """
 
     # Curriculum ordering: the text_quality_scores composite feeds

@@ -127,6 +127,13 @@ HEADLINE = [
     "text_entity_clusters",
     "events_threshold_crossings",
     "etl_expectations",
+    "events_attribution",
+    "etl_scd2_history",
+    "etl_cascade_delete",
+    "graph_label_propagation",
+    "graph_bfs_distances",
+    "text_pmi_bigrams",
+    "quality_zscore_outliers",
 ]
 
 

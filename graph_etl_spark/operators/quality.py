@@ -1405,33 +1405,40 @@ def zscore_outliers(
     next to ``check_expectations`` (rule-based) and
     ``repetition_stats`` (structural).
 
-    Determinism contract: values are rounded to 4 dp and summed as
-    DECIMAL(28,8) (sum and sum-of-squares), so the group moments are
-    exact rationals on any engine/partitioning; the final
-    z = (x - mean) / sqrt(var) is then one IEEE-double expression
-    evaluated in the identical operand order as the SQL oracle
-    (division and sqrt are correctly-rounded per IEEE-754, so the
-    doubles agree bit-for-bit), rounded to 4 dp.
+    Determinism contract: values are rounded to 4 dp and scaled to
+    INTEGER units of 1e-4 (exactly, via decimal arithmetic), so the
+    group sums and sums-of-squares are exact integers (DECIMAL(38,0))
+    on any engine/partitioning — the scaling sidesteps Spark's
+    decimal-product scale cap (decimal(19,4)² would be rounded to
+    scale 7 where DuckDB keeps 8). Working in units leaves
+    z = (x - mean) / stddev unchanged (the scale factor cancels); the
+    final z is one IEEE-double expression evaluated in the identical
+    operand order as the SQL oracle (division and sqrt are
+    correctly-rounded per IEEE-754, so the doubles agree bit-for-bit),
+    rounded to 4 dp.
 
     Output: group + value + z columns for flagged rows only.
 
     Scale: ONE map-side-combined aggregation on the group key (counts
-    + two decimal sums), re-joined to the stream; groups are
+    + two integer sums), re-joined to the stream; groups are
     dimension-sized so the join broadcasts; zero-variance groups emit
     nothing (every value is the mean)."""
-    v4 = F.round(F.col(value_col), 4).cast("decimal(19,4)")
+    vi = (F.round(F.col(value_col), 4).cast("decimal(19,4)") * 10000).cast(
+        "long"
+    )
+    vi19 = F.col("__v").cast("decimal(19,0)")
     stats = (
-        df.select(F.col(group_col).alias("__g"), v4.alias("__v"))
+        df.select(F.col(group_col).alias("__g"), vi.alias("__v"))
         .groupBy("__g")
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(F.col("__v").cast("decimal(28,8)")).alias("__s"),
-            F.sum((F.col("__v") * F.col("__v")).cast("decimal(28,8)")).alias("__ss"),
+            F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"),
+            F.sum(vi19 * vi19).alias("__ss"),
         )
     )
     mean = F.col("__s").cast("double") / F.col("__n")
     var = F.col("__ss").cast("double") / F.col("__n") - mean * mean
-    z = (v4.cast("double") - mean) / F.sqrt(var)
+    z = (vi.cast("double") - mean) / F.sqrt(var)
     return (
         df.join(
             F.broadcast(stats),

@@ -32,6 +32,11 @@ ROUND8_NEW = [
     "text_entity_clusters",
     "events_threshold_crossings",
     "etl_expectations",
+    # round-8 fourth batch: attribution, SCD-2, cascade delete, LPA,
+    # BFS, PMI collocations, z-score outliers
+    "events_attribution", "etl_scd2_history", "etl_cascade_delete",
+    "graph_label_propagation", "graph_bfs_distances",
+    "text_pmi_bigrams", "quality_zscore_outliers",
 ]
 
 
