@@ -89,3 +89,36 @@ def range_join(
         return l.join(r, cond, how).drop(F.col(f"r.{on}"))
     rr = F.broadcast(r) if broadcast_right else r
     return l.join(rr, cond, how)
+
+
+def rolling_median(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    window_size: int = 5,
+    out: str = "rolling_median",
+) -> DataFrame:
+    """Per-key rolling LOWER median of the trailing ``window_size``
+    rows (current row inclusive) — the robust smoother that, unlike a
+    moving average, shrugs off the spikes ``zscore_outliers`` flags.
+
+    The LOWER median (element at 1-based index (n+1) DIV 2 of the
+    sorted window) is chosen over the interpolated midpoint so the
+    result is an exact element of the input: values round to 4 dp
+    decimals, the pick is pure indexing, and both engines agree
+    bit-for-bit with no averaging arithmetic at all.
+
+    Scale: one window shuffle on the key; the collected window slice
+    is ``window_size`` elements per row (bounded, independent of
+    corpus size), sorted per-row in-memory — O(rows x w log w)
+    map-side after the single exchange."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(-(int(window_size) - 1), 0)
+    )
+    vals = F.collect_list(F.round(F.col(value), 4).cast("decimal(19,4)")).over(w)
+    arr = F.sort_array(vals)
+    med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+    return df.withColumn(out, med.cast("double"))

@@ -1449,3 +1449,157 @@ def zscore_outliers(
         .filter(F.abs(F.col("z")) > float(threshold))
         .drop("__g", "__n", "__s", "__ss")
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bucket, lo_edge,
+    hi_edge, n_rows) — the distribution view completing the profiling
+    family (``profile_table`` moments + ``zscore_outliers`` flags +
+    shape).
+
+    ``lo``/``hi`` default to the column's exact min/max (one extra
+    1-row aggregate kept IN the plan — broadcast, not collected).
+    Bucketing is floor((x - lo) / (hi - lo) * n) clamped to
+    [0, n-1] — one IEEE-double expression both engines evaluate
+    identically (floor is exact); rows outside [lo, hi] clamp into
+    the edge buckets. Edges are reported to 6 dp.
+
+    Scale: one map-side-combined count aggregation on a bounded key
+    (n_bins); the bounds aggregate is a scalar broadcast — the
+    column never shuffles by value."""
+    if lo is None or hi is None:
+        bounds = df.agg(
+            F.min(F.col(value_col).cast("double")).alias("__lo"),
+            F.max(F.col(value_col).cast("double")).alias("__hi"),
+        )
+        base = df.crossJoin(F.broadcast(bounds))
+    else:
+        base = df.withColumn("__lo", F.lit(float(lo))).withColumn(
+            "__hi", F.lit(float(hi))
+        )
+    n = int(n_bins)
+    raw = F.floor(
+        (F.col(value_col).cast("double") - F.col("__lo"))
+        / (F.col("__hi") - F.col("__lo"))
+        * n
+    )
+    bucket = F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)).cast("int")
+    return (
+        base.filter(F.col(value_col).isNotNull())
+        .filter(F.col("__hi") > F.col("__lo"))
+        .groupBy(bucket.alias("bucket"), F.col("__lo"), F.col("__hi"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            F.round(
+                F.col("__lo")
+                + F.col("bucket") * (F.col("__hi") - F.col("__lo")) / n,
+                6,
+            ).alias("lo_edge"),
+            F.round(
+                F.col("__lo")
+                + (F.col("bucket") + 1) * (F.col("__hi") - F.col("__lo")) / n,
+                6,
+            ).alias("hi_edge"),
+            "n_rows",
+        )
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns in ONE scan:
+    (col_a, col_b, corr) for every a < b pair — the redundant-feature
+    detector for the quality-classifier feature sets, and the final
+    piece of the profiling family.
+
+    Determinism: each column scales to integer units of 1e-4 (exact,
+    via decimal), all k + k(k+1)/2 sums accumulate as DECIMAL(38,0)
+    (exact on any engine/partitioning), and each r is then one
+    IEEE-double expression in oracle-identical operand order, rounded
+    to 6 dp. NULL handling is list-wise: rows with a null in ANY
+    requested column are excluded (so every pair shares one n).
+
+    Scale: the whole matrix is ONE map-side-combined aggregation to a
+    single row — k(k+3)/2 decimal sums; the pair explosion happens on
+    that 1-row frame. The corpus is scanned once and never shuffles
+    (compare: per-pair F.corr calls would be k(k-1)/2 scans)."""
+    cols = list(cols)
+    base = df.na.drop(subset=cols).select(
+        *[
+            (F.round(F.col(c), 4).cast("decimal(19,4)") * 10000)
+            .cast("long")
+            .alias(c)
+            for c in cols
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"__s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(
+                    F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)")
+                ).alias(f"__p_{a}_{b}")
+            )
+    one = base.agg(*aggs)
+    out = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            n = F.col("__n").cast("double")
+            sa = F.col(f"__s_{a}").cast("double")
+            sb = F.col(f"__s_{b}").cast("double")
+            saa = F.col(f"__p_{a}_{a}").cast("double")
+            sbb = F.col(f"__p_{b}_{b}").cast("double")
+            sab = F.col(f"__p_{a}_{b}").cast("double")
+            r = (n * sab - sa * sb) / (
+                F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+            )
+            row = one.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(r, 6).alias("corr"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+def mask_columns(
+    df: DataFrame, cols: list[str], salt: str = "mask"
+) -> DataFrame:
+    """Deterministic pseudonymization: each listed column's value is
+    replaced by the first 16 hex chars of sha256(salt || ':' || value)
+    — referential integrity survives (equal inputs keep equal tokens,
+    so joins and dedup still work on the masked table) while raw
+    values leave the pipeline. NULLs stay NULL. The privacy
+    complement to ``scrub_contact_strings`` (in-text PII) and
+    ``cascade_delete`` (erasure).
+
+    Map-side only — JVM sha2, no shuffle, no UDF. Salt rotation
+    re-keys the pseudonym space between releases (unlinkability
+    across exports)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.lit(str(salt)), F.lit(":"), F.col(c).cast("string")
+                        ),
+                        256,
+                    ),
+                    1,
+                    16,
+                ),
+            ),
+        )
+    return out

@@ -525,3 +525,45 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     n = back.count()
     total = spark.read.parquet(out).count()
     assert 0 < n < total
+
+
+def test_attribution_single_window_shuffle(spark, entry):
+    """Attribution is one running conditional struct-max window — no
+    self-join of the event log, one user-key exchange."""
+    st = plan_stats(entry.q_events_attribution(spark, SF))
+    assert st.joins == 0
+    assert st.exchanges <= 1
+
+
+def test_scd2_single_key_shuffle(spark, entry):
+    """Tie-dedup, change-lag and interval-lead all ride the same
+    user-key partitioning: no joins, ONE hash exchange."""
+    st = plan_stats(entry.q_etl_scd2_history(spark, SF))
+    assert st.joins == 0
+    assert st.exchanges <= 1
+
+
+def test_cascade_delete_broadcasts_keys(spark, entry):
+    """Every level's deletion-key frame must broadcast — the chained
+    fact tables never shuffle for the purge."""
+    st = plan_stats(entry.q_etl_cascade_delete(spark, SF))
+    assert st.sort_merge_joins == 0
+    assert st.broadcast_hash_joins >= 4  # semi+anti per non-root level
+
+
+def test_zscore_outliers_broadcast_stats(spark, entry):
+    """Group moments re-join the stream via broadcast; the event
+    stream itself never shuffles."""
+    st = plan_stats(entry.q_quality_zscore_outliers(spark, SF))
+    assert st.sort_merge_joins == 0
+    assert st.broadcast_hash_joins >= 1
+
+
+def test_pmi_bigrams_no_cartesian(spark, entry):
+    """The two global totals are 1-row broadcast nested loops (by
+    design); nothing else may be cartesian, and the bigram stream must
+    come from a window lead, not a positional self-join."""
+    df = entry.q_text_pmi_bigrams(spark, SF)
+    assert_no_cartesian(df, allow_broadcast_nested_loop=True)
+    st = plan_stats(df)
+    assert st.nested_loop_joins <= 2

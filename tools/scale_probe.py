@@ -180,7 +180,15 @@ def timed_thunk(thunk) -> float:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # usage: scale_probe.py [N] [--only name1,name2]  (--only runs a
+    # subset and SKIPS the streaming-state probe unless named)
+    only: set[str] | None = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    n = int(argv[0]) if argv else 10
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     d1 = read_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang", "source")
@@ -259,6 +267,11 @@ def main() -> None:
         # direction, same note as unigram); the scoring stream is
         # data-sized with one per-doc window shuffle
         "trigram_perplexity": lambda d: ops.trigram_perplexity(d),
+        # r8 batch 4: adjacent-token PMI — disjoint per-copy tokens
+        # grow the vocab AND the bigram-pair table ~Nx (the un-hinted
+        # vocab join's worst direction); the bigram stream is one
+        # window lead, data-sized
+        "pmi_bigrams": lambda d: ops.pmi_bigrams(d, min_count=5),
     }
     # BPE trains EAGERLY during construction (per-round argmax
     # collects), so it is timed as a thunk — df-construction plus the
@@ -328,6 +341,30 @@ def main() -> None:
         "kcore": lambda f: ops.kcore(copurchase(f), k=4, max_iter=15),
     }
 
+    # r8 batch 4 iterative graph ops checkpoint EAGERLY per round, so
+    # they are thunk-timed (construction = the iterations)
+    li_thunk_cases = {
+        # synchronous LPA — FIXED 3 rounds at both scales, so the
+        # ratio probes the per-round neighbor join + vote agg + argmax
+        # window (all edge/vertex-sized)
+        "label_propagation": lambda f: (
+            lambda: ops.label_propagation(copurchase(f), n_iter=3)
+        ),
+        # BFS — copies are disconnected components; sources seeded
+        # per-copy (every namespaced min) so the frontier grows with
+        # the input and the ratio probes the expansion join
+        "bfs_distances": lambda f: (
+            lambda: ops.bfs_distances(
+                copurchase(f),
+                copurchase(f)
+                .groupBy((F.col("src") / 100_000_000).cast("long").alias("c"))
+                .agg(F.min("src").alias("id"))
+                .select("id"),
+                max_hops=3,
+            )
+        ),
+    }
+
     # r8 (VERDICT r7 #6): fuzzy record-linkage — copies get a per-copy
     # ALPHABET ROTATION (translate), so every character differs and
     # q-gram blocks stay copy-local (a per-word marker would still
@@ -355,6 +392,42 @@ def main() -> None:
 
     name_cases = {
         "fuzzy_pairs": lambda f: ops.fuzzy_pairs(f, col="p_name", max_dist=2),
+    }
+
+    # r8 batch 4: events-derived operators — copies namespace user and
+    # event ids (per-user history length stays constant, users 10x),
+    # so the window partitions multiply while staying fixed-size: the
+    # shape that must scale linearly
+    events = read_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    def replicate_events(n_copies: int):
+        parts = [
+            events.select(
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 100_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+            )
+            for i in range(n_copies)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    from graph_etl_spark.functions import scd2_history as _scd2
+
+    ev_cases = {
+        "attribution": lambda f: ops.attribution(f, "purchase", ["click", "view"]),
+        "scd2_history": lambda f: _scd2(f, "user_id", "ts", "event_type"),
+        # group count stays FIXED (5 event types) while rows 10x — the
+        # broadcast-stats join's intended regime
+        "zscore_outliers": lambda f: ops.zscore_outliers(
+            f, "event_type", "value", threshold=2.5
+        ),
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
@@ -403,37 +476,49 @@ def main() -> None:
     # warm codegen/Arrow paths once (not timed)
     ops.minhash_lsh_pairs(d1.limit(50)).write.format("noop").mode("overwrite").save()
 
+    def _sel(d):
+        return {k: v for k, v in d.items() if only is None or k in only}
+
     result: dict[str, dict] = {}
-    for name, fn in cases.items():
+    for name, fn in _sel(cases).items():
         t1, tn = timed(fn(d1)), timed(fn(dn))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
-    for name, fn in li_cases.items():
+    for name, fn in _sel(li_cases).items():
         t1, tn = timed(fn(replicate_li(1))), timed(fn(replicate_li(n)))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
-    for name, fn in name_cases.items():
+    for name, fn in _sel(li_thunk_cases).items():
+        t1, tn = timed_thunk(fn(replicate_li(1))), timed_thunk(fn(replicate_li(n)))
+        result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
+        print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
+    for name, fn in _sel(name_cases).items():
         t1, tn = timed(fn(replicate_names(1))), timed(fn(replicate_names(n)))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
-    for name, fn in thunk_cases.items():
+    for name, fn in _sel(ev_cases).items():
+        t1, tn = timed(fn(replicate_events(1))), timed(fn(replicate_events(n)))
+        result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
+        print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
+    for name, fn in _sel(thunk_cases).items():
         t1, tn = timed_thunk(fn(d1)), timed_thunk(fn(dn))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
-    for name, fn in vec_cases.items():
+    for name, fn in _sel(vec_cases).items():
         t1, tn = timed(fn(e1)), timed(fn(en))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
 
     # r7: streaming interval-join STATE growth (rows, not seconds) —
     # bounded state under the watermark means ratio ~1 at Nx input
-    result["streaming_interval_join_state"] = probe_streaming_state(spark, n)
-    r = result["streaming_interval_join_state"]
-    print(
-        f"# streaming_interval_join_state: {r['t1']} -> {r['tn']} rows "
-        f"(x{r['ratio']})",
-        file=sys.stderr,
-    )
+    if only is None or "streaming_interval_join_state" in only:
+        result["streaming_interval_join_state"] = probe_streaming_state(spark, n)
+        r = result["streaming_interval_join_state"]
+        print(
+            f"# streaming_interval_join_state: {r['t1']} -> {r['tn']} rows "
+            f"(x{r['ratio']})",
+            file=sys.stderr,
+        )
 
     print(json.dumps({"n": n, "sf_dir": SF_DIR, "ops": result}))
 
