@@ -2255,6 +2255,76 @@ def q_quality_zscore_outliers(spark, sf):
     )
 
 
+def q_events_rolling_median(spark, sf):
+    """Per-user rolling LOWER median (trailing 5 events ordered by
+    (ts, event_id) — the unique tie-break keeps window contents
+    deterministic) of the event value: the robust smoother next to
+    moving_avg. One window shuffle; the pick is exact decimal
+    indexing, no averaging arithmetic."""
+    e = _t(spark, sf, "events")
+    return ops.rolling_median(
+        e, "user_id", ["ts", "event_id"], "value", window_size=5
+    ).select("event_id", "user_id", "rolling_median")
+
+
+def q_etl_snapshot_diff(spark, sf):
+    """Change-data-capture between two customer snapshots (the 'new'
+    snapshot simulated in-plan: every 17th key removed, every
+    (mod 10 == 3) balance bumped, a shifted-key slice added):
+    added/removed/changed per key with the changed column list —
+    ONE full outer join on the key."""
+    c = _t(spark, sf, "customer")
+    new = (
+        c.filter(F.col("c_custkey") % 17 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 10 == 3, F.col("c_acctbal") + 100.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 50 == 1).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    d = ops_fn.snapshot_diff(c, new, "c_custkey")
+    return d.select(
+        "c_custkey",
+        "change_type",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+
+
+def q_quality_histogram(spark, sf):
+    """Equi-width 8-bin histogram of order totals with in-plan
+    min/max bounds (scalar broadcast — the price column never
+    shuffles by value): bucket, 6-dp edges, count."""
+    o = _t(spark, sf, "orders")
+    return ops.numeric_histogram(o, "o_totalprice", n_bins=8)
+
+
+def q_quality_corr_matrix(spark, sf):
+    """Pairwise Pearson correlation of the four lineitem numeric
+    measures in ONE scan — k(k+3)/2 exact integer-unit decimal sums
+    to a single row, pair explosion on that 1-row frame; each r is
+    one IEEE-double expression in oracle operand order."""
+    li = _t(spark, sf, "lineitem")
+    return ops.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_etl_mask_columns(spark, sf):
+    """Deterministic pseudonymization of customer name and segment:
+    sha256(salt:value) 16-hex tokens — equal inputs keep equal tokens
+    (joins/dedup survive), NULLs stay NULL, map-side only."""
+    c = _t(spark, sf, "customer")
+    return ops.mask_columns(c, ["c_name", "c_mktsegment"], salt="r8").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2529,9 +2599,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_dedup, normalize_text, funnel, retention, frequent pairs);
     then the mid-round additions (entity clusters, threshold
     crossings, expectations) and the fourth batch (attribution,
-    SCD-2, cascade delete, LPA, BFS, PMI, z-score outliers); the
+    SCD-2, cascade delete, LPA, BFS, PMI, z-score outliers) and the
+    fifth batch (rolling median, snapshot diff, histogram,
+    correlation matrix, column masking); the
     remaining slots to 50 hold the stalest tail rows (last driver
-    verdicts r4-r6, preflight-green every round since). FORTY-SIX
+    verdicts r4-r6, preflight-green every round since). FIFTY-ONE
     stale rows remain at the head of the tail — they MUST lead the
     r9 window (window/rank/array/string/date batteries, set ops,
     rollup/cube/pivot/moving_avg/unpivot, percentile + approx
@@ -2609,6 +2681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_distances": q_graph_bfs_distances,
         "text_pmi_bigrams": q_text_pmi_bigrams,
         "quality_zscore_outliers": q_quality_zscore_outliers,
+        "events_rolling_median": q_events_rolling_median,
+        "etl_snapshot_diff": q_etl_snapshot_diff,
+        "quality_histogram": q_quality_histogram,
+        "quality_corr_matrix": q_quality_corr_matrix,
+        "etl_mask_columns": q_etl_mask_columns,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -5230,6 +5307,137 @@ def oracle_sql() -> dict[str, str]:
                 - (CAST(s.sm AS DOUBLE) / s.n) * (CAST(s.sm AS DOUBLE) / s.n) > 0
         )
         SELECT event_id, event_type, value, z FROM z WHERE ABS(z) > 2.5
+    """
+
+    # Rolling LOWER median: decimal window slice, sorted, exact
+    # element pick at 1-based index (n+1) DIV 2 — no averaging
+    # arithmetic anywhere, so both engines agree bit-for-bit.
+    sql["events_rolling_median"] = """
+        SELECT event_id, user_id,
+               CAST(list_sort(l)[(len(l) + 1) // 2] AS DOUBLE) AS rolling_median
+        FROM (
+          SELECT event_id, user_id,
+                 list(CAST(ROUND(value, 4) AS DECIMAL(19,4))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
+          FROM events
+        )
+    """
+
+    sql["etl_snapshot_diff"] = """
+        WITH nw AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END AS c_acctbal,
+                 c_mktsegment
+          FROM customer WHERE c_custkey % 17 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+                 c_mktsegment
+          FROM customer WHERE c_custkey % 50 = 1
+        ), d AS (
+          SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+                 list_filter([
+                   CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+                        THEN 'c_name' END,
+                   CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey
+                        THEN 'c_nationkey' END,
+                   CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                        THEN 'c_acctbal' END,
+                   CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                        THEN 'c_mktsegment' END
+                 ], x -> x IS NOT NULL) AS ch,
+                 o.c_custkey IS NOT NULL AS old_p,
+                 n.c_custkey IS NOT NULL AS new_p
+          FROM customer o FULL OUTER JOIN nw n ON o.c_custkey = n.c_custkey
+        )
+        SELECT c_custkey,
+               CASE WHEN NOT old_p THEN 'added'
+                    WHEN NOT new_p THEN 'removed'
+                    WHEN len(ch) > 0 THEN 'changed' END AS change_type,
+               CASE WHEN old_p AND new_p
+                    THEN array_to_string(list_sort(ch), ',')
+                    ELSE '' END AS changed_cols
+        FROM d
+        WHERE CASE WHEN NOT old_p THEN 'added'
+                   WHEN NOT new_p THEN 'removed'
+                   WHEN len(ch) > 0 THEN 'changed' END IS NOT NULL
+    """
+
+    sql["quality_histogram"] = """
+        WITH b AS (
+          SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+                 MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+          FROM orders
+        ), r AS (
+          SELECT CAST(LEAST(7, GREATEST(0,
+                   FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
+                         / (hi - lo) * 8))) AS INT) AS bucket,
+                 lo, hi
+          FROM orders CROSS JOIN b
+          WHERE o_totalprice IS NOT NULL AND hi > lo
+        )
+        SELECT bucket,
+               ROUND(lo + bucket * (hi - lo) / 8, 6) AS lo_edge,
+               ROUND(lo + (bucket + 1) * (hi - lo) / 8, 6) AS hi_edge,
+               COUNT(*)::BIGINT AS n_rows
+        FROM r GROUP BY bucket, lo, hi
+    """
+
+    # Correlation matrix: integer-unit (1e-4) exact sums, one scan;
+    # every r in Spark-identical operand order.
+    _cm = {
+        "a": "l_quantity",
+        "b": "l_extendedprice",
+        "c": "l_discount",
+        "d": "l_tax",
+    }
+    _cm_units = ", ".join(
+        f"CAST(CAST(ROUND({col}, 4) AS DECIMAL(19,4)) * 10000 AS BIGINT) AS {k}"
+        for k, col in _cm.items()
+    )
+    _cm_sums = ", ".join(
+        [f"SUM(CAST({k} AS DECIMAL(38,0))) AS s_{k}" for k in _cm]
+        + [
+            f"SUM(CAST({k1} AS DECIMAL(19,0)) * CAST({k2} AS DECIMAL(19,0))) AS p_{k1}{k2}"
+            for i, k1 in enumerate(_cm)
+            for k2 in list(_cm)[i:]
+        ]
+    )
+    _cm_rows = " UNION ALL ".join(
+        f"""SELECT '{_cm[k1]}' AS col_a, '{_cm[k2]}' AS col_b,
+            ROUND((CAST(n AS DOUBLE) * CAST(p_{k1}{k2} AS DOUBLE)
+                   - CAST(s_{k1} AS DOUBLE) * CAST(s_{k2} AS DOUBLE))
+                  / (SQRT(CAST(n AS DOUBLE) * CAST(p_{k1}{k1} AS DOUBLE)
+                          - CAST(s_{k1} AS DOUBLE) * CAST(s_{k1} AS DOUBLE))
+                     * SQRT(CAST(n AS DOUBLE) * CAST(p_{k2}{k2} AS DOUBLE)
+                            - CAST(s_{k2} AS DOUBLE) * CAST(s_{k2} AS DOUBLE))), 6)
+              AS corr
+            FROM s"""
+        for i, k1 in enumerate(_cm)
+        for k2 in list(_cm)[i + 1 :]
+    )
+    sql["quality_corr_matrix"] = f"""
+        WITH base AS (
+          SELECT {_cm_units}
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+        ), s AS (
+          SELECT COUNT(*)::BIGINT AS n, {_cm_sums} FROM base
+        )
+        {_cm_rows}
+    """
+
+    sql["etl_mask_columns"] = """
+        SELECT c_custkey,
+               CASE WHEN c_name IS NOT NULL THEN
+                 substr(sha256('r8' || ':' || CAST(c_name AS VARCHAR)), 1, 16)
+               END AS c_name,
+               CASE WHEN c_mktsegment IS NOT NULL THEN
+                 substr(sha256('r8' || ':' || CAST(c_mktsegment AS VARCHAR)), 1, 16)
+               END AS c_mktsegment
+        FROM customer
     """
 
     # Curriculum ordering: the text_quality_scores composite feeds

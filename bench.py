@@ -134,6 +134,11 @@ HEADLINE = [
     "graph_bfs_distances",
     "text_pmi_bigrams",
     "quality_zscore_outliers",
+    "events_rolling_median",
+    "etl_snapshot_diff",
+    "quality_histogram",
+    "quality_corr_matrix",
+    "etl_mask_columns",
 ]
 
 

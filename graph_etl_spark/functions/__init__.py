@@ -262,3 +262,73 @@ def scd2_history(
         F.lead(ts_col).over(w_seq).alias("valid_to"),
         F.lead(ts_col).over(w_seq).isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | str,
+) -> DataFrame:
+    """Keyed diff of two table snapshots: one row per key that was
+    ``added``, ``removed``, or ``changed`` between ``old`` and ``new``,
+    with the sorted list of differing column names — the
+    change-data-capture primitive that closes the refresh family
+    (``upsert_by_key`` applies deltas, ``scd2_history`` versions them,
+    this DETECTS them between full snapshots).
+
+    Comparison is NULL-safe per column; unchanged keys are dropped
+    (the output is delta-sized, not table-sized). Both inputs must
+    share a schema. Duplicate keys within a side resolve by the
+    ``dedup_by_key`` contract first, so the diff is deterministic.
+
+    Output: key columns + change_type + changed_cols (empty array for
+    added/removed rows).
+
+    Scale: ONE full outer join on the key — at 100 TB both snapshots
+    shuffle once on the same key (or not at all if both are bucketed
+    by key on disk); the per-column compare is map-side expression
+    work on the joined row."""
+    if isinstance(keys, str):
+        keys = [keys]
+    others = [c for c in old.columns if c not in keys]
+    if set(old.columns) != set(new.columns):
+        raise ValueError("snapshot_diff requires identical schemas")
+    o = dedup_by_key(old, keys).alias("o")
+    n = dedup_by_key(new, keys).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"o.{keys[0]}").isNotNull()
+    # presence must be judged on a key column of each side (a row of
+    # all-NULL non-keys is still present)
+    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    changed_cols = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c)
+                    )
+                    for c in others
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    change_type = (
+        F.when(~old_present, F.lit("added"))
+        .when(~new_present, F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+    )
+    return (
+        joined.select(
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in keys
+            ],
+            change_type.alias("change_type"),
+            F.when(old_present & new_present, changed_cols)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -94,7 +94,7 @@ def range_join(
 def rolling_median(
     df: DataFrame,
     key: str,
-    order: str,
+    order: str | list[str],
     value: str,
     window_size: int = 5,
     out: str = "rolling_median",
@@ -109,13 +109,18 @@ def rolling_median(
     decimals, the pick is pure indexing, and both engines agree
     bit-for-bit with no averaging arithmetic at all.
 
+    ``order`` may be a list — pass a unique tie-break (e.g.
+    ``["ts", "event_id"]``) whenever the primary order column can
+    repeat, or the window CONTENTS become partition-order-dependent.
+
     Scale: one window shuffle on the key; the collected window slice
     is ``window_size`` elements per row (bounded, independent of
     corpus size), sorted per-row in-memory — O(rows x w log w)
     map-side after the single exchange."""
+    order_cols = [order] if isinstance(order, str) else list(order)
     w = (
         Window.partitionBy(key)
-        .orderBy(order)
+        .orderBy(*order_cols)
         .rowsBetween(-(int(window_size) - 1), 0)
     )
     vals = F.collect_list(F.round(F.col(value), 4).cast("decimal(19,4)")).over(w)

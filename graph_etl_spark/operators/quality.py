@@ -1527,8 +1527,12 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
 
     Scale: the whole matrix is ONE map-side-combined aggregation to a
     single row — k(k+3)/2 decimal sums; the pair explosion happens on
-    that 1-row frame. The corpus is scanned once and never shuffles
-    (compare: per-pair F.corr calls would be k(k-1)/2 scans)."""
+    that 1-row frame, which is lazily localCheckpointed so the
+    k(k-1)/2 union branches SHARE one computation of it (without the
+    checkpoint each branch would re-run the full aggregation — union
+    branches don't dedupe common subplans). The corpus is scanned
+    once and never shuffles (compare: per-pair F.corr calls would be
+    k(k-1)/2 scans)."""
     cols = list(cols)
     base = df.na.drop(subset=cols).select(
         *[
@@ -1548,7 +1552,7 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
                     F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)")
                 ).alias(f"__p_{a}_{b}")
             )
-    one = base.agg(*aggs)
+    one = base.agg(*aggs).localCheckpoint(eager=False)
     out = None
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:

@@ -567,3 +567,33 @@ def test_pmi_bigrams_no_cartesian(spark, entry):
     assert_no_cartesian(df, allow_broadcast_nested_loop=True)
     st = plan_stats(df)
     assert st.nested_loop_joins <= 2
+
+
+def test_rolling_median_single_shuffle(spark, entry):
+    st = plan_stats(entry.q_events_rolling_median(spark, SF))
+    assert st.joins == 0
+    assert st.exchanges <= 1
+
+
+def test_mask_columns_map_side_only(spark, entry):
+    st = plan_stats(entry.q_etl_mask_columns(spark, SF))
+    assert st.joins == 0
+    assert st.exchanges == 0
+
+
+def test_snapshot_diff_no_cartesian(spark, entry):
+    assert_no_cartesian(entry.q_etl_snapshot_diff(spark, SF))
+
+
+def test_histogram_scalar_bounds_broadcast(spark, entry):
+    """The min/max bounds frame joins back as a 1-row broadcast; the
+    order stream must not sort-merge for it."""
+    st = plan_stats(entry.q_quality_histogram(spark, SF))
+    assert st.sort_merge_joins == 0
+
+
+def test_corr_matrix_single_scan(spark, entry):
+    """The lazy checkpoint makes all pair branches share ONE stats
+    aggregation — the corpus parquet appears once in the plan."""
+    p = plan_string(entry.q_quality_corr_matrix(spark, SF))
+    assert p.count("Scan parquet") + p.count("FileScan") <= 2

@@ -37,6 +37,10 @@ ROUND8_NEW = [
     "events_attribution", "etl_scd2_history", "etl_cascade_delete",
     "graph_label_propagation", "graph_bfs_distances",
     "text_pmi_bigrams", "quality_zscore_outliers",
+    # round-8 fifth batch: rolling median, snapshot diff, histogram,
+    # correlation matrix, column masking
+    "events_rolling_median", "etl_snapshot_diff", "quality_histogram",
+    "quality_corr_matrix", "etl_mask_columns",
 ]
 
 

@@ -165,3 +165,77 @@ def test_zscore_outliers_flags_spike(spark):
     out = zscore_outliers(df, "grp", "val", threshold=2.5).collect()
     assert len(out) == 1
     assert out[0]["grp"] == "a" and out[0]["val"] == 100.0 and out[0]["z"] > 2.5
+
+
+def test_rolling_median_lower_median(spark):
+    from graph_etl_spark.operators import rolling_median
+
+    rows = [(1, i, float(v)) for i, v in enumerate([5, 1, 9, 3, 100])]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    out = {r["i"]: r["rolling_median"]
+           for r in rolling_median(df, "k", "i", "v", window_size=3).collect()}
+    # windows: [5], [5,1], [5,1,9], [1,9,3], [9,3,100]
+    assert out == {0: 5.0, 1: 1.0, 2: 5.0, 3: 3.0, 4: 9.0}
+
+
+def test_numeric_histogram_buckets(spark):
+    from graph_etl_spark.operators import numeric_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "v double")
+    out = {r["bucket"]: r for r in numeric_histogram(df, "v", n_bins=3).collect()}
+    # lo=0, hi=9: buckets [0,3), [3,6), [6,9] — max clamps into last
+    assert {b: out[b]["n_rows"] for b in sorted(out)} == {0: 3, 1: 3, 2: 4}
+    assert out[0]["lo_edge"] == 0.0 and out[2]["hi_edge"] == 9.0
+
+
+def test_corr_matrix_signs(spark):
+    from graph_etl_spark.operators import corr_matrix
+
+    rows = [(float(i), float(2 * i), float(-i), None if i == 3 else float(i))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert len(out) == 3
+    # list-wise null drop: row i=3 excluded when d is requested
+    out_d = {(r["col_a"], r["col_b"]): r["corr"]
+             for r in corr_matrix(df, ["a", "d"]).collect()}
+    assert out_d[("a", "d")] == 1.0
+
+
+def test_mask_columns_deterministic_and_null_safe(spark):
+    from graph_etl_spark.operators import mask_columns
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alice"), (3, None)], "id long, name string"
+    )
+    out = {r["id"]: r["name"] for r in mask_columns(df, ["name"]).collect()}
+    assert out[1] == out[2] and len(out[1]) == 16 and out[1] != "alice"
+    assert out[3] is None
+    resalted = {r["id"]: r["name"]
+                for r in mask_columns(df, ["name"], salt="v2").collect()}
+    assert resalted[1] != out[1]   # salt rotation re-keys the space
+
+
+def test_snapshot_diff_change_types(spark):
+    from graph_etl_spark.functions import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    out = {r["id"]: (r["change_type"], r["changed_cols"])
+           for r in snapshot_diff(old, new, "id").collect()}
+    assert out[1] == ("removed", [])
+    assert out[2] == ("changed", ["v"])
+    assert out[4] == ("added", [])
+    assert 3 not in out   # NULL == NULL is unchanged (null-safe compare)
+    import pytest as _p
+    with _p.raises(ValueError):
+        snapshot_diff(old, new.drop("v"), "id")

@@ -428,6 +428,17 @@ def main() -> None:
         "zscore_outliers": lambda f: ops.zscore_outliers(
             f, "event_type", "value", threshold=2.5
         ),
+        # r8 batch 5: rolling median — per-user histories stay fixed
+        # length while users 10x; the bounded 5-element window slice
+        # is the design claim (cost per row independent of corpus)
+        "rolling_median": lambda f: ops.rolling_median(
+            f, "user_id", ["ts", "event_id"], "value", window_size=5
+        ),
+        # r8 batch 5: histogram — bounded group key (n_bins), scalar
+        # bounds broadcast; must be ~scan-linear
+        "numeric_histogram": lambda f: ops.numeric_histogram(
+            f, "value", n_bins=8
+        ),
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
