@@ -170,6 +170,30 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
         + ", ".join(f"doc {r['doc_id']} ({r['bm25']:.2f})" for r in hits)
     )
 
+    # 10. release hygiene: CDC audit of what the nightly delta changed
+    # (snapshot diff old-vs-refreshed) and deterministic masking of the
+    # source column before the corpus leaves the pipeline — referential
+    # integrity survives (equal sources keep equal tokens)
+    from graph_etl_spark.functions import snapshot_diff
+    from graph_etl_spark.operators import mask_columns
+
+    changes = {
+        r["change_type"]: r["n"]
+        for r in snapshot_diff(index, refreshed, "doc_id")
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    with_meta = refreshed.join(docs.select("doc_id", "source"), "doc_id", "left")
+    released = mask_columns(with_meta, ["source"], salt="release-1")
+    n_masked_sources = released.select("source").distinct().count()
+    n_raw_sources = with_meta.select("source").distinct().count()
+    assert n_masked_sources == n_raw_sources, "masking broke source cardinality"
+    print(
+        f"[10] CDC audit {changes or '{no changes}'}; released corpus masks "
+        f"source -> {n_masked_sources} pseudonymous tokens"
+    )
+
     if own_session:
         spark.stop()
     print("corpus curation demo complete")
@@ -187,6 +211,8 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
         "profile_columns": len(prof),
         "splits": splits,
         "bm25_hits": len(hits),
+        "cdc_changes": changes,
+        "masked_sources": n_masked_sources,
     }
 
 

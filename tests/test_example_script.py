@@ -64,3 +64,14 @@ def test_example_corpus_curation_end_to_end(spark):
     # must surface at least one hit on the common vocabulary
     assert sum(out["splits"].values()) == out["refreshed_docs"]
     assert out["bm25_hits"] >= 1
+    # stage 10: CDC audit sees the nightly delta as adds only (novel
+    # re-crawl ids; replaced rows carry identical text so they are
+    # 'unchanged' and dropped — empty when nothing was admitted), and
+    # the add count must reconcile with the upsert growth; masking
+    # preserves source cardinality
+    assert set(out["cdc_changes"]) <= {"added", "changed"}
+    assert out["cdc_changes"].get("added", 0) == (
+        out["refreshed_docs"] - out["survivors"]
+    )
+    assert out["masked_sources"] >= 1
+
