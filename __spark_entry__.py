@@ -2325,6 +2325,42 @@ def q_etl_mask_columns(spark, sf):
     )
 
 
+def q_events_ewma(spark, sf):
+    """Per-user truncated EWMA (alpha 0.3, trailing 8 rows ordered by
+    the unique (ts, event_id)): Python-literal weights + an unrolled
+    left-to-right multiply-add chain, so both engines execute the
+    identical IEEE sequence. One window shuffle."""
+    e = _t(spark, sf, "events")
+    return ops.ewma(
+        e, "user_id", ["ts", "event_id"], "value", alpha=0.3, window_size=8
+    ).select("event_id", "user_id", "ewma")
+
+
+def q_events_markov(spark, sf):
+    """First-order Markov transition matrix of user journeys:
+    (from, to, count, row-stochastic p) from one lead window + a
+    vocabulary-sized count table."""
+    return ops.event_transitions(_t(spark, sf, "events"))
+
+
+def q_text_inverted_index(spark, sf):
+    """Materialized inverted index (min df 2, postings capped at 20
+    AFTER sorting): term, exact df, comma-joined ascending doc ids —
+    the serving-side complement to bm25_rank."""
+    return ops.inverted_index(
+        _t(spark, sf, "documents"), min_df=2, max_postings=20
+    )
+
+
+def q_graph_hits(spark, sf):
+    """HITS hubs/authorities, 3 power-iteration rounds over the
+    directed 1995 co-purchase edges: decimal-exact in-round sums,
+    MAX-normalization (order-independent where L2 would reopen the
+    double-summation hole) — the oracle unrolls the same 6
+    half-steps."""
+    return ops.hits(_copurchase_1995(spark, sf), max_iter=3)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2601,9 +2637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     crossings, expectations) and the fourth batch (attribution,
     SCD-2, cascade delete, LPA, BFS, PMI, z-score outliers) and the
     fifth batch (rolling median, snapshot diff, histogram,
-    correlation matrix, column masking); the
+    correlation matrix, column masking) and the sixth (EWMA, Markov
+    transitions, inverted index, HITS); the
     remaining slots to 50 hold the stalest tail rows (last driver
-    verdicts r4-r6, preflight-green every round since). FIFTY-ONE
+    verdicts r4-r6, preflight-green every round since). FIFTY-FIVE
     stale rows remain at the head of the tail — they MUST lead the
     r9 window (window/rank/array/string/date batteries, set ops,
     rollup/cube/pivot/moving_avg/unpivot, percentile + approx
@@ -2686,6 +2723,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_histogram": q_quality_histogram,
         "quality_corr_matrix": q_quality_corr_matrix,
         "etl_mask_columns": q_etl_mask_columns,
+        "events_ewma": q_events_ewma,
+        "events_markov": q_events_markov,
+        "text_inverted_index": q_text_inverted_index,
+        "graph_hits": q_graph_hits,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -5439,6 +5480,113 @@ def oracle_sql() -> dict[str, str]:
                END AS c_mktsegment
         FROM customer
     """
+
+    # Truncated EWMA: the oracle's multiply-add chain is GENERATED
+    # from the same Python weight literals as the operator, so both
+    # engines execute the identical IEEE sequence term for term.
+    _ew_w = [round(0.7**j, 12) for j in range(8)]
+    _ew_num = " + ".join(
+        f"CASE WHEN len(l) > {j} THEN l[-{j + 1}] * {w!r} ELSE 0.0 END"
+        for j, w in enumerate(_ew_w)
+    )
+    _ew_den = " + ".join(
+        f"CASE WHEN len(l) > {j} THEN {w!r} ELSE 0.0 END"
+        for j, w in enumerate(_ew_w)
+    )
+    sql["events_ewma"] = f"""
+        SELECT event_id, user_id,
+               ROUND((0.0 + {_ew_num}) / (0.0 + {_ew_den}), 6) AS ewma
+        FROM (
+          SELECT event_id, user_id,
+                 list(CAST(CAST(ROUND(value, 4) AS DECIMAL(19,4)) AS DOUBLE))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+          FROM events
+        )
+    """
+
+    sql["events_markov"] = """
+        WITH pairs AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events
+        ), c AS (
+          SELECT from_type, to_type, COUNT(*)::BIGINT AS n_transitions
+          FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        ), t AS (
+          SELECT from_type, SUM(n_transitions)::BIGINT AS tot
+          FROM c GROUP BY from_type
+        )
+        SELECT c.from_type, c.to_type, c.n_transitions,
+               ROUND(CAST(c.n_transitions AS DOUBLE) / t.tot, 6) AS p
+        FROM c JOIN t USING (from_type)
+    """
+
+    sql["text_inverted_index"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), g AS (
+          SELECT term, list_sort(list(DISTINCT doc_id)) AS docs
+          FROM toks GROUP BY term
+        )
+        SELECT term, len(docs)::INT AS df,
+               array_to_string(docs[1:20], ',') AS postings
+        FROM g WHERE len(docs) >= 2
+    """
+
+    # HITS, 3 unrolled rounds (6 half-steps): decimal-exact in-round
+    # sums, MAX-normalized — mirrors the operator step for step.
+    _hits_half = """
+        {out}_raw AS (
+          SELECT e.{to_col} AS id,
+                 CAST(SUM(CAST(ROUND(p.{score}, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE) AS raw
+          FROM dedges e JOIN {prev} p ON p.id = e.{from_col}
+          GROUP BY e.{to_col}
+        ), {out} AS MATERIALIZED (
+          SELECT v.id,
+                 ROUND(COALESCE(r.raw, 0.0)
+                       / (SELECT MAX(raw) FROM {out}_raw), 9) AS {new_score}
+          FROM hverts v LEFT JOIN {out}_raw r ON r.id = v.id
+        )"""
+    _hits_rounds = []
+    for _r in (1, 2, 3):
+        _hits_rounds.append(
+            _hits_half.format(
+                out=f"ha{_r}", prev=("h0" if _r == 1 else f"hh{_r - 1}"),
+                to_col="b", from_col="a", score="hub", new_score="authority",
+            )
+        )
+        _hits_rounds.append(
+            _hits_half.format(
+                out=f"hh{_r}", prev=f"ha{_r}",
+                to_col="a", from_col="b", score="authority", new_score="hub",
+            )
+        )
+    sql["graph_hits"] = (
+        """
+        WITH cop AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995
+        ), dedges AS MATERIALIZED (
+          SELECT DISTINCT src AS a, dst AS b FROM cop
+          WHERE src IS NOT NULL AND dst IS NOT NULL
+        ), hverts AS MATERIALIZED (
+          SELECT DISTINCT id FROM (
+            SELECT a AS id FROM dedges UNION ALL SELECT b FROM dedges
+          )
+        ), h0 AS (SELECT id, 1.0 AS hub FROM hverts),
+        """
+        + ",".join(_hits_rounds)
+        + """
+        SELECT h.id, ROUND(h.hub, 6) AS hub,
+               ROUND(a.authority, 6) AS authority
+        FROM hh3 h JOIN ha3 a USING (id)
+    """
+    )
 
     # Curriculum ordering: the text_quality_scores composite feeds
     # banding (floor of quality x 10 — quality is hash-exact between

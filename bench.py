@@ -139,6 +139,10 @@ HEADLINE = [
     "quality_histogram",
     "quality_corr_matrix",
     "etl_mask_columns",
+    "events_ewma",
+    "events_markov",
+    "text_inverted_index",
+    "graph_hits",
 ]
 
 

@@ -127,3 +127,54 @@ def rolling_median(
     arr = F.sort_array(vals)
     med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
     return df.withColumn(out, med.cast("double"))
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    order: str | list[str],
+    value: str,
+    alpha: float = 0.3,
+    window_size: int = 8,
+    out: str = "ewma",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key: the
+    classic smoother, evaluated over the trailing ``window_size`` rows
+    (current inclusive) with weights (1-alpha)^j, j = age in rows —
+    the untruncated tail's weight is (1-alpha)^w of the total, already
+    < 6% at the defaults, while truncation is what makes the operator
+    both bounded-memory at 100 TB and bit-deterministic.
+
+    Determinism: the weights are PYTHON-evaluated literals (no runtime
+    pow — engines' pow() may differ in the last ulp) and the weighted
+    sum is UNROLLED into a fixed left-to-right chain of
+    multiply-adds over the 4-dp decimal-rounded window slice, so both
+    engines execute the identical IEEE operation sequence. Normalized
+    by the sum of weights actually present (partial windows at the
+    head of each key use only their own weights).
+
+    Scale: one window shuffle on the key; per-row work is the bounded
+    ``window_size``-element slice — cost per row independent of
+    corpus size."""
+    order_cols = [order] if isinstance(order, str) else list(order)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-(int(window_size) - 1), 0)
+    )
+    arr = F.collect_list(
+        F.round(F.col(value), 4).cast("decimal(19,4)").cast("double")
+    ).over(w)
+    weights = [round((1.0 - float(alpha)) ** j, 12) for j in range(int(window_size))]
+    # element_at(arr, -1) is the NEWEST row (weight (1-a)^0); absent
+    # elements of a partial window contribute 0 to both numerator and
+    # denominator via the same size guard
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j, wj in enumerate(weights):
+        present = F.size(arr) > j
+        num = num + F.when(
+            present, F.element_at(arr, -(j + 1)) * F.lit(wj)
+        ).otherwise(F.lit(0.0))
+        den = den + F.when(present, F.lit(wj)).otherwise(F.lit(0.0))
+    return df.withColumn(out, F.round(num / den, 6))

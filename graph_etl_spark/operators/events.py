@@ -195,3 +195,51 @@ def frequent_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= int(min_support))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for
+    every consecutive event pair within a user's (ts, event_id)-ordered
+    stream, (from_type, to_type, n_transitions, p) where p is the row-
+    stochastic probability n / Σ n over the same from_type, rounded to
+    6 dp — the user-flow model behind next-step prediction and
+    funnel-drop diagnosis.
+
+    Scale: one window shuffle on the user key for the lead pairing,
+    then a count aggregation on the (from, to) key (bounded by the
+    event-type vocabulary squared) and a tiny per-from total join —
+    the transition table is vocabulary-sized, never event-sized."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("__total"), 6
+            ).alias("p"),
+        )
+    )

@@ -431,3 +431,85 @@ def bfs_distances(
         ).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def hits(
+    edges: DataFrame,
+    max_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities by power iteration over the DIRECTED
+    edge set: authority(v) = Σ hub(u) over in-edges, hub(u) = Σ auth(v)
+    over out-edges, each re-normalized per round — the query-dependent
+    ranking complement to PageRank's global stationary walk.
+
+    Determinism contract: per round, the incoming scores are rounded
+    to 9 dp and summed as DECIMAL(28,9) (exact on any partitioning),
+    and normalization divides by the round's MAXIMUM score — max is
+    order-independent where an L2 norm's sum-of-squares would reopen
+    the double-summation hole; the division is one IEEE op. Scores
+    re-round to 9 dp before the next round, so both engines iterate
+    identical values; final output rounds to ``round_to``.
+
+    Output: (id, hub, authority) over all vertices.
+
+    Scale: per round two edge-join aggregations shuffling on vertex
+    id and two 1-row max aggregates that stay IN the plan (broadcast
+    crossJoin — no driver collect); scores localCheckpoint per round
+    (the connected_components lineage discipline)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).distinct().localCheckpoint()
+    verts = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    scores = verts.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    )
+
+    def _dec(c):
+        return F.round(c, 9).cast("decimal(28,9)")
+
+    for _ in range(max(1, int(max_iter))):
+        auth_raw = (
+            e.join(scores.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum(_dec(F.col("hub"))).cast("double").alias("__raw"))
+        )
+        auth_max = auth_raw.agg(F.max("__raw").alias("__amax"))
+        auth = (
+            verts.join(auth_raw, "id", "left")
+            .crossJoin(F.broadcast(auth_max))
+            .select(
+                "id",
+                F.round(
+                    F.coalesce(F.col("__raw"), F.lit(0.0)) / F.col("__amax"), 9
+                ).alias("authority"),
+            )
+        )
+        hub_raw = (
+            e.join(auth.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.sum(_dec(F.col("authority"))).cast("double").alias("__raw"))
+        )
+        hub_max = hub_raw.agg(F.max("__raw").alias("__hmax"))
+        hub = (
+            verts.join(hub_raw, "id", "left")
+            .crossJoin(F.broadcast(hub_max))
+            .select(
+                "id",
+                F.round(
+                    F.coalesce(F.col("__raw"), F.lit(0.0)) / F.col("__hmax"), 9
+                ).alias("hub"),
+            )
+        )
+        scores = hub.join(auth, "id").localCheckpoint(eager=True)
+    return scores.select(
+        "id", F.round("hub", round_to).alias("hub"),
+        F.round("authority", round_to).alias("authority"),
+    )

@@ -629,3 +629,41 @@ def pmi_bigrams(
             ).alias("pmi"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_df: int = 2,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Inverted index over whitespace tokens: per term, its document
+    frequency and the first ``max_postings`` posting doc ids (sorted
+    ascending, comma-joined) — the retrieval-side complement to
+    ``bm25_rank`` (which scores ad-hoc queries without materializing
+    an index; this materializes the index a serving layer would ship).
+
+    Deterministic: postings are the SORTED distinct doc ids truncated
+    after sorting, so the string is reproducible on any partitioning.
+
+    Scale: tokens explode map-side; one aggregation on the term key.
+    ``max_postings`` bounds the per-term payload (df stays exact), so
+    a stop-word's row cannot balloon — the full posting list of a hot
+    term belongs in a posting-sharded layout, not one row."""
+    toks = df.select(
+        F.col(doc_col).alias("d"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.collect_set("d").alias("__docs"))
+        .select(
+            "term",
+            F.size("__docs").alias("df"),
+            F.array_join(
+                F.slice(F.sort_array("__docs"), 1, int(max_postings)), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= int(min_df))
+    )

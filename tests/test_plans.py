@@ -597,3 +597,22 @@ def test_corr_matrix_single_scan(spark, entry):
     aggregation — the corpus parquet appears once in the plan."""
     p = plan_string(entry.q_quality_corr_matrix(spark, SF))
     assert p.count("Scan parquet") + p.count("FileScan") <= 2
+
+
+def test_ewma_single_window_shuffle(spark, entry):
+    st = plan_stats(entry.q_events_ewma(spark, SF))
+    assert st.joins == 0
+    assert st.exchanges <= 1
+
+
+def test_markov_broadcast_totals(spark, entry):
+    """The per-from totals join back into the vocabulary-sized count
+    table via broadcast; no sort-merge anywhere."""
+    st = plan_stats(entry.q_events_markov(spark, SF))
+    assert st.sort_merge_joins == 0
+
+
+def test_inverted_index_one_agg_no_joins(spark, entry):
+    st = plan_stats(entry.q_text_inverted_index(spark, SF))
+    assert st.joins == 0
+    assert st.exchanges <= 1

@@ -41,6 +41,9 @@ ROUND8_NEW = [
     # correlation matrix, column masking
     "events_rolling_median", "etl_snapshot_diff", "quality_histogram",
     "quality_corr_matrix", "etl_mask_columns",
+    # round-8 sixth batch: EWMA, Markov transitions, inverted index,
+    # HITS
+    "events_ewma", "events_markov", "text_inverted_index", "graph_hits",
 ]
 
 

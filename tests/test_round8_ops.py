@@ -239,3 +239,62 @@ def test_snapshot_diff_change_types(spark):
     import pytest as _p
     with _p.raises(ValueError):
         snapshot_diff(old, new.drop("v"), "id")
+
+
+def test_ewma_weights_and_partial_windows(spark):
+    from graph_etl_spark.operators import ewma
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 40])]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    out = {r["i"]: r["ewma"] for r in
+           ewma(df, "k", "i", "v", alpha=0.5, window_size=4).collect()}
+    assert out[0] == 10.0                       # partial window = itself
+    # row 1: (20*1 + 10*0.5)/(1+0.5)
+    assert out[1] == pytest.approx(round(25 / 1.5, 6))
+    # row 2: (40*1 + 20*0.5 + 10*0.25)/(1.75)
+    assert out[2] == pytest.approx(round(52.5 / 1.75, 6))
+
+
+def test_event_transitions_row_stochastic(spark):
+    from graph_etl_spark.operators import event_transitions
+
+    rows = [
+        (1, _ts(0), 1, "a", 0.0), (2, _ts(1), 1, "b", 0.0),
+        (3, _ts(2), 1, "a", 0.0), (4, _ts(3), 1, "c", 0.0),
+        (5, _ts(0), 2, "a", 0.0), (6, _ts(1), 2, "b", 0.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {(r["from_type"], r["to_type"]): (r["n_transitions"], r["p"])
+           for r in event_transitions(e).collect()}
+    # from 'a': a->b twice, a->c once; from 'b': b->a once
+    assert out[("a", "b")] == (2, 0.666667)
+    assert out[("a", "c")] == (1, 0.333333)
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in out   # last event of user 1 has no successor
+
+
+def test_inverted_index_sorted_capped(spark):
+    from graph_etl_spark.operators import inverted_index
+
+    docs = spark.createDataFrame(
+        [(3, "x y"), (1, "x z x"), (2, "x")], "doc_id long, text string"
+    )
+    out = {r["term"]: r for r in
+           inverted_index(docs, min_df=1, max_postings=2).collect()}
+    assert out["x"]["df"] == 3
+    assert out["x"]["postings"] == "1,2"   # sorted THEN truncated
+    assert out["z"]["df"] == 1 and out["z"]["postings"] == "1"
+
+
+def test_hits_star_graph(spark):
+    from graph_etl_spark.operators import hits
+
+    # star: 1,2,3 all point at 9; 9 is the pure authority, 1-3 pure hubs
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "src long, dst long"
+    )
+    out = {r["id"]: (r["hub"], r["authority"]) for r in hits(edges, max_iter=3).collect()}
+    assert out[9] == (0.0, 1.0)
+    assert out[1] == (1.0, 0.0) and out[2] == (1.0, 0.0) and out[3] == (1.0, 0.0)

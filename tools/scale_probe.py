@@ -267,6 +267,9 @@ def main() -> None:
         # direction, same note as unigram); the scoring stream is
         # data-sized with one per-doc window shuffle
         "trigram_perplexity": lambda d: ops.trigram_perplexity(d),
+        # r8 batch 6: inverted index — disjoint per-copy tokens grow
+        # the term key space ~Nx; one agg with bounded postings payload
+        "inverted_index": lambda d: ops.inverted_index(d, min_df=2),
         # r8 batch 4: adjacent-token PMI — disjoint per-copy tokens
         # grow the vocab AND the bigram-pair table ~Nx (the un-hinted
         # vocab join's worst direction); the bigram stream is one
@@ -344,6 +347,9 @@ def main() -> None:
     # r8 batch 4 iterative graph ops checkpoint EAGERLY per round, so
     # they are thunk-timed (construction = the iterations)
     li_thunk_cases = {
+        # r8 batch 6: HITS — 3 fixed rounds; per round two edge-join
+        # aggregations + two in-plan max scalars
+        "hits": lambda f: (lambda: ops.hits(copurchase(f), max_iter=3)),
         # synchronous LPA — FIXED 3 rounds at both scales, so the
         # ratio probes the per-round neighbor join + vote agg + argmax
         # window (all edge/vertex-sized)
@@ -439,6 +445,14 @@ def main() -> None:
         "numeric_histogram": lambda f: ops.numeric_histogram(
             f, "value", n_bins=8
         ),
+        # r8 batch 6: truncated EWMA — bounded 8-element window slice
+        # per row, same regime as rolling_median
+        "ewma": lambda f: ops.ewma(
+            f, "user_id", ["ts", "event_id"], "value", alpha=0.3, window_size=8
+        ),
+        # r8 batch 6: Markov transitions — event-sized lead window,
+        # vocabulary-sized (5x5) count table
+        "event_transitions": lambda f: ops.event_transitions(f),
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
