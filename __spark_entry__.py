@@ -2361,6 +2361,53 @@ def q_graph_hits(spark, sf):
     return ops.hits(_copurchase_1995(spark, sf), max_iter=3)
 
 
+def q_quality_negative_samples(spark, sf):
+    """Deterministic contrastive-triplet mining: every 10th document
+    anchored to its successor as the positive, 3 hash-drawn negatives
+    each (H56 draws mod corpus size, collision draws discarded) —
+    byte-reproducible training triplets on any engine/partitioning."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    pairs = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            (F.col("doc_id") + 1).alias("positive_id"),
+        )
+        .join(d.withColumnRenamed("doc_id", "positive_id"), "positive_id", "left_semi")
+    )
+    return ops.negative_samples(pairs, d, k=3, seed="neg")
+
+
+def q_graph_bellman_ford(spark, sf):
+    """Weighted shortest distances (Bellman-Ford, 4 relaxation
+    rounds) from the smallest vertex of the 1995 co-purchase graph,
+    integer edge weights (src+dst) % 5 + 1 — exact integer distances,
+    no float ties. The oracle unrolls the same rounds; rounds past
+    the fixpoint are no-ops on both sides."""
+    cop = _copurchase_1995(spark, sf).withColumn(
+        "w", (F.col("src") + F.col("dst")) % 5 + 1
+    )
+    sources = cop.agg(F.min("src").alias("id"))
+    return ops.bellman_ford(cop, sources, weight="w", max_iter=4)
+
+
+def q_events_enriched_stats(spark, sf):
+    """Stream-static enrichment's batch twin: events looked up against
+    the customer dimension (broadcast — the stream side never
+    shuffles for the join), rolled up per market segment with the
+    unmatched bucket kept as NULL."""
+    e = _t(spark, sf, "events")
+    dim = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    from graph_etl_spark.streaming import streaming_enrich
+
+    return streaming_enrich(e, dim, "user_id").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2638,9 +2685,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SCD-2, cascade delete, LPA, BFS, PMI, z-score outliers) and the
     fifth batch (rolling median, snapshot diff, histogram,
     correlation matrix, column masking) and the sixth (EWMA, Markov
-    transitions, inverted index, HITS); the
+    transitions, inverted index, HITS) and seventh (negative sampling,
+    Bellman-Ford, stream-static enrichment twin — the window is FULL at
+    this point, so the newest additions past slot 50 sit at the HEAD
+    of the tail and MUST lead the r9 window for their first driver
+    verdicts); the
     remaining slots to 50 hold the stalest tail rows (last driver
-    verdicts r4-r6, preflight-green every round since). FIFTY-FIVE
+    verdicts r4-r6, preflight-green every round since). FIFTY-EIGHT
     stale rows remain at the head of the tail — they MUST lead the
     r9 window (window/rank/array/string/date batteries, set ops,
     rollup/cube/pivot/moving_avg/unpivot, percentile + approx
@@ -2727,6 +2778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": q_events_markov,
         "text_inverted_index": q_text_inverted_index,
         "graph_hits": q_graph_hits,
+        "quality_negative_samples": q_quality_negative_samples,
+        "graph_bellman_ford": q_graph_bellman_ford,
+        "events_enriched_stats": q_events_enriched_stats,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -5587,6 +5641,81 @@ def oracle_sql() -> dict[str, str]:
         FROM hh3 h JOIN ha3 a USING (id)
     """
     )
+
+    # Negative sampling: H56 draws mod corpus size over a dense
+    # row_number index — the oracle mirrors draw-for-draw.
+    sql["quality_negative_samples"] = f"""
+        WITH ids AS (SELECT DISTINCT doc_id AS cid FROM documents),
+        idx AS (
+          SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS i FROM ids
+        ), nn AS (SELECT COUNT(*)::BIGINT AS n FROM idx),
+        pairs AS (
+          SELECT d.doc_id AS anchor_id, d.doc_id + 1 AS positive_id
+          FROM documents d
+          WHERE d.doc_id % 10 = 0
+            AND EXISTS (SELECT 1 FROM ids WHERE cid = d.doc_id + 1)
+        ), draws AS (
+          SELECT p.anchor_id, p.positive_id, j.j,
+                 {_H56.format(x="'neg' || ':' || p.anchor_id::VARCHAR || ':' || p.positive_id::VARCHAR || ':' || j.j::VARCHAR")}
+                   % nn.n AS i
+          FROM pairs p CROSS JOIN nn,
+               unnest(range(0, 5)) AS j(j)
+        ), cand AS (
+          SELECT d.anchor_id, d.positive_id, d.j, x.cid
+          FROM draws d JOIN idx x USING (i)
+          WHERE x.cid <> d.anchor_id AND x.cid <> d.positive_id
+        )
+        SELECT anchor_id, positive_id,
+               row_number() OVER (
+                 PARTITION BY anchor_id, positive_id ORDER BY j)::INT
+                 AS sample_rank,
+               cid AS negative_id
+        FROM cand
+        QUALIFY sample_rank <= 3
+    """
+
+    # Bellman-Ford, 4 unrolled relaxation rounds over integer weights.
+    _bf_round = """
+        bf{r} AS MATERIALIZED (
+          SELECT id, MIN(distance) AS distance FROM (
+            SELECT e.b AS id, d.distance + e.w AS distance
+            FROM bsym e JOIN bf{p} d ON d.id = e.a
+            UNION ALL SELECT id, distance FROM bf{p}
+          ) GROUP BY id
+        )"""
+    sql["graph_bellman_ford"] = (
+        """
+        WITH cop AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995
+        ), wedges AS (
+          SELECT src, dst, (src + dst) % 5 + 1 AS w FROM cop
+        ), bsym AS MATERIALIZED (
+          SELECT a, b, MIN(w)::BIGINT AS w FROM (
+            SELECT src AS a, dst AS b, w FROM wedges
+            UNION ALL SELECT dst AS a, src AS b, w FROM wedges
+          ) WHERE a <> b GROUP BY a, b
+        ), bf0 AS (
+          SELECT MIN(src) AS id, 0::BIGINT AS distance FROM cop
+        ),"""
+        + ",".join(
+            _bf_round.format(r=r, p=r - 1) for r in (1, 2, 3, 4)
+        )
+        + """
+        SELECT id, distance FROM bf4
+    """
+    )
+
+    sql["events_enriched_stats"] = """
+        SELECT c.c_mktsegment,
+               COUNT(*)::BIGINT AS n_events,
+               COUNT(DISTINCT e.user_id)::BIGINT AS n_users
+        FROM events e
+        LEFT JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment
+    """
 
     # Curriculum ordering: the text_quality_scores composite feeds
     # banding (floor of quality x 10 — quality is hash-exact between

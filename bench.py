@@ -143,6 +143,9 @@ HEADLINE = [
     "events_markov",
     "text_inverted_index",
     "graph_hits",
+    "quality_negative_samples",
+    "graph_bellman_ford",
+    "events_enriched_stats",
 ]
 
 

@@ -513,3 +513,77 @@ def hits(
         "id", F.round("hub", round_to).alias("hub"),
         F.round("authority", round_to).alias("authority"),
     )
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight: str | None = None,
+    max_iter: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Weighted single/multi-source shortest distances by synchronous
+    Bellman-Ford relaxation over the undirected graph — the weighted
+    upgrade of ``bfs_distances`` (hop counts are the weight-1 special
+    case). INTEGER weights only: distances stay exact integers, so
+    there is no floating-point tie ambiguity on any engine.
+
+    Runs ``max_iter`` relaxation rounds (shortest paths using at most
+    that many edges — pass >= the graph's weighted-path hop bound for
+    the exact fixpoint) with an aggregate-only early exit when a round
+    improves nothing. Output: (id, distance) for reached vertices.
+
+    Scale: per round, one join of the current distance frame against
+    the edge list (shuffling on vertex id) and one min-aggregation;
+    the distance frame is vertex-sized and localCheckpoints per round
+    (the connected_components lineage discipline)."""
+    w_col = (
+        F.col(weight).cast("long")
+        if weight
+        else F.lit(1).cast("long")
+    )
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w_col.alias("w"))
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("a"), F.col(src).alias("b"), w_col.alias("w")
+            )
+        )
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    [src_col] = sources.columns
+    dist = (
+        sources.select(F.col(src_col).alias("id"))
+        .distinct()
+        .withColumn("distance", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(max(1, int(max_iter))):
+        relaxed = (
+            sym.join(dist.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), (F.col("distance") + F.col("w")).alias("distance"))
+            .unionByName(dist)
+            .groupBy("id")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint()
+        )
+        # aggregate-only convergence probe: a round that adds no vertex
+        # and lowers no distance is the fixpoint
+        changed = (
+            relaxed.join(dist.withColumnRenamed("distance", "__old"), "id", "left")
+            .filter(
+                F.col("__old").isNull() | (F.col("distance") < F.col("__old"))
+            )
+            .limit(1)
+            .count()
+        )
+        dist = relaxed
+        if changed == 0:
+            break
+    return dist

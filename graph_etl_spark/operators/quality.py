@@ -1607,3 +1607,85 @@ def mask_columns(
             ),
         )
     return out
+
+
+def negative_samples(
+    pairs: DataFrame,
+    corpus_ids: DataFrame,
+    k: int = 3,
+    seed: str = "neg",
+    anchor_col: str = "anchor_id",
+    positive_col: str = "positive_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every (anchor, positive) pair, ``k`` pseudo-random corpus ids that
+    collide with neither — the triplet-mining stage of embedding /
+    reranker training, reproducible on any engine or partitioning
+    (resampling a corpus snapshot always yields the same triplets).
+
+    Candidates come from H56(seed:anchor:positive:j) mod corpus size,
+    j over ``k + 2`` draws; draws that hit the anchor or the positive
+    are discarded and the first ``k`` survivors (by draw index) kept —
+    per-pair shortfall below k is possible only in toy corpora where
+    4+ of the draws collide.
+
+    Output: (anchor, positive, sample_rank 1..k, negative_id).
+
+    Scale: the corpus gets a dense index ONCE (one ranking window);
+    candidate draws explode map-side (k+2 per pair) and resolve
+    through a single equi-join on the dense index — at 100 TB both
+    sides of that join are data-sized and hash-partition cleanly; the
+    per-pair survivor window is bounded (k+2 rows)."""
+    from .text import h56
+
+    [id_col] = corpus_ids.columns
+    ids = corpus_ids.select(F.col(id_col).alias("__cid")).distinct()
+    # dense 0..n-1 index; single-partition window is fine for the
+    # dimension-sized id table of a sampling problem — for a corpus-
+    # sized id space swap in zipWithIndex-style two-phase numbering
+    idx = ids.select(
+        "__cid",
+        (F.row_number().over(Window.orderBy("__cid")) - 1).alias("__idx"),
+    )
+    n = idx.agg(F.count(F.lit(1)).alias("__n"))
+    draws = (
+        pairs.select(
+            F.col(anchor_col).alias("anchor_id"),
+            F.col(positive_col).alias("positive_id"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(int(k) + 1))).alias("__j"),
+        )
+        .select(
+            "anchor_id",
+            "positive_id",
+            "__j",
+            (
+                h56(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        F.col("anchor_id").cast("string"),
+                        F.col("positive_id").cast("string"),
+                        F.col("__j").cast("string"),
+                    )
+                )
+                % F.col("__n")
+            ).alias("__idx"),
+        )
+    )
+    cand = draws.join(idx, "__idx").filter(
+        (F.col("__cid") != F.col("anchor_id"))
+        & (F.col("__cid") != F.col("positive_id"))
+    )
+    w = Window.partitionBy("anchor_id", "positive_id").orderBy("__j")
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(k))
+        .select(
+            "anchor_id", "positive_id", "sample_rank",
+            F.col("__cid").alias("negative_id"),
+        )
+    )

@@ -572,3 +572,27 @@ def threshold_crossings(
             F.col(ts_col).cast("long").cast("double").alias("crossed_at"),
         )
     )
+
+
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join the unbounded stream
+    against a bounded dimension table (user profile, catalog, config)
+    — the lookup stage every event pipeline runs before aggregation.
+
+    The static side is explicitly BROADCAST: stream-static joins
+    re-plan the static side per micro-batch, and broadcasting it keeps
+    every batch map-side — the stream never shuffles for the lookup
+    and no state store is involved (unlike stream-stream joins, this
+    is stateless and needs no watermark).
+
+    Works identically on a batch frame (the oracle twin): the plan is
+    the same broadcast join either way."""
+    cols = dim_cols or [c for c in dim.columns if c != on]
+    d = dim.select(on, *cols)
+    return stream.join(F.broadcast(d), on, how)

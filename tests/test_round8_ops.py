@@ -298,3 +298,47 @@ def test_hits_star_graph(spark):
     out = {r["id"]: (r["hub"], r["authority"]) for r in hits(edges, max_iter=3).collect()}
     assert out[9] == (0.0, 1.0)
     assert out[1] == (1.0, 0.0) and out[2] == (1.0, 0.0) and out[3] == (1.0, 0.0)
+
+
+def test_bellman_ford_weighted_vs_hops(spark):
+    from graph_etl_spark.operators import bellman_ford
+
+    # 1-2 (w5), 2-3 (w5), 1-3 (w20): weighted shortest 1->3 goes via 2
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 20)], "src long, dst long, w long"
+    )
+    srcs = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r["distance"]
+           for r in bellman_ford(edges, srcs, weight="w", max_iter=6).collect()}
+    assert out == {1: 0, 2: 5, 3: 10}
+    # weight=None degenerates to hop counts (BFS)
+    hops = {r["id"]: r["distance"]
+            for r in bellman_ford(edges, srcs, max_iter=6).collect()}
+    assert hops == {1: 0, 2: 1, 3: 1}
+
+
+def test_negative_samples_deterministic_no_collisions(spark):
+    from graph_etl_spark.operators import negative_samples
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "anchor_id long, positive_id long")
+    corpus = spark.createDataFrame([(i,) for i in range(1, 21)], "doc_id long")
+    out1 = negative_samples(pairs, corpus, k=3).collect()
+    out2 = negative_samples(pairs, corpus, k=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # reproducible
+    by_pair = {}
+    for r in out1:
+        by_pair.setdefault((r["anchor_id"], r["positive_id"]), []).append(r)
+    for (a, p), rows in by_pair.items():
+        assert len(rows) == 3
+        assert sorted(r["sample_rank"] for r in rows) == [1, 2, 3]
+        for r in rows:
+            assert r["negative_id"] not in (a, p)
+
+
+def test_streaming_enrich_batch_twin(spark):
+    from graph_etl_spark.streaming import streaming_enrich
+
+    ev = spark.createDataFrame([(1, 10.0), (2, 5.0), (9, 1.0)], "uid long, v double")
+    dim = spark.createDataFrame([(1, "gold"), (2, "basic")], "uid long, tier string")
+    out = {r["uid"]: r["tier"] for r in streaming_enrich(ev, dim, "uid").collect()}
+    assert out == {1: "gold", 2: "basic", 9: None}

@@ -362,3 +362,39 @@ def test_streaming_threshold_alerts_one_shot_across_batches(spark, tmp_path):
         for r in threshold_crossings(batch, threshold=3).collect()
     }
     assert twin[(1, "click")] == float(int(alert["crossed_at"]))
+
+
+def test_streaming_enrich_stream_and_batch_agree(spark, tmp_path):
+    """Stream-static enrichment: the streaming run over a file source
+    must produce exactly the rows the batch form produces, and the
+    static side must broadcast (stateless — no watermark, no state
+    store)."""
+    from graph_etl_spark.streaming import streaming_enrich
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (9, 1.0)], "uid long, v double"
+    ).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "uid long, tier string"
+    )
+
+    batch = {
+        (r["uid"], r["tier"])
+        for r in streaming_enrich(spark.read.parquet(src), dim, "uid").collect()
+    }
+    assert batch == {(1, "gold"), (2, "basic"), (9, None)}
+
+    stream = spark.readStream.schema("uid long, v double").parquet(src)
+    rows: list = []
+    q = (
+        streaming_enrich(stream, dim, "uid")
+        .writeStream.foreachBatch(
+            lambda bdf, bid: rows.extend(r.asDict() for r in bdf.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r["uid"], r["tier"]) for r in rows} == batch
