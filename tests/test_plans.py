@@ -616,3 +616,19 @@ def test_inverted_index_one_agg_no_joins(spark, entry):
     st = plan_stats(entry.q_text_inverted_index(spark, SF))
     assert st.joins == 0
     assert st.exchanges <= 1
+
+
+def test_negative_samples_no_cartesian(spark, entry):
+    """The only nested loop allowed is the 1-row corpus-size
+    broadcast; candidates resolve through an equi-join on the dense
+    index."""
+    df = entry.q_quality_negative_samples(spark, SF)
+    assert_no_cartesian(df, allow_broadcast_nested_loop=True)
+
+
+def test_enriched_stats_broadcasts_dim(spark, entry):
+    """Stream-static enrichment: the dimension broadcasts — the event
+    stream never shuffles for the lookup."""
+    st = plan_stats(entry.q_events_enriched_stats(spark, SF))
+    assert st.broadcast_hash_joins >= 1
+    assert st.sort_merge_joins == 0

@@ -267,6 +267,13 @@ def main() -> None:
         # direction, same note as unigram); the scoring stream is
         # data-sized with one per-doc window shuffle
         "trigram_perplexity": lambda d: ops.trigram_perplexity(d),
+        # r8 batch 7: negative sampling — pairs AND corpus both grow
+        # Nx (draws explode k+2 per pair; the dense-index join is the
+        # only corpus-sized shuffle)
+        "negative_samples": lambda d: ops.negative_samples(
+            d.select(F.col("doc_id").alias("anchor_id"),
+                     (F.col("doc_id") + 1).alias("positive_id")),
+            d.select("doc_id"), k=3),
         # r8 batch 6: inverted index — disjoint per-copy tokens grow
         # the term key space ~Nx; one agg with bounded postings payload
         "inverted_index": lambda d: ops.inverted_index(d, min_df=2),
@@ -350,6 +357,21 @@ def main() -> None:
         # r8 batch 6: HITS — 3 fixed rounds; per round two edge-join
         # aggregations + two in-plan max scalars
         "hits": lambda f: (lambda: ops.hits(copurchase(f), max_iter=3)),
+        # r8 batch 7: Bellman-Ford — fixed 4 rounds; per round one
+        # edge join + one min-agg, both vertex/edge-sized
+        "bellman_ford": lambda f: (
+            lambda: ops.bellman_ford(
+                copurchase(f).withColumn(
+                    "w", (F.col("src") + F.col("dst")) % 5 + 1
+                ),
+                copurchase(f)
+                .groupBy((F.col("src") / 100_000_000).cast("long").alias("c"))
+                .agg(F.min("src").alias("id"))
+                .select("id"),
+                weight="w",
+                max_iter=4,
+            )
+        ),
         # synchronous LPA — FIXED 3 rounds at both scales, so the
         # ratio probes the per-round neighbor join + vote agg + argmax
         # window (all edge/vertex-sized)
