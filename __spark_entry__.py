@@ -2408,6 +2408,39 @@ def q_events_enriched_stats(spark, sf):
     )
 
 
+def q_etl_zorder_layout(spark, sf):
+    """Morton (Z-order) clustering key over (l_extendedprice,
+    l_quantity), 8 bits per dimension: the Delta/Iceberg OPTIMIZE
+    ZORDER layout primitive — scalar bounds broadcast + pure integer
+    shift/mask interleave, no shuffle until the caller's range
+    partitioning."""
+    li = _t(spark, sf, "lineitem")
+    return ops.zorder_key(
+        li, ["l_extendedprice", "l_quantity"], bits=8
+    ).select("l_orderkey", "l_partkey", "l_linenumber", "zkey")
+
+
+def q_quality_quantile_normalize(spark, sf):
+    """Rank-based quantile of document length over the total
+    (n_chars, doc_id) order — the heavy-tail-proof feature transform;
+    one global sort, deterministic on any partitioning."""
+    d = _t(spark, sf, "documents")
+    return ops.quantile_normalize(d, "n_chars", "doc_id").select(
+        "doc_id", "n_chars", "quantile"
+    )
+
+
+def q_events_ohlc(spark, sf):
+    """Daily OHLC bars per event type: open/close by argmin/argmax
+    over the unique epoch-nanos order key (no ties possible),
+    high/low/sum over 4-dp decimals — ONE map-side-combined
+    aggregation on the (type, day) key."""
+    e = _t(spark, sf, "events")
+    return ops.resample_ohlc(
+        e, "event_type", "ts", "value", "event_id", bucket_seconds=86400
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2686,7 +2719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fifth batch (rolling median, snapshot diff, histogram,
     correlation matrix, column masking) and the sixth (EWMA, Markov
     transitions, inverted index, HITS) and seventh (negative sampling,
-    Bellman-Ford, stream-static enrichment twin — the window is FULL at
+    Bellman-Ford, stream-static enrichment twin) and eighth (Z-order
+    layout, quantile normalization, OHLC bars — the window is FULL at
     this point, so the newest additions past slot 50 sit at the HEAD
     of the tail and MUST lead the r9 window for their first driver
     verdicts); the
@@ -2781,6 +2815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_negative_samples": q_quality_negative_samples,
         "graph_bellman_ford": q_graph_bellman_ford,
         "events_enriched_stats": q_events_enriched_stats,
+        "etl_zorder_layout": q_etl_zorder_layout,
+        "quality_quantile_normalize": q_quality_quantile_normalize,
+        "events_ohlc": q_events_ohlc,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -5715,6 +5752,68 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         LEFT JOIN customer c ON c.c_custkey = e.user_id
         GROUP BY c.c_mktsegment
+    """
+
+    # Z-order key: the interleave expression is GENERATED by the same
+    # Python loop as the operator — bit for bit the same shifts.
+    _zo_scale = (
+        "CAST(LEAST(255, GREATEST(0, FLOOR("
+        "CASE WHEN hi_{c} > lo_{c} THEN "
+        "(CAST({c} AS DOUBLE) - lo_{c}) / (hi_{c} - lo_{c}) ELSE 0.0 END"
+        " * 256))) AS BIGINT)"
+    )
+    # every term FULLY parenthesized: DuckDB's bitwise |, & and <<
+    # share one precedence level (left-assoc), so a bare
+    # `a | b << k` parses as `(a | b) << k` and overflows
+    _zo_terms = " | ".join(
+        f"(((s_{c} >> {bit}) & 1) << {bit * 2 + ci})"
+        for bit in range(8)
+        for ci, c in enumerate(["l_extendedprice", "l_quantity"])
+    )
+    sql["etl_zorder_layout"] = f"""
+        WITH b AS (
+          SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo_l_extendedprice,
+                 MAX(CAST(l_extendedprice AS DOUBLE)) AS hi_l_extendedprice,
+                 MIN(CAST(l_quantity AS DOUBLE)) AS lo_l_quantity,
+                 MAX(CAST(l_quantity AS DOUBLE)) AS hi_l_quantity
+          FROM lineitem
+        ), s AS (
+          SELECT l_orderkey, l_partkey, l_linenumber,
+                 {_zo_scale.format(c="l_extendedprice")} AS s_l_extendedprice,
+                 {_zo_scale.format(c="l_quantity")} AS s_l_quantity
+          FROM lineitem CROSS JOIN b
+        )
+        SELECT l_orderkey, l_partkey, l_linenumber,
+               ({_zo_terms})::BIGINT AS zkey
+        FROM s
+    """
+
+    sql["quality_quantile_normalize"] = """
+        SELECT doc_id, n_chars,
+               ROUND(CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                          AS DOUBLE)
+                     / GREATEST(COUNT(*) OVER () - 1, 1), 6) AS quantile
+        FROM documents
+    """
+
+    sql["events_ohlc"] = """
+        WITH v AS (
+          SELECT event_type,
+                 (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) * 86400
+                   AS bucket_start,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 + event_id
+                   AS okey,
+                 CAST(ROUND(value, 4) AS DECIMAL(19,4)) AS v4
+          FROM events
+        )
+        SELECT event_type, bucket_start,
+               CAST(arg_min(v4, okey) AS DOUBLE) AS open,
+               CAST(MAX(v4) AS DOUBLE) AS high,
+               CAST(MIN(v4) AS DOUBLE) AS low,
+               CAST(arg_max(v4, okey) AS DOUBLE) AS close,
+               COUNT(*)::BIGINT AS n_rows,
+               CAST(SUM(CAST(v4 AS DECIMAL(28,4))) AS DOUBLE) AS total
+        FROM v GROUP BY event_type, bucket_start
     """
 
     # Curriculum ordering: the text_quality_scores composite feeds

@@ -146,6 +146,9 @@ HEADLINE = [
     "quality_negative_samples",
     "graph_bellman_ford",
     "events_enriched_stats",
+    "etl_zorder_layout",
+    "quality_quantile_normalize",
+    "events_ohlc",
 ]
 
 

@@ -178,3 +178,50 @@ def ewma(
         ).otherwise(F.lit(0.0))
         den = den + F.when(present, F.lit(wj)).otherwise(F.lit(0.0))
     return df.withColumn(out, F.round(num / den, 6))
+
+
+def resample_ohlc(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (key, time bucket),
+    the opening / highest / lowest / closing value plus row count and
+    a decimal-exact sum — the candlestick/rollup primitive for metric
+    and price streams.
+
+    Open/close are argmin/argmax over the UNIQUE integer order key
+    epoch_nanos-style (epoch seconds * 1e9 + row id), so ties are
+    impossible and both engines pick identical rows; high/low are
+    plain min/max of the 4-dp-rounded decimal value; the sum is a
+    decimal sum — everything order-independent.
+
+    Scale: ONE map-side-combined aggregation on the (key, bucket)
+    key; min_by/max_by carry a single (value, okey) pair per group
+    through the partial aggregates."""
+    bucket = (F.col(ts_col).cast("long") / int(bucket_seconds)).cast(
+        "long"
+    ) * int(bucket_seconds)
+    okey = F.col(ts_col).cast("long") * F.lit(1_000_000_000) + F.col(id_col)
+    v4 = F.round(F.col(value_col), 4).cast("decimal(19,4)")
+    return (
+        df.select(
+            F.col(key).alias("k"),
+            bucket.alias("bucket_start"),
+            okey.alias("__o"),
+            v4.alias("__v"),
+        )
+        .groupBy("k", "bucket_start")
+        .agg(
+            F.min_by("__v", "__o").cast("double").alias("open"),
+            F.max("__v").cast("double").alias("high"),
+            F.min("__v").cast("double").alias("low"),
+            F.max_by("__v", "__o").cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__v").cast("decimal(28,4)")).cast("double").alias("total"),
+        )
+        .withColumnRenamed("k", key)
+    )

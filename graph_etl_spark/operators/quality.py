@@ -1689,3 +1689,35 @@ def negative_samples(
             F.col("__cid").alias("negative_id"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    out: str = "quantile",
+    round_to: int = 6,
+) -> DataFrame:
+    """Rank-based quantile of a numeric column: percent_rank over the
+    TOTAL order (value, tiebreak) — the heavy-tail-proof feature
+    transform (model features, curriculum difficulty) where min-max
+    scaling would let one outlier compress everything else to ~0.
+
+    The unique tiebreak makes the order total, so the rank — and the
+    quantile — is deterministic on any engine/partitioning; the
+    quantile is (rank - 1) / (n - 1) rounded to ``round_to`` (single-
+    row inputs map to 0).
+
+    Scale: ONE global sort — the honest cost of exact ranks. The
+    windowless alternative at 100 TB is approx_percentile bucketing;
+    this operator is the exact path, and feature pipelines typically
+    apply it AFTER heavy filtering."""
+    w = Window.orderBy(F.col(value_col), F.col(tiebreak_col))
+    return df.withColumn(
+        out,
+        F.round(
+            (F.row_number().over(w) - F.lit(1)).cast("double")
+            / F.greatest(F.count(F.lit(1)).over(Window.partitionBy()) - 1, F.lit(1)),
+            round_to,
+        ),
+    )

@@ -351,3 +351,64 @@ def write_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.parquet(path)
+
+
+def zorder_key(
+    df,
+    cols: list[str],
+    bits: int = 16,
+    out: str = "zkey",
+):
+    """Morton (Z-order) clustering key over 2+ numeric columns: each
+    column min-max-scales to a ``bits``-bit integer and the bits
+    interleave — rows close in EVERY dimension land close in the key,
+    so sorting files by it makes min/max footer pruning effective for
+    predicates on ANY of the dimensions (the Delta/Iceberg OPTIMIZE
+    ZORDER layout primitive; pair with ``repartitionByRange(zkey)``
+    before the write).
+
+    Determinism: scaling is one IEEE floor per column (bounds from an
+    in-plan 1-row broadcast aggregate); interleaving is pure integer
+    shift/mask arithmetic — identical on any engine.
+
+    Scale: one bounds aggregate (scalar broadcast) + map-side
+    expression work; total interleave terms = bits x n_cols, each a
+    shift-and-or — no shuffle until the caller's range partitioning."""
+    from pyspark.sql import functions as F
+
+    n = int(bits)
+    bounds = df.agg(
+        *[
+            x
+            for c in cols
+            for x in (
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            )
+        ]
+    )
+    base = df.crossJoin(F.broadcast(bounds))
+    scaled = {}
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        frac = F.when(hi > lo, (F.col(c).cast("double") - lo) / (hi - lo)).otherwise(
+            F.lit(0.0)
+        )
+        scaled[c] = F.least(
+            F.lit((1 << n) - 1),
+            F.greatest(F.lit(0), F.floor(frac * (1 << n))),
+        ).cast("long")
+    z = F.lit(0).cast("long")
+    for bit in range(n):
+        for ci, c in enumerate(cols):
+            # Column.__and__ is LOGICAL and in PySpark — bit masking
+            # needs the explicit bitwiseAND
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(scaled[c], bit).bitwiseAND(F.lit(1).cast("long")),
+                    bit * len(cols) + ci,
+                ).cast("long")
+            )
+    return base.withColumn(out, z).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )

@@ -632,3 +632,20 @@ def test_enriched_stats_broadcasts_dim(spark, entry):
     st = plan_stats(entry.q_events_enriched_stats(spark, SF))
     assert st.broadcast_hash_joins >= 1
     assert st.sort_merge_joins == 0
+
+
+def test_zorder_map_side_after_bounds(spark, entry):
+    """Z-order: the only join is the 1-row bounds broadcast (nested
+    loop against a scalar — fine), the only exchanges belong to that
+    bounds aggregate; the interleave itself is map-side expression
+    work over the scan."""
+    st = plan_stats(entry.q_etl_zorder_layout(spark, SF))
+    assert st.sort_merge_joins == 0
+    assert st.nested_loop_joins <= 1
+    assert st.exchanges <= 2
+
+
+def test_ohlc_single_agg(spark, entry):
+    st = plan_stats(entry.q_events_ohlc(spark, SF))
+    assert st.joins == 0
+    assert st.exchanges <= 1

@@ -342,3 +342,52 @@ def test_streaming_enrich_batch_twin(spark):
     dim = spark.createDataFrame([(1, "gold"), (2, "basic")], "uid long, tier string")
     out = {r["uid"]: r["tier"] for r in streaming_enrich(ev, dim, "uid").collect()}
     assert out == {1: "gold", 2: "basic", 9: None}
+
+
+def test_zorder_key_interleaves(spark):
+    from graph_etl_spark.operators import zorder_key
+
+    # 4 corner points with bits=2: scaled coords are 0 or 3 (0b11)
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (3.0, 0.0), (0.0, 3.0), (3.0, 3.0)], "x double, y double"
+    )
+    out = {(r["x"], r["y"]): r["zkey"]
+           for r in zorder_key(df, ["x", "y"], bits=2).collect()}
+    # interleave: x bits land at even positions, y at odd
+    assert out[(0.0, 0.0)] == 0b0000
+    assert out[(3.0, 3.0)] == 0b1111
+    assert out[(3.0, 0.0)] == 0b0101   # x=11 interleaved at even slots
+    assert out[(0.0, 3.0)] == 0b1010
+
+
+def test_quantile_normalize_total_order(spark):
+    from graph_etl_spark.operators import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 99.0), (4, 0.0), (5, 50.0)], "id long, v double"
+    )
+    out = {r["id"]: r["quantile"]
+           for r in quantile_normalize(df, "v", "id").collect()}
+    assert out[4] == 0.0 and out[3] == 1.0
+    assert out[1] < out[2]   # tie resolved by id — deterministic
+    assert out[5] == 0.75
+
+
+def test_resample_ohlc_bars(spark):
+    from graph_etl_spark.operators import resample_ohlc
+
+    rows = [
+        (1, _ts(0), 1, 10.0), (2, _ts(10), 1, 30.0), (3, _ts(50), 1, 20.0),
+        (4, _ts(70), 1, 5.0),   # second hour
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {r["bucket_start"]: r for r in
+           resample_ohlc(e, "user_id", "ts", "value", "event_id",
+                         bucket_seconds=3600).collect()}
+    h0 = out[min(out)]
+    assert (h0["open"], h0["high"], h0["low"], h0["close"]) == (10.0, 30.0, 10.0, 20.0)
+    assert h0["n_rows"] == 3 and h0["total"] == 60.0
+    h1 = out[max(out)]
+    assert h1["open"] == h1["close"] == 5.0 and h1["n_rows"] == 1

@@ -467,6 +467,11 @@ def main() -> None:
         "numeric_histogram": lambda f: ops.numeric_histogram(
             f, "value", n_bins=8
         ),
+        # r8 batch 8: OHLC resampling — bounded (type, day) key,
+        # one map-side-combined agg; must be ~scan-linear
+        "resample_ohlc": lambda f: ops.resample_ohlc(
+            f, "event_type", "ts", "value", "event_id", bucket_seconds=86400
+        ),
         # r8 batch 6: truncated EWMA — bounded 8-element window slice
         # per row, same regime as rolling_median
         "ewma": lambda f: ops.ewma(
