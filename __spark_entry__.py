@@ -2441,6 +2441,30 @@ def q_events_ohlc(spark, sf):
     )
 
 
+def q_text_feature_hashing(spark, sf):
+    """Hashing-trick featurization: tokens hash into 32 fixed buckets
+    (H56 mod — vocabulary-free, no OOV), per-(doc, bucket) counts in
+    sparse long format. Map-side explode + one aggregation."""
+    return ops.feature_hashing(
+        _t(spark, sf, "documents"), n_buckets=32
+    )
+
+
+def q_events_covisitation(spark, sf):
+    """Composition query: gap-sessionize the event stream (30-min
+    sessions), then mine within-session event-type pairs (support =
+    sessions, min 5) — the co-visitation matrix behind session-based
+    recommenders, reusing sessionize + frequent_pairs unchanged."""
+    from graph_etl_spark.streaming import sessionize
+
+    s = sessionize(_t(spark, sf, "events"), gap_minutes=30)
+    baskets = s.select(
+        F.concat_ws("#", F.col("user_id"), F.col("session_id")).alias("basket"),
+        F.col("event_type").alias("item"),
+    )
+    return ops.frequent_pairs(baskets, "basket", "item", min_support=5)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2720,7 +2744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correlation matrix, column masking) and the sixth (EWMA, Markov
     transitions, inverted index, HITS) and seventh (negative sampling,
     Bellman-Ford, stream-static enrichment twin) and eighth (Z-order
-    layout, quantile normalization, OHLC bars — the window is FULL at
+    layout, quantile normalization, OHLC bars, feature hashing,
+    session co-visitation — the window is FULL at
     this point, so the newest additions past slot 50 sit at the HEAD
     of the tail and MUST lead the r9 window for their first driver
     verdicts); the
@@ -2818,6 +2843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_zorder_layout": q_etl_zorder_layout,
         "quality_quantile_normalize": q_quality_quantile_normalize,
         "events_ohlc": q_events_ohlc,
+        "text_feature_hashing": q_text_feature_hashing,
+        "events_covisitation": q_events_covisitation,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -5814,6 +5841,48 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*)::BIGINT AS n_rows,
                CAST(SUM(CAST(v4 AS DECIMAL(28,4))) AS DOUBLE) AS total
         FROM v GROUP BY event_type, bucket_start
+    """
+
+    sql["text_feature_hashing"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        )
+        SELECT doc_id,
+               ({_H56.format(x="tok")} % 32)::INT AS bucket,
+               COUNT(*)::BIGINT AS n
+        FROM toks GROUP BY doc_id, bucket
+    """
+
+    sql["events_covisitation"] = """
+        WITH gaps AS (
+          SELECT user_id, ts, event_type,
+                 epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts)) AS gap
+          FROM events
+        ), flags AS (
+          SELECT user_id, ts, event_type,
+                 CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END
+                   AS new_session
+          FROM gaps
+        ), sess AS (
+          SELECT user_id, event_type,
+                 SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM flags
+        ), items AS (
+          SELECT DISTINCT
+                 user_id::VARCHAR || '#' || session_id::VARCHAR AS basket,
+                 event_type AS item
+          FROM sess
+        )
+        SELECT a.item AS item_a, b.item AS item_b,
+               COUNT(*)::BIGINT AS support
+        FROM items a JOIN items b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING COUNT(*) >= 5
     """
 
     # Curriculum ordering: the text_quality_scores composite feeds

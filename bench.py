@@ -149,6 +149,8 @@ HEADLINE = [
     "etl_zorder_layout",
     "quality_quantile_normalize",
     "events_ohlc",
+    "text_feature_hashing",
+    "events_covisitation",
 ]
 
 

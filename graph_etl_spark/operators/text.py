@@ -667,3 +667,32 @@ def inverted_index(
         )
         .filter(F.col("df") >= int(min_df))
     )
+
+
+def feature_hashing(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Hashing-trick features: every token hashes (H56 mod
+    ``n_buckets``) into a fixed bucket space and the per-(doc, bucket)
+    counts come back in long format — the vocabulary-free
+    featurization (Weinberger et al.) that needs no fitted dictionary
+    and never OOVs, the cheap baseline feeding the in-engine logistic
+    classifier.
+
+    Long format (doc_id, bucket, n) rather than a dense array: sparse
+    by construction, join-able, and exactly comparable across engines.
+
+    Scale: map-side explode + ONE aggregation on the (doc, bucket)
+    key; output is bounded by rows x min(tokens, n_buckets)."""
+    toks = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    return (
+        toks.withColumn("bucket", (h56(F.col("tok")) % int(n_buckets)).cast("int"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -391,3 +391,18 @@ def test_resample_ohlc_bars(spark):
     assert h0["n_rows"] == 3 and h0["total"] == 60.0
     h1 = out[max(out)]
     assert h1["open"] == h1["close"] == 5.0 and h1["n_rows"] == 1
+
+
+def test_feature_hashing_counts(spark):
+    from graph_etl_spark.operators import feature_hashing
+
+    docs = spark.createDataFrame([(1, "a b a"), (2, "a")], "doc_id long, text string")
+    out = feature_hashing(docs, n_buckets=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["n"]
+    assert sum(by_doc[1].values()) == 3 and sum(by_doc[2].values()) == 1
+    # same token -> same bucket on every doc (hash determinism)
+    [a_bucket] = [b for b, n in by_doc[2].items()]
+    assert by_doc[1][a_bucket] == 2
+    assert all(0 <= b < 4 for d in by_doc.values() for b in d)
