@@ -1468,7 +1468,9 @@ def numeric_histogram(
     Bucketing is floor((x - lo) / (hi - lo) * n) clamped to
     [0, n-1] — one IEEE-double expression both engines evaluate
     identically (floor is exact); rows outside [lo, hi] clamp into
-    the edge buckets. Edges are reported to 6 dp.
+    the edge buckets. Edges are reported to 6 dp. A degenerate
+    column (hi == lo, e.g. constant) yields an EMPTY histogram by
+    contract — there is no width to bin.
 
     Scale: one map-side-combined count aggregation on a bounded key
     (n_bins); the bounds aggregate is a scalar broadcast — the

@@ -377,6 +377,11 @@ def zorder_key(
     from pyspark.sql import functions as F
 
     n = int(bits)
+    if n * len(cols) > 62:
+        raise ValueError(
+            f"zorder_key: {n} bits x {len(cols)} cols exceeds the signed "
+            "64-bit key space; lower bits or drop a dimension"
+        )
     bounds = df.agg(
         *[
             x
