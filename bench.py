@@ -151,6 +151,7 @@ HEADLINE = [
     "events_ohlc",
     "text_feature_hashing",
     "events_covisitation",
+    "events_ohlc_windowed",
 ]
 
 

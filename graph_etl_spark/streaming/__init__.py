@@ -596,3 +596,52 @@ def streaming_enrich(
     cols = dim_cols or [c for c in dim.columns if c != on]
     d = dim.select(on, *cols)
     return stream.join(F.broadcast(d), on, how)
+
+
+def streaming_ohlc(
+    events: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming OHLC bars: the stream twin of
+    ``operators.resample_ohlc`` — tumbling event-time windows with a
+    watermark, open/close by min_by/max_by over the unique
+    epoch-nanos order key (tie-free), high/low/sum over 4-dp
+    decimals. State is one partial bar per open (key, window); the
+    watermark closes and evicts bars, so state stays bounded on an
+    unbounded stream.
+
+    Works identically on a batch frame (drop the watermark no-op) —
+    the oracle-checked batch path and the streaming path share every
+    aggregate expression."""
+    okey = F.col(ts_col).cast("long") * F.lit(1_000_000_000) + F.col(id_col)
+    v4 = F.round(F.col(value_col), 4).cast("decimal(19,4)")
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.select(
+            F.col(key).alias("k"),
+            F.col(ts_col),
+            okey.alias("__o"),
+            v4.alias("__v"),
+        )
+        .groupBy(F.window(ts_col, window_duration).alias("win"), "k")
+        .agg(
+            F.min_by("__v", "__o").cast("double").alias("open"),
+            F.max("__v").cast("double").alias("high"),
+            F.min("__v").cast("double").alias("low"),
+            F.max_by("__v", "__o").cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__v").cast("decimal(28,4)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("k").alias(key),
+            "open", "high", "low", "close", "n_rows", "total",
+        )
+    )

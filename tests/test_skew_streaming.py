@@ -398,3 +398,62 @@ def test_streaming_enrich_stream_and_batch_agree(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {(r["uid"], r["tier"]) for r in rows} == batch
+
+
+def test_streaming_ohlc_stream_and_batch_agree(spark, tmp_path):
+    """Streaming OHLC: the watermarked streaming run over a file
+    source must produce the same bars the batch form produces on the
+    same data (shared aggregate expressions)."""
+    import pandas as pd
+
+    from graph_etl_spark.streaming import streaming_ohlc
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, (base + pd.Timedelta(minutes=m)).to_pydatetime(), "click", float(v))
+        for m, v in [(0, 10.0), (10, 30.0), (50, 20.0), (70, 5.0)]
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_rows"], r["total"]
+        )
+        for r in streaming_ohlc(spark.read.parquet(src)).collect()
+    }
+    first_hour = min(k[0] for k in batch)
+    assert batch[(first_hour, "click")] == (10.0, 30.0, 10.0, 20.0, 3, 60.0)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    rows_out: list = []
+    q = (
+        streaming_ohlc(stream, watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, bid: rows_out.extend(r.asDict() for r in bdf.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_rows"], r["total"]
+        )
+        for r in rows_out
+    }
+    # append mode emits a bar only once the watermark passes its
+    # window end — the final (still-open) window is withheld by
+    # DESIGN in a bounded run; every emitted bar must match the batch
+    # bar exactly, and the closed first hour must have emitted
+    assert streamed, "no closed windows emitted"
+    assert (first_hour, "click") in streamed
+    for k, v in streamed.items():
+        assert batch[k] == v
+    assert set(streamed) == {k for k in batch if k[0] != max(b[0] for b in batch)}
