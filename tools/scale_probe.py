@@ -274,6 +274,9 @@ def main() -> None:
             d.select(F.col("doc_id").alias("anchor_id"),
                      (F.col("doc_id") + 1).alias("positive_id")),
             d.select("doc_id"), k=3),
+        # r8 batch 9: hashing-trick features — disjoint per-copy
+        # tokens grow the (doc, bucket) key space linearly
+        "feature_hashing": lambda d: ops.feature_hashing(d, n_buckets=32),
         # r8 batch 6: inverted index — disjoint per-copy tokens grow
         # the term key space ~Nx; one agg with bounded postings payload
         "inverted_index": lambda d: ops.inverted_index(d, min_df=2),
@@ -480,6 +483,12 @@ def main() -> None:
         # r8 batch 6: Markov transitions — event-sized lead window,
         # vocabulary-sized (5x5) count table
         "event_transitions": lambda f: ops.event_transitions(f),
+        # r8 batch 5: CDC snapshot diff — both snapshots grow Nx; ONE
+        # full outer join on the key, delta-sized output (every 17th
+        # event dropped on the new side)
+        "snapshot_diff": lambda f: __import__(
+            "graph_etl_spark.functions", fromlist=["snapshot_diff"]
+        ).snapshot_diff(f, f.filter(F.col("event_id") % 17 != 0), "event_id"),
     }
     vec_cases = {
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
