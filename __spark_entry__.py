@@ -2757,14 +2757,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     transitions, inverted index, HITS) and seventh (negative sampling,
     Bellman-Ford, stream-static enrichment twin) and eighth (Z-order
     layout, quantile normalization, OHLC bars, feature hashing,
-    session co-visitation — the window is FULL at
-    this point, so the newest additions past slot 50 sit at the HEAD
-    of the tail and MUST lead the r9 window for their first driver
-    verdicts); the
+    session co-visitation, the windowed-OHLC streaming twin — the
+    window is FULL at this point, so the SEVEN newest additions
+    occupy slots 51-57 (enriched_stats, zorder, quantile_normalize,
+    ohlc, feature_hashing, covisitation, ohlc_windowed) and MUST lead
+    the r9 window for their first driver verdicts, enforced by
+    tests/test_registry.py); the
     remaining slots to 50 hold the stalest tail rows (last driver
-    verdicts r4-r6, preflight-green every round since). FIFTY-EIGHT
-    stale rows remain at the head of the tail — they MUST lead the
-    r9 window (window/rank/array/string/date batteries, set ops,
+    verdicts r4-r6, preflight-green every round since). FIFTY-EIGHT stale rotation
+    rows follow the seven deferred first-verdict queries — together
+    they MUST lead the r9 window (window/rank/array/string/date batteries, set ops,
     rollup/cube/pivot/moving_avg/unpivot, percentile + approx
     sketches, hash_sample/boilerplate/scrub/pack, pandas_udf,
     sql_interface, embedding norms, mm_decode, split/flatten parity
