@@ -2477,6 +2477,29 @@ def q_events_ohlc_windowed(spark, sf):
     )
 
 
+def q_quality_group_percentiles(spark, sf):
+    """Exact per-event-type p50/p95/p99 of the value stream (lower
+    interpolation — an actual element, no averaging): one window
+    shuffle, one pass for all three percentiles."""
+    e = _t(spark, sf, "events")
+    return ops.group_percentiles(e, "event_type", "value", [0.5, 0.95, 0.99])
+
+
+def q_events_spike_detection(spark, sf):
+    """Composition query: per-user rolling lower median (trailing 5)
+    as the robust baseline, flag events spiking past 3x their own
+    baseline — the anomaly monitor built from rolling_median
+    unchanged."""
+    e = _t(spark, sf, "events")
+    smoothed = ops.rolling_median(
+        e, "user_id", ["ts", "event_id"], "value", window_size=5
+    )
+    return smoothed.filter(
+        (F.col("rolling_median") > 0)
+        & (F.col("value") > 3 * F.col("rolling_median"))
+    ).select("event_id", "user_id", "value", "rolling_median")
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2757,10 +2780,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     transitions, inverted index, HITS) and seventh (negative sampling,
     Bellman-Ford, stream-static enrichment twin) and eighth (Z-order
     layout, quantile normalization, OHLC bars, feature hashing,
-    session co-visitation, the windowed-OHLC streaming twin — the
-    window is FULL at this point, so the SEVEN newest additions
-    occupy slots 51-57 (enriched_stats, zorder, quantile_normalize,
-    ohlc, feature_hashing, covisitation, ohlc_windowed) and MUST lead
+    session co-visitation, the windowed-OHLC streaming twin, exact
+    group percentiles, rolling-median spike detection — the
+    window is FULL at this point, so the NINE newest additions
+    occupy slots 51-59 (enriched_stats, zorder, quantile_normalize,
+    ohlc, feature_hashing, covisitation, ohlc_windowed,
+    group_percentiles, spike_detection) and MUST lead
     the r9 window for their first driver verdicts, enforced by
     tests/test_registry.py); the
     remaining slots to 50 hold the stalest tail rows (last driver
@@ -2860,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_feature_hashing": q_text_feature_hashing,
         "events_covisitation": q_events_covisitation,
         "events_ohlc_windowed": q_events_ohlc_windowed,
+        "quality_group_percentiles": q_quality_group_percentiles,
+        "events_spike_detection": q_events_spike_detection,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -5875,6 +5902,40 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*)::BIGINT AS n_rows,
                CAST(SUM(CAST(v4 AS DECIMAL(28,4))) AS DOUBLE) AS total
         FROM v GROUP BY window_start, event_type
+    """
+
+    sql["quality_group_percentiles"] = """
+        WITH r AS (
+          SELECT event_type,
+                 CAST(ROUND(value, 4) AS DECIMAL(19,4)) AS v,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(ROUND(value, 4) AS DECIMAL(19,4))) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type, CAST(t.p AS DOUBLE) AS p,
+               CAST(v AS DOUBLE) AS value
+        FROM r, unnest([0.5, 0.95, 0.99]) AS t(p)
+        WHERE rn = CAST(FLOOR(t.p * (n - 1)) AS BIGINT) + 1
+    """
+
+    sql["events_spike_detection"] = """
+        WITH m AS (
+          SELECT event_id, user_id, value,
+                 CAST(list_sort(l)[(len(l) + 1) // 2] AS DOUBLE)
+                   AS rolling_median
+          FROM (
+            SELECT event_id, user_id, value,
+                   list(CAST(ROUND(value, 4) AS DECIMAL(19,4))) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
+            FROM events
+          )
+        )
+        SELECT event_id, user_id, value, rolling_median
+        FROM m
+        WHERE rolling_median > 0 AND value > 3 * rolling_median
     """
 
     sql["text_feature_hashing"] = f"""

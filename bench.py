@@ -152,6 +152,8 @@ HEADLINE = [
     "text_feature_hashing",
     "events_covisitation",
     "events_ohlc_windowed",
+    "quality_group_percentiles",
+    "events_spike_detection",
 ]
 
 

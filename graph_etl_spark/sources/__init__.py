@@ -417,3 +417,29 @@ def zorder_key(
     return base.withColumn(out, z).drop(
         *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
     )
+
+
+def file_level_stats(spark, path: str, cols: list[str]):
+    """Per-file min/max manifest over a parquet dataset: one row per
+    physical file with each requested column's range — the
+    data-skipping audit that shows whether a layout (natural,
+    partitioned, Z-ordered) actually makes footer pruning effective.
+    Tight, non-overlapping per-file ranges mean a predicate on the
+    column can skip files; full-span ranges in every file mean every
+    scan reads everything.
+
+    Scale: one pass, map-side-combined aggregation keyed by
+    input_file_name() — file count rows out."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(*aggs)
+        .withColumnRenamed("__file", "file")
+    )

@@ -53,6 +53,7 @@ ROUND8_NEW = [
     "etl_zorder_layout", "quality_quantile_normalize", "events_ohlc",
     "text_feature_hashing", "events_covisitation",
     "events_ohlc_windowed",
+    "quality_group_percentiles", "events_spike_detection",
 ]
 
 
@@ -76,7 +77,7 @@ def test_round8_first_verdict_queries_in_window():
         f"round-8 first-verdict queries neither in-window nor leading "
         f"the tail: {missing}"
     )
-    assert len(missing) <= 12, f"too many first-verdict queries deferred: {missing}"
+    assert len(missing) <= 14, f"too many first-verdict queries deferred: {missing}"
 
 
 def test_bench_headline_subset_of_registry():

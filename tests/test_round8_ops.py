@@ -406,3 +406,47 @@ def test_feature_hashing_counts(spark):
     [a_bucket] = [b for b, n in by_doc[2].items()]
     assert by_doc[1][a_bucket] == 2
     assert all(0 <= b < 4 for d in by_doc.values() for b in d)
+
+
+def test_group_percentiles_exact_lower(spark):
+    from graph_etl_spark.operators import group_percentiles
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["p"]): r["value"]
+           for r in group_percentiles(df, "g", "v", [0.5, 0.9]).collect()}
+    # n=10: rank(0.5) = floor(0.5*9)+1 = 5 -> 5.0; rank(0.9) = floor(8.1)+1 = 9
+    assert out[("a", 0.5)] == 5.0
+    assert out[("a", 0.9)] == 9.0
+    # singleton group: every p hits the single element
+    assert out[("b", 0.5)] == 7.0 and out[("b", 0.9)] == 7.0
+
+
+def test_zorder_layout_tightens_file_ranges(spark, tmp_path):
+    """The point of Z-ordering: after repartitionByRange(zkey) +
+    local sort, per-file min/max ranges on EACH clustered dimension
+    are tighter than the natural layout's — footer pruning can skip
+    files. Measured, not assumed."""
+    from graph_etl_spark.operators import zorder_key
+    from graph_etl_spark.sources import file_level_stats
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    natural = str(tmp_path / "natural")
+    li.repartition(8).write.parquet(natural)
+    zsorted = str(tmp_path / "zsorted")
+    (
+        zorder_key(li, ["l_extendedprice", "l_quantity"], bits=8)
+        .repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.parquet(zsorted)
+    )
+
+    def avg_span(path, col):
+        rows = file_level_stats(spark, path, [col]).collect()
+        return sum(r[f"max_{col}"] - r[f"min_{col}"] for r in rows) / len(rows)
+
+    for col in ["l_extendedprice", "l_quantity"]:
+        assert avg_span(zsorted, col) < avg_span(natural, col), col

@@ -483,6 +483,12 @@ def main() -> None:
         # r8 batch 6: Markov transitions — event-sized lead window,
         # vocabulary-sized (5x5) count table
         "event_transitions": lambda f: ops.event_transitions(f),
+        # r8 batch 11: exact group percentiles — group count fixed (5
+        # types) while rows 10x: the per-group sort grows 10x but the
+        # one-window-one-pass shape must stay linear
+        "group_percentiles": lambda f: ops.group_percentiles(
+            f, "event_type", "value", [0.5, 0.95, 0.99]
+        ),
         # r8 batch 5: CDC snapshot diff — both snapshots grow Nx; ONE
         # full outer join on the key, delta-sized output (every 17th
         # event dropped on the new side)
