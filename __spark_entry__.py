@@ -2500,6 +2500,52 @@ def q_events_spike_detection(spark, sf):
     ).select("event_id", "user_id", "value", "rolling_median")
 
 
+def q_events_session_windows(spark, sf):
+    """Native session_window aggregation (batch form of the streaming
+    query): per merged 30-min-gap session, start / end(= last event +
+    gap) / event count — gap-close semantics identical to sessionize,
+    verified against an independent sessionize-based oracle."""
+    from graph_etl_spark.streaming import session_window_stats
+
+    return session_window_stats(_t(spark, sf, "events"), gap="30 minutes")
+
+
+def q_sim_ranking_eval(spark, sf):
+    """Retrieval eval composition: exact cosine top-10 per query ->
+    label-match relevance -> recall@5 / precision@5 / MRR per query.
+    Closes the retrieval loop over the existing top-k operator with
+    exact integer-count metrics."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    ranked = ops.brute_force_topk(e, q, k=10)
+    labels = e.select("vec_id", "label")
+    joined = (
+        ranked.join(
+            labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "label", "__ql"
+            ),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "__nl"
+            ),
+            "neighbor_id",
+        )
+        .withColumn("is_relevant", F.col("__ql") == F.col("__nl"))
+    )
+    return ops.ranking_metrics(joined, k=5)
+
+
+def q_quality_pr_curve(spark, sf):
+    """Operating-point sweep of the heuristic quality score against
+    the (lang == 'en') label: exact tp/fp/fn for four thresholds in
+    ONE scan, precision/recall derived — the gate-threshold picker."""
+    d = _t(spark, sf, "documents")
+    scored = ops.quality_score(d).withColumn("__y", F.col("lang") == "en")
+    return ops.pr_curve(scored, "quality", "__y", [0.3, 0.5, 0.7, 0.9])
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2781,11 +2827,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Bellman-Ford, stream-static enrichment twin) and eighth (Z-order
     layout, quantile normalization, OHLC bars, feature hashing,
     session co-visitation, the windowed-OHLC streaming twin, exact
-    group percentiles, rolling-median spike detection — the
-    window is FULL at this point, so the NINE newest additions
-    occupy slots 51-59 (enriched_stats, zorder, quantile_normalize,
+    group percentiles, rolling-median spike detection, native
+    session windows, retrieval ranking eval, classifier PR curve —
+    the
+    window is FULL at this point, so the TWELVE newest additions
+    occupy slots 51-62 (enriched_stats, zorder, quantile_normalize,
     ohlc, feature_hashing, covisitation, ohlc_windowed,
-    group_percentiles, spike_detection) and MUST lead
+    group_percentiles, spike_detection, session_windows,
+    ranking_eval, pr_curve) and MUST lead
     the r9 window for their first driver verdicts, enforced by
     tests/test_registry.py); the
     remaining slots to 50 hold the stalest tail rows (last driver
@@ -2887,6 +2936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_windowed": q_events_ohlc_windowed,
         "quality_group_percentiles": q_quality_group_percentiles,
         "events_spike_detection": q_events_spike_detection,
+        "events_session_windows": q_events_session_windows,
+        "sim_ranking_eval": q_sim_ranking_eval,
+        "quality_pr_curve": q_quality_pr_curve,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -5902,6 +5954,104 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*)::BIGINT AS n_rows,
                CAST(SUM(CAST(v4 AS DECIMAL(28,4))) AS DOUBLE) AS total
         FROM v GROUP BY window_start, event_type
+    """
+
+    _prc_rows = " UNION ALL ".join(
+        f"""SELECT {t} AS threshold,
+            SUM(CASE WHEN quality >= {t} AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+            SUM(CASE WHEN quality >= {t} AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+            SUM(CASE WHEN quality < {t} AND y THEN 1 ELSE 0 END)::BIGINT AS fn
+            FROM q"""
+        for t in (0.3, 0.5, 0.7, 0.9)
+    )
+    sql["quality_pr_curve"] = f"""
+        WITH base AS (
+          SELECT doc_id, lang = 'en' AS y,
+                 len({_TOKS}) AS n_tok,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                 len(list_filter({_TOKS}, t -> lower(t) IN
+                   ('the','and','of','to','a','in','is','it','you','that'))) AS stop_hits
+          FROM documents
+        ), ratios AS (
+          SELECT doc_id, y, n_tok,
+                 CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok::DOUBLE ELSE 0.0 END AS mwl,
+                 CASE WHEN n_chars > 0 THEN n_punct / n_chars::DOUBLE ELSE 0.0 END AS pr,
+                 CASE WHEN n_tok > 0 THEN stop_hits / n_tok::DOUBLE ELSE 0.0 END AS sr
+          FROM base
+        ), q AS (
+          SELECT doc_id, y,
+               ROUND(CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN mwl BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END
+                   + CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END
+                   + CASE WHEN sr >= 0.05 THEN 0.1 ELSE 0.0 END, 2) AS quality
+          FROM ratios
+        ), counts AS ({_prc_rows})
+        SELECT threshold, tp, fp, fn,
+               ROUND(CASE WHEN tp + fp > 0
+                     THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6)
+                 AS precision,
+               ROUND(CASE WHEN tp + fn > 0
+                     THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6)
+                 AS recall
+        FROM counts
+    """
+
+    sql["events_session_windows"] = """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts)) AS gap
+          FROM events
+        ), flags AS (
+          SELECT user_id, ts,
+                 CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END
+                   AS new_session
+          FROM gaps
+        ), sess AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM flags
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*)::BIGINT AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """
+
+    sql["sim_ranking_eval"] = f"""
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 a.label AS ql, b.label AS nl, {_cos} AS cos_sim
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)::INT
+              AS rank
+          FROM scored
+        ), top AS (
+          SELECT query_id, rank, ql = nl AS rel FROM ranked WHERE rank <= 10
+        ), m AS (
+          SELECT query_id,
+                 SUM(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS n_relevant,
+                 SUM(CASE WHEN rel AND rank <= 5 THEN 1 ELSE 0 END)::BIGINT
+                   AS hits_k,
+                 MIN(CASE WHEN rel THEN rank END) AS first_rel
+          FROM top GROUP BY query_id
+        )
+        SELECT query_id, n_relevant,
+               ROUND(CASE WHEN n_relevant > 0
+                     THEN hits_k / CAST(LEAST(n_relevant, 5) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS recall_at_k,
+               ROUND(hits_k / 5.0, 6) AS precision_at_k,
+               ROUND(CASE WHEN first_rel IS NOT NULL
+                     THEN 1.0 / first_rel ELSE 0.0 END, 6)
+                 AS reciprocal_rank
+        FROM m
     """
 
     sql["quality_group_percentiles"] = """

@@ -154,6 +154,9 @@ HEADLINE = [
     "events_ohlc_windowed",
     "quality_group_percentiles",
     "events_spike_detection",
+    "events_session_windows",
+    "sim_ranking_eval",
+    "quality_pr_curve",
 ]
 
 

@@ -1778,3 +1778,50 @@ def group_percentiles(
             F.col("__v").cast("double").alias("value"),
         )
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float] = (0.1, 0.3, 0.5, 0.7, 0.9),
+) -> DataFrame:
+    """Precision/recall sweep of a scored classifier against binary
+    labels: one row per threshold with exact tp/fp/fn counts and the
+    derived precision/recall — the operating-point picker for the
+    in-engine quality classifier (train with
+    ``quality_classifier_train``, score, then choose the gate
+    threshold here).
+
+    ONE scan for the whole curve: every threshold is a conditional
+    count inside a single aggregation (the check_expectations
+    pattern), so adding operating points adds zero passes. Division
+    is the only float op, rounded to 6 dp; empty denominators emit 0.
+
+    Output: (threshold, tp, fp, fn, precision, recall)."""
+    out = None
+    is_pos = F.col(label_col).cast("boolean")
+    aggs = []
+    ts = [float(t) for t in thresholds]
+    for i, t in enumerate(ts):
+        pred = F.col(score_col) >= t
+        aggs.append(F.sum(F.when(pred & is_pos, 1).otherwise(0)).alias(f"__tp_{i}"))
+        aggs.append(F.sum(F.when(pred & ~is_pos, 1).otherwise(0)).alias(f"__fp_{i}"))
+        aggs.append(F.sum(F.when(~pred & is_pos, 1).otherwise(0)).alias(f"__fn_{i}"))
+    one = df.agg(*aggs).localCheckpoint(eager=False)
+    for i, t in enumerate(ts):
+        tp, fp, fn = (F.col(f"__tp_{i}"), F.col(f"__fp_{i}"), F.col(f"__fn_{i}"))
+        row = one.select(
+            F.lit(t).alias("threshold"),
+            tp.alias("tp"),
+            fp.alias("fp"),
+            fn.alias("fn"),
+            F.round(
+                F.when(tp + fp > 0, tp / (tp + fp).cast("double")).otherwise(0.0), 6
+            ).alias("precision"),
+            F.round(
+                F.when(tp + fn > 0, tp / (tp + fn).cast("double")).otherwise(0.0), 6
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1509,3 +1509,62 @@ def random_projection(
         )
         comps.append(F.round(dot(vec, plane), round_to))
     return data.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    relevant_col: str = "is_relevant",
+    k: int = 5,
+) -> DataFrame:
+    """Retrieval-quality metrics over a ranked candidate list with
+    binary relevance labels: per query, recall@k (relevant found in
+    the top k / all relevant in the list), precision@k, and
+    reciprocal rank of the first relevant hit — the eval harness that
+    closes the retrieval loop (bm25_rank / cosine_topk / ivfpq_topk
+    produce the rankings; this scores them against labels).
+
+    All three metrics are ratios of exact integer counts (MRR is
+    1/first_rank — one IEEE division), rounded to 6 dp — no
+    transcendentals, bit-stable on any engine.
+
+    Output: (query_id, n_relevant, recall_at_k, precision_at_k,
+    reciprocal_rank); queries with zero relevant candidates emit
+    recall/MRR 0.
+
+    Scale: ONE aggregation on the query key — conditional counts and
+    a conditional min; candidate lists are k-bounded upstream so the
+    group size is tiny by construction."""
+    is_rel = F.col(relevant_col).cast("boolean")
+    in_k = F.col(rank_col) <= int(k)
+    return (
+        ranked.groupBy(query_col)
+        .agg(
+            F.sum(F.when(is_rel, 1).otherwise(0)).alias("n_relevant"),
+            F.sum(F.when(is_rel & in_k, 1).otherwise(0)).alias("__hits_k"),
+            F.min(F.when(is_rel, F.col(rank_col))).alias("__first"),
+        )
+        .select(
+            query_col,
+            "n_relevant",
+            F.round(
+                F.when(
+                    F.col("n_relevant") > 0,
+                    F.col("__hits_k")
+                    / F.least(F.col("n_relevant"), F.lit(int(k))).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.col("__hits_k") / F.lit(float(k)), 6
+            ).alias("precision_at_k"),
+            F.round(
+                F.when(
+                    F.col("__first").isNotNull(),
+                    F.lit(1.0) / F.col("__first"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("reciprocal_rank"),
+        )
+    )

@@ -645,3 +645,40 @@ def streaming_ohlc(
             "open", "high", "low", "close", "n_rows", "total",
         )
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE session_window (gap-
+    close semantics identical to the ``sessionize`` operator, but
+    expressed as a windowed aggregation Catalyst understands) — the
+    form that runs unchanged as a watermarked streaming query, with
+    merging session state handled by the engine instead of
+    applyInPandasWithState.
+
+    Output: (key, session_start, session_end, n_events) — start/end
+    are the min event time and max event time + gap of the merged
+    session.
+
+    Scale: one shuffle on the key; streaming state is one row per
+    OPEN session, evicted at the watermark."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

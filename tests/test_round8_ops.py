@@ -450,3 +450,66 @@ def test_zorder_layout_tightens_file_ranges(spark, tmp_path):
 
     for col in ["l_extendedprice", "l_quantity"]:
         assert avg_span(zsorted, col) < avg_span(natural, col), col
+
+
+def test_ranking_metrics_values(spark):
+    from graph_etl_spark.operators import ranking_metrics
+
+    rows = [
+        # q1: relevant at ranks 2 and 7 (2 relevant; 1 inside top-5)
+        *[(1, r, r in (2, 7)) for r in range(1, 11)],
+        # q2: no relevant at all
+        *[(2, r, False) for r in range(1, 11)],
+    ]
+    df = spark.createDataFrame(rows, "query_id long, rank long, is_relevant boolean")
+    out = {r["query_id"]: r for r in ranking_metrics(df, k=5).collect()}
+    q1 = out[1]
+    assert q1["n_relevant"] == 2
+    assert q1["recall_at_k"] == 0.5        # 1 of min(2, 5)
+    assert q1["precision_at_k"] == 0.2     # 1 of 5
+    assert q1["reciprocal_rank"] == 0.5    # first hit at rank 2
+    q2 = out[2]
+    assert (q2["recall_at_k"], q2["reciprocal_rank"]) == (0.0, 0.0)
+
+
+def test_pr_curve_single_scan_counts(spark):
+    from graph_etl_spark.operators import pr_curve
+
+    rows = [(0.9, True), (0.8, False), (0.4, True), (0.1, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r["threshold"]: r for r in
+           pr_curve(df, "score", "label", [0.5, 0.85]).collect()}
+    t5 = out[0.5]
+    assert (t5["tp"], t5["fp"], t5["fn"]) == (1, 1, 1)
+    assert t5["precision"] == 0.5 and t5["recall"] == 0.5
+    t85 = out[0.85]
+    assert (t85["tp"], t85["fp"], t85["fn"]) == (1, 0, 1)
+    assert t85["precision"] == 1.0 and t85["recall"] == 0.5
+
+
+def test_session_window_stats_matches_sessionize(spark):
+    import datetime
+
+    from graph_etl_spark.streaming import session_window_stats, sessionize
+
+    def at(m):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)
+
+    rows = [(1, at(0)), (1, at(10)), (1, at(60)), (2, at(5))]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    native = session_window_stats(e, gap="30 minutes").collect()
+    by_user = {}
+    for r in native:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2            # 60-min gap splits user 1
+    assert sorted(r["n_events"] for r in by_user[1]) == [1, 2]
+    assert len(by_user[2]) == 1
+    # session counts agree with the window-based sessionize operator
+    legacy = (
+        sessionize(e, gap_minutes=30)
+        .groupBy("user_id")
+        .agg({"session_id": "max"})
+        .collect()
+    )
+    legacy_counts = {r["user_id"]: r["max(session_id)"] for r in legacy}
+    assert legacy_counts == {u: len(v) for u, v in by_user.items()}
