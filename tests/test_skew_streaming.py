@@ -457,3 +457,49 @@ def test_streaming_ohlc_stream_and_batch_agree(spark, tmp_path):
     for k, v in streamed.items():
         assert batch[k] == v
     assert set(streamed) == {k for k in batch if k[0] != max(b[0] for b in batch)}
+
+
+def test_session_window_stats_streaming_closed_sessions(spark, tmp_path):
+    """Native session_window as a watermarked streaming query: closed
+    sessions must match the batch form exactly; the still-open final
+    session is withheld by append semantics in a bounded run."""
+    import pandas as pd
+
+    from graph_etl_spark.streaming import session_window_stats
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [(1, (base + pd.Timedelta(minutes=m)).to_pydatetime())
+            for m in (0, 10, 120, 125)] + [
+        (2, (base + pd.Timedelta(minutes=5)).to_pydatetime())
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+
+    batch = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in session_window_stats(
+            spark.read.parquet(src), gap="30 minutes"
+        ).collect()
+    }
+    assert len(batch) == 3   # user1 splits at the 110-min gap; user2 one
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    rows_out: list = []
+    q = (
+        session_window_stats(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, bid: rows_out.extend(r.asDict() for r in bdf.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in rows_out
+    }
+    assert streamed, "no closed sessions emitted"
+    for k, v in streamed.items():
+        assert batch[k] == v

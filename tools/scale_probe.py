@@ -293,6 +293,15 @@ def main() -> None:
     # direction); per round the shuffle carries pair partials only.
     _base_merges = ops.bpe_learn_merges(d1, rounds=2)  # fixed rules for the encode probe
     thunk_cases = {
+        # r8 batch 12: PR-curve sweep — lazily checkpointed stats frame
+        # caches across writes, so thunk-time a FRESH frame per run;
+        # whole curve is one scan, output threshold-count-sized
+        "pr_curve": lambda d: (
+            lambda: ops.pr_curve(
+                ops.quality_score(d).withColumn("__y", F.col("lang") == "en"),
+                "quality", "__y", [0.3, 0.5, 0.7, 0.9],
+            )
+        ),
         "bpe_merges": lambda d: (lambda: ops.bpe_learn_merges(d, rounds=2)),
         # r8 (VERDICT r7 #6): the logistic trainer — per iteration one
         # corpus scan + a (dim+3)-row collect; 2 iterations, so the
@@ -483,6 +492,11 @@ def main() -> None:
         # r8 batch 6: Markov transitions — event-sized lead window,
         # vocabulary-sized (5x5) count table
         "event_transitions": lambda f: ops.event_transitions(f),
+        # r8 batch 12: native session windows — per-user histories
+        # fixed length, users 10x; engine-merged session state
+        "session_window_stats": lambda f: __import__(
+            "graph_etl_spark.streaming", fromlist=["session_window_stats"]
+        ).session_window_stats(f.select("user_id", "ts"), gap="30 minutes"),
         # r8 batch 11: exact group percentiles — group count fixed (5
         # types) while rows 10x: the per-group sort grows 10x but the
         # one-window-one-pass shape must stay linear
