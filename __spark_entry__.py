@@ -2546,6 +2546,27 @@ def q_quality_pr_curve(spark, sf):
     return ops.pr_curve(scored, "quality", "__y", [0.3, 0.5, 0.7, 0.9])
 
 
+def q_sim_embedding_drift(spark, sf):
+    """Per-dimension drift between two embedding snapshots (even vs
+    odd vec_ids as the stand-in populations): decimal-exact dimension
+    means + absolute deltas — the encoder/corpus-shift monitor."""
+    e = _t(spark, sf, "embeddings")
+    return ops.embedding_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+def q_quality_winsorize(spark, sf):
+    """Per-event-type winsorization into the exact [p01, p99] band:
+    group_percentiles bounds broadcast back into the stream, values
+    clipped map-side — every row kept, tail leverage bounded."""
+    e = _t(spark, sf, "events")
+    return ops.winsorize(
+        e, "event_type", "value", lower_p=0.01, upper_p=0.99
+    ).select("event_id", "event_type", "value", "winsorized")
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2828,13 +2849,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     layout, quantile normalization, OHLC bars, feature hashing,
     session co-visitation, the windowed-OHLC streaming twin, exact
     group percentiles, rolling-median spike detection, native
-    session windows, retrieval ranking eval, classifier PR curve —
-    the
-    window is FULL at this point, so the TWELVE newest additions
-    occupy slots 51-62 (enriched_stats, zorder, quantile_normalize,
+    session windows, retrieval ranking eval, classifier PR curve,
+    embedding drift, winsorization — the
+    window is FULL at this point, so the FOURTEEN newest additions
+    occupy slots 51-64 (enriched_stats, zorder, quantile_normalize,
     ohlc, feature_hashing, covisitation, ohlc_windowed,
     group_percentiles, spike_detection, session_windows,
-    ranking_eval, pr_curve) and MUST lead
+    ranking_eval, pr_curve, embedding_drift, winsorize) and MUST lead
     the r9 window for their first driver verdicts, enforced by
     tests/test_registry.py); the
     remaining slots to 50 hold the stalest tail rows (last driver
@@ -2939,6 +2960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_windows": q_events_session_windows,
         "sim_ranking_eval": q_sim_ranking_eval,
         "quality_pr_curve": q_quality_pr_curve,
+        "sim_embedding_drift": q_sim_embedding_drift,
+        "quality_winsorize": q_quality_winsorize,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -5995,6 +6018,55 @@ def oracle_sql() -> dict[str, str]:
                      THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6)
                  AS recall
         FROM counts
+    """
+
+    sql["sim_embedding_drift"] = """
+        WITH o AS (
+          SELECT t.i - 1 AS dim,
+                 CAST(SUM(CAST(ROUND(CAST(em[t.i] AS DOUBLE), 6)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS mo
+          FROM (SELECT embedding AS em FROM embeddings WHERE vec_id % 2 = 0),
+               unnest(range(1, len(em) + 1)) AS t(i)
+          GROUP BY t.i
+        ), n AS (
+          SELECT t.i - 1 AS dim,
+                 CAST(SUM(CAST(ROUND(CAST(em[t.i] AS DOUBLE), 6)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS mn
+          FROM (SELECT embedding AS em FROM embeddings WHERE vec_id % 2 = 1),
+               unnest(range(1, len(em) + 1)) AS t(i)
+          GROUP BY t.i
+        )
+        SELECT dim, ROUND(mo, 6) AS mean_old, ROUND(mn, 6) AS mean_new,
+               ROUND(ABS(mo - mn), 6) AS abs_delta
+        FROM o JOIN n USING (dim)
+    """
+
+    sql["quality_winsorize"] = """
+        WITH r AS (
+          SELECT event_type,
+                 CAST(ROUND(value, 4) AS DECIMAL(19,4)) AS v,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(ROUND(value, 4) AS DECIMAL(19,4))) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), pct AS (
+          SELECT event_type, CAST(t.p AS DOUBLE) AS p, CAST(v AS DOUBLE) AS value
+          FROM r, unnest([0.01, 0.99]) AS t(p)
+          WHERE rn = CAST(FLOOR(t.p * (n - 1)) AS BIGINT) + 1
+        ), bounds AS (
+          SELECT event_type,
+                 MIN(CASE WHEN p = 0.01 THEN value END) AS lo,
+                 MIN(CASE WHEN p = 0.99 THEN value END) AS hi
+          FROM pct GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               LEAST(GREATEST(
+                 CAST(CAST(ROUND(e.value, 4) AS DECIMAL(19,4)) AS DOUBLE),
+                 b.lo), b.hi) AS winsorized
+        FROM events e JOIN bounds b USING (event_type)
     """
 
     sql["events_session_windows"] = """

@@ -157,6 +157,8 @@ HEADLINE = [
     "events_session_windows",
     "sim_ranking_eval",
     "quality_pr_curve",
+    "sim_embedding_drift",
+    "quality_winsorize",
 ]
 
 

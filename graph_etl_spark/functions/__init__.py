@@ -332,3 +332,27 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema drift report between two frames (yesterday's staged
+    table vs today's ingest): added / removed / type-changed columns
+    as a list of dicts — the control-plane companion to
+    ``snapshot_diff`` (which diffs DATA under an identical schema,
+    and refuses otherwise).
+
+    Driver-side metadata only — no jobs, no data movement."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    report: list[dict] = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            report.append({"column": c, "change": "removed", "old_type": o[c]})
+        elif c not in o:
+            report.append({"column": c, "change": "added", "new_type": n[c]})
+        elif o[c] != n[c]:
+            report.append(
+                {"column": c, "change": "type_changed",
+                 "old_type": o[c], "new_type": n[c]}
+            )
+    return report

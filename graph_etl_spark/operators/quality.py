@@ -1825,3 +1825,39 @@ def pr_curve(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower_p: float = 0.01,
+    upper_p: float = 0.99,
+    out: str = "winsorized",
+) -> DataFrame:
+    """Per-group winsorization: clip each value into its group's
+    [p_lower, p_upper] band (exact lower-interpolation percentiles
+    from ``group_percentiles``) — the outlier-taming transform that
+    keeps every row (unlike a filter) while bounding the leverage of
+    the tails on downstream means/regressions.
+
+    Output: the input plus a clipped ``out`` column (4-dp decimal
+    pick, matching the percentile contract, cast back to double).
+
+    Scale: one group_percentiles pass (one window shuffle) producing
+    a |groups| x 2 bounds frame that broadcast-joins back into the
+    stream — the stream itself never shuffles for the clip."""
+    bounds = (
+        group_percentiles(df, group_col, value_col, [lower_p, upper_p])
+        .groupBy(group_col)
+        .agg(
+            F.min(F.when(F.col("p") == float(lower_p), F.col("value"))).alias("__lo"),
+            F.min(F.when(F.col("p") == float(upper_p), F.col("value"))).alias("__hi"),
+        )
+    )
+    v4 = F.round(F.col(value_col), 4).cast("decimal(19,4)").cast("double")
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(out, F.least(F.greatest(v4, F.col("__lo")), F.col("__hi")))
+        .drop("__lo", "__hi")
+    )

@@ -1568,3 +1568,51 @@ def ranking_metrics(
             ).alias("reciprocal_rank"),
         )
     )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension embedding drift between two corpus snapshots
+    (yesterday's index vs today's, or model v1 vs v2 re-embeds): each
+    dimension's mean in both populations and the absolute delta — the
+    monitoring primitive that catches a silently changed encoder or a
+    shifted corpus before retrieval quality falls off a cliff.
+
+    Determinism: components round to 6 dp and sum as DECIMAL(28,6)
+    (exact on any partitioning); the mean division and delta are
+    per-dimension IEEE ops in oracle order, rounded to ``round_to``.
+
+    Output: (dim, mean_old, mean_new, abs_delta), one row per vector
+    dimension.
+
+    Scale: each side is one map-side posexplode + one aggregation on
+    the dimension key (bounded by vector width); the two tiny
+    dim-sized frames join at the end."""
+
+    def _dim_means(df, label):
+        return (
+            df.select(F.posexplode(vec_col).alias("dim", "__x"))
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("__x").cast("double"), 6).cast("decimal(28,6)")
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "dim",
+                (F.col("__s").cast("double") / F.col("__n")).alias(label),
+            )
+        )
+    o = _dim_means(old, "__mo")
+    n = _dim_means(new, "__mn")
+    return o.join(n, "dim").select(
+        "dim",
+        F.round("__mo", round_to).alias("mean_old"),
+        F.round("__mn", round_to).alias("mean_new"),
+        F.round(F.abs(F.col("__mo") - F.col("__mn")), round_to).alias("abs_delta"),
+    )

@@ -513,3 +513,43 @@ def test_session_window_stats_matches_sessionize(spark):
     )
     legacy_counts = {r["user_id"]: r["max(session_id)"] for r in legacy}
     assert legacy_counts == {u: len(v) for u, v in by_user.items()}
+
+
+def test_embedding_drift_detects_shift(spark):
+    from graph_etl_spark.operators import embedding_drift
+
+    old = spark.createDataFrame(
+        [([1.0, 0.0],), ([3.0, 0.0],)], "embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [([2.0, 0.0],), ([4.0, 0.0],)], "embedding array<double>"
+    )
+    out = {r["dim"]: r for r in embedding_drift(old, new).collect()}
+    assert out[0]["mean_old"] == 2.0 and out[0]["mean_new"] == 3.0
+    assert out[0]["abs_delta"] == 1.0
+    assert out[1]["abs_delta"] == 0.0
+
+
+def test_winsorize_clips_to_group_band(spark):
+    from graph_etl_spark.operators import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 11)]  # 1..10
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["v"]: r["winsorized"]
+           for r in winsorize(df, "g", "v", lower_p=0.2, upper_p=0.8).collect()}
+    # n=10: p0.2 rank floor(1.8)+1=2 -> 2.0; p0.8 rank floor(7.2)+1=8 -> 8.0
+    assert out[1.0] == 2.0 and out[10.0] == 8.0
+    assert out[5.0] == 5.0   # interior untouched
+
+
+def test_schema_diff_changes(spark):
+    from graph_etl_spark.functions import schema_diff
+
+    old = spark.createDataFrame([(1, "x", 1.0)], "id long, s string, v double")
+    new = spark.createDataFrame([(1, 2, True)], "id long, v int, extra boolean")
+    out = {d["column"]: d for d in schema_diff(old, new)}
+    assert out["s"]["change"] == "removed"
+    assert out["extra"]["change"] == "added"
+    assert out["v"]["change"] == "type_changed"
+    assert out["v"]["old_type"] == "double" and out["v"]["new_type"] == "int"
+    assert "id" not in out
