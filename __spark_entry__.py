@@ -2567,6 +2567,63 @@ def q_quality_winsorize(spark, sf):
     ).select("event_id", "event_type", "value", "winsorized")
 
 
+def q_etl_apply_cdc(spark, sf):
+    """Full CDC apply (I/U/D, highest log offset wins): balance bumps
+    for every (mod 10 == 3) customer, deletes for every 17th,
+    shifted-key inserts — ONE key shuffle (union + ranking window, no
+    join). The oracle is an INDEPENDENT set-logic formulation
+    (untouched ∪ updated-survivors ∪ inserts)."""
+    c = _t(spark, sf, "customer")
+    upd = (
+        c.filter(F.col("c_custkey") % 10 == 3)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    dele = (
+        c.filter(F.col("c_custkey") % 17 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    ins = (
+        c.filter(F.col("c_custkey") % 50 == 1)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(3).cast("long"))
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return ops_fn.apply_cdc(c, changes, "c_custkey")
+
+
+def q_etl_scd2_pit(spark, sf):
+    """Point-in-time join against SCD-2 intervals (the feature-store
+    leak-proof lookup): each purchase probes the user's event_type
+    state ONE SECOND BEFORE it — user-key equi-join + half-open
+    [valid_from, valid_to) interval predicate over the scd2_history
+    output."""
+    e = _t(spark, sf, "events")
+    hist = ops_fn.scd2_history(e, "user_id", "ts", "event_type").select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("prior_state"),
+        "valid_from",
+        "valid_to",
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 SECOND")).alias("pit_ts"),
+    )
+    return (
+        probes.join(
+            hist,
+            (probes.user_id == hist.h_user)
+            & (F.col("pit_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("pit_ts") < F.col("valid_to"))),
+        )
+        .select("event_id", "user_id", "prior_state")
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2850,12 +2907,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     session co-visitation, the windowed-OHLC streaming twin, exact
     group percentiles, rolling-median spike detection, native
     session windows, retrieval ranking eval, classifier PR curve,
-    embedding drift, winsorization — the
-    window is FULL at this point, so the FOURTEEN newest additions
-    occupy slots 51-64 (enriched_stats, zorder, quantile_normalize,
+    embedding drift, winsorization, full CDC apply, SCD-2
+    point-in-time join — the
+    window is FULL at this point, so the SIXTEEN newest additions
+    occupy slots 51-66 (enriched_stats, zorder, quantile_normalize,
     ohlc, feature_hashing, covisitation, ohlc_windowed,
     group_percentiles, spike_detection, session_windows,
-    ranking_eval, pr_curve, embedding_drift, winsorize) and MUST lead
+    ranking_eval, pr_curve, embedding_drift, winsorize, apply_cdc,
+    scd2_pit) and MUST lead
     the r9 window for their first driver verdicts, enforced by
     tests/test_registry.py); the
     remaining slots to 50 hold the stalest tail rows (last driver
@@ -2962,6 +3021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_pr_curve": q_quality_pr_curve,
         "sim_embedding_drift": q_sim_embedding_drift,
         "quality_winsorize": q_quality_winsorize,
+        "etl_apply_cdc": q_etl_apply_cdc,
+        "etl_scd2_pit": q_etl_scd2_pit,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -6018,6 +6079,52 @@ def oracle_sql() -> dict[str, str]:
                      THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6)
                  AS recall
         FROM counts
+    """
+
+    sql["etl_apply_cdc"] = """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey % 17 <> 0 AND c_custkey % 10 <> 3
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
+               c_mktsegment
+        FROM customer
+        WHERE c_custkey % 10 = 3 AND c_custkey % 17 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 50 = 1
+    """
+
+    sql["etl_scd2_pit"] = """
+        WITH dd AS (
+          SELECT user_id, ts, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id, ts
+                   ORDER BY event_type ASC NULLS LAST) AS tie
+          FROM events
+        ), d AS (SELECT user_id, ts, event_type FROM dd WHERE tie = 1),
+        s AS (
+          SELECT user_id, ts, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM d
+        ), st AS (
+          SELECT user_id, ts, event_type FROM s
+          WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        ), hist AS (
+          SELECT user_id, event_type AS prior_state, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+          FROM st
+        ), probes AS (
+          SELECT event_id, user_id, ts - INTERVAL 1 SECOND AS pit_ts
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, h.prior_state
+        FROM probes p JOIN hist h
+          ON p.user_id = h.user_id
+         AND p.pit_ts >= h.valid_from
+         AND (h.valid_to IS NULL OR p.pit_ts < h.valid_to)
     """
 
     sql["sim_embedding_drift"] = """

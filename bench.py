@@ -159,6 +159,8 @@ HEADLINE = [
     "quality_pr_curve",
     "sim_embedding_drift",
     "quality_winsorize",
+    "etl_apply_cdc",
+    "etl_scd2_pit",
 ]
 
 

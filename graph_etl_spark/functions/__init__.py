@@ -356,3 +356,51 @@ def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
                  "old_type": o[c], "new_type": n[c]}
             )
     return report
+
+
+def apply_cdc(
+    current: DataFrame,
+    changes: DataFrame,
+    keys: list[str] | str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC change stream (Debezium-style I/U/D rows) to a
+    table: per key, the HIGHEST-sequence change wins — an insert or
+    update replaces the current row, a delete removes it; keys
+    untouched by the stream pass through. Completes the refresh
+    family: ``upsert_by_key`` (no deletes) < ``apply_cdc`` (full CDC)
+    with ``snapshot_diff`` producing exactly this op format from two
+    snapshots.
+
+    ``changes`` carries the table columns plus ``op`` in
+    {'I','U','D'} and a monotonically increasing ``seq`` (log offset;
+    ties resolve by the dedup contract on the payload). Delete rows
+    may carry NULL non-key columns.
+
+    Scale: ONE hash shuffle on the key — union current (seq -inf) with
+    the changes, take the max-seq row per key via the ranking window,
+    drop rows whose winner is a delete. No join."""
+    if isinstance(keys, str):
+        keys = [keys]
+    data_cols = [c for c in current.columns]
+    cur = (
+        current.withColumn("__op", F.lit("I"))
+        .withColumn("__seq", F.lit(-1).cast("long"))
+    )
+    chg = changes.select(
+        *data_cols,
+        F.col(op_col).alias("__op"),
+        F.col(seq_col).cast("long").alias("__seq"),
+    )
+    others = [c for c in data_cols if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__seq").desc(),
+        *[F.col(c).asc_nulls_last() for c in others],
+    )
+    return (
+        cur.unionByName(chg)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("__op") != "D"))
+        .select(*data_cols)
+    )

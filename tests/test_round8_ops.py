@@ -553,3 +553,22 @@ def test_schema_diff_changes(spark):
     assert out["v"]["change"] == "type_changed"
     assert out["v"]["old_type"] == "double" and out["v"]["new_type"] == "int"
     assert "id" not in out
+
+
+def test_apply_cdc_insert_update_delete(spark):
+    from graph_etl_spark.functions import apply_cdc
+
+    cur = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    chg = spark.createDataFrame(
+        [
+            (2, "b2", "U", 10),          # update key 2
+            (3, None, "D", 11),          # delete key 3 (null payload ok)
+            (4, "d", "I", 12),           # insert new key 4
+            (4, "d2", "U", 13),          # later update wins over the insert
+            (5, "e", "I", 20),
+            (5, None, "D", 21),          # insert then delete -> absent
+        ],
+        "id long, v string, op string, seq long",
+    )
+    out = {r["id"]: r["v"] for r in apply_cdc(cur, chg, "id").collect()}
+    assert out == {1: "a", 2: "b2", 4: "d2"}
