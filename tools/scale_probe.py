@@ -503,6 +503,18 @@ def main() -> None:
         "group_percentiles": lambda f: ops.group_percentiles(
             f, "event_type", "value", [0.5, 0.95, 0.99]
         ),
+        # r8 batch 14: full CDC apply — change stream ~1/5 of the
+        # current table, both grow Nx; union + ranking window, one
+        # key shuffle
+        "apply_cdc": lambda f: __import__(
+            "graph_etl_spark.functions", fromlist=["apply_cdc"]
+        ).apply_cdc(
+            f,
+            f.filter(F.col("event_id") % 5 == 0)
+            .withColumn("op", F.lit("U"))
+            .withColumn("seq", (F.col("event_id") % 100).cast("long")),
+            "event_id",
+        ),
         # r8 batch 5: CDC snapshot diff — both snapshots grow Nx; ONE
         # full outer join on the key, delta-sized output (every 17th
         # event dropped on the new side)
@@ -511,6 +523,12 @@ def main() -> None:
         ).snapshot_diff(f, f.filter(F.col("event_id") % 17 != 0), "event_id"),
     }
     vec_cases = {
+        # r8 batch 13: embedding drift — dims fixed (vector width),
+        # vectors 10x; two dimension-keyed aggs, must be scan-linear
+        "embedding_drift": lambda e: ops.embedding_drift(
+            e.filter(F.col("vec_id") % 2 == 0),
+            e.filter(F.col("vec_id") % 2 == 1),
+        ),
         "quantize_embeddings": lambda e: ops.quantize_embeddings(e),
         # r8: JL projection — pure map-side literal-matrix product
         "random_projection": lambda e: ops.random_projection(e, out_dim=8),
