@@ -649,3 +649,31 @@ def test_ohlc_single_agg(spark, entry):
     st = plan_stats(entry.q_events_ohlc(spark, SF))
     assert st.joins == 0
     assert st.exchanges <= 1
+
+
+def test_apply_cdc_single_shuffle_no_join(spark, entry):
+    """CDC apply is union + ranking window — no join operator at
+    all, one key exchange."""
+    st = plan_stats(entry.q_etl_apply_cdc(spark, SF))
+    assert st.joins == 0
+    assert st.exchanges <= 1
+
+
+def test_scd2_pit_no_cartesian(spark, entry):
+    """The PIT probe is a user-key equi-join with an interval
+    residual — never a pure theta/cartesian join."""
+    assert_no_cartesian(entry.q_etl_scd2_pit(spark, SF))
+
+
+def test_session_windows_single_agg(spark, entry):
+    st = plan_stats(entry.q_events_session_windows(spark, SF))
+    assert st.joins == 0
+    assert st.exchanges <= 1
+
+
+def test_winsorize_broadcast_bounds(spark, entry):
+    """The |groups| x 2 bounds frame broadcasts back; the event
+    stream itself never sort-merges."""
+    st = plan_stats(entry.q_quality_winsorize(spark, SF))
+    assert st.sort_merge_joins == 0
+    assert st.broadcast_hash_joins >= 1
