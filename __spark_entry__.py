@@ -2624,6 +2624,13 @@ def q_etl_scd2_pit(spark, sf):
     )
 
 
+def q_graph_neighbor_stats(spark, sf):
+    """One-hop structural features over the 1995 co-purchase graph:
+    own degree + mean/max neighbor degree (the assortativity signal)
+    — one degree aggregation + one vertex-keyed roll-up join."""
+    return ops.neighbor_stats(_copurchase_1995(spark, sf))
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2908,13 +2915,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     group percentiles, rolling-median spike detection, native
     session windows, retrieval ranking eval, classifier PR curve,
     embedding drift, winsorization, full CDC apply, SCD-2
-    point-in-time join — the
-    window is FULL at this point, so the SIXTEEN newest additions
-    occupy slots 51-66 (enriched_stats, zorder, quantile_normalize,
+    point-in-time join, neighbor structural features — the
+    window is FULL at this point, so the SEVENTEEN newest additions
+    occupy slots 51-67 (enriched_stats, zorder, quantile_normalize,
     ohlc, feature_hashing, covisitation, ohlc_windowed,
     group_percentiles, spike_detection, session_windows,
     ranking_eval, pr_curve, embedding_drift, winsorize, apply_cdc,
-    scd2_pit) and MUST lead
+    scd2_pit, neighbor_stats) and MUST lead
     the r9 window for their first driver verdicts, enforced by
     tests/test_registry.py); the
     remaining slots to 50 hold the stalest tail rows (last driver
@@ -3023,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_winsorize": q_quality_winsorize,
         "etl_apply_cdc": q_etl_apply_cdc,
         "etl_scd2_pit": q_etl_scd2_pit,
+        "graph_neighbor_stats": q_graph_neighbor_stats,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -6079,6 +6087,31 @@ def oracle_sql() -> dict[str, str]:
                      THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6)
                  AS recall
         FROM counts
+    """
+
+    sql["graph_neighbor_stats"] = """
+        WITH cop AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995
+        ), sym AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM cop
+            UNION ALL SELECT dst AS a, src AS b FROM cop
+          ) WHERE a <> b
+        ), deg AS (
+          SELECT a AS id, COUNT(*)::BIGINT AS degree FROM sym GROUP BY a
+        ), nbr AS (
+          SELECT s.a AS id, SUM(d.degree)::BIGINT AS sm,
+                 COUNT(*)::BIGINT AS n, MAX(d.degree) AS max_neighbor_degree
+          FROM sym s JOIN deg d ON d.id = s.b GROUP BY s.a
+        )
+        SELECT deg.id, deg.degree,
+               ROUND(CAST(nbr.sm AS DOUBLE) / nbr.n, 6)
+                 AS mean_neighbor_degree,
+               nbr.max_neighbor_degree
+        FROM deg JOIN nbr USING (id)
     """
 
     sql["etl_apply_cdc"] = """

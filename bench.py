@@ -161,6 +161,7 @@ HEADLINE = [
     "quality_winsorize",
     "etl_apply_cdc",
     "etl_scd2_pit",
+    "graph_neighbor_stats",
 ]
 
 

@@ -587,3 +587,52 @@ def bellman_ford(
         if changed == 0:
             break
     return dist
+
+
+def neighbor_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-hop neighborhood feature aggregation (the GraphSAGE-mean
+    primitive specialized to structural features): per vertex, its own
+    degree plus the mean and max degree of its neighbors — the
+    assortativity/hub-adjacency signal used as cheap node features for
+    downstream rankers.
+
+    Mean neighbor degree is exact (integer degree sum / count, one
+    IEEE division rounded to 6 dp).
+
+    Scale: degrees is one aggregation; the neighbor roll-up is one
+    join of the symmetrized edges against the vertex-sized degree
+    frame plus one aggregation — everything shuffles on vertex id,
+    nothing is ever all-pairs."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    nbr = (
+        sym.join(deg.withColumnRenamed("id", "b").withColumnRenamed("degree", "nd"), "b")
+        .groupBy(F.col("a").alias("id"))
+        .agg(
+            F.sum("nd").alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+            F.max("nd").alias("max_neighbor_degree"),
+        )
+    )
+    return (
+        deg.join(nbr, "id")
+        .select(
+            "id",
+            "degree",
+            F.round(F.col("__s").cast("double") / F.col("__n"), 6).alias(
+                "mean_neighbor_degree"
+            ),
+            "max_neighbor_degree",
+        )
+    )

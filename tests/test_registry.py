@@ -56,7 +56,7 @@ ROUND8_NEW = [
     "quality_group_percentiles", "events_spike_detection",
     "events_session_windows", "sim_ranking_eval", "quality_pr_curve",
     "sim_embedding_drift", "quality_winsorize",
-    "etl_apply_cdc", "etl_scd2_pit",
+    "etl_apply_cdc", "etl_scd2_pit", "graph_neighbor_stats",
 ]
 
 
@@ -80,7 +80,7 @@ def test_round8_first_verdict_queries_in_window():
         f"round-8 first-verdict queries neither in-window nor leading "
         f"the tail: {missing}"
     )
-    assert len(missing) <= 21, f"too many first-verdict queries deferred: {missing}"
+    assert len(missing) <= 22, f"too many first-verdict queries deferred: {missing}"
 
 
 def test_bench_headline_subset_of_registry():

@@ -572,3 +572,15 @@ def test_apply_cdc_insert_update_delete(spark):
     )
     out = {r["id"]: r["v"] for r in apply_cdc(cur, chg, "id").collect()}
     assert out == {1: "a", 2: "b2", 4: "d2"}
+
+
+def test_neighbor_stats_star(spark):
+    from graph_etl_spark.operators import neighbor_stats
+
+    # star: hub 1 connects to 2,3,4; leaf neighbors all have degree 3
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    out = {r["id"]: r for r in neighbor_stats(edges).collect()}
+    assert out[1]["degree"] == 3
+    assert out[1]["mean_neighbor_degree"] == 1.0   # leaves have degree 1
+    assert out[2]["degree"] == 1
+    assert out[2]["mean_neighbor_degree"] == 3.0 and out[2]["max_neighbor_degree"] == 3
