@@ -5640,7 +5640,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type, COUNT(*)::BIGINT AS n,
                  SUM(CAST(vi AS DECIMAL(38,0))) AS sm,
                  SUM(CAST(vi AS DECIMAL(19,0)) * CAST(vi AS DECIMAL(19,0))) AS ss
-          FROM v GROUP BY event_type
+          FROM v WHERE vi IS NOT NULL GROUP BY event_type
         ), z AS (
           SELECT v.event_id, v.event_type, v.value,
                  ROUND((CAST(v.vi AS DOUBLE) - CAST(s.sm AS DOUBLE) / s.n)
@@ -5659,14 +5659,16 @@ def oracle_sql() -> dict[str, str]:
     # arithmetic anywhere, so both engines agree bit-for-bit.
     sql["events_rolling_median"] = """
         SELECT event_id, user_id,
-               CAST(list_sort(l)[(len(l) + 1) // 2] AS DOUBLE) AS rolling_median
-        FROM (
+               CASE WHEN len(l2) > 0 THEN
+                 CAST(list_sort(l2)[(len(l2) + 1) // 2] AS DOUBLE)
+               END AS rolling_median
+        FROM (SELECT *, list_filter(l, x -> x IS NOT NULL) AS l2 FROM (
           SELECT event_id, user_id,
                  list(CAST(ROUND(value, 4) AS DECIMAL(19,4))) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
           FROM events
-        )
+        ))
     """
 
     sql["etl_snapshot_diff"] = """
@@ -5790,21 +5792,27 @@ def oracle_sql() -> dict[str, str]:
     # engines execute the identical IEEE sequence term for term.
     _ew_w = [round(0.7**j, 12) for j in range(8)]
     _ew_num = " + ".join(
-        f"CASE WHEN len(l) > {j} THEN l[-{j + 1}] * {w!r} ELSE 0.0 END"
+        f"CASE WHEN len(l2) > {j} THEN l2[-{j + 1}] * {w!r} ELSE 0.0 END"
         for j, w in enumerate(_ew_w)
     )
     _ew_den = " + ".join(
-        f"CASE WHEN len(l) > {j} THEN {w!r} ELSE 0.0 END"
+        f"CASE WHEN len(l2) > {j} THEN {w!r} ELSE 0.0 END"
         for j, w in enumerate(_ew_w)
     )
+    # l2 mirrors Spark collect_list (NULLs excluded from the slice);
+    # the empty-slice CASE mirrors the operator's NULL (never NaN)
     sql["events_ewma"] = f"""
         SELECT event_id, user_id,
-               ROUND((0.0 + {_ew_num}) / (0.0 + {_ew_den}), 6) AS ewma
+               CASE WHEN (0.0 + {_ew_den}) > 0 THEN
+                 ROUND((0.0 + {_ew_num}) / (0.0 + {_ew_den}), 6)
+               END AS ewma
         FROM (
           SELECT event_id, user_id,
-                 list(CAST(CAST(ROUND(value, 4) AS DECIMAL(19,4)) AS DOUBLE))
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+                 list_filter(
+                   list(CAST(CAST(ROUND(value, 4) AS DECIMAL(19,4)) AS DOUBLE))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+                   x -> x IS NOT NULL) AS l2
           FROM events
         )
     """
@@ -6014,8 +6022,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type,
                  (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) * 86400
                    AS bucket_start,
-                 CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 + event_id
-                   AS okey,
+                 lpad(CAST(FLOOR(epoch(ts)) AS BIGINT)::VARCHAR, 12, '0')
+                   || lpad(event_id::VARCHAR, 20, '0') AS okey,
                  CAST(ROUND(value, 4) AS DECIMAL(19,4)) AS v4
           FROM events
         )
@@ -6033,8 +6041,8 @@ def oracle_sql() -> dict[str, str]:
         WITH v AS (
           SELECT event_type,
                  time_bucket(INTERVAL '1 hour', ts) AS window_start,
-                 CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 + event_id
-                   AS okey,
+                 lpad(CAST(FLOOR(epoch(ts)) AS BIGINT)::VARCHAR, 12, '0')
+                   || lpad(event_id::VARCHAR, 20, '0') AS okey,
                  CAST(ROUND(value, 4) AS DECIMAL(19,4)) AS v4
           FROM events
         )
@@ -6191,7 +6199,7 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY event_type
                    ORDER BY CAST(ROUND(value, 4) AS DECIMAL(19,4))) AS rn,
                  COUNT(*) OVER (PARTITION BY event_type) AS n
-          FROM events
+          FROM events WHERE value IS NOT NULL
         ), pct AS (
           SELECT event_type, CAST(t.p AS DOUBLE) AS p, CAST(v AS DOUBLE) AS value
           FROM r, unnest([0.01, 0.99]) AS t(p)
@@ -6274,7 +6282,7 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY event_type
                    ORDER BY CAST(ROUND(value, 4) AS DECIMAL(19,4))) AS rn,
                  COUNT(*) OVER (PARTITION BY event_type) AS n
-          FROM events
+          FROM events WHERE value IS NOT NULL
         )
         SELECT event_type, CAST(t.p AS DOUBLE) AS p,
                CAST(v AS DOUBLE) AS value
@@ -6285,15 +6293,16 @@ def oracle_sql() -> dict[str, str]:
     sql["events_spike_detection"] = """
         WITH m AS (
           SELECT event_id, user_id, value,
-                 CAST(list_sort(l)[(len(l) + 1) // 2] AS DOUBLE)
-                   AS rolling_median
-          FROM (
+                 CASE WHEN len(l2) > 0 THEN
+                   CAST(list_sort(l2)[(len(l2) + 1) // 2] AS DOUBLE)
+                 END AS rolling_median
+          FROM (SELECT *, list_filter(l, x -> x IS NOT NULL) AS l2 FROM (
             SELECT event_id, user_id, value,
                    list(CAST(ROUND(value, 4) AS DECIMAL(19,4))) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
             FROM events
-          )
+          ))
         )
         SELECT event_id, user_id, value, rolling_median
         FROM m

@@ -107,7 +107,9 @@ def rolling_median(
     sorted window) is chosen over the interpolated midpoint so the
     result is an exact element of the input: values round to 4 dp
     decimals, the pick is pure indexing, and both engines agree
-    bit-for-bit with no averaging arithmetic at all.
+    bit-for-bit with no averaging arithmetic at all. NULL values are
+    EXCLUDED from the window slice (the median of the non-null
+    trailing values); a window with no non-null values emits NULL.
 
     ``order`` may be a list — pass a unique tie-break (e.g.
     ``["ts", "event_id"]``) whenever the primary order column can
@@ -125,7 +127,12 @@ def rolling_median(
     )
     vals = F.collect_list(F.round(F.col(value), 4).cast("decimal(19,4)")).over(w)
     arr = F.sort_array(vals)
-    med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+    # collect_list drops NULLs, so an all-NULL window leaves an EMPTY
+    # array — element_at(arr, 0) would throw INVALID_INDEX_OF_ZERO
+    med = F.when(
+        F.size(arr) > 0,
+        F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")),
+    )
     return df.withColumn(out, med.cast("double"))
 
 
@@ -151,7 +158,10 @@ def ewma(
     multiply-adds over the 4-dp decimal-rounded window slice, so both
     engines execute the identical IEEE operation sequence. Normalized
     by the sum of weights actually present (partial windows at the
-    head of each key use only their own weights).
+    head of each key use only their own weights). NULL values are
+    EXCLUDED from the slice — weight (1-alpha)^j attaches to the j-th
+    most recent NON-NULL value (pandas ewm ignore_na=True semantics);
+    a window with no non-null values emits NULL, never NaN.
 
     Scale: one window shuffle on the key; per-row work is the bounded
     ``window_size``-element slice — cost per row independent of
@@ -177,7 +187,9 @@ def ewma(
             present, F.element_at(arr, -(j + 1)) * F.lit(wj)
         ).otherwise(F.lit(0.0))
         den = den + F.when(present, F.lit(wj)).otherwise(F.lit(0.0))
-    return df.withColumn(out, F.round(num / den, 6))
+    return df.withColumn(
+        out, F.when(den > 0, F.round(num / den, 6))
+    )
 
 
 def resample_ohlc(
@@ -193,11 +205,14 @@ def resample_ohlc(
     a decimal-exact sum — the candlestick/rollup primitive for metric
     and price streams.
 
-    Open/close are argmin/argmax over the UNIQUE integer order key
-    epoch_nanos-style (epoch seconds * 1e9 + row id), so ties are
-    impossible and both engines pick identical rows; high/low are
-    plain min/max of the 4-dp-rounded decimal value; the sum is a
-    decimal sum — everything order-independent.
+    Open/close are argmin/argmax over a UNIQUE fixed-width string
+    order key (zero-padded epoch seconds ++ zero-padded row id —
+    lexicographic order = chronological order, and unlike an
+    arithmetic ts*K + id key it cannot collide for ANY id magnitude),
+    so ties are impossible and both engines pick identical rows;
+    high/low are plain min/max of the 4-dp-rounded decimal value; the
+    sum is a decimal sum — everything order-independent. Row ids must
+    be non-negative (zero-padding is sign-blind).
 
     Scale: ONE map-side-combined aggregation on the (key, bucket)
     key; min_by/max_by carry a single (value, okey) pair per group
@@ -205,7 +220,10 @@ def resample_ohlc(
     bucket = (F.col(ts_col).cast("long") / int(bucket_seconds)).cast(
         "long"
     ) * int(bucket_seconds)
-    okey = F.col(ts_col).cast("long") * F.lit(1_000_000_000) + F.col(id_col)
+    okey = F.concat(
+        F.lpad(F.col(ts_col).cast("long").cast("string"), 12, "0"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
     v4 = F.round(F.col(value_col), 4).cast("decimal(19,4)")
     return (
         df.select(

@@ -1428,7 +1428,10 @@ def zscore_outliers(
     )
     vi19 = F.col("__v").cast("decimal(19,0)")
     stats = (
-        df.select(F.col(group_col).alias("__g"), vi.alias("__v"))
+        # NULL values are excluded from the moments: counting them in
+        # __n while the sums skip them would corrupt mean and variance
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), vi.alias("__v"))
         .groupBy("__g")
         .agg(
             F.count(F.lit(1)).alias("__n"),
@@ -1476,9 +1479,19 @@ def numeric_histogram(
     (n_bins); the bounds aggregate is a scalar broadcast — the
     column never shuffles by value."""
     if lo is None or hi is None:
+        # compute only the MISSING bound(s) from the data — a caller
+        # pinning one bound (fixed axis max across daily runs) keeps it
         bounds = df.agg(
-            F.min(F.col(value_col).cast("double")).alias("__lo"),
-            F.max(F.col(value_col).cast("double")).alias("__hi"),
+            (
+                F.lit(float(lo))
+                if lo is not None
+                else F.min(F.col(value_col).cast("double"))
+            ).alias("__lo"),
+            (
+                F.lit(float(hi))
+                if hi is not None
+                else F.max(F.col(value_col).cast("double"))
+            ).alias("__hi"),
         )
         base = df.crossJoin(F.broadcast(bounds))
     else:
@@ -1740,7 +1753,10 @@ def group_percentiles(
     Lower interpolation picks an actual element of the input (the
     rolling_median contract): values round to 4 dp decimals, the pick
     is pure indexing over the (value, rank-stabilized) sort, so both
-    engines agree bit-for-bit with no averaging arithmetic.
+    engines agree bit-for-bit with no averaging arithmetic. NULL
+    values are EXCLUDED from both the ranking and the population
+    count (Spark sorts NULLs first where DuckDB sorts them last — the
+    filter removes the divergence as well as the skew).
 
     Output: (group, p, value), one row per group x percentile.
 
@@ -1757,7 +1773,8 @@ def group_percentiles(
     # but the VALUE at any rank of a sorted multiset is well-defined —
     # and only the value is emitted
     ranked = (
-        df.select(F.col(group_col).alias("__g"), v4.alias("__v"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), v4.alias("__v"))
         .withColumn(
             "__rn",
             F.row_number().over(Window.partitionBy("__g").orderBy("__v")),

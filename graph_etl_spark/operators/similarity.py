@@ -1519,8 +1519,11 @@ def ranking_metrics(
     k: int = 5,
 ) -> DataFrame:
     """Retrieval-quality metrics over a ranked candidate list with
-    binary relevance labels: per query, recall@k (relevant found in
-    the top k / all relevant in the list), precision@k, and
+    binary relevance labels: per query, CAPPED recall@k — relevant
+    found in the top k divided by min(n_relevant, k), the "feasible
+    recall" convention where a query with more relevant items than
+    slots can still score 1.0 (use n_relevant to derive the uncapped
+    form) — precision@k, and
     reciprocal rank of the first relevant hit — the eval harness that
     closes the retrieval loop (bm25_rank / cosine_topk / ivfpq_topk
     produce the rankings; this scores them against labels).

@@ -618,7 +618,10 @@ def streaming_ohlc(
     Works identically on a batch frame (drop the watermark no-op) —
     the oracle-checked batch path and the streaming path share every
     aggregate expression."""
-    okey = F.col(ts_col).cast("long") * F.lit(1_000_000_000) + F.col(id_col)
+    okey = F.concat(
+        F.lpad(F.col(ts_col).cast("long").cast("string"), 12, "0"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
     v4 = F.round(F.col(value_col), 4).cast("decimal(19,4)")
     src = events
     if events.isStreaming:

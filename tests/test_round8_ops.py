@@ -430,7 +430,10 @@ def test_zorder_layout_tightens_file_ranges(spark, tmp_path):
     from graph_etl_spark.operators import zorder_key
     from graph_etl_spark.sources import file_level_stats
 
-    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
     natural = str(tmp_path / "natural")
@@ -584,3 +587,57 @@ def test_neighbor_stats_star(spark):
     assert out[1]["mean_neighbor_degree"] == 1.0   # leaves have degree 1
     assert out[2]["degree"] == 1
     assert out[2]["mean_neighbor_degree"] == 3.0 and out[2]["max_neighbor_degree"] == 3
+
+
+def test_rolling_median_and_ewma_null_windows(spark):
+    """Review regression: an all-NULL trailing window must emit NULL
+    (median previously threw INVALID_INDEX_OF_ZERO; ewma emitted
+    NaN), and NULL values drop out of the slice."""
+    import math
+
+    from graph_etl_spark.operators import ewma, rolling_median
+
+    rows = [(1, 0, None), (1, 1, 4.0), (1, 2, None), (1, 3, 8.0)]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    med = {r["i"]: r["rolling_median"]
+           for r in rolling_median(df, "k", "i", "v", window_size=3).collect()}
+    assert med[0] is None
+    assert med[1] == 4.0 and med[2] == 4.0
+    assert med[3] == 4.0   # non-null slice [4, 8], lower median
+    ew = {r["i"]: r["ewma"]
+          for r in ewma(df, "k", "i", "v", alpha=0.5, window_size=3).collect()}
+    assert ew[0] is None and not any(
+        isinstance(v, float) and math.isnan(v) for v in ew.values() if v is not None
+    )
+
+
+def test_zscore_and_percentiles_ignore_nulls(spark):
+    """Review regression: NULL values must not distort group moments
+    or percentile ranks."""
+    from graph_etl_spark.operators import group_percentiles, zscore_outliers
+
+    rows = [("a", 10.0)] * 4 + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # constant group once NULLs are excluded -> zero variance -> empty
+    assert zscore_outliers(df, "g", "v", threshold=0.1).count() == 0
+    pct = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 2.0), ("a", 3.0)], "g string, v double"
+    )
+    out = {r["p"]: r["value"]
+           for r in group_percentiles(pct, "g", "v", [0.5]).collect()}
+    assert out[0.5] == 2.0   # median of {1,2,3}, NULL neither ranked nor counted
+
+
+def test_histogram_honors_partial_bounds(spark):
+    """Review regression: a single pinned bound must be honored, not
+    silently recomputed."""
+    from graph_etl_spark.operators import numeric_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "v double")
+    out = sorted(
+        numeric_histogram(df, "v", n_bins=2, hi=5.0).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert out[-1]["hi_edge"] == 5.0       # pinned hi kept
+    assert out[0]["lo_edge"] == 0.0        # lo still from data
+    assert sum(r["n_rows"] for r in out) == 10  # out-of-band rows clamp in
