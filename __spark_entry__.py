@@ -2631,6 +2631,16 @@ def q_graph_neighbor_stats(spark, sf):
     return ops.neighbor_stats(_copurchase_1995(spark, sf))
 
 
+def q_graph_random_walks(spark, sf):
+    """Deterministic pseudo-random walks (node2vec corpus generation,
+    reproducible by construction): 2 walks x 3 steps from every
+    vertex of the 1995 co-purchase graph, each step the
+    hash-argmin neighbor — the oracle unrolls the same steps."""
+    return ops.random_walks(
+        _copurchase_1995(spark, sf), walk_length=3, walks_per_node=2
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -2915,13 +2925,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     group percentiles, rolling-median spike detection, native
     session windows, retrieval ranking eval, classifier PR curve,
     embedding drift, winsorization, full CDC apply, SCD-2
-    point-in-time join, neighbor structural features — the
-    window is FULL at this point, so the SEVENTEEN newest additions
-    occupy slots 51-67 (enriched_stats, zorder, quantile_normalize,
+    point-in-time join, neighbor structural features, deterministic
+    random walks — the
+    window is FULL at this point, so the EIGHTEEN newest additions
+    occupy slots 51-68 (enriched_stats, zorder, quantile_normalize,
     ohlc, feature_hashing, covisitation, ohlc_windowed,
     group_percentiles, spike_detection, session_windows,
     ranking_eval, pr_curve, embedding_drift, winsorize, apply_cdc,
-    scd2_pit, neighbor_stats) and MUST lead
+    scd2_pit, neighbor_stats, random_walks) and MUST lead
     the r9 window for their first driver verdicts, enforced by
     tests/test_registry.py); the
     remaining slots to 50 hold the stalest tail rows (last driver
@@ -3031,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_apply_cdc": q_etl_apply_cdc,
         "etl_scd2_pit": q_etl_scd2_pit,
         "graph_neighbor_stats": q_graph_neighbor_stats,
+        "graph_random_walks": q_graph_random_walks,
         # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
         # last driver verdicts r4-r6; preflight kept them green every
         # round in between) ----
@@ -6096,6 +6108,49 @@ def oracle_sql() -> dict[str, str]:
                  AS recall
         FROM counts
     """
+
+    _rw_step = """
+        w{r} AS MATERIALIZED (
+          SELECT walk_id, start_id, node FROM (
+            SELECT c.walk_id, c.start_id, e.b AS node,
+                   row_number() OVER (
+                     PARTITION BY c.walk_id
+                     ORDER BY {h}, e.b) AS rn
+            FROM w{p} c JOIN wsym e ON e.a = c.node
+          ) WHERE rn = 1
+        )"""
+    _rw_h = _H56.format(
+        x="'walk' || ':' || c.walk_id::VARCHAR || ':' || '{r}' || ':' "
+          "|| e.b::VARCHAR"
+    )
+    sql["graph_random_walks"] = (
+        """
+        WITH cop AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995
+        ), wsym AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM cop
+            UNION ALL SELECT dst AS a, src AS b FROM cop
+          ) WHERE a <> b
+        ), w0 AS (
+          SELECT v.id * 2 + j.j AS walk_id, v.id AS start_id, v.id AS node
+          FROM (SELECT DISTINCT a AS id FROM wsym) v,
+               unnest(range(0, 2)) AS j(j)
+        ),"""
+        + ",".join(
+            _rw_step.format(r=r, p=r - 1, h=_rw_h.format(r=r))
+            for r in (1, 2, 3)
+        )
+        + """
+        SELECT walk_id, start_id, 0 AS step, node FROM w0
+        UNION ALL SELECT walk_id, start_id, 1, node FROM w1
+        UNION ALL SELECT walk_id, start_id, 2, node FROM w2
+        UNION ALL SELECT walk_id, start_id, 3, node FROM w3
+    """
+    )
 
     sql["graph_neighbor_stats"] = """
         WITH cop AS (

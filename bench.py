@@ -162,6 +162,7 @@ HEADLINE = [
     "etl_apply_cdc",
     "etl_scd2_pit",
     "graph_neighbor_stats",
+    "graph_random_walks",
 ]
 
 

@@ -15,7 +15,7 @@ size matters).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -636,3 +636,78 @@ def neighbor_stats(
             "max_neighbor_degree",
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 2,
+    seed: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DETERMINISTIC pseudo-random walks over the undirected graph —
+    the node2vec/DeepWalk corpus generator re-expressed so the same
+    graph always yields the same walks (training data must be
+    reproducible): at every step the walker moves to the neighbor
+    minimizing H56(seed : walk_id : step : neighbor), a fixed
+    pseudo-random choice instead of an RNG draw.
+
+    Output: (walk_id, start_id, step, node) — ``walks_per_node``
+    walks of ``walk_length`` steps from every vertex (walk_id =
+    start_id * walks_per_node + walk index; walks stop early at
+    isolated positions — impossible on a symmetrized simple graph).
+
+    Scale: per step, ONE join of the frontier (|V| x walks rows)
+    against the edge list on the current node followed by a per-walk
+    argmin — the join shuffles on vertex id, the argmin window on
+    walk_id; frontier localCheckpoints per step (lineage discipline).
+    """
+    from .text import h56
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = sym.select(F.col("a").alias("node")).distinct()
+    frontier = verts.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+        ).alias("__w"),
+        "node",
+    ).select(
+        (F.col("node") * int(walks_per_node) + F.col("__w")).alias("walk_id"),
+        F.col("node").alias("start_id"),
+        F.col("node"),
+    )
+    out = frontier.withColumn("step", F.lit(0)).localCheckpoint()
+    cur = out
+    for step in range(1, max(1, int(walk_length)) + 1):
+        cand = cur.join(sym, cur.node == sym.a).select(
+            "walk_id",
+            "start_id",
+            F.col("b").alias("__next"),
+            h56(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(seed)),
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(step)),
+                    F.col("b").cast("string"),
+                )
+            ).alias("__h"),
+        )
+        pick = Window.partitionBy("walk_id").orderBy("__h", "__next")
+        cur = (
+            cand.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select("walk_id", "start_id", F.col("__next").alias("node"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(cur.withColumn("step", F.lit(step)))
+    return out

@@ -57,6 +57,7 @@ ROUND8_NEW = [
     "events_session_windows", "sim_ranking_eval", "quality_pr_curve",
     "sim_embedding_drift", "quality_winsorize",
     "etl_apply_cdc", "etl_scd2_pit", "graph_neighbor_stats",
+    "graph_random_walks",
 ]
 
 
@@ -80,7 +81,7 @@ def test_round8_first_verdict_queries_in_window():
         f"round-8 first-verdict queries neither in-window nor leading "
         f"the tail: {missing}"
     )
-    assert len(missing) <= 22, f"too many first-verdict queries deferred: {missing}"
+    assert len(missing) <= 23, f"too many first-verdict queries deferred: {missing}"
 
 
 def test_bench_headline_subset_of_registry():

@@ -641,3 +641,26 @@ def test_histogram_honors_partial_bounds(spark):
     assert out[-1]["hi_edge"] == 5.0       # pinned hi kept
     assert out[0]["lo_edge"] == 0.0        # lo still from data
     assert sum(r["n_rows"] for r in out) == 10  # out-of-band rows clamp in
+
+
+def test_random_walks_deterministic_and_adjacent(spark):
+    from graph_etl_spark.operators import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    out1 = random_walks(edges, walk_length=3, walks_per_node=2).collect()
+    out2 = random_walks(edges, walk_length=3, walks_per_node=2).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # reproducible
+    adj = {1: {2, 3}, 2: {1, 3}, 3: {1, 2, 4}, 4: {3}}
+    walks = {}
+    for r in out1:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(walks) == 8                      # 4 nodes x 2 walks
+    for wid, steps in walks.items():
+        assert len(steps) == 4                  # step 0..3, no early stop
+        for s in range(3):
+            assert steps[s + 1] in adj[steps[s]], (wid, steps)
+    # different seed -> (almost surely) different walks
+    out3 = random_walks(edges, walk_length=3, walks_per_node=2, seed="v2").collect()
+    assert sorted(map(tuple, out1)) != sorted(map(tuple, out3))
