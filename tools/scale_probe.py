@@ -369,6 +369,13 @@ def main() -> None:
         # r8 batch 6: HITS — 3 fixed rounds; per round two edge-join
         # aggregations + two in-plan max scalars
         "hits": lambda f: (lambda: ops.hits(copurchase(f), max_iter=3)),
+        # r8 batch 16: deterministic walks — fixed 3 steps; per step
+        # one frontier-edge join + per-walk argmin window
+        "random_walks": lambda f: (
+            lambda: ops.random_walks(
+                copurchase(f), walk_length=3, walks_per_node=2
+            )
+        ),
         # r8 batch 7: Bellman-Ford — fixed 4 rounds; per round one
         # edge join + one min-agg, both vertex/edge-sized
         "bellman_ford": lambda f: (
