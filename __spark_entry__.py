@@ -6228,7 +6228,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT t.i - 1 AS dim,
                  CAST(SUM(CAST(ROUND(CAST(em[t.i] AS DOUBLE), 6)
                                AS DECIMAL(28,6))) AS DOUBLE)
-                   / COUNT(*) AS mo
+                   / COUNT(em[t.i]) AS mo
           FROM (SELECT embedding AS em FROM embeddings WHERE vec_id % 2 = 0),
                unnest(range(1, len(em) + 1)) AS t(i)
           GROUP BY t.i
@@ -6236,7 +6236,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT t.i - 1 AS dim,
                  CAST(SUM(CAST(ROUND(CAST(em[t.i] AS DOUBLE), 6)
                                AS DECIMAL(28,6))) AS DOUBLE)
-                   / COUNT(*) AS mn
+                   / COUNT(em[t.i]) AS mn
           FROM (SELECT embedding AS em FROM embeddings WHERE vec_id % 2 = 1),
                unnest(range(1, len(em) + 1)) AS t(i)
           GROUP BY t.i
@@ -6266,10 +6266,12 @@ def oracle_sql() -> dict[str, str]:
           FROM pct GROUP BY event_type
         )
         SELECT e.event_id, e.event_type, e.value,
-               LEAST(GREATEST(
-                 CAST(CAST(ROUND(e.value, 4) AS DECIMAL(19,4)) AS DOUBLE),
-                 b.lo), b.hi) AS winsorized
-        FROM events e JOIN bounds b USING (event_type)
+               CASE WHEN e.value IS NOT NULL AND b.lo IS NOT NULL THEN
+                 LEAST(GREATEST(
+                   CAST(CAST(ROUND(e.value, 4) AS DECIMAL(19,4)) AS DOUBLE),
+                   b.lo), b.hi)
+               END AS winsorized
+        FROM events e LEFT JOIN bounds b USING (event_type)
     """
 
     sql["events_session_windows"] = """

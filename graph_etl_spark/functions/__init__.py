@@ -375,8 +375,10 @@ def apply_cdc(
 
     ``changes`` carries the table columns plus ``op`` in
     {'I','U','D'} and a monotonically increasing ``seq`` (log offset;
-    ties resolve by the dedup contract on the payload). Delete rows
-    may carry NULL non-key columns.
+    ties resolve by the dedup contract on the payload, then on the op
+    itself — 'D' sorts first, so a delete wins a full same-seq
+    same-payload tie deterministically). Delete rows may carry NULL
+    non-key columns.
 
     Scale: ONE hash shuffle on the key — union current (seq -inf) with
     the changes, take the max-seq row per key via the ranking window,
@@ -397,6 +399,7 @@ def apply_cdc(
     w = Window.partitionBy(*keys).orderBy(
         F.col("__seq").desc(),
         *[F.col(c).asc_nulls_last() for c in others],
+        F.col("__op").asc(),
     )
     return (
         cur.unionByName(chg)

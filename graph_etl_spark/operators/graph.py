@@ -665,6 +665,11 @@ def random_walks(
     """
     from .text import h56
 
+    if int(walk_length) < 1 or int(walks_per_node) < 1:
+        raise ValueError(
+            "random_walks: walk_length and walks_per_node must be >= 1 "
+            f"(got {walk_length}, {walks_per_node})"
+        )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -687,7 +692,7 @@ def random_walks(
     )
     out = frontier.withColumn("step", F.lit(0)).localCheckpoint()
     cur = out
-    for step in range(1, max(1, int(walk_length)) + 1):
+    for step in range(1, int(walk_length) + 1):
         cand = cur.join(sym, cur.node == sym.a).select(
             "walk_id",
             "start_id",

@@ -1860,6 +1860,10 @@ def winsorize(
 
     Output: the input plus a clipped ``out`` column (4-dp decimal
     pick, matching the percentile contract, cast back to double).
+    NULL values stay NULL (Spark's greatest() would otherwise
+    fabricate the lower bound for them), and rows whose group has no
+    bounds (every value NULL) pass through un-clipped — EVERY input
+    row survives, as the no-filter contract promises.
 
     Scale: one group_percentiles pass (one window shuffle) producing
     a |groups| x 2 bounds frame that broadcast-joins back into the
@@ -1873,8 +1877,12 @@ def winsorize(
         )
     )
     v4 = F.round(F.col(value_col), 4).cast("decimal(19,4)").cast("double")
+    clipped = F.when(
+        v4.isNotNull() & F.col("__lo").isNotNull(),
+        F.least(F.greatest(v4, F.col("__lo")), F.col("__hi")),
+    )
     return (
-        df.join(F.broadcast(bounds), group_col)
-        .withColumn(out, F.least(F.greatest(v4, F.col("__lo")), F.col("__hi")))
+        df.join(F.broadcast(bounds), group_col, "left")
+        .withColumn(out, clipped)
         .drop("__lo", "__hi")
     )

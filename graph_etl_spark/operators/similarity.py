@@ -1597,14 +1597,15 @@ def embedding_drift(
     dim-sized frames join at the end."""
 
     def _dim_means(df, label):
+        d6 = F.round(F.col("__x").cast("double"), 6).cast("decimal(28,6)")
         return (
             df.select(F.posexplode(vec_col).alias("dim", "__x"))
             .groupBy("dim")
             .agg(
-                F.sum(
-                    F.round(F.col("__x").cast("double"), 6).cast("decimal(28,6)")
-                ).alias("__s"),
-                F.count(F.lit(1)).alias("__n"),
+                F.sum(d6).alias("__s"),
+                # count the same expression the sum sees: a NULL vector
+                # element must not inflate the denominator
+                F.count(d6).alias("__n"),
             )
             .select(
                 "dim",

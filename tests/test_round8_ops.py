@@ -664,3 +664,51 @@ def test_random_walks_deterministic_and_adjacent(spark):
     # different seed -> (almost surely) different walks
     out3 = random_walks(edges, walk_length=3, walks_per_node=2, seed="v2").collect()
     assert sorted(map(tuple, out1)) != sorted(map(tuple, out3))
+
+
+def test_winsorize_preserves_nulls_and_rows(spark):
+    """Second-review regression: NULL values stay NULL (not fabricated
+    into the lower bound) and rows in bound-less groups survive."""
+    from graph_etl_spark.operators import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "g", "v", lower_p=0.2, upper_p=0.8).collect()
+    assert len(out) == 12                      # every row kept
+    for r in out:
+        if r["v"] is None:
+            assert r["winsorized"] is None     # no fabricated bound
+
+
+def test_embedding_drift_null_components(spark):
+    """Second-review regression: NULL vector elements must not
+    inflate the mean denominator."""
+    from graph_etl_spark.operators import embedding_drift
+
+    old = spark.createDataFrame([([2.0],), ([None],)], "embedding array<double>")
+    new = spark.createDataFrame([([2.0],)], "embedding array<double>")
+    out = embedding_drift(old, new).collect()[0]
+    assert out["mean_old"] == 2.0 and out["abs_delta"] == 0.0
+
+
+def test_apply_cdc_delete_wins_full_tie(spark):
+    """Second-review regression: a U and D with identical seq and
+    payload resolve deterministically — the delete wins."""
+    from graph_etl_spark.functions import apply_cdc
+
+    cur = spark.createDataFrame([(1, "a")], "id long, v string")
+    chg = spark.createDataFrame(
+        [(1, "a", "U", 5), (1, "a", "D", 5)], "id long, v string, op string, seq long"
+    )
+    for _ in range(3):
+        assert apply_cdc(cur, chg, "id").count() == 0
+
+
+def test_random_walks_rejects_bad_params(spark):
+    from graph_etl_spark.operators import random_walks
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    for kw in ({"walk_length": 0}, {"walks_per_node": 0}):
+        import pytest as _p
+        with _p.raises(ValueError):
+            random_walks(edges, **kw)
