@@ -5445,7 +5445,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT COUNT(*)::BIGINT AS n,
             SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
             (COUNT(*) - COUNT(DISTINCT c_custkey)
-               - SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END))::BIGINT AS v1,
+               - SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+               + GREATEST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) - 1,
+                          0))::BIGINT AS v1,
             SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT AS v2,
             SUM(CASE WHEN c_acctbal > 10000 THEN 1 ELSE 0 END)::BIGINT AS v3,
             SUM(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
@@ -6032,7 +6034,8 @@ def oracle_sql() -> dict[str, str]:
     sql["events_ohlc"] = """
         WITH v AS (
           SELECT event_type,
-                 (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) * 86400
+                 CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - ((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400 + 86400) % 86400)
                    AS bucket_start,
                  lpad(CAST(FLOOR(epoch(ts)) AS BIGINT)::VARCHAR, 12, '0')
                    || lpad(event_id::VARCHAR, 20, '0') AS okey,

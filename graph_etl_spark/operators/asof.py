@@ -211,15 +211,19 @@ def resample_ohlc(
     arithmetic ts*K + id key it cannot collide for ANY id magnitude),
     so ties are impossible and both engines pick identical rows;
     high/low are plain min/max of the 4-dp-rounded decimal value; the
-    sum is a decimal sum — everything order-independent. Row ids must
-    be non-negative (zero-padding is sign-blind).
+    sum is a decimal sum — everything order-independent. Bucket
+    starts are exact integer FLOOR division (ts − pmod(ts, width) in
+    long arithmetic — never a double round-trip, which would both
+    truncate-toward-zero on pre-1970 timestamps and lose precision
+    past 2^53). Row ids AND timestamps must be non-negative for the
+    open/close tie order (zero-padding is sign-blind); the bucket
+    itself is sign-correct.
 
     Scale: ONE map-side-combined aggregation on the (key, bucket)
     key; min_by/max_by carry a single (value, okey) pair per group
     through the partial aggregates."""
-    bucket = (F.col(ts_col).cast("long") / int(bucket_seconds)).cast(
-        "long"
-    ) * int(bucket_seconds)
+    ts_long = F.col(ts_col).cast("long")
+    bucket = ts_long - F.pmod(ts_long, F.lit(int(bucket_seconds)))
     okey = F.concat(
         F.lpad(F.col(ts_col).cast("long").cast("string"), 12, "0"),
         F.lpad(F.col(id_col).cast("string"), 20, "0"),

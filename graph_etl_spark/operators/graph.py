@@ -654,8 +654,12 @@ def random_walks(
     pseudo-random choice instead of an RNG draw.
 
     Output: (walk_id, start_id, step, node) — ``walks_per_node``
-    walks of ``walk_length`` steps from every vertex (walk_id =
-    start_id * walks_per_node + walk index; walks stop early at
+    walks of ``walk_length`` steps from every vertex (for integral
+    vertex ids walk_id = start_id * walks_per_node + walk index; for
+    any other id type the arithmetic would cast to NULL and collapse
+    every walk into one window partition, so walk_id is the string
+    key ``start_id ':' walk_index`` instead — equally unique, and
+    the per-walk argmin only needs equality. Walks stop early at
     isolated positions — impossible on a symmetrized simple graph).
 
     Scale: per step, ONE join of the frontier (|V| x walks rows)
@@ -680,13 +684,25 @@ def random_walks(
         .localCheckpoint()
     )
     verts = sym.select(F.col("a").alias("node")).distinct()
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    node_type = sym.schema["a"].dataType
+    if isinstance(node_type, (ByteType, ShortType, IntegerType, LongType)):
+        walk_id = F.col("node") * int(walks_per_node) + F.col("__w")
+    else:
+        # string/decimal/etc ids: integer arithmetic would cast to
+        # NULL and merge all walks into one window partition — use a
+        # unique string key instead
+        walk_id = F.concat_ws(
+            ":", F.col("node").cast("string"), F.col("__w").cast("string")
+        )
     frontier = verts.select(
         F.explode(
             F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
         ).alias("__w"),
         "node",
     ).select(
-        (F.col("node") * int(walks_per_node) + F.col("__w")).alias("walk_id"),
+        walk_id.alias("walk_id"),
         F.col("node").alias("start_id"),
         F.col("node"),
     )

@@ -1336,8 +1336,9 @@ def check_expectations(
 
     Rule kinds (each a dict with ``col`` and ``kind``):
       * ``not_null`` — violations = NULL rows
-      * ``unique``   — violations = rows beyond the first per value
-                       (count − distinct; NULLs count as one value)
+      * ``unique``   — violations = rows beyond the first per value;
+                       NULLs count as one value, so the second and
+                       later NULL rows are violations as well
       * ``min`` / ``max`` (+ ``value``) — rows below/above the bound
       * ``in_set`` (+ ``values`` list) — rows outside the allowed set
       * ``matches`` (+ ``pattern``) — non-NULL rows NOT matching the
@@ -1359,9 +1360,13 @@ def check_expectations(
         if kind == "not_null":
             v = F.sum(F.when(col.isNull(), 1).otherwise(0))
         elif kind == "unique":
-            v = F.count(F.lit(1)) - F.count_distinct(col) - F.sum(
-                F.when(col.isNull(), 1).otherwise(0)
-            )
+            # non-null duplicates beyond the first per value, PLUS
+            # null duplicates beyond the first NULL — "NULLs count as
+            # one value", so a second NULL row is a violation too
+            n_nulls = F.sum(F.when(col.isNull(), 1).otherwise(0))
+            v = (
+                F.count(F.lit(1)) - n_nulls - F.count_distinct(col)
+            ) + F.greatest(n_nulls - 1, F.lit(0))
         elif kind == "min":
             v = F.sum(F.when(col < rule["value"], 1).otherwise(0))
         elif kind == "max":
@@ -1712,6 +1717,7 @@ def quantile_normalize(
     tiebreak_col: str,
     out: str = "quantile",
     round_to: int = 6,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Rank-based quantile of a numeric column: percent_rank over the
     TOTAL order (value, tiebreak) — the heavy-tail-proof feature
@@ -1723,18 +1729,75 @@ def quantile_normalize(
     quantile is (rank - 1) / (n - 1) rounded to ``round_to`` (single-
     row inputs map to 0).
 
-    Scale: ONE global sort — the honest cost of exact ranks. The
-    windowless alternative at 100 TB is approx_percentile bucketing;
-    this operator is the exact path, and feature pipelines typically
-    apply it AFTER heavy filtering."""
-    w = Window.orderBy(F.col(value_col), F.col(tiebreak_col))
-    return df.withColumn(
-        out,
-        F.round(
-            (F.row_number().over(w) - F.lit(1)).cast("double")
-            / F.greatest(F.count(F.lit(1)).over(Window.partitionBy()) - 1, F.lit(1)),
-            round_to,
-        ),
+    Scale: TWO-PHASE exact global rank — exact ranks do NOT require a
+    single-partition sort. Phase 1 collects ``num_partitions - 1``
+    approximate value boundaries (one map-side-combined
+    ``percentile_approx`` agg; a tiny driver collect) and assigns
+    every row a bucket by LITERAL comparison — a pure map-side
+    expression, so both consumers below see identical buckets by
+    construction. Phase 2 counts rows per bucket (one map-side-
+    combined agg; the result is ≤ num_partitions + 1 rows and is
+    collected), computes prefix offsets + the grand total
+    driver-side, rebroadcasts them as a LITERAL frame, and ranks
+    rows WITHIN each bucket: global_rank = offset(bucket) +
+    local_rank. Identical output to ``row_number`` over one global
+    window — bucket order is value order and the (value, tiebreak)
+    sort finishes the job inside each bucket — but the final plan's
+    only full-data shuffle is the per-bucket window exchange and
+    every sort is bucket-local: ZERO unpartitioned WindowExec
+    anywhere, no straggler reducer at 100 TB.
+    Boundary quality only affects bucket BALANCE, never the ranks
+    (any boundaries give the same output); heavy ties on one value
+    all land in one bucket — the inherent limit of value-bucketed
+    ranking, same skew the global sort would hit on its merge."""
+    spark = df.sparkSession
+    n_parts = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    probs = [i / n_parts for i in range(1, n_parts)]
+    row = df.agg(
+        F.percentile_approx(F.col(value_col), probs, 10000).alias("__b")
+    ).collect()[0]
+    bounds = sorted(set(row["__b"] or []))
+    v = F.col(value_col)
+    if bounds:
+        bucket = F.when(v.isNull(), F.lit(-1)).otherwise(
+            F.size(F.filter(F.array(*[F.lit(b) for b in bounds]), lambda b: b <= v))
+        )
+    else:
+        bucket = F.when(v.isNull(), F.lit(-1)).otherwise(F.lit(0))
+    keyed = df.withColumn("__bkt", bucket)
+    counts = sorted(
+        (r["__bkt"], r["__cnt"])
+        for r in keyed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    total = sum(c for _, c in counts)
+    rows, running = [], 0
+    for bkt, cnt in counts:
+        rows.append((int(bkt), running, total))
+        running += cnt
+    offsets = spark.createDataFrame(
+        rows or [(0, 0, 0)], "__bkt int, __off long, __n long"
+    )
+    w_local = Window.partitionBy("__bkt").orderBy(
+        F.col(value_col), F.col(tiebreak_col)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            out,
+            F.round(
+                (F.row_number().over(w_local) + F.col("__off") - F.lit(1)).cast(
+                    "double"
+                )
+                / F.greatest(F.col("__n") - 1, F.lit(1)),
+                round_to,
+            ),
+        )
+        .drop("__bkt", "__off", "__n")
     )
 
 

@@ -448,7 +448,13 @@ def bm25_rank(
     sized, so df_t are columns, not a term-table join); the 1-row
     stats frame broadcasts back and scoring is a map-side expression
     per document (per-term tf via array filters on the literal
-    tokens). No explode, no term join, one final top-k sort.
+    tokens). No explode, no term join. The top-k itself is
+    ``orderBy(...).limit(k)`` — Spark compiles that to
+    TakeOrderedAndProject, a per-partition top-k reduction followed
+    by a k·partitions-row merge, so a common query term never
+    funnels the whole posting set through one ranking reducer (the
+    ``brute_force_topk_scale`` discipline); the rank column is then
+    assigned by a window over the k surviving rows only.
 
     Determinism: dl/avgdl evaluates as (dl·N)/total_len — integer
     cross-multiplication then ONE double division, identical in any
@@ -498,11 +504,12 @@ def bm25_rank(
     ranked = scored.select(
         id_col, F.round(score, round_to).alias("bm25")
     ).filter(F.col("bm25") > 0)
+    # TakeOrderedAndProject: each map partition keeps its local top-k,
+    # the merge sees only partitions×k rows — never a global window
+    # over every matching document
+    topk = ranked.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(int(k))
     w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
-    return (
-        ranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-    )
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def canonicalize_url(url: Column) -> Column:

@@ -485,46 +485,62 @@ def streaming_threshold_alerts(
     first crosses ``threshold`` — the alerting/rate-limit primitive
     (abuse detection, quota enforcement) as ``applyInPandasWithState``.
 
-    State per key: (count so far, fired flag, epoch seconds of the
-    threshold-th event). Exactly ONE alert per key ever fires (the
-    fired flag survives micro-batches), and the alert timestamp is
-    the threshold-th event's — deterministic under any batch split,
-    which is what makes the batch twin (``threshold_crossings``)
-    oracle-checkable.
+    State per key: (count so far, fired flag, the ``threshold``
+    SMALLEST timestamps seen so far — a bounded array, never the
+    timeline). Exactly ONE alert per key ever fires (the fired flag
+    survives micro-batches), and the alert timestamp is the
+    threshold-th SMALLEST timestamp among all events seen up to and
+    including the firing micro-batch — NOT the arrival-order
+    threshold-th. Out-of-order events that land in the same or any
+    earlier micro-batch as the crossing are therefore incorporated
+    exactly as the batch twin (``threshold_crossings``, which orders
+    globally by ts) would: the two agree whenever no event with
+    ts below the emitted crossing arrives in a LATER micro-batch
+    than the crossing one. (An append-mode one-shot alert cannot
+    retract, so events that late shift only the batch twin; with
+    in-order or same-batch-late delivery the twins are identical
+    under ANY batch split.)
 
     Returns an unstarted transformed frame with schema
     (user_id long, event_type string, crossed_at double) — one row
     per key, emitted in the micro-batch where the crossing happens.
 
-    Scale: state is O(active keys) × 3 scalars; no timeline is
-    retained (only a count), so state never grows with event volume.
+    Scale: state is O(active keys) × (2 scalars + ``threshold``
+    doubles) and the array never exceeds ``threshold`` entries, so
+    state never grows with event volume.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         user_id, event_type = key
         if state.exists:
-            count, fired, crossed_at = state.get
+            count, fired, smallest = state.get
+            smallest = list(smallest or [])
         else:
-            count, fired, crossed_at = 0, 0, 0.0
+            count, fired, smallest = 0, 0, []
         newly_fired = False
+        crossed_at = 0.0
         for pdf in pdfs:
-            if not len(pdf) or fired:
-                count += len(pdf)
+            if not len(pdf):
                 continue
-            s = pdf[ts_col].sort_values()
+            count += len(pdf)
+            if fired:
+                continue
+            s = pdf[ts_col]
             if pd.api.types.is_datetime64_any_dtype(s):
                 epochs = s.astype("int64").to_numpy() / 1e9
             else:
                 epochs = s.to_numpy(dtype="float64")
-            if count + len(epochs) >= threshold:
-                crossed_at = float(epochs[threshold - count - 1])
-                fired = 1
-                newly_fired = True
-            count += len(epochs)
-        state.update((count, fired, crossed_at))
+            # merge into the bounded smallest-k buffer: the k smallest
+            # of (state ∪ batch) — order of arrival is irrelevant, so
+            # the same events always produce the same buffer
+            smallest = sorted(smallest + [float(e) for e in epochs])[:threshold]
+        if not fired and count >= threshold and len(smallest) >= threshold:
+            crossed_at = smallest[threshold - 1]
+            fired = 1
+            newly_fired = True
+        state.update((count, fired, smallest))
         if newly_fired:
             yield pd.DataFrame(
                 {
@@ -541,7 +557,7 @@ def streaming_threshold_alerts(
     return events.groupBy(user_col, type_col).applyInPandasWithState(
         update,
         outputStructType="user_id long, event_type string, crossed_at double",
-        stateStructType="count long, fired long, crossed_at double",
+        stateStructType="count long, fired long, smallest array<double>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -610,10 +626,11 @@ def streaming_ohlc(
     """Streaming OHLC bars: the stream twin of
     ``operators.resample_ohlc`` — tumbling event-time windows with a
     watermark, open/close by min_by/max_by over the unique
-    epoch-nanos order key (tie-free), high/low/sum over 4-dp
-    decimals. State is one partial bar per open (key, window); the
-    watermark closes and evicts bars, so state stays bounded on an
-    unbounded stream.
+    epoch-nanos order key (tie-free; ids and timestamps must be
+    non-negative — the zero-padded key is sign-blind), high/low/sum
+    over 4-dp decimals. State is one partial bar per open
+    (key, window); the watermark closes and evicts bars, so state
+    stays bounded on an unbounded stream.
 
     Works identically on a batch frame (drop the watermark no-op) —
     the oracle-checked batch path and the streaming path share every

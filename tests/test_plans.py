@@ -408,15 +408,53 @@ def test_random_projection_zero_shuffle(spark):
 
 def test_bm25_single_stats_agg_broadcast(spark):
     """BM25: one stats aggregation broadcast back into map-side
-    scoring — no sort-merge join, no per-term explode/join."""
+    scoring — no sort-merge join, no per-term explode/join — and the
+    top-k compiles to TakeOrderedAndProject (per-partition top-k +
+    k·partitions-row merge), so the only unpartitioned window ranks
+    the k surviving rows, never the full posting set."""
     from graph_etl_spark import operators as ops
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    st = plan_stats(ops.bm25_rank(d, ["vector", "hash"], k=5))
+    df = ops.bm25_rank(d, ["vector", "hash"], k=5)
+    st = plan_stats(df)
     assert st.sort_merge_joins == 0
     assert st.generates == 0 if hasattr(st, "generates") else True  # no explode
     # exchanges: stats agg (2: partial/final) + final ranking window
     assert st.exchanges <= 3
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    # the rank window must sit ABOVE the limit, not below it
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_quantile_normalize_no_unpartitioned_window(spark):
+    """Two-phase exact rank: the ONLY window in the plan partitions by
+    the value bucket (per-bucket local sort + broadcast prefix
+    offsets) — no 'No Partition Defined' single-reducer sort of the
+    full table (VERDICT r8 #1)."""
+    from pyspark.sql import functions as F
+
+    from graph_etl_spark.operators import quantile_normalize
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    df = quantile_normalize(d, "n_chars", "doc_id", num_partitions=8)
+    plan = plan_string(df)
+    import re
+
+    # windowspecdefinition(<first-arg> ...): a partitioned spec leads
+    # with bare partition columns; an unpartitioned one leads with an
+    # ORDER BY column carrying an ASC/DESC marker
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "expected a window in the plan"
+    for first_arg in specs:
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            "unpartitioned window found:\n" + plan
+        )
+    st = plan_stats(df)
+    assert st.broadcast_hash_joins == 1  # literal offsets frame
+    assert st.sort_merge_joins == 0
 
 
 def test_profile_table_fast_single_scan(spark):
