@@ -2884,6 +2884,61 @@ def q_sim_kmeans_centroids(spark, sf):
     return ops.kmeans_centroids(e, k=4, max_iter=3)
 
 
+def q_stream_interval_join(spark, sf):
+    """Stream-stream interval join's BATCH twin
+    (streaming.streaming_interval_join): each purchase paired with the
+    same user's clicks in the 30 minutes before it — the two-sided
+    time-bound join whose streaming form carries watermarks on both
+    sides so join state expires. Batch plan: one equi-join on user_id
+    plus the interval predicate; no cartesian."""
+    from graph_etl_spark.streaming import streaming_interval_join
+
+    e = _t(spark, sf, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = streaming_interval_join(left, right, "user_id", within="30 minutes")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.col("ts").cast("long").alias("purchase_ts"),
+        F.col("ts_right").cast("long").alias("click_ts"),
+    )
+
+
+def q_stream_ingest_admission(spark, sf):
+    """Incremental-ingest sink's BATCH twin
+    (streaming.incremental_ingest_sink): TWO consecutive micro-batches
+    vetted sequentially against a GROWING index — batch 2 is checked
+    against the static index PLUS batch 1's admitted survivors, so a
+    re-crawl of a batch-1-admitted doc (the +300000 copies) is caught
+    as exact_index in batch 2. This is the accumulated-index semantics
+    the foreachBatch sink applies per delivery, in oracle-checkable
+    form. All semi-join shaped (incremental_dedup twice)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    idx = d.filter(did % 3 != 0)
+    bat1 = d.filter(did % 6 == 0)
+    recrawl = bat1.filter(did < 30).select(
+        (did + 300000).alias("doc_id"), "text"
+    )
+    bat2 = d.filter(did % 6 == 3).unionByName(recrawl)
+    # v1 feeds THREE consumers (the output union, kept1, and through
+    # it batch 2's index) — materialize it once, exactly as the sink
+    # materializes each batch's verdicts to parquet before the next
+    v1 = ops.incremental_dedup(idx, bat1).localCheckpoint(eager=False)
+    kept1 = v1.filter(F.col("verdict") == "kept").select("doc_id")
+    admitted1 = bat1.join(kept1, "doc_id", "left_semi")
+    v2 = ops.incremental_dedup(idx.unionByName(admitted1), bat2)
+    return v1.select(
+        F.lit(1).alias("batch_id"), "doc_id", "verdict"
+    ).unionByName(v2.select(F.lit(2).alias("batch_id"), "doc_id", "verdict"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2901,60 +2956,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's later collect executes the engine's semantics on
     its own untouched session.
 
-    Round-8 rotation (VERDICT r7 #7), final composition: slots 1-10
-    are the queries over code that CHANGED this round (the profile
-    family incl. the new single-scan fast variant, the trigram-ppl
-    family, decimal event sums, the rewritten upsert oracle,
-    mixture's integer-DIV budget, the classifier's half-up rounding,
-    semantic dedup's one-expression hyperplane literals); slots 11-19
-    the NEW TPC-H completion battery (q2/q9/q11/q12/q15/q16/q17/q20/
-    q21 — correlated-min, star-profit, global-threshold,
-    conditional-agg, scalar-max, NOT-IN, correlated-avg, nested-semi,
-    exists/not-exists); slots 20-29 the other NEW round-8 operators
-    (bpe_encode, random_projection, bm25, kcore, dataset_split,
-    url_dedup, normalize_text, funnel, retention, frequent pairs);
-    then the mid-round additions (entity clusters, threshold
-    crossings, expectations) and the fourth batch (attribution,
-    SCD-2, cascade delete, LPA, BFS, PMI, z-score outliers) and the
-    fifth batch (rolling median, snapshot diff, histogram,
-    correlation matrix, column masking) and the sixth (EWMA, Markov
-    transitions, inverted index, HITS) and seventh (negative sampling,
-    Bellman-Ford, stream-static enrichment twin) and eighth (Z-order
-    layout, quantile normalization, OHLC bars, feature hashing,
-    session co-visitation, the windowed-OHLC streaming twin, exact
-    group percentiles, rolling-median spike detection, native
-    session windows, retrieval ranking eval, classifier PR curve,
-    embedding drift, winsorization, full CDC apply, SCD-2
-    point-in-time join, neighbor structural features, deterministic
-    random walks — the
-    window is FULL at this point, so the EIGHTEEN newest additions
-    occupy slots 51-68 (enriched_stats, zorder, quantile_normalize,
-    ohlc, feature_hashing, covisitation, ohlc_windowed,
-    group_percentiles, spike_detection, session_windows,
-    ranking_eval, pr_curve, embedding_drift, winsorize, apply_cdc,
-    scd2_pit, neighbor_stats, random_walks) and MUST lead
-    the r9 window for their first driver verdicts, enforced by
-    tests/test_registry.py); the
-    remaining slots to 50 hold the stalest tail rows (last driver
-    verdicts r4-r6, preflight-green every round since). FIFTY-EIGHT stale rotation
-    rows follow the seven deferred first-verdict queries — together
-    they MUST lead the r9 window (window/rank/array/string/date batteries, set ops,
-    rollup/cube/pivot/moving_avg/unpivot, percentile + approx
-    sketches, hash_sample/boilerplate/scrub/pack, pandas_udf,
-    sql_interface, embedding norms, mm_decode, split/flatten parity
-    rows, graph_degrees, range/gap/json, cosine-scale, ivf_trained,
-    kmeans_assign, winnow); the r7-driver-green rows with unchanged
-    code sit after them.
+    Round-9 rotation (VERDICT r8 #5): slots 1-18 are the EIGHTEEN
+    round-8 additions whose first driver verdicts were deferred when
+    the r8 window overflowed (enriched_stats, zorder,
+    quantile_normalize, ohlc, feature_hashing, covisitation,
+    ohlc_windowed, group_percentiles, spike_detection,
+    session_windows, ranking_eval, pr_curve, embedding_drift,
+    winsorize, apply_cdc, scd2_pit, neighbor_stats, random_walks) —
+    after this window every registered query has a driver verdict,
+    making the union invariant driver-only (judge replicas no longer
+    needed). Slots 19-20 are NEW in round 9: the streaming batch
+    twins for the stream-stream interval join and the
+    incremental-ingest sink's growing-index admission (VERDICT r8
+    #7). Slots 21-23 are queries over code that CHANGED in round 9
+    (bm25's TakeOrderedAndProject top-k, expectations' NULL-dup
+    uniqueness rule, threshold alerts' smallest-k state — their
+    batch twins re-verify under the new code). Slots 24-50 rotate in
+    the stalest tail rows (last driver verdicts r4-r6,
+    preflight-green every round since): percentile/approx sketches,
+    mm rows, split/flatten parity, hash_sample/boilerplate/scrub/
+    pack, pandas_udf, sql_interface, window/rank/array/string/date
+    batteries, topk, set ops. The remaining stale rows
+    (rollup/stats_agg/pivot/moving_avg/cube/unpivot, q5, degrees,
+    range/gap/json, cosine-scale, ivf_trained, kmeans_assign,
+    winnow) lead the tail and with it the r10 window; the
+    r8-verdicted rows with unchanged code sit after them.
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
-    2): tools/preflight.py mechanically runs check_oracle.py over all
-    111 registered queries (plus pytest and a bench smoke) and is the
-    end-of-round gate.
+    2): tools/preflight.py mechanically runs check_oracle.py over
+    ALL registered queries (plus pytest and a bench smoke) and is
+    the end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
-    (49 green + sim_semantic_dedup_pairs no_oracle); r5/r6/r7 windows
+    (49 green + sim_semantic_dedup_pairs no_oracle); r5-r8 windows
     = the 50 keys of their CORRECTNESS_r{N}.json (each 50/50 green);
-    r8 window = the first 50 below."""
+    r9 window = the first 50 below."""
     import functools
 
     from graph_etl_spark.sources import runtime_confs
@@ -2968,63 +3004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     registry = {
-        # ---- r8 window slots 1-10: queries over code that CHANGED
-        # in round 8 (single-scan profile + fast variant, trigram ppl
-        # family, decimal event sums, upsert oracle rewrite, mixture DIV,
-        # classifier half-up rounding, hyperplane literal emission) ----
-        "etl_profile_table": q_etl_profile_table,
-        "etl_profile_table_fast": q_etl_profile_table_fast,
-        "quality_trigram_ppl": q_quality_trigram_ppl,
-        "quality_ppl_gate": q_quality_ppl_gate,
-        "events_tumbling_counts": q_events_tumbling_counts,
-        "events_hopping_counts": q_events_hopping_counts,
-        "etl_upsert_nodes": q_etl_upsert_nodes,
-        "quality_mixture_sample": q_quality_mixture_sample,
-        "quality_clf_weights": q_quality_clf_weights,
-        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
-        # ---- slots 11-19: NEW in round 8 — the TPC-H completion
-        # battery (q2/q9/q11/q12/q15/q16/q17/q20/q21 analogs; first
-        # driver verdicts) ----
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q9_product_type_profit": q_q9_product_type_profit,
-        "q11_important_supply": q_q11_important_supply,
-        "q12_priority_shipping": q_q12_priority_shipping,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q16_supplier_part_counts": q_q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
-        "q20_dominant_suppliers": q_q20_dominant_suppliers,
-        "q21_waiting_orders": q_q21_waiting_orders,
-        "text_bpe_encode": q_text_bpe_encode,
-        "sim_random_projection": q_sim_random_projection,
-        "text_bm25_rank": q_text_bm25_rank,
-        "graph_kcore": q_graph_kcore,
-        "quality_dataset_split": q_quality_dataset_split,
-        "text_url_dedup": q_text_url_dedup,
-        "text_normalize": q_text_normalize,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "basket_frequent_pairs": q_basket_frequent_pairs,
-        "text_entity_clusters": q_text_entity_clusters,
-        "events_threshold_crossings": q_events_threshold_crossings,
-        "etl_expectations": q_etl_expectations,
-        "events_attribution": q_events_attribution,
-        "etl_scd2_history": q_etl_scd2_history,
-        "etl_cascade_delete": q_etl_cascade_delete,
-        "graph_label_propagation": q_graph_label_propagation,
-        "graph_bfs_distances": q_graph_bfs_distances,
-        "text_pmi_bigrams": q_text_pmi_bigrams,
-        "quality_zscore_outliers": q_quality_zscore_outliers,
-        "events_rolling_median": q_events_rolling_median,
-        "etl_snapshot_diff": q_etl_snapshot_diff,
-        "quality_histogram": q_quality_histogram,
-        "quality_corr_matrix": q_quality_corr_matrix,
-        "etl_mask_columns": q_etl_mask_columns,
-        "events_ewma": q_events_ewma,
-        "events_markov": q_events_markov,
-        "text_inverted_index": q_text_inverted_index,
-        "graph_hits": q_graph_hits,
-        "quality_negative_samples": q_quality_negative_samples,
-        "graph_bellman_ford": q_graph_bellman_ford,
+        # ---- r9 window slots 1-18: the round-8 additions whose first
+        # driver verdicts were deferred when the r8 window overflowed
+        # (VERDICT r8 #5 — the union invariant becomes driver-only) ----
         "events_enriched_stats": q_events_enriched_stats,
         "etl_zorder_layout": q_etl_zorder_layout,
         "quality_quantile_normalize": q_quality_quantile_normalize,
@@ -3043,30 +3025,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_scd2_pit": q_etl_scd2_pit,
         "graph_neighbor_stats": q_graph_neighbor_stats,
         "graph_random_walks": q_graph_random_walks,
-        # ---- slots 20-50: the stalest tail rotates IN (VERDICT r7 #7:
-        # last driver verdicts r4-r6; preflight kept them green every
-        # round in between) ----
-        "asof_join_events": q_asof_join_events,
-        "win_running_total": q_win_running_total,
-        "text_lang_id": q_text_lang_id,
-        "text_token_stats": q_text_token_stats,
-        "sim_quantize_int8": q_sim_quantize_int8,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "quality_source_quota": q_quality_source_quota,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "etl_remap_j1": q_etl_remap_j1,
-        "etl_automap_j2": q_etl_automap_j2,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_kmeans_centroids": q_sim_kmeans_centroids,
-        "graph_pagerank": q_graph_pagerank,
-        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
-        "quality_repetition_stats": q_quality_repetition_stats,
-        # ---- tail: >50 — first the 29 remaining stale rows (they lead
-        # the r9 window), then the r7-driver-green rows with unchanged
-        # code; ALL still oracle-checked every round by tools/preflight ----
+        # ---- slots 19-20: NEW in round 9 — streaming batch twins for
+        # the stream-stream interval join and the incremental-ingest
+        # sink's growing-index admission (VERDICT r8 #7) ----
+        "stream_interval_join": q_stream_interval_join,
+        "stream_ingest_admission": q_stream_ingest_admission,
+        # ---- slots 21-23: queries over code that CHANGED in round 9
+        # (bm25 TakeOrderedAndProject top-k, expectations NULL-dup
+        # uniqueness, threshold-alert smallest-k state) ----
+        "text_bm25_rank": q_text_bm25_rank,
+        "etl_expectations": q_etl_expectations,
+        "events_threshold_crossings": q_events_threshold_crossings,
+        # ---- slots 24-50: the stalest tail rotates IN (last driver
+        # verdicts r4-r6; preflight kept them green every round) ----
         "percentiles": q_percentiles,
         "conditional_agg": q_conditional_agg,
         "distinct_counts": q_distinct_counts,
@@ -3094,6 +3065,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "set_intersect_custkeys": q_set_intersect_custkeys,
         "set_except_custkeys": q_set_except_custkeys,
+        # ---- tail: >50 — stalest-first (they lead the r10 window),
+        # then the r8/r9-verdicted rows; ALL still oracle-checked
+        # every round by tools/preflight ----
+        "etl_profile_table": q_etl_profile_table,
+        "etl_profile_table_fast": q_etl_profile_table_fast,
+        "quality_trigram_ppl": q_quality_trigram_ppl,
+        "quality_ppl_gate": q_quality_ppl_gate,
+        "events_tumbling_counts": q_events_tumbling_counts,
+        "events_hopping_counts": q_events_hopping_counts,
+        "etl_upsert_nodes": q_etl_upsert_nodes,
+        "quality_mixture_sample": q_quality_mixture_sample,
+        "quality_clf_weights": q_quality_clf_weights,
+        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q9_product_type_profit": q_q9_product_type_profit,
+        "q11_important_supply": q_q11_important_supply,
+        "q12_priority_shipping": q_q12_priority_shipping,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_part_counts": q_q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+        "q20_dominant_suppliers": q_q20_dominant_suppliers,
+        "q21_waiting_orders": q_q21_waiting_orders,
+        "text_bpe_encode": q_text_bpe_encode,
+        "sim_random_projection": q_sim_random_projection,
+        "graph_kcore": q_graph_kcore,
+        "quality_dataset_split": q_quality_dataset_split,
+        "text_url_dedup": q_text_url_dedup,
+        "text_normalize": q_text_normalize,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "basket_frequent_pairs": q_basket_frequent_pairs,
+        "text_entity_clusters": q_text_entity_clusters,
+        "events_attribution": q_events_attribution,
+        "etl_scd2_history": q_etl_scd2_history,
+        "etl_cascade_delete": q_etl_cascade_delete,
+        "graph_label_propagation": q_graph_label_propagation,
+        "graph_bfs_distances": q_graph_bfs_distances,
+        "text_pmi_bigrams": q_text_pmi_bigrams,
+        "quality_zscore_outliers": q_quality_zscore_outliers,
+        "events_rolling_median": q_events_rolling_median,
+        "etl_snapshot_diff": q_etl_snapshot_diff,
+        "quality_histogram": q_quality_histogram,
+        "quality_corr_matrix": q_quality_corr_matrix,
+        "etl_mask_columns": q_etl_mask_columns,
+        "events_ewma": q_events_ewma,
+        "events_markov": q_events_markov,
+        "text_inverted_index": q_text_inverted_index,
+        "graph_hits": q_graph_hits,
+        "quality_negative_samples": q_quality_negative_samples,
+        "graph_bellman_ford": q_graph_bellman_ford,
+        "asof_join_events": q_asof_join_events,
+        "win_running_total": q_win_running_total,
+        "text_lang_id": q_text_lang_id,
+        "text_token_stats": q_text_token_stats,
+        "sim_quantize_int8": q_sim_quantize_int8,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "quality_source_quota": q_quality_source_quota,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "etl_remap_j1": q_etl_remap_j1,
+        "etl_automap_j2": q_etl_automap_j2,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_kmeans_centroids": q_sim_kmeans_centroids,
+        "graph_pagerank": q_graph_pagerank,
+        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
+        "quality_repetition_stats": q_quality_repetition_stats,
         "rollup_lineitem": q_rollup_lineitem,
         "stats_agg": q_stats_agg,
         "pivot_status": q_pivot_status,
@@ -6688,6 +6727,88 @@ def oracle_sql() -> dict[str, str]:
                ELSE 'kept' END AS verdict
         FROM brn r LEFT JOIN ih i ON r.bh = i.bh
         LEFT JOIN near n ON r.doc_id = n.doc_id
+    """
+
+    # Incremental-ingest sink twin: the dedup_incremental verdict
+    # machinery instantiated TWICE — round 2's index is round 1's
+    # index plus round 1's admitted docs (the sink's growing-index
+    # contract). _ing_verdicts emits one round's CTE chain.
+    def _ing_verdicts(r: int, idx: str, bat: str) -> str:
+        return f"""
+        ih{r} AS (SELECT DISTINCT
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS bh
+               FROM {idx}),
+        bhh{r} AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS bh
+                FROM {bat}),
+        brn{r} AS (SELECT doc_id, bh,
+                  row_number() OVER (PARTITION BY bh ORDER BY doc_id) AS rn
+                FROM bhh{r}),
+        i_sigs{r} AS (
+          SELECT doc_id, [{mh_list}] AS minhash FROM (
+            SELECT doc_id,
+                   list_transform({_sh}, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs
+            FROM {idx})
+        ),
+        b_sigs{r} AS (
+          SELECT doc_id, [{mh_list}] AS minhash FROM (
+            SELECT doc_id,
+                   list_transform({_sh}, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs
+            FROM {bat})
+        ),
+        ibanded{r} AS (
+          SELECT DISTINCT band_idx, band_hash FROM (
+            SELECT unnest(generate_series(0, 7)) AS band_idx,
+                   unnest([{band_exprs}]) AS band_hash FROM i_sigs{r})
+        ),
+        bbanded{r} AS (
+          SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                 unnest([{band_exprs}]) AS band_hash FROM b_sigs{r}
+        ),
+        near{r} AS (SELECT DISTINCT b.doc_id
+                 FROM bbanded{r} b JOIN ibanded{r} i USING (band_idx, band_hash)),
+        verd{r} AS (
+          SELECT r.doc_id,
+            CASE WHEN i.bh IS NOT NULL THEN 'exact_index'
+                 WHEN r.rn > 1 THEN 'exact_batch'
+                 WHEN n.doc_id IS NOT NULL THEN 'near_index'
+                 ELSE 'kept' END AS verdict
+          FROM brn{r} r LEFT JOIN ih{r} i ON r.bh = i.bh
+          LEFT JOIN near{r} n ON r.doc_id = n.doc_id)"""
+
+    sql["stream_ingest_admission"] = f"""
+        WITH idx AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        bat1 AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0),
+        bat2 AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE doc_id % 6 = 3
+          UNION ALL
+          SELECT doc_id + 300000, text FROM bat1 WHERE doc_id < 30),
+        {_ing_verdicts(1, 'idx', 'bat1')},
+        kept1 AS (SELECT doc_id FROM verd1 WHERE verdict = 'kept'),
+        idx2 AS MATERIALIZED (
+          SELECT doc_id, text FROM idx
+          UNION ALL
+          SELECT b.doc_id, b.text FROM bat1 b SEMI JOIN kept1 k
+            ON b.doc_id = k.doc_id),
+        {_ing_verdicts(2, 'idx2', 'bat2')}
+        SELECT 1 AS batch_id, doc_id, verdict FROM verd1
+        UNION ALL
+        SELECT 2 AS batch_id, doc_id, verdict FROM verd2
+    """
+
+    # Stream-stream interval join twin: equi-join + two-sided time
+    # bound, micro-exact timestamp comparison on both engines.
+    sql["stream_interval_join"] = """
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+               CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS click_ts
+        FROM events p JOIN events c ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
     """
 
     # Unigram LM score: per-token ln P rounded to 6 dp and summed as

@@ -163,6 +163,9 @@ HEADLINE = [
     "etl_scd2_pit",
     "graph_neighbor_stats",
     "graph_random_walks",
+    # round-9: streaming batch twins (interval join, ingest admission)
+    "stream_interval_join",
+    "stream_ingest_admission",
 ]
 
 
@@ -495,10 +498,34 @@ def main() -> None:
             file=sys.stderr,
         )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Family subtotals (VERDICT r8 #8): the compact stdout line can
+    # only hold the slowest ~50 queries, so regressions in the omitted
+    # entries would be invisible from the official record alone —
+    # per-family totals keep every query's time accounted for in the
+    # parsed line (a regression in ANY omitted query moves its
+    # family's subtotal).
+    import re as _re
+
+    _fams = {"etl", "quality", "sim", "text", "dedup", "events",
+             "graph", "mm", "win", "asof", "basket", "pipeline",
+             "stream"}
+
+    def _family(name: str) -> str:
+        if _re.match(r"q\d+_", name):
+            return "tpch"
+        head = name.split("_", 1)[0].split(".", 1)[0]
+        return head if head in _fams else "core"
+
+    families: dict[str, float] = {}
+    for n, t in timings.items():
+        if "." in n:  # phase sub-entries already roll into their parent
+            continue
+        families[_family(n)] = round(families.get(_family(n), 0.0) + t, 2)
     summary = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "families": dict(sorted(families.items())),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -202,3 +202,81 @@ def test_streaming_threshold_alerts_late_data_across_batches(spark, tmp_path):
         ).collect()
     }
     assert twin[(7, "click")] == results[0]["crossed_at"]
+
+
+def test_zorder_layout_prunes_row_groups_on_read(spark, tmp_path):
+    """The I/O win Z-ordering exists for, measured end-to-end: write
+    the SAME rows in a natural layout and a Z-ordered layout
+    (repartitionByRange(zkey) + local sort), read both back with a
+    2-D range predicate, and assert the Z-ordered scan actually READ
+    fewer rows (parquet row-group pruning from the executed plan's
+    scan metric) and needs fewer FILES opened (footer min/max
+    disjoint from the predicate box) — while returning the identical
+    result set (VERDICT r8 #6)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import os
+
+    from graph_etl_spark.operators import zorder_key
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    natural = str(tmp_path / "natural")
+    li.repartition(8).write.parquet(natural)
+    zsorted = str(tmp_path / "zsorted")
+    (
+        zorder_key(li, ["l_extendedprice", "l_quantity"], bits=8)
+        .repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.parquet(zsorted)
+    )
+    box = [("l_extendedprice", 1000, 5000), ("l_quantity", 1, 10)]
+    pred = (F.col("l_extendedprice").between(1000, 5000)) & (
+        F.col("l_quantity").between(1, 10)
+    )
+
+    def scan_rows(path):
+        """Rows the parquet reader actually produced (post row-group
+        pruning), from the executed scan's numOutputRows metric."""
+        df = spark.read.parquet(path).filter(pred)
+        res = df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        tot = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numOutputRows"):
+                tot += m.apply("numOutputRows").value()
+        return tot, {tuple(r) for r in res}
+
+    def files_needed(path):
+        """Files a footer-pruning reader must open: row-group min/max
+        intersects the predicate box on every dimension."""
+        n_open = n_total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            n_total += 1
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            hit = True
+            for col, lo, hi in box:
+                mn = min(md.row_group(g).column(idx[col]).statistics.min
+                         for g in range(md.num_row_groups))
+                mx = max(md.row_group(g).column(idx[col]).statistics.max
+                         for g in range(md.num_row_groups))
+                if mx < lo or mn > hi:
+                    hit = False
+            n_open += hit
+        return n_open, n_total
+
+    nat_rows, nat_res = scan_rows(natural)
+    z_rows, z_res = scan_rows(zsorted)
+    assert z_res == nat_res          # identical answers...
+    assert z_rows < nat_rows / 2     # ...from less than half the I/O
+    nat_open, nat_files = files_needed(natural)
+    z_open, z_files = files_needed(zsorted)
+    assert nat_files == z_files == 8
+    assert z_open < nat_open         # whole files become skippable
