@@ -384,8 +384,12 @@ def main() -> None:
     # Wait for the 1-min load to settle below the threshold before
     # timing anything; proceed with a loud warning if it never does —
     # an inflated-but-flagged record beats no record (rc must stay 0).
-    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    gate_wait = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "180"))
+    # r8's official run started at loadavg 1.96 — a hair under the old
+    # gate of 2.0 — and its tail was load-contaminated (six phantom
+    # regressions vs the quiet record). Gate at 1.0 and wait longer;
+    # the loud-warning fallback still guarantees rc=0 on a busy host.
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "300"))
     waited = 0.0
     while os.getloadavg()[0] > load_gate and waited < gate_wait:
         print(
@@ -410,7 +414,17 @@ def main() -> None:
         if prev and str(prev.get("sf")) == sf_now
         else {}
     )
-    for name in HEADLINE + list(FLOWS):
+    # targeted re-measure support (VERDICT r8 #2): a comma list in
+    # SPARK_GRAFT_BENCH_ONLY restricts the run to those entries —
+    # for quiet-machine attribution of individual regressions without
+    # a full 2-minute pass. Official records never set it.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+    names = HEADLINE + list(FLOWS)
+    if only:
+        names = [n for n in names if n in only]
+    for name in names:
         flow = FLOWS.get(name)
         fn = flow if flow is not None else qs[name]
         samples = []

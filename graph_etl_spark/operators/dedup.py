@@ -283,6 +283,17 @@ def ngram_jaccard_pairs(
     standard stop-shingle-removal semantics). At 100 TB set the cap
     around 1e-4 × corpus size; ``None`` disables.
 
+    Candidate growth is LINEAR in the corpus with the cap on, by
+    construction: every kept posting has ≤ cap ids, so candidate
+    pairs ≤ C(cap, 2) × kept_shingles, and distinct shingles are
+    bounded by total shingle occurrences (≈ total tokens). Audited
+    empirically (tools/ngram_cap_audit.py, r9): at 1×/10×/100× of
+    sf0.01 the capped index generated 13 985 / 135 340 / 1 353 400
+    candidate pairs — 0.97× exact-linear at both scales, with
+    observed pairs ≈ 0.86 per kept shingle versus the C(16,2)=120
+    worst case. The r8 scale probe's 9.7 runtime ratio at 10× was a
+    saturated-32-core linear slope, not pair blowup.
+
     Physical shape: ONE scan, ONE shuffle, bounded buffers. Rows are
     ranked per shingle (row_number over the same hash partitioning the
     groupBy then reuses — no second exchange), the collect_list admits

@@ -510,6 +510,14 @@ def main() -> None:
         "group_percentiles": lambda f: ops.group_percentiles(
             f, "event_type", "value", [0.5, 0.95, 0.99]
         ),
+        # r9 (VERDICT r8 #1): two-phase exact global rank — boundary
+        # literals assign buckets map-side, ranks come from PER-BUCKET
+        # windows + broadcast prefix offsets; rows 10x over a fixed
+        # bucket count grows each bucket-local sort 10x but keeps them
+        # parallel — must stay scan-linear with NO single-reducer sort
+        "quantile_normalize": lambda f: ops.quantile_normalize(
+            f.select("event_id", "value"), "value", "event_id"
+        ),
         # r8 batch 14: full CDC apply — change stream ~1/5 of the
         # current table, both grow Nx; union + ranking window, one
         # key shuffle
