@@ -378,6 +378,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
+    all_sample_loads: dict[str, list[float]] = {}
     # Quiet-machine gate (VERDICT r6 #1): a contended host inflates
     # whole stretches of samples (r6 official run started at loadavg
     # 8.87 and its record could not substantiate the round's claim).
@@ -430,6 +431,8 @@ def main() -> None:
         samples = []
         phase_samples: dict[str, list[float]] = {}
 
+        sample_loads: list[float] = []
+
         def run_once():
             t0 = time.time()
             if flow is not None:
@@ -442,8 +445,27 @@ def main() -> None:
                 # count() would let Catalyst prune the expensive expressions
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+            # per-sample 1-min loadavg at sample END (VERDICT r9 #8):
+            # regression forensics become one sidecar lookup — an
+            # inflated sample next to a high load number is contention,
+            # next to a quiet one is a real plan cost
+            sample_loads.append(round(os.getloadavg()[0], 2))
 
         for _ in range(runs):
+            run_once()
+        # spread policy (VERDICT r9 #8): within-run spread >1.3x means
+        # at least one sample is contaminated — extend to min-of-5 so
+        # the min comes from the quiet majority, not a lucky pair
+        while (
+            len(samples) < 5
+            and min(samples) > 0
+            and max(samples) / min(samples) > 1.3
+        ):
+            print(
+                f"#   spread {max(samples) / min(samples):.2f}x > 1.3 for "
+                f"{name}; extending to min-of-{len(samples) + 1}",
+                file=sys.stderr,
+            )
             run_once()
         # adaptive outlier retry: a min far above the previous round's
         # record usually means a transient noisy stretch (host
@@ -462,6 +484,7 @@ def main() -> None:
             extra += 1
         timings[name] = round(min(samples), 3)
         all_samples[name] = [round(s, 3) for s in samples]
+        all_sample_loads[name] = sample_loads
         # between-query session hygiene (UNTIMED): checkpointing
         # queries (k-means input, semantic dedup's tagged frame) leave
         # persisted blocks whose lazy ContextCleaner reclamation lags a
@@ -534,7 +557,10 @@ def main() -> None:
     for n, t in timings.items():
         if "." in n:  # phase sub-entries already roll into their parent
             continue
-        families[_family(n)] = round(families.get(_family(n), 0.0) + t, 2)
+        families[_family(n)] = families.get(_family(n), 0.0) + t
+    # round ONCE per family after accumulation — per-step rounding
+    # compounds error across ~100 entries (ADVICE r9)
+    families = {k: round(v, 2) for k, v in families.items()}
     summary = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -555,6 +581,7 @@ def main() -> None:
     sidecar.update(
         {
             "samples": all_samples,
+            "sample_loadavg": all_sample_loads,
             "runs": runs,
             "loadavg_start": [round(x, 2) for x in load_start],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],

@@ -1267,9 +1267,12 @@ def ppl_band_filter(
       * RANK band (``lo_permille``/``hi_permille``) — keep rows whose
         deterministic rank position r (ordered by (ppl, id)) satisfies
         lo <= (r-1)·1000 DIV n < hi. Exact and engine-reproducible,
-        but the row_number window is a single-partition sort — use it
-        at audit scale; at 100 TB measure thresholds on a
-        ``hash_sample`` slice and run the literal mode.
+        and since round 10 the rank comes from ``exact_global_rank``
+        (percentile boundary literals → per-bucket local windows +
+        broadcast prefix offsets) — ZERO unpartitioned WindowExec, so
+        the band mode is 100 TB-safe too; literal mode remains the
+        cheaper production path (zero shuffle, thresholds from a
+        held-out ``hash_sample`` slice).
     """
     if lo_ppl is not None or hi_ppl is not None:
         out = scored
@@ -1278,19 +1281,16 @@ def ppl_band_filter(
         if hi_ppl is not None:
             out = out.filter(F.col(ppl_col) <= float(hi_ppl))
         return out
-    w = Window.orderBy(F.col(ppl_col), F.col(id_col))
-    n = F.count(F.lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked, total = exact_global_rank(
+        scored, ppl_col, [ppl_col, id_col], out="__rnk"
     )
-    pos = (F.row_number().over(w) - F.lit(1)) * F.lit(1000)
     return (
-        scored.withColumn("__pos", pos)
-        .withColumn("__n", n)
+        ranked.withColumn("__pos", (F.col("__rnk") - F.lit(1)) * F.lit(1000))
         .filter(
-            (F.expr("__pos DIV __n") >= int(lo_permille))
-            & (F.expr("__pos DIV __n") < int(hi_permille))
+            (F.expr(f"__pos DIV {int(total)}") >= int(lo_permille))
+            & (F.expr(f"__pos DIV {int(total)}") < int(hi_permille))
         )
-        .drop("__pos", "__n")
+        .drop("__rnk", "__pos")
     )
 
 
@@ -1629,6 +1629,89 @@ def mask_columns(
     return out
 
 
+def exact_global_rank(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out: str = "__rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """TWO-PHASE exact global ``row_number`` over ``order_cols`` —
+    exact total-order ranks WITHOUT a single-partition sort. The
+    shared primitive behind ``quantile_normalize``,
+    ``ppl_band_filter``'s rank-band mode, and ``negative_samples``'
+    dense corpus index.
+
+    Phase 1 collects ``num_partitions - 1`` approximate boundaries of
+    the NUMERIC ``value_col`` (one map-side-combined
+    ``percentile_approx`` agg; tiny driver collect) and assigns every
+    row a bucket by LITERAL comparison — a pure map-side expression.
+    The bucketed frame is ``localCheckpoint(eager=False)``-pinned so
+    the two downstream consumers (the bucket-count job and the final
+    ranked plan) provably see the SAME rows even when ``df`` is
+    non-deterministic (sample/rand-derived) — the same multi-consumer
+    discipline as ``ngram_jaccard_pairs``. Phase 2 counts rows per
+    bucket (map-side-combined agg over ≤ num_partitions + 1 groups,
+    collected), computes prefix offsets driver-side, broadcasts them
+    as a literal frame, and ranks WITHIN each bucket:
+    global_rank = offset(bucket) + local row_number.
+
+    Identical output to ``row_number().over(Window.orderBy(*order_cols))``
+    — ``value_col`` must be a prefix of the order (bucket order is
+    value order; the in-bucket sort finishes the job) — but the only
+    full-data shuffle is the per-bucket window exchange and every sort
+    is bucket-local: ZERO unpartitioned WindowExec, no straggler
+    reducer at 100 TB. Boundary quality affects bucket BALANCE only,
+    never the ranks. NULL ``value_col`` rows take bucket -1 (nulls
+    first, Spark's ascending default).
+
+    Returns ``(df + out column (1-based global rank), total_rows)`` —
+    the total is collected as a by-product of the bucket counts, so
+    callers needing n (quantile denominators, permille bands, mod-n
+    draws) get it without another job.
+    """
+    spark = df.sparkSession
+    n_parts = max(
+        2,
+        int(
+            num_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions", "200")
+        ),
+    )
+    probs = [i / n_parts for i in range(1, n_parts)]
+    row = df.agg(
+        F.percentile_approx(F.col(value_col), probs, 10000).alias("__b")
+    ).collect()[0]
+    bounds = sorted(set(row["__b"] or []))
+    v = F.col(value_col)
+    if bounds:
+        bucket = F.when(v.isNull(), F.lit(-1)).otherwise(
+            F.size(F.filter(F.array(*[F.lit(b) for b in bounds]), lambda b: b <= v))
+        )
+    else:
+        bucket = F.when(v.isNull(), F.lit(-1)).otherwise(F.lit(0))
+    keyed = df.withColumn("__bkt", bucket).localCheckpoint(eager=False)
+    counts = sorted(
+        (r["__bkt"], r["__cnt"])
+        for r in keyed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    total = int(sum(c for _, c in counts))
+    rows, running = [], 0
+    for bkt, cnt in counts:
+        rows.append((int(bkt), running))
+        running += cnt
+    offsets = spark.createDataFrame(rows or [(0, 0)], "__bkt int, __off long")
+    w_local = Window.partitionBy("__bkt").orderBy(*[F.col(c) for c in order_cols])
+    ranked = (
+        keyed.join(F.broadcast(offsets), "__bkt")
+        .withColumn(out, F.row_number().over(w_local) + F.col("__off"))
+        .drop("__bkt", "__off")
+    )
+    return ranked, total
+
+
 def negative_samples(
     pairs: DataFrame,
     corpus_ids: DataFrame,
@@ -1651,29 +1734,66 @@ def negative_samples(
 
     Output: (anchor, positive, sample_rank 1..k, negative_id).
 
-    Scale: the corpus gets a dense index ONCE (one ranking window);
-    candidate draws explode map-side (k+2 per pair) and resolve
-    through a single equi-join on the dense index — at 100 TB both
-    sides of that join are data-sized and hash-partition cleanly; the
-    per-pair survivor window is bounded (k+2 rows)."""
+    Scale: the corpus gets a dense index ONCE via the TWO-PHASE exact
+    global rank (``exact_global_rank``: percentile boundary literals →
+    per-bucket local ``row_number`` + broadcast prefix offsets —
+    ZERO unpartitioned WindowExec, the corpus id set at 100 TB is
+    data-sized, not dimension-sized). Non-numeric id columns (where
+    ``percentile_approx`` bucketing doesn't apply) take the
+    range-partitioned zipWithIndex form of the same two phases:
+    ``repartitionByRange`` on the id (checkpoint-pinned so both the
+    count job and the ranked plan see identical partitions) →
+    per-partition counts → broadcast offsets → partition-local
+    ``row_number``. Both paths produce the SAME index (dense 0..n-1 in
+    id order). Candidate draws explode map-side (k+2 per pair) and
+    resolve through a single equi-join on the dense index — at 100 TB
+    both sides of that join are data-sized and hash-partition cleanly;
+    the per-pair survivor window is bounded (k+2 rows)."""
+    from pyspark.sql.types import NumericType
+
     from .text import h56
 
     [id_col] = corpus_ids.columns
     ids = corpus_ids.select(F.col(id_col).alias("__cid")).distinct()
-    # dense 0..n-1 index; single-partition window is fine for the
-    # dimension-sized id table of a sampling problem — for a corpus-
-    # sized id space swap in zipWithIndex-style two-phase numbering
-    idx = ids.select(
-        "__cid",
-        (F.row_number().over(Window.orderBy("__cid")) - 1).alias("__idx"),
-    )
-    n = idx.agg(F.count(F.lit(1)).alias("__n"))
+    spark = ids.sparkSession
+    if isinstance(ids.schema["__cid"].dataType, NumericType):
+        ranked, n_total = exact_global_rank(ids, "__cid", ["__cid"], out="__r")
+        idx = ranked.withColumn("__idx", F.col("__r") - 1).drop("__r")
+    else:
+        n_parts = max(
+            2, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
+        parted = ids.repartitionByRange(n_parts, "__cid").localCheckpoint(
+            eager=False
+        )
+        pid = parted.withColumn("__pid", F.spark_partition_id())
+        counts = sorted(
+            (r["__pid"], r["__cnt"])
+            for r in pid.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .collect()
+        )
+        n_total = int(sum(c for _, c in counts))
+        rows, running = [], 0
+        for p, cnt in counts:
+            rows.append((int(p), running))
+            running += cnt
+        offsets = spark.createDataFrame(
+            rows or [(0, 0)], "__pid int, __off long"
+        )
+        w_pid = Window.partitionBy("__pid").orderBy("__cid")
+        idx = (
+            pid.join(F.broadcast(offsets), "__pid")
+            .withColumn(
+                "__idx", F.row_number().over(w_pid) + F.col("__off") - 1
+            )
+            .drop("__pid", "__off")
+        )
     draws = (
         pairs.select(
             F.col(anchor_col).alias("anchor_id"),
             F.col(positive_col).alias("positive_id"),
         )
-        .crossJoin(F.broadcast(n))
         .select(
             "*",
             F.explode(F.sequence(F.lit(0), F.lit(int(k) + 1))).alias("__j"),
@@ -1692,7 +1812,7 @@ def negative_samples(
                         F.col("__j").cast("string"),
                     )
                 )
-                % F.col("__n")
+                % F.lit(n_total)
             ).alias("__idx"),
         )
     )
@@ -1729,76 +1849,32 @@ def quantile_normalize(
     quantile is (rank - 1) / (n - 1) rounded to ``round_to`` (single-
     row inputs map to 0).
 
-    Scale: TWO-PHASE exact global rank — exact ranks do NOT require a
-    single-partition sort. Phase 1 collects ``num_partitions - 1``
-    approximate value boundaries (one map-side-combined
-    ``percentile_approx`` agg; a tiny driver collect) and assigns
-    every row a bucket by LITERAL comparison — a pure map-side
-    expression, so both consumers below see identical buckets by
-    construction. Phase 2 counts rows per bucket (one map-side-
-    combined agg; the result is ≤ num_partitions + 1 rows and is
-    collected), computes prefix offsets + the grand total
-    driver-side, rebroadcasts them as a LITERAL frame, and ranks
-    rows WITHIN each bucket: global_rank = offset(bucket) +
-    local_rank. Identical output to ``row_number`` over one global
-    window — bucket order is value order and the (value, tiebreak)
-    sort finishes the job inside each bucket — but the final plan's
-    only full-data shuffle is the per-bucket window exchange and
-    every sort is bucket-local: ZERO unpartitioned WindowExec
-    anywhere, no straggler reducer at 100 TB.
-    Boundary quality only affects bucket BALANCE, never the ranks
-    (any boundaries give the same output); heavy ties on one value
-    all land in one bucket — the inherent limit of value-bucketed
-    ranking, same skew the global sort would hit on its merge."""
-    spark = df.sparkSession
-    n_parts = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    Scale: delegates to ``exact_global_rank`` — the TWO-PHASE exact
+    global rank (percentile boundary literals → per-bucket local
+    ``row_number`` + broadcast prefix offsets; the bucketed frame is
+    checkpoint-pinned so the count job and the final plan provably see
+    the same rows even on non-deterministic inputs). The final plan's
+    only full-data shuffle is the per-bucket window exchange and every
+    sort is bucket-local: ZERO unpartitioned WindowExec, no straggler
+    reducer at 100 TB. Boundary quality only affects bucket BALANCE,
+    never the ranks; heavy ties on one value all land in one bucket —
+    the inherent limit of value-bucketed ranking, same skew the global
+    sort would hit on its merge."""
+    ranked, total = exact_global_rank(
+        df,
+        value_col,
+        [value_col, tiebreak_col],
+        out="__rnk",
+        num_partitions=num_partitions,
     )
-    probs = [i / n_parts for i in range(1, n_parts)]
-    row = df.agg(
-        F.percentile_approx(F.col(value_col), probs, 10000).alias("__b")
-    ).collect()[0]
-    bounds = sorted(set(row["__b"] or []))
-    v = F.col(value_col)
-    if bounds:
-        bucket = F.when(v.isNull(), F.lit(-1)).otherwise(
-            F.size(F.filter(F.array(*[F.lit(b) for b in bounds]), lambda b: b <= v))
-        )
-    else:
-        bucket = F.when(v.isNull(), F.lit(-1)).otherwise(F.lit(0))
-    keyed = df.withColumn("__bkt", bucket)
-    counts = sorted(
-        (r["__bkt"], r["__cnt"])
-        for r in keyed.groupBy("__bkt")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .collect()
-    )
-    total = sum(c for _, c in counts)
-    rows, running = [], 0
-    for bkt, cnt in counts:
-        rows.append((int(bkt), running, total))
-        running += cnt
-    offsets = spark.createDataFrame(
-        rows or [(0, 0, 0)], "__bkt int, __off long, __n long"
-    )
-    w_local = Window.partitionBy("__bkt").orderBy(
-        F.col(value_col), F.col(tiebreak_col)
-    )
-    return (
-        keyed.join(F.broadcast(offsets), "__bkt")
-        .withColumn(
-            out,
-            F.round(
-                (F.row_number().over(w_local) + F.col("__off") - F.lit(1)).cast(
-                    "double"
-                )
-                / F.greatest(F.col("__n") - 1, F.lit(1)),
-                round_to,
-            ),
-        )
-        .drop("__bkt", "__off", "__n")
-    )
+    return ranked.withColumn(
+        out,
+        F.round(
+            (F.col("__rnk") - F.lit(1)).cast("double")
+            / F.lit(float(max(total - 1, 1))),
+            round_to,
+        ),
+    ).drop("__rnk")
 
 
 def group_percentiles(

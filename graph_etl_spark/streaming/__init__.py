@@ -508,6 +508,18 @@ def streaming_threshold_alerts(
     Scale: state is O(active keys) × (2 scalars + ``threshold``
     doubles) and the array never exceeds ``threshold`` entries, so
     state never grows with event volume.
+
+    State-schema compatibility: round 9 changed ``stateStructType``
+    from ``count long, fired long, crossed_at double`` to
+    ``count long, fired long, smallest array<double>`` — checkpoints
+    written by the pre-round-9 schema CANNOT be resumed (Spark will
+    fail or mis-deserialize the state row). Discard old checkpoints
+    when upgrading; there is no in-place state migration.
+
+    For exact alert timestamps under ANY bounded lateness — not just
+    same-or-earlier-batch late events — use
+    ``streaming_threshold_alerts_watermarked``, which delays firing
+    until the event-time watermark passes the candidate crossing.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
