@@ -213,13 +213,17 @@ def q_etl_union_sources(spark, sf):
 
 
 def q_etl_chunk_counts(spark, sf):
-    """W1 chunking: row_number over a deterministic key, 500-row chunks,
-    per-chunk counts (the strict_chunks parity mode)."""
+    """W1 chunking: global row_number over a deterministic key, 500-row
+    chunks, per-chunk counts (the strict_chunks parity mode). The rank
+    comes from ops.exact_global_rank (percentile boundary literals →
+    per-bucket local windows + broadcast prefix offsets) — same output
+    as one global window, zero unpartitioned WindowExec (r10 sweep)."""
     o = _t(spark, sf, "orders")
-    w = Window.orderBy("o_orderkey")
+    ranked, _ = ops.exact_global_rank(
+        o.select("o_orderkey"), "o_orderkey", ["o_orderkey"], out="__rn"
+    )
     return (
-        o.select((F.row_number().over(w) - 1).alias("rn"))
-        .select(F.floor(F.col("rn") / 500).alias("chunk"))
+        ranked.select(F.floor((F.col("__rn") - 1) / 500).alias("chunk"))
         .groupBy("chunk")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
@@ -328,12 +332,17 @@ def q_win_running_total(spark, sf):
 
 
 def q_topk_orders(spark, sf):
+    """Top-15 orders by price: orderBy + limit compiles to
+    TakeOrderedAndProject (per-partition top-k, k·partitions merge);
+    the only unpartitioned window ranks the 15 survivors — the bm25
+    top-k shape (r10 sweep)."""
     o = _t(spark, sf, "orders")
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 15)
     )
 
 

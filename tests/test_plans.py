@@ -715,3 +715,50 @@ def test_winsorize_broadcast_bounds(spark, entry):
     st = plan_stats(entry.q_quality_winsorize(spark, SF))
     assert st.sort_merge_joins == 0
     assert st.broadcast_hash_joins >= 1
+
+
+# Bounded-cardinality exceptions to the registry-wide unpartitioned-
+# window sweep. Every entry must say WHY the window input is bounded —
+# the sweep exists to stop data-sized single-reducer sorts, not k-row
+# rank finishes (VERDICT r9 #4: allowlist <= 5, each with a comment).
+_UNPARTITIONED_WINDOW_OK = {
+    # orderBy().limit(k) compiles to TakeOrderedAndProject; the rank
+    # window sees only the k surviving rows (k=10 in the registry)
+    "text_bm25_rank",
+    # same shape: TakeOrderedAndProject feeds a 15-row rank window
+    "topk_orders",
+}
+
+
+def test_registry_no_unpartitioned_windows(spark, entry):
+    """INVARIANT (VERDICT r9 #4): across ALL registered query plans,
+    every window spec is partitioned — no 'No Partition Defined'
+    single-reducer sort of a data-sized frame anywhere in the
+    registry. Generalizes the per-op quantile_normalize guard; the
+    two allowlisted entries rank k-row TakeOrderedAndProject
+    survivors (bounded by construction).
+
+    Detection: windowspecdefinition(<first-arg>) — a partitioned spec
+    leads with a bare partition column; an unpartitioned one leads
+    either with an ORDER BY column carrying an ASC/DESC marker or
+    (order-less global frames, e.g. an unbounded count) directly with
+    specifiedwindowframe."""
+    import re
+
+    qs = entry.queries()
+    offenders = {}
+    for name, fn in qs.items():
+        if name in _UNPARTITIONED_WINDOW_OK:
+            continue
+        plan = plan_string(fn(spark, SF))
+        specs = re.findall(r"windowspecdefinition\(([^,)]+)[,)]", plan)
+        bad = [
+            s
+            for s in specs
+            if "ASC" in s
+            or "DESC" in s
+            or s.strip().startswith("specifiedwindowframe")
+        ]
+        if bad:
+            offenders[name] = bad[:3]
+    assert not offenders, f"unpartitioned windows: {offenders}"
