@@ -1664,6 +1664,23 @@ def q_mm_decode_stub(spark, sf):
     )
 
 
+def q_mm_decode_real(spark, sf):
+    """REAL image decode end-to-end (VERDICT r9 #3): per doc a REAL
+    PNG is synthesized (mapInPandas; stdlib zlib encoder, geometry and
+    RGB pixels closed-form in doc_id), then DECODED for real — zlib
+    inflate + scanline unfilter, no imaging library — and reduced to
+    exact integer pixel aggregates. The oracle recomputes the
+    aggregates from the pixel FORMULA alone (never touching a PNG
+    byte), so a hash-exact match certifies the codec round-trips
+    bit-for-bit through the Arrow-batched Python stage."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    pngs = ops.synth_png_column(d, "doc_id")
+    return ops.decode_image(pngs).select(
+        "doc_id", "media_type", "width", "height", "channels",
+        "pixel_sum", "n_pixels",
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-quality operators (operators/quality.py)
 # ---------------------------------------------------------------------------
@@ -3058,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_split_explode": q_etl_split_explode,
         "etl_array_flatten": q_etl_array_flatten,
         "mm_decode_stub": q_mm_decode_stub,
+        "mm_decode_real": q_mm_decode_real,
         "approx_distinct_custkeys": q_approx_distinct_custkeys,
         "approx_quantiles": q_approx_quantiles,
         "quality_hash_sample": q_quality_hash_sample,
@@ -4771,6 +4789,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
                md5(text) AS content_digest, 'unknown' AS media_type
         FROM documents
+    """
+
+    # Real PNG round trip: the oracle recomputes the decoded pixel
+    # aggregates from the generator FORMULA (w = 8 + id%9,
+    # h = 8 + (id//9)%9, pixel(x,y,c) = (id*31+y*7+x*3+c*11) % 256)
+    # without touching a PNG byte — a hash match proves the Spark
+    # side's encode -> zlib inflate -> unfilter -> aggregate chain is
+    # bit-exact.
+    sql["mm_decode_real"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 8 + doc_id % 9 AS w,
+                 8 + (doc_id // 9) % 9 AS h
+          FROM documents
+        )
+        SELECT d.doc_id, 'png' AS media_type,
+               d.w::INT AS width, d.h::INT AS height, 3 AS channels,
+               SUM((d.doc_id * 31 + y.y * 7 + x.x * 3 + c.c * 11) % 256)::BIGINT
+                 AS pixel_sum,
+               (d.w * d.h * 3)::BIGINT AS n_pixels
+        FROM dims d,
+             range(0, 16) AS y(y),
+             range(0, 16) AS x(x),
+             range(0, 3) AS c(c)
+        WHERE y.y < d.h AND x.x < d.w
+        GROUP BY d.doc_id, d.w, d.h
     """
 
     # --- corpus-quality family (operators/quality.py) ---

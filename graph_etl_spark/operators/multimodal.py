@@ -2,12 +2,15 @@
 columns with typed metadata, processed by Arrow-batched pandas
 functions over ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_image_stub`` produces a deterministic fake
-"decoded" feature row so the Spark-side plumbing — schema, batch
-shape, partitioning, UDF signature — is real and tested. Swap the
-stub body for PIL/librosa/etc. in a real deployment; everything else
-stands.
+PNG decode is REAL (round 10): the format is zlib (stdlib) + per-
+scanline unfiltering (numpy; filters 0-4 of the public PNG spec,
+8-bit depth, no interlace) — ``decode_png``/``encode_png`` below,
+wired into ``decode_image`` as an Arrow-batched ``mapInPandas``
+stage. JPEG/audio/video decode remains STUBBED (``decode_image_stub``
+— those codecs genuinely need native libraries this container lacks);
+the stub is deterministic byte arithmetic so the plumbing itself is
+SQL-oracle-verifiable, and it stays the fallback for non-PNG payloads
+inside ``decode_image``.
 
 Scale notes: binary payloads ride in parquet binary columns; the
 ``mapInPandas`` path streams Arrow record batches (no per-row Python
@@ -18,8 +21,11 @@ JVM-side.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -158,6 +164,202 @@ def resize_image_stub(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bin_col).mapInPandas(resize_batches, RESIZED_IMAGE_SCHEMA)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # greyscale, RGB, grey+A, RGBA
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal REAL PNG encoder (public spec, stdlib only): 8-bit,
+    colour type by channel count (len(pixels) / (w*h): 1=grey, 3=RGB,
+    4=RGBA), filter 0 scanlines, one zlib IDAT. Used to synthesize
+    deterministic fixtures that ``decode_png`` must round-trip
+    bit-exactly."""
+    channels, rem = divmod(len(pixels), width * height)
+    if rem or channels not in (1, 3, 4):
+        raise ValueError(f"pixels length {len(pixels)} != w*h*channels")
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """REAL PNG decode, no imaging library: chunk walk → IHDR dims →
+    zlib-inflate the IDAT stream → per-scanline unfilter (all five
+    filter types of the public spec: None/Sub/Up/Average/Paeth).
+    Supports 8-bit depth, colour types 0/2/4/6, no interlace — the
+    shapes a training-data pipeline actually stores. Returns
+    (width, height, channels, uint8 array of shape (h, w, channels)).
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = channels = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, type={ctype})"
+                )
+            channels = _PNG_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    off = 0
+    for y in range(h):
+        f = raw[off]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
+        off += 1 + stride
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 2:  # Up — vectorized (uint8 addition wraps mod 256)
+            cur = line + prev
+        elif f in (1, 3, 4):  # Sub/Average/Paeth need the running left
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur
+        prev = cur
+    return int(w), int(h), int(channels), out.reshape(h, w, channels)
+
+
+DECODED_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def decode_image(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode as an Arrow-batched ``mapInPandas`` stage:
+    PNG payloads go through ``decode_png`` (actual zlib inflate +
+    unfilter) and report true dimensions plus exact integer pixel
+    aggregates; anything else falls back to the declared stub
+    (media_type 'stub') so mixed-media corpora keep flowing. The
+    integer pixel_sum makes the whole Python stage SQL-oracle
+    checkable when fixtures are formula-generated."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in DECODED_REAL_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                rows["doc_id"].append(int(doc_id))
+                if raw[:8] == _PNG_SIG:
+                    w, h, c, px = decode_png(raw)
+                    rows["media_type"].append("png")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(c)
+                    rows["pixel_sum"].append(int(px.sum(dtype=np.int64)))
+                    rows["n_pixels"].append(w * h * c)
+                else:
+                    w, h, c, _feat = _fake_decode(raw)
+                    rows["media_type"].append("stub")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(c)
+                    rows["pixel_sum"].append(0)
+                    rows["n_pixels"].append(0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, DECODED_REAL_SCHEMA)
+
+
+def synth_png_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Deterministic PNG fixture generator (mapInPandas): for each id,
+    a REAL PNG whose geometry and pixels are closed-form in the id —
+    width = 8 + id % 9, height = 8 + (id // 9) % 9, RGB pixel
+    (x, y, c) = (id*31 + y*7 + x*3 + c*11) % 256 — so a SQL oracle can
+    reproduce the decoded aggregates without touching the codec, and a
+    hash-exact match certifies the encode→decode round trip
+    bit-for-bit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 8 + i % 9, 8 + (i // 9) % 9
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((i * 31 + yy * 7 + xx * 3 + cc * 11) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_png(w, h, px.tobytes()))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), bin_col: payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(bin_col, T.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
 
 
 def frame_sample_plan(
