@@ -575,6 +575,108 @@ def streaming_threshold_alerts(
     )
 
 
+def streaming_threshold_alerts_watermarked(
+    events: DataFrame,
+    threshold: int = 5,
+    delay: str = "10 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+):
+    """Watermark-delayed variant of ``streaming_threshold_alerts``
+    (VERDICT r9 #6): instead of firing in the micro-batch where the
+    count crosses ``threshold``, the candidate crossing (the
+    threshold-th SMALLEST event time seen so far) is held in state and
+    the alert fires only once the EVENT-TIME WATERMARK passes it — via
+    ``EventTimeTimeout``, so the firing needs no further events for
+    the key. Any late event with ts at or below the candidate that
+    arrives within the watermark ``delay`` lands BEFORE the firing and
+    re-lowers the candidate, so the emitted timestamp equals the batch
+    twin (``threshold_crossings``) under ANY lateness bounded by
+    ``delay`` and ANY micro-batch split — closing the one documented
+    divergence of the immediate-firing variant (events below the
+    crossing arriving in a later batch). The trade is latency: alerts
+    arrive one watermark delay after the crossing.
+
+    State per key: same bounded (count, fired, smallest[threshold])
+    as the immediate variant, plus Spark's per-key timeout timestamp.
+    The input gets ``withWatermark(ts_col, delay)`` applied here.
+
+    Returns an unstarted transformed frame with schema
+    (user_id long, event_type string, crossed_at double).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        user_id, event_type = key
+        if state.exists:
+            count, fired, smallest = state.get
+            smallest = list(smallest or [])
+        else:
+            count, fired, smallest = 0, 0, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                count += len(pdf)
+                if fired:
+                    continue
+                s = pdf[ts_col]
+                if pd.api.types.is_datetime64_any_dtype(s):
+                    epochs = s.astype("int64").to_numpy() / 1e9
+                else:
+                    epochs = s.to_numpy(dtype="float64")
+                smallest = sorted(smallest + [float(e) for e in epochs])[
+                    :threshold
+                ]
+        emit = None
+        pending = (
+            not fired and count >= threshold and len(smallest) >= threshold
+        )
+        if pending:
+            candidate = smallest[threshold - 1]
+            if state.getCurrentWatermarkMs() >= int(candidate * 1000):
+                fired = 1
+                emit = candidate
+                pending = False
+        state.update((count, fired, smallest))
+        if pending:
+            # wake this key when the watermark passes the candidate,
+            # even if no further events arrive for it
+            state.setTimeoutTimestamp(int(smallest[threshold - 1] * 1000))
+        if emit is not None:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "event_type": [event_type],
+                    "crossed_at": [emit],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"user_id": [], "event_type": [], "crossed_at": []}
+            ).astype(
+                {
+                    "user_id": "int64",
+                    "event_type": "object",
+                    "crossed_at": "float64",
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(user_col, type_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, event_type string, crossed_at double",
+            stateStructType="count long, fired long, smallest array<double>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def threshold_crossings(
     events: DataFrame,
     threshold: int = 5,

@@ -219,3 +219,264 @@ def test_negative_samples_string_ids_match_ground_truth(spark):
     assert got.count() > 0
     assert got.exceptAll(truth).count() == 0
     assert truth.exceptAll(got).count() == 0
+
+
+def test_watermarked_alerts_exact_under_cross_batch_lateness(spark, tmp_path):
+    """VERDICT r9 #6: an event BELOW the emitted crossing arriving in
+    a LATER micro-batch — the immediate-firing variant documents this
+    as its one divergence from the batch twin; the watermark-delayed
+    variant must get it right (fire only once the watermark passes the
+    candidate, so the late event re-lowers the candidate first)."""
+    import pandas as pd
+
+    from graph_etl_spark.streaming import (
+        streaming_threshold_alerts,
+        streaming_threshold_alerts_watermarked,
+        threshold_crossings,
+    )
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    src = str(tmp_path / "wm_src")
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts"]
+        )
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+
+    def run_once(make_stream, ckpt, results):
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        q = (
+            make_stream(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: results.extend(
+                    r.asDict() for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    immediate = lambda s: streaming_threshold_alerts(s, threshold=3)  # noqa: E731
+    delayed = lambda s: streaming_threshold_alerts_watermarked(  # noqa: E731
+        s, threshold=3, delay="5 minutes"
+    )
+    got_imm: list = []
+    got_wm: list = []
+
+    # batch 1: 10:00, 10:04, 10:05 — count crosses 3. The immediate
+    # variant fires NOW (crossed_at 10:05); the watermark (still at
+    # 10:00 during this batch) has not passed the candidate, so the
+    # delayed variant holds.
+    write_batch(
+        [
+            (1, 7, "click", base),
+            (2, 7, "click", base + pd.Timedelta(minutes=4)),
+            (3, 7, "click", base + pd.Timedelta(minutes=5)),
+        ]
+    )
+    run_once(immediate, "imm_ckpt", got_imm)
+    run_once(delayed, "wm_ckpt", got_wm)
+    assert [r["crossed_at"] for r in got_imm] == [
+        (base + pd.Timedelta(minutes=5)).timestamp()
+    ]
+    assert got_wm == []
+
+    # batch 2: a LATE 10:01 (below the immediate variant's emitted
+    # 10:05 — exactly the documented divergence) plus 10:20 to advance
+    # the watermark. True third-smallest is now 10:04.
+    write_batch(
+        [
+            (4, 7, "click", base + pd.Timedelta(minutes=1)),
+            (5, 7, "click", base + pd.Timedelta(minutes=20)),
+        ]
+    )
+    run_once(immediate, "imm_ckpt", got_imm)
+    run_once(delayed, "wm_ckpt", got_wm)
+    assert len(got_imm) == 1  # one-shot: cannot retract its 10:05
+    # availableNow runs a trailing micro-batch after ingesting 10:20,
+    # where the watermark has advanced to 10:15 > candidate 10:04 —
+    # the pending key times out and fires the EXACT crossing (the
+    # late 10:01 was incorporated BEFORE the firing)
+    assert [(r["user_id"], r["event_type"], r["crossed_at"]) for r in got_wm] == [
+        (7, "click", (base + pd.Timedelta(minutes=4)).timestamp())
+    ]
+
+    # batch 3: more traffic — the one-shot contract holds (no re-fire
+    # from either variant)
+    write_batch([(6, 99, "view", base + pd.Timedelta(minutes=30))])
+    run_once(immediate, "imm_ckpt", got_imm)
+    run_once(delayed, "wm_ckpt", got_wm)
+    assert len(got_imm) == 1 and len(got_wm) == 1
+
+    # the batch twin agrees with the delayed variant, not the
+    # immediate one
+    twin = {
+        (r["user_id"], r["event_type"]): r["crossed_at"]
+        for r in threshold_crossings(
+            spark.read.parquet(src), threshold=3
+        ).collect()
+    }
+    assert twin == {
+        (7, "click"): (base + pd.Timedelta(minutes=4)).timestamp()
+    }
+
+
+def _crash_after_last_batch(ckpt: str) -> None:
+    """Simulate a crash in the commit window: the micro-batch ran (its
+    offsets/<N> exists and state was written) but the process died
+    before commits/<N> landed. On restart Spark MUST replay that
+    micro-batch from the same offsets against the same prior state —
+    an idempotent sink then sees identical rows again."""
+    commits = os.path.join(ckpt, "commits")
+    last = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")),
+        key=lambda f: int(f),
+    )
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_streaming_ohlc_crash_replay_equals_batch_twin(spark, tmp_path):
+    """VERDICT r9 #7: kill the stateful OHLC query after batch 1
+    (commit marker wiped), resume with more data — the union of
+    emitted bars (idempotent last-wins sink) must equal the batch twin
+    over all events."""
+    import pandas as pd
+
+    from graph_etl_spark.streaming import streaming_ohlc
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    src = str(tmp_path / "ohlc_src")
+    ckpt = str(tmp_path / "ohlc_ck")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [
+                (i, (base + pd.Timedelta(minutes=m)).to_pydatetime(), k, float(v))
+                for i, m, k, v in rows
+            ],
+            schema,
+        ).write.mode("append").parquet(src)
+
+    emitted: dict = {}
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_ohlc(stream, watermark="0 seconds")
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: emitted.update(
+                    {
+                        (r["window_start"], r["event_type"]): (
+                            r["open"], r["high"], r["low"], r["close"],
+                            r["n_rows"], r["total"],
+                        )
+                        for r in bdf.collect()
+                    }
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two hours of bars
+    write_batch([(1, 0, "click", 10.0), (2, 10, "click", 30.0),
+                 (3, 50, "click", 20.0), (4, 70, "click", 5.0)])
+    run_once()
+    _crash_after_last_batch(ckpt)  # die before the commit marker
+
+    # batch 2 after the "crash": a third hour plus a far-future flush
+    # event that closes every real window
+    write_batch([(5, 130, "click", 7.5), (6, 135, "view", 2.0),
+                 (7, 24 * 60, "flush", 0.0)])
+    run_once()
+
+    twin = {
+        (r["window_start"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_rows"], r["total"]
+        )
+        for r in streaming_ohlc(spark.read.parquet(src)).collect()
+        if r["event_type"] != "flush"
+    }
+    assert emitted == twin
+    # and the replay really happened: batch 1's first-hour bar exists
+    assert (base.to_pydatetime(), "click") in emitted
+
+
+def test_session_window_crash_replay_equals_batch_twin(spark, tmp_path):
+    """VERDICT r9 #7: same crash-replay contract for the native
+    session_window sink — resumed output (idempotent last-wins) equals
+    the batch twin's closed sessions."""
+    import pandas as pd
+
+    from graph_etl_spark.streaming import session_window_stats
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    src = str(tmp_path / "sw_src")
+    ckpt = str(tmp_path / "sw_ck")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [
+                (u, (base + pd.Timedelta(minutes=m)).to_pydatetime())
+                for u, m in rows
+            ],
+            "user_id long, ts timestamp",
+        ).write.mode("append").parquet(src)
+
+    emitted: dict = {}
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+            src
+        )
+        q = (
+            session_window_stats(stream, gap="30 minutes", watermark="0 seconds")
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: emitted.update(
+                    {
+                        (r["user_id"], r["session_start"]): (
+                            r["session_end"], r["n_events"],
+                        )
+                        for r in bdf.collect()
+                    }
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: user 1 has a session (0, 10'), user 2 one event at 5'
+    write_batch([(1, 0), (1, 10), (2, 5)])
+    run_once()
+    _crash_after_last_batch(ckpt)
+
+    # batch 2 after the crash: user 1 opens a second session at 120';
+    # the far-future flush event (user 999) closes everything real
+    write_batch([(1, 120), (1, 125), (2, 140), (999, 24 * 60)])
+    run_once()
+
+    twin = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in session_window_stats(
+            spark.read.parquet(src), gap="30 minutes"
+        ).collect()
+        if r["user_id"] != 999
+    }
+    assert emitted == twin
+    assert len(twin) >= 3  # both user-1 sessions + both user-2 singles
