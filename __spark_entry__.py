@@ -2982,31 +2982,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's later collect executes the engine's semantics on
     its own untouched session.
 
-    Round-9 rotation (VERDICT r8 #5): slots 1-18 are the EIGHTEEN
-    round-8 additions whose first driver verdicts were deferred when
-    the r8 window overflowed (enriched_stats, zorder,
-    quantile_normalize, ohlc, feature_hashing, covisitation,
-    ohlc_windowed, group_percentiles, spike_detection,
-    session_windows, ranking_eval, pr_curve, embedding_drift,
-    winsorize, apply_cdc, scd2_pit, neighbor_stats, random_walks) —
-    after this window every registered query has a driver verdict,
-    making the union invariant driver-only (judge replicas no longer
-    needed). Slots 19-20 are NEW in round 9: the streaming batch
-    twins for the stream-stream interval join and the
-    incremental-ingest sink's growing-index admission (VERDICT r8
-    #7). Slots 21-23 are queries over code that CHANGED in round 9
-    (bm25's TakeOrderedAndProject top-k, expectations' NULL-dup
-    uniqueness rule, threshold alerts' smallest-k state — their
-    batch twins re-verify under the new code). Slots 24-50 rotate in
-    the stalest tail rows (last driver verdicts r4-r6,
-    preflight-green every round since): percentile/approx sketches,
-    mm rows, split/flatten parity, hash_sample/boilerplate/scrub/
-    pack, pandas_udf, sql_interface, window/rank/array/string/date
-    batteries, topk, set ops. The remaining stale rows
-    (rollup/stats_agg/pivot/moving_avg/cube/unpivot, q5, degrees,
-    range/gap/json, cosine-scale, ivf_trained, kmeans_assign,
-    winnow) lead the tail and with it the r10 window; the
-    r8-verdicted rows with unchanged code sit after them.
+    Round-10 rotation (VERDICT r9 #5: every query's latest driver row
+    should be <= 4 rounds old): slots 1-6 are the round-10 NEW query
+    (mm_decode_real — the REAL PNG decode round trip) and every query
+    over code CHANGED this round (negative_samples' and
+    ppl_band_filter's two-phase exact ranks, etl_chunk_counts' and
+    topk_orders' re-plans, quantile_normalize's shared helper with
+    checkpoint pinning). Slots 7-39 are the 33 STALEST rows — last
+    driver verdicts r5 (win_running_total, text_token_stats,
+    text_lang_id, sim_quantize_int8) and r6 (q1/q5/rollup/stats_agg/
+    pivot/moving_avg/cube/unpivot/json/gap/asof/range, core dedup
+    pairs, cosine/ivf/kmeans, degrees/pagerank, winnow, repetition/
+    tfidf/source_quota, remap/automap) — all preflight-green every
+    round since. Slots 40-50 are the stalest r7 rows (etl parity
+    battery, q3, salted_count, sessionize, quality_scores,
+    minhash_signatures). Overlap with the r9 window: 2
+    (quantile_normalize, topk_orders — both because their code
+    changed again this round; budget <= 5).
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over
@@ -3014,9 +3006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
-    (49 green + sim_semantic_dedup_pairs no_oracle); r5-r8 windows
+    (49 green + sim_semantic_dedup_pairs no_oracle); r5-r9 windows
     = the 50 keys of their CORRECTNESS_r{N}.json (each 50/50 green);
-    r9 window = the first 50 below."""
+    r10 window = the first 50 below. After r10, the max verdict age
+    across all 175 queries is 3 rounds (r7)."""
     import functools
 
     from graph_etl_spark.sources import runtime_confs
@@ -3030,83 +3023,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     registry = {
-        # ---- r9 window slots 1-18: the round-8 additions whose first
-        # driver verdicts were deferred when the r8 window overflowed
-        # (VERDICT r8 #5 — the union invariant becomes driver-only) ----
-        "events_enriched_stats": q_events_enriched_stats,
-        "etl_zorder_layout": q_etl_zorder_layout,
-        "quality_quantile_normalize": q_quality_quantile_normalize,
-        "events_ohlc": q_events_ohlc,
-        "text_feature_hashing": q_text_feature_hashing,
-        "events_covisitation": q_events_covisitation,
-        "events_ohlc_windowed": q_events_ohlc_windowed,
-        "quality_group_percentiles": q_quality_group_percentiles,
-        "events_spike_detection": q_events_spike_detection,
-        "events_session_windows": q_events_session_windows,
-        "sim_ranking_eval": q_sim_ranking_eval,
-        "quality_pr_curve": q_quality_pr_curve,
-        "sim_embedding_drift": q_sim_embedding_drift,
-        "quality_winsorize": q_quality_winsorize,
-        "etl_apply_cdc": q_etl_apply_cdc,
-        "etl_scd2_pit": q_etl_scd2_pit,
-        "graph_neighbor_stats": q_graph_neighbor_stats,
-        "graph_random_walks": q_graph_random_walks,
-        # ---- slots 19-20: NEW in round 9 — streaming batch twins for
-        # the stream-stream interval join and the incremental-ingest
-        # sink's growing-index admission (VERDICT r8 #7) ----
-        "stream_interval_join": q_stream_interval_join,
-        "stream_ingest_admission": q_stream_ingest_admission,
-        # ---- slots 21-23: queries over code that CHANGED in round 9
-        # (bm25 TakeOrderedAndProject top-k, expectations NULL-dup
-        # uniqueness, threshold-alert smallest-k state) ----
-        "text_bm25_rank": q_text_bm25_rank,
-        "etl_expectations": q_etl_expectations,
-        "events_threshold_crossings": q_events_threshold_crossings,
-        # ---- slots 24-50: the stalest tail rotates IN (last driver
-        # verdicts r4-r6; preflight kept them green every round) ----
-        "percentiles": q_percentiles,
-        "conditional_agg": q_conditional_agg,
-        "distinct_counts": q_distinct_counts,
-        "sim_embedding_norms": q_sim_embedding_norms,
-        "mm_frame_sample": q_mm_frame_sample,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q10_returned_items": q_q10_returned_items,
-        "text_fingerprint": q_text_fingerprint,
-        "etl_split_explode": q_etl_split_explode,
-        "etl_array_flatten": q_etl_array_flatten,
-        "mm_decode_stub": q_mm_decode_stub,
+        # ---- r10 window slots 1-6: the round-10 NEW query
+        # (mm_decode_real) and every query over code CHANGED this
+        # round (negative_samples/ppl_gate two-phase ranks,
+        # chunk_counts/topk re-plans, quantile_normalize's shared
+        # helper + checkpoint pinning) ----
         "mm_decode_real": q_mm_decode_real,
-        "approx_distinct_custkeys": q_approx_distinct_custkeys,
-        "approx_quantiles": q_approx_quantiles,
-        "quality_hash_sample": q_quality_hash_sample,
-        "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
-        "quality_scrub_contact": q_quality_scrub_contact,
-        "quality_pack_sequences": q_quality_pack_sequences,
-        "pandas_udf_normalize": q_pandas_udf_normalize,
-        "sql_interface_q1": q_sql_interface_q1,
-        "win_lag_lead": q_win_lag_lead,
-        "win_rank_funcs": q_win_rank_funcs,
-        "array_funcs": q_array_funcs,
-        "string_funcs": q_string_funcs,
-        "date_funcs": q_date_funcs,
+        "quality_negative_samples": q_quality_negative_samples,
+        "quality_ppl_gate": q_quality_ppl_gate,
+        "etl_chunk_counts": q_etl_chunk_counts,
+        "quality_quantile_normalize": q_quality_quantile_normalize,
         "topk_orders": q_topk_orders,
-        "set_intersect_custkeys": q_set_intersect_custkeys,
-        "set_except_custkeys": q_set_except_custkeys,
-        # ---- tail: >50 — stalest-first (they lead the r10 window),
-        # then the r8/r9-verdicted rows; ALL still oracle-checked
-        # every round by tools/preflight ----
+        # ---- slots 7-39: the 33 STALEST rows (last driver
+        # verdicts r5-r6; preflight-green every round since) ----
+        "sim_quantize_int8": q_sim_quantize_int8,
+        "text_lang_id": q_text_lang_id,
+        "text_token_stats": q_text_token_stats,
+        "win_running_total": q_win_running_total,
+        "asof_join_events": q_asof_join_events,
+        "cube_agg": q_cube_agg,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "etl_automap_j2": q_etl_automap_j2,
+        "etl_remap_j1": q_etl_remap_j1,
+        "events_gap_fill": q_events_gap_fill,
+        "graph_degrees": q_graph_degrees,
+        "graph_pagerank": q_graph_pagerank,
+        "json_extract_events": q_json_extract_events,
+        "moving_avg": q_moving_avg,
+        "pivot_status": q_pivot_status,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "quality_repetition_stats": q_quality_repetition_stats,
+        "quality_source_quota": q_quality_source_quota,
+        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
+        "range_join_parts": q_range_join_parts,
+        "rollup_lineitem": q_rollup_lineitem,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_cosine_topk_scale": q_sim_cosine_topk_scale,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
+        "sim_kmeans_assign": q_sim_kmeans_assign,
+        "sim_kmeans_centroids": q_sim_kmeans_centroids,
+        "stats_agg": q_stats_agg,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
+        "unpivot_part": q_unpivot_part,
+        # ---- slots 40-50: the stalest r7 rows ----
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_neardup_survivors": q_dedup_neardup_survivors,
+        "dedup_passages": q_dedup_passages,
+        "dedup_simhash_signatures": q_dedup_simhash_signatures,
+        "dedup_span_scrub": q_dedup_span_scrub,
+        "etl_anti_join_blanks": q_etl_anti_join_blanks,
+        "etl_dedup_pk": q_etl_dedup_pk,
+        "etl_metadata_attach": q_etl_metadata_attach,
+        "etl_normalize_nodes": q_etl_normalize_nodes,
+        # ---- tail: >50 — stalest-first (remaining r7 rows, then
+        # r8- then r9-verdicted; they lead the r11 window), ALL
+        # still oracle-checked every round by tools/preflight ----
+        "etl_semi_join_match": q_etl_semi_join_match,
+        "etl_union_sources": q_etl_union_sources,
+        "events_sessionize": q_events_sessionize,
+        "graph_connected_components": q_graph_connected_components,
+        "graph_triangles": q_graph_triangles,
+        "mm_binary_metadata": q_mm_binary_metadata,
+        "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q18_large_volume": q_q18_large_volume,
+        "q19_discount_revenue": q_q19_discount_revenue,
+        "q22_dormant_balance": q_q22_dormant_balance,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q4_order_priority": q_q4_order_priority,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
+        "quality_bigram_logprob": q_quality_bigram_logprob,
+        "quality_chunk_documents": q_quality_chunk_documents,
+        "quality_contamination": q_quality_contamination,
+        "quality_curriculum_order": q_quality_curriculum_order,
+        "quality_gate": q_quality_gate,
+        "quality_unigram_logprob": q_quality_unigram_logprob,
+        "salted_count": q_salted_count,
+        "sim_cosine_allpairs_ref": q_sim_cosine_allpairs_ref,
+        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "sim_pq_codebooks": q_sim_pq_codebooks,
+        "sim_pq_codes": q_sim_pq_codes,
+        "sim_pq_refine_topk": q_sim_pq_refine_topk,
+        "text_bpe_merges": q_text_bpe_merges,
+        "text_fuzzy_pairs": q_text_fuzzy_pairs,
+        "text_quality_scores": q_text_quality_scores,
+        "basket_frequent_pairs": q_basket_frequent_pairs,
+        "etl_cascade_delete": q_etl_cascade_delete,
+        "etl_mask_columns": q_etl_mask_columns,
         "etl_profile_table": q_etl_profile_table,
         "etl_profile_table_fast": q_etl_profile_table_fast,
-        "quality_trigram_ppl": q_quality_trigram_ppl,
-        "quality_ppl_gate": q_quality_ppl_gate,
-        "events_tumbling_counts": q_events_tumbling_counts,
-        "events_hopping_counts": q_events_hopping_counts,
+        "etl_scd2_history": q_etl_scd2_history,
+        "etl_snapshot_diff": q_etl_snapshot_diff,
         "etl_upsert_nodes": q_etl_upsert_nodes,
-        "quality_mixture_sample": q_quality_mixture_sample,
-        "quality_clf_weights": q_quality_clf_weights,
-        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q9_product_type_profit": q_q9_product_type_profit,
+        "events_attribution": q_events_attribution,
+        "events_ewma": q_events_ewma,
+        "events_funnel": q_events_funnel,
+        "events_hopping_counts": q_events_hopping_counts,
+        "events_markov": q_events_markov,
+        "events_retention": q_events_retention,
+        "events_rolling_median": q_events_rolling_median,
+        "events_tumbling_counts": q_events_tumbling_counts,
+        "graph_bellman_ford": q_graph_bellman_ford,
+        "graph_bfs_distances": q_graph_bfs_distances,
+        "graph_hits": q_graph_hits,
+        "graph_kcore": q_graph_kcore,
+        "graph_label_propagation": q_graph_label_propagation,
         "q11_important_supply": q_q11_important_supply,
         "q12_priority_shipping": q_q12_priority_shipping,
         "q15_top_supplier": q_q15_top_supplier,
@@ -3114,111 +3144,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
         "q20_dominant_suppliers": q_q20_dominant_suppliers,
         "q21_waiting_orders": q_q21_waiting_orders,
-        "text_bpe_encode": q_text_bpe_encode,
-        "sim_random_projection": q_sim_random_projection,
-        "graph_kcore": q_graph_kcore,
-        "quality_dataset_split": q_quality_dataset_split,
-        "text_url_dedup": q_text_url_dedup,
-        "text_normalize": q_text_normalize,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "basket_frequent_pairs": q_basket_frequent_pairs,
-        "text_entity_clusters": q_text_entity_clusters,
-        "events_attribution": q_events_attribution,
-        "etl_scd2_history": q_etl_scd2_history,
-        "etl_cascade_delete": q_etl_cascade_delete,
-        "graph_label_propagation": q_graph_label_propagation,
-        "graph_bfs_distances": q_graph_bfs_distances,
-        "text_pmi_bigrams": q_text_pmi_bigrams,
-        "quality_zscore_outliers": q_quality_zscore_outliers,
-        "events_rolling_median": q_events_rolling_median,
-        "etl_snapshot_diff": q_etl_snapshot_diff,
-        "quality_histogram": q_quality_histogram,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q9_product_type_profit": q_q9_product_type_profit,
+        "quality_clf_weights": q_quality_clf_weights,
         "quality_corr_matrix": q_quality_corr_matrix,
-        "etl_mask_columns": q_etl_mask_columns,
-        "events_ewma": q_events_ewma,
-        "events_markov": q_events_markov,
+        "quality_dataset_split": q_quality_dataset_split,
+        "quality_histogram": q_quality_histogram,
+        "quality_mixture_sample": q_quality_mixture_sample,
+        "quality_trigram_ppl": q_quality_trigram_ppl,
+        "quality_zscore_outliers": q_quality_zscore_outliers,
+        "sim_random_projection": q_sim_random_projection,
+        "sim_semantic_dedup_pairs": q_sim_semantic_dedup_pairs,
+        "text_bpe_encode": q_text_bpe_encode,
+        "text_entity_clusters": q_text_entity_clusters,
         "text_inverted_index": q_text_inverted_index,
-        "graph_hits": q_graph_hits,
-        "quality_negative_samples": q_quality_negative_samples,
-        "graph_bellman_ford": q_graph_bellman_ford,
-        "asof_join_events": q_asof_join_events,
-        "win_running_total": q_win_running_total,
-        "text_lang_id": q_text_lang_id,
-        "text_token_stats": q_text_token_stats,
-        "sim_quantize_int8": q_sim_quantize_int8,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "quality_source_quota": q_quality_source_quota,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "etl_remap_j1": q_etl_remap_j1,
-        "etl_automap_j2": q_etl_automap_j2,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard_pairs,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_kmeans_centroids": q_sim_kmeans_centroids,
-        "graph_pagerank": q_graph_pagerank,
-        "quality_tfidf_top_terms": q_quality_tfidf_top_terms,
-        "quality_repetition_stats": q_quality_repetition_stats,
-        "rollup_lineitem": q_rollup_lineitem,
-        "stats_agg": q_stats_agg,
-        "pivot_status": q_pivot_status,
-        "moving_avg": q_moving_avg,
-        "cube_agg": q_cube_agg,
-        "unpivot_part": q_unpivot_part,
-        "q5_local_supplier_volume": q_q5_local_supplier_volume,
-        "graph_degrees": q_graph_degrees,
-        "range_join_parts": q_range_join_parts,
-        "events_gap_fill": q_events_gap_fill,
-        "json_extract_events": q_json_extract_events,
-        "sim_cosine_topk_scale": q_sim_cosine_topk_scale,
-        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
-        "sim_kmeans_assign": q_sim_kmeans_assign,
-        "text_winnow_fingerprints": q_text_winnow_fingerprints,
-        "etl_chunk_counts": q_etl_chunk_counts,
-        "etl_normalize_nodes": q_etl_normalize_nodes,
-        "etl_semi_join_match": q_etl_semi_join_match,
-        "etl_anti_join_blanks": q_etl_anti_join_blanks,
-        "etl_union_sources": q_etl_union_sources,
-        "etl_metadata_attach": q_etl_metadata_attach,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "mm_binary_metadata": q_mm_binary_metadata,
-        "text_quality_scores": q_text_quality_scores,
-        "dedup_minhash_signatures": q_dedup_minhash_signatures,
-        "dedup_simhash_signatures": q_dedup_simhash_signatures,
-        "quality_contamination": q_quality_contamination,
-        "graph_connected_components": q_graph_connected_components,
-        "salted_count": q_salted_count,
-        "sim_cosine_allpairs_ref": q_sim_cosine_allpairs_ref,
-        "sim_cosine_neardup_pairs": q_sim_cosine_neardup_pairs,
-        "etl_dedup_pk": q_etl_dedup_pk,
-        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
-        "events_sessionize": q_events_sessionize,
-        "dedup_passages": q_dedup_passages,
-        "dedup_span_scrub": q_dedup_span_scrub,
-        "dedup_incremental": q_dedup_incremental,
-        "sim_pq_codebooks": q_sim_pq_codebooks,
-        "sim_pq_codes": q_sim_pq_codes,
-        "sim_pq_refine_topk": q_sim_pq_refine_topk,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
-        "quality_unigram_logprob": q_quality_unigram_logprob,
-        "quality_bigram_logprob": q_quality_bigram_logprob,
-        "quality_curriculum_order": q_quality_curriculum_order,
-        "text_fuzzy_pairs": q_text_fuzzy_pairs,
-        "graph_triangles": q_graph_triangles,
-        "text_bpe_merges": q_text_bpe_merges,
-        "pipeline_corpus_assembly": q_pipeline_corpus_assembly,
-        "quality_chunk_documents": q_quality_chunk_documents,
-        "quality_gate": q_quality_gate,
-        "q4_order_priority": q_q4_order_priority,
-        "q7_volume_shipping": q_q7_volume_shipping,
-        "q8_market_share": q_q8_market_share,
-        "q13_customer_distribution": q_q13_customer_distribution,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q18_large_volume": q_q18_large_volume,
-        "q19_discount_revenue": q_q19_discount_revenue,
-        "q22_dormant_balance": q_q22_dormant_balance,
-        "dedup_neardup_survivors": q_dedup_neardup_survivors,
+        "text_normalize": q_text_normalize,
+        "text_pmi_bigrams": q_text_pmi_bigrams,
+        "text_url_dedup": q_text_url_dedup,
+        "approx_distinct_custkeys": q_approx_distinct_custkeys,
+        "approx_quantiles": q_approx_quantiles,
+        "array_funcs": q_array_funcs,
+        "conditional_agg": q_conditional_agg,
+        "date_funcs": q_date_funcs,
+        "distinct_counts": q_distinct_counts,
+        "etl_apply_cdc": q_etl_apply_cdc,
+        "etl_array_flatten": q_etl_array_flatten,
+        "etl_expectations": q_etl_expectations,
+        "etl_scd2_pit": q_etl_scd2_pit,
+        "etl_split_explode": q_etl_split_explode,
+        "etl_zorder_layout": q_etl_zorder_layout,
+        "events_covisitation": q_events_covisitation,
+        "events_enriched_stats": q_events_enriched_stats,
+        "events_ohlc": q_events_ohlc,
+        "events_ohlc_windowed": q_events_ohlc_windowed,
+        "events_session_windows": q_events_session_windows,
+        "events_spike_detection": q_events_spike_detection,
+        "events_threshold_crossings": q_events_threshold_crossings,
+        "graph_neighbor_stats": q_graph_neighbor_stats,
+        "graph_random_walks": q_graph_random_walks,
+        "mm_decode_stub": q_mm_decode_stub,
+        "mm_frame_sample": q_mm_frame_sample,
+        "pandas_udf_normalize": q_pandas_udf_normalize,
+        "percentiles": q_percentiles,
+        "q10_returned_items": q_q10_returned_items,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "quality_boilerplate_ngrams": q_quality_boilerplate_ngrams,
+        "quality_group_percentiles": q_quality_group_percentiles,
+        "quality_hash_sample": q_quality_hash_sample,
+        "quality_pack_sequences": q_quality_pack_sequences,
+        "quality_pr_curve": q_quality_pr_curve,
+        "quality_scrub_contact": q_quality_scrub_contact,
+        "quality_winsorize": q_quality_winsorize,
+        "set_except_custkeys": q_set_except_custkeys,
+        "set_intersect_custkeys": q_set_intersect_custkeys,
+        "sim_embedding_drift": q_sim_embedding_drift,
+        "sim_embedding_norms": q_sim_embedding_norms,
+        "sim_ranking_eval": q_sim_ranking_eval,
+        "sql_interface_q1": q_sql_interface_q1,
+        "stream_ingest_admission": q_stream_ingest_admission,
+        "stream_interval_join": q_stream_interval_join,
+        "string_funcs": q_string_funcs,
+        "text_bm25_rank": q_text_bm25_rank,
+        "text_feature_hashing": q_text_feature_hashing,
+        "text_fingerprint": q_text_fingerprint,
+        "win_lag_lead": q_win_lag_lead,
+        "win_rank_funcs": q_win_rank_funcs,
     }
     return {name: _scoped(fn) for name, fn in registry.items()}
 

@@ -166,6 +166,8 @@ HEADLINE = [
     # round-9: streaming batch twins (interval join, ingest admission)
     "stream_interval_join",
     "stream_ingest_admission",
+    # round-10: real PNG decode round trip (Arrow-batched Python stage)
+    "mm_decode_real",
 ]
 
 

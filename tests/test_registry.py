@@ -11,24 +11,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
 
-# r9 window composition (VERDICT r8 #5/#7): the 18 round-8 additions
-# whose first driver verdicts were deferred by the r8 window overflow,
-# the 2 queries NEW in round 9, and the 3 queries over code that
-# CHANGED in round 9 — all must sit inside the 50-slot driver window.
-ROUND9_DEFERRED = [
-    "events_enriched_stats", "etl_zorder_layout",
-    "quality_quantile_normalize", "events_ohlc", "text_feature_hashing",
-    "events_covisitation", "events_ohlc_windowed",
-    "quality_group_percentiles", "events_spike_detection",
-    "events_session_windows", "sim_ranking_eval", "quality_pr_curve",
-    "sim_embedding_drift", "quality_winsorize",
-    "etl_apply_cdc", "etl_scd2_pit", "graph_neighbor_stats",
-    "graph_random_walks",
+# r10 window composition (VERDICT r9 #5): the round-10 NEW query and
+# the queries over code CHANGED in round 10 lead the window; the rest
+# of the 50 slots go to the stalest driver verdicts (computed
+# MECHANICALLY from the CORRECTNESS history below, not hand-listed).
+ROUND10_NEW_OR_CHANGED = [
+    "mm_decode_real", "quality_negative_samples", "quality_ppl_gate",
+    "etl_chunk_counts", "quality_quantile_normalize", "topk_orders",
 ]
-ROUND9_NEW = ["stream_interval_join", "stream_ingest_admission"]
-ROUND9_CHANGED = [
-    "text_bm25_rank", "etl_expectations", "events_threshold_crossings",
-]
+
+
+def _latest_driver_round() -> dict[str, int]:
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for k in json.load(open(f)):
+            latest[k] = r
+    return latest
 
 
 def test_every_query_has_an_oracle():
@@ -39,19 +43,32 @@ def test_every_query_has_an_oracle():
     assert not orphans, f"oracle_sql entries without queries: {orphans}"
 
 
-def test_round9_window_composition():
-    """The deferred round-8 first-verdict queries MUST lead the r9
-    window (they have never had a driver verdict), followed by the
-    round-9 additions and the round-9-changed queries — first driver
-    verdicts are delayed at most one round, never silently dropped."""
+def test_round10_window_composition():
+    """The new/changed round-10 queries lead the window; every slot
+    not taken by them goes to a query whose latest driver verdict is
+    at least as stale as any query left OUT of the window — staleness
+    is computed from the CORRECTNESS_r0*.json history, so the
+    rotation cannot silently skip the oldest rows. Overlap with the
+    r9 window stays within the <= 5 budget."""
+    import json
+
     names = list(entry.queries())
     window = names[:50]
-    assert names[:18] == ROUND9_DEFERRED, (
-        "deferred first-verdict queries must occupy slots 1-18: "
-        f"{names[:18]}"
+    assert names[:6] == ROUND10_NEW_OR_CHANGED, f"slots 1-6 wrong: {names[:6]}"
+    latest = _latest_driver_round()
+    rest = [q for q in window[6:]]
+    tail = [q for q in names[50:]]
+    # every non-changed window slot must be no NEWER than every tail
+    # entry's verdict (new queries have no history and sort stalest)
+    max_in_window = max(latest.get(q, 0) for q in rest)
+    min_in_tail = min(latest.get(q, 99) for q in tail)
+    assert max_in_window <= min_in_tail, (
+        f"window holds a fresher verdict ({max_in_window}) than the "
+        f"stalest tail row ({min_in_tail}) — rotation skipped rows"
     )
-    for q in ROUND9_NEW + ROUND9_CHANGED:
-        assert q in window, f"round-9 query {q} not in the driver window"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r9 = set(json.load(open(os.path.join(root, "CORRECTNESS_r09.json"))))
+    assert len(set(window) & r9) <= 5, "r9-window overlap budget exceeded"
 
 
 def test_bench_headline_subset_of_registry():
