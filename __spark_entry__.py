@@ -1681,6 +1681,35 @@ def q_mm_decode_real(spark, sf):
     )
 
 
+def q_mm_video_frames(spark, sf):
+    """REAL video decode end-to-end (1→N frame rows): per doc a REAL
+    YUV4MPEG2 C420 clip is synthesized (luma closed-form in doc_id),
+    decoded for real (header parse + planar frame split — no media
+    library), and reduced to exact per-frame luma aggregates. The
+    oracle recomputes them from the luma FORMULA alone."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    clips = ops.synth_y4m_column(d, "doc_id")
+    return ops.video_frame_features(clips).select(
+        "doc_id", "frame_idx", "width", "height",
+        "luma_sum", "luma_min", "luma_max",
+    )
+
+
+def q_mm_audio_features(spark, sf):
+    """REAL audio decode end-to-end: per doc a REAL RIFF/WAVE PCM16
+    payload is synthesized (samples closed-form in doc_id), decoded
+    for real (chunk walk + int16 frames — no audio library), and
+    reduced to exact integer features. The oracle recomputes peak/
+    trough/sum/duration from the sample FORMULA alone — a hash-exact
+    match certifies the WAV codec round trip bit-for-bit."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    wavs = ops.synth_wav_column(d, "doc_id")
+    return ops.audio_features(wavs).select(
+        "doc_id", "media_type", "sample_rate", "n_channels",
+        "n_samples", "duration_ms", "peak", "trough", "sample_sum",
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-quality operators (operators/quality.py)
 # ---------------------------------------------------------------------------
@@ -2983,9 +3012,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its own untouched session.
 
     Round-10 rotation (VERDICT r9 #5: every query's latest driver row
-    should be <= 4 rounds old): slots 1-6 are the round-10 NEW query
-    (mm_decode_real — the REAL PNG decode round trip) and every query
-    over code CHANGED this round (negative_samples' and
+    should be <= 4 rounds old): slots 1-8 are the round-10 NEW queries
+    (mm_decode_real, mm_audio_features, mm_video_frames — REAL PNG /
+    WAV / Y4M decode round trips) and every query over code CHANGED
+    this round
+    (negative_samples' and
     ppl_band_filter's two-phase exact ranks, etl_chunk_counts' and
     topk_orders' re-plans, quantile_normalize's shared helper with
     checkpoint pinning). Slots 7-39 are the 33 STALEST rows — last
@@ -3029,6 +3060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunk_counts/topk re-plans, quantile_normalize's shared
         # helper + checkpoint pinning) ----
         "mm_decode_real": q_mm_decode_real,
+        "mm_audio_features": q_mm_audio_features,
+        "mm_video_frames": q_mm_video_frames,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -4787,6 +4820,54 @@ def oracle_sql() -> dict[str, str]:
     # without touching a PNG byte — a hash match proves the Spark
     # side's encode -> zlib inflate -> unfilter -> aggregate chain is
     # bit-exact.
+    # Real Y4M round trip: per-frame luma aggregates from the
+    # generator formula (w = 8 + (id%5)*2, h = 8 + ((id//5)%5)*2,
+    # frames = 2 + id%4, Y[f](y,x) = (id*19 + f*61 + y*11 + x*7) % 256).
+    sql["mm_video_frames"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 8 + (doc_id % 5) * 2 AS w,
+                 8 + ((doc_id // 5) % 5) * 2 AS h,
+                 2 + doc_id % 4 AS nf
+          FROM documents
+        )
+        SELECT d.doc_id, f.f::INT AS frame_idx,
+               d.w::INT AS width, d.h::INT AS height,
+               SUM((d.doc_id * 19 + f.f * 61 + y.y * 11 + x.x * 7) % 256)::BIGINT
+                 AS luma_sum,
+               MIN((d.doc_id * 19 + f.f * 61 + y.y * 11 + x.x * 7) % 256)::INT
+                 AS luma_min,
+               MAX((d.doc_id * 19 + f.f * 61 + y.y * 11 + x.x * 7) % 256)::INT
+                 AS luma_max
+        FROM dims d,
+             range(0, 5) AS f(f),
+             range(0, 16) AS y(y),
+             range(0, 16) AS x(x)
+        WHERE f.f < d.nf AND y.y < d.h AND x.x < d.w
+        GROUP BY d.doc_id, f.f, d.w, d.h
+    """
+
+    # Real WAV round trip: the oracle recomputes the decoded features
+    # from the sample FORMULA (n = 64 + id%129, rate 16000,
+    # sample[i] = ((id*37 + i*101) % 65536) - 32768) without touching
+    # a RIFF byte.
+    sql["mm_audio_features"] = """
+        WITH dims AS (
+          SELECT doc_id, 64 + doc_id % 129 AS n FROM documents
+        )
+        SELECT d.doc_id, 'wav' AS media_type,
+               16000 AS sample_rate, 1 AS n_channels,
+               d.n::BIGINT AS n_samples,
+               (d.n * 1000 // 16000)::BIGINT AS duration_ms,
+               MAX(((d.doc_id * 37 + i.i * 101) % 65536) - 32768)::INT AS peak,
+               MIN(((d.doc_id * 37 + i.i * 101) % 65536) - 32768)::INT AS trough,
+               SUM(((d.doc_id * 37 + i.i * 101) % 65536) - 32768)::BIGINT
+                 AS sample_sum
+        FROM dims d, range(0, 193) AS i(i)
+        WHERE i.i < d.n
+        GROUP BY d.doc_id, d.n
+    """
+
     sql["mm_decode_real"] = """
         WITH dims AS (
           SELECT doc_id,

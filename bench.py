@@ -166,8 +166,11 @@ HEADLINE = [
     # round-9: streaming batch twins (interval join, ingest admission)
     "stream_interval_join",
     "stream_ingest_admission",
-    # round-10: real PNG decode round trip (Arrow-batched Python stage)
+    # round-10: real PNG / WAV decode round trips (Arrow-batched
+    # Python stages over real codecs)
     "mm_decode_real",
+    "mm_audio_features",
+    "mm_video_frames",
 ]
 
 

@@ -2,15 +2,17 @@
 columns with typed metadata, processed by Arrow-batched pandas
 functions over ``mapInPandas``.
 
-PNG decode is REAL (round 10): the format is zlib (stdlib) + per-
+PNG and WAV decode are REAL (round 10): PNG is zlib (stdlib) + per-
 scanline unfiltering (numpy; filters 0-4 of the public PNG spec,
-8-bit depth, no interlace) — ``decode_png``/``encode_png`` below,
-wired into ``decode_image`` as an Arrow-batched ``mapInPandas``
-stage. JPEG/audio/video decode remains STUBBED (``decode_image_stub``
-— those codecs genuinely need native libraries this container lacks);
-the stub is deterministic byte arithmetic so the plumbing itself is
-SQL-oracle-verifiable, and it stays the fallback for non-PNG payloads
-inside ``decode_image``.
+8-bit depth, no interlace) — ``decode_png``/``encode_png`` wired into
+``decode_image``; WAV is a RIFF chunk walk + int16 PCM frames —
+``decode_wav``/``encode_wav`` wired into ``audio_features``. Both run
+as Arrow-batched ``mapInPandas`` stages. JPEG/MP3/video decode
+remains STUBBED (``decode_image_stub`` — those codecs genuinely need
+native libraries this container lacks); the stub is deterministic
+byte arithmetic so the plumbing itself is SQL-oracle-verifiable, and
+it stays the fallback for unrecognized payloads inside
+``decode_image``/``audio_features``.
 
 Scale notes: binary payloads ride in parquet binary columns; the
 ``mapInPandas`` path streams Arrow record batches (no per-row Python
@@ -349,6 +351,289 @@ def synth_png_column(
                     np.uint8
                 )
                 payloads.append(encode_png(w, h, px.tobytes()))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), bin_col: payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(bin_col, T.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Minimal REAL RIFF/WAVE encoder (public spec, stdlib only):
+    PCM 16-bit mono. ``samples`` is an int16 array."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL WAV decode, no audio library: RIFF chunk walk → fmt
+    (PCM, 16-bit) → data chunk as an int16 sample array. Returns
+    (sample_rate, n_channels, samples[frames, channels] or [frames]
+    for mono)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={audio_fmt}, bits={bits})"
+                )
+        elif tag == b"data":
+            pcm = body
+    if rate is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(pcm, dtype="<i2")
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels].reshape(
+            -1, channels
+        )
+    return int(rate), int(channels), samples
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("trough", T.IntegerType()),
+        T.StructField("sample_sum", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio feature extraction as an Arrow-batched mapInPandas
+    stage: RIFF/WAVE payloads are decoded for real (``decode_wav``)
+    and reduced to exact integer features — frame count, duration,
+    peak/trough, sample sum — the audio-curation analog of
+    ``decode_image``. Non-WAV payloads emit media_type 'stub' with
+    zeroed features (mixed-media corpora keep flowing)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                rows["doc_id"].append(int(doc_id))
+                if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    rate, ch, s = decode_wav(raw)
+                    n = int(s.shape[0])
+                    rows["media_type"].append("wav")
+                    rows["sample_rate"].append(rate)
+                    rows["n_channels"].append(ch)
+                    rows["n_samples"].append(n)
+                    rows["duration_ms"].append(n * 1000 // rate if rate else 0)
+                    rows["peak"].append(int(s.max()) if n else 0)
+                    rows["trough"].append(int(s.min()) if n else 0)
+                    rows["sample_sum"].append(int(s.sum(dtype=np.int64)))
+                else:
+                    rows["media_type"].append("stub")
+                    rows["sample_rate"].append(0)
+                    rows["n_channels"].append(0)
+                    rows["n_samples"].append(0)
+                    rows["duration_ms"].append(0)
+                    rows["peak"].append(0)
+                    rows["trough"].append(0)
+                    rows["sample_sum"].append(0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+def synth_wav_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Deterministic WAV fixture generator (mapInPandas): for each id,
+    a REAL PCM16 mono WAV whose sample count and samples are
+    closed-form in the id — n = 64 + id % 129, sample[i] =
+    ((id*37 + i*101) % 65536) - 32768 — so a SQL oracle can reproduce
+    the decoded features without touching the codec."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n = 64 + i % 129
+                idx = np.arange(n, dtype=np.int64)
+                s = ((i * 37 + idx * 101) % 65536 - 32768).astype(np.int16)
+                payloads.append(encode_wav(sample_rate, s))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), bin_col: payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(bin_col, T.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def encode_y4m(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Minimal REAL YUV4MPEG2 (.y4m) encoder (public spec, stdlib
+    only): C420 planar — each frame is a full-res Y plane followed by
+    quarter-res U and V planes. ``frames`` is a list of concatenated
+    Y+U+V plane bytes (w*h + 2*(w//2)*(h//2) each); w and h must be
+    even."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even dimensions")
+    frame_len = width * height + 2 * (width // 2) * (height // 2)
+    for f in frames:
+        if len(f) != frame_len:
+            raise ValueError(f"frame length {len(f)} != {frame_len}")
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """REAL video decode, no media library: YUV4MPEG2 header parse →
+    per-FRAME C420 planar split. Returns (width, height, [Y planes as
+    uint8 (h, w) arrays]) — the luma stream a frame-level curation
+    stage (blur/black-frame detection, scene stats) consumes. C420
+    only (the overwhelmingly common layout); anything else raises."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = data.index(b"\n")
+    header, body = data[:nl].decode("ascii", "replace"), data[nl + 1 :]
+    w = h = None
+    colorspace = "C420"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C":
+            colorspace = tok
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    frame_len = w * h + 2 * (w // 2) * (h // 2)
+    lumas = []
+    pos = 0
+    while pos < len(body):
+        if not body[pos:].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        pos = body.index(b"\n", pos) + 1  # FRAME params end at newline
+        plane = body[pos : pos + frame_len]
+        if len(plane) != frame_len:
+            raise ValueError("truncated frame")
+        lumas.append(
+            np.frombuffer(plane, np.uint8, count=w * h).reshape(h, w)
+        )
+        pos += frame_len
+    return int(w), int(h), lumas
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("luma_sum", T.LongType()),
+        T.StructField("luma_min", T.IntegerType()),
+        T.StructField("luma_max", T.IntegerType()),
+    ]
+)
+
+
+def video_frame_features(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL per-frame video features as an Arrow-batched mapInPandas
+    stage — the 1→N row shape of a frame-sampling pipeline
+    (``frame_sample_plan`` is the JVM-side offset planner; this is the
+    actual decode): one output row per frame with exact integer luma
+    aggregates. Non-Y4M payloads are SKIPPED (no rows — a frame stage
+    has nothing to say about a payload it cannot parse)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                if not raw.startswith(b"YUV4MPEG2"):
+                    continue
+                w, h, lumas = decode_y4m(raw)
+                for fi, y in enumerate(lumas):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(fi)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["luma_sum"].append(int(y.sum(dtype=np.int64)))
+                    rows["luma_min"].append(int(y.min()))
+                    rows["luma_max"].append(int(y.max()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
+def synth_y4m_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Deterministic Y4M fixture generator (mapInPandas): per id a
+    REAL C420 clip with closed-form geometry and luma —
+    w = 8 + (id % 5)*2, h = 8 + ((id // 5) % 5)*2,
+    n_frames = 2 + id % 4, Y[f](y, x) = (id*19 + f*61 + y*11 + x*7)
+    % 256, constant chroma (id + f) % 256 — so a SQL oracle can
+    reproduce the per-frame luma aggregates without touching the
+    container."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 8 + (i % 5) * 2, 8 + ((i // 5) % 5) * 2
+                frames = []
+                for f in range(2 + i % 4):
+                    yy, xx = np.meshgrid(
+                        np.arange(h), np.arange(w), indexing="ij"
+                    )
+                    y = ((i * 19 + f * 61 + yy * 11 + xx * 7) % 256).astype(
+                        np.uint8
+                    )
+                    uv = np.full(
+                        (h // 2) * (w // 2), (i + f) % 256, dtype=np.uint8
+                    )
+                    frames.append(y.tobytes() + uv.tobytes() + uv.tobytes())
+                payloads.append(encode_y4m(w, h, frames))
             yield pd.DataFrame(
                 {id_col: pdf[id_col].astype("int64"), bin_col: payloads}
             )

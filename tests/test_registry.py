@@ -16,8 +16,9 @@ import __spark_entry__ as entry
 # of the 50 slots go to the stalest driver verdicts (computed
 # MECHANICALLY from the CORRECTNESS history below, not hand-listed).
 ROUND10_NEW_OR_CHANGED = [
-    "mm_decode_real", "quality_negative_samples", "quality_ppl_gate",
-    "etl_chunk_counts", "quality_quantile_normalize", "topk_orders",
+    "mm_decode_real", "mm_audio_features", "mm_video_frames",
+    "quality_negative_samples", "quality_ppl_gate", "etl_chunk_counts",
+    "quality_quantile_normalize", "topk_orders",
 ]
 
 
@@ -54,9 +55,9 @@ def test_round10_window_composition():
 
     names = list(entry.queries())
     window = names[:50]
-    assert names[:6] == ROUND10_NEW_OR_CHANGED, f"slots 1-6 wrong: {names[:6]}"
+    assert names[:8] == ROUND10_NEW_OR_CHANGED, f"slots 1-8 wrong: {names[:8]}"
     latest = _latest_driver_round()
-    rest = [q for q in window[6:]]
+    rest = [q for q in window[8:]]
     tail = [q for q in names[50:]]
     # every non-changed window slot must be no NEWER than every tail
     # entry's verdict (new queries have no history and sort stalest)

@@ -480,3 +480,97 @@ def test_session_window_crash_replay_equals_batch_twin(spark, tmp_path):
     }
     assert emitted == twin
     assert len(twin) >= 3  # both user-1 sessions + both user-2 singles
+
+
+def test_wav_roundtrip_and_rejects():
+    rng = np.arange(300, dtype=np.int64)
+    samples = ((rng * 257 + 11) % 65536 - 32768).astype(np.int16)
+    data = mm.encode_wav(16000, samples)
+    rate, ch, out = mm.decode_wav(data)
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(out, samples)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"OggS-not-a-riff-payload")
+    # 8-bit PCM variant rejected (fmt walk reached, depth unsupported)
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    bad = b"RIFF" + st.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        mm.decode_wav(bad)
+
+
+def test_audio_features_real_and_stub_routing(spark):
+    from pyspark.sql import functions as F
+
+    d = spark.range(5).select(F.col("id").alias("doc_id"))
+    wavs = mm.synth_wav_column(d, "doc_id")
+    feats = mm.audio_features(wavs).orderBy("doc_id").collect()
+    for r in feats:
+        i = r["doc_id"]
+        n = 64 + i % 129
+        s = [((i * 37 + j * 101) % 65536) - 32768 for j in range(n)]
+        assert r["media_type"] == "wav"
+        assert (r["sample_rate"], r["n_channels"]) == (16000, 1)
+        assert r["n_samples"] == n
+        assert r["duration_ms"] == n * 1000 // 16000
+        assert (r["peak"], r["trough"], r["sample_sum"]) == (
+            max(s), min(s), sum(s),
+        )
+    junk = d.select("doc_id", F.lit(b"not-audio").alias("payload"))
+    assert all(
+        r["media_type"] == "stub" for r in mm.audio_features(junk).collect()
+    )
+
+
+def test_y4m_roundtrip_and_rejects():
+    w, h = 12, 8
+    frames = []
+    for f in range(3):
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        y = ((f * 50 + yy * 3 + xx * 5) % 256).astype(np.uint8)
+        uv = np.full((h // 2) * (w // 2), f, dtype=np.uint8)
+        frames.append(y.tobytes() + uv.tobytes() + uv.tobytes())
+    data = mm.encode_y4m(w, h, frames)
+    w2, h2, lumas = mm.decode_y4m(data)
+    assert (w2, h2, len(lumas)) == (w, h, 3)
+    for f, y in enumerate(lumas):
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        assert np.array_equal(y, ((f * 50 + yy * 3 + xx * 5) % 256).astype(np.uint8))
+    with pytest.raises(ValueError):
+        mm.decode_y4m(b"RIFF-not-y4m")
+    with pytest.raises(ValueError):
+        mm.encode_y4m(9, 8, frames)  # odd width
+    c444 = b"YUV4MPEG2 W4 H4 F25:1 C444\n" + b"FRAME\n" + b"\x00" * 48
+    with pytest.raises(ValueError):
+        mm.decode_y4m(c444)
+
+
+def test_video_frame_features_one_row_per_frame(spark):
+    from pyspark.sql import functions as F
+
+    d = spark.range(7).select(F.col("id").alias("doc_id"))
+    clips = mm.synth_y4m_column(d, "doc_id")
+    rows = mm.video_frame_features(clips).collect()
+    # 1->N shape: sum over ids of (2 + id % 4) frames
+    assert len(rows) == sum(2 + i % 4 for i in range(7))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, frs in by_doc.items():
+        w, h = 8 + (i % 5) * 2, 8 + ((i // 5) % 5) * 2
+        assert sorted(r["frame_idx"] for r in frs) == list(range(2 + i % 4))
+        for r in frs:
+            f = r["frame_idx"]
+            vals = [
+                (i * 19 + f * 61 + y * 11 + x * 7) % 256
+                for y in range(h)
+                for x in range(w)
+            ]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["luma_sum"] == sum(vals)
+            assert (r["luma_min"], r["luma_max"]) == (min(vals), max(vals))
+    # non-Y4M payloads are skipped entirely (no rows)
+    junk = d.select("doc_id", F.lit(b"not-video").alias("payload"))
+    assert mm.video_frame_features(junk).count() == 0
