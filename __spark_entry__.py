@@ -3015,19 +3015,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     should be <= 4 rounds old): slots 1-8 are the round-10 NEW queries
     (mm_decode_real, mm_audio_features, mm_video_frames — REAL PNG /
     WAV / Y4M decode round trips) and every query over code CHANGED
-    this round
-    (negative_samples' and
+    this round (negative_samples' and
     ppl_band_filter's two-phase exact ranks, etl_chunk_counts' and
     topk_orders' re-plans, quantile_normalize's shared helper with
-    checkpoint pinning). Slots 7-39 are the 33 STALEST rows — last
+    checkpoint pinning). Slots 9-41 are the 33 STALEST rows — last
     driver verdicts r5 (win_running_total, text_token_stats,
     text_lang_id, sim_quantize_int8) and r6 (q1/q5/rollup/stats_agg/
     pivot/moving_avg/cube/unpivot/json/gap/asof/range, core dedup
     pairs, cosine/ivf/kmeans, degrees/pagerank, winnow, repetition/
     tfidf/source_quota, remap/automap) — all preflight-green every
-    round since. Slots 40-50 are the stalest r7 rows (etl parity
-    battery, q3, salted_count, sessionize, quality_scores,
-    minhash_signatures). Overlap with the r9 window: 2
+    round since. Slots 42-50 are the stalest r7 rows that fit (the
+    dedup signature/pair battery + dedup_pk/anti_join); the next two
+    r7 rows (metadata_attach, normalize_nodes) open the tail and
+    with it the r11 window. Overlap with the r9 window: 2
     (quantile_normalize, topk_orders — both because their code
     changed again this round; budget <= 5).
 
@@ -3040,7 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (49 green + sim_semantic_dedup_pairs no_oracle); r5-r9 windows
     = the 50 keys of their CORRECTNESS_r{N}.json (each 50/50 green);
     r10 window = the first 50 below. After r10, the max verdict age
-    across all 175 queries is 3 rounds (r7)."""
+    across all 177 queries is 3 rounds (r7)."""
     import functools
 
     from graph_etl_spark.sources import runtime_confs
@@ -3054,9 +3054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     registry = {
-        # ---- r10 window slots 1-6: the round-10 NEW query
-        # (mm_decode_real) and every query over code CHANGED this
-        # round (negative_samples/ppl_gate two-phase ranks,
+        # ---- r10 window slots 1-8: the round-10 NEW queries
+        # (mm_decode_real/audio/video real-codec round trips) and
+        # every query over code CHANGED this round
+        # (negative_samples/ppl_gate two-phase ranks,
         # chunk_counts/topk re-plans, quantile_normalize's shared
         # helper + checkpoint pinning) ----
         "mm_decode_real": q_mm_decode_real,
@@ -3067,7 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_chunk_counts": q_etl_chunk_counts,
         "quality_quantile_normalize": q_quality_quantile_normalize,
         "topk_orders": q_topk_orders,
-        # ---- slots 7-39: the 33 STALEST rows (last driver
+        # ---- slots 9-41: the 33 STALEST rows (last driver
         # verdicts r5-r6; preflight-green every round since) ----
         "sim_quantize_int8": q_sim_quantize_int8,
         "text_lang_id": q_text_lang_id,
@@ -3102,7 +3103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg": q_stats_agg,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "unpivot_part": q_unpivot_part,
-        # ---- slots 40-50: the stalest r7 rows ----
+        # ---- slots 42-50: the stalest r7 rows (nine fit; the next
+        # two r7 rows open the tail and with it the r11 window) ----
         "dedup_incremental": q_dedup_incremental,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -3112,11 +3114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_scrub": q_dedup_span_scrub,
         "etl_anti_join_blanks": q_etl_anti_join_blanks,
         "etl_dedup_pk": q_etl_dedup_pk,
-        "etl_metadata_attach": q_etl_metadata_attach,
-        "etl_normalize_nodes": q_etl_normalize_nodes,
         # ---- tail: >50 — stalest-first (remaining r7 rows, then
         # r8- then r9-verdicted; they lead the r11 window), ALL
         # still oracle-checked every round by tools/preflight ----
+        "etl_metadata_attach": q_etl_metadata_attach,
+        "etl_normalize_nodes": q_etl_normalize_nodes,
         "etl_semi_join_match": q_etl_semi_join_match,
         "etl_union_sources": q_etl_union_sources,
         "events_sessionize": q_events_sessionize,

@@ -304,8 +304,17 @@ def decode_image(
             for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(payload) if payload is not None else b""
                 rows["doc_id"].append(int(doc_id))
+                decoded = None
                 if raw[:8] == _PNG_SIG:
-                    w, h, c, px = decode_png(raw)
+                    # a truncated/16-bit/interlaced PNG must NOT kill
+                    # the stage — fall back to the stub row so a single
+                    # malformed file cannot abort a 100 TB run
+                    try:
+                        decoded = decode_png(raw)
+                    except ValueError:
+                        decoded = None
+                if decoded is not None:
+                    w, h, c, px = decoded
                     rows["media_type"].append("png")
                     rows["width"].append(w)
                     rows["height"].append(h)
@@ -443,8 +452,17 @@ def audio_features(
             for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(payload) if payload is not None else b""
                 rows["doc_id"].append(int(doc_id))
+                decoded = None
                 if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-                    rate, ch, s = decode_wav(raw)
+                    # unsupported variants (24-bit, non-PCM, truncated)
+                    # fall back to the stub row instead of killing the
+                    # stage
+                    try:
+                        decoded = decode_wav(raw)
+                    except ValueError:
+                        decoded = None
+                if decoded is not None:
+                    rate, ch, s = decoded
                     n = int(s.shape[0])
                     rows["media_type"].append("wav")
                     rows["sample_rate"].append(rate)
@@ -545,7 +563,8 @@ def decode_y4m(data: bytes) -> tuple[int, int, list[np.ndarray]]:
     lumas = []
     pos = 0
     while pos < len(body):
-        if not body[pos:].startswith(b"FRAME"):
+        # startswith with an offset — no O(clip) slice copy per frame
+        if not body.startswith(b"FRAME", pos):
             raise ValueError("bad FRAME marker")
         pos = body.index(b"\n", pos) + 1  # FRAME params end at newline
         plane = body[pos : pos + frame_len]
@@ -588,7 +607,13 @@ def video_frame_features(
                 raw = bytes(payload) if payload is not None else b""
                 if not raw.startswith(b"YUV4MPEG2"):
                     continue
-                w, h, lumas = decode_y4m(raw)
+                try:
+                    w, h, lumas = decode_y4m(raw)
+                except ValueError:
+                    # truncated / non-C420 clip: skip it (same skip
+                    # semantics as unrecognized payloads) rather than
+                    # killing the stage
+                    continue
                 for fi, y in enumerate(lumas):
                     rows["doc_id"].append(int(doc_id))
                     rows["frame_idx"].append(fi)

@@ -1629,6 +1629,43 @@ def mask_columns(
     return out
 
 
+def _offset_rank(
+    keyed: DataFrame, bucket_col: str, order_cols: list[str], out: str
+) -> tuple[DataFrame, int]:
+    """Shared finish of the two-phase exact rank: per-bucket counts
+    (map-side-combined agg, tiny collect) → driver prefix offsets →
+    broadcast literal frame → bucket-local ``row_number`` + offset.
+    ``keyed`` MUST already be checkpoint-pinned by the caller (both
+    this count job and the returned plan must see identical rows) and
+    bucket order must agree with ``order_cols`` order. Used by
+    ``exact_global_rank`` (value buckets) and ``negative_samples``'
+    non-numeric path (range partitions)."""
+    spark = keyed.sparkSession
+    counts = sorted(
+        (r[bucket_col], r["__cnt"])
+        for r in keyed.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    total = int(sum(c for _, c in counts))
+    rows, running = [], 0
+    for bkt, cnt in counts:
+        rows.append((int(bkt), running))
+        running += cnt
+    offsets = spark.createDataFrame(
+        rows or [(0, 0)], f"{bucket_col} int, __off long"
+    )
+    w_local = Window.partitionBy(bucket_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    ranked = (
+        keyed.join(F.broadcast(offsets), bucket_col)
+        .withColumn(out, F.row_number().over(w_local) + F.col("__off"))
+        .drop(bucket_col, "__off")
+    )
+    return ranked, total
+
+
 def exact_global_rank(
     df: DataFrame,
     value_col: str,
@@ -1642,16 +1679,19 @@ def exact_global_rank(
     ``ppl_band_filter``'s rank-band mode, and ``negative_samples``'
     dense corpus index.
 
-    Phase 1 collects ``num_partitions - 1`` approximate boundaries of
-    the NUMERIC ``value_col`` (one map-side-combined
-    ``percentile_approx`` agg; tiny driver collect) and assigns every
-    row a bucket by LITERAL comparison — a pure map-side expression.
-    The bucketed frame is ``localCheckpoint(eager=False)``-pinned so
-    the two downstream consumers (the bucket-count job and the final
-    ranked plan) provably see the SAME rows even when ``df`` is
+    The input is ``localCheckpoint(eager=False)``-pinned FIRST, so all
+    three consumers (the boundary job, the bucket-count job, and the
+    final ranked plan) provably see the SAME rows even when ``df`` is
     non-deterministic (sample/rand-derived) — the same multi-consumer
-    discipline as ``ngram_jaccard_pairs``. Phase 2 counts rows per
-    bucket (map-side-combined agg over ≤ num_partitions + 1 groups,
+    discipline as ``ngram_jaccard_pairs`` — and an expensive upstream
+    (e.g. ``trigram_perplexity`` feeding the ppl band) computes ONCE,
+    not once per job. Phase 1 collects ``num_partitions - 1``
+    approximate boundaries of the NUMERIC ``value_col`` (one
+    map-side-combined ``percentile_approx`` agg; tiny driver collect —
+    this is the action that materializes the checkpoint) and assigns
+    every row a bucket by LITERAL comparison — a pure map-side
+    expression over the pinned frame. Phase 2 counts rows per bucket
+    (map-side-combined agg over ≤ num_partitions + 1 groups,
     collected), computes prefix offsets driver-side, broadcasts them
     as a literal frame, and ranks WITHIN each bucket:
     global_rank = offset(bucket) + local row_number.
@@ -1679,7 +1719,8 @@ def exact_global_rank(
         ),
     )
     probs = [i / n_parts for i in range(1, n_parts)]
-    row = df.agg(
+    pinned = df.localCheckpoint(eager=False)
+    row = pinned.agg(
         F.percentile_approx(F.col(value_col), probs, 10000).alias("__b")
     ).collect()[0]
     bounds = sorted(set(row["__b"] or []))
@@ -1690,26 +1731,8 @@ def exact_global_rank(
         )
     else:
         bucket = F.when(v.isNull(), F.lit(-1)).otherwise(F.lit(0))
-    keyed = df.withColumn("__bkt", bucket).localCheckpoint(eager=False)
-    counts = sorted(
-        (r["__bkt"], r["__cnt"])
-        for r in keyed.groupBy("__bkt")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .collect()
-    )
-    total = int(sum(c for _, c in counts))
-    rows, running = [], 0
-    for bkt, cnt in counts:
-        rows.append((int(bkt), running))
-        running += cnt
-    offsets = spark.createDataFrame(rows or [(0, 0)], "__bkt int, __off long")
-    w_local = Window.partitionBy("__bkt").orderBy(*[F.col(c) for c in order_cols])
-    ranked = (
-        keyed.join(F.broadcast(offsets), "__bkt")
-        .withColumn(out, F.row_number().over(w_local) + F.col("__off"))
-        .drop("__bkt", "__off")
-    )
-    return ranked, total
+    keyed = pinned.withColumn("__bkt", bucket)
+    return _offset_rank(keyed, "__bkt", order_cols, out)
 
 
 def negative_samples(
@@ -1767,28 +1790,8 @@ def negative_samples(
             eager=False
         )
         pid = parted.withColumn("__pid", F.spark_partition_id())
-        counts = sorted(
-            (r["__pid"], r["__cnt"])
-            for r in pid.groupBy("__pid")
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-            .collect()
-        )
-        n_total = int(sum(c for _, c in counts))
-        rows, running = [], 0
-        for p, cnt in counts:
-            rows.append((int(p), running))
-            running += cnt
-        offsets = spark.createDataFrame(
-            rows or [(0, 0)], "__pid int, __off long"
-        )
-        w_pid = Window.partitionBy("__pid").orderBy("__cid")
-        idx = (
-            pid.join(F.broadcast(offsets), "__pid")
-            .withColumn(
-                "__idx", F.row_number().over(w_pid) + F.col("__off") - 1
-            )
-            .drop("__pid", "__off")
-        )
+        ranked, n_total = _offset_rank(pid, "__pid", ["__cid"], "__r")
+        idx = ranked.withColumn("__idx", F.col("__r") - 1).drop("__r")
     draws = (
         pairs.select(
             F.col(anchor_col).alias("anchor_id"),

@@ -605,6 +605,8 @@ def streaming_threshold_alerts_watermarked(
     Returns an unstarted transformed frame with schema
     (user_id long, event_type string, crossed_at double).
     """
+    import math
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -636,7 +638,11 @@ def streaming_threshold_alerts_watermarked(
         )
         if pending:
             candidate = smallest[threshold - 1]
-            if state.getCurrentWatermarkMs() >= int(candidate * 1000):
+            # CEIL the ms conversion: flooring would let the alert fire
+            # while an event between watermark and the sub-ms candidate
+            # fraction could still legally arrive and lower the crossing
+            cand_ms = math.ceil(candidate * 1000)
+            if state.getCurrentWatermarkMs() >= cand_ms:
                 fired = 1
                 emit = candidate
                 pending = False
@@ -644,7 +650,7 @@ def streaming_threshold_alerts_watermarked(
         if pending:
             # wake this key when the watermark passes the candidate,
             # even if no further events arrive for it
-            state.setTimeoutTimestamp(int(smallest[threshold - 1] * 1000))
+            state.setTimeoutTimestamp(math.ceil(smallest[threshold - 1] * 1000))
         if emit is not None:
             yield pd.DataFrame(
                 {

@@ -29,7 +29,8 @@ def _latest_driver_round() -> dict[str, int]:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+    # r* not r0*: CORRECTNESS_r10.json and later must count too
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for k in json.load(open(f)):
             latest[k] = r
