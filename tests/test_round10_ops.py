@@ -574,3 +574,34 @@ def test_video_frame_features_one_row_per_frame(spark):
     # non-Y4M payloads are skipped entirely (no rows)
     junk = d.select("doc_id", F.lit(b"not-video").alias("payload"))
     assert mm.video_frame_features(junk).count() == 0
+
+
+def test_unsupported_variants_fall_back_not_crash(spark):
+    """Magic-matched but unsupported payloads (24-bit WAV, bad-depth
+    PNG, non-C420 Y4M) must fall back to stub/skip — one malformed
+    file must never abort the stage."""
+    import struct as st
+
+    from pyspark.sql import functions as F
+
+    fmt24 = st.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    wav24 = b"RIFF" + st.pack("<I", 4 + 8 + len(fmt24)) + b"WAVE" \
+        + b"fmt " + st.pack("<I", len(fmt24)) + fmt24
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16  # truncated, no IHDR
+    c444 = b"YUV4MPEG2 W4 H4 F25:1 C444\n" + b"FRAME\n" + b"\x00" * 48
+
+    d = spark.createDataFrame(
+        [(1, bytearray(wav24)), (2, bytearray(bad_png)), (3, bytearray(c444))],
+        "doc_id long, payload binary",
+    )
+    imgs = mm.decode_image(d).collect()
+    assert all(r["media_type"] == "stub" for r in imgs)
+    auds = mm.audio_features(d).collect()
+    assert all(r["media_type"] == "stub" for r in auds)
+    assert mm.video_frame_features(d).count() == 0
+    # sanity: a GOOD payload in the same batch still decodes for real
+    good = mm.synth_png_column(
+        spark.range(1).select(F.col("id").alias("doc_id"))
+    ).unionByName(d.filter("doc_id = 2"))
+    out = {r["doc_id"]: r["media_type"] for r in mm.decode_image(good).collect()}
+    assert out == {0: "png", 2: "stub"}
