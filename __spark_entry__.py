@@ -1695,6 +1695,20 @@ def q_mm_video_frames(spark, sf):
     )
 
 
+def q_mm_audio_windows(spark, sf):
+    """Per-window audio segmentation features over REAL WAV decode
+    (1→N rows): 64-sample windows, exact integer sum / energy /
+    peak-abs per window — the VAD/silence-trim preprocessing stage.
+    The oracle recomputes every window aggregate from the sample
+    FORMULA alone."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    wavs = ops.synth_wav_column(d, "doc_id")
+    return ops.audio_window_features(wavs, window_samples=64).select(
+        "doc_id", "window_idx", "n_samples",
+        "sample_sum", "energy", "peak_abs",
+    )
+
+
 def q_mm_audio_features(spark, sf):
     """REAL audio decode end-to-end: per doc a REAL RIFF/WAVE PCM16
     payload is synthesized (samples closed-form in doc_id), decoded
@@ -3012,9 +3026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its own untouched session.
 
     Round-10 rotation (VERDICT r9 #5: every query's latest driver row
-    should be <= 4 rounds old): slots 1-8 are the round-10 NEW queries
-    (mm_decode_real, mm_audio_features, mm_video_frames — REAL PNG /
-    WAV / Y4M decode round trips) and every query over code CHANGED
+    should be <= 4 rounds old): slots 1-9 are the round-10 NEW queries
+    (mm_decode_real, mm_audio_features, mm_video_frames,
+    mm_audio_windows — REAL PNG / WAV / Y4M decode round trips plus
+    per-window audio segmentation) and every query over code CHANGED
     this round (negative_samples' and
     ppl_band_filter's two-phase exact ranks, etl_chunk_counts' and
     topk_orders' re-plans, quantile_normalize's shared helper with
@@ -3024,10 +3039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pivot/moving_avg/cube/unpivot/json/gap/asof/range, core dedup
     pairs, cosine/ivf/kmeans, degrees/pagerank, winnow, repetition/
     tfidf/source_quota, remap/automap) — all preflight-green every
-    round since. Slots 42-50 are the stalest r7 rows that fit (the
-    dedup signature/pair battery + dedup_pk/anti_join); the next two
-    r7 rows (metadata_attach, normalize_nodes) open the tail and
-    with it the r11 window. Overlap with the r9 window: 2
+    round since. Slots 10-42 hold them; slots 43-50 are the stalest
+    r7 rows that fit (the dedup signature/pair battery + anti_join);
+    the next three r7 rows (dedup_pk, metadata_attach,
+    normalize_nodes) open the tail and with it the r11 window. Overlap with the r9 window: 2
     (quantile_normalize, topk_orders — both because their code
     changed again this round; budget <= 5).
 
@@ -3040,7 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (49 green + sim_semantic_dedup_pairs no_oracle); r5-r9 windows
     = the 50 keys of their CORRECTNESS_r{N}.json (each 50/50 green);
     r10 window = the first 50 below. After r10, the max verdict age
-    across all 177 queries is 3 rounds (r7)."""
+    across all 178 queries is 3 rounds (r7)."""
     import functools
 
     from graph_etl_spark.sources import runtime_confs
@@ -3054,8 +3069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     registry = {
-        # ---- r10 window slots 1-8: the round-10 NEW queries
-        # (mm_decode_real/audio/video real-codec round trips) and
+        # ---- r10 window slots 1-9: the round-10 NEW queries
+        # (mm_decode_real/audio/video/audio-window real-codec round
+        # trips) and
         # every query over code CHANGED this round
         # (negative_samples/ppl_gate two-phase ranks,
         # chunk_counts/topk re-plans, quantile_normalize's shared
@@ -3063,12 +3079,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_real": q_mm_decode_real,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
+        "mm_audio_windows": q_mm_audio_windows,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
         "quality_quantile_normalize": q_quality_quantile_normalize,
         "topk_orders": q_topk_orders,
-        # ---- slots 9-41: the 33 STALEST rows (last driver
+        # ---- slots 10-42: the 33 STALEST rows (last driver
         # verdicts r5-r6; preflight-green every round since) ----
         "sim_quantize_int8": q_sim_quantize_int8,
         "text_lang_id": q_text_lang_id,
@@ -3103,8 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg": q_stats_agg,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "unpivot_part": q_unpivot_part,
-        # ---- slots 42-50: the stalest r7 rows (nine fit; the next
-        # two r7 rows open the tail and with it the r11 window) ----
+        # ---- slots 43-50: the stalest r7 rows (eight fit; the next
+        # three r7 rows open the tail and with it the r11 window) ----
         "dedup_incremental": q_dedup_incremental,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -3113,10 +3130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_signatures": q_dedup_simhash_signatures,
         "dedup_span_scrub": q_dedup_span_scrub,
         "etl_anti_join_blanks": q_etl_anti_join_blanks,
-        "etl_dedup_pk": q_etl_dedup_pk,
         # ---- tail: >50 — stalest-first (remaining r7 rows, then
         # r8- then r9-verdicted; they lead the r11 window), ALL
         # still oracle-checked every round by tools/preflight ----
+        "etl_dedup_pk": q_etl_dedup_pk,
         "etl_metadata_attach": q_etl_metadata_attach,
         "etl_normalize_nodes": q_etl_normalize_nodes,
         "etl_semi_join_match": q_etl_semi_join_match,
@@ -4847,6 +4864,28 @@ def oracle_sql() -> dict[str, str]:
              range(0, 16) AS x(x)
         WHERE f.f < d.nf AND y.y < d.h AND x.x < d.w
         GROUP BY d.doc_id, f.f, d.w, d.h
+    """
+
+
+    # Per-window audio features from the same WAV sample formula:
+    # windows of 64 samples, last window short (n = 64 + id % 129).
+    sql["mm_audio_windows"] = """
+        WITH dims AS (
+          SELECT doc_id, 64 + doc_id % 129 AS n FROM documents
+        ), samp AS (
+          SELECT d.doc_id, i.i,
+                 (i.i // 64)::INT AS window_idx,
+                 ((d.doc_id * 37 + i.i * 101) % 65536) - 32768 AS s
+          FROM dims d, range(0, 193) AS i(i)
+          WHERE i.i < d.n
+        )
+        SELECT doc_id, window_idx,
+               COUNT(*)::INT AS n_samples,
+               SUM(s)::BIGINT AS sample_sum,
+               SUM(s * s)::BIGINT AS energy,
+               MAX(abs(s))::INT AS peak_abs
+        FROM samp
+        GROUP BY doc_id, window_idx
     """
 
     # Real WAV round trip: the oracle recomputes the decoded features

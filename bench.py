@@ -171,6 +171,7 @@ HEADLINE = [
     "mm_decode_real",
     "mm_audio_features",
     "mm_video_frames",
+    "mm_audio_windows",
 ]
 
 

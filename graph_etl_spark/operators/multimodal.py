@@ -486,6 +486,63 @@ def audio_features(
     return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak_abs", T.IntegerType()),
+    ]
+)
+
+
+def audio_window_features(
+    df: DataFrame,
+    window_samples: int = 64,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-WINDOW audio features over real WAV decode — the
+    segmentation stage a speech-curation pipeline runs before VAD /
+    silence trimming: fixed-length sample windows, one output row per
+    window with exact integer aggregates (sum, energy = Σ s², peak
+    |s|). The 1→N mapInPandas shape over a decoded payload (the audio
+    analog of ``video_frame_features``); the last window may be
+    short. Stereo inputs are windowed over interleaved frames'
+    per-channel samples flattened in frame order (mono in practice
+    for ASR corpora). Non-WAV payloads are skipped."""
+    if window_samples < 1:
+        raise ValueError("window_samples must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in AUDIO_WINDOW_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                if not (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"):
+                    continue
+                try:
+                    _rate, _ch, s = decode_wav(raw)
+                except ValueError:
+                    continue
+                flat = np.asarray(s, dtype=np.int64).reshape(-1)
+                for wi in range(0, max(1, len(flat)), window_samples):
+                    win = flat[wi : wi + window_samples]
+                    if not len(win):
+                        break
+                    rows["doc_id"].append(int(doc_id))
+                    rows["window_idx"].append(wi // window_samples)
+                    rows["n_samples"].append(int(len(win)))
+                    rows["sample_sum"].append(int(win.sum()))
+                    rows["energy"].append(int((win * win).sum()))
+                    rows["peak_abs"].append(int(np.abs(win).max()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_WINDOW_SCHEMA)
+
+
 def synth_wav_column(
     df: DataFrame,
     id_col: str = "doc_id",

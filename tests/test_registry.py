@@ -17,8 +17,8 @@ import __spark_entry__ as entry
 # MECHANICALLY from the CORRECTNESS history below, not hand-listed).
 ROUND10_NEW_OR_CHANGED = [
     "mm_decode_real", "mm_audio_features", "mm_video_frames",
-    "quality_negative_samples", "quality_ppl_gate", "etl_chunk_counts",
-    "quality_quantile_normalize", "topk_orders",
+    "mm_audio_windows", "quality_negative_samples", "quality_ppl_gate",
+    "etl_chunk_counts", "quality_quantile_normalize", "topk_orders",
 ]
 
 
@@ -56,9 +56,9 @@ def test_round10_window_composition():
 
     names = list(entry.queries())
     window = names[:50]
-    assert names[:8] == ROUND10_NEW_OR_CHANGED, f"slots 1-8 wrong: {names[:8]}"
+    assert names[:9] == ROUND10_NEW_OR_CHANGED, f"slots 1-9 wrong: {names[:9]}"
     latest = _latest_driver_round()
-    rest = [q for q in window[8:]]
+    rest = [q for q in window[9:]]
     tail = [q for q in names[50:]]
     # every non-changed window slot must be no NEWER than every tail
     # entry's verdict (new queries have no history and sort stalest)

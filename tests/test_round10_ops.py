@@ -605,3 +605,28 @@ def test_unsupported_variants_fall_back_not_crash(spark):
     ).unionByName(d.filter("doc_id = 2"))
     out = {r["doc_id"]: r["media_type"] for r in mm.decode_image(good).collect()}
     assert out == {0: "png", 2: "stub"}
+
+
+def test_audio_window_features_exact(spark):
+    from pyspark.sql import functions as F
+
+    d = spark.range(4).select(F.col("id").alias("doc_id"))
+    wavs = mm.synth_wav_column(d, "doc_id")
+    rows = mm.audio_window_features(wavs, window_samples=64).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, wins in by_doc.items():
+        n = 64 + i % 129
+        s = [((i * 37 + j * 101) % 65536) - 32768 for j in range(n)]
+        n_wins = (n + 63) // 64
+        assert sorted(r["window_idx"] for r in wins) == list(range(n_wins))
+        for r in wins:
+            lo = r["window_idx"] * 64
+            seg = s[lo : lo + 64]
+            assert r["n_samples"] == len(seg)  # last window short
+            assert r["sample_sum"] == sum(seg)
+            assert r["energy"] == sum(x * x for x in seg)
+            assert r["peak_abs"] == max(abs(x) for x in seg)
+    with pytest.raises(ValueError):
+        mm.audio_window_features(wavs, window_samples=0)
