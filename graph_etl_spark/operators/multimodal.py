@@ -204,46 +204,24 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """REAL PNG decode, no imaging library: chunk walk → IHDR dims →
-    zlib-inflate the IDAT stream → per-scanline unfilter (all five
-    filter types of the public spec: None/Sub/Up/Average/Paeth).
-    Supports 8-bit depth, colour types 0/2/4/6, no interlace — the
-    shapes a training-data pipeline actually stores. Returns
-    (width, height, channels, uint8 array of shape (h, w, channels)).
-    """
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat = 8, []
-    w = h = channels = None
-    while pos + 8 <= len(data):
-        (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + tag + body + crc
-        if tag == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
-                raise ValueError(
-                    f"unsupported PNG variant (depth={depth}, type={ctype})"
-                )
-            channels = _PNG_CHANNELS[ctype]
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+# Adam7 interlace passes: (x0, y0, dx, dy) per the public PNG spec.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(
+    raw: bytes, off: int, w: int, h: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``h`` scanlines of ``w*bpp`` bytes starting at ``off``
+    in the inflated stream (all five spec filter types). Returns the
+    (h, w*bpp) array and the new offset."""
+    stride = w * bpp
+    if len(raw) - off < h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
-    off = 0
     for y in range(h):
         f = raw[off]
         line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
@@ -271,7 +249,64 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = cur
         prev = cur
-    return int(w), int(h), int(channels), out.reshape(h, w, channels)
+    return out, off
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """REAL PNG decode, no imaging library: chunk walk → IHDR dims →
+    zlib-inflate the IDAT stream → per-scanline unfilter (all five
+    filter types of the public spec: None/Sub/Up/Average/Paeth).
+    Supports 8-bit depth, colour types 0/2/4/6, both interlace modes
+    (progressive Adam7 sub-images are unfiltered independently and
+    merged back on the pass grid) — the shapes a training-data
+    pipeline actually stores. Returns (width, height, channels, uint8
+    array of shape (h, w, channels)).
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = channels = None
+    interlace = 0
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace not in (0, 1) or ctype not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, type={ctype})"
+                )
+            channels = _PNG_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out, off = _unfilter(raw, 0, w, h, channels)
+        if off != len(raw):
+            raise ValueError("PNG scanline payload size mismatch")
+        return int(w), int(h), int(channels), out.reshape(h, w, channels)
+    # Adam7: seven independently-filtered sub-images, merged on the
+    # pass grid; empty passes (sub-dimension 0) carry no scanlines
+    img = np.empty((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        w_p = (w - x0 + dx - 1) // dx
+        h_p = (h - y0 + dy - 1) // dy
+        if w_p <= 0 or h_p <= 0:
+            continue
+        sub, off = _unfilter(raw, off, w_p, h_p, channels)
+        img[y0::dy, x0::dx] = sub.reshape(h_p, w_p, channels)
+    if off != len(raw):
+        raise ValueError("PNG scanline payload size mismatch")
+    return int(w), int(h), int(channels), img
 
 
 DECODED_REAL_SCHEMA = T.StructType(

@@ -630,3 +630,40 @@ def test_audio_window_features_exact(spark):
             assert r["peak_abs"] == max(abs(x) for x in seg)
     with pytest.raises(ValueError):
         mm.audio_window_features(wavs, window_samples=0)
+
+
+def test_png_decode_adam7_interlaced():
+    """Forward-interlace a reference image per the public Adam7 grid
+    (filter-0 scanlines per pass), decode, and require the original
+    back — covers odd dimensions where late passes dominate and empty
+    passes for tiny images."""
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    for w, h in [(13, 7), (3, 3), (1, 1), (8, 8)]:
+        img = _ref_image(w, h, 3, seed=w * 10 + h)
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw.append(0)
+                raw.extend(row.tobytes())
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        w2, h2, c, out = mm.decode_png(data)
+        assert (w2, h2, c) == (w, h, 3)
+        assert np.array_equal(out, img), f"adam7 mismatch at {w}x{h}"
