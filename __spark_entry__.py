@@ -2294,6 +2294,18 @@ def q_graph_label_propagation(spark, sf):
     return ops.label_propagation(_copurchase_1995(spark, sf), n_iter=3)
 
 
+def q_graph_link_prediction(spark, sf):
+    """Link prediction over the 1995 co-purchase graph: for every
+    non-edge pair with >= 2 shared neighbors (wedge centers capped at
+    degree 40 — the hub bound that keeps candidate growth linear),
+    common-neighbor count, Adamic-Adar (per-term 6-dp decimal
+    rounding, exact sum), and 6-dp Jaccard. The oracle mirrors the
+    cap, the anti-join, and the rounding chain exactly."""
+    return ops.link_prediction_scores(
+        _copurchase_1995(spark, sf), min_common=2, max_degree=40
+    )
+
+
 def q_graph_bfs_distances(spark, sf):
     """Multi-source-capable BFS from the smallest vertex of the 1995
     co-purchase graph, capped at 3 hops: (id, hop distance) for every
@@ -3026,11 +3038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its own untouched session.
 
     Round-10 rotation (VERDICT r9 #5: every query's latest driver row
-    should be <= 4 rounds old): slots 1-9 are the round-10 NEW queries
-    (mm_decode_real, mm_audio_features, mm_video_frames,
+    should be <= 4 rounds old): slots 1-10 are the round-10 NEW
+    queries (mm_decode_real, mm_audio_features, mm_video_frames,
     mm_audio_windows — REAL PNG / WAV / Y4M decode round trips plus
-    per-window audio segmentation) and every query over code CHANGED
-    this round (negative_samples' and
+    per-window audio segmentation — and graph_link_prediction) and
+    every query over code CHANGED this round (negative_samples' and
     ppl_band_filter's two-phase exact ranks, etl_chunk_counts' and
     topk_orders' re-plans, quantile_normalize's shared helper with
     checkpoint pinning). Slots 9-41 are the 33 STALEST rows — last
@@ -3039,9 +3051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pivot/moving_avg/cube/unpivot/json/gap/asof/range, core dedup
     pairs, cosine/ivf/kmeans, degrees/pagerank, winnow, repetition/
     tfidf/source_quota, remap/automap) — all preflight-green every
-    round since. Slots 10-42 hold them; slots 43-50 are the stalest
-    r7 rows that fit (the dedup signature/pair battery + anti_join);
-    the next three r7 rows (dedup_pk, metadata_attach,
+    round since. Slots 11-43 hold them; slots 44-50 are the stalest
+    r7 rows that fit (the dedup signature/pair battery); the next
+    four r7 rows (anti_join_blanks, dedup_pk, metadata_attach,
     normalize_nodes) open the tail and with it the r11 window. Overlap with the r9 window: 2
     (quantile_normalize, topk_orders — both because their code
     changed again this round; budget <= 5).
@@ -3055,7 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (49 green + sim_semantic_dedup_pairs no_oracle); r5-r9 windows
     = the 50 keys of their CORRECTNESS_r{N}.json (each 50/50 green);
     r10 window = the first 50 below. After r10, the max verdict age
-    across all 178 queries is 3 rounds (r7)."""
+    across all 179 queries is 3 rounds (r7)."""
     import functools
 
     from graph_etl_spark.sources import runtime_confs
@@ -3069,7 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     registry = {
-        # ---- r10 window slots 1-9: the round-10 NEW queries
+        # ---- r10 window slots 1-10: the round-10 NEW queries
         # (mm_decode_real/audio/video/audio-window real-codec round
         # trips) and
         # every query over code CHANGED this round
@@ -3080,12 +3092,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
         "mm_audio_windows": q_mm_audio_windows,
+        "graph_link_prediction": q_graph_link_prediction,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
         "quality_quantile_normalize": q_quality_quantile_normalize,
         "topk_orders": q_topk_orders,
-        # ---- slots 10-42: the 33 STALEST rows (last driver
+        # ---- slots 11-43: the 33 STALEST rows (last driver
         # verdicts r5-r6; preflight-green every round since) ----
         "sim_quantize_int8": q_sim_quantize_int8,
         "text_lang_id": q_text_lang_id,
@@ -3120,8 +3133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg": q_stats_agg,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "unpivot_part": q_unpivot_part,
-        # ---- slots 43-50: the stalest r7 rows (eight fit; the next
-        # three r7 rows open the tail and with it the r11 window) ----
+        # ---- slots 44-50: the stalest r7 rows (seven fit; the next
+        # four r7 rows open the tail and with it the r11 window) ----
         "dedup_incremental": q_dedup_incremental,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -3129,10 +3142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": q_dedup_passages,
         "dedup_simhash_signatures": q_dedup_simhash_signatures,
         "dedup_span_scrub": q_dedup_span_scrub,
-        "etl_anti_join_blanks": q_etl_anti_join_blanks,
         # ---- tail: >50 — stalest-first (remaining r7 rows, then
         # r8- then r9-verdicted; they lead the r11 window), ALL
         # still oracle-checked every round by tools/preflight ----
+        "etl_anti_join_blanks": q_etl_anti_join_blanks,
         "etl_dedup_pk": q_etl_dedup_pk,
         "etl_metadata_attach": q_etl_metadata_attach,
         "etl_normalize_nodes": q_etl_normalize_nodes,
@@ -6159,6 +6172,45 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT id, distance FROM bf{p}
           ) GROUP BY id
         )"""
+    # Link prediction: wedge centers capped at deg<=40, non-edge pairs
+    # with >=2 shared neighbors; per-term 1/ln(deg) rounds to 6-dp
+    # DECIMAL before the exact sum (order-free), jaccard rounds at 6.
+    sql["graph_link_prediction"] = """
+        WITH cop AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995
+        ), und AS MATERIALIZED (
+          SELECT DISTINCT src AS u, dst AS v FROM cop WHERE src <> dst
+        ), adj AS (
+          SELECT u AS z, v AS x FROM und
+          UNION ALL SELECT v AS z, u AS x FROM und
+        ), deg AS MATERIALIZED (
+          SELECT z, COUNT(*)::BIGINT AS deg FROM adj GROUP BY z
+        ), cents AS (
+          SELECT a.z, a.x, d.deg FROM adj a JOIN deg d ON a.z = d.z
+          WHERE d.deg <= 40
+        ), cand AS (
+          SELECT c1.x AS a, c2.x AS b, c1.deg
+          FROM cents c1 JOIN cents c2 ON c1.z = c2.z AND c1.x < c2.x
+          WHERE NOT EXISTS (
+            SELECT 1 FROM und e WHERE e.u = c1.x AND e.v = c2.x
+          )
+        ), pair AS (
+          SELECT a, b, COUNT(*)::BIGINT AS common_neighbors,
+                 SUM(round(1.0 / ln(deg), 6)::DECIMAL(18,6))::DOUBLE
+                   AS adamic_adar
+          FROM cand GROUP BY a, b HAVING COUNT(*) >= 2
+        )
+        SELECT p.a, p.b, p.common_neighbors, p.adamic_adar,
+               round(p.common_neighbors
+                     / (da.deg + db.deg - p.common_neighbors), 6) AS jaccard
+        FROM pair p
+        JOIN deg da ON p.a = da.z
+        JOIN deg db ON p.b = db.z
+    """
+
     sql["graph_bellman_ford"] = (
         """
         WITH cop AS (

@@ -172,6 +172,7 @@ HEADLINE = [
     "mm_audio_features",
     "mm_video_frames",
     "mm_audio_windows",
+    "graph_link_prediction",
 ]
 
 

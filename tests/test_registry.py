@@ -17,7 +17,8 @@ import __spark_entry__ as entry
 # MECHANICALLY from the CORRECTNESS history below, not hand-listed).
 ROUND10_NEW_OR_CHANGED = [
     "mm_decode_real", "mm_audio_features", "mm_video_frames",
-    "mm_audio_windows", "quality_negative_samples", "quality_ppl_gate",
+    "mm_audio_windows", "graph_link_prediction",
+    "quality_negative_samples", "quality_ppl_gate",
     "etl_chunk_counts", "quality_quantile_normalize", "topk_orders",
 ]
 
@@ -56,9 +57,9 @@ def test_round10_window_composition():
 
     names = list(entry.queries())
     window = names[:50]
-    assert names[:9] == ROUND10_NEW_OR_CHANGED, f"slots 1-9 wrong: {names[:9]}"
+    assert names[:10] == ROUND10_NEW_OR_CHANGED, f"slots 1-10 wrong: {names[:10]}"
     latest = _latest_driver_round()
-    rest = [q for q in window[9:]]
+    rest = [q for q in window[10:]]
     tail = [q for q in names[50:]]
     # every non-changed window slot must be no NEWER than every tail
     # entry's verdict (new queries have no history and sort stalest)

@@ -667,3 +667,25 @@ def test_png_decode_adam7_interlaced():
         w2, h2, c, out = mm.decode_png(data)
         assert (w2, h2, c) == (w, h, 3)
         assert np.array_equal(out, img), f"adam7 mismatch at {w}x{h}"
+
+
+def test_link_prediction_hand_graph(spark):
+    import math
+
+    from graph_etl_spark.operators import link_prediction_scores
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out = link_prediction_scores(edges, min_common=2).collect()
+    # only non-edge pair with >= 2 shared neighbors is (1, 4) via {2, 3}
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"], r["common_neighbors"]) == (1, 4, 2)
+    aa = 2 * round(1 / math.log(3), 6)  # deg(2) = deg(3) = 3
+    assert abs(r["adamic_adar"] - aa) < 1e-9
+    assert r["jaccard"] == 1.0  # 2 / (2 + 2 - 2)
+    # hub cap: with max_degree=2 the only centers left are 1 and 4
+    # (degree 2), whose wedges all close as existing edges -> empty
+    capped = link_prediction_scores(edges, min_common=2, max_degree=2)
+    assert capped.count() == 0
