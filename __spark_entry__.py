@@ -2722,6 +2722,18 @@ def q_graph_random_walks(spark, sf):
     )
 
 
+def q_graph_node2vec_walks(spark, sf):
+    """Second-order biased walks (node2vec p/q search bias as a
+    deterministic hash-argmin): 2 walks x 3 steps from every vertex
+    of the 1995 co-purchase graph with return penalty p=4 and
+    exploration penalty q=2 — backtracking discouraged, triangle
+    closure preferred. The oracle unrolls the same steps with the
+    same integer-penalty scoring."""
+    return ops.node2vec_walks(
+        _copurchase_1995(spark, sf), walk_length=3, walks_per_node=2, p=4, q=2
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -3093,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": q_mm_video_frames,
         "mm_audio_windows": q_mm_audio_windows,
         "graph_link_prediction": q_graph_link_prediction,
+        "graph_node2vec_walks": q_graph_node2vec_walks,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6402,6 +6415,67 @@ def oracle_sql() -> dict[str, str]:
         + ",".join(
             _rw_step.format(r=r, p=r - 1, h=_rw_h.format(r=r))
             for r in (1, 2, 3)
+        )
+        + """
+        SELECT walk_id, start_id, 0 AS step, node FROM w0
+        UNION ALL SELECT walk_id, start_id, 1, node FROM w1
+        UNION ALL SELECT walk_id, start_id, 2, node FROM w2
+        UNION ALL SELECT walk_id, start_id, 3, node FROM w3
+    """
+    )
+
+    # node2vec: same unrolled shape, but each step past the first
+    # multiplies the hash by the integer p/q penalty (4 = return,
+    # 1 = triangle-close, 2 = explore) and carries prev for the test
+    _n2v_h = _H56.format(
+        x="'n2v' || ':' || c.walk_id::VARCHAR || ':' || '{r}' || ':' "
+          "|| e.b::VARCHAR"
+    )
+    _n2v_step = """
+        w{r} AS MATERIALIZED (
+          SELECT walk_id, start_id, node, prev FROM (
+            SELECT c.walk_id, c.start_id, e.b AS node, c.node AS prev,
+                   row_number() OVER (
+                     PARTITION BY c.walk_id
+                     ORDER BY {h} * (CASE WHEN e.b = c.prev THEN 4
+                                          WHEN t.b IS NOT NULL THEN 1
+                                          ELSE 2 END), e.b) AS rn
+            FROM w{p} c JOIN wsym e ON e.a = c.node
+            LEFT JOIN wsym t ON t.a = c.prev AND t.b = e.b
+          ) WHERE rn = 1
+        )"""
+    _n2v_first = """
+        w1 AS MATERIALIZED (
+          SELECT walk_id, start_id, node, prev FROM (
+            SELECT c.walk_id, c.start_id, e.b AS node, c.node AS prev,
+                   row_number() OVER (
+                     PARTITION BY c.walk_id
+                     ORDER BY {h}, e.b) AS rn
+            FROM w0 c JOIN wsym e ON e.a = c.node
+          ) WHERE rn = 1
+        )"""
+    sql["graph_node2vec_walks"] = (
+        """
+        WITH cop AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995
+        ), wsym AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM cop
+            UNION ALL SELECT dst AS a, src AS b FROM cop
+          ) WHERE a <> b
+        ), w0 AS (
+          SELECT v.id * 2 + j.j AS walk_id, v.id AS start_id, v.id AS node
+          FROM (SELECT DISTINCT a AS id FROM wsym) v,
+               unnest(range(0, 2)) AS j(j)
+        ),"""
+        + _n2v_first.format(h=_n2v_h.format(r=1))
+        + ","
+        + ",".join(
+            _n2v_step.format(r=r, p=r - 1, h=_n2v_h.format(r=r))
+            for r in (2, 3)
         )
         + """
         SELECT walk_id, start_id, 0 AS step, node FROM w0

@@ -173,6 +173,7 @@ HEADLINE = [
     "mm_video_frames",
     "mm_audio_windows",
     "graph_link_prediction",
+    "graph_node2vec_walks",
 ]
 
 

@@ -823,3 +823,127 @@ def random_walks(
         )
         out = out.unionByName(cur.withColumn("step", F.lit(step)))
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 3,
+    walks_per_node: int = 2,
+    p: int = 4,
+    q: int = 2,
+    seed: str = "n2v",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DETERMINISTIC second-order (node2vec-style) biased walks — the
+    p/q upgrade of ``random_walks``: at every step past the first,
+    each candidate's 56-bit hash score is multiplied by an INTEGER
+    penalty before the per-walk argmin — ``p`` for returning to the
+    previous node, 1 for closing a triangle (candidate adjacent to
+    the previous node), ``q`` for exploring outward. Larger p
+    discourages backtracking (DFS-like), larger q discourages
+    exploration (BFS-like) — the node2vec search bias re-expressed
+    as a deterministic hash-argmin so the same graph always yields
+    the same corpus. Integer penalties keep the score an exact int64
+    on every engine (h < 2^56, penalty <= 64 → product < 2^62).
+
+    Output: (walk_id, start_id, step, node) — identical shape to
+    ``random_walks``.
+
+    Scale: per step, one vertex-keyed join for candidates, one
+    (prev, candidate)-keyed join against the symmetrized edges for
+    the triangle test, and one per-walk argmin window — never
+    all-pairs; the frontier localCheckpoints per step."""
+    from .text import h56
+
+    if int(walk_length) < 1 or int(walks_per_node) < 1:
+        raise ValueError(
+            "node2vec_walks: walk_length and walks_per_node must be >= 1 "
+            f"(got {walk_length}, {walks_per_node})"
+        )
+    if not (1 <= int(p) <= 64 and 1 <= int(q) <= 64):
+        raise ValueError(
+            f"node2vec_walks: p and q must be integers in [1, 64] (got {p}, {q})"
+        )
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = sym.select(F.col("a").alias("node")).distinct()
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    node_type = sym.schema["a"].dataType
+    if isinstance(node_type, (ByteType, ShortType, IntegerType, LongType)):
+        walk_id = F.col("node") * int(walks_per_node) + F.col("__w")
+    else:
+        walk_id = F.concat_ws(
+            ":", F.col("node").cast("string"), F.col("__w").cast("string")
+        )
+    frontier = verts.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+        ).alias("__w"),
+        "node",
+    ).select(
+        walk_id.alias("walk_id"),
+        F.col("node").alias("start_id"),
+        F.col("node"),
+    )
+    out = frontier.withColumn("step", F.lit(0)).localCheckpoint()
+    # cur carries (walk_id, start_id, node, prev); prev is NULL at step 0
+    cur = out.select(
+        "walk_id", "start_id", "node", F.lit(None).cast(sym.schema["a"].dataType).alias("prev")
+    ).localCheckpoint()
+    tri = sym.select(F.col("a").alias("__pa"), F.col("b").alias("__pb"))
+    for step in range(1, int(walk_length) + 1):
+        cand = cur.join(sym, cur.node == sym.a).select(
+            "walk_id",
+            "start_id",
+            F.col("prev"),
+            cur.node.alias("__at"),
+            F.col("b").alias("__next"),
+            h56(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(seed)),
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(step)),
+                    F.col("b").cast("string"),
+                )
+            ).alias("__h"),
+        )
+        scored = (
+            cand.join(
+                tri,
+                (cand.prev == tri.__pa) & (cand.__next == tri.__pb),
+                "left",
+            )
+            .withColumn(
+                "__pen",
+                F.when(F.col("prev").isNull(), F.lit(1))  # first step: uniform
+                .when(F.col("__next") == F.col("prev"), F.lit(int(p)))
+                .when(F.col("__pb").isNotNull(), F.lit(1))
+                .otherwise(F.lit(int(q)))
+                .cast("long"),
+            )
+            .withColumn("__score", F.col("__h") * F.col("__pen"))
+        )
+        pick = Window.partitionBy("walk_id").orderBy("__score", "__next")
+        cur = (
+            scored.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "walk_id",
+                "start_id",
+                F.col("__next").alias("node"),
+                F.col("__at").alias("prev"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(cur.select("walk_id", "start_id", "node").withColumn("step", F.lit(step)))
+    return out

@@ -185,10 +185,19 @@ def test_dup_span_scrub_invariants(spark, docs):
         assert all(any(t == o for o in it) for t in clean)
         # spans only exist where something was removed
         assert (r["n_dup_spans"] == 0) == (r["n_removed"] == 0)
-    # the lowest-id doc among identical docs is never scrubbed
-    # (first occurrence of every gram lives there or earlier)
+    # the lowest-id doc among identical docs is never scrubbed —
+    # UNLESS a gram repeats within that doc itself: first-occurrence
+    # order is (doc id, token position), so an intra-document repeat
+    # (e.g. 'a a a a' with span_tokens=3) is a duplicate of an
+    # earlier position in the SAME doc and is scrubbed by design
     first = out[0]
-    if len(set(docs)) == 1 and len([t for t in docs[0].split() if t]) >= 3:
+    toks0 = [t for t in docs[0].split(" ") if t]
+    grams0 = [tuple(toks0[i : i + 3]) for i in range(len(toks0) - 2)]
+    if (
+        len(set(docs)) == 1
+        and len(toks0) >= 3
+        and len(grams0) == len(set(grams0))
+    ):
         assert first["n_removed"] == 0
 
 

@@ -17,7 +17,7 @@ import __spark_entry__ as entry
 # MECHANICALLY from the CORRECTNESS history below, not hand-listed).
 ROUND10_NEW_OR_CHANGED = [
     "mm_decode_real", "mm_audio_features", "mm_video_frames",
-    "mm_audio_windows", "graph_link_prediction",
+    "mm_audio_windows", "graph_link_prediction", "graph_node2vec_walks",
     "quality_negative_samples", "quality_ppl_gate",
     "etl_chunk_counts", "quality_quantile_normalize", "topk_orders",
 ]
@@ -57,9 +57,12 @@ def test_round10_window_composition():
 
     names = list(entry.queries())
     window = names[:50]
-    assert names[:10] == ROUND10_NEW_OR_CHANGED, f"slots 1-10 wrong: {names[:10]}"
+    lead = len(ROUND10_NEW_OR_CHANGED)
+    assert names[:lead] == ROUND10_NEW_OR_CHANGED, (
+        f"leading slots wrong: {names[:lead]}"
+    )
     latest = _latest_driver_round()
-    rest = [q for q in window[10:]]
+    rest = [q for q in window[lead:]]
     tail = [q for q in names[50:]]
     # every non-changed window slot must be no NEWER than every tail
     # entry's verdict (new queries have no history and sort stalest)

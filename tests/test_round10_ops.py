@@ -689,3 +689,75 @@ def test_link_prediction_hand_graph(spark):
     # (degree 2), whose wedges all close as existing edges -> empty
     capped = link_prediction_scores(edges, min_common=2, max_degree=2)
     assert capped.count() == 0
+
+
+def test_node2vec_walks_match_python_simulation(spark):
+    """Mirror the deterministic biased argmin in pure Python on a
+    hand graph and require the operator to reproduce it exactly —
+    covers the return-penalty, triangle-close, and explore cases."""
+    import hashlib
+
+    from graph_etl_spark.operators import node2vec_walks
+
+    # path 1-2-3-4 plus triangle 2-3-5: from 3 with prev 2 the
+    # candidates split into return (2), triangle-close (5), explore (4)
+    edge_list = [(1, 2), (2, 3), (3, 4), (2, 5), (3, 5)]
+    p_pen, q_pen, seed, length, per_node = 4, 2, "n2v", 3, 2
+    sym = set()
+    for a, b in edge_list:
+        sym.add((a, b))
+        sym.add((b, a))
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+
+    def h56(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    expected = set()
+    for v in sorted(adj):
+        for w in range(per_node):
+            walk_id = v * per_node + w
+            node, prev = v, None
+            expected.add((walk_id, v, 0, v))
+            for step in range(1, length + 1):
+                best = None
+                for cand in sorted(adj[node]):
+                    h = h56(f"{seed}:{walk_id}:{step}:{cand}")
+                    if prev is None:
+                        pen = 1
+                    elif cand == prev:
+                        pen = p_pen
+                    elif prev in adj[cand]:
+                        pen = 1
+                    else:
+                        pen = q_pen
+                    key = (h * pen, cand)
+                    if best is None or key < best:
+                        best, pick_node = key, cand
+                prev, node = node, pick_node
+                expected.add((walk_id, v, step, node))
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    out = node2vec_walks(
+        edges, walk_length=length, walks_per_node=per_node, p=p_pen, q=q_pen
+    )
+    got = {
+        (r["walk_id"], r["start_id"], r["step"], r["node"])
+        for r in out.collect()
+    }
+    assert got == expected
+
+
+def test_node2vec_walks_param_validation(spark):
+    from graph_etl_spark.operators import node2vec_walks
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        node2vec_walks(edges, walk_length=0)
+    with _pt.raises(ValueError):
+        node2vec_walks(edges, p=0)
+    with _pt.raises(ValueError):
+        node2vec_walks(edges, q=65)
