@@ -2734,6 +2734,18 @@ def q_graph_node2vec_walks(spark, sf):
     )
 
 
+def q_text_rake_keywords(spark, sf):
+    """RAKE keyword extraction over documents: phrases are maximal
+    non-stopword runs (English stoplist), word score = corpus-wide
+    degree/frequency rounded to 6-dp decimal, phrase score the exact
+    decimal sum — top-3 phrases per document. One per-document
+    running-count window, one token-keyed aggregation, one
+    per-document rank window."""
+    from graph_etl_spark.operators.text import rake_keywords
+
+    return rake_keywords(_t(spark, sf, "documents"), top_k=3)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -3106,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_windows": q_mm_audio_windows,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_node2vec_walks": q_graph_node2vec_walks,
+        "text_rake_keywords": q_text_rake_keywords,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6484,6 +6497,53 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, start_id, 3, node FROM w3
     """
     )
+
+    sql["text_rake_keywords"] = """
+        WITH tok AS (
+          SELECT doc_id, u.pos, u.tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                          i -> {'pos': i, 'tok': toks[i]})) AS u
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), t -> t <> '')
+                           AS toks
+                  FROM documents)
+          )
+        ), seg AS (
+          SELECT doc_id, pos, tok,
+                 tok IN ('the','and','of','to','a','in','is','it','you','that')
+                   AS is_stop,
+                 SUM(CASE WHEN tok IN ('the','and','of','to','a','in','is',
+                                       'it','you','that')
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS pid
+          FROM tok
+        ), words AS MATERIALIZED (
+          SELECT doc_id, pid, pos, tok FROM seg WHERE NOT is_stop
+        ), phrases AS MATERIALIZED (
+          SELECT doc_id, pid,
+                 string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                 COUNT(*)::BIGINT AS n_words
+          FROM words GROUP BY doc_id, pid
+        ), wstats AS (
+          SELECT w.tok,
+                 ROUND(SUM(p.n_words)::DOUBLE / COUNT(*), 6)::DECIMAL(18,6)
+                   AS wscore
+          FROM words w JOIN phrases p USING (doc_id, pid)
+          GROUP BY w.tok
+        ), scored AS (
+          SELECT w.doc_id, w.pid, SUM(s.wscore)::DOUBLE AS score
+          FROM words w JOIN wstats s ON w.tok = s.tok
+          GROUP BY w.doc_id, w.pid
+        )
+        SELECT doc_id, phrase, n_words, score, rank FROM (
+          SELECT sc.doc_id, p.phrase, p.n_words, sc.score,
+                 row_number() OVER (PARTITION BY sc.doc_id
+                                    ORDER BY sc.score DESC, p.phrase) AS rank
+          FROM scored sc JOIN phrases p USING (doc_id, pid)
+        ) WHERE rank <= 3
+    """
 
     sql["graph_neighbor_stats"] = """
         WITH cop AS (

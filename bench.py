@@ -174,6 +174,7 @@ HEADLINE = [
     "mm_audio_windows",
     "graph_link_prediction",
     "graph_node2vec_walks",
+    "text_rake_keywords",
 ]
 
 

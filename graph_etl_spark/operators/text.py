@@ -703,3 +703,85 @@ def feature_hashing(
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    stopwords: list[str] | None = None,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") as pure JVM expressions:
+    candidate phrases are the maximal runs of non-stopword tokens;
+    each word scores degree/frequency where degree is the summed
+    length of every phrase the word occurs in (corpus-wide) and
+    frequency its occurrence count; a phrase scores the sum of its
+    member tokens' word scores (per OCCURRENCE — a token repeated
+    inside one phrase counts each time, the list-form reading of the
+    paper). Word scores round to 6-dp decimal before the exact
+    order-free phrase sum so every engine agrees bit-for-bit.
+
+    Output: (id_col, phrase, n_words, score, rank) — the ``top_k``
+    highest-scoring phrases per document, ties broken by phrase text.
+
+    Physical shape: tokenization + stop-marking are map-only; phrase
+    ids come from one running count over a per-document window
+    (partitioned — never global); word stats are one corpus-wide
+    aggregation on the token (uniform key); the final top-k is a
+    per-document rank window. No all-pairs stage anywhere.
+    """
+    if stopwords is None:
+        stopwords = LANG_STOPWORDS["en"]
+    if int(top_k) < 1:
+        raise ValueError(f"rake_keywords: top_k must be >= 1 (got {top_k})")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "__tok"),
+    ).withColumn("__stop", F.col("__tok").isin(list(stopwords)))
+    seg = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    words = (
+        toks.withColumn("__pid", F.sum(F.col("__stop").cast("int")).over(seg))
+        .filter(~F.col("__stop"))
+        .select(id_col, "__pid", "__pos", "__tok")
+    )
+    phrases = words.groupBy(id_col, "__pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    wstats = (
+        words.join(phrases.select(id_col, "__pid", "n_words"), [id_col, "__pid"])
+        .groupBy("__tok")
+        .agg(
+            F.count(F.lit(1)).alias("__freq"),
+            F.sum("n_words").alias("__deg"),
+        )
+        .withColumn(
+            "__wscore",
+            F.round(F.col("__deg").cast("double") / F.col("__freq"), 6).cast(
+                "decimal(18,6)"
+            ),
+        )
+        .select("__tok", "__wscore")
+    )
+    scored = (
+        words.join(F.broadcast(wstats), "__tok")
+        .groupBy(id_col, "__pid")
+        .agg(F.sum("__wscore").cast("double").alias("score"))
+        .join(phrases, [id_col, "__pid"])
+    )
+    rk = Window.partitionBy(id_col).orderBy(F.desc("score"), "phrase")
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= int(top_k))
+        .select(id_col, "phrase", "n_words", "score", "rank")
+    )

@@ -761,3 +761,57 @@ def test_node2vec_walks_param_validation(spark):
         node2vec_walks(edges, p=0)
     with _pt.raises(ValueError):
         node2vec_walks(edges, q=65)
+
+
+def test_rake_keywords_hand_corpus(spark):
+    """Classic RAKE hand computation on a two-doc corpus: phrase
+    segmentation at stopwords, corpus-wide degree/frequency word
+    scores, per-occurrence phrase sums, per-doc top-k with text
+    tie-break."""
+    from graph_etl_spark.operators.text import rake_keywords
+
+    # stoplist: {'a', 'the'}
+    docs = [
+        (0, "deep learning a neural network the deep model"),
+        (1, "neural network a deep"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = rake_keywords(df, stopwords=["a", "the"], top_k=2).collect()
+    # phrases: d0: [deep learning], [neural network], [deep model]
+    #          d1: [neural network], [deep]
+    # freq: deep 3, learning 1, neural 2, network 2, model 1
+    # deg:  deep 2+2+1=5, learning 2, neural 2+2=4, network 4, model 2
+    w = {"deep": 5 / 3, "learning": 2.0, "neural": 2.0, "network": 2.0, "model": 2.0}
+    w = {k: round(v, 6) for k, v in w.items()}
+    exp = {
+        (0, "deep learning"): w["deep"] + w["learning"],
+        (0, "neural network"): w["neural"] + w["network"],
+        (0, "deep model"): w["deep"] + w["model"],
+        (1, "neural network"): w["neural"] + w["network"],
+        (1, "deep"): w["deep"],
+    }
+    got = {(r["doc_id"], r["phrase"]): r for r in out}
+    # top-2 per doc: d0 keeps the two 4.0-scoring... compute expected ranks
+    import itertools
+
+    for doc in (0, 1):
+        ranked = sorted(
+            ((s, p) for (d, p), s in exp.items() if d == doc),
+            key=lambda t: (-t[0], t[1]),
+        )[:2]
+        for rank, (score, phrase) in enumerate(ranked, 1):
+            r = got[(doc, phrase)]
+            assert abs(r["score"] - score) < 1e-9
+            assert r["rank"] == rank
+            assert r["n_words"] == len(phrase.split())
+    assert len(got) == 4  # 2 docs x top-2
+
+
+def test_rake_keywords_validation(spark):
+    import pytest as _pt
+
+    from graph_etl_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        rake_keywords(df, top_k=0)
