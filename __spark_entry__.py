@@ -2746,6 +2746,17 @@ def q_text_rake_keywords(spark, sf):
     return rake_keywords(_t(spark, sf, "documents"), top_k=3)
 
 
+def q_sim_mips_topk(spark, sf):
+    """Exact maximum-inner-product top-k (DPR-style retrieval scoring
+    where magnitude carries signal): 10 query vectors against the
+    corpus, k=5, via the cluster plan — Arrow-batched per-partition
+    top-k reduction, then a rank window over partitions x queries x k
+    survivors only. Bit-equal to the reference plan; the oracle is
+    the plain ranked dot product."""
+    e = _t(spark, sf, "embeddings")
+    return ops.mips_topk(e, e.filter(F.col("vec_id") < 10), k=5, scale=True)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -3119,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_prediction": q_graph_link_prediction,
         "graph_node2vec_walks": q_graph_node2vec_walks,
         "text_rake_keywords": q_text_rake_keywords,
+        "sim_mips_topk": q_sim_mips_topk,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6497,6 +6509,23 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, start_id, 3, node FROM w3
     """
     )
+
+    sql["sim_mips_topk"] = """
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS dot_sim
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dot_sim DESC, neighbor_id)::INT
+            AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, dot_sim, rank FROM ranked
+        WHERE rank <= 5
+    """
 
     sql["text_rake_keywords"] = """
         WITH tok AS (

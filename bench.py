@@ -175,6 +175,7 @@ HEADLINE = [
     "graph_link_prediction",
     "graph_node2vec_walks",
     "text_rake_keywords",
+    "sim_mips_topk",
 ]
 
 

@@ -1620,3 +1620,77 @@ def embedding_drift(
         F.round("__mn", round_to).alias("mean_new"),
         F.round(F.abs(F.col("__mo") - F.col("__mn")), round_to).alias("abs_delta"),
     )
+
+
+def mips_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    scale: bool = False,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k (MIPS — the retrieval scoring
+    used by dual-encoder/DPR-style models, where vector magnitude
+    carries signal and cosine's normalization would erase it): for
+    each query vector, the k data vectors with the largest dot
+    product, self excluded. Deterministic ranking: rounded dot desc,
+    then neighbor id asc.
+
+    ``scale=False`` is the reference plan (per-query rank window over
+    all scored rows); ``scale=True`` is the cluster plan — the same
+    Arrow-batched per-partition top-k reduction as
+    ``brute_force_topk_scale`` (bounded queries × k state per
+    partition, exchange carries partitions × queries × k rows), ties
+    broken identically so the two plans are bit-equal.
+
+    At 100 TB the standard ANN reduction applies: augment each data
+    vector with sqrt(M² − ‖x‖²) (M = max norm) and each query with 0,
+    and MIPS becomes cosine over the augmented space — the IVF/PQ
+    scale paths then drop in unchanged. The exact path here is the
+    oracle those approximate paths are graded against.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    d = fan_out(data).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__dvec")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "dot_sim",
+            F.round(dot(F.col("__qvec"), F.col("__dvec")), round_to),
+        )
+        .select("query_id", "neighbor_id", "dot_sim")
+    )
+    if scale:
+        out_schema = scored.schema
+
+        def local_topk(batches):
+            import pandas as pd
+
+            acc = None
+            for pdf in batches:
+                both = (
+                    pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+                )
+                both = both.sort_values(
+                    ["query_id", "dot_sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                acc = both.groupby("query_id", sort=False).head(k)
+            if acc is not None and len(acc):
+                yield acc
+
+        scored = scored.mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_sim", "rank")
+    )

@@ -815,3 +815,27 @@ def test_rake_keywords_validation(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pt.raises(ValueError):
         rake_keywords(df, top_k=0)
+
+
+def test_mips_topk_scale_matches_reference(spark):
+    """The Arrow per-partition reduction plan must be bit-equal to the
+    reference rank-window plan, and MIPS must rank by magnitude (a
+    longer vector in the same direction wins over a closer unit one)."""
+    from graph_etl_spark.operators import mips_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [10.0, 0.0]),   # same direction, large magnitude
+        (2, [0.9, 0.1]),    # nearly aligned, small magnitude
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    ref = mips_topk(df, q, k=3, scale=False).collect()
+    sc = mips_topk(df, q, k=3, scale=True).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["dot_sim"])
+    assert sorted(map(key, ref)) == sorted(map(key, sc))
+    # magnitude wins: neighbor 1 (dot 10) over 2 (dot 0.9) over 3 (0)
+    order = [r["neighbor_id"] for r in sorted(ref, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
