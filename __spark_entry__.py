@@ -2757,6 +2757,15 @@ def q_sim_mips_topk(spark, sf):
     return ops.mips_topk(e, e.filter(F.col("vec_id") < 10), k=5, scale=True)
 
 
+def q_quality_shard_plan(spark, sf):
+    """Contiguous-order corpus sharding: greedy 512-token budget cuts
+    in doc_id order via the two-phase exact global prefix sum
+    (boundary literals -> bucket-local running-sum windows +
+    broadcast offsets — zero unpartitioned windows); a document
+    belongs to the shard it starts in."""
+    return ops.shard_plan(_t(spark, sf, "documents"), token_budget=512)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -3131,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec_walks": q_graph_node2vec_walks,
         "text_rake_keywords": q_text_rake_keywords,
         "sim_mips_topk": q_sim_mips_topk,
+        "quality_shard_plan": q_quality_shard_plan,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6509,6 +6519,23 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, start_id, 3, node FROM w3
     """
     )
+
+    sql["quality_shard_plan"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   ::BIGINT AS n_tokens
+          FROM documents
+        ), summed AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM base
+        )
+        SELECT doc_id, n_tokens, cum_tokens,
+               CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS shard
+        FROM summed
+    """
 
     sql["sim_mips_topk"] = """
         WITH scored AS (

@@ -176,6 +176,7 @@ HEADLINE = [
     "graph_node2vec_walks",
     "text_rake_keywords",
     "sim_mips_topk",
+    "quality_shard_plan",
 ]
 
 

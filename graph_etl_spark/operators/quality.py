@@ -2028,3 +2028,124 @@ def winsorize(
         .withColumn(out, clipped)
         .drop("__lo", "__hi")
     )
+
+
+def exact_global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out: str = "__cumsum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """TWO-PHASE exact global running sum of ``value_col`` over the
+    total order ``order_cols`` — the prefix-sum sibling of
+    ``exact_global_rank``, with the same zero-unpartitioned-window
+    discipline: percentile boundaries on the leading NUMERIC order
+    column (pinned input, tiny collect) bucket the rows; per-bucket
+    VALUE SUMS (map-side-combined agg, one tiny collect) become
+    driver-side prefix offsets broadcast as literals; the running sum
+    finishes bucket-locally (partitioned window + offset). INTEGRAL
+    values only (summed as long) so the prefix sums are exact and
+    order-free on every engine — a float cumsum is inherently
+    order-dependent and would not oracle.
+
+    Ties across ``order_cols`` must be broken to a total order by the
+    caller (include a unique key); the leading order column must be
+    numeric and non-null. Returns (df + out column, grand_total).
+    """
+    from pyspark.sql.types import NumericType
+
+    spark = df.sparkSession
+    lead = order_cols[0]
+    if not isinstance(df.schema[lead].dataType, NumericType):
+        raise ValueError(
+            f"exact_global_cumsum: leading order column {lead!r} must be "
+            "numeric (percentile bucketing)"
+        )
+    n_parts = max(
+        2,
+        int(
+            num_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions", "200")
+        ),
+    )
+    probs = [i / n_parts for i in range(1, n_parts)]
+    pinned = df.withColumn("__v", F.col(value_col).cast("long")).localCheckpoint(
+        eager=False
+    )
+    row = pinned.agg(
+        F.percentile_approx(F.col(lead), probs, 10000).alias("__b")
+    ).collect()[0]
+    bounds = sorted(set(row["__b"] or []))
+    o = F.col(lead)
+    if bounds:
+        bucket = F.size(
+            F.filter(F.array(*[F.lit(b) for b in bounds]), lambda b: b <= o)
+        )
+    else:
+        bucket = F.lit(0)
+    keyed = pinned.withColumn("__bkt", bucket)
+    sums = sorted(
+        (r["__bkt"], r["__s"] or 0)
+        for r in keyed.groupBy("__bkt").agg(F.sum("__v").alias("__s")).collect()
+    )
+    total = int(sum(s for _, s in sums))
+    rows, running = [], 0
+    for bkt, s in sums:
+        rows.append((int(bkt), running))
+        running += int(s)
+    offsets = spark.createDataFrame(rows or [(0, 0)], "__bkt int, __off long")
+    w_local = (
+        Window.partitionBy("__bkt")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        keyed.join(F.broadcast(offsets), "__bkt")
+        .withColumn(out, F.sum("__v").over(w_local) + F.col("__off"))
+        .drop("__bkt", "__off", "__v")
+    )
+    return ranked, total
+
+
+def shard_plan(
+    df: DataFrame,
+    token_budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous-order corpus sharding: assign documents to output
+    shards by a greedy cumulative token budget IN ID ORDER — the
+    manifest step that cuts a curriculum-ordered corpus into ~equal
+    token-count files WITHOUT permuting it (``pack_sequences``' hashed
+    shards deliberately destroy order; this operator is for the cases
+    where order is the point). A document belongs to the shard in
+    which it STARTS: shard = floor((cum_tokens - n_tokens) / budget).
+
+    Output: (id_col, n_tokens, cum_tokens, shard).
+
+    Scale: the only global state is the two-phase exact prefix sum
+    (``exact_global_cumsum`` — boundary literals, bucket-local
+    windows, broadcast offsets); everything else is map-side token
+    counting. ZERO unpartitioned windows."""
+    from .text import tokens_col
+
+    if int(token_budget) < 1:
+        raise ValueError(
+            f"shard_plan: token_budget must be >= 1 (got {token_budget})"
+        )
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).alias("n_tokens"),
+    )
+    summed, _ = exact_global_cumsum(
+        base, "n_tokens", [id_col], out="cum_tokens"
+    )
+    return summed.select(
+        id_col,
+        "n_tokens",
+        "cum_tokens",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(int(token_budget))
+        ).alias("shard"),
+    )

@@ -839,3 +839,53 @@ def test_mips_topk_scale_matches_reference(spark):
     # magnitude wins: neighbor 1 (dot 10) over 2 (dot 0.9) over 3 (0)
     order = [r["neighbor_id"] for r in sorted(ref, key=lambda r: r["rank"])]
     assert order == [1, 2, 3]
+
+
+def test_exact_global_cumsum_matches_naive_window(spark):
+    """Two-phase prefix sum == single-window cumsum, with many
+    partitions forcing real multi-bucket offsets."""
+    import random
+
+    from graph_etl_spark.operators import exact_global_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(300)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    out, total = exact_global_cumsum(df, "v", ["k"], out="cs", num_partitions=16)
+    got = {r["k"]: r["cs"] for r in out.collect()}
+    run, exp = 0, {}
+    for k, v in sorted(rows):
+        run += v
+        exp[k] = run
+    assert got == exp
+    assert total == run
+    # leading order column must be numeric
+    sdf = spark.createDataFrame([("a", 1)], "k string, v long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        exact_global_cumsum(sdf, "v", ["k"])
+
+
+def test_shard_plan_contiguity_and_budget(spark):
+    """Shards are contiguous in id order, every doc starts in the
+    shard covering its cumsum start, and shard boundaries never split
+    below-budget runs."""
+    from graph_etl_spark.operators import shard_plan
+
+    docs = [(i, " ".join(["w"] * (10 + (i * 7) % 23))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sorted(shard_plan(df, token_budget=100).collect())
+    run = 0
+    prev_shard = 0
+    for r in out:
+        assert r["shard"] == run // 100  # starts-in rule
+        assert r["shard"] >= prev_shard  # contiguous, monotone
+        run += r["n_tokens"]
+        assert r["cum_tokens"] == run
+        prev_shard = r["shard"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shard_plan(df, token_budget=0)
