@@ -2766,6 +2766,15 @@ def q_quality_shard_plan(spark, sf):
     return ops.shard_plan(_t(spark, sf, "documents"), token_budget=512)
 
 
+def q_quality_gini_tokens(spark, sf):
+    """Corpus concentration audit: Gini coefficient of per-document
+    token counts via the exact-integer rank formula (two-phase global
+    rank, long products, one final IEEE division rounded to 6 dp)."""
+    return ops.gini_coefficient(
+        ops.token_count(_t(spark, sf, "documents")), "n_tokens", "doc_id"
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -3141,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake_keywords": q_text_rake_keywords,
         "sim_mips_topk": q_sim_mips_topk,
         "quality_shard_plan": q_quality_shard_plan,
+        "quality_gini_tokens": q_quality_gini_tokens,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6519,6 +6529,23 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, start_id, 3, node FROM w3
     """
     )
+
+    sql["quality_gini_tokens"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   ::BIGINT AS x
+          FROM documents
+        ), ranked AS (
+          SELECT x, row_number() OVER (ORDER BY x, doc_id)::BIGINT AS r
+          FROM base
+        )
+        SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS total,
+               ROUND(2.0 * SUM(r * x)
+                     / (COUNT(*)::DOUBLE * SUM(x))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked
+    """
 
     sql["quality_shard_plan"] = """
         WITH base AS (

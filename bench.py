@@ -177,6 +177,7 @@ HEADLINE = [
     "text_rake_keywords",
     "sim_mips_topk",
     "quality_shard_plan",
+    "quality_gini_tokens",
 ]
 
 

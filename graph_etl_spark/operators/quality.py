@@ -2149,3 +2149,38 @@ def shard_plan(
             (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(int(token_budget))
         ).alias("shard"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gini coefficient of an INTEGRAL value column — the standard
+    corpus-concentration audit (how unevenly tokens/bytes spread over
+    documents or sources; a pipeline red flag when a handful of docs
+    carry most of the mass). Uses the rank formula
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over values sorted ascending
+    (ties broken by id): every intermediate is an exact integer (ranks
+    from the two-phase ``exact_global_rank``, long products and sums),
+    so the single IEEE division at the end is engine-identical.
+
+    Output: one row (n, total, gini).
+
+    Scale: the rank is the two-phase shape (zero unpartitioned
+    windows); the rest is one map-side-combined aggregation."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(value_col).cast("long").alias("__x"))
+    ranked, _ = exact_global_rank(base, "__x", ["__x", "__id"], out="__r")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("total"),
+        # n·total as a DOUBLE product: long·long would overflow int64
+        # once n ~ 1e12 docs meet 1e15 tokens at corpus scale
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("__r") * F.col("__x")))
+            / (F.count(F.lit(1)).cast("double") * F.sum("__x"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            round_to,
+        ).alias("gini"),
+    )

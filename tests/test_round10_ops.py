@@ -889,3 +889,22 @@ def test_shard_plan_contiguity_and_budget(spark):
 
     with _pt.raises(ValueError):
         shard_plan(df, token_budget=0)
+
+
+def test_gini_coefficient_known_values(spark):
+    """Perfect equality -> 0 (up to the (n+1)/n small-sample term);
+    extreme concentration -> close to 1; hand formula parity."""
+    from graph_etl_spark.operators import gini_coefficient
+
+    eq = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "id long, v long"
+    )
+    r = gini_coefficient(eq, "v", "id").collect()[0]
+    # equal values: G = 2*(sum i*10)/(n*1000) - (n+1)/n = (n+1)/n - (n+1)/n
+    assert r["gini"] == 0.0 and r["n"] == 100 and r["total"] == 1000
+    conc = spark.createDataFrame(
+        [(i, 0) for i in range(99)] + [(99, 1000)], "id long, v long"
+    )
+    r2 = gini_coefficient(conc, "v", "id").collect()[0]
+    # one holder of everything: G = 2*100*1000/(100*1000) - 101/100 = 0.99
+    assert abs(r2["gini"] - 0.99) < 1e-9
