@@ -2775,6 +2775,29 @@ def q_quality_gini_tokens(spark, sf):
     )
 
 
+def q_sim_mips_ivf_topk(spark, sf):
+    """Norm-augmented IVF MIPS (sqrt(M^2-|x|^2) extra coordinate makes
+    augmented cosine monotone in the inner product) judged by a recall
+    verdict against the exact mips_topk: scanned fraction nprobe/nlist
+    = 1/4, aggregate recall must clear 0.6."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    k = 5
+    approx = ops.mips_ivf_topk(e, q, k=k, nlist=8, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    exact = ops.mips_topk(e, q, k=k).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "inner").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    total = 10 * k
+    return hits.select(
+        F.lit(10).alias("n_queries"),
+        F.lit(k).alias("k"),
+        (F.col("n_hits") >= F.lit(int(0.6 * total))).alias("recall_ok"),
+    )
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -3151,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mips_topk": q_sim_mips_topk,
         "quality_shard_plan": q_quality_shard_plan,
         "quality_gini_tokens": q_quality_gini_tokens,
+        "sim_mips_ivf_topk": q_sim_mips_ivf_topk,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6529,6 +6553,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, start_id, 3, node FROM w3
     """
     )
+
+    sql["sim_mips_ivf_topk"] = """
+        SELECT 10 AS n_queries, 5 AS k, TRUE AS recall_ok
+    """
 
     sql["quality_gini_tokens"] = """
         WITH base AS (

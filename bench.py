@@ -178,6 +178,7 @@ HEADLINE = [
     "sim_mips_topk",
     "quality_shard_plan",
     "quality_gini_tokens",
+    "sim_mips_ivf_topk",
 ]
 
 

@@ -1694,3 +1694,117 @@ def mips_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot_sim", "rank")
     )
+
+
+def mips_ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate MIPS via the norm-augmentation reduction (Bachrach
+    et al. 2014 / Shrivastava-Li asymmetric LSH): every data vector
+    gains a coordinate sqrt(M² − ‖x‖²) (M = corpus max norm) and every
+    query a 0, which makes augmented-space cosine MONOTONE in the
+    original inner product (all augmented data norms equal M) — so the
+    cosine IVF machinery routes MIPS candidates unchanged. Routing
+    happens in augmented space (deterministic lowest-id centroids,
+    nprobe lists per query); the survivors re-score by the TRUE dot
+    product of the original vectors. Scanned fraction ≈ nprobe/nlist.
+
+    Output: (query_id, neighbor_id, dot_sim, rank) — same shape as
+    ``mips_topk``, against which its recall is graded.
+
+    Scale: one agg for M² (scalar collect), map-side augmentation,
+    then exactly the IVF plan — broadcast probes, list-id equi-join,
+    per-query rank over scanned candidates only."""
+
+    def sq(c: Column) -> Column:
+        return F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    m2 = float(
+        data.agg(F.max(sq(F.col(vec_col))).alias("__m2")).collect()[0]["__m2"]
+    )
+
+    def aug_data(c: Column) -> Column:
+        return F.concat(
+            c, F.array(F.sqrt(F.greatest(F.lit(0.0), F.lit(m2) - sq(c))))
+        )
+
+    def aug_query(c: Column) -> Column:
+        return F.concat(c, F.array(F.lit(0.0)))
+
+    d = fan_out(data).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__dvec"),
+        aug_data(F.col(vec_col)).alias("__daug"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        aug_query(F.col(vec_col)).alias("__qaug"),
+    )
+    centroids = (
+        d.orderBy("neighbor_id")
+        .limit(nlist)
+        .select(
+            F.col("neighbor_id").alias("cent_id"), F.col("__daug").alias("cent_vec")
+        )
+    )
+    cent_rows = centroids.collect()  # nlist rows — tiny, deliberate
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["cent_id"]).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r["cent_vec"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(cosine(vec, c["cvec"]), 6).alias("sim"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    assigned = d.select(
+        "neighbor_id",
+        "__dvec",
+        nearest_lists(F.col("__daug"), 1)[0]["cent_id"].alias("list_id"),
+    )
+    probes = q.select(
+        "query_id",
+        "__qvec",
+        F.explode(
+            F.transform(nearest_lists(F.col("__qaug"), nprobe), lambda s: s["cent_id"])
+        ).alias("list_id"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "dot_sim",
+            F.round(dot(F.col("__qvec"), F.col("__dvec")), round_to),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_sim", "rank")
+    )

@@ -908,3 +908,30 @@ def test_gini_coefficient_known_values(spark):
     r2 = gini_coefficient(conc, "v", "id").collect()[0]
     # one holder of everything: G = 2*100*1000/(100*1000) - 101/100 = 0.99
     assert abs(r2["gini"] - 0.99) < 1e-9
+
+
+def test_mips_ivf_monotone_routing_and_recall(spark):
+    """The augmented-space reduction: all augmented data norms equal
+    the corpus max norm (so augmented cosine is monotone in dot), and
+    full-probe IVF (nprobe == nlist) equals exact MIPS."""
+    from graph_etl_spark.operators import mips_ivf_topk, mips_topk
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 4")
+    exact = mips_topk(df, q, k=5).collect()
+    full = mips_ivf_topk(df, q, k=5, nlist=4, nprobe=4).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["dot_sim"])
+    assert sorted(map(key, exact)) == sorted(map(key, full))
+    # pruned probing still hits a recall floor on this well-spread set
+    pruned = mips_ivf_topk(df, q, k=5, nlist=4, nprobe=2).collect()
+    hits = len(
+        {(r["query_id"], r["neighbor_id"]) for r in pruned}
+        & {(r["query_id"], r["neighbor_id"]) for r in exact}
+    )
+    assert hits >= int(0.5 * len(exact))
