@@ -2417,6 +2417,19 @@ def q_events_ewma(spark, sf):
     ).select("event_id", "user_id", "ewma")
 
 
+def q_events_holt_forecast(spark, sf):
+    """Per-user Holt linear-trend one-step forecast (alpha 0.3, beta
+    0.2, trailing 8 non-null rows ordered by the unique (ts,
+    event_id)): one left-fold recursion per row whose merge arithmetic
+    is written identically on both engines, seeded l0 = oldest window
+    value, b0 = 0. One window shuffle."""
+    e = _t(spark, sf, "events")
+    return ops.holt_linear(
+        e, "user_id", ["ts", "event_id"], "value", alpha=0.3, beta=0.2,
+        window_size=8,
+    ).select("event_id", "user_id", "holt")
+
+
 def q_events_markov(spark, sf):
     """First-order Markov transition matrix of user journeys:
     (from, to, count, row-stochastic p) from one lead window + a
@@ -3175,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_shard_plan": q_quality_shard_plan,
         "quality_gini_tokens": q_quality_gini_tokens,
         "sim_mips_ivf_topk": q_sim_mips_ivf_topk,
+        "events_holt_forecast": q_events_holt_forecast,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6551,6 +6565,56 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, start_id, 1, node FROM w1
         UNION ALL SELECT walk_id, start_id, 2, node FROM w2
         UNION ALL SELECT walk_id, start_id, 3, node FROM w3
+    """
+    )
+
+    # Holt recursion UNROLLED into per-step CTE pairs (compute the new
+    # level in one CTE, the new trend from it in the next) — DuckDB
+    # 1.0's list_reduce rebinds struct-accumulator fields from the 3rd
+    # element on (verified: {'l': e.x+acc.l, 'b': acc.l*10} yields the
+    # NEW l inside b), so a struct fold cannot oracle this. All
+    # constants are explicit DOUBLE subtractions to match Spark's
+    # lit(1.0) - lit(0.3) bit-for-bit.
+    _holt_steps = "".join(
+        f""", h{j}a AS (
+          SELECT event_id, user_id, l2, l, b,
+                 CASE WHEN len(l2) >= {j}
+                      THEN 0.3::DOUBLE * l2[{j}]
+                           + (1.0::DOUBLE - 0.3::DOUBLE) * (l + b)
+                      ELSE l END AS ln
+          FROM h{j - 1}
+        ), h{j} AS (
+          SELECT event_id, user_id, l2, ln AS l,
+                 CASE WHEN len(l2) >= {j}
+                      THEN 0.2::DOUBLE * (ln - l)
+                           + (1.0::DOUBLE - 0.2::DOUBLE) * b
+                      ELSE b END AS b
+          FROM h{j}a
+        )"""
+        for j in range(2, 9)
+    )
+    sql["events_holt_forecast"] = (
+        """
+        WITH base AS (
+          SELECT event_id, user_id,
+                 list_filter(
+                   list(CAST(CAST(ROUND(value, 4) AS DECIMAL(19,4))
+                             AS DOUBLE))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+                   x -> x IS NOT NULL) AS l2
+          FROM events
+        ), h1 AS (
+          SELECT event_id, user_id, l2,
+                 CASE WHEN len(l2) >= 1 THEN l2[1] END AS l,
+                 0.0::DOUBLE AS b
+          FROM base
+        )"""
+        + _holt_steps
+        + """
+        SELECT event_id, user_id,
+               CASE WHEN len(l2) > 0 THEN ROUND(l + b, 6) END AS holt
+        FROM h8
     """
     )
 

@@ -179,6 +179,7 @@ HEADLINE = [
     "quality_shard_plan",
     "quality_gini_tokens",
     "sim_mips_ivf_topk",
+    "events_holt_forecast",
 ]
 
 

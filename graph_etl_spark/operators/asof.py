@@ -247,3 +247,62 @@ def resample_ohlc(
         )
         .withColumnRenamed("k", key)
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key: str,
+    order: str | list[str],
+    value: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    window_size: int = 8,
+    out: str = "holt",
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key,
+    evaluated over the trailing ``window_size`` non-null rows (current
+    inclusive) — the level+trend upgrade of ``ewma`` that forecasts
+    one step ahead (out = level + trend) instead of just smoothing.
+    Truncation bounds per-row state at 100 TB and, with the recursion
+    re-seeded per row (l₀ = oldest value in the window, b₀ = 0), makes
+    the output a bit-deterministic function of the bounded slice.
+
+    Determinism: the slice is 4-dp-decimal-rounded doubles; the
+    recursion l_t = α·x_t + (1−α)(l+b), b_t = β(l_t − l) + (1−β)b is
+    ONE left-fold whose merge expression is written with the same
+    literal arithmetic on both engines ((1.0 − α) as an explicit
+    subtraction — precomputing 0.7 driver-side would yield a
+    DIFFERENT double than the engines' 1.0 − 0.3); the oracle's
+    ``list_reduce`` seeds from the first element exactly as this
+    fold's init. NULLs are excluded from the slice (ewma parity); an
+    all-null window emits NULL.
+
+    Scale: one window shuffle on the key; per-row work is the bounded
+    ``window_size``-element fold."""
+    order_cols = [order] if isinstance(order, str) else list(order)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-(int(window_size) - 1), 0)
+    )
+    arr = F.collect_list(
+        F.round(F.col(value), 4).cast("decimal(19,4)").cast("double")
+    ).over(w)
+    a = float(alpha)
+    b = float(beta)
+
+    def merge(acc, x):
+        l_new = F.lit(a) * x + (F.lit(1.0) - F.lit(a)) * (acc["l"] + acc["b"])
+        b_new = (
+            F.lit(b) * (l_new - acc["l"]) + (F.lit(1.0) - F.lit(b)) * acc["b"]
+        )
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    init = F.struct(
+        F.element_at(arr, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    tail = F.slice(arr, 2, F.greatest(F.lit(0), F.size(arr) - 1))
+    fc = F.aggregate(
+        tail, init, merge, lambda acc: F.round(acc["l"] + acc["b"], 6)
+    )
+    return df.withColumn(out, F.when(F.size(arr) > 0, fc))

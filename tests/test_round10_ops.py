@@ -935,3 +935,40 @@ def test_mips_ivf_monotone_routing_and_recall(spark):
         & {(r["query_id"], r["neighbor_id"]) for r in exact}
     )
     assert hits >= int(0.5 * len(exact))
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    """The per-row fold must equal the classic Holt recursion seeded
+    from the trailing-window head, including partial windows, null
+    exclusion, and the all-null -> NULL contract."""
+    from graph_etl_spark.operators import holt_linear
+
+    vals = [10.0, 12.0, None, 15.0, 30.0, 9.0, 11.0, 14.0, 50.0, 13.0]
+    rows = [(i, 1, float(v) if v is not None else None) for i, v in enumerate(vals)]
+    rows.append((100, 2, None))  # lone all-null key
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = {
+        r["event_id"]: r["holt"]
+        for r in holt_linear(
+            df, "user_id", ["event_id"], "value", alpha=0.3, beta=0.2, window_size=4
+        ).collect()
+    }
+
+    def expect(i):
+        win = [v for v in vals[max(0, i - 3) : i + 1] if v is not None]
+        if not win:
+            return None
+        l, b = win[0], 0.0
+        for x in win[1:]:
+            ln = 0.3 * x + (1.0 - 0.3) * (l + b)
+            b = 0.2 * (ln - l) + (1.0 - 0.2) * b
+            l = ln
+        return round(l + b, 6)
+
+    for i in range(len(vals)):
+        e = expect(i)
+        if e is None:
+            assert out[i] is None
+        else:
+            assert abs(out[i] - e) < 1e-9, (i, out[i], e)
+    assert out[100] is None
