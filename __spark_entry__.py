@@ -2197,6 +2197,46 @@ def q_events_threshold_crossings(spark, sf):
     return threshold_crossings(e, threshold=10)
 
 
+def q_etl_fk_orphans(spark, sf):
+    """Referential-integrity audit: three healthy TPC-H relations
+    plus one deliberately restricted parent (suppliers of nations
+    < 10) so the orphan path is exercised, not just zeros. One anti
+    join per relation, map-side-combined counts."""
+    li = _t(spark, sf, "lineitem")
+    return ops_fn.fk_integrity(
+        [
+            (
+                "orders_customer",
+                _t(spark, sf, "orders"),
+                "o_custkey",
+                _t(spark, sf, "customer"),
+                "c_custkey",
+            ),
+            (
+                "lineitem_orders",
+                li,
+                "l_orderkey",
+                _t(spark, sf, "orders"),
+                "o_orderkey",
+            ),
+            (
+                "supplier_nation",
+                _t(spark, sf, "supplier"),
+                "s_nationkey",
+                _t(spark, sf, "nation"),
+                "n_nationkey",
+            ),
+            (
+                "lineitem_low_nation_suppliers",
+                li,
+                "l_suppkey",
+                _t(spark, sf, "supplier").filter(F.col("s_nationkey") < 10),
+                "s_suppkey",
+            ),
+        ]
+    )
+
+
 def q_etl_expectations(spark, sf):
     """Deequ-style expectation suite over customer, ONE scan for all
     six rules: pk not-null + unique (pass), balance >= 0 (violated by
@@ -3189,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gini_tokens": q_quality_gini_tokens,
         "sim_mips_ivf_topk": q_sim_mips_ivf_topk,
         "events_holt_forecast": q_events_holt_forecast,
+        "etl_fk_orphans": q_etl_fk_orphans,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6567,6 +6608,52 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, start_id, 3, node FROM w3
     """
     )
+
+    sql["etl_fk_orphans"] = """
+        WITH rel AS (
+          SELECT 'orders_customer' AS relation,
+                 (SELECT COUNT(*) FROM orders)::BIGINT AS n_child,
+                 (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                   ::BIGINT AS n_null_fk,
+                 (SELECT COUNT(*) FROM orders o
+                  WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+                    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                   ::BIGINT AS n_orphans
+          UNION ALL
+          SELECT 'lineitem_orders',
+                 (SELECT COUNT(*) FROM lineitem)::BIGINT,
+                 (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+                   ::BIGINT,
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+                    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                   ::BIGINT
+          UNION ALL
+          SELECT 'supplier_nation',
+                 (SELECT COUNT(*) FROM supplier)::BIGINT,
+                 (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NULL)
+                   ::BIGINT,
+                 (SELECT COUNT(*) FROM supplier s
+                  WHERE s_nationkey IS NOT NULL AND NOT EXISTS (
+                    SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+                   ::BIGINT
+          UNION ALL
+          SELECT 'lineitem_low_nation_suppliers',
+                 (SELECT COUNT(*) FROM lineitem)::BIGINT,
+                 (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL)
+                   ::BIGINT,
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE l_suppkey IS NOT NULL AND NOT EXISTS (
+                    SELECT 1 FROM supplier s
+                    WHERE s.s_nationkey < 10 AND s.s_suppkey = l.l_suppkey))
+                   ::BIGINT
+        )
+        SELECT relation, n_child, n_null_fk, n_orphans,
+               CASE WHEN n_child - n_null_fk > 0
+                    THEN ROUND(n_orphans / (n_child - n_null_fk), 6)
+                    ELSE 0.0 END AS orphan_pct
+        FROM rel
+    """
 
     # Holt recursion UNROLLED into per-step CTE pairs (compute the new
     # level in one CTE, the new trend from it in the next) — DuckDB

@@ -180,6 +180,7 @@ HEADLINE = [
     "quality_gini_tokens",
     "sim_mips_ivf_topk",
     "events_holt_forecast",
+    "etl_fk_orphans",
 ]
 
 

@@ -407,3 +407,58 @@ def apply_cdc(
         .filter((F.col("__rn") == 1) & (F.col("__op") != "D"))
         .select(*data_cols)
     )
+
+
+def fk_integrity(
+    relations: list[tuple],
+) -> DataFrame:
+    """Referential-integrity audit across tables: for each relation
+    ``(name, child_df, fk_col, parent_df, pk_col)``, count child rows
+    whose non-null foreign key has no match in the parent — the
+    orphan check a warehouse runs before publishing a snapshot (and
+    the one ``check_expectations`` can't express, being single-table).
+    NULL foreign keys are reported separately (SQL three-valued
+    semantics: a NULL fk is unmatched but not an orphan).
+
+    Output: one row per relation —
+    (relation, n_child, n_null_fk, n_orphans, orphan_pct) with
+    orphan_pct = orphans / non-null children rounded to 6 dp.
+
+    Scale: per relation one distinct-project of the parent key and
+    one LEFT ANTI join shuffling on the key (broadcast when the
+    parent is dimension-sized — AQE decides); counts are
+    map-side-combined aggregations. Relations evaluate independently
+    (unionByName of tiny 1-row aggregates)."""
+    if not relations:
+        raise ValueError("fk_integrity: at least one relation required")
+    outs = []
+    for name, child, fk, parent, pk in relations:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        nn = child.filter(F.col(fk).isNotNull())
+        orphans = nn.join(
+            keys, nn[fk] == keys["__pk"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        base = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col(fk).isNull().cast("long")).alias("n_null_fk"),
+        )
+        outs.append(
+            base.crossJoin(orphans).select(
+                F.lit(str(name)).alias("relation"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                F.when(
+                    (F.col("n_child") - F.col("n_null_fk")) > 0,
+                    F.round(
+                        F.col("n_orphans")
+                        / (F.col("n_child") - F.col("n_null_fk")),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)).alias("orphan_pct"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -972,3 +972,28 @@ def test_holt_linear_matches_python_recursion(spark):
         else:
             assert abs(out[i] - e) < 1e-9, (i, out[i], e)
     assert out[100] is None
+
+
+def test_fk_integrity_hand_tables(spark):
+    from graph_etl_spark.functions import fk_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None), (5, 99)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    out = {
+        r["relation"]: r
+        for r in fk_integrity([("rel", child, "fk", parent, "pk")]).collect()
+    }
+    r = out["rel"]
+    assert r["n_child"] == 5 and r["n_null_fk"] == 1 and r["n_orphans"] == 2
+    assert abs(r["orphan_pct"] - 0.5) < 1e-9
+    # all-null children: pct defined as 0, not NULL/NaN
+    allnull = spark.createDataFrame([(1, None)], "id long, fk long")
+    r2 = fk_integrity([("n", allnull, "fk", parent, "pk")]).collect()[0]
+    assert r2["n_orphans"] == 0 and r2["orphan_pct"] == 0.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fk_integrity([])
