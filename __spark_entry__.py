@@ -2470,6 +2470,14 @@ def q_events_holt_forecast(spark, sf):
     ).select("event_id", "user_id", "holt")
 
 
+def q_events_seasonal_profile(spark, sf):
+    """Per-event-type weekly load shape: (type, iso dow, hour) cell
+    counts and the seasonality index cell*n_cells/total — one
+    aggregation over <= types x 168 cells plus a broadcast roll-up,
+    no second scan."""
+    return ops.seasonal_profile(_t(spark, sf, "events"))
+
+
 def q_events_markov(spark, sf):
     """First-order Markov transition matrix of user journeys:
     (from, to, count, row-stochastic p) from one lead window + a
@@ -3230,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mips_ivf_topk": q_sim_mips_ivf_topk,
         "events_holt_forecast": q_events_holt_forecast,
         "etl_fk_orphans": q_etl_fk_orphans,
+        "events_seasonal_profile": q_events_seasonal_profile,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6608,6 +6617,23 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, start_id, 3, node FROM w3
     """
     )
+
+    sql["events_seasonal_profile"] = """
+        WITH cells AS (
+          SELECT event_type, isodow(ts)::INT AS dow, hour(ts)::INT AS hour,
+                 COUNT(*)::BIGINT AS n_events
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1, 2, 3
+        ), totals AS (
+          SELECT event_type, SUM(n_events)::BIGINT AS tot,
+                 COUNT(*)::BIGINT AS ncells
+          FROM cells GROUP BY 1
+        )
+        SELECT c.event_type, c.dow, c.hour, c.n_events,
+               ROUND((c.n_events * t.ncells) / t.tot, 6)
+                 AS seasonality_index
+        FROM cells c JOIN totals t USING (event_type)
+    """
 
     sql["etl_fk_orphans"] = """
         WITH rel AS (

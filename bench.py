@@ -181,6 +181,7 @@ HEADLINE = [
     "sim_mips_ivf_topk",
     "events_holt_forecast",
     "etl_fk_orphans",
+    "events_seasonal_profile",
 ]
 
 

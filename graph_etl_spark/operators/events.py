@@ -243,3 +243,58 @@ def event_transitions(
             ).alias("p"),
         )
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str | None = "event_type",
+    round_to: int = 6,
+) -> DataFrame:
+    """Calendar seasonality profile: per (group, day-of-week,
+    hour-of-day) cell, the event count and its seasonality INDEX —
+    cell count divided by the group's mean cell count over the cells
+    it actually occupies — the load-shape fingerprint used for
+    capacity planning and as the expected-traffic denominator in
+    anomaly detection (a spike detector that ignores Friday-evening
+    seasonality pages on every Friday evening).
+
+    dow is ISO (1 = Monday .. 7 = Sunday) so both engines agree on
+    week numbering; the index is exact-integer count arithmetic
+    (cell·n_cells / group_total) with one final division rounded.
+
+    Output: (group?, dow, hour, n_events, seasonality_index).
+
+    Scale: ONE map-side-combined aggregation over at most
+    groups × 168 cells, then a broadcast-sized per-group roll-up
+    joined back — no window, no second scan of the fact table."""
+    dow = F.dayofweek(F.col(ts_col))  # Sun=1..Sat=7
+    iso_dow = F.when(dow == 1, F.lit(7)).otherwise(dow - 1)
+    keys = ([group_col] if group_col else []) + ["dow", "hour"]
+    cells = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            *([F.col(group_col)] if group_col else []),
+            iso_dow.alias("dow"),
+            F.hour(F.col(ts_col)).alias("hour"),
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    gkeys = [group_col] if group_col else []
+    totals = cells.groupBy(*gkeys).agg(
+        F.sum("n_events").alias("__tot"),
+        F.count(F.lit(1)).alias("__ncells"),
+    )
+    joined = (
+        cells.join(F.broadcast(totals), gkeys)
+        if gkeys
+        else cells.crossJoin(F.broadcast(totals))
+    )
+    return joined.select(
+        *keys,
+        "n_events",
+        F.round(
+            (F.col("n_events") * F.col("__ncells")) / F.col("__tot"), round_to
+        ).alias("seasonality_index"),
+    )

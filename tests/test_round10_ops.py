@@ -997,3 +997,30 @@ def test_fk_integrity_hand_tables(spark):
 
     with _pt.raises(ValueError):
         fk_integrity([])
+
+
+def test_seasonal_profile_iso_dow_and_index(spark):
+    from datetime import datetime
+
+    from graph_etl_spark.operators import seasonal_profile
+
+    # 2024-01-01 is a MONDAY (iso dow 1); 2024-01-07 a SUNDAY (7)
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0), "a"),
+        (2, datetime(2024, 1, 1, 9, 30), "a"),
+        (3, datetime(2024, 1, 7, 23, 5), "a"),
+        (4, datetime(2024, 1, 1, 9, 5), "b"),
+        (5, None, "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {
+        (r["event_type"], r["dow"], r["hour"]): r
+        for r in seasonal_profile(df).collect()
+    }
+    assert set(out) == {("a", 1, 9), ("a", 7, 23), ("b", 1, 9)}
+    a_mon = out[("a", 1, 9)]
+    # group a: cells {2, 1}, total 3, n_cells 2 -> index 2*2/3
+    assert a_mon["n_events"] == 2
+    assert abs(a_mon["seasonality_index"] - round(4 / 3, 6)) < 1e-9
+    # null ts excluded: group b has one cell, index exactly 1
+    assert out[("b", 1, 9)]["seasonality_index"] == 1.0
