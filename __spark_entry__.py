@@ -2859,6 +2859,15 @@ def q_sim_mips_ivf_topk(spark, sf):
     )
 
 
+def q_text_llr_collocations(spark, sf):
+    """Dunning LLR collocations over adjacent bigrams (min count 5):
+    exact contingency counts, four ln terms combined in fixed order,
+    6-dp round — the significance-tested collocation score."""
+    from graph_etl_spark.operators.text import llr_collocations
+
+    return llr_collocations(_t(spark, sf, "documents"), min_count=5)
+
+
 def q_pipeline_corpus_assembly(spark, sf):
     """End-to-end training-corpus assembly — the flow a data pipeline
     runs nightly, as ONE declarative plan spanning four operator
@@ -3239,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_forecast": q_events_holt_forecast,
         "etl_fk_orphans": q_etl_fk_orphans,
         "events_seasonal_profile": q_events_seasonal_profile,
+        "text_llr_collocations": q_text_llr_collocations,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6617,6 +6627,59 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, start_id, 3, node FROM w3
     """
     )
+
+    sql["text_llr_collocations"] = """
+        WITH toks AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                FROM documents),
+               unnest(range(1, len(tk) + 1)) AS t(i)
+        ), stream AS (
+          SELECT doc_id, pos, tok,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM toks
+        ), big AS (
+          SELECT tok AS token_a, nxt AS token_b FROM stream
+          WHERE nxt IS NOT NULL
+        ),
+        nbig AS (SELECT COUNT(*)::BIGINT AS n_big FROM big),
+        rows_ AS (SELECT token_a, COUNT(*)::BIGINT AS n_row FROM big
+                  GROUP BY token_a),
+        cols_ AS (SELECT token_b, COUNT(*)::BIGINT AS n_col FROM big
+                  GROUP BY token_b),
+        pair AS (
+          SELECT token_a, token_b, COUNT(*)::BIGINT AS n_pair
+          FROM big GROUP BY token_a, token_b HAVING COUNT(*) >= 5
+        )
+        SELECT p.token_a, p.token_b, p.n_pair,
+               ROUND(2.0 * (
+                 (CASE WHEN p.n_pair > 0 THEN p.n_pair *
+                   ln((p.n_pair * 1.0 * nbig.n_big)
+                      / (r.n_row * 1.0 * c.n_col)) ELSE 0.0 END)
+                 + (CASE WHEN r.n_row - p.n_pair > 0
+                    THEN (r.n_row - p.n_pair) *
+                      ln(((r.n_row - p.n_pair) * 1.0 * nbig.n_big)
+                         / (r.n_row * 1.0 * (nbig.n_big - c.n_col)))
+                    ELSE 0.0 END)
+                 + (CASE WHEN c.n_col - p.n_pair > 0
+                    THEN (c.n_col - p.n_pair) *
+                      ln(((c.n_col - p.n_pair) * 1.0 * nbig.n_big)
+                         / ((nbig.n_big - r.n_row) * 1.0 * c.n_col))
+                    ELSE 0.0 END)
+                 + (CASE WHEN nbig.n_big - r.n_row - c.n_col + p.n_pair > 0
+                    THEN (nbig.n_big - r.n_row - c.n_col + p.n_pair) *
+                      ln(((nbig.n_big - r.n_row - c.n_col + p.n_pair)
+                          * 1.0 * nbig.n_big)
+                         / ((nbig.n_big - r.n_row) * 1.0
+                            * (nbig.n_big - c.n_col)))
+                    ELSE 0.0 END)
+               ), 6) AS llr
+        FROM pair p
+        JOIN rows_ r USING (token_a)
+        JOIN cols_ c USING (token_b)
+        CROSS JOIN nbig
+    """
 
     sql["events_seasonal_profile"] = """
         WITH cells AS (

@@ -182,6 +182,7 @@ HEADLINE = [
     "events_holt_forecast",
     "etl_fk_orphans",
     "events_seasonal_profile",
+    "text_llr_collocations",
 ]
 
 

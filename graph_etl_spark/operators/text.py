@@ -785,3 +785,78 @@ def rake_keywords(
         .filter(F.col("rank") <= int(top_k))
         .select(id_col, "phrase", "n_words", "score", "rank")
     )
+
+
+def llr_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993,
+    "Accurate Methods for the Statistics of Surprise and
+    Coincidence") — the significance-tested upgrade of
+    ``pmi_bigrams``: PMI overrates rare pairs (two hapaxes that
+    co-occur once score maximal PMI), while LLR weights the evidence,
+    so it is the standard collocation score for vocabulary mining at
+    corpus scale. Over the adjacent-bigram population of size N with
+    contingency counts k11 = n(a,b), k12 = n(a,·)−k11,
+    k21 = n(·,b)−k11, k22 = N−k11−k12−k21:
+    LLR = 2·Σ k·ln(k·N / (row·col)), zero cells contributing zero.
+
+    Determinism: all counts are exact integers; the four ln terms are
+    combined in a FIXED left-to-right order (t11+t12+t21+t22) written
+    identically in the SQL oracle, and products are forced to double
+    before multiplication (k·N as long·long would overflow at
+    1e12 bigrams); one final 6-dp round.
+
+    Output: (token_a, token_b, n_pair, llr), n_pair >= ``min_count``.
+
+    Scale: same physical shape as ``pmi_bigrams`` — map-side explode,
+    ONE lead window per document, token-keyed count aggregations,
+    vocab-sized marginals joined back (AQE broadcast when they fit).
+    """
+    toks = df.select(
+        F.col(doc_col).alias("d"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("i", "tok"),
+    )
+    w = Window.partitionBy("d").orderBy("i")
+    bigrams = (
+        toks.withColumn("tok_b", F.lead("tok").over(w))
+        .filter(F.col("tok_b").isNotNull())
+        .select(F.col("tok").alias("token_a"), F.col("tok_b").alias("token_b"))
+    )
+    n_big = bigrams.agg(F.count(F.lit(1)).alias("n_big"))
+    rows = bigrams.groupBy("token_a").agg(F.count(F.lit(1)).alias("n_row"))
+    cols = bigrams.groupBy("token_b").agg(F.count(F.lit(1)).alias("n_col"))
+    pair = (
+        bigrams.groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+
+    def term(k: Column, r: Column, c: Column, n: Column) -> Column:
+        return F.when(
+            k > 0,
+            k * F.log((k * 1.0 * n) / (r * 1.0 * c)),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("n_pair")
+    k12 = F.col("n_row") - k11
+    k21 = F.col("n_col") - k11
+    k22 = F.col("n_big") - F.col("n_row") - F.col("n_col") + k11
+    n = F.col("n_big")
+    r1, r2 = F.col("n_row"), n - F.col("n_row")
+    c1, c2 = F.col("n_col"), n - F.col("n_col")
+    llr = F.lit(2.0) * (
+        term(k11, r1, c1, n)
+        + term(k12, r1, c2, n)
+        + term(k21, r2, c1, n)
+        + term(k22, r2, c2, n)
+    )
+    return (
+        pair.join(rows, "token_a")
+        .join(cols, "token_b")
+        .crossJoin(F.broadcast(n_big))
+        .select("token_a", "token_b", "n_pair", F.round(llr, 6).alias("llr"))
+    )

@@ -1024,3 +1024,42 @@ def test_seasonal_profile_iso_dow_and_index(spark):
     assert abs(a_mon["seasonality_index"] - round(4 / 3, 6)) < 1e-9
     # null ts excluded: group b has one cell, index exactly 1
     assert out[("b", 1, 9)]["seasonality_index"] == 1.0
+
+
+def test_llr_collocations_hand_contingency(spark):
+    """Hand-computed Dunning LLR on a tiny corpus, plus the ordering
+    property that makes LLR useful: a frequent true collocation beats
+    a one-off hapax pair that PMI would overrate."""
+    import math
+
+    from graph_etl_spark.operators import llr_collocations
+
+    # corpus: "x y" appears 4 times amid filler; "p q" once
+    docs = [
+        (0, "x y a x y b x y"),
+        (1, "x y c a b c p q"),
+        (2, "a b c a b c a b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["token_a"], r["token_b"]): r["llr"]
+        for r in llr_collocations(df, min_count=1).collect()
+    }
+
+    def llr(k11, row, col, n):
+        def t(k, r, c):
+            return k * math.log((k * 1.0 * n) / (r * 1.0 * c)) if k > 0 else 0.0
+
+        k12, k21 = row - k11, col - k11
+        k22 = n - row - col + k11
+        return round(
+            2.0
+            * (t(k11, row, col) + t(k12, row, n - col)
+               + t(k21, n - row, col) + t(k22, n - row, n - col)),
+            6,
+        )
+
+    # bigram population: 7 + 7 + 7 = 21; n(x,y)=4, row(x)=4, col(y)=4
+    assert abs(out[("x", "y")] - llr(4, 4, 4, 21)) < 1e-9
+    assert abs(out[("p", "q")] - llr(1, 1, 1, 21)) < 1e-9
+    assert out[("x", "y")] > out[("p", "q")]
