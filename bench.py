@@ -183,6 +183,7 @@ HEADLINE = [
     "etl_fk_orphans",
     "events_seasonal_profile",
     "text_llr_collocations",
+    "approx_heavy_hitters",
 ]
 
 

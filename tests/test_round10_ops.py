@@ -1063,3 +1063,33 @@ def test_llr_collocations_hand_contingency(spark):
     assert abs(out[("x", "y")] - llr(4, 4, 4, 21)) < 1e-9
     assert abs(out[("p", "q")] - llr(1, 1, 1, 21)) < 1e-9
     assert out[("x", "y")] > out[("p", "q")]
+
+
+def test_mg_heavy_hitters_guarantees(spark):
+    """The Misra-Gries contract on a skewed hand distribution: heavy
+    keys always present, counts are lower bounds within N/(k+1),
+    summary bounded at k — across several partitionings (the summary
+    content may vary, the guarantee may not)."""
+    from graph_etl_spark.operators import mg_heavy_hitters
+
+    # skew: 'a' 500, 'b' 300, 'c' 100, 40 singletons; N = 940
+    vals = ["a"] * 500 + ["b"] * 300 + ["c"] * 100 + [f"z{i}" for i in range(40)]
+    rows = [(v,) for v in vals]
+    exact = {"a": 500, "b": 300, "c": 100}
+    for parts in (1, 4, 13):
+        df = spark.createDataFrame(rows, "key string").repartition(parts)
+        out = {r["key"]: r["mg_count"] for r in mg_heavy_hitters(df, "key", k=3).collect()}
+        n, k = 940, 3
+        bound = n / (k + 1)  # 235
+        assert len(out) <= k
+        for key, cnt in exact.items():
+            if cnt > bound:
+                assert key in out, (parts, key, out)
+        for key, mg in out.items():
+            true = exact.get(key, 1)
+            assert mg <= true, (parts, key, mg, true)
+            assert true - mg <= bound, (parts, key, mg, true)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mg_heavy_hitters(spark.createDataFrame(rows[:1], "key string"), "key", k=0)
