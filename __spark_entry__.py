@@ -2478,6 +2478,14 @@ def q_events_seasonal_profile(spark, sf):
     return ops.seasonal_profile(_t(spark, sf, "events"))
 
 
+def q_events_seasonal_anomaly(spark, sf):
+    """Seasonality-aware spikes: (type, date, hour) cells whose count
+    exceeds 2x the mean of their own (type, iso-dow, hour) seasonal
+    cell — exact integer flag cnt*n_days > 2*total, one rounded
+    ratio for display."""
+    return ops.seasonal_anomaly(_t(spark, sf, "events"), factor=2)
+
+
 def q_events_markov(spark, sf):
     """First-order Markov transition matrix of user journeys:
     (from, to, count, row-stochastic p) from one lead window + a
@@ -2866,6 +2874,16 @@ def q_text_llr_collocations(spark, sf):
     from graph_etl_spark.operators.text import llr_collocations
 
     return llr_collocations(_t(spark, sf, "documents"), min_count=5)
+
+
+def q_sim_l2_topk(spark, sf):
+    """Exact Euclidean top-k (the third FAISS flat metric): 10 query
+    vectors, k=5, via the Arrow per-partition reduction plan —
+    bit-equal to the rank-window reference; oracle is the plain
+    ranked distance with the identical (dist asc, neighbor asc) tie
+    order."""
+    e = _t(spark, sf, "embeddings")
+    return ops.l2_topk(e, e.filter(F.col("vec_id") < 10), k=5, scale=True)
 
 
 def q_approx_heavy_hitters(spark, sf):
@@ -3283,6 +3301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_profile": q_events_seasonal_profile,
         "text_llr_collocations": q_text_llr_collocations,
         "approx_heavy_hitters": q_approx_heavy_hitters,
+        "sim_l2_topk": q_sim_l2_topk,
+        "events_seasonal_anomaly": q_events_seasonal_anomaly,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6661,6 +6681,44 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, start_id, 3, node FROM w3
     """
     )
+
+    sql["events_seasonal_anomaly"] = """
+        WITH daily AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+                 isodow(ts)::INT AS dow,
+                 hour(ts)::INT AS hour, COUNT(*)::BIGINT AS n_events
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1, 2, 3, 4
+        ), cells AS (
+          SELECT event_type, dow, hour, SUM(n_events)::BIGINT AS tot,
+                 COUNT(*)::BIGINT AS ndays
+          FROM daily GROUP BY 1, 2, 3
+        )
+        SELECT d.event_type, d.event_date, d.hour, d.n_events,
+               ROUND((d.n_events * c.ndays) / c.tot, 6) AS ratio
+        FROM daily d JOIN cells c USING (event_type, dow, hour)
+        WHERE d.n_events * c.ndays > 2 * c.tot
+    """
+
+    sql["sim_l2_topk"] = """
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 ROUND(sqrt(list_reduce(
+                   list_transform(range(1, len(a.embedding) + 1),
+                     i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+                          * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)),
+                   (x, y) -> x + y)), 4) AS l2_dist
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id)::INT
+            AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, l2_dist, rank FROM ranked
+        WHERE rank <= 5
+    """
 
     sql["approx_heavy_hitters"] = """
         SELECT 3 AS k, 1 AS size_ok, 1 AS heavy_present, 1 AS bounds_ok

@@ -184,6 +184,8 @@ HEADLINE = [
     "events_seasonal_profile",
     "text_llr_collocations",
     "approx_heavy_hitters",
+    "sim_l2_topk",
+    "events_seasonal_anomaly",
 ]
 
 

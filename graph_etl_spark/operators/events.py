@@ -298,3 +298,66 @@ def seasonal_profile(
             (F.col("n_events") * F.col("__ncells")) / F.col("__tot"), round_to
         ).alias("seasonality_index"),
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    factor: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Seasonality-aware spike detection: a (group, date, hour) cell
+    is anomalous when its count exceeds ``factor`` × the mean count
+    of its OWN seasonal cell (same group, same ISO day-of-week, same
+    hour, across all dates) — the calendar-conditioned upgrade of a
+    plain spike detector, so Friday-evening load is judged against
+    Friday evenings only (see ``seasonal_profile``).
+
+    The flag is the EXACT INTEGER comparison
+    cnt · n_days > factor · total (no float threshold); the reported
+    ratio cnt·n_days/total is one rounded division for display.
+
+    Output: (group, event_date, hour, n_events, ratio) — flagged
+    cells only.
+
+    Scale: two map-side-combined aggregations (daily cells, then
+    seasonal roll-up over ≤ groups × 168 keys) and one broadcast
+    join back — no windows, no second fact scan."""
+    dow = F.dayofweek(F.col(ts_col))
+    iso_dow = F.when(dow == 1, F.lit(7)).otherwise(dow - 1)
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col),
+            # string date: pandas reads an arrow date as datetime64 while
+            # Spark hands back datetime.date — a representation-only
+            # mismatch at comparison layers; ISO string is unambiguous
+            F.to_date(F.col(ts_col)).cast("string").alias("event_date"),
+            iso_dow.alias("dow"),
+            F.hour(F.col(ts_col)).alias("hour"),
+        )
+        .groupBy(group_col, "event_date", "dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    cells = daily.groupBy(group_col, "dow", "hour").agg(
+        F.sum("n_events").alias("__tot"),
+        F.count(F.lit(1)).alias("__ndays"),
+    )
+    return (
+        daily.join(F.broadcast(cells), [group_col, "dow", "hour"])
+        .filter(
+            F.col("n_events") * F.col("__ndays")
+            > F.lit(int(factor)) * F.col("__tot")
+        )
+        .select(
+            group_col,
+            "event_date",
+            "hour",
+            "n_events",
+            F.round(
+                (F.col("n_events") * F.col("__ndays")) / F.col("__tot"),
+                round_to,
+            ).alias("ratio"),
+        )
+    )

@@ -1808,3 +1808,77 @@ def mips_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot_sim", "rank")
     )
+
+
+def l2_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    scale: bool = False,
+) -> DataFrame:
+    """Exact Euclidean (L2) top-k — the third FAISS metric alongside
+    cosine (``brute_force_topk``) and inner product (``mips_topk``),
+    completing the trio so a FAISS user can port any flat index:
+    for each query, the k data vectors at smallest L2 distance, self
+    excluded. Deterministic ranking: rounded distance ASC, then
+    neighbor id ASC.
+
+    ``scale=True`` swaps in the Arrow-batched per-partition top-k
+    reduction (bounded queries × k state, exchange carries
+    partitions × queries × k rows) — bit-equal to the reference rank
+    window because both stages share the tie order."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    d = fan_out(data).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__dvec")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__qvec"),
+                F.col("__dvec"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("l2_dist", F.round(dist, round_to))
+        .select("query_id", "neighbor_id", "l2_dist")
+    )
+    if scale:
+        out_schema = scored.schema
+
+        def local_topk(batches):
+            import pandas as pd
+
+            acc = None
+            for pdf in batches:
+                both = (
+                    pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+                )
+                both = both.sort_values(
+                    ["query_id", "l2_dist", "neighbor_id"],
+                    ascending=[True, True, True],
+                )
+                acc = both.groupby("query_id", sort=False).head(k)
+            if acc is not None and len(acc):
+                yield acc
+
+        scored = scored.mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )

@@ -1093,3 +1093,44 @@ def test_mg_heavy_hitters_guarantees(spark):
 
     with _pt.raises(ValueError):
         mg_heavy_hitters(spark.createDataFrame(rows[:1], "key string"), "key", k=0)
+
+
+def test_l2_topk_scale_matches_reference_and_metric(spark):
+    from graph_etl_spark.operators import l2_topk
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),    # dist 1
+        (2, [0.0, 2.0]),    # dist 2
+        (3, [3.0, 4.0]),    # dist 5
+        (4, [10.0, 0.0]),   # dist 10
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    ref = l2_topk(df, q, k=3, scale=False).collect()
+    sc = l2_topk(df, q, k=3, scale=True).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["l2_dist"])
+    assert sorted(map(key, ref)) == sorted(map(key, sc))
+    order = [(r["neighbor_id"], r["l2_dist"]) for r in sorted(ref, key=lambda r: r["rank"])]
+    assert order == [(1, 1.0), (2, 2.0), (3, 5.0)]
+
+
+def test_seasonal_anomaly_integer_flag(spark):
+    from datetime import datetime
+
+    from graph_etl_spark.operators import seasonal_anomaly
+
+    # type a, Monday 9h across 3 weeks: counts 1, 1, 10 -> only the
+    # 10-count day exceeds 2x the cell mean (10*3 > 2*12)
+    rows = []
+    eid = 0
+    for day, n in ((1, 1), (8, 1), (15, 10)):
+        for j in range(n):
+            rows.append((eid, datetime(2024, 1, day, 9, j), "a"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = seasonal_anomaly(df, factor=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_date"] == "2024-01-15" and r["hour"] == 9
+    assert r["n_events"] == 10 and abs(r["ratio"] - 2.5) < 1e-9
