@@ -762,3 +762,42 @@ def test_registry_no_unpartitioned_windows(spark, entry):
         if bad:
             offenders[name] = bad[:3]
     assert not offenders, f"unpartitioned windows: {offenders}"
+
+
+def test_rake_wordstats_broadcast(spark, entry):
+    """RAKE's corpus word-stats frame is vocab-sized and joined back
+    with an explicit broadcast; the only windows are per-doc
+    (segmentation, final top-k) — the registry sweep asserts that,
+    this guard pins the broadcast."""
+    st = plan_stats(entry.q_text_rake_keywords(spark, SF))
+    assert st.broadcast_hash_joins >= 1
+
+
+def test_mips_and_l2_scale_paths_partial_reduce(spark, entry):
+    """The MIPS/L2 cluster plans must carry the Arrow per-partition
+    top-k stage (MapInPandas) so the exchange is partitions x queries
+    x k, and route the probe set via broadcast."""
+    for q in (entry.q_sim_mips_topk, entry.q_sim_l2_topk):
+        df = q(spark, SF)
+        p = plan_string(df)
+        assert "MapInPandas" in p, p[:2000]
+        st = plan_stats(df)
+        assert st.sort_merge_joins == 0
+
+
+def test_node2vec_per_step_joins_no_cartesian(spark, entry):
+    """Biased walks: every step is a pair of key-joins (candidates on
+    vertex id, triangle test on (prev, cand)) — no cartesian
+    anywhere."""
+    from graph_etl_spark.plans import assert_no_cartesian
+
+    assert_no_cartesian(entry.q_graph_node2vec_walks(spark, SF))
+
+
+def test_seasonal_profile_single_agg_broadcast_rollup(spark, entry):
+    """Seasonal profile: one aggregation over the fact table, the
+    per-group roll-up joined back via broadcast — no sort-merge join
+    of the fact table against itself."""
+    st = plan_stats(entry.q_events_seasonal_profile(spark, SF))
+    assert st.broadcast_hash_joins >= 1
+    assert st.sort_merge_joins == 0

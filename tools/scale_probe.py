@@ -321,6 +321,23 @@ def main() -> None:
         "profile_table_fast": lambda d: (
             lambda: ops.profile_table(d.select("doc_id", "text", "lang", "source"))
         ),
+        # r10: RAKE — disjoint per-copy tokens grow the word-stats
+        # vocab ~Nx with the corpus; segmentation window is per-doc
+        "rake_keywords": lambda d: ops.rake_keywords(d, top_k=3),
+        # r10: Dunning LLR — same bigram/marginal shape as pmi_bigrams
+        "llr_collocations": lambda d: ops.llr_collocations(d, min_count=5),
+        # r10: two-phase exact prefix sum — bucket-local running sums
+        # + broadcast offsets; rows 10x over fixed buckets must stay
+        # scan-linear with NO single-reducer cumsum
+        "shard_plan": lambda d: ops.shard_plan(d, token_budget=512),
+        # r10: Gini — the two-phase exact rank + one aggregation
+        "gini_tokens": lambda d: ops.gini_coefficient(
+            __import__("graph_etl_spark.operators.text", fromlist=["token_count"]).token_count(d),
+            "n_tokens", "doc_id",
+        ),
+        # r10: Misra-Gries — bounded k-counter state per partition,
+        # partitions x k summary rows; must be ~scan-linear
+        "mg_heavy_hitters": lambda d: ops.mg_heavy_hitters(d, "source", k=8),
     }
 
     # graph/fuzzy cases run over lineitem-derived frames: copies get
@@ -374,6 +391,21 @@ def main() -> None:
         "random_walks": lambda f: (
             lambda: ops.random_walks(
                 copurchase(f), walk_length=3, walks_per_node=2
+            )
+        ),
+        # r10: biased walks — adds one (prev, cand) triangle-test join
+        # per step over random_walks; fixed 3 steps
+        "node2vec_walks": lambda f: (
+            lambda: ops.node2vec_walks(
+                copurchase(f), walk_length=3, walks_per_node=2, p=4, q=2
+            )
+        ),
+        # r10: link prediction — hub cap BEFORE the wedge self-join is
+        # the linearity claim; copies are edge-disjoint so candidates
+        # stay copy-local
+        "link_prediction": lambda f: (
+            lambda: ops.link_prediction_scores(
+                copurchase(f), min_common=2, max_degree=40
             )
         ),
         # r8 batch 7: Bellman-Ford — fixed 4 rounds; per round one
@@ -536,6 +568,15 @@ def main() -> None:
         "snapshot_diff": lambda f: __import__(
             "graph_etl_spark.functions", fromlist=["snapshot_diff"]
         ).snapshot_diff(f, f.filter(F.col("event_id") % 17 != 0), "event_id"),
+        # r10: Holt linear — bounded 8-element fold per row, same
+        # regime as ewma/rolling_median
+        "holt_linear": lambda f: ops.holt_linear(
+            f, "user_id", ["ts", "event_id"], "value", window_size=8
+        ),
+        # r10: seasonal profile/anomaly — bounded cell keys (types x
+        # 168), broadcast roll-up; must be ~scan-linear
+        "seasonal_profile": lambda f: ops.seasonal_profile(f),
+        "seasonal_anomaly": lambda f: ops.seasonal_anomaly(f, factor=2),
     }
     vec_cases = {
         # r8 batch 13: embedding drift — dims fixed (vector width),
@@ -584,6 +625,18 @@ def main() -> None:
             shortlist=50,
             coarse_iter=1,
             pq_iter=1,
+        ),
+        # r10: exact MIPS / L2 via the Arrow partial-reduction plan —
+        # candidates 10x, exchange stays partitions x queries x k
+        "mips_topk_scale": lambda e: ops.mips_topk(
+            e, e.filter(F.col("vec_id") < 10), k=5, scale=True
+        ),
+        "l2_topk_scale": lambda e: ops.l2_topk(
+            e, e.filter(F.col("vec_id") < 10), k=5, scale=True
+        ),
+        # r10: norm-augmented IVF MIPS — one M2 agg + the IVF plan
+        "mips_ivf_topk": lambda e: ops.mips_ivf_topk(
+            e, e.filter(F.col("vec_id") < 10), k=5, nlist=8, nprobe=2
         ),
     }
 
