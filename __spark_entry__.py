@@ -1615,6 +1615,22 @@ def q_graph_pagerank(spark, sf):
     return ops.pagerank(_nation_graph(spark, sf), max_iter=10)
 
 
+def q_graph_personalized_pagerank(spark, sf):
+    """Personalized PageRank (10 rounds, damping 0.85) on the
+    customer->nation->region graph, teleport + dangling mass
+    restricted to the 19 seed customers c_custkey < 20 — the
+    importance-from-a-viewpoint score; the oracle unrolls the same
+    seed-teleport iterations."""
+    seeds = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 20)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("id"))
+    )
+    return ops.personalized_pagerank(
+        _nation_graph(spark, sf), seeds, max_iter=10
+    )
+
+
 def q_dedup_neardup_survivors(spark, sf):
     """End-to-end near-dup dedup — the full 'dedup the corpus' pipeline
     a training-data run executes, as one plan: MinHash banded-LSH
@@ -3303,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_heavy_hitters": q_approx_heavy_hitters,
         "sim_l2_topk": q_sim_l2_topk,
         "events_seasonal_anomaly": q_events_seasonal_anomaly,
+        "graph_personalized_pagerank": q_graph_personalized_pagerank,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -5037,6 +5054,50 @@ def oracle_sql() -> dict[str, str]:
         rank_0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts),
         {pr_body}
         SELECT id, ROUND(rank, 6) AS pagerank FROM rank_10
+    """
+
+    # Personalized PageRank: same unroll, teleport + dangling mass to
+    # the seed set only (uniform over seeds)
+    ppr_iters = []
+    prev = "rank_0"
+    for i in range(1, 11):
+        ppr_iters.append(
+            f"""rank_{i} AS MATERIALIZED (
+              SELECT v.id,
+                     (CASE WHEN v.id IN (SELECT id FROM seeds) THEN
+                        (1 - 0.85) / (SELECT COUNT(*) FROM seeds)
+                        + 0.85 * (SELECT COALESCE(SUM(rank), 0) FROM {prev}
+                                  WHERE id NOT IN (SELECT id FROM outdeg))
+                          / (SELECT COUNT(*) FROM seeds)
+                      ELSE 0.0 END
+                      + 0.85 * COALESCE(s.in_sum, 0)) AS rank
+              FROM verts v LEFT JOIN (
+                SELECT g.dst AS id, SUM(r.rank / d.out_deg) AS in_sum
+                FROM g JOIN {prev} r ON g.src = r.id
+                JOIN outdeg d ON g.src = d.id
+                GROUP BY g.dst
+              ) s ON v.id = s.id
+            )"""
+        )
+        prev = f"rank_{i}"
+    ppr_body = ",\n".join(ppr_iters)
+    sql["graph_personalized_pagerank"] = f"""
+        WITH g AS MATERIALIZED ({_ngraph}),
+        seeds AS MATERIALIZED (
+          SELECT 'c' || c_custkey AS id FROM customer WHERE c_custkey < 20),
+        verts AS MATERIALIZED (
+          SELECT src AS id FROM g UNION SELECT dst FROM g
+          UNION SELECT id FROM seeds),
+        outdeg AS MATERIALIZED (
+          SELECT src AS id, COUNT(*) AS out_deg FROM g GROUP BY src),
+        rank_0 AS MATERIALIZED (
+          SELECT v.id,
+                 CASE WHEN v.id IN (SELECT id FROM seeds)
+                      THEN 1.0 / (SELECT COUNT(*) FROM seeds)
+                      ELSE 0.0 END AS rank
+          FROM verts v),
+        {ppr_body}
+        SELECT id, ROUND(rank, 6) AS ppr FROM rank_10
     """
 
     # The stub decode is deterministic byte arithmetic over the payload

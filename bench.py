@@ -186,6 +186,7 @@ HEADLINE = [
     "approx_heavy_hitters",
     "sim_l2_topk",
     "events_seasonal_anomaly",
+    "graph_personalized_pagerank",
 ]
 
 

@@ -947,3 +947,87 @@ def node2vec_walks(
         )
         out = out.unionByName(cur.select("walk_id", "start_id", "node").withColumn("step", F.lit(step)))
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Personalized PageRank: power iteration where BOTH the teleport
+    and the dangling-mass redistribution go to the SEED set only
+    (uniformly over seeds) instead of all vertices — the
+    importance-from-a-viewpoint score behind recommendation
+    ("customers like these"), graph-based relevance expansion, and
+    GraphSAGE-style neighborhood sampling. Seeds not in the graph
+    still receive teleport mass (standard PPR over the closure).
+
+    Same physical shape as ``pagerank``: one edge-keyed shuffle per
+    iteration, the dangling sum as an in-plan 1-row broadcast, eager
+    checkpoint per round; the rank expression groups
+    (1-d)/s + d*dangling/s + d*in_sum left-to-right exactly as the
+    unrolled SQL oracle."""
+    [seed_col] = seeds.columns
+    sdf = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .withColumn("__seed", F.lit(1))
+        .persist()
+    )
+    s = sdf.count()
+    if s == 0:
+        raise ValueError("personalized_pagerank: seeds must be non-empty")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    verts = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .unionByName(sdf.select("id"))
+        .distinct()
+        .join(F.broadcast(sdf), "id", "left")
+        .persist()
+    )
+    out_deg = e.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = verts.withColumn(
+        "rank",
+        F.when(F.col("__seed").isNotNull(), F.lit(1.0 / s)).otherwise(F.lit(0.0)),
+    ).select("id", "__seed", "rank")
+
+    for _ in range(max_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "a").select("a", "rank"), "a")
+            .join(out_deg.withColumnRenamed("id", "a"), "a")
+            .select(
+                F.col("b").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = ranks.join(out_deg, "id", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
+        )
+        rank_expr = (
+            F.when(
+                F.col("__seed").isNotNull(),
+                F.lit((1.0 - damping) / s)
+                + F.lit(damping) * F.col("__dangling") / F.lit(float(s)),
+            ).otherwise(F.lit(0.0))
+            + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+        )
+        ranks = (
+            verts.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("id", "__seed", rank_expr.alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    verts.unpersist()
+    sdf.unpersist()
+    return ranks.select("id", F.round("rank", round_to).alias("ppr"))

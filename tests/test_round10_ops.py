@@ -1134,3 +1134,40 @@ def test_seasonal_anomaly_integer_flag(spark):
     r = out[0]
     assert r["event_date"] == "2024-01-15" and r["hour"] == 9
     assert r["n_events"] == 10 and abs(r["ratio"] - 2.5) < 1e-9
+
+
+def test_personalized_pagerank_reduces_to_pagerank_and_localizes(spark):
+    from graph_etl_spark.operators import pagerank, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5)], "src long, dst long"
+    )
+    all_verts = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    # seeds = all vertices -> identical to uniform pagerank, bit for bit
+    pr = {r["id"]: r["pagerank"] for r in pagerank(edges, max_iter=5).collect()}
+    ppr_all = {
+        r["id"]: r["ppr"]
+        for r in personalized_pagerank(edges, all_verts, max_iter=5).collect()
+    }
+    assert pr == ppr_all
+    # seeds = {1}: the 4-5 component is unreachable -> rank exactly 0;
+    # mass stays a distribution over the reachable triangle
+    seeds = spark.createDataFrame([(1,)], "id long")
+    ppr = {
+        r["id"]: r["ppr"]
+        for r in personalized_pagerank(edges, seeds, max_iter=60).collect()
+    }
+    assert ppr[4] == 0.0 and ppr[5] == 0.0
+    # analytic fixpoint of the 3-cycle from seed 1:
+    # r1 = 0.15/(1-0.85^3), r2 = 0.85*r1, r3 = 0.85^2*r1
+    r1 = 0.15 / (1 - 0.85**3)
+    # 60 rounds leave ~0.85^20 of the initial mass still circling the
+    # 3-cycle unmixed -> tolerance 1e-4, tight enough to pin the shape
+    assert abs(ppr[1] - r1) < 1e-4
+    assert abs(ppr[2] - 0.85 * r1) < 1e-4
+    assert abs(ppr[3] - 0.85 * 0.85 * r1) < 1e-4
+    assert abs(sum(ppr.values()) - 1.0) < 1e-4
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        personalized_pagerank(edges, seeds.filter("id > 99"), max_iter=2)

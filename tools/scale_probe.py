@@ -323,21 +323,21 @@ def main() -> None:
         ),
         # r10: RAKE — disjoint per-copy tokens grow the word-stats
         # vocab ~Nx with the corpus; segmentation window is per-doc
-        "rake_keywords": lambda d: ops.rake_keywords(d, top_k=3),
+        "rake_keywords": lambda d: (lambda: ops.rake_keywords(d, top_k=3)),
         # r10: Dunning LLR — same bigram/marginal shape as pmi_bigrams
-        "llr_collocations": lambda d: ops.llr_collocations(d, min_count=5),
+        "llr_collocations": lambda d: (lambda: ops.llr_collocations(d, min_count=5)),
         # r10: two-phase exact prefix sum — bucket-local running sums
         # + broadcast offsets; rows 10x over fixed buckets must stay
         # scan-linear with NO single-reducer cumsum
-        "shard_plan": lambda d: ops.shard_plan(d, token_budget=512),
+        "shard_plan": lambda d: (lambda: ops.shard_plan(d, token_budget=512)),
         # r10: Gini — the two-phase exact rank + one aggregation
-        "gini_tokens": lambda d: ops.gini_coefficient(
+        "gini_tokens": lambda d: (lambda: ops.gini_coefficient(
             __import__("graph_etl_spark.operators.text", fromlist=["token_count"]).token_count(d),
             "n_tokens", "doc_id",
-        ),
+        )),
         # r10: Misra-Gries — bounded k-counter state per partition,
         # partitions x k summary rows; must be ~scan-linear
-        "mg_heavy_hitters": lambda d: ops.mg_heavy_hitters(d, "source", k=8),
+        "mg_heavy_hitters": lambda d: (lambda: ops.mg_heavy_hitters(d, "source", k=8)),
     }
 
     # graph/fuzzy cases run over lineitem-derived frames: copies get
