@@ -2892,6 +2892,30 @@ def q_text_llr_collocations(spark, sf):
     return llr_collocations(_t(spark, sf, "documents"), min_count=5)
 
 
+def q_approx_quantile_sketch(spark, sf):
+    """Rank-sketch quantiles judged on the mergeable bound: for each
+    of q in {0.25, 0.5, 0.9} over events.value, the EXACT rank of the
+    estimate must sit within q*N +- (N/k + partitions). The estimate
+    varies with partitioning; the bound may not."""
+    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    k = 64
+    est = ops.quantile_summary(e, "value", [0.25, 0.5, 0.9], k=k)
+    rows = est.collect()
+    n = rows[0]["n_total"]
+    parts = e.rdd.getNumPartitions()
+    bound = n / k + parts
+    flags = []
+    for r in rows:
+        true_rank = e.filter(
+            F.col("value").cast("double") <= F.lit(r["estimate"])
+        ).count()
+        flags.append(abs(true_rank - r["q"] * n) <= bound)
+    return spark.createDataFrame(
+        [(int(k), int(n > 0), int(all(flags)))],
+        "k int, nonempty int, rank_bounds_ok int",
+    )
+
+
 def q_sim_l2_topk(spark, sf):
     """Exact Euclidean top-k (the third FAISS flat metric): 10 query
     vectors, k=5, via the Arrow per-partition reduction plan —
@@ -3320,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_l2_topk": q_sim_l2_topk,
         "events_seasonal_anomaly": q_events_seasonal_anomaly,
         "graph_personalized_pagerank": q_graph_personalized_pagerank,
+        "approx_quantile_sketch": q_approx_quantile_sketch,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6759,6 +6784,10 @@ def oracle_sql() -> dict[str, str]:
                ROUND((d.n_events * c.ndays) / c.tot, 6) AS ratio
         FROM daily d JOIN cells c USING (event_type, dow, hour)
         WHERE d.n_events * c.ndays > 2 * c.tot
+    """
+
+    sql["approx_quantile_sketch"] = """
+        SELECT 64 AS k, 1 AS nonempty, 1 AS rank_bounds_ok
     """
 
     sql["sim_l2_topk"] = """

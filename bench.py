@@ -187,6 +187,7 @@ HEADLINE = [
     "sim_l2_topk",
     "events_seasonal_anomaly",
     "graph_personalized_pagerank",
+    "approx_quantile_sketch",
 ]
 
 

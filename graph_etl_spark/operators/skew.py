@@ -147,3 +147,75 @@ def mg_heavy_hitters(
     return spark.createDataFrame(
         out or [(None, 0)][:0], schema
     )
+
+
+def quantile_summary(
+    df: DataFrame,
+    col: str,
+    quantiles: list[float],
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable rank-sketch quantile estimates: each partition sorts
+    its values once and keeps every ceil(n/k)-th element (chunk max)
+    with the chunk size as its weight, so a summary row at cumulative
+    weight W has true within-partition rank in [W, W + g) — merging
+    the partitions' summaries by value therefore bounds the GLOBAL
+    rank error of any estimate by Σ g_p < N/k + P (partitions). The
+    q-quantile estimate is the first merged value whose cumulative
+    weight reaches q·N. The deterministic, no-randomness sibling of
+    GK/KLL: the ESTIMATE depends on partitioning, the BOUND does not
+    (same contract style as ``mg_heavy_hitters``).
+
+    Output: (q, estimate, n_total) — one row per requested quantile.
+
+    Scale: one Arrow-batched ``mapInPandas`` pass (per-partition sort
+    of its own slice — no shuffle); only partitions × k summary rows
+    reach the driver merge."""
+    if int(k) < 1:
+        raise ValueError(f"quantile_summary: k must be >= 1 (got {k})")
+    for q in quantiles:
+        if not (0.0 < float(q) < 1.0):
+            raise ValueError(f"quantile_summary: q must be in (0,1) (got {q})")
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        vals = []
+        for pdf in batches:
+            v = pdf[col].dropna().to_numpy()
+            if len(v):
+                vals.append(v)
+        if not vals:
+            return
+        arr = np.sort(np.concatenate(vals))
+        n = len(arr)
+        g = -(-n // int(k))  # ceil
+        rows_v, rows_w = [], []
+        for start in range(0, n, g):
+            chunk = arr[start : start + g]
+            rows_v.append(float(chunk[-1]))
+            rows_w.append(int(len(chunk)))
+        yield pd.DataFrame({"v": rows_v, "w": rows_w})
+
+    partials = (
+        df.select(F.col(col).cast("double").alias(col))
+        .filter(F.col(col).isNotNull())
+        .mapInPandas(partial, "v double, w long")
+        .collect()
+    )
+    merged = sorted((r["v"], r["w"]) for r in partials)
+    n_total = sum(w for _, w in merged)
+    out = []
+    for q in quantiles:
+        target = float(q) * n_total
+        cum = 0
+        est = merged[-1][0] if merged else None
+        for v, w in merged:
+            cum += w
+            if cum >= target:
+                est = v
+                break
+        out.append((float(q), est, int(n_total)))
+    spark = df.sparkSession
+    return spark.createDataFrame(out, "q double, estimate double, n_total long")

@@ -22,7 +22,7 @@ ROUND10_NEW_OR_CHANGED = [
     "quality_gini_tokens", "sim_mips_ivf_topk", "events_holt_forecast",
     "etl_fk_orphans", "events_seasonal_profile", "text_llr_collocations",
     "approx_heavy_hitters", "sim_l2_topk", "events_seasonal_anomaly",
-    "graph_personalized_pagerank",
+    "graph_personalized_pagerank", "approx_quantile_sketch",
     "quality_negative_samples", "quality_ppl_gate",
     "etl_chunk_counts", "quality_quantile_normalize", "topk_orders",
 ]

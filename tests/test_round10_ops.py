@@ -1171,3 +1171,31 @@ def test_personalized_pagerank_reduces_to_pagerank_and_localizes(spark):
 
     with _pt.raises(ValueError):
         personalized_pagerank(edges, seeds.filter("id > 99"), max_iter=2)
+
+
+def test_quantile_summary_bound_across_partitionings(spark):
+    import random
+
+    from graph_etl_spark.operators import quantile_summary
+
+    rng = random.Random(11)
+    vals = sorted(rng.uniform(0, 1000) for _ in range(5000))
+    rows = [(v,) for v in vals]
+    rng.shuffle(rows)
+    for parts in (1, 8, 32):
+        df = spark.createDataFrame(rows, "value double").repartition(parts)
+        k = 32
+        out = quantile_summary(df, "value", [0.1, 0.5, 0.99], k=k).collect()
+        n = 5000
+        bound = n / k + parts
+        for r in out:
+            assert r["n_total"] == n
+            true_rank = sum(1 for v in vals if v <= r["estimate"])
+            assert abs(true_rank - r["q"] * n) <= bound, (parts, r)
+    import pytest as _pt
+
+    df1 = spark.createDataFrame(rows[:5], "value double")
+    with _pt.raises(ValueError):
+        quantile_summary(df1, "value", [1.5])
+    with _pt.raises(ValueError):
+        quantile_summary(df1, "value", [0.5], k=0)
