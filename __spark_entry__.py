@@ -2926,6 +2926,21 @@ def q_sim_l2_topk(spark, sf):
     return ops.l2_topk(e, e.filter(F.col("vec_id") < 10), k=5, scale=True)
 
 
+def q_sim_maxsim_topk(spark, sf):
+    """ColBERT-style MaxSim late interaction: label 0's vectors are
+    the multi-vector query document, every other label a candidate;
+    score = sum over query vectors of the max rounded dot — one
+    broadcast of the query side, one (doc, qvec) max agg, one
+    doc-keyed decimal sum, TakeOrderedAndProject top-5."""
+    e = _t(spark, sf, "embeddings")
+    return ops.maxsim_topk(
+        e.filter(F.col("label") != 0),
+        e.filter(F.col("label") == 0),
+        k=5,
+        doc_col="label",
+    )
+
+
 def q_approx_heavy_hitters(spark, sf):
     """Misra-Gries sketch judged on its mergeable-summary contract
     (k=3 counters over the 5 event types, so eviction really runs):
@@ -3345,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_anomaly": q_events_seasonal_anomaly,
         "graph_personalized_pagerank": q_graph_personalized_pagerank,
         "approx_quantile_sketch": q_approx_quantile_sketch,
+        "sim_maxsim_topk": q_sim_maxsim_topk,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6784,6 +6800,27 @@ def oracle_sql() -> dict[str, str]:
                ROUND((d.n_events * c.ndays) / c.tot, 6) AS ratio
         FROM daily d JOIN cells c USING (event_type, dow, hour)
         WHERE d.n_events * c.ndays > 2 * c.tot
+    """
+
+    sql["sim_maxsim_topk"] = """
+        WITH q AS (
+          SELECT vec_id AS qid, embedding FROM embeddings WHERE label = 0
+        ), d AS (
+          SELECT label, embedding FROM embeddings WHERE label <> 0
+        ), best AS (
+          SELECT d.label, q.qid,
+                 MAX(ROUND(list_dot_product(q.embedding::DOUBLE[],
+                                            d.embedding::DOUBLE[]), 6)
+                     ::DECIMAL(20,6)) AS best
+          FROM d, q GROUP BY 1, 2
+        ), sc AS (
+          SELECT label, SUM(best)::DOUBLE AS maxsim FROM best GROUP BY label
+        )
+        SELECT label, maxsim, rank FROM (
+          SELECT label, maxsim,
+                 row_number() OVER (ORDER BY maxsim DESC, label)::INT AS rank
+          FROM sc
+        ) WHERE rank <= 5
     """
 
     sql["approx_quantile_sketch"] = """

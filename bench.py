@@ -188,6 +188,7 @@ HEADLINE = [
     "events_seasonal_anomaly",
     "graph_personalized_pagerank",
     "approx_quantile_sketch",
+    "sim_maxsim_topk",
 ]
 
 

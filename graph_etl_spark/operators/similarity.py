@@ -1882,3 +1882,70 @@ def l2_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "l2_dist", "rank")
     )
+
+
+def maxsim_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) document scoring: both
+    sides are MULTI-VECTOR documents (one row per vector), and
+    score(Q, D) = Σ_{q ∈ Q} max_{v ∈ D} dot(q, v) — each query vector
+    finds its best match in the candidate document, which is what
+    makes late interaction beat single-vector retrieval on long or
+    multi-aspect documents. ``queries`` holds ONE query document's
+    vectors; output is the top-k candidate documents.
+
+    Determinism: per-pair dots round to ``round_to`` dp before the
+    max (order-free); per-document MaxSim is the exact decimal sum of
+    the per-query maxima; ranking ties break on the document id.
+
+    Output: (doc_col, maxsim, rank).
+
+    Scale: the query document is small by construction and broadcast
+    (a query carries tens of vectors, not millions); the candidate
+    side streams map-side through the dot products, then ONE
+    (doc, query-vector) max aggregation and ONE doc-keyed sum — no
+    candidate-side self-join, no window over data-sized input except
+    the final k-row rank."""
+    if queries.limit(1).count() == 0:
+        raise ValueError("maxsim_topk: queries must be non-empty")
+    # stable small ids for the query vectors: row_number over the
+    # vector's string form — content-deterministic, not
+    # partition-dependent; the query side is tiny by construction so
+    # this unpartitioned window ranks tens of rows
+    qw = Window.orderBy(F.col("__qvec").cast("array<double>").cast("string"))
+    q = queries.select(F.col(vec_col).alias("__qvec")).withColumn(
+        "__qid", F.row_number().over(qw)
+    )
+    d = fan_out(data).select(
+        F.col(doc_col).alias("__doc"), F.col(vec_col).alias("__dvec")
+    )
+    per_pair = (
+        d.crossJoin(F.broadcast(q))
+        .withColumn(
+            "__dot",
+            F.round(dot(F.col("__qvec"), F.col("__dvec")), round_to).cast(
+                "decimal(20,6)"
+            ),
+        )
+        .groupBy("__doc", "__qid")
+        .agg(F.max("__dot").alias("__best"))
+    )
+    scored = per_pair.groupBy("__doc").agg(
+        F.sum("__best").cast("double").alias("maxsim")
+    )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject (per-
+    # partition top-k + k-row merge); the rank window then sees only
+    # the k survivors — the bm25_rank discipline, no data-sized
+    # unpartitioned window
+    top = scored.orderBy(F.desc("maxsim"), F.col("__doc").asc()).limit(int(k))
+    w = Window.orderBy(F.desc("maxsim"), F.col("__doc").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(F.col("__doc").alias(doc_col), "maxsim", "rank")
+    )

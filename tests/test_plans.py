@@ -727,6 +727,10 @@ _UNPARTITIONED_WINDOW_OK = {
     "text_bm25_rank",
     # same shape: TakeOrderedAndProject feeds a 15-row rank window
     "topk_orders",
+    # two bounded windows: the query-side vector-id assignment ranks
+    # tens of rows (one query document), and the final rank sees only
+    # the k TakeOrderedAndProject survivors
+    "sim_maxsim_topk",
 }
 
 

@@ -1199,3 +1199,34 @@ def test_quantile_summary_bound_across_partitionings(spark):
         quantile_summary(df1, "value", [1.5])
     with _pt.raises(ValueError):
         quantile_summary(df1, "value", [0.5], k=0)
+
+
+def test_maxsim_late_interaction_beats_single_vector_case(spark):
+    """Hand-checkable MaxSim: each query vector independently picks
+    its best match inside a candidate doc, so a doc covering BOTH
+    query aspects beats a doc twice as strong on one aspect — the
+    property single-vector pooling loses."""
+    from graph_etl_spark.operators import maxsim_topk
+
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]), (1, [0.0, 0.1]),   # strong on aspect 1 only
+            (2, [1.0, 0.0]), (2, [0.0, 1.0]),   # covers both aspects
+            (3, [0.5, 0.0]),                    # weak, single vector
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = {r["doc_id"]: r for r in maxsim_topk(cands, q, k=3).collect()}
+    # doc1: max(2.0, 0) + max(0, 0.1) = 2.1; doc2: 1 + 1 = 2; doc3: 0.5
+    assert abs(out[1]["maxsim"] - 2.1) < 1e-9
+    assert abs(out[2]["maxsim"] - 2.0) < 1e-9
+    assert abs(out[3]["maxsim"] - 0.5) < 1e-9
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2 and out[3]["rank"] == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        maxsim_topk(cands, q.filter("vec_id > 999"), k=3)
