@@ -1421,6 +1421,15 @@ def q_dedup_ngram_jaccard_pairs(spark, sf):
     return ops.ngram_jaccard_pairs(d, threshold=0.12)
 
 
+def q_dedup_containment_pairs(spark, sf):
+    """Asymmetric shingle containment (quote/boilerplate-inclusion
+    detection): pairs where |A∩B|/min-side clears 0.3 — the shared
+    capped inverted-index stage of the jaccard path with asymmetric
+    final scoring."""
+    d = _t(spark, sf, "documents")
+    return ops.shingle_containment_pairs(d, threshold=0.3)
+
+
 def q_dedup_simhash_pairs(spark, sf):
     """SimHash near-dup pairs via the pigeonhole equi-join (exact,
     recall 1.0 — no theta self-join in the plan). 32-bit signatures:
@@ -3361,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_personalized_pagerank": q_graph_personalized_pagerank,
         "approx_quantile_sketch": q_approx_quantile_sketch,
         "sim_maxsim_topk": q_sim_maxsim_topk,
+        "dedup_containment_pairs": q_dedup_containment_pairs,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6800,6 +6810,30 @@ def oracle_sql() -> dict[str, str]:
                ROUND((d.n_events * c.ndays) / c.tot, 6) AS ratio
         FROM daily d JOIN cells c USING (event_type, dow, hour)
         WHERE d.n_events * c.ndays > 2 * c.tot
+    """
+
+    sql["dedup_containment_pairs"] = """
+        WITH sh0 AS (
+          SELECT doc_id, unnest(list_distinct(CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) >= 3 THEN list_transform(range(1, len(list_filter(string_split(text, ' '), t -> t <> '')) - 1), i -> array_to_string(list_slice(list_filter(string_split(text, ' '), t -> t <> ''), i, i + 2), ' ')) ELSE [array_to_string(list_filter(string_split(text, ' '), t -> t <> ''), ' ')] END)) AS s FROM documents
+        ), dfreq AS (
+          SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s
+        ), sh AS (
+          SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq USING (s) WHERE df <= 16
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(inter / sa.n_sh::DOUBLE, 6) AS containment_a,
+               ROUND(inter / sb.n_sh::DOUBLE, 6) AS containment_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE GREATEST(ROUND(inter / sa.n_sh::DOUBLE, 6),
+                       ROUND(inter / sb.n_sh::DOUBLE, 6)) >= 0.3
     """
 
     sql["sim_maxsim_topk"] = """

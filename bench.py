@@ -189,6 +189,7 @@ HEADLINE = [
     "graph_personalized_pagerank",
     "approx_quantile_sketch",
     "sim_maxsim_topk",
+    "dedup_containment_pairs",
 ]
 
 

@@ -310,6 +310,34 @@ def ngram_jaccard_pairs(
     capped lists; the posting-list frame feeds both consumers via
     localCheckpoint.
     """
+    inter, sa, sb = _shingle_inter_sizes(
+        df, text_col, id_col, shingle_n, max_shingle_df
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_inter_sizes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_shingle_df: int | None,
+):
+    """Shared inverted-index stage of the shingle-pair family
+    (``ngram_jaccard_pairs``, ``shingle_containment_pairs``): capped
+    posting lists (see the jaccard docstring for the exactness and
+    linear-growth arguments), pairwise intersection counts generated
+    INSIDE each posting list, and per-doc filtered set sizes. Returns
+    (inter, sizes_as_a, sizes_as_b)."""
     sh = (
         fan_out(df)
         .withColumn("__toks", tokens_col(F.col(text_col)))
@@ -364,15 +392,47 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return inter, sa, sb
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 16,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment — |A ∩ B| / |A| and / |B| — for
+    every pair sharing a (non-stop) shingle, emitting pairs where the
+    LARGER containment clears ``threshold``. Catches what symmetric
+    Jaccard misses: a short document quoted inside a much longer one
+    scores near-1 containment but near-0 Jaccard — the
+    quote/boilerplate-inclusion detector of substring-dedup pipelines
+    (Lee et al. 2022 measure exactly this asymmetry).
+
+    Output: (id_a, id_b, containment_a, containment_b) with
+    containment_a = inter/|A| (A contained in B), 6-dp rounded.
+
+    Physical shape: identical to ``ngram_jaccard_pairs`` — the shared
+    capped inverted-index stage (``_shingle_inter_sizes``; same ONE
+    scan, ONE shuffle, provably linear candidate growth), only the
+    final scoring differs. Candidate recall inherits the shared-
+    shingle requirement: with the stop-shingle cap on, a contained
+    doc whose every shingle is corpus-hot is not paired — the same
+    documented trade as the jaccard path."""
+    inter, sa, sb = _shingle_inter_sizes(
+        df, text_col, id_col, shingle_n, max_shingle_df
+    )
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        .withColumn("containment_a", F.round(F.col("inter") / F.col("n_a"), 6))
+        .withColumn("containment_b", F.round(F.col("inter") / F.col("n_b"), 6))
+        .filter(
+            F.greatest("containment_a", "containment_b") >= threshold
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "containment_a", "containment_b")
     )
 
 

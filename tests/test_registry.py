@@ -23,7 +23,7 @@ ROUND10_NEW_OR_CHANGED = [
     "etl_fk_orphans", "events_seasonal_profile", "text_llr_collocations",
     "approx_heavy_hitters", "sim_l2_topk", "events_seasonal_anomaly",
     "graph_personalized_pagerank", "approx_quantile_sketch",
-    "sim_maxsim_topk",
+    "sim_maxsim_topk", "dedup_containment_pairs",
     "quality_negative_samples", "quality_ppl_gate",
     "etl_chunk_counts", "quality_quantile_normalize", "topk_orders",
 ]

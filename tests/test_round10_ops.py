@@ -1230,3 +1230,26 @@ def test_maxsim_late_interaction_beats_single_vector_case(spark):
 
     with _pt.raises(ValueError):
         maxsim_topk(cands, q.filter("vec_id > 999"), k=3)
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment ~1 for the
+    short side while Jaccard stays tiny — the asymmetry the operator
+    exists for."""
+    from graph_etl_spark.operators import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = [(0, quote), (1, filler + " " + quote + " " + filler.replace("w", "u"))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cont = shingle_containment_pairs(df, threshold=0.8, max_shingle_df=None).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    # every shingle of the quote occurs in the long doc
+    assert r["id_a"] == 0 and r["containment_a"] == 1.0
+    assert r["containment_b"] < 0.1
+    jac = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=None).collect()
+    assert jac == []  # symmetric jaccard misses the inclusion
