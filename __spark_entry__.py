@@ -2158,6 +2158,17 @@ def q_text_normalize(spark, sf):
     )
 
 
+def q_events_funnel_windowed(spark, sf):
+    """Conversion-window funnel: signup -> view -> purchase with every
+    later step inside 24 h of the signup first touch — the
+    'converted within N' semantics product funnels report; counts are
+    pointwise <= the unbounded funnel."""
+    e = _t(spark, sf, "events")
+    return ops.funnel_windowed_counts(
+        e, ["signup", "view", "purchase"], window_seconds=86400
+    )
+
+
 def q_events_funnel(spark, sf):
     """Ordered signup -> view -> purchase funnel: per prefix, users
     completing it in order (each step strictly after the previous
@@ -3371,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_sketch": q_approx_quantile_sketch,
         "sim_maxsim_topk": q_sim_maxsim_topk,
         "dedup_containment_pairs": q_dedup_containment_pairs,
+        "events_funnel_windowed": q_events_funnel_windowed,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6810,6 +6822,25 @@ def oracle_sql() -> dict[str, str]:
                ROUND((d.n_events * c.ndays) / c.tot, 6) AS ratio
         FROM daily d JOIN cells c USING (event_type, dow, hour)
         WHERE d.n_events * c.ndays > 2 * c.tot
+    """
+
+    sql["events_funnel_windowed"] = """
+        WITH e AS (SELECT user_id AS u, ts AS t, event_type AS et FROM events),
+        s1 AS (SELECT u, MIN(t) AS t1 FROM e WHERE et = 'signup' GROUP BY u),
+        s2 AS (SELECT e.u, s1.t1, MIN(t) AS t2 FROM e JOIN s1 ON e.u = s1.u
+               WHERE et = 'view' AND t > t1
+                 AND t <= t1 + INTERVAL 86400 SECONDS
+               GROUP BY e.u, s1.t1),
+        s3 AS (SELECT e.u, s2.t1, MIN(t) AS t3 FROM e JOIN s2 ON e.u = s2.u
+               WHERE et = 'purchase' AND t > t2
+                 AND t <= s2.t1 + INTERVAL 86400 SECONDS
+               GROUP BY e.u, s2.t1)
+        SELECT 1 AS step, 'signup' AS event_type,
+               COUNT(*)::BIGINT AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'view', COUNT(*)::BIGINT FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*)::BIGINT FROM s3
     """
 
     sql["dedup_containment_pairs"] = """

@@ -190,6 +190,7 @@ HEADLINE = [
     "approx_quantile_sketch",
     "sim_maxsim_topk",
     "dedup_containment_pairs",
+    "events_funnel_windowed",
 ]
 
 

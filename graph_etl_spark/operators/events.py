@@ -361,3 +361,64 @@ def seasonal_anomaly(
             ).alias("ratio"),
         )
     )
+
+
+def funnel_windowed_counts(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-window funnel: like ``funnel_counts`` (first-touch
+    anchors, each step strictly after the previous step's qualifying
+    timestamp) but every later step must ALSO land within
+    ``window_seconds`` of the user's step-1 first touch — the
+    Amplitude/GA-style "converted within N days" semantics, which is
+    what product funnels actually report (an unbounded funnel credits
+    a purchase a year after the click).
+
+    Output: (step, event_type, n_users) — non-increasing down the
+    funnel, and pointwise <= the unbounded funnel's counts.
+
+    Scale: identical shape to ``funnel_counts`` — one shuffle on the
+    user key; per-step frames stay one row per user with the step-1
+    anchor threaded through for the window test."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if int(window_seconds) < 1:
+        raise ValueError(
+            f"funnel_windowed_counts: window_seconds must be >= 1 "
+            f"(got {window_seconds})"
+        )
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("et"),
+    )
+    reached = (
+        base.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t1"))
+        .withColumn("__prev", F.col("t1"))
+    )
+    out_rows = [(1, steps[0], reached)]
+    limit = F.col("t1") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+    for i, step in enumerate(steps[1:], start=2):
+        prev = out_rows[-1][2]
+        nxt = (
+            base.filter(F.col("et") == step)
+            .join(prev.select("u", "t1", "__prev"), "u")
+            .filter((F.col("t") > F.col("__prev")) & (F.col("t") <= limit))
+            .groupBy("u", "t1")
+            .agg(F.min("t").alias("__prev"))
+        )
+        out_rows.append((i, step, nxt))
+    counts = None
+    for i, step, frame in out_rows:
+        c = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(step).alias("event_type"), "n_users"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts

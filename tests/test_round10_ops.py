@@ -1253,3 +1253,36 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert r["containment_b"] < 0.1
     jac = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=None).collect()
     assert jac == []  # symmetric jaccard misses the inclusion
+
+
+def test_funnel_windowed_subset_of_unbounded(spark):
+    from datetime import datetime, timedelta
+
+    from graph_etl_spark.operators import funnel_counts, funnel_windowed_counts
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    rows = [
+        # user 1 converts fully inside the window
+        (1, t0, "signup"), (1, t0 + timedelta(hours=1), "view"),
+        (1, t0 + timedelta(hours=2), "purchase"),
+        # user 2's purchase lands after the 24h window -> windowed drops it
+        (2, t0, "signup"), (2, t0 + timedelta(hours=3), "view"),
+        (2, t0 + timedelta(hours=30), "purchase"),
+        # user 3 views before signing up -> neither funnel credits the view
+        (3, t0 + timedelta(hours=1), "signup"), (3, t0, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["signup", "view", "purchase"]
+    unb = {r["step"]: r["n_users"] for r in funnel_counts(df, steps).collect()}
+    win = {
+        r["step"]: r["n_users"]
+        for r in funnel_windowed_counts(df, steps, window_seconds=86400).collect()
+    }
+    assert unb == {1: 3, 2: 2, 3: 2}
+    assert win == {1: 3, 2: 2, 3: 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        funnel_windowed_counts(df, steps, window_seconds=0)
+    with _pt.raises(ValueError):
+        funnel_windowed_counts(df, [], window_seconds=10)

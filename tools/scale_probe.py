@@ -338,6 +338,11 @@ def main() -> None:
         # r10: Misra-Gries — bounded k-counter state per partition,
         # partitions x k summary rows; must be ~scan-linear
         "mg_heavy_hitters": lambda d: (lambda: ops.mg_heavy_hitters(d, "source", k=8)),
+        # r10: containment — the same capped inverted-index stage as
+        # jaccard (shared helper), so the same linear-growth argument
+        "containment_pairs": lambda d: (
+            lambda: ops.shingle_containment_pairs(d, threshold=0.3)
+        ),
     }
 
     # graph/fuzzy cases run over lineitem-derived frames: copies get
@@ -578,6 +583,16 @@ def main() -> None:
         "seasonal_profile": lambda f: ops.seasonal_profile(f),
         "seasonal_anomaly": lambda f: ops.seasonal_anomaly(f, factor=2),
     }
+
+    # event-frame operators that do their work at CONSTRUCTION time
+    # (driver-side collects) — thunk-timed like li_thunk_cases
+    ev_thunk_cases = {
+        # r10: rank sketch — per-partition sort of its own slice, only
+        # partitions x k summary rows collected
+        "quantile_sketch": lambda f: (
+            lambda: ops.quantile_summary(f, "value", [0.5, 0.9], k=64)
+        ),
+    }
     vec_cases = {
         # r8 batch 13: embedding drift — dims fixed (vector width),
         # vectors 10x; two dimension-keyed aggs, must be scan-linear
@@ -638,6 +653,13 @@ def main() -> None:
         "mips_ivf_topk": lambda e: ops.mips_ivf_topk(
             e, e.filter(F.col("vec_id") < 10), k=5, nlist=8, nprobe=2
         ),
+        # r10: MaxSim — query doc fixed (label 0), candidates 10x;
+        # one broadcast + one (doc, qvec) max agg + one doc sum
+        "maxsim_topk": lambda e: ops.maxsim_topk(
+            e.filter(F.col("label") != 0),
+            e.filter((F.col("label") == 0) & (F.col("vec_id") < 9999)),
+            k=5, doc_col="label",
+        ),
     }
 
     # warm codegen/Arrow paths once (not timed)
@@ -665,6 +687,11 @@ def main() -> None:
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
     for name, fn in _sel(ev_cases).items():
         t1, tn = timed(fn(replicate_events(1))), timed(fn(replicate_events(n)))
+        result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
+        print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
+    for name, fn in _sel(ev_thunk_cases).items():
+        t1 = timed_thunk(fn(replicate_events(1)))
+        tn = timed_thunk(fn(replicate_events(n)))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
     for name, fn in _sel(thunk_cases).items():
