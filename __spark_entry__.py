@@ -2158,6 +2158,14 @@ def q_text_normalize(spark, sf):
     )
 
 
+def q_events_rfm_segments(spark, sf):
+    """RFM lifecycle segmentation: per-user recency (vs corpus max
+    ts), frequency, decimal monetary sum, each banded 1-5 by EXACT
+    global rank via the two-phase shape — zero unpartitioned windows
+    over the data-sized user set."""
+    return ops.rfm_segments(_t(spark, sf, "events"), n_bands=5)
+
+
 def q_events_funnel_windowed(spark, sf):
     """Conversion-window funnel: signup -> view -> purchase with every
     later step inside 24 h of the signup first touch — the
@@ -3383,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_maxsim_topk": q_sim_maxsim_topk,
         "dedup_containment_pairs": q_dedup_containment_pairs,
         "events_funnel_windowed": q_events_funnel_windowed,
+        "events_rfm_segments": q_events_rfm_segments,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6822,6 +6831,38 @@ def oracle_sql() -> dict[str, str]:
                ROUND((d.n_events * c.ndays) / c.tot, 6) AS ratio
         FROM daily d JOIN cells c USING (event_type, dow, hour)
         WHERE d.n_events * c.ndays > 2 * c.tot
+    """
+
+    sql["events_rfm_segments"] = """
+        WITH base AS (
+          SELECT user_id, ts, value FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), anchor AS (
+          SELECT MAX(floor(epoch(ts)))::BIGINT AS now FROM base
+        ), per_user AS (
+          SELECT user_id AS "user",
+                 (SELECT now FROM anchor)
+                   - MAX(floor(epoch(ts)))::BIGINT AS recency_s,
+                 COUNT(*)::BIGINT AS frequency,
+                 COALESCE(SUM(ROUND(value, 2)::DECIMAL(20,2)),
+                          0::DECIMAL(20,2)) AS monetary
+          FROM base GROUP BY 1
+        ), n AS (SELECT COUNT(*)::BIGINT AS n FROM per_user),
+        ranked AS (
+          SELECT *,
+            row_number() OVER (ORDER BY recency_s::DOUBLE, "user")
+              ::BIGINT AS rr,
+            row_number() OVER (ORDER BY frequency::DOUBLE, "user")
+              ::BIGINT AS rf,
+            row_number() OVER (ORDER BY monetary::DOUBLE, "user")
+              ::BIGINT AS rm
+          FROM per_user
+        )
+        SELECT "user", recency_s, frequency, monetary::DOUBLE AS monetary,
+               6 - (1 + floor((rr - 1) * 5 / n.n)::BIGINT) AS r,
+               1 + floor((rf - 1) * 5 / n.n)::BIGINT AS f,
+               1 + floor((rm - 1) * 5 / n.n)::BIGINT AS m
+        FROM ranked CROSS JOIN n
     """
 
     sql["events_funnel_windowed"] = """

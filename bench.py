@@ -191,6 +191,7 @@ HEADLINE = [
     "sim_maxsim_topk",
     "dedup_containment_pairs",
     "events_funnel_windowed",
+    "events_rfm_segments",
 ]
 
 

@@ -24,7 +24,7 @@ ROUND10_NEW_OR_CHANGED = [
     "approx_heavy_hitters", "sim_l2_topk", "events_seasonal_anomaly",
     "graph_personalized_pagerank", "approx_quantile_sketch",
     "sim_maxsim_topk", "dedup_containment_pairs",
-    "events_funnel_windowed",
+    "events_funnel_windowed", "events_rfm_segments",
     "quality_negative_samples", "quality_ppl_gate",
     "etl_chunk_counts", "quality_quantile_normalize", "topk_orders",
 ]

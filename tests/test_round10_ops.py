@@ -1286,3 +1286,35 @@ def test_funnel_windowed_subset_of_unbounded(spark):
         funnel_windowed_counts(df, steps, window_seconds=0)
     with _pt.raises(ValueError):
         funnel_windowed_counts(df, [], window_seconds=10)
+
+
+def test_rfm_segments_hand_bands(spark):
+    from datetime import datetime, timedelta
+
+    from graph_etl_spark.operators import rfm_segments
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 5 users: user i has i+1 events, value 10*(i+1) each, with its
+    # last event on day i — so user 4 is the most recent, most
+    # frequent, and highest-value; monotone R/F/M by construction
+    for i in range(5):
+        for j in range(i + 1):
+            rows.append((eid, t0 + timedelta(days=i, hours=j), i, 10.0 * (i + 1)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    out = {r["user"]: r for r in rfm_segments(df, n_bands=5).collect()}
+    assert len(out) == 5
+    # user 4 is most recent, most frequent, highest-value -> 5/5/5
+    assert (out[4]["r"], out[4]["f"], out[4]["m"]) == (5, 5, 5)
+    # user 0 is the opposite extreme
+    assert (out[0]["r"], out[0]["f"], out[0]["m"]) == (1, 1, 1)
+    # bands are a permutation of 1..5 on each axis here (all distinct)
+    for axis in ("r", "f", "m"):
+        assert sorted(out[u][axis] for u in out) == [1, 2, 3, 4, 5]
+    assert out[4]["frequency"] == 5 and out[4]["monetary"] == 250.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rfm_segments(df, n_bands=0)
