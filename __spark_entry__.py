@@ -2158,6 +2158,13 @@ def q_text_normalize(spark, sf):
     )
 
 
+def q_etl_key_skew_report(spark, sf):
+    """The 'should I salt this join?' diagnostic: top-10 order keys of
+    lineitem by frequency with their row share — one count
+    aggregation + TakeOrderedAndProject."""
+    return ops.key_skew_report(_t(spark, sf, "lineitem"), "l_orderkey", top=10)
+
+
 def q_events_rfm_segments(spark, sf):
     """RFM lifecycle segmentation: per-user recency (vs corpus max
     ts), frequency, decimal monetary sum, each banded 1-5 by EXACT
@@ -3392,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_pairs": q_dedup_containment_pairs,
         "events_funnel_windowed": q_events_funnel_windowed,
         "events_rfm_segments": q_events_rfm_segments,
+        "etl_key_skew_report": q_etl_key_skew_report,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6831,6 +6839,16 @@ def oracle_sql() -> dict[str, str]:
                ROUND((d.n_events * c.ndays) / c.tot, 6) AS ratio
         FROM daily d JOIN cells c USING (event_type, dow, hour)
         WHERE d.n_events * c.ndays > 2 * c.tot
+    """
+
+    sql["etl_key_skew_report"] = """
+        WITH counts AS (
+          SELECT l_orderkey, COUNT(*)::BIGINT AS cnt FROM lineitem
+          GROUP BY l_orderkey
+        ), t AS (SELECT SUM(cnt)::BIGINT AS total FROM counts)
+        SELECT l_orderkey, cnt,
+               ROUND(cnt / (SELECT total FROM t)::DOUBLE, 6) AS share
+        FROM counts ORDER BY cnt DESC, l_orderkey LIMIT 10
     """
 
     sql["events_rfm_segments"] = """

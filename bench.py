@@ -192,6 +192,7 @@ HEADLINE = [
     "dedup_containment_pairs",
     "events_funnel_windowed",
     "events_rfm_segments",
+    "etl_key_skew_report",
 ]
 
 
