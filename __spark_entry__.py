@@ -2158,6 +2158,16 @@ def q_text_normalize(spark, sf):
     )
 
 
+def q_text_zipf_fit(spark, sf):
+    """Zipf's-law slope over the top-100 token frequencies (corpus
+    health: natural text near -1, template floods collapse toward 0):
+    exact counts, 9-dp decimal logs so the OLS sums are order-free,
+    one final division."""
+    from graph_etl_spark.operators.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf, "documents"), top_k=100)
+
+
 def q_etl_key_skew_report(spark, sf):
     """The 'should I salt this join?' diagnostic: top-10 order keys of
     lineitem by frequency with their row share — one count
@@ -3400,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_windowed": q_events_funnel_windowed,
         "events_rfm_segments": q_events_rfm_segments,
         "etl_key_skew_report": q_etl_key_skew_report,
+        "text_zipf_fit": q_text_zipf_fit,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -6839,6 +6850,26 @@ def oracle_sql() -> dict[str, str]:
                ROUND((d.n_events * c.ndays) / c.tot, 6) AS ratio
         FROM daily d JOIN cells c USING (event_type, dow, hour)
         WHERE d.n_events * c.ndays > 2 * c.tot
+    """
+
+    sql["text_zipf_fit"] = """
+        WITH counts AS (
+          SELECT tok, COUNT(*)::BIGINT AS freq FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                          t -> t <> '')) AS tok
+            FROM documents
+          ) GROUP BY tok ORDER BY freq DESC, tok LIMIT 100
+        ), xy AS (
+          SELECT ROUND(ln(row_number() OVER (ORDER BY freq DESC, tok)
+                          ::DOUBLE), 9)::DECIMAL(28,9) AS x,
+                 ROUND(ln(freq::DOUBLE), 9)::DECIMAL(28,9) AS y
+          FROM counts
+        )
+        SELECT COUNT(*)::INT AS k,
+               ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::DOUBLE
+                     / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::DOUBLE,
+                     6) AS slope
+        FROM xy
     """
 
     sql["etl_key_skew_report"] = """

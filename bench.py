@@ -193,6 +193,7 @@ HEADLINE = [
     "events_funnel_windowed",
     "events_rfm_segments",
     "etl_key_skew_report",
+    "text_zipf_fit",
 ]
 
 

@@ -860,3 +860,59 @@ def llr_collocations(
         .crossJoin(F.broadcast(n_big))
         .select("token_a", "token_b", "n_pair", F.round(llr, 6).alias("llr"))
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the top-``top_k`` token frequencies: OLS
+    slope of ln(freq) on ln(rank) — the corpus-health diagnostic
+    (natural language sits near −1; a slope collapsing toward 0 flags
+    template/boilerplate floods, a steep one a degenerate vocabulary).
+
+    Determinism: token counts are exact; the top-k ranking is
+    TakeOrderedAndProject with (freq desc, token) tie order; ln values
+    round to 9-dp decimal BEFORE the OLS sums so every Σ is an exact
+    order-free decimal, and the closed-form slope
+    (kΣxy − ΣxΣy) / (kΣx² − (Σx)²) does ONE final IEEE division.
+
+    Output: one row (k, slope).
+
+    Scale: one token-keyed count aggregation (map-side combined), a
+    k-row ordered take, and one aggregation over k rows."""
+    if int(top_k) < 2:
+        raise ValueError(f"zipf_fit: top_k must be >= 2 (got {top_k})")
+    counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.col("tok"))
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(F.desc("freq"), F.col("tok"))  # k rows only
+    xy = counts.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        F.col("k").cast("int").alias("k"),
+        F.round((num.cast("double") / den.cast("double")), round_to).alias(
+            "slope"
+        ),
+    )

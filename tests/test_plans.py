@@ -731,6 +731,8 @@ _UNPARTITIONED_WINDOW_OK = {
     # tens of rows (one query document), and the final rank sees only
     # the k TakeOrderedAndProject survivors
     "sim_maxsim_topk",
+    # the rank window runs AFTER the top-k take: 100 rows
+    "text_zipf_fit",
 }
 
 

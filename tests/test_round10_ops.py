@@ -1318,3 +1318,29 @@ def test_rfm_segments_hand_bands(spark):
 
     with _pt.raises(ValueError):
         rfm_segments(df, n_bands=0)
+
+
+def test_zipf_fit_known_slopes(spark):
+    """An exact power-law corpus freq(r) = C * r^s must recover slope
+    s; a uniform corpus must fit slope 0."""
+    from graph_etl_spark.operators import zipf_fit
+
+    # freq(rank) = 2^20 / rank -> slope exactly -1 on the log-log line
+    rows = []
+    for r in range(1, 21):
+        rows.extend([(f"w{r:03d}",)] * (2 ** 20 // r // 1024))
+    df = spark.createDataFrame([(0, " ".join(w for (w,) in rows))],
+                               "doc_id long, text string")
+    out = zipf_fit(df, top_k=20).collect()[0]
+    assert out["k"] == 20
+    assert abs(out["slope"] - (-1.0)) < 0.01
+    uni = spark.createDataFrame(
+        [(0, " ".join(f"u{i} " * 7 for i in range(30)))],
+        "doc_id long, text string",
+    )
+    out2 = zipf_fit(uni, top_k=30).collect()[0]
+    assert abs(out2["slope"]) < 1e-9
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        zipf_fit(df, top_k=1)
