@@ -338,6 +338,9 @@ def main() -> None:
         # r10: Misra-Gries — bounded k-counter state per partition,
         # partitions x k summary rows; must be ~scan-linear
         "mg_heavy_hitters": lambda d: (lambda: ops.mg_heavy_hitters(d, "source", k=8)),
+        # r10: Zipf fit — one token count agg + a 100-row take + one
+        # k-row OLS agg; must be ~scan-linear
+        "zipf_fit": lambda d: (lambda: ops.zipf_fit(d, top_k=100)),
         # r10: containment — the same capped inverted-index stage as
         # jaccard (shared helper), so the same linear-growth argument
         "containment_pairs": lambda d: (
@@ -582,6 +585,11 @@ def main() -> None:
         # 168), broadcast roll-up; must be ~scan-linear
         "seasonal_profile": lambda f: ops.seasonal_profile(f),
         "seasonal_anomaly": lambda f: ops.seasonal_anomaly(f, factor=2),
+        # r10: conversion-window funnel — chained per-user min-aggs,
+        # one user-key shuffle; same regime as the unbounded funnel
+        "funnel_windowed": lambda f: ops.funnel_windowed_counts(
+            f, ["signup", "view", "purchase"], window_seconds=86400
+        ),
     }
 
     # event-frame operators that do their work at CONSTRUCTION time
@@ -591,6 +599,11 @@ def main() -> None:
         # partitions x k summary rows collected
         "quantile_sketch": lambda f: (
             lambda: ops.quantile_summary(f, "value", [0.5, 0.9], k=64)
+        ),
+        # r10: RFM — one user roll-up + three two-phase exact ranks
+        # (each collects boundaries/offsets at construction)
+        "rfm_segments": lambda f: (
+            lambda: ops.rfm_segments(f, n_bands=5)
         ),
     }
     vec_cases = {
