@@ -2158,6 +2158,18 @@ def q_text_normalize(spark, sf):
     )
 
 
+def q_text_textrank_keywords(spark, sf):
+    """TextRank keywords: pagerank (10 rounds) over the undirected
+    window-2 word co-occurrence graph, top-15 by rank — the
+    graph-centrality complement to RAKE, reusing ops.pagerank
+    unchanged over the vocabulary-sized graph."""
+    from graph_etl_spark.operators.text import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf, "documents"), cooc_window=2, top_k=15, max_iter=10
+    )
+
+
 def q_text_zipf_fit(spark, sf):
     """Zipf's-law slope over the top-100 token frequencies (corpus
     health: natural text near -1, template floods collapse toward 0):
@@ -3411,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm_segments": q_events_rfm_segments,
         "etl_key_skew_report": q_etl_key_skew_report,
         "text_zipf_fit": q_text_zipf_fit,
+        "text_textrank_keywords": q_text_textrank_keywords,
         "quality_negative_samples": q_quality_negative_samples,
         "quality_ppl_gate": q_quality_ppl_gate,
         "etl_chunk_counts": q_etl_chunk_counts,
@@ -5145,6 +5158,45 @@ def oracle_sql() -> dict[str, str]:
         rank_0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts),
         {pr_body}
         SELECT id, ROUND(rank, 6) AS pagerank FROM rank_10
+    """
+
+    # TextRank: the SAME unrolled pagerank body (pr_body references
+    # tables g/verts/outdeg only) over the word co-occurrence graph
+    sql["text_textrank_keywords"] = f"""
+        WITH tok AS (
+          SELECT doc_id, i AS pos, tk[i] AS tok
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '')
+                         AS tk
+                FROM documents),
+               unnest(range(1, len(tk) + 1)) AS t(i)
+        ), st AS (
+          SELECT tok,
+                 lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+                 lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+          FROM tok
+        ), e0 AS (
+          SELECT tok AS x, n1 AS y FROM st WHERE n1 IS NOT NULL AND tok <> n1
+          UNION ALL
+          SELECT tok, n2 FROM st WHERE n2 IS NOT NULL AND tok <> n2
+        ), und AS (
+          SELECT DISTINCT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM e0
+        ), g AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM und
+          UNION ALL SELECT v, u FROM und
+        ),
+        verts AS MATERIALIZED (SELECT src AS id FROM g UNION SELECT dst FROM g),
+        outdeg AS MATERIALIZED (
+          SELECT src AS id, COUNT(*) AS out_deg FROM g GROUP BY src),
+        rank_0 AS MATERIALIZED (
+          SELECT id, 1.0 / (SELECT COUNT(*) FROM verts) AS rank FROM verts),
+        {pr_body}
+        SELECT word, pagerank, rank FROM (
+          SELECT id AS word, ROUND(rank, 6) AS pagerank,
+                 row_number() OVER (ORDER BY ROUND(rank, 6) DESC, id)::INT
+                   AS rank
+          FROM rank_10
+        ) WHERE rank <= 15
     """
 
     # Personalized PageRank: same unroll, teleport + dangling mass to

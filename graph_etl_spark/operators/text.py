@@ -916,3 +916,61 @@ def zipf_fit(
             "slope"
         ),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    cooc_window: int = 2,
+    top_k: int = 15,
+    max_iter: int = 10,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — tokens are vertices, an
+    undirected edge connects tokens appearing within ``cooc_window``
+    positions in any document — then the top-``top_k`` words by rank.
+    The graph-centrality complement to RAKE's frequency scoring
+    (RAKE rewards phrase-local degree; TextRank rewards corpus-global
+    connectivity), composed from ``ops.pagerank`` unchanged.
+
+    Output: (word, pagerank, rank).
+
+    Scale: edge construction is ``cooc_window`` lead columns over one
+    per-document window (partitioned) + a distinct on the canonical
+    pair; the graph is vocabulary-sized (Heaps' law — sublinear in
+    corpus size), so the 10 pagerank rounds iterate over a frame far
+    smaller than the corpus; the final top-k is TakeOrderedAndProject
+    + a k-row rank window."""
+    from .graph import pagerank
+
+    if int(cooc_window) < 1 or int(top_k) < 1:
+        raise ValueError(
+            f"textrank_keywords: cooc_window and top_k must be >= 1 "
+            f"(got {cooc_window}, {top_k})"
+        )
+    toks = df.select(
+        F.col(doc_col).alias("d"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("i", "tok"),
+    )
+    w = Window.partitionBy("d").orderBy("i")
+    pairs = None
+    for off in range(1, int(cooc_window) + 1):
+        nxt = toks.withColumn("__n", F.lead("tok", off).over(w)).filter(
+            F.col("__n").isNotNull() & (F.col("tok") != F.col("__n"))
+        )
+        p = nxt.select(
+            F.least("tok", "__n").alias("u"), F.greatest("tok", "__n").alias("v")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    und = pairs.distinct()
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    pr = pagerank(sym, max_iter=int(max_iter))
+    top = pr.orderBy(F.desc("pagerank"), F.col("id").asc()).limit(int(top_k))
+    rk = Window.orderBy(F.desc("pagerank"), F.col("id").asc())  # k rows only
+    return (
+        top.withColumn("rank", F.row_number().over(rk))
+        .select(F.col("id").alias("word"), "pagerank", "rank")
+    )

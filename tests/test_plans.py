@@ -733,6 +733,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "sim_maxsim_topk",
     # the rank window runs AFTER the top-k take: 100 rows
     "text_zipf_fit",
+    # the rank window runs AFTER the top-k take: 15 rows
+    "text_textrank_keywords",
 }
 
 

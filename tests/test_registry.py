@@ -25,7 +25,7 @@ ROUND10_NEW_OR_CHANGED = [
     "graph_personalized_pagerank", "approx_quantile_sketch",
     "sim_maxsim_topk", "dedup_containment_pairs",
     "events_funnel_windowed", "events_rfm_segments",
-    "etl_key_skew_report", "text_zipf_fit",
+    "etl_key_skew_report", "text_zipf_fit", "text_textrank_keywords",
     "quality_negative_samples", "quality_ppl_gate",
     "etl_chunk_counts", "quality_quantile_normalize", "topk_orders",
 ]

@@ -1344,3 +1344,22 @@ def test_zipf_fit_known_slopes(spark):
 
     with _pt.raises(ValueError):
         zipf_fit(df, top_k=1)
+
+
+def test_textrank_hub_word_wins(spark):
+    """A word co-occurring with every other word must out-rank the
+    peripheral words (graph centrality, not raw frequency: the hub
+    appears once per pair while peripherals repeat in filler)."""
+    from graph_etl_spark.operators import textrank_keywords
+
+    # hub h bridges w0..w5 (degree 6); the x-y filler lives in
+    # separate documents so repetition adds no edges (degree 1 each)
+    docs = [(i, f"w{i} h w{(i + 1) % 6}") for i in range(6)]
+    docs += [(10 + i, "x y x y x y") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textrank_keywords(df, cooc_window=2, top_k=3, max_iter=10).collect()
+    assert out[0]["word"] == "h" and out[0]["rank"] == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        textrank_keywords(df, cooc_window=0)
