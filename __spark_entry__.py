@@ -7239,7 +7239,10 @@ def oracle_sql() -> dict[str, str]:
           FROM base
         )
         SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS total,
-               ROUND(2.0 * SUM(r * x)
+               -- r::HUGEINT: SUM(r*x) ~ n^2*mean blows past int64 around
+               -- 2e9 docs; HUGEINT keeps the numerator exact to 1.7e38,
+               -- matching Spark's decimal(38,0) product-sum
+               ROUND(2.0 * SUM(r::HUGEINT * x)
                      / (COUNT(*)::DOUBLE * SUM(x))
                      - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
         FROM ranked
@@ -7253,8 +7256,12 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), summed AS (
           SELECT doc_id, n_tokens,
+                 -- ::BIGINT: DuckDB's SUM(BIGINT) OVER yields HUGEINT,
+                 -- which pandas round-trips as a different dtype than
+                 -- Spark's long and broke the driver's value hash (r10)
                  SUM(n_tokens) OVER (ORDER BY doc_id
-                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum_tokens
           FROM base
         )
         SELECT doc_id, n_tokens, cum_tokens,

@@ -272,13 +272,20 @@ def holt_linear(
     ONE left-fold whose merge expression is written with the same
     literal arithmetic on both engines ((1.0 − α) as an explicit
     subtraction — precomputing 0.7 driver-side would yield a
-    DIFFERENT double than the engines' 1.0 − 0.3); the oracle's
-    ``list_reduce`` seeds from the first element exactly as this
-    fold's init. NULLs are excluded from the slice (ewma parity); an
-    all-null window emits NULL.
+    DIFFERENT double than the engines' 1.0 − 0.3); the shipped
+    ``events_holt_forecast`` oracle unrolls the same fold into
+    per-step CTE pairs (DuckDB 1.0's ``list_reduce`` rebinds struct
+    accumulator fields from the 3rd element on — probe documented in
+    ``__spark_entry__.py``), seeding l₀ from the first element exactly
+    as this fold's init. NULLs are excluded from the slice (ewma
+    parity); an all-null window emits NULL.
 
     Scale: one window shuffle on the key; per-row work is the bounded
     ``window_size``-element fold."""
+    if int(window_size) < 1:
+        raise ValueError(
+            f"holt_linear: window_size must be >= 1 (got {window_size})"
+        )
     order_cols = [order] if isinstance(order, str) else list(order)
     w = (
         Window.partitionBy(key)

@@ -2163,7 +2163,9 @@ def gini_coefficient(
     carry most of the mass). Uses the rank formula
     G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over values sorted ascending
     (ties broken by id): every intermediate is an exact integer (ranks
-    from the two-phase ``exact_global_rank``, long products and sums),
+    from the two-phase ``exact_global_rank``; the rank·value products
+    sum as decimal(38,0) — Σi·x ~ n²·mean passes int64 around 2e9 docs
+    and Spark would silently wrap where DuckDB widens to HUGEINT),
     so the single IEEE division at the end is engine-identical.
 
     Output: one row (n, total, gini).
@@ -2175,10 +2177,15 @@ def gini_coefficient(
     return ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__x").alias("total"),
-        # n·total as a DOUBLE product: long·long would overflow int64
-        # once n ~ 1e12 docs meet 1e15 tokens at corpus scale
+        # decimal(38,0) product-sum: Σ(r·x) ~ n²·mean wraps int64 long
+        # before the denominator does (n ~ 2e9 docs); the oracle's
+        # HUGEINT sum matches this exactly. n·total stays a DOUBLE
+        # product for the same reason on the denominator side.
         F.round(
-            (F.lit(2.0) * F.sum(F.col("__r") * F.col("__x")))
+            (
+                F.lit(2.0)
+                * F.sum(F.col("__r").cast("decimal(38,0)") * F.col("__x"))
+            )
             / (F.count(F.lit(1)).cast("double") * F.sum("__x"))
             - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
             round_to,

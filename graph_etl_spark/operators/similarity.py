@@ -1730,9 +1730,10 @@ def mips_ivf_topk(
             lambda acc, x: acc + x,
         )
 
-    m2 = float(
-        data.agg(F.max(sq(F.col(vec_col))).alias("__m2")).collect()[0]["__m2"]
-    )
+    m2_row = data.agg(F.max(sq(F.col(vec_col))).alias("__m2")).collect()[0]
+    if m2_row["__m2"] is None:
+        raise ValueError("mips_ivf_topk: data must be non-empty")
+    m2 = float(m2_row["__m2"])
 
     def aug_data(c: Column) -> Column:
         return F.concat(
