@@ -3329,6 +3329,102 @@ def q_stream_ingest_admission(spark, sf):
     ).unionByName(v2.select(F.lit(2).alias("batch_id"), "doc_id", "verdict"))
 
 
+def q_quality_kn_logprob(spark, sf):
+    """Kneser-Ney smoothed bigram LM score (D=0.75): absolute
+    discounting + continuation-probability backoff — the KenLM
+    smoothing — with the doc's first token scored by P_cont alone and
+    the 0.5/|bigram types| never-continues floor. Integer-count ratios
+    in one mirrored expression order; 6-dp decimal logprob sums."""
+    return ops.kneser_ney_logprob(_t(spark, sf, "documents"))
+
+
+def q_events_concurrency(spark, sf):
+    """Sweep-line concurrency timeline: 30-min gap sessions emit +1/-1
+    boundaries; the exact two-phase global prefix sum (boundary
+    literals -> bucket-local running sums + broadcast offsets) gives
+    instantaneous open-session counts at every boundary — peak
+    concurrency is the max. End-exclusive: -1 sorts before +1 at the
+    same instant."""
+    return ops.peak_concurrency(_t(spark, sf, "events"), gap_minutes=30)
+
+
+def q_events_cusum_changepoint(spark, sf):
+    """Integer-exact CUSUM changepoint per event type over hourly
+    counts: S'_k = Σ(B·c_i − T) peaks where the rate level shifts;
+    ties break to the earliest bucket. decimal(38,0) internal sums,
+    type-keyed cumulative windows only."""
+    return ops.cusum_changepoint(_t(spark, sf, "events"), bucket="hour")
+
+
+def q_events_ab_ztest(spark, sf):
+    """Two-proportion A/B z-test with deterministic H56(user) mod 2
+    assignment and 'purchase' conversion: exact integer counts, one
+    fixed-order pooled-variance expression rounded at the end."""
+    return ops.ab_ztest(_t(spark, sf, "events"), conv_type="purchase")
+
+
+def q_etl_table_checksum(spark, sf):
+    """Order-free migration checksum of orders by priority: per-row
+    H56 over a canonical '|'-join (doubles pre-cast to decimal(18,2),
+    timestamps to date — the engine-identical stringifications),
+    summed exactly as decimal(38,0) then mod 2^61−1. Row order,
+    partitioning, and file layout cannot move it."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("o_price"),
+        F.col("o_orderdate").cast("date").alias("o_date"),
+        "o_orderpriority",
+    )
+    return ops_fn.table_checksum(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_price", "o_date"],
+        group_col="o_orderpriority",
+    )
+
+
+def q_graph_modularity(spark, sf):
+    """Newman modularity of the brand partition over the 1995
+    co-purchase graph — brand assortativity: q_c = e_c/m − (d_c/2m)²
+    per brand from exact integer edge/degree masses, one fixed-order
+    double expression at the end. No iteration: attribute communities
+    need no recursive SQL."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.year("l_shipdate") == 1995)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    comm = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("community")
+    )
+    return ops.modularity(edges, comm)
+
+
+def q_sim_mmr_rerank(spark, sf):
+    """Maximal-marginal-relevance diversified top-5 from a top-20
+    candidate pool (λ=0.7): greedy per-step argmax of
+    λ·rel − (1−λ)·max-sim-to-selected, all queries advancing in
+    parallel per step — the oracle unrolls the same 5 steps."""
+    e = _t(spark, sf, "embeddings")
+    return ops.mmr_rerank(
+        e, e.filter(F.col("vec_id") < 10), k=5, pool=20, lam=0.7
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3346,26 +3442,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's later collect executes the engine's semantics on
     its own untouched session.
 
-    Round-10 rotation (VERDICT r9 #5: every query's latest driver row
-    should be <= 4 rounds old): slots 1-10 are the round-10 NEW
-    queries (mm_decode_real, mm_audio_features, mm_video_frames,
-    mm_audio_windows — REAL PNG / WAV / Y4M decode round trips plus
-    per-window audio segmentation — and graph_link_prediction) and
-    every query over code CHANGED this round (negative_samples' and
-    ppl_band_filter's two-phase exact ranks, etl_chunk_counts' and
-    topk_orders' re-plans, quantile_normalize's shared helper with
-    checkpoint pinning). Slots 9-41 are the 33 STALEST rows — last
-    driver verdicts r5 (win_running_total, text_token_stats,
-    text_lang_id, sim_quantize_int8) and r6 (q1/q5/rollup/stats_agg/
-    pivot/moving_avg/cube/unpivot/json/gap/asof/range, core dedup
-    pairs, cosine/ivf/kmeans, degrees/pagerank, winnow, repetition/
-    tfidf/source_quota, remap/automap) — all preflight-green every
-    round since. Slots 11-43 hold them; slots 44-50 are the stalest
-    r7 rows that fit (the dedup signature/pair battery); the next
-    four r7 rows (anti_join_blanks, dedup_pk, metadata_attach,
-    normalize_nodes) open the tail and with it the r11 window. Overlap with the r9 window: 2
-    (quantile_normalize, topk_orders — both because their code
-    changed again this round; budget <= 5).
+    Round-11 rotation (VERDICT r9 #5 policy: every query's latest
+    driver row should be <= 4 rounds old): slots 1-7 are the round-11
+    NEW queries (kneser_ney LM scoring, sweep-line concurrency, CUSUM
+    changepoint, A/B z-test, order-free table checksum, Newman
+    modularity, MMR rerank); slots 8-11 the queries over code CHANGED
+    this round (shard_plan — its oracle's HUGEINT cast fixes the one
+    r10 hash mismatch —, gini's decimal(38,0) overflow fix, mips_ivf's
+    empty-input guard, holt's window validation); slots 12-50 the 39
+    STALEST driver verdicts — all 15 r6-era rows and the 24
+    alphabetically-first r7-era rows (the remaining 19 r7 rows open
+    the r12 window). Overlap with the r10 window: 4 (the code-changed
+    lead slots; budget <= 5). The ordering is enforced by the
+    r11_window list at the bottom of this function and checked
+    mechanically by test_registry.test_round11_window_composition.
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over
@@ -3397,6 +3487,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (negative_samples/ppl_gate two-phase ranks,
         # chunk_counts/topk re-plans, quantile_normalize's shared
         # helper + checkpoint pinning) ----
+        # ---- r11 window slots 1-7: the round-11 NEW queries ----
+        "quality_kn_logprob": q_quality_kn_logprob,
+        "events_concurrency": q_events_concurrency,
+        "events_cusum_changepoint": q_events_cusum_changepoint,
+        "events_ab_ztest": q_events_ab_ztest,
+        "etl_table_checksum": q_etl_table_checksum,
+        "graph_modularity": q_graph_modularity,
+        "sim_mmr_rerank": q_sim_mmr_rerank,
         "mm_decode_real": q_mm_decode_real,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
@@ -3606,7 +3704,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
     }
-    return {name: _scoped(fn) for name, fn in registry.items()}
+    # r11 window (first 50): 7 NEW queries + 4 over code CHANGED this
+    # round (shard_plan's oracle cast — the one r10 red row —, gini's
+    # decimal(38,0) overflow fix, mips_ivf's empty guard, holt's
+    # window validation), then the 39 STALEST driver verdicts: all 15
+    # r6-era rows and the 24 alphabetically-first r7-era rows (the 19
+    # remaining r7 rows open the r12 window).
+    # test_registry.test_round11_window_composition checks this
+    # mechanically against the CORRECTNESS history.
+    r11_window = [
+        "quality_kn_logprob", "events_concurrency",
+        "events_cusum_changepoint", "events_ab_ztest",
+        "etl_table_checksum", "graph_modularity", "sim_mmr_rerank",
+        "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
+        "events_holt_forecast",
+        # 15 r6-era rows
+        "q5_local_supplier_volume", "quality_repetition_stats",
+        "quality_source_quota", "quality_tfidf_top_terms",
+        "range_join_parts", "rollup_lineitem", "sim_cosine_topk",
+        "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
+        "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
+        "text_winnow_fingerprints", "unpivot_part",
+        # 24 r7-era rows
+        "dedup_incremental", "dedup_minhash_lsh_pairs",
+        "dedup_minhash_signatures", "dedup_neardup_survivors",
+        "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
+        "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
+        "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
+        "events_sessionize", "graph_connected_components",
+        "graph_triangles", "mm_binary_metadata",
+        "pipeline_corpus_assembly", "q13_customer_distribution",
+        "q14_promo_revenue", "q18_large_volume", "q19_discount_revenue",
+        "q22_dormant_balance", "q3_shipping_priority",
+    ]
+    ordered = {k: registry[k] for k in r11_window}
+    ordered.update({k: v for k, v in registry.items() if k not in ordered})
+    return {name: _scoped(fn) for name, fn in ordered.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -8024,6 +8157,308 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_bytes, unnest(range(n_frames))::INT AS frame_idx,
                (unnest(range(n_frames)) * 64)::INT AS byte_offset
         FROM b
+    """
+
+    # Kneser-Ney: the backoff P_cont and the discounted main term are
+    # evaluated in EXACTLY the operator's expression order; the
+    # never-continues floor is COALESCE(n_prev, 0.5) — same coalesce
+    # the Spark side evaluates before the division
+    sql["quality_kn_logprob"] = f"""
+        WITH toks AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+               unnest(range(1, len(tk) + 1)) AS t(i)
+        ), stream AS (
+          SELECT doc_id, pos, tok,
+                 lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM toks
+        ), bi AS (SELECT prev, tok, COUNT(*)::BIGINT AS bcnt
+                  FROM stream WHERE prev IS NOT NULL GROUP BY prev, tok),
+        ctx AS (SELECT prev, SUM(bcnt)::BIGINT AS ccnt,
+                       COUNT(*)::BIGINT AS n_types FROM bi GROUP BY prev),
+        cont AS (SELECT tok, COUNT(*)::BIGINT AS n_prev FROM bi GROUP BY tok),
+        nbig AS (SELECT COUNT(*)::BIGINT AS nb FROM bi),
+        lp AS (
+          SELECT s.doc_id,
+            ROUND(ln(
+              CASE WHEN s.prev IS NULL
+                   THEN COALESCE(ct.n_prev::DOUBLE, 0.5) / nbig.nb::DOUBLE
+                   ELSE (GREATEST(b.bcnt::DOUBLE - 0.75, 0.0)
+                           / c.ccnt::DOUBLE)
+                        + ((0.75 * c.n_types::DOUBLE) / c.ccnt::DOUBLE)
+                          * (COALESCE(ct.n_prev::DOUBLE, 0.5)
+                               / nbig.nb::DOUBLE)
+              END), 6)::DECIMAL(18,6) AS lp
+          FROM stream s
+          LEFT JOIN cont ct ON ct.tok = s.tok
+          CROSS JOIN nbig
+          LEFT JOIN bi b ON b.prev = s.prev AND b.tok = s.tok
+          LEFT JOIN ctx c ON c.prev = s.prev
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+               -- exact half-up division in integer micro-units: doc 236
+               -- lands exactly on a 6-dp .5 boundary where double
+               -- rounding splits the engines (Spark matches via exact
+               -- decimal division)
+               (CASE WHEN SUM(lp) < 0
+                     THEN -((((-(SUM(lp) * 1000000))::HUGEINT) * 2
+                              + COUNT(*)) // (2 * COUNT(*)))
+                     ELSE (((SUM(lp) * 1000000)::HUGEINT) * 2
+                            + COUNT(*)) // (2 * COUNT(*))
+                END) / 1000000.0 AS avg_logprob
+        FROM lp GROUP BY doc_id
+    """
+
+    # sweep-line concurrency: the same 30-min gap sessionization the
+    # green session_windows oracle uses, then one global ordered sum
+    # (ts, delta, user) — end-exclusive because -1 < +1 at equal ts
+    sql["events_concurrency"] = """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts)) AS gap
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), flags AS (
+          SELECT user_id, ts,
+                 CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END
+                   AS new_session
+          FROM gaps
+        ), sess AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sid
+          FROM flags
+        ), sessions AS (
+          SELECT user_id AS "user", MIN(ts) AS s,
+                 MAX(ts) + INTERVAL 30 MINUTE AS e
+          FROM sess GROUP BY user_id, sid
+        ), bounds AS (
+          SELECT s AS ts, 1::BIGINT AS delta, "user" FROM sessions
+          UNION ALL
+          SELECT e AS ts, (-1)::BIGINT AS delta, "user" FROM sessions
+        )
+        SELECT ts, delta, "user",
+               SUM(delta) OVER (ORDER BY ts, delta, "user"
+                                ROWS UNBOUNDED PRECEDING)::BIGINT
+                 AS concurrent
+        FROM bounds
+    """
+
+    # CUSUM: B*c - T is exact HUGEINT (Spark: decimal(38,0)); only the
+    # OUTPUT casts to BIGINT
+    sql["events_cusum_changepoint"] = """
+        WITH counts AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 COUNT(*)::BIGINT AS c
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2
+        ), totals AS (
+          SELECT event_type, SUM(c)::BIGINT AS t,
+                 COUNT(*)::BIGINT AS n_buckets
+          FROM counts GROUP BY 1
+        ), scored AS (
+          SELECT c.event_type, c.bucket, t2.n_buckets, t2.t,
+                 ABS(SUM(t2.n_buckets::HUGEINT * c.c - t2.t) OVER (
+                   PARTITION BY c.event_type ORDER BY c.bucket
+                   ROWS UNBOUNDED PRECEDING)) AS s_abs
+          FROM counts c JOIN totals t2 USING (event_type)
+        ), pick AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY s_abs DESC, bucket) AS rn
+          FROM scored
+        )
+        SELECT event_type, bucket AS change_ts, s_abs::BIGINT AS cusum_abs,
+               n_buckets, t AS total
+        FROM pick WHERE rn = 1
+    """
+
+    # two-proportion z: every double evaluates in the operator's
+    # expression order — pooled = (c0+c1)/(n0+n1), then
+    # (pooled*(1-pooled))*(1/n0 + 1/n1)
+    sql["events_ab_ztest"] = f"""
+        WITH per_user AS (
+          SELECT user_id AS u,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ), v AS (
+          SELECT u, conv, {_H56.format(x="u::VARCHAR")} % 2 AS variant
+          FROM per_user
+        ), agg AS (
+          SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_control,
+                 SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)::BIGINT
+                   AS conv_control,
+                 SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_treatment,
+                 SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END)::BIGINT
+                   AS conv_treatment
+          FROM v
+        )
+        SELECT n_control, conv_control, n_treatment, conv_treatment,
+               ROUND(conv_control::DOUBLE / n_control::DOUBLE, 6)
+                 AS rate_control,
+               ROUND(conv_treatment::DOUBLE / n_treatment::DOUBLE, 6)
+                 AS rate_treatment,
+               ROUND(((conv_treatment::DOUBLE / n_treatment::DOUBLE)
+                       - (conv_control::DOUBLE / n_control::DOUBLE))
+                     / sqrt((((conv_control::DOUBLE + conv_treatment::DOUBLE)
+                               / (n_control::DOUBLE + n_treatment::DOUBLE))
+                             * (1.0 - ((conv_control::DOUBLE
+                                         + conv_treatment::DOUBLE)
+                                        / (n_control::DOUBLE
+                                            + n_treatment::DOUBLE))))
+                            * (1.0 / n_control::DOUBLE
+                                + 1.0 / n_treatment::DOUBLE)), 6) AS z
+        FROM agg
+    """
+
+    # order-free checksum: canonical stringification must be
+    # engine-identical — ints/dates/decimals only (the query pre-casts
+    # the double price to decimal(18,2) and the timestamp to date)
+    _row_canon = (
+        "concat_ws('|',"
+        " COALESCE(o_orderkey::VARCHAR, '<NULL>'),"
+        " COALESCE(o_custkey::VARCHAR, '<NULL>'),"
+        " COALESCE(o_orderstatus, '<NULL>'),"
+        " COALESCE((ROUND(o_totalprice, 2)::DECIMAL(18,2))::VARCHAR, '<NULL>'),"
+        " COALESCE((o_orderdate::DATE)::VARCHAR, '<NULL>'))"
+    )
+    sql["etl_table_checksum"] = f"""
+        WITH t AS (
+          SELECT o_orderpriority,
+                 {_H56.format(x=_row_canon)} AS h
+          FROM orders
+        )
+        SELECT o_orderpriority, COUNT(*)::BIGINT AS n_rows,
+               (SUM(h::HUGEINT) % 2305843009213693951)::BIGINT AS checksum
+        FROM t GROUP BY o_orderpriority
+    """
+
+    # brand assortativity: q evaluates as e/m - t*t with
+    # t = d/(2m), the operator's exact expression order
+    sql["graph_modularity"] = """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) a
+          JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), m AS (SELECT COUNT(*)::BIGINT AS m FROM e),
+        labeled AS (
+          SELECT e.src, e.dst, ps.p_brand AS cs, pd.p_brand AS cd
+          FROM e LEFT JOIN part ps ON e.src = ps.p_partkey
+                 LEFT JOIN part pd ON e.dst = pd.p_partkey
+        ), deg AS (
+          SELECT community, COUNT(*)::BIGINT AS degree_sum FROM (
+            SELECT cs AS community FROM labeled
+            UNION ALL SELECT cd FROM labeled
+          ) WHERE community IS NOT NULL GROUP BY community
+        ), inner_e AS (
+          SELECT cs AS community, COUNT(*)::BIGINT AS inner_edges
+          FROM labeled WHERE cs IS NOT NULL AND cs = cd GROUP BY cs
+        ), nodes AS (
+          SELECT p.p_brand AS community, COUNT(*)::BIGINT AS n_nodes
+          FROM (SELECT src AS id FROM e UNION SELECT dst FROM e) n
+          JOIN part p ON n.id = p.p_partkey GROUP BY p.p_brand
+        )
+        SELECT nodes.community, n_nodes,
+               COALESCE(inner_edges, 0)::BIGINT AS inner_edges,
+               COALESCE(degree_sum, 0)::BIGINT AS degree_sum,
+               ROUND(COALESCE(inner_edges, 0)::DOUBLE / m.m::DOUBLE
+                     - (degree_sum::DOUBLE / (2.0 * m.m::DOUBLE))
+                       * (degree_sum::DOUBLE / (2.0 * m.m::DOUBLE)), 6)
+                 AS q
+        FROM nodes LEFT JOIN deg USING (community)
+        LEFT JOIN inner_e USING (community)
+        CROSS JOIN m
+    """
+
+    # MMR: unrolled greedy steps — sel_1 is pure relevance, each later
+    # step re-ranks the un-picked candidates by
+    # 0.7*rel - (1.0-0.7)*max_sim_to_selected
+    mmr_steps = []
+    for j in range(2, 6):
+        mmr_steps.append(
+            f"""sel_{j} AS MATERIALIZED (
+          SELECT query_id, {j} AS step, neighbor_id,
+                 ROUND(score, 6) AS mmr_score
+          FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   0.7 * c.cos_sim - (1.0 - 0.7) * m.ms AS score,
+                   row_number() OVER (
+                     PARTITION BY c.query_id
+                     ORDER BY (0.7 * c.cos_sim - (1.0 - 0.7) * m.ms) DESC,
+                              c.neighbor_id) AS rn
+            FROM cands c
+            JOIN (SELECT p.query_id, p.nid_a AS neighbor_id,
+                         MAX(p.sim) AS ms
+                  FROM pair p JOIN all_{j - 1} s
+                    ON p.query_id = s.query_id AND p.nid_b = s.neighbor_id
+                  GROUP BY 1, 2) m
+              ON c.query_id = m.query_id AND c.neighbor_id = m.neighbor_id
+            WHERE NOT EXISTS (SELECT 1 FROM all_{j - 1} s
+                              WHERE s.query_id = c.query_id
+                                AND s.neighbor_id = c.neighbor_id)
+          ) WHERE rn = 1
+        ),
+        all_{j} AS (SELECT * FROM all_{j - 1}
+                    UNION ALL SELECT query_id, neighbor_id FROM sel_{j})"""
+        )
+    mmr_body = ",\n        ".join(mmr_steps)
+    sql["sim_mmr_rerank"] = f"""
+        WITH cscored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {_cos} AS cos_sim
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        ),
+        cands AS MATERIALIZED (
+          SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM cscored
+          ) WHERE rn <= 20
+        ),
+        pair AS MATERIALIZED (
+          SELECT ca.query_id, ca.neighbor_id AS nid_a,
+                 cb.neighbor_id AS nid_b,
+                 ROUND(list_dot_product(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                              a.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]))), 4)
+                   AS sim
+          FROM cands ca
+          JOIN cands cb ON ca.query_id = cb.query_id
+                       AND ca.neighbor_id <> cb.neighbor_id
+          JOIN embeddings a ON a.vec_id = ca.neighbor_id
+          JOIN embeddings b ON b.vec_id = cb.neighbor_id
+        ),
+        sel_1 AS MATERIALIZED (
+          SELECT query_id, 1 AS step, neighbor_id,
+                 ROUND(score, 6) AS mmr_score
+          FROM (
+            SELECT query_id, neighbor_id,
+                   0.7 * cos_sim - (1.0 - 0.7) * 0.0 AS score,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY (0.7 * cos_sim - (1.0 - 0.7) * 0.0) DESC,
+                              neighbor_id) AS rn
+            FROM cands
+          ) WHERE rn = 1
+        ),
+        all_1 AS (SELECT query_id, neighbor_id FROM sel_1),
+        {mmr_body}
+        SELECT * FROM sel_1
+        UNION ALL SELECT * FROM sel_2
+        UNION ALL SELECT * FROM sel_3
+        UNION ALL SELECT * FROM sel_4
+        UNION ALL SELECT * FROM sel_5
     """
 
     return sql

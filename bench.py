@@ -194,6 +194,13 @@ HEADLINE = [
     "events_rfm_segments",
     "etl_key_skew_report",
     "text_zipf_fit",
+    "quality_kn_logprob",
+    "events_concurrency",
+    "events_cusum_changepoint",
+    "events_ab_ztest",
+    "etl_table_checksum",
+    "graph_modularity",
+    "sim_mmr_rerank",
 ]
 
 

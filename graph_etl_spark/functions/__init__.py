@@ -462,3 +462,52 @@ def fk_integrity(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+CHECKSUM_MOD = 2305843009213693951  # 2^61 - 1, a Mersenne prime
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    group_col: str | None = None,
+    null_sentinel: str = "<NULL>",
+) -> DataFrame:
+    """ORDER-FREE content checksum — the migration-validation
+    fingerprint: every row hashes to H56(canonical '|'-join of
+    ``cols``), and the hashes SUM (exact decimal(38,0), then mod
+    2^61−1 so the output is a plain long at any corpus size). A sum is
+    commutative, so row order, partitioning, and file layout cannot
+    move the checksum — two engines (or a table before/after a
+    rewrite) agree iff their row MULTISETS agree on the chosen columns.
+
+    Columns must stringify engine-identically: ints, strings, dates,
+    and decimals are safe; cast raw doubles to a fixed-scale decimal
+    FIRST (double→string formatting is engine-specific). NULLs become
+    ``null_sentinel`` (concat_ws would silently drop them, making
+    ('a', NULL) collide with ('a',)).
+
+    Output: (group_col?, n_rows, checksum).
+
+    Scale: one map-side-combined aggregation — the hash and the join
+    are per-row JVM expressions; nothing shuffles but the final
+    per-group partials."""
+    from ..operators.text import h56
+
+    canon = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(null_sentinel))
+            for c in cols
+        ],
+    )
+    keyed = df.withColumn("__h", h56(canon).cast("decimal(38,0)"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(F.sum("__h"), F.lit(CHECKSUM_MOD).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("checksum"),
+    ]
+    if group_col is None:
+        return keyed.agg(*aggs)
+    return keyed.groupBy(group_col).agg(*aggs)

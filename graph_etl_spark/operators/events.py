@@ -503,3 +503,217 @@ def rfm_segments(
         "user", "recency_s", "frequency",
         F.col("monetary").cast("double").alias("monetary"), "r", "f", "m",
     )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Sweep-line concurrency timeline: gap-sessionize per user, emit a
+    +1 boundary at every session start and a -1 at its end (last event
+    + the gap, the ``session_windows`` interval convention), and run
+    an EXACT global prefix sum over the boundary order — instantaneous
+    "how many sessions are open" at every boundary, whose max is the
+    peak-concurrency capacity number. End boundaries order before
+    starts at the same instant (intervals are end-exclusive: a session
+    ending exactly when another starts does not overlap it).
+
+    Output: (ts, delta, user, concurrent) — one row per boundary.
+
+    Determinism: (epoch_us, delta, user) is a total order — a user's
+    consecutive sessions are separated by > gap, so one user never has
+    two equal (instant, delta) boundaries.
+
+    Scale: one user-keyed sessionization window, then the two-phase
+    ``exact_global_cumsum`` (percentile boundary literals ->
+    bucket-local running sums + broadcast offsets) — the global sweep
+    never serializes through one reducer. ZERO unpartitioned windows."""
+    from .quality import exact_global_cumsum
+
+    if int(gap_minutes) < 1:
+        raise ValueError(
+            f"peak_concurrency: gap_minutes must be >= 1 (got {gap_minutes})"
+        )
+    gap_s = int(gap_minutes) * 60
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    ts = F.col(ts_col).cast("timestamp")
+    epoch = ts.cast("long")
+    new_session = F.when(
+        (epoch - F.lag(epoch).over(w)).isNull()
+        | ((epoch - F.lag(epoch).over(w)) > gap_s),
+        1,
+    ).otherwise(0)
+    sess = (
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn(
+            "__sid",
+            F.sum(new_session).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(F.col(user_col).alias("user"), "__sid")
+        .agg(
+            F.min(ts).alias("__start"),
+            (F.max(ts) + F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")).alias(
+                "__end"
+            ),
+        )
+    )
+    bounds = sess.select(
+        F.col("__start").alias("ts"), F.lit(1).cast("long").alias("delta"), "user"
+    ).unionByName(
+        sess.select(
+            F.col("__end").alias("ts"),
+            F.lit(-1).cast("long").alias("delta"),
+            "user",
+        )
+    )
+    keyed = bounds.withColumn("__us", F.unix_micros(F.col("ts")))
+    summed, _ = exact_global_cumsum(
+        keyed, "delta", ["__us", "delta", "user"], out="concurrent"
+    )
+    return summed.select("ts", "delta", "user", "concurrent")
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    bucket: str = "hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Integer-exact CUSUM changepoint per event type: bucket the
+    stream by ``bucket`` (date_trunc), count per bucket, and locate
+    the bucket where the mean level shifts — the classic
+    cumulative-sum statistic S_k = Σ_{i≤k}(c_i − mean) scaled by the
+    bucket count B so every intermediate is an EXACT integer:
+    S'_k = Σ_{i≤k}(B·c_i − T) = B·S_k (T = total events of that type).
+    The changepoint is the bucket maximizing |S'_k| (ties -> earliest
+    bucket) — where the cumulative deviation from a flat rate peaks.
+
+    Output: one row per event type —
+    (event_type, change_ts, cusum_abs, n_buckets, total).
+
+    Determinism: pure integer arithmetic until the output; ``cusum_abs``
+    returns as long (exact while B·T < 2^63 — 1e6 buckets × 1e12
+    events clears it; the internal sum is decimal(38,0) regardless so
+    only the OUTPUT cast is range-bound, documented not silent).
+
+    Scale: one (type, bucket) map-side-combined count, a broadcast
+    per-type totals join (types are dimension-sized), and TYPE-KEYED
+    cumulative windows — buckets of one type land on one reducer,
+    bounded by the time range, never by data volume."""
+    counts = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc(bucket, F.col(ts_col).cast("timestamp")).alias(
+                "__bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("__c").alias("__t"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (
+        F.col("n_buckets").cast("decimal(38,0)") * F.col("__c")
+        - F.col("__t")
+    )
+    scored = (
+        counts.join(F.broadcast(totals), "event_type")
+        .withColumn("__s", F.sum(dev).over(w))
+        .withColumn("__abs", F.abs(F.col("__s")))
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("__abs").desc(), F.col("__bucket").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("__bucket").alias("change_ts"),
+            F.col("__abs").cast("long").alias("cusum_abs"),
+            "n_buckets",
+            F.col("__t").alias("total"),
+        )
+    )
+
+
+def ab_ztest(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion A/B z-test with DETERMINISTIC hash assignment:
+    every user lands in variant H56(user) mod 2 (the reproducible
+    bucketing every experimentation platform uses — re-running the
+    analysis re-derives identical groups), converts if they ever emit
+    a ``conv_type`` event, and the conversion-rate lift is scored by
+    the pooled two-proportion z statistic
+    z = (p1 − p0) / sqrt(p̂(1−p̂)(1/n0 + 1/n1)).
+
+    Output: one row — (n_control, conv_control, n_treatment,
+    conv_treatment, rate_control, rate_treatment, z).
+
+    Determinism: counts are exact integers; the rates and z evaluate
+    in one fixed expression order mirrored by the oracle, rounded at
+    the end.
+
+    Scale: one user-keyed aggregation (the conversion flag is a
+    map-side max of a 0/1), then a 1-row conditional aggregation —
+    nothing global beyond two scalars."""
+    from .text import h56
+
+    per_user = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.max(
+                F.when(F.col(type_col) == conv_type, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__conv")
+        )
+        .withColumn("__variant", h56(F.col("user").cast("string")) % 2)
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("__variant") == 0, 1).otherwise(0)).alias(
+            "n_control"
+        ),
+        F.sum(F.when(F.col("__variant") == 0, F.col("__conv")).otherwise(0)).alias(
+            "conv_control"
+        ),
+        F.sum(F.when(F.col("__variant") == 1, 1).otherwise(0)).alias(
+            "n_treatment"
+        ),
+        F.sum(F.when(F.col("__variant") == 1, F.col("__conv")).otherwise(0)).alias(
+            "conv_treatment"
+        ),
+    )
+    n0 = F.col("n_control").cast("double")
+    c0 = F.col("conv_control").cast("double")
+    n1 = F.col("n_treatment").cast("double")
+    c1 = F.col("conv_treatment").cast("double")
+    pooled = (c0 + c1) / (n0 + n1)
+    z = ((c1 / n1) - (c0 / n0)) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    return agg.select(
+        "n_control",
+        "conv_control",
+        "n_treatment",
+        "conv_treatment",
+        F.round(c0 / n0, round_to).alias("rate_control"),
+        F.round(c1 / n1, round_to).alias("rate_treatment"),
+        F.round(z, round_to).alias("z"),
+    )

@@ -1117,6 +1117,96 @@ def bigram_logprob(
     )
 
 
+def kneser_ney_logprob(
+    df: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """KNESER-NEY smoothed bigram LM score — the smoothing KenLM
+    actually ships (absolute discounting + continuation-probability
+    backoff), one rung above ``bigram_logprob``'s simple
+    interpolation: P(w|prev) = max(c(prev,w)−D, 0)/c(prev·)
+    + D·N1+(prev,·)/c(prev·) · P_cont(w), where the backoff
+    distribution P_cont(w) = N1+(·,w)/|bigram types| asks "in how many
+    DISTINCT contexts does w continue?" — famously down-weighting
+    high-count-but-single-context tokens ("Francisco"). The document's
+    first token scores by P_cont alone; a token never seen as a
+    continuation takes the 0.5/|bigram types| floor (the trigram
+    family's OOV convention).
+
+    Output: (id_col, n_tokens, avg_logprob), one row per non-empty
+    document.
+
+    Determinism: every probability is a ratio of exact integer counts
+    evaluated in one fixed expression order (mirrored literally in the
+    oracle), per-token ln rounds to 6 dp and sums as DECIMAL — the
+    unigram/bigram contract — and the final AVERAGE divides in exact
+    decimal space (Spark decimal division; the oracle's half-up
+    HUGEINT micro-unit division), not doubles: this op actually hit
+    the last-ulp bet its siblings make (a document whose logprob sum
+    divided by its length lands exactly on a 6-dp .5 boundary, where
+    Spark's exact-binary BigDecimal rounds down and DuckDB's
+    shortest-repr round goes up).
+
+    Scale: one per-document lag window (shuffle on the doc id); the
+    four model tables (bigram counts, context stats, continuation
+    counts, 1-row type total) broadcast — at web scale swap the bigram
+    join to a shuffled hash join on (prev, tok), same semantics."""
+    dd = float(discount)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    stream = toks.withColumn("prev", F.lag("tok").over(w))
+
+    bigrams = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    # per-context: total continuations and DISTINCT continuation types
+    contexts = bigrams.groupBy("prev").agg(
+        F.sum("bcnt").alias("ccnt"), F.count(F.lit(1)).alias("n_types")
+    )
+    # N1+(·,w): distinct contexts w continues
+    cont = bigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("n_prev"))
+    nbig = bigrams.agg(F.count(F.lit(1)).alias("nb"))
+
+    p_cont = F.coalesce(F.col("n_prev").cast("double"), F.lit(0.5)) / F.col(
+        "nb"
+    ).cast("double")
+    p_kn = (
+        F.greatest(F.col("bcnt").cast("double") - F.lit(dd), F.lit(0.0))
+        / F.col("ccnt").cast("double")
+    ) + (
+        (F.lit(dd) * F.col("n_types").cast("double"))
+        / F.col("ccnt").cast("double")
+    ) * p_cont
+    p = F.when(F.col("prev").isNull(), p_cont).otherwise(p_kn)
+
+    lp = (
+        stream.join(F.broadcast(cont), "tok", "left")
+        .join(F.broadcast(nbig))
+        .join(F.broadcast(bigrams), ["prev", "tok"], "left")
+        .join(F.broadcast(contexts), "prev", "left")
+        .select(
+            id_col,
+            F.round(F.log(p), 6).cast("decimal(18,6)").alias("__lp"),
+        )
+    )
+    return lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        # exact decimal quotient (decimal(38,16)), half-up to 6 dp —
+        # never a double until the value is already decided
+        (F.sum("__lp").cast("decimal(28,6)") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("avg_logprob"),
+    )
+
+
 def trigram_perplexity(
     df: DataFrame,
     lam3: float = 0.6,

@@ -1950,3 +1950,119 @@ def maxsim_topk(
         top.withColumn("rank", F.row_number().over(w))
         .select(F.col("__doc").alias(doc_col), "maxsim", "rank")
     )
+
+
+def mmr_rerank(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein 1998)
+    — the diversity-aware top-k every RAG/search stack bolts onto a
+    similarity index: greedily pick k results maximizing
+    λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s), so near-duplicate
+    hits stop crowding out coverage. Step 1 is pure relevance (empty
+    selected set ⇒ penalty 0).
+
+    Output: (query_id, step, neighbor_id, mmr_score) — k rows per
+    query in pick order; ``mmr_score`` is the 6-dp score at pick time.
+
+    Determinism: relevance and candidate-candidate cosines round to
+    ``round_to`` first; the greedy argmax breaks score ties by
+    neighbor_id; λ arithmetic is written λ·rel − (1.0 − λ)·penalty in
+    BOTH engines (the oracle unrolls the same k steps).
+
+    Scale: the candidate pool is the distributed exact top-``pool``
+    (TakeOrdered-shaped in the scale variant), after which EVERYTHING
+    is bounded per query: the pairwise-sim frame is pool² rows/query,
+    each greedy step is one equi-join + one query-keyed window over
+    ≤pool rows/query, all queries advancing in parallel — the k-step
+    loop costs k tiny shuffles, never a driver-side collect."""
+    if int(k) < 1 or int(pool) < int(k):
+        raise ValueError(
+            f"mmr_rerank: need 1 <= k <= pool (got k={k}, pool={pool})"
+        )
+    lam = float(lam)
+    cands = brute_force_topk(
+        data, queries, k=int(pool), id_col=id_col, vec_col=vec_col,
+        round_to=round_to,
+    ).select("query_id", "neighbor_id", "cos_sim")
+    vecs = data.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")
+    ).withColumn("__n", norm(F.col("__vec")))
+    cv = cands.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cos_sim", "__vec", "__n"
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("nid_a"),
+            F.col("b.neighbor_id").alias("nid_b"),
+            F.round(
+                dot(F.col("a.__vec"), F.col("b.__vec"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                round_to,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rel = cands.localCheckpoint(eager=False)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc()
+    )
+    selected: DataFrame | None = None
+    for step in range(1, int(k) + 1):
+        if selected is None:
+            scored = rel.withColumn(
+                "__score",
+                F.lit(lam) * F.col("cos_sim")
+                - (F.lit(1.0) - F.lit(lam)) * F.lit(0.0),
+            )
+        else:
+            ms = (
+                pair.join(
+                    selected.select(
+                        "query_id", F.col("neighbor_id").alias("nid_b")
+                    ),
+                    ["query_id", "nid_b"],
+                )
+                .groupBy("query_id", F.col("nid_a").alias("neighbor_id"))
+                .agg(F.max("sim").alias("__ms"))
+            )
+            remaining = rel.join(
+                selected.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            scored = remaining.join(
+                ms, ["query_id", "neighbor_id"]
+            ).withColumn(
+                "__score",
+                F.lit(lam) * F.col("cos_sim")
+                - (F.lit(1.0) - F.lit(lam)) * F.col("__ms"),
+            )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                F.lit(step).alias("step"),
+                "neighbor_id",
+                F.round(F.col("__score"), 6).alias("mmr_score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+    return selected

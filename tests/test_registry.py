@@ -11,23 +11,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
 
-# r10 window composition (VERDICT r9 #5): the round-10 NEW query and
-# the queries over code CHANGED in round 10 lead the window; the rest
-# of the 50 slots go to the stalest driver verdicts (computed
-# MECHANICALLY from the CORRECTNESS history below, not hand-listed).
-ROUND10_NEW_OR_CHANGED = [
-    "mm_decode_real", "mm_audio_features", "mm_video_frames",
-    "mm_audio_windows", "graph_link_prediction", "graph_node2vec_walks",
-    "text_rake_keywords", "sim_mips_topk", "quality_shard_plan",
-    "quality_gini_tokens", "sim_mips_ivf_topk", "events_holt_forecast",
-    "etl_fk_orphans", "events_seasonal_profile", "text_llr_collocations",
-    "approx_heavy_hitters", "sim_l2_topk", "events_seasonal_anomaly",
-    "graph_personalized_pagerank", "approx_quantile_sketch",
-    "sim_maxsim_topk", "dedup_containment_pairs",
-    "events_funnel_windowed", "events_rfm_segments",
-    "etl_key_skew_report", "text_zipf_fit", "text_textrank_keywords",
-    "quality_negative_samples", "quality_ppl_gate",
-    "etl_chunk_counts", "quality_quantile_normalize", "topk_orders",
+# r11 window composition: the round-11 NEW queries and the queries
+# over code CHANGED in round 11 lead the window; the rest of the 50
+# slots go to the stalest driver verdicts (computed MECHANICALLY from
+# the CORRECTNESS history below, not hand-listed).
+ROUND11_NEW_OR_CHANGED = [
+    "quality_kn_logprob", "events_concurrency",
+    "events_cusum_changepoint", "events_ab_ztest",
+    "etl_table_checksum", "graph_modularity", "sim_mmr_rerank",
+    "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
+    "events_holt_forecast",
 ]
 
 
@@ -54,19 +47,19 @@ def test_every_query_has_an_oracle():
     assert not orphans, f"oracle_sql entries without queries: {orphans}"
 
 
-def test_round10_window_composition():
-    """The new/changed round-10 queries lead the window; every slot
+def test_round11_window_composition():
+    """The new/changed round-11 queries lead the window; every slot
     not taken by them goes to a query whose latest driver verdict is
     at least as stale as any query left OUT of the window — staleness
-    is computed from the CORRECTNESS_r0*.json history, so the
+    is computed from the CORRECTNESS_r*.json history, so the
     rotation cannot silently skip the oldest rows. Overlap with the
-    r9 window stays within the <= 5 budget."""
+    r10 window stays within the <= 5 budget."""
     import json
 
     names = list(entry.queries())
     window = names[:50]
-    lead = len(ROUND10_NEW_OR_CHANGED)
-    assert names[:lead] == ROUND10_NEW_OR_CHANGED, (
+    lead = len(ROUND11_NEW_OR_CHANGED)
+    assert names[:lead] == ROUND11_NEW_OR_CHANGED, (
         f"leading slots wrong: {names[:lead]}"
     )
     latest = _latest_driver_round()
@@ -81,8 +74,8 @@ def test_round10_window_composition():
         f"stalest tail row ({min_in_tail}) — rotation skipped rows"
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r9 = set(json.load(open(os.path.join(root, "CORRECTNESS_r09.json"))))
-    assert len(set(window) & r9) <= 5, "r9-window overlap budget exceeded"
+    r10 = set(json.load(open(os.path.join(root, "CORRECTNESS_r10.json"))))
+    assert len(set(window) & r10) <= 5, "r10-window overlap budget exceeded"
 
 
 def test_bench_headline_subset_of_registry():

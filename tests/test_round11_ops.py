@@ -53,3 +53,178 @@ def test_holt_linear_rejects_zero_window(spark):
     )
     with pytest.raises(ValueError, match="window_size"):
         ops.holt_linear(df, "user_id", "ts", "v", window_size=0)
+
+
+def test_peak_concurrency_hand_computed(spark):
+    # u1: 10:00-10:05 -> [10:00, 10:35); u2: 10:10 -> [10:10, 10:40)
+    # u3: 10:50 -> [10:50, 11:20) — peak is 2 while u1/u2 overlap
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00"),
+            ("u1", "2024-01-01 10:05:00"),
+            ("u2", "2024-01-01 10:10:00"),
+            ("u3", "2024-01-01 10:50:00"),
+        ],
+        "user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = (
+        ops.peak_concurrency(df, gap_minutes=30)
+        .orderBy("ts", "delta", "user")
+        .collect()
+    )
+    assert [r["concurrent"] for r in rows] == [1, 2, 1, 0, 1, 0]
+    assert max(r["concurrent"] for r in rows) == 2
+    with pytest.raises(ValueError, match="gap_minutes"):
+        ops.peak_concurrency(df, gap_minutes=0)
+
+
+def test_peak_concurrency_end_before_start_at_same_instant(spark):
+    # u1's session ends exactly when u2's starts: end-exclusive means
+    # the count returns to 0 before the +1 lands — never 2
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00"), ("u2", "2024-01-01 10:30:00")],
+        "user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = (
+        ops.peak_concurrency(df, gap_minutes=30)
+        .orderBy("ts", "delta", "user")
+        .collect()
+    )
+    assert [(r["delta"], r["concurrent"]) for r in rows] == [
+        (1, 1), (-1, 0), (1, 1), (-1, 0),
+    ]
+
+
+def test_cusum_changepoint_level_shift(spark):
+    # 6 hourly buckets: rate 2/h for 3 hours then 10/h — the cumulative
+    # deviation |S'| peaks at the last low bucket (hour 02)
+    rows = []
+    eid = 0
+    for h, n in [(0, 2), (1, 2), (2, 2), (3, 10), (4, 10), (5, 10)]:
+        for i in range(n):
+            rows.append((eid, f"2024-01-01 0{h}:{i:02d}:00", "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ops.cusum_changepoint(df, bucket="hour").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["change_ts"].hour == 2
+    assert r["n_buckets"] == 6 and r["total"] == 36
+    # S'_3 = sum of (6*2 - 36) over 3 buckets = -72
+    assert r["cusum_abs"] == 72
+
+
+def test_ab_ztest_counts_and_sign(spark):
+    # users 1..40; conversion only for variant-1 users -> z > 0 and
+    # the four counts partition the user set
+    from graph_etl_spark.operators.text import h56
+
+    base = spark.range(1, 41).select(F.col("id").alias("user_id"))
+    variant = base.withColumn(
+        "v", h56(F.col("user_id").cast("string")) % 2
+    )
+    ev = variant.select(
+        "user_id",
+        F.when(F.col("v") == 1, F.lit("purchase"))
+        .otherwise(F.lit("view"))
+        .alias("event_type"),
+    )
+    r = ops.ab_ztest(ev, conv_type="purchase").collect()[0]
+    assert r["n_control"] + r["n_treatment"] == 40
+    assert r["conv_control"] == 0
+    assert r["conv_treatment"] == r["n_treatment"]
+    assert r["rate_treatment"] == 1.0 and r["rate_control"] == 0.0
+    assert r["z"] > 5
+
+
+def test_table_checksum_order_free_and_value_sensitive(spark):
+    import graph_etl_spark.functions as fn
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "k long, s string"
+    )
+    b = spark.createDataFrame(
+        [(3, None), (1, "x"), (2, "y")], "k long, s string"
+    ).repartition(7)
+    ca = fn.table_checksum(a, ["k", "s"]).collect()[0]
+    cb = fn.table_checksum(b, ["k", "s"]).collect()[0]
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+    c = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, s string"
+    )
+    assert fn.table_checksum(c, ["k", "s"]).collect()[0]["checksum"] != ca[
+        "checksum"
+    ]
+    # NULL sentinel: ('a', NULL) must not collide with ('a<sep>', ...)
+    d1 = spark.createDataFrame([("a", None)], "x string, y string")
+    d2 = spark.createDataFrame([("a", "")], "x string, y string")
+    assert (
+        fn.table_checksum(d1, ["x", "y"]).collect()[0]["checksum"]
+        != fn.table_checksum(d2, ["x", "y"]).collect()[0]["checksum"]
+    )
+
+
+def test_modularity_clean_partition_beats_mixed(spark):
+    # two 3-cliques joined by one bridge edge
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(4, 5), (4, 6), (5, 6)]
+    edges = spark.createDataFrame(
+        tri1 + tri2 + [(3, 4)], "src long, dst long"
+    )
+    good = spark.createDataFrame(
+        [(i, "a" if i <= 3 else "b") for i in range(1, 7)],
+        "id long, community string",
+    )
+    bad = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1, 7)],
+        "id long, community string",
+    )
+    q_good = sum(r["q"] for r in ops.modularity(edges, good).collect())
+    q_bad = sum(r["q"] for r in ops.modularity(edges, bad).collect())
+    assert q_good > 0.3 and q_good > q_bad
+    rows = {r["community"]: r for r in ops.modularity(edges, good).collect()}
+    assert rows["a"]["inner_edges"] == 3 and rows["a"]["n_nodes"] == 3
+    assert rows["a"]["degree_sum"] == 7  # 2+2+3 (bridge endpoint)
+
+
+def test_kneser_ney_francisco_effect(spark):
+    # "san francisco" x5: 'francisco' is frequent but single-context;
+    # 'road' appears 3x in 3 distinct contexts -> higher P_cont means
+    # a better (less negative) first-token score for 'road'
+    docs = spark.createDataFrame(
+        [
+            (1, "san francisco san francisco san francisco san francisco san francisco"),
+            (2, "old road new road gravel road"),
+            (3, "francisco starts this doc"),
+            (4, "road starts this doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ops.kneser_ney_logprob(docs).collect()}
+    assert out[1]["n_tokens"] == 10
+    # first-token-only comparison: doc 3 starts with 'francisco'
+    # (P_cont = 1/nb), doc 4 with 'road' (P_cont = 3/nb); the shared
+    # remainder 'starts this doc' cancels, so doc4 scores higher
+    assert out[4]["avg_logprob"] > out[3]["avg_logprob"]
+
+
+def test_mmr_rerank_prefers_diverse_over_neardup(spark):
+    # q: query at [1,0]; a,b near-duplicates close to q; c orthogonal-ish
+    # relevance order a > b > c, but MMR step 2 must pick c over b
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),        # query
+            (1, [0.99, 0.14]),      # a — most relevant
+            (2, [0.985, 0.17]),     # b — near-dup of a
+            (3, [0.7, 0.71]),       # c — diverse
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = ops.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") == 0), k=3, pool=3, lam=0.3
+    ).orderBy("step").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 3, 2]
+    with pytest.raises(ValueError, match="pool"):
+        ops.mmr_rerank(emb, emb.filter(F.col("vec_id") == 0), k=5, pool=3)
