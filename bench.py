@@ -201,6 +201,11 @@ HEADLINE = [
     "etl_table_checksum",
     "graph_modularity",
     "sim_mmr_rerank",
+    "sim_hamming_topk",
+    "events_ab_cuped",
+    "sim_hybrid_rrf",
+    "dedup_ngram_novelty",
+    "mm_resize_real",
 ]
 
 

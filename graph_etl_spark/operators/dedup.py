@@ -765,3 +765,58 @@ def incremental_dedup(
         .otherwise(F.lit("kept"))
         .alias("verdict"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus NOVELTY score — the inverse-boilerplate quality signal:
+    per document, the fraction of its DISTINCT n-gram shingles that
+    appear in NO other document. Template/boilerplate text scores near
+    0 (all its shingles recur elsewhere); genuinely novel prose scores
+    near 1. The per-shingle document frequency is the same statistic
+    ``boilerplate_ngrams`` ranks globally — this is its per-document
+    roll-up.
+
+    Output: (id_col, n_shingles, n_novel, novelty) — one row per doc
+    (docs shorter than ``n`` tokens contribute their whole text as the
+    single shingle, the ``shingles_of`` convention).
+
+    Determinism: counts are exact integers; novelty is one integer
+    ratio rounded at the end.
+
+    Scale: one explode to distinct (doc, shingle) pairs, one
+    shingle-keyed df count, one equi-join back (shuffled — the
+    shingle table is corpus-sized), one doc-keyed roll-up."""
+    sh = (
+        df.withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of(F.col("__toks"), n=int(n))).alias("__sh"),
+        )
+        .distinct()
+    )
+    dfreq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(dfreq, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -790,3 +790,99 @@ def frame_sample_plan(
         "frame_idx",
         (F.col("byte_offset_idx") * every_n_bytes).alias("byte_offset"),
     )
+
+
+RESIZED_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("weighted_sum", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    target_width: int = 4,
+    target_height: int = 4,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL image resize as an Arrow-batched ``mapInPandas`` stage —
+    the stub retired for PNG inputs: decode (zlib inflate + unfilter),
+    NEAREST-NEIGHBOR resample to the target geometry with pure integer
+    source indexing (sy = y·h // H, sx = x·w // W — exactly the
+    arithmetic a SQL oracle replays), and reduce to exact integer
+    aggregates: pixel_sum plus a position-WEIGHTED sum
+    Σ pixel·((y·W + x)·channels + c + 1) so a permuted-but-same-
+    multiset resample cannot pass. Non-PNG payloads fall back to the
+    declared stub row (media_type 'stub'), keeping mixed corpora
+    flowing.
+
+    Scale: bounded output row size regardless of input payload
+    (the resize-stage property that makes the downstream shuffle
+    plannable at 100 TB); only (id, payload) crosses the Arrow
+    boundary."""
+    tw, th = int(target_width), int(target_height)
+    if tw < 1 or th < 1:
+        raise ValueError(
+            f"resize_image: target geometry must be >= 1x1 (got {tw}x{th})"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in RESIZED_REAL_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                rows["doc_id"].append(int(doc_id))
+                decoded = None
+                if raw[:8] == _PNG_SIG:
+                    try:
+                        decoded = decode_png(raw)
+                    except ValueError:
+                        decoded = None
+                if decoded is not None:
+                    w, h, c, px = decoded
+                    sy = (np.arange(th, dtype=np.int64) * h) // th
+                    sx = (np.arange(tw, dtype=np.int64) * w) // tw
+                    out = px.reshape(h, w, c)[sy][:, sx]
+                    weights = (
+                        (
+                            np.arange(th * tw * c, dtype=np.int64)
+                        ).reshape(th, tw, c)
+                        + 1
+                    )
+                    rows["media_type"].append("png")
+                    rows["src_width"].append(w)
+                    rows["src_height"].append(h)
+                    rows["width"].append(tw)
+                    rows["height"].append(th)
+                    rows["channels"].append(c)
+                    rows["pixel_sum"].append(
+                        int(out.sum(dtype=np.int64))
+                    )
+                    rows["weighted_sum"].append(
+                        int((out.astype(np.int64) * weights).sum())
+                    )
+                    rows["n_pixels"].append(th * tw * c)
+                else:
+                    w, h, c, _feat = _fake_decode(raw)
+                    rows["media_type"].append("stub")
+                    rows["src_width"].append(w)
+                    rows["src_height"].append(h)
+                    rows["width"].append(tw)
+                    rows["height"].append(th)
+                    rows["channels"].append(c)
+                    rows["pixel_sum"].append(0)
+                    rows["weighted_sum"].append(0)
+                    rows["n_pixels"].append(0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, RESIZED_REAL_SCHEMA)

@@ -2066,3 +2066,147 @@ def mmr_rerank(
         )
         selected = pick if selected is None else selected.unionByName(pick)
     return selected
+
+
+def binarize_embeddings(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """SIGN-BIT BINARIZATION — the 32x compression trick production
+    vector stores ship (binary quantization): bit j of a vector is
+    1 iff component j > 0, packed ``word_bits`` per long so Hamming
+    distance computes as popcount(xor) per word. 32-bit words (not
+    64) keep every packed value a SMALL positive long: the bits sum
+    as exact powers of two with no sign-bit wraparound, so the packed
+    words are engine-identical integers (DuckDB mirrors with
+    pow(2, j)::BIGINT sums).
+
+    Output: (id_col, words array<long>) — ceil(dim/word_bits) words.
+
+    Scale: pure map-side expression, no shuffle, no UDF."""
+    if int(dim) < 1:
+        raise ValueError(f"binarize_embeddings: dim must be >= 1 (got {dim})")
+    wb = int(word_bits)
+    n_words = (int(dim) + wb - 1) // wb
+    c = F.col(vec_col)
+
+    def word(w: int) -> Column:
+        lo, hi = w * wb, min((w + 1) * wb, int(dim))
+        idx = F.sequence(F.lit(lo), F.lit(hi - 1))
+        return F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(c, i + 1) > 0,
+                F.pow(F.lit(2.0), i - F.lit(lo)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    return df.select(
+        F.col(id_col), F.array(*[word(w) for w in range(n_words)]).alias("words")
+    )
+
+
+def hamming_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-embedding top-k: binarize both sides (sign bits packed
+    32/long) and rank by HAMMING distance — popcount(xor) summed over
+    the packed words, the integer-exact distance binary vector search
+    runs. Ties break by neighbor id; every distance is an exact
+    integer, so the ranking is engine-identical with no rounding bets.
+
+    Output: (query_id, neighbor_id, hamming, rank).
+
+    Scale: packing is map-side; the query side broadcasts and the
+    per-query ranking window is the brute-force reference shape (swap
+    in the partial-reduction pattern of ``brute_force_topk_scale`` for
+    cluster-scale candidate counts — distances are integers either
+    way)."""
+    d = binarize_embeddings(data, dim, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("words").alias("__dw")
+    )
+    q = binarize_embeddings(queries, dim, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("words").alias("__qw")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("__dw"),
+            F.col("__qw"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", ham)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    c: int = 60,
+    keys: list[str] | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """RECIPROCAL RANK FUSION (Cormack et al. 2009) — the hybrid-search
+    combiner: every input ranking contributes 1/(c + rank) per
+    candidate and the fused order is the contribution sum. Rank-based,
+    so wildly different score scales (BM25 vs cosine vs Hamming) fuse
+    without calibration; a candidate missing from a ranking simply
+    contributes nothing.
+
+    Determinism: each 1/(c+rank) rounds to a 12-dp decimal and the
+    contributions sum as DECIMAL — exact and order-free, so the fused
+    ordering carries no float-accumulation-order risk; final ties
+    break by the key columns.
+
+    Output: key columns + (rrf_score, rank), top ``k`` per query
+    group (all key columns except the last are the query grouping).
+
+    Scale: one union + one keyed aggregation + a query-keyed ranking
+    window over the union of per-ranking top lists (bounded by
+    rankings x their k)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    keys = keys or ["query_id", "neighbor_id"]
+    contrib = F.round(
+        F.lit(1.0) / (F.lit(float(int(c))) + F.col(rank_col).cast("double")), 12
+    ).cast("decimal(18,12)")
+    parts = [r.select(*keys, contrib.alias("__c")) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(*keys).agg(F.sum("__c").alias("__s"))
+    w = Window.partitionBy(*keys[:-1]).orderBy(
+        F.col("__s").desc(), *[F.col(kc).asc() for kc in keys]
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            *keys,
+            F.col("__s").cast("double").alias("rrf_score"),
+            "rank",
+        )
+    )

@@ -19,6 +19,8 @@ ROUND11_NEW_OR_CHANGED = [
     "quality_kn_logprob", "events_concurrency",
     "events_cusum_changepoint", "events_ab_ztest",
     "etl_table_checksum", "graph_modularity", "sim_mmr_rerank",
+    "sim_hamming_topk", "events_ab_cuped", "sim_hybrid_rrf",
+    "dedup_ngram_novelty", "mm_resize_real",
     "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
     "events_holt_forecast",
 ]

@@ -228,3 +228,114 @@ def test_mmr_rerank_prefers_diverse_over_neardup(spark):
     assert [r["neighbor_id"] for r in out] == [1, 3, 2]
     with pytest.raises(ValueError, match="pool"):
         ops.mmr_rerank(emb, emb.filter(F.col("vec_id") == 0), k=5, pool=3)
+
+
+def test_binarize_and_hamming_exact(spark):
+    # 4-dim vectors, 2-bit words: packing and distances fully hand-checked
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, -1.0, 1.0, -1.0]),   # bits 1010 -> words [1, 1]
+            (1, [1.0, 1.0, 1.0, 1.0]),     # bits 1111 -> words [3, 3]
+            (2, [-1.0, -1.0, -1.0, -1.0]), # bits 0000 -> words [0, 0]
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    packed = {
+        r["vec_id"]: r["words"]
+        for r in ops.binarize_embeddings(emb, dim=4, word_bits=2).collect()
+    }
+    assert packed == {0: [1, 1], 1: [3, 3], 2: [0, 0]}
+    out = ops.hamming_topk(emb, emb.filter(F.col("vec_id") == 0), dim=4, k=2)
+    rows = {r["neighbor_id"]: r for r in out.collect()}
+    assert rows[1]["hamming"] == 2 and rows[2]["hamming"] == 2
+    # tie at distance 2 -> neighbor 1 ranks first
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+
+
+def test_ab_cuped_perfect_covariate_kills_variance(spark):
+    # y = 2x exactly: theta = 2 and every adjusted value collapses to
+    # the global adjusted mean -> both variants' mean_y_cuped equal
+    rows = []
+    for u in range(1, 21):
+        rows.append((u, "2024-01-10 00:00:00", float(u)))        # pre: x = u
+        rows.append((u, "2024-01-20 00:00:00", float(2 * u)))    # post: y = 2u
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ops.ab_cuped(ev, cutoff_ts="2024-01-15 00:00:00").collect()
+    assert len(out) == 2
+    thetas = {r["theta"] for r in out}
+    assert thetas == {2.0}
+    adj = [r["mean_y_cuped"] for r in out]
+    assert adj[0] == pytest.approx(adj[1], abs=1e-6)
+    assert adj[0] == pytest.approx(21.0, abs=1e-6)  # 2 * mean(x) = 2*10.5
+
+
+def test_rrf_fuse_hand_scores(spark):
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r["neighbor_id"]: r for r in ops.rrf_fuse([r1, r2], k=4).collect()}
+    # 11 appears in both (1/62 + 1/61) and must beat 10 (1/61 alone)
+    assert out[11]["rank"] == 1 and out[10]["rank"] == 2
+    assert out[11]["rrf_score"] == pytest.approx(
+        round(1 / 62, 12) + round(1 / 61, 12), abs=1e-12
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        ops.rrf_fuse([])
+
+
+def test_ngram_novelty_boilerplate_vs_unique(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox sleeps"),   # shares 2 of its 3 shingles
+            (3, "completely novel text here now"),
+            (4, "tiny doc"),                      # < 3 tokens -> whole-text shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ops.ngram_novelty(docs, n=3).collect()}
+    assert out[3]["novelty"] == 1.0
+    assert out[4]["n_shingles"] == 1 and out[4]["novelty"] == 1.0
+    # docs 1/2 share 'the quick brown' and 'quick brown fox'
+    assert out[1]["n_novel"] == 1 and out[1]["n_shingles"] == 3
+    assert out[1]["novelty"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_resize_image_real_nearest_neighbor(spark):
+    from graph_etl_spark.operators import multimodal as mm
+    import numpy as np
+
+    # 6x4 RGB image with known pixels, resized to 3x2: nearest
+    # neighbor picks sy = y*4//2, sx = x*6//3
+    w, h, c = 6, 4, 3
+    yy, xx, cc = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(c), indexing="ij"
+    )
+    px = ((yy * 50 + xx * 7 + cc) % 256).astype(np.uint8)
+    payload = mm.encode_png(w, h, px.tobytes())
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    r = mm.resize_image(df, target_width=3, target_height=2).collect()[0]
+    sy = (np.arange(2) * h) // 2
+    sx = (np.arange(3) * w) // 3
+    out = px[sy][:, sx].astype(np.int64)
+    weights = np.arange(2 * 3 * 3, dtype=np.int64).reshape(2, 3, 3) + 1
+    assert r["media_type"] == "png"
+    assert (r["src_width"], r["src_height"]) == (w, h)
+    assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
+    assert r["pixel_sum"] == int(out.sum())
+    assert r["weighted_sum"] == int((out * weights).sum())
+    # non-PNG payload falls back to the declared stub row
+    junk = spark.createDataFrame(
+        [(2, bytearray(b"not a png"))], "doc_id long, payload binary"
+    )
+    s = mm.resize_image(junk, target_width=3, target_height=2).collect()[0]
+    assert s["media_type"] == "stub" and s["pixel_sum"] == 0
+    with pytest.raises(ValueError, match="geometry"):
+        mm.resize_image(df, target_width=0)

@@ -285,6 +285,19 @@ def main() -> None:
         # vocab join's worst direction); the bigram stream is one
         # window lead, data-sized
         "pmi_bigrams": lambda d: ops.pmi_bigrams(d, min_count=5),
+        # r11: Kneser-Ney — same model-table growth direction as
+        # bigram/trigram (disjoint per-copy tokens grow the bigram /
+        # continuation tables ~Nx); one per-doc lag window
+        "kn_logprob": lambda d: ops.kneser_ney_logprob(d),
+        # r11: order-free checksum — per-row JVM hash + one map-side-
+        # combined agg; must be ~scan-linear
+        "table_checksum": lambda d: __import__(
+            "graph_etl_spark.functions", fromlist=["table_checksum"]
+        ).table_checksum(d, ["doc_id", "text"], group_col="source"),
+        # r11: novelty — disjoint per-copy tokens keep shingles
+        # copy-local, so the df table grows ~Nx and the join is the
+        # corpus-sized shuffle the docstring claims
+        "ngram_novelty": lambda d: ops.ngram_novelty(d, n=3),
     }
     # BPE trains EAGERLY during construction (per-round argmax
     # collects), so it is timed as a thunk — df-construction plus the
@@ -382,6 +395,18 @@ def main() -> None:
 
     li_cases = {
         "triangle_count": lambda f: ops.triangle_count(copurchase(f)),
+        # r11: modularity — two endpoint joins + per-community aggs,
+        # communities derived in-plan (partkey mod 25) so the
+        # partition table grows with the graph (the shuffled-join
+        # regime, not broadcast); no iteration, must be ~linear
+        "modularity": lambda f: ops.modularity(
+            copurchase(f).distinct(),
+            copurchase(f)
+            .select(F.col("src").alias("id"))
+            .unionByName(copurchase(f).select(F.col("dst").alias("id")))
+            .distinct()
+            .withColumn("community", F.col("id") % 25),
+        ),
         # r8: k-core peel — namespaced copies keep the shell structure
         # per copy, so round count stays constant while edges 10x; the
         # ratio probes the per-round degree agg + semi-joins
@@ -590,6 +615,20 @@ def main() -> None:
         "funnel_windowed": lambda f: ops.funnel_windowed_counts(
             f, ["signup", "view", "purchase"], window_seconds=86400
         ),
+        # r11: CUSUM — (type, hour) buckets stay FIXED (time range
+        # fixed) while rows 10x: per-bucket counts grow but the
+        # keyed cumulative window stays bucket-count-sized
+        "cusum_changepoint": lambda f: ops.cusum_changepoint(
+            f, bucket="hour"
+        ),
+        # r11: A/B z-test — one user roll-up + a 1-row conditional
+        # agg; must be ~scan-linear
+        "ab_ztest": lambda f: ops.ab_ztest(f, conv_type="purchase"),
+        # r11: CUPED — one user roll-up, one 1-row moment agg, one
+        # variant agg; must be ~scan-linear
+        "ab_cuped": lambda f: ops.ab_cuped(
+            f, cutoff_ts="2024-01-15 00:00:00"
+        ),
     }
 
     # event-frame operators that do their work at CONSTRUCTION time
@@ -604,6 +643,14 @@ def main() -> None:
         # (each collects boundaries/offsets at construction)
         "rfm_segments": lambda f: (
             lambda: ops.rfm_segments(f, n_bands=5)
+        ),
+        # r11: sweep-line concurrency — sessionize (user-keyed
+        # window) then the two-phase exact global cumsum over 2x
+        # session boundaries; users 10x with fixed history length,
+        # so boundaries 10x over a fixed bucket count — must stay
+        # scan-linear with NO single-reducer sweep
+        "peak_concurrency": lambda f: (
+            lambda: ops.peak_concurrency(f, gap_minutes=30)
         ),
     }
     vec_cases = {
@@ -666,12 +713,43 @@ def main() -> None:
         "mips_ivf_topk": lambda e: ops.mips_ivf_topk(
             e, e.filter(F.col("vec_id") < 10), k=5, nlist=8, nprobe=2
         ),
+        # r11: binary Hamming top-k — map-side packing, broadcast
+        # queries, integer distances; candidates 10x
+        "hamming_topk": lambda e: ops.hamming_topk(
+            e, e.filter(F.col("vec_id") < 10), dim=64, k=5
+        ),
+        # r11: RRF — two brute-force top-20 rankings (each the
+        # broadcast-query scan) + a bounded fuse agg
+        "hybrid_rrf": lambda e: ops.rrf_fuse(
+            [
+                ops.brute_force_topk(
+                    e, e.filter(F.col("vec_id") < 10), k=20
+                ).select("query_id", "neighbor_id", "rank"),
+                ops.mips_topk(
+                    e, e.filter(F.col("vec_id") < 10), k=20
+                ).select("query_id", "neighbor_id", "rank"),
+            ],
+            k=5,
+        ),
         # r10: MaxSim — query doc fixed (label 0), candidates 10x;
         # one broadcast + one (doc, qvec) max agg + one doc sum
         "maxsim_topk": lambda e: ops.maxsim_topk(
             e.filter(F.col("label") != 0),
             e.filter((F.col("label") == 0) & (F.col("vec_id") < 9999)),
             k=5, doc_col="label",
+        ),
+    }
+    # embedding operators that do construction-time work (the MMR
+    # greedy loop checkpoints each step eagerly) — thunk-timed
+    vec_thunk_cases = {
+        # r11: MMR — candidate gen is the distributed top-pool over a
+        # 10x corpus; everything after is bounded per query (pool^2
+        # pair sims, k argmax windows), so the ratio probes the
+        # candidate scan
+        "mmr_rerank": lambda e: (
+            lambda: ops.mmr_rerank(
+                e, e.filter(F.col("vec_id") < 10), k=5, pool=20
+            )
         ),
     }
 
@@ -713,6 +791,10 @@ def main() -> None:
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
     for name, fn in _sel(vec_cases).items():
         t1, tn = timed(fn(e1)), timed(fn(en))
+        result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
+        print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
+    for name, fn in _sel(vec_thunk_cases).items():
+        t1, tn = timed_thunk(fn(e1)), timed_thunk(fn(en))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
 
