@@ -3457,6 +3457,55 @@ def q_sim_hybrid_rrf(spark, sf):
     return ops.rrf_fuse([cos, dot], k=5)
 
 
+def q_events_survival_km(spark, sf):
+    """Kaplan-Meier survival per signup-week cohort: censoring-aware
+    churn curves (silent > 2h before corpus max = churned — the
+    horizon that yields real deaths at test SF; production would pass
+    days); exact integer risk sets, 9-dp-decimal ln-factor cumsums
+    exponentiated once, cohort-keyed windows only."""
+    return ops.survival_km(_t(spark, sf, "events"), churn_after_s=7200)
+
+
+def q_approx_cms_counts(spark, sf):
+    """Count-Min sketch (depth 4 x width 64) point estimates over user
+    ids, emitted NEXT TO exact truth so the collision overestimate is
+    auditably visible; H56 hashing is engine-identical so even the
+    collisions match."""
+    return ops.cms_counts(_t(spark, sf, "events"), "user_id", depth=4, width=64)
+
+
+def q_etl_bloom_semi_join(spark, sf):
+    """Bloom pre-join report: a 1024-bit filter built from the
+    restricted supplier dim (nations < 10) embedded as literal words,
+    probed map-side by every lineitem row — counts of passed / true /
+    false-positive rows; the deterministic H56 positions make even
+    the false positives engine-identical."""
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").filter(F.col("s_nationkey") < 10)
+    passed = ops.bloom_semi_join(
+        li, supp, "l_suppkey", "s_suppkey", n_bits=1024, n_hashes=3
+    )
+    truth = (
+        supp.select(F.col("s_suppkey").alias("l_suppkey"))
+        .distinct()
+        .withColumn("__true", F.lit(1))
+    )
+    marked = passed.join(F.broadcast(truth), "l_suppkey", "left")
+    total = li.agg(F.count(F.lit(1)).alias("n_fact"))
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("n_passed"),
+        F.sum(F.coalesce(F.col("__true"), F.lit(0))).alias("n_true_match"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "n_fact",
+        "n_passed",
+        "n_true_match",
+        (F.col("n_passed") - F.col("n_true_match")).alias(
+            "n_false_positive"
+        ),
+    )
+
+
 def q_mm_resize_real(spark, sf):
     """REAL image resize end-to-end (the stub retired for PNGs): real
     decode -> integer nearest-neighbor resample (sy = y*h//H) ->
@@ -3552,6 +3601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hybrid_rrf": q_sim_hybrid_rrf,
         "dedup_ngram_novelty": q_dedup_ngram_novelty,
         "mm_resize_real": q_mm_resize_real,
+        "events_survival_km": q_events_survival_km,
+        "approx_cms_counts": q_approx_cms_counts,
+        "etl_bloom_semi_join": q_etl_bloom_semi_join,
         "mm_decode_real": q_mm_decode_real,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
@@ -3774,7 +3826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_changepoint", "events_ab_ztest",
         "etl_table_checksum", "graph_modularity", "sim_mmr_rerank",
         "sim_hamming_topk", "events_ab_cuped", "sim_hybrid_rrf",
-        "dedup_ngram_novelty", "mm_resize_real",
+        "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
+        "approx_cms_counts", "etl_bloom_semi_join",
         "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
         "events_holt_forecast",
         # 15 r6-era rows
@@ -3784,15 +3837,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 19 r7-era rows (the remaining 24 open the r12 window)
+        # 16 r7-era rows (the remaining 27 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
         "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
         "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
         "events_sessionize", "graph_connected_components",
-        "graph_triangles", "mm_binary_metadata",
-        "pipeline_corpus_assembly", "q13_customer_distribution",
+        "graph_triangles",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -8652,6 +8704,121 @@ def oracle_sql() -> dict[str, str]:
         FROM dims d, range(0, 4) AS y(y), range(0, 4) AS x(x),
              range(0, 3) AS c(c)
         GROUP BY d.doc_id, d.w, d.h
+    """
+
+    # Kaplan-Meier: exact integer risk sets; the factor product is a
+    # 9-dp-decimal ln cumsum exponentiated once (the LM family's ln
+    # bet); a zero factor forces exact 0.0 instead of ln(0)
+    sql["events_survival_km"] = """
+        WITH per_user AS (
+          SELECT user_id,
+                 epoch(MIN(ts))::BIGINT AS f, epoch(MAX(ts))::BIGINT AS l,
+                 date_trunc('week', MIN(ts)) AS cohort
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY user_id
+        ), anchor AS (SELECT MAX(l) AS now FROM per_user),
+        lifted AS (
+          SELECT cohort, (l - f) // 86400 AS day,
+                 CASE WHEN l < now - 7200 THEN 1 ELSE 0 END AS churned
+          FROM per_user CROSS JOIN anchor
+        ), counts AS (
+          SELECT cohort, day, COUNT(*)::BIGINT AS n_users,
+                 SUM(churned)::BIGINT AS churned
+          FROM lifted GROUP BY cohort, day
+        ), risky AS (
+          SELECT *, SUM(n_users) OVER (
+            PARTITION BY cohort ORDER BY day DESC
+            ROWS UNBOUNDED PRECEDING)::BIGINT AS at_risk
+          FROM counts
+        ), deaths AS (
+          SELECT cohort, day, at_risk, churned FROM risky WHERE churned > 0
+        ), scored AS (
+          SELECT cohort, day, at_risk, churned,
+            SUM(CASE WHEN 1.0 - churned::DOUBLE / at_risk::DOUBLE > 0
+                     THEN ROUND(ln(1.0 - churned::DOUBLE / at_risk::DOUBLE),
+                                9)::DECIMAL(18,9)
+                     ELSE 0.0::DECIMAL(18,9) END)
+              OVER (PARTITION BY cohort ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+            MAX(CASE WHEN 1.0 - churned::DOUBLE / at_risk::DOUBLE = 0
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY cohort ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS dead
+          FROM deaths
+        )
+        SELECT cohort, day, at_risk, churned,
+               CASE WHEN dead = 1 THEN 0.0
+                    ELSE ROUND(exp(cum::DOUBLE), 6) END AS survival
+        FROM scored
+    """
+
+    sql["approx_cms_counts"] = f"""
+        WITH rows_ AS (
+          SELECT user_id::VARCHAR AS v FROM events WHERE user_id IS NOT NULL
+        ), cells AS (
+          SELECT d.d, {_H56.format(x="(d.d::VARCHAR || '|' || v)")} % 64 AS b,
+                 COUNT(*)::BIGINT AS c
+          FROM rows_, range(0, 4) AS d(d) GROUP BY 1, 2
+        ), exact_c AS (
+          SELECT v AS value, COUNT(*)::BIGINT AS exact FROM rows_ GROUP BY v
+        ), lookups AS (
+          SELECT value, d.d,
+                 {_H56.format(x="(d.d::VARCHAR || '|' || value)")} % 64 AS b
+          FROM exact_c, range(0, 4) AS d(d)
+        ), est AS (
+          SELECT value, MIN(c)::BIGINT AS estimate
+          FROM lookups JOIN cells USING (d, b) GROUP BY value
+        )
+        SELECT value, exact, estimate,
+               (estimate - exact)::BIGINT AS overestimate
+        FROM exact_c JOIN est USING (value)
+    """
+
+    # bloom prefilter: the words CTE is the literal bitmap the Spark
+    # side embeds; the per-hash bit test is the same integer
+    # (wval // 2^bit) % 2 arithmetic
+    _bloom_pos = "({h} % 1024)"
+
+    def _bp(j: str, key: str) -> str:
+        h = _H56.format(x=f"({j}::VARCHAR || '|' || {key}::VARCHAR)")
+        return f"({h} % 1024)"
+
+    sql["etl_bloom_semi_join"] = f"""
+        WITH dimk AS (
+          SELECT DISTINCT s_suppkey AS k FROM supplier
+          WHERE s_nationkey < 10 AND s_suppkey IS NOT NULL
+        ), pos AS (
+          SELECT DISTINCT {_bp("j.j", "k")} // 32 AS w,
+                          {_bp("j.j", "k")} % 32 AS bit
+          FROM dimk, range(0, 3) AS j(j)
+        ), words AS (
+          SELECT w, SUM(pow(2, bit)::BIGINT)::BIGINT AS wval
+          FROM pos GROUP BY w
+        ), f AS (
+          SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey IS NOT NULL
+        ), probe AS (
+          SELECT f.k,
+            (COALESCE(w0.wval, 0) // pow(2, {_bp("0", "f.k")} % 32)::BIGINT)
+              % 2 AS s0,
+            (COALESCE(w1.wval, 0) // pow(2, {_bp("1", "f.k")} % 32)::BIGINT)
+              % 2 AS s1,
+            (COALESCE(w2.wval, 0) // pow(2, {_bp("2", "f.k")} % 32)::BIGINT)
+              % 2 AS s2
+          FROM f
+          LEFT JOIN words w0 ON w0.w = {_bp("0", "f.k")} // 32
+          LEFT JOIN words w1 ON w1.w = {_bp("1", "f.k")} // 32
+          LEFT JOIN words w2 ON w2.w = {_bp("2", "f.k")} // 32
+        ), passed AS (
+          SELECT k FROM probe WHERE s0 = 1 AND s1 = 1 AND s2 = 1
+        )
+        SELECT (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_fact,
+               COUNT(*)::BIGINT AS n_passed,
+               SUM(CASE WHEN k IN (SELECT k FROM dimk) THEN 1 ELSE 0 END)
+                 ::BIGINT AS n_true_match,
+               (COUNT(*) - SUM(CASE WHEN k IN (SELECT k FROM dimk)
+                                    THEN 1 ELSE 0 END))::BIGINT
+                 AS n_false_positive
+        FROM passed
     """
 
     sql["dedup_ngram_novelty"] = f"""

@@ -206,6 +206,9 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "dedup_ngram_novelty",
     "mm_resize_real",
+    "events_survival_km",
+    "approx_cms_counts",
+    "etl_bloom_semi_join",
 ]
 
 

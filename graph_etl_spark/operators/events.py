@@ -801,3 +801,100 @@ def ab_cuped(
             F.round(theta, round_to).alias("theta"),
         )
     )
+
+
+def survival_km(
+    events: DataFrame,
+    churn_after_s: int = 604800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """KAPLAN-MEIER survival curves per signup cohort — the retention
+    statistic that handles CENSORING correctly (a user still active at
+    corpus end hasn't churned; naive retention undercounts them): a
+    user's lifetime is last_event − first_event in whole days, they
+    count as churned (an observed "death") only if silent for more
+    than ``churn_after_s`` seconds before the corpus max timestamp, and the
+    curve multiplies risk-set survival factors S(t) = Π_{t_i≤t}
+    (1 − d_i/n_i) over observed churn days only — censored users leave
+    the risk set without forcing the curve down.
+
+    Output: (cohort, day, at_risk, churned, survival) — one row per
+    (signup week, churn day); survival is the KM estimate at that day.
+
+    Determinism: d and n are exact integers; each factor's ln rounds
+    to a 9-dp decimal and the per-cohort running product is an exact
+    decimal cumsum exponentiated once at the end (the LM family's ln
+    bet); a zero factor (whole risk set churns) forces survival to an
+    exact 0.0 from that day on instead of ln(0).
+
+    Scale: one user-keyed aggregation, one (cohort, day) roll-up, and
+    COHORT-KEYED windows — the risk-set reverse cumsum and the factor
+    product both partition by cohort, bounded by the time range, never
+    a data-sized single-reducer sort."""
+    ts = F.col(ts_col).cast("timestamp")
+    per_user = (
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.min(ts.cast("long")).alias("__first"),
+            F.max(ts.cast("long")).alias("__last"),
+            F.date_trunc("week", F.min(ts)).alias("cohort"),
+        )
+    )
+    anchor = per_user.agg(F.max("__last").alias("__now"))
+    lifted = per_user.crossJoin(F.broadcast(anchor)).select(
+        "cohort",
+        ((F.col("__last") - F.col("__first")) / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        F.when(
+            F.col("__last")
+            < F.col("__now") - F.lit(int(churn_after_s)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__churned"),
+    )
+    counts = lifted.groupBy("cohort", "day").agg(
+        F.count(F.lit(1)).alias("__n_users"),
+        F.sum("__churned").alias("churned"),
+    )
+    w_desc = (
+        Window.partitionBy("cohort")
+        .orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risky = counts.withColumn("at_risk", F.sum("__n_users").over(w_desc))
+    deaths = risky.filter(F.col("churned") > 0)
+    factor = F.lit(1.0) - F.col("churned").cast("double") / F.col(
+        "at_risk"
+    ).cast("double")
+    w_asc = (
+        Window.partitionBy("cohort")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        deaths.withColumn(
+            "__lnf",
+            F.when(factor > 0, F.round(F.log(factor), 9))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,9)"),
+        )
+        .withColumn(
+            "__dead_end",
+            F.max(F.when(factor == 0, 1).otherwise(0)).over(w_asc),
+        )
+        .withColumn("__cum", F.sum("__lnf").over(w_asc))
+    )
+    return scored.select(
+        "cohort",
+        "day",
+        "at_risk",
+        "churned",
+        F.when(F.col("__dead_end") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("__cum").cast("double")), round_to))
+        .alias("survival"),
+    )

@@ -219,3 +219,154 @@ def quantile_summary(
         out.append((float(q), est, int(n_total)))
     spark = df.sparkSession
     return spark.createDataFrame(out, "q double, estimate double, n_total long")
+
+
+def cms_counts(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """COUNT-MIN SKETCH point estimates next to exact truth — the
+    sketch every streaming counter ships (Cormode-Muthukrishnan 2005):
+    ``depth`` hash rows of ``width`` buckets each; a value's estimate
+    is the MIN of its bucket counts, always >= the true count with the
+    overestimate bounded by collisions. Emitting estimate AND exact
+    side by side makes the sketch's error auditably visible (and the
+    whole operator SQL-oracle checkable — H56 hashing is
+    engine-identical).
+
+    Output: (value, exact, estimate, overestimate) per distinct value.
+
+    Scale: the sketch build is one (depth × width)-keyed map-side-
+    combined aggregation (BOUNDED: depth·width cells regardless of
+    data volume — the point of a sketch); the estimate lookup
+    broadcast-joins the cell table back to the distinct-value frame."""
+    from .text import h56
+
+    dd, ww = int(depth), int(width)
+    if dd < 1 or ww < 1:
+        raise ValueError(f"cms_counts: need depth/width >= 1 (got {dd}/{ww})")
+    v = F.col(col).cast("string")
+    rows = df.select(v.alias("__v")).filter(F.col("__v").isNotNull())
+    hashed = rows.select(
+        "__v", F.explode(F.sequence(F.lit(0), F.lit(dd - 1))).alias("__d")
+    ).withColumn(
+        "__b",
+        h56(F.concat(F.col("__d").cast("string"), F.lit("|"), F.col("__v")))
+        % ww,
+    )
+    cells = hashed.groupBy("__d", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    exact = rows.groupBy(F.col("__v").alias("value")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    lookups = exact.select(
+        "value", F.explode(F.sequence(F.lit(0), F.lit(dd - 1))).alias("__d")
+    ).withColumn(
+        "__b",
+        h56(F.concat(F.col("__d").cast("string"), F.lit("|"), F.col("value")))
+        % ww,
+    )
+    est = (
+        lookups.join(F.broadcast(cells), ["__d", "__b"])
+        .groupBy("value")
+        .agg(F.min("__c").alias("estimate"))
+    )
+    return exact.join(est, "value").select(
+        "value",
+        "exact",
+        "estimate",
+        (F.col("estimate") - F.col("exact")).alias("overestimate"),
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1024,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """BLOOM-FILTER PRE-JOIN — the shuffle-avoidance pattern that
+    matters most at 100 TB: build an ``n_bits`` filter from the dim
+    side's keys, embed it as a LITERAL word array (n_bits/32 packed
+    longs — one tiny collect, the literal-centroid convention), and
+    pass only fact rows whose ``n_hashes`` H56 positions are ALL set.
+    False positives possible (deterministically — same hashes on both
+    engines), false negatives never: the exact semi-join over the
+    survivors stays exact while the full fact table never shuffles on
+    a key that mostly misses. The probe is a PURE MAP-SIDE filter —
+    no explode, no join, no aggregation; duplicate fact rows keep
+    their multiplicity.
+
+    Words pack 32 bits/long via exact power-of-two sums (the
+    ``binarize_embeddings`` convention — no sign-bit wraparound); the
+    bit test is integer arithmetic (wval // 2^bit) % 2 that a SQL
+    oracle replays verbatim.
+
+    Output: the fact rows passing the filter plus a ``bloom_pass``
+    marker column.
+
+    Scale: the filter build is one bounded aggregation over dim keys
+    plus an n_bits/32-row collect; sized for dimension-sided inputs
+    (n_bits grows with the dim key count, not the fact side)."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    from .text import h56
+
+    nb, nh = int(n_bits), int(n_hashes)
+    if nb < 32 or nb % 32 != 0 or nh < 1:
+        raise ValueError(
+            f"bloom_semi_join: n_bits must be a positive multiple of 32 "
+            f"and n_hashes >= 1 (got {nb}/{nh})"
+        )
+
+    def pos_expr(j: int, key) -> F.Column:
+        return (
+            h56(F.concat(F.lit(f"{j}|"), key.cast("string"))) % nb
+        )
+
+    dim_keys = (
+        dim.select(F.col(dim_key).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+    )
+    bits = None
+    for j in range(nh):
+        part = dim_keys.select(pos_expr(j, F.col("__k")).alias("__pos"))
+        bits = part if bits is None else bits.unionByName(part)
+    words_rows = (
+        bits.select(
+            (F.col("__pos") / 32).cast("long").alias("__w"),
+            (F.col("__pos") % 32).alias("__bit"),
+        )
+        .distinct()
+        .groupBy("__w")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), F.col("__bit")).cast("long")).alias(
+                "__wval"
+            )
+        )
+        .collect()
+    )
+    arr = [0] * (nb // 32)
+    for r in words_rows:
+        arr[int(r["__w"])] = int(r["__wval"])
+    wvals = F.array(*[F.lit(int(x)).cast("long") for x in arr])
+
+    key = F.col(fact_key)
+    checks = []
+    for j in range(nh):
+        pos = pos_expr(j, key)
+        wval = F.element_at(wvals, ((pos / 32).cast("long") + 1).cast("int"))
+        bit = pos % 32
+        checks.append(
+            (
+                F.floor(wval / F.pow(F.lit(2.0), bit)).cast("long") % 2
+            )
+            == 1
+        )
+    cond = key.isNotNull() & _reduce(_and, checks)
+    return fact.filter(cond).withColumn("bloom_pass", F.lit(True))

@@ -20,7 +20,8 @@ ROUND11_NEW_OR_CHANGED = [
     "events_cusum_changepoint", "events_ab_ztest",
     "etl_table_checksum", "graph_modularity", "sim_mmr_rerank",
     "sim_hamming_topk", "events_ab_cuped", "sim_hybrid_rrf",
-    "dedup_ngram_novelty", "mm_resize_real",
+    "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
+    "approx_cms_counts", "etl_bloom_semi_join",
     "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
     "events_holt_forecast",
 ]

@@ -339,3 +339,75 @@ def test_resize_image_real_nearest_neighbor(spark):
     assert s["media_type"] == "stub" and s["pixel_sum"] == 0
     with pytest.raises(ValueError, match="geometry"):
         mm.resize_image(df, target_width=0)
+
+
+def test_survival_km_hand_curve(spark):
+    # one cohort, 4 users: lifetimes 1d (churn), 2d (churn), 3d
+    # (censored at corpus end), plus the anchor user defining 'now'.
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-02 00:00:00"),
+        (2, "2024-01-01 00:00:00"), (2, "2024-01-03 00:00:00"),
+        (3, "2024-01-01 00:00:00"), (3, "2024-01-04 00:00:00"),
+        (4, "2024-01-01 00:00:00"), (4, "2024-01-04 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = (
+        ops.survival_km(ev, churn_after_s=3600).orderBy("day").collect()
+    )
+    # deaths at day 1 (u1, risk 4) and day 2 (u2, risk 3); users 3/4
+    # end at corpus max -> censored
+    assert [(r["day"], r["at_risk"], r["churned"]) for r in out] == [
+        (1, 4, 1), (2, 3, 1)
+    ]
+    assert out[0]["survival"] == pytest.approx(0.75, abs=1e-6)
+    assert out[1]["survival"] == pytest.approx(0.75 * (2 / 3), abs=1e-6)
+
+
+def test_survival_km_zero_factor_hits_exact_zero(spark):
+    # both users churn on the same day: d == n -> survival exactly 0.0
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-02 00:00:00"),
+        (2, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00"),
+        (9, "2024-01-20 00:00:00"),  # anchor keeps 'now' far out
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = ops.survival_km(ev, churn_after_s=3600).orderBy("day").collect()
+    death = [r for r in out if r["day"] == 1][0]
+    assert death["churned"] == 2 and death["at_risk"] == 2
+    assert death["survival"] == 0.0
+
+
+def test_cms_estimate_dominates_exact(spark):
+    ev = spark.createDataFrame(
+        [(i % 7,) for i in range(100)], "user_id long"
+    )
+    out = ops.cms_counts(ev, "user_id", depth=4, width=64).collect()
+    assert len(out) == 7
+    assert all(r["estimate"] >= r["exact"] for r in out)
+    # width=1 forces every value into one bucket: estimate == total
+    squeezed = ops.cms_counts(ev, "user_id", depth=2, width=1).collect()
+    assert all(r["estimate"] == 100 for r in squeezed)
+    with pytest.raises(ValueError, match="depth/width"):
+        ops.cms_counts(ev, "user_id", depth=0)
+
+
+def test_bloom_semi_join_no_false_negatives_keeps_duplicates(spark):
+    dim = spark.createDataFrame([(i,) for i in range(1, 21)], "k long")
+    # fact: every dim key twice (duplicates must survive) + misses
+    fact_rows = [(i,) for i in range(1, 21)] * 2 + [
+        (i,) for i in range(1000, 1200)
+    ]
+    fact = spark.createDataFrame(fact_rows, "fk long")
+    out = ops.bloom_semi_join(fact, dim, "fk", "k", n_bits=256, n_hashes=3)
+    got = out.collect()
+    true_hits = [r for r in got if r["fk"] <= 20]
+    assert len(true_hits) == 40  # no false negatives, multiplicity kept
+    # false positives allowed but the filter must actually filter
+    assert len(got) < len(fact_rows)
+    assert all(r["bloom_pass"] for r in got)
+    with pytest.raises(ValueError, match="n_bits"):
+        ops.bloom_semi_join(fact, dim, "fk", "k", n_bits=100)

@@ -629,6 +629,14 @@ def main() -> None:
         "ab_cuped": lambda f: ops.ab_cuped(
             f, cutoff_ts="2024-01-15 00:00:00"
         ),
+        # r11: Kaplan-Meier — user roll-up + (cohort, day)-bounded
+        # keyed windows; users 10x over a fixed time range
+        "survival_km": lambda f: ops.survival_km(f, churn_after_s=7200),
+        # r11: Count-Min — the cell table is BOUNDED (depth x width)
+        # regardless of rows: the sketch property under test
+        "cms_counts": lambda f: ops.cms_counts(
+            f, "user_id", depth=4, width=64
+        ),
     }
 
     # event-frame operators that do their work at CONSTRUCTION time
@@ -651,6 +659,17 @@ def main() -> None:
         # scan-linear with NO single-reducer sweep
         "peak_concurrency": lambda f: (
             lambda: ops.peak_concurrency(f, gap_minutes=30)
+        ),
+        # r11: bloom prefilter — dim side FIXED (1x user subset) while
+        # the fact side 10x's: the probe is a literal-array map-side
+        # filter, so the ratio measures the fact scan alone
+        "bloom_semi_join": lambda f: (
+            lambda: ops.bloom_semi_join(
+                f,
+                events.filter(F.col("user_id") % 7 == 0),
+                "user_id",
+                "user_id",
+            )
         ),
     }
     vec_cases = {
