@@ -3457,6 +3457,25 @@ def q_sim_hybrid_rrf(spark, sf):
     return ops.rrf_fuse([cos, dot], k=5)
 
 
+def q_quality_dsir_weights(spark, sf):
+    """DSIR importance weights: English docs as the target domain,
+    the full corpus as source; 128 hashed token buckets, add-half
+    smoothed log ratios as one fixed-order double expression of exact
+    counts, per-doc decimal sums. High log_weight = target-like."""
+    d = _t(spark, sf, "documents")
+    return ops.dsir_weights(d, d.filter(F.col("lang") == "en"), n_buckets=128)
+
+
+def q_sim_matryoshka_recall(spark, sf):
+    """Matryoshka prefix eval: exact cosine top-5 with 16-dim prefixes
+    vs full 64-dim truth, per-query recall — the truncated-index
+    shippability number."""
+    e = _t(spark, sf, "embeddings")
+    return ops.matryoshka_recall(
+        e, e.filter(F.col("vec_id") < 10), prefix_dim=16, k=5
+    )
+
+
 def q_events_survival_km(spark, sf):
     """Kaplan-Meier survival per signup-week cohort: censoring-aware
     churn curves (silent > 2h before corpus max = churned — the
@@ -3604,6 +3623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival_km": q_events_survival_km,
         "approx_cms_counts": q_approx_cms_counts,
         "etl_bloom_semi_join": q_etl_bloom_semi_join,
+        "quality_dsir_weights": q_quality_dsir_weights,
+        "sim_matryoshka_recall": q_sim_matryoshka_recall,
         "mm_decode_real": q_mm_decode_real,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
@@ -3828,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hamming_topk", "events_ab_cuped", "sim_hybrid_rrf",
         "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
         "approx_cms_counts", "etl_bloom_semi_join",
+        "quality_dsir_weights", "sim_matryoshka_recall",
         "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
         "events_holt_forecast",
         # 15 r6-era rows
@@ -3837,14 +3859,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 16 r7-era rows (the remaining 27 open the r12 window)
+        # 14 r7-era rows (the remaining 29 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
         "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
         "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
-        "events_sessionize", "graph_connected_components",
-        "graph_triangles",
+        "events_sessionize",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -8704,6 +8725,74 @@ def oracle_sql() -> dict[str, str]:
         FROM dims d, range(0, 4) AS y(y), range(0, 4) AS x(x),
              range(0, 3) AS c(c)
         GROUP BY d.doc_id, d.w, d.h
+    """
+
+    # DSIR: the per-bucket log ratio is ONE fixed-order double
+    # expression of exact integer counts (products deliberately in
+    # doubles — (2c+1)·(2T+B) passes int64 at corpus scale)
+    sql["quality_dsir_weights"] = f"""
+        WITH srcb AS (
+          SELECT doc_id, {_H56.format(x="tok")} % 128 AS b
+          FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        ), tgtb AS (
+          SELECT {_H56.format(x="tok")} % 128 AS b
+          FROM (SELECT unnest({_TOKS}) AS tok FROM documents
+                WHERE lang = 'en')
+        ), cs AS (SELECT b, COUNT(*)::BIGINT AS cs FROM srcb GROUP BY b),
+        ct AS (SELECT b, COUNT(*)::BIGINT AS ct FROM tgtb GROUP BY b),
+        tot AS (SELECT (SELECT SUM(cs) FROM cs)::BIGINT AS ts,
+                       (SELECT SUM(ct) FROM ct)::BIGINT AS tt),
+        model AS (
+          SELECT COALESCE(cs.b, ct.b) AS b,
+                 ROUND(ln(((2.0 * COALESCE(ct, 0)::DOUBLE + 1.0)
+                            * (2.0 * ts::DOUBLE + 128.0))
+                          / ((2.0 * COALESCE(cs, 0)::DOUBLE + 1.0)
+                              * (2.0 * tt::DOUBLE + 128.0))), 6)
+                   ::DECIMAL(18,6) AS lr
+          FROM cs FULL JOIN ct USING (b) CROSS JOIN tot
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+               ROUND(SUM(lr)::DOUBLE, 6) AS log_weight
+        FROM srcb JOIN model USING (b) GROUP BY doc_id
+    """
+
+    _cos16 = (
+        "ROUND(list_dot_product(list_slice(a.embedding, 1, 16)::DOUBLE[], "
+        "list_slice(b.embedding, 1, 16)::DOUBLE[]) / "
+        "(sqrt(list_dot_product(list_slice(a.embedding, 1, 16)::DOUBLE[], "
+        "list_slice(a.embedding, 1, 16)::DOUBLE[])) * "
+        "sqrt(list_dot_product(list_slice(b.embedding, 1, 16)::DOUBLE[], "
+        "list_slice(b.embedding, 1, 16)::DOUBLE[]))), 4)"
+    )
+    sql["sim_matryoshka_recall"] = f"""
+        WITH fscored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {_cos} AS cs, {_cos16} AS cp
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        ), fullr AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+            FROM fscored
+          ) WHERE rn <= 5
+        ), prefr AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY cp DESC, neighbor_id) AS rn
+            FROM fscored
+          ) WHERE rn <= 5
+        ), base AS (
+          SELECT query_id, COUNT(*)::BIGINT AS kk
+          FROM fullr GROUP BY query_id
+        ), hits AS (
+          SELECT f.query_id, COUNT(*)::BIGINT AS n
+          FROM fullr f JOIN prefr p USING (query_id, neighbor_id)
+          GROUP BY f.query_id
+        )
+        SELECT query_id, COALESCE(n, 0)::BIGINT AS n_hits,
+               ROUND(COALESCE(n, 0)::DOUBLE / kk::DOUBLE, 6) AS recall
+        FROM base LEFT JOIN hits USING (query_id)
     """
 
     # Kaplan-Meier: exact integer risk sets; the factor product is a

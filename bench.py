@@ -209,6 +209,8 @@ HEADLINE = [
     "events_survival_km",
     "approx_cms_counts",
     "etl_bloom_semi_join",
+    "quality_dsir_weights",
+    "sim_matryoshka_recall",
 ]
 
 

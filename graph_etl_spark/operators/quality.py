@@ -2281,3 +2281,100 @@ def gini_coefficient(
             round_to,
         ).alias("gini"),
     )
+
+
+def dsir_weights(
+    source: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection via
+    Importance Resampling") — the modern pretraining-data selection
+    op: score every SOURCE document by how target-like its hashed
+    token distribution is, log w(doc) = Σ_tokens ln(p_target(b)/
+    p_source(b)) over ``n_buckets`` hashed feature buckets, then
+    resample the source by weight. High log-weight docs look like the
+    target domain; the hashing makes the densities estimable at any
+    corpus size with BOUNDED model state.
+
+    Per-bucket densities are add-half smoothed; the ratio evaluates as
+    one fixed-order double expression of exact integer counts,
+    ln((2·ct+1)·(2·Ts+B) / ((2·cs+1)·(2·Tt+B))) — products stay in
+    doubles deliberately (2·c+1 can pass 2^63 · 2^63 at corpus scale),
+    rounded to 6 dp per bucket; per-doc sums are exact decimals.
+
+    Output: (id_col, n_tokens, log_weight) per source document with at
+    least one token.
+
+    Scale: two bounded (n_buckets-row) count tables broadcast back
+    into one map-side token stream; one per-doc aggregation. No
+    windows, no data-sized joins."""
+    if int(n_buckets) < 1:
+        raise ValueError(
+            f"dsir_weights: n_buckets must be >= 1 (got {n_buckets})"
+        )
+    nb = int(n_buckets)
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("__tok"),
+        ).withColumn("__b", h56(F.col("__tok")) % nb)
+
+    src = bucketed(source)
+    tgt = bucketed(target)
+    cs = src.groupBy("__b").agg(F.count(F.lit(1)).alias("__cs"))
+    ct = tgt.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    totals = cs.agg(F.sum("__cs").alias("__ts")).crossJoin(
+        ct.agg(F.sum("__ct").alias("__tt"))
+    )
+    model = (
+        cs.join(ct, "__b", "full")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    (
+                        (
+                            F.lit(2.0)
+                            * F.coalesce(F.col("__ct"), F.lit(0)).cast(
+                                "double"
+                            )
+                            + F.lit(1.0)
+                        )
+                        * (
+                            F.lit(2.0) * F.col("__ts").cast("double")
+                            + F.lit(float(nb))
+                        )
+                    )
+                    / (
+                        (
+                            F.lit(2.0)
+                            * F.coalesce(F.col("__cs"), F.lit(0)).cast(
+                                "double"
+                            )
+                            + F.lit(1.0)
+                        )
+                        * (
+                            F.lit(2.0) * F.col("__tt").cast("double")
+                            + F.lit(float(nb))
+                        )
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("__lr"),
+        )
+    )
+    return (
+        src.join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("__lr").cast("double"), 6).alias("log_weight"),
+        )
+    )

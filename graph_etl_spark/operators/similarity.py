@@ -2210,3 +2210,60 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def matryoshka_recall(
+    data: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MATRYOSHKA prefix-dimension retrieval eval (Kusupati et al.
+    2022): how much recall survives truncating every embedding to its
+    first ``prefix_dim`` coordinates? Runs the exact cosine top-k
+    twice — full vectors as truth, sliced prefixes as candidate — and
+    reports per-query overlap/k, the number that decides whether the
+    cheap prefix index is shippable.
+
+    Output: (query_id, n_hits, recall) — recall = |prefix∩full| / k.
+
+    Determinism: both rankings are the deterministic
+    ``brute_force_topk`` (rounded cosine, id tie-break); recall is an
+    integer ratio.
+
+    Scale: two broadcast-query scans (swap in the partial-reduction
+    scale variant per side for cluster-scale candidate counts) + one
+    k-row-per-query equi-join."""
+    if int(prefix_dim) < 1:
+        raise ValueError(
+            f"matryoshka_recall: prefix_dim must be >= 1 (got {prefix_dim})"
+        )
+    sliced = F.slice(F.col(vec_col), 1, int(prefix_dim)).alias(vec_col)
+    full = brute_force_topk(
+        data, queries, k=int(k), id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    pref = brute_force_topk(
+        data.select(F.col(id_col), sliced),
+        queries.select(F.col(id_col), sliced),
+        k=int(k),
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    hits = full.join(pref, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("__h"))
+    base = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("__k"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__h"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("__h"), F.lit(0)).cast("double")
+                / F.col("__k").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -22,6 +22,7 @@ ROUND11_NEW_OR_CHANGED = [
     "sim_hamming_topk", "events_ab_cuped", "sim_hybrid_rrf",
     "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
     "approx_cms_counts", "etl_bloom_semi_join",
+    "quality_dsir_weights", "sim_matryoshka_recall",
     "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
     "events_holt_forecast",
 ]

@@ -411,3 +411,41 @@ def test_bloom_semi_join_no_false_negatives_keeps_duplicates(spark):
     assert all(r["bloom_pass"] for r in got)
     with pytest.raises(ValueError, match="n_bits"):
         ops.bloom_semi_join(fact, dim, "fk", "k", n_bits=100)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    # target: fruit vocabulary; source doc 1 is fruit-like, doc 2 is
+    # metal-like -> doc 1 must carry the higher log weight
+    src = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple banana"),
+            (2, "iron copper zinc iron copper"),
+        ],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(10, "apple banana cherry date elderberry fig")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ops.dsir_weights(src, tgt, n_buckets=64).collect()}
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+    assert out[1]["n_tokens"] == 5
+    with pytest.raises(ValueError, match="n_buckets"):
+        ops.dsir_weights(src, tgt, n_buckets=0)
+
+
+def test_matryoshka_recall_full_prefix_is_perfect(spark):
+    import numpy as np
+
+    rng = [(i, [float(((i * 13 + j * 7) % 17) - 8) for j in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+    # prefix = full dimension -> identical rankings, recall 1.0
+    full = ops.matryoshka_recall(emb, q, prefix_dim=8, k=5).collect()
+    assert all(r["recall"] == 1.0 for r in full)
+    # tiny prefix -> recall in [0, 1], n_hits consistent
+    small = ops.matryoshka_recall(emb, q, prefix_dim=2, k=5).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in small)
+    assert all(r["n_hits"] == round(r["recall"] * 5) for r in small)
+    with pytest.raises(ValueError, match="prefix_dim"):
+        ops.matryoshka_recall(emb, q, prefix_dim=0)

@@ -298,6 +298,11 @@ def main() -> None:
         # copy-local, so the df table grows ~Nx and the join is the
         # corpus-sized shuffle the docstring claims
         "ngram_novelty": lambda d: ops.ngram_novelty(d, n=3),
+        # r11: DSIR — the model is BOUNDED (n_buckets rows) however
+        # the corpora grow; target fixed at the 1x english slice
+        "dsir_weights": lambda d: ops.dsir_weights(
+            d, d.filter(F.col("lang") == "en").limit(5000), n_buckets=128
+        ),
     }
     # BPE trains EAGERLY during construction (per-round argmax
     # collects), so it is timed as a thunk — df-construction plus the
@@ -736,6 +741,11 @@ def main() -> None:
         # queries, integer distances; candidates 10x
         "hamming_topk": lambda e: ops.hamming_topk(
             e, e.filter(F.col("vec_id") < 10), dim=64, k=5
+        ),
+        # r11: Matryoshka eval — two broadcast-query scans + a k-row
+        # join; candidates 10x
+        "matryoshka_recall": lambda e: ops.matryoshka_recall(
+            e, e.filter(F.col("vec_id") < 10), prefix_dim=16, k=5
         ),
         # r11: RRF — two brute-force top-20 rankings (each the
         # broadcast-query scan) + a bounded fuse agg
