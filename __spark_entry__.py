@@ -8743,13 +8743,16 @@ def oracle_sql() -> dict[str, str]:
         tot AS (SELECT (SELECT SUM(cs) FROM cs)::BIGINT AS ts,
                        (SELECT SUM(ct) FROM ct)::BIGINT AS tt),
         model AS (
-          SELECT COALESCE(cs.b, ct.b) AS b,
+          SELECT sp.b,
                  ROUND(ln(((2.0 * COALESCE(ct, 0)::DOUBLE + 1.0)
                             * (2.0 * ts::DOUBLE + 128.0))
                           / ((2.0 * COALESCE(cs, 0)::DOUBLE + 1.0)
                               * (2.0 * tt::DOUBLE + 128.0))), 6)
                    ::DECIMAL(18,6) AS lr
-          FROM cs FULL JOIN ct USING (b) CROSS JOIN tot
+          FROM range(0, 128) AS sp(b)
+          LEFT JOIN cs ON cs.b = sp.b
+          LEFT JOIN ct ON ct.b = sp.b
+          CROSS JOIN tot
         )
         SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
                ROUND(SUM(lr)::DOUBLE, 6) AS log_weight

@@ -2330,8 +2330,15 @@ def dsir_weights(
     totals = cs.agg(F.sum("__cs").alias("__ts")).crossJoin(
         ct.agg(F.sum("__ct").alias("__tt"))
     )
+    # bucket spine from a literal range (not a full-outer join of the
+    # two count tables — that would sort-merge; every join below
+    # broadcasts because both sides are bounded at n_buckets rows)
+    spine = source.sparkSession.range(nb).select(
+        F.col("id").cast("long").alias("__b")
+    )
     model = (
-        cs.join(ct, "__b", "full")
+        spine.join(F.broadcast(cs), "__b", "left")
+        .join(F.broadcast(ct), "__b", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "__b",

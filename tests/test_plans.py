@@ -809,3 +809,60 @@ def test_seasonal_profile_single_agg_broadcast_rollup(spark, entry):
     st = plan_stats(entry.q_events_seasonal_profile(spark, SF))
     assert st.broadcast_hash_joins >= 1
     assert st.sort_merge_joins == 0
+
+
+# --------------------------------------------------------------------------
+# round-11 plan guards
+# --------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_is_pure_map_side_filter(spark, entry):
+    """The bloom probe must compile to a FILTER over the fact scan —
+    zero exchanges, zero joins of any kind: the whole point of the
+    literal-bitmap design is that the 100 TB fact side never moves."""
+    from graph_etl_spark import operators as ops
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").filter(
+        F.col("s_nationkey") < 10
+    )
+    passed = ops.bloom_semi_join(li, supp, "l_suppkey", "s_suppkey")
+    st = plan_stats(passed)
+    assert st.exchanges == 0, plan_string(passed)
+    assert (
+        st.broadcast_hash_joins
+        + st.sort_merge_joins
+        + st.shuffled_hash_joins
+        + st.nested_loop_joins
+        == 0
+    ), plan_string(passed)
+
+
+def test_kn_logprob_model_tables_broadcast(spark, entry):
+    """The KN model joins broadcast (bigram/continuation/context as
+    BroadcastHashJoin; the 1-row type total as a broadcast cross) —
+    the scoring stream must not shuffle beyond its per-doc lag
+    window: zero sort-merge joins anywhere."""
+    df = entry.q_quality_kn_logprob(spark, SF)
+    st = plan_stats(df)
+    assert st.broadcast_hash_joins >= 3, formatted_plan(df)
+    assert st.sort_merge_joins == 0, plan_string(df)
+
+
+def test_dsir_model_bounded_and_broadcast(spark, entry):
+    """DSIR's bucket model builds on a literal range spine with
+    broadcast left joins (bounded at n_buckets rows) and joins back
+    into the token stream as a broadcast — zero sort-merge joins."""
+    df = entry.q_quality_dsir_weights(spark, SF)
+    st = plan_stats(df)
+    assert st.broadcast_hash_joins >= 3, formatted_plan(df)
+    assert st.sort_merge_joins == 0, plan_string(df)
+
+
+def test_cms_cell_table_broadcast(spark, entry):
+    """The depth x width CMS cell table broadcasts back to the
+    distinct-value lookup — never a shuffle keyed on cells."""
+    df = entry.q_approx_cms_counts(spark, SF)
+    st = plan_stats(df)
+    assert st.broadcast_hash_joins >= 1, formatted_plan(df)
