@@ -3457,6 +3457,22 @@ def q_sim_hybrid_rrf(spark, sf):
     return ops.rrf_fuse([cos, dot], k=5)
 
 
+def q_events_top_paths(spark, sf):
+    """Top-20 most common 3-step event paths: user-keyed lead window,
+    map-side path counts, TakeOrderedAndProject top-k (count desc,
+    path asc — fully deterministic)."""
+    return ops.top_paths(_t(spark, sf, "events"), depth=3, k=20)
+
+
+def q_etl_freshness(spark, sf):
+    """Per-event-type freshness audit: row count, first/last event
+    time, staleness seconds vs the table max — the landed-table
+    dashboard, one map-side-combined agg."""
+    return ops_fn.freshness_report(
+        _t(spark, sf, "events"), "event_type", "ts"
+    )
+
+
 def q_quality_dsir_weights(spark, sf):
     """DSIR importance weights: English docs as the target domain,
     the full corpus as source; 128 hashed token buckets, add-half
@@ -3625,6 +3641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_bloom_semi_join": q_etl_bloom_semi_join,
         "quality_dsir_weights": q_quality_dsir_weights,
         "sim_matryoshka_recall": q_sim_matryoshka_recall,
+        "events_top_paths": q_events_top_paths,
+        "etl_freshness": q_etl_freshness,
         "mm_decode_real": q_mm_decode_real,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
@@ -3850,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
         "approx_cms_counts", "etl_bloom_semi_join",
         "quality_dsir_weights", "sim_matryoshka_recall",
+        "events_top_paths", "etl_freshness",
         "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
         "events_holt_forecast",
         # 15 r6-era rows
@@ -3859,13 +3878,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 14 r7-era rows (the remaining 29 open the r12 window)
+        # 12 r7-era rows (the remaining 31 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
         "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
-        "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
-        "events_sessionize",
+        "etl_normalize_nodes", "etl_semi_join_match",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -8727,6 +8745,36 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY d.doc_id, d.w, d.h
     """
 
+    sql["events_top_paths"] = """
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), c AS (
+          SELECT concat_ws('>', event_type, e2, e3) AS path,
+                 COUNT(*)::BIGINT AS n
+          FROM s WHERE e3 IS NOT NULL GROUP BY 1
+        )
+        SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20
+    """
+
+    sql["etl_freshness"] = """
+        WITH per AS (
+          SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+                 MIN(ts) AS first_ts, MAX(ts) AS last_ts
+          FROM events WHERE ts IS NOT NULL GROUP BY event_type
+        ), a AS (SELECT MAX(ts) AS anchor FROM events)
+        SELECT event_type, n_rows, first_ts, last_ts,
+               -- floor-truncated seconds: Spark's timestamp->long cast
+               -- truncates while DuckDB's epoch()::BIGINT rounds
+               (epoch_us(anchor) // 1000000 - epoch_us(last_ts) // 1000000)
+                 ::BIGINT AS staleness_s
+        FROM per CROSS JOIN a
+    """
+
     # DSIR: the per-bucket log ratio is ONE fixed-order double
     # expression of exact integer counts (products deliberately in
     # doubles — (2c+1)·(2T+B) passes int64 at corpus scale)
@@ -8804,7 +8852,10 @@ def oracle_sql() -> dict[str, str]:
     sql["events_survival_km"] = """
         WITH per_user AS (
           SELECT user_id,
-                 epoch(MIN(ts))::BIGINT AS f, epoch(MAX(ts))::BIGINT AS l,
+                 -- epoch_us//1e6 = floor seconds (Spark cast truncates;
+                 -- epoch()::BIGINT would round)
+                 (epoch_us(MIN(ts)) // 1000000)::BIGINT AS f,
+                 (epoch_us(MAX(ts)) // 1000000)::BIGINT AS l,
                  date_trunc('week', MIN(ts)) AS cohort
           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
           GROUP BY user_id

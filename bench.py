@@ -211,6 +211,8 @@ HEADLINE = [
     "etl_bloom_semi_join",
     "quality_dsir_weights",
     "sim_matryoshka_recall",
+    "events_top_paths",
+    "etl_freshness",
 ]
 
 

@@ -511,3 +511,44 @@ def table_checksum(
     if group_col is None:
         return keyed.agg(*aggs)
     return keyed.groupBy(group_col).agg(*aggs)
+
+
+def freshness_report(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    anchor_ts: str | None = None,
+) -> DataFrame:
+    """Data-freshness audit per group — the first dashboard every data
+    platform builds over a landed table: row count, first/last event
+    time, and staleness (seconds since the group's last row) against
+    ``anchor_ts`` (a literal timestamp in production; defaults to the
+    table's own max timestamp so the report is deterministic without a
+    wall clock).
+
+    Output: (group_col, n_rows, first_ts, last_ts, staleness_s).
+
+    Scale: one map-side-combined aggregation plus a broadcast 1-row
+    anchor."""
+    ts = F.col(ts_col).cast("timestamp")
+    per = df.filter(ts.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+    )
+    if anchor_ts is None:
+        anchor = df.agg(F.max(ts).alias("__anchor"))
+        per = per.crossJoin(F.broadcast(anchor))
+    else:
+        per = per.withColumn(
+            "__anchor", F.lit(anchor_ts).cast("timestamp")
+        )
+    return per.select(
+        group_col,
+        "n_rows",
+        "first_ts",
+        "last_ts",
+        (
+            F.col("__anchor").cast("long") - F.col("last_ts").cast("long")
+        ).alias("staleness_s"),
+    )

@@ -898,3 +898,52 @@ def survival_km(
         .otherwise(F.round(F.exp(F.col("__cum").cast("double")), round_to))
         .alias("survival"),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    depth: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common ``depth``-step event PATHS — the
+    "what do users actually do" sequence mining a product-analytics
+    stack runs beside funnels (funnels test a hypothesis; paths
+    surface the hypotheses): per user-ordered event stream, every
+    length-``depth`` window of consecutive event types joins to a
+    'a>b>c' path string, counted corpus-wide, top k by count (ties ->
+    lexicographic path, fully deterministic).
+
+    Output: (path, n) — exactly ``k`` rows (fewer if the corpus has
+    fewer distinct paths).
+
+    Scale: one user-keyed lead window (the shuffle sessionization
+    already pays), one map-side-combined path count, and an
+    orderBy().limit(k) that compiles to TakeOrderedAndProject —
+    per-partition top-k plus a k·partitions merge, never a global
+    sort."""
+    if int(depth) < 2:
+        raise ValueError(f"top_paths: depth must be >= 2 (got {depth})")
+    if int(k) < 1:
+        raise ValueError(f"top_paths: k must be >= 1 (got {k})")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, int(depth))
+    ]
+    path = F.concat_ws(">", *steps)
+    complete = steps[-1].isNotNull()
+    return (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .withColumn("__path", path)
+        .withColumn("__ok", complete)
+        .filter(F.col("__ok"))
+        .groupBy(F.col("__path").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(int(k))
+    )

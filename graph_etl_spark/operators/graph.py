@@ -1112,6 +1112,8 @@ def modularity(
     )
     md = F.col("__m").cast("double")
     t = F.col("degree_sum").cast("double") / (F.lit(2.0) * md)
+    # m = 0 cannot reach the division: `nodes` is built from the edge
+    # endpoints, so an empty edge set yields zero output rows
     q = F.coalesce(F.col("inner_edges"), F.lit(0)).cast("double") / md - t * t
     return (
         nodes.join(deg, "community", "left")

@@ -2190,6 +2190,14 @@ def rrf_fuse(
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
     keys = keys or ["query_id", "neighbor_id"]
+    if len(keys) < 2:
+        # keys[:-1] is the ranking window's partition: a single key
+        # would make it an unpartitioned data-sized sort
+        raise ValueError(
+            "rrf_fuse: keys needs a query grouping plus the candidate id "
+            f"(got {keys!r}) — a single key would fuse through one global "
+            "window"
+        )
     contrib = F.round(
         F.lit(1.0) / (F.lit(float(int(c))) + F.col(rank_col).cast("double")), 12
     ).cast("decimal(18,12)")

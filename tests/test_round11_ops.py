@@ -449,3 +449,53 @@ def test_matryoshka_recall_full_prefix_is_perfect(spark):
     assert all(r["n_hits"] == round(r["recall"] * 5) for r in small)
     with pytest.raises(ValueError, match="prefix_dim"):
         ops.matryoshka_recall(emb, q, prefix_dim=0)
+
+
+def test_rrf_fuse_rejects_single_key(spark):
+    r = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    with pytest.raises(ValueError, match="query grouping"):
+        ops.rrf_fuse([r], keys=["doc_id"])
+
+
+def test_top_paths_hand_sequences(spark):
+    rows = []
+    # u1..u3 all do signup>view>purchase; u4 does view>view>view
+    eid = 0
+    for u in (1, 2, 3):
+        for i, et in enumerate(["signup", "view", "purchase"]):
+            rows.append((eid, u, f"2024-01-01 10:0{i}:00", et)); eid += 1
+    for i in range(3):
+        rows.append((eid, 4, f"2024-01-01 10:0{i}:00", "view")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ops.top_paths(ev, depth=3, k=5).collect()
+    assert (out[0]["path"], out[0]["n"]) == ("signup>view>purchase", 3)
+    assert (out[1]["path"], out[1]["n"]) == ("view>view>view", 1)
+    with pytest.raises(ValueError, match="depth"):
+        ops.top_paths(ev, depth=1)
+
+
+def test_freshness_report_staleness(spark):
+    import graph_etl_spark.functions as fn
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00"),
+            ("a", "2024-01-01 10:00:00"),
+            ("b", "2024-01-01 12:00:00"),
+        ],
+        "src string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["src"]: r for r in fn.freshness_report(ev, "src", "ts").collect()}
+    assert out["b"]["staleness_s"] == 0
+    assert out["a"]["staleness_s"] == 7200
+    assert out["a"]["n_rows"] == 2
+    # explicit anchor
+    out2 = {
+        r["src"]: r
+        for r in fn.freshness_report(
+            ev, "src", "ts", anchor_ts="2024-01-02 00:00:00"
+        ).collect()
+    }
+    assert out2["b"]["staleness_s"] == 43200

@@ -637,6 +637,13 @@ def main() -> None:
         # r11: Kaplan-Meier — user roll-up + (cohort, day)-bounded
         # keyed windows; users 10x over a fixed time range
         "survival_km": lambda f: ops.survival_km(f, churn_after_s=7200),
+        # r11: path mining — user-keyed lead window + map-side path
+        # counts + TakeOrdered top-k; per-user histories fixed length
+        "top_paths": lambda f: ops.top_paths(f, depth=3, k=20),
+        # r11: freshness — one map-side-combined agg + 1-row anchor
+        "freshness_report": lambda f: __import__(
+            "graph_etl_spark.functions", fromlist=["freshness_report"]
+        ).freshness_report(f, "event_type", "ts"),
         # r11: Count-Min — the cell table is BOUNDED (depth x width)
         # regardless of rows: the sketch property under test
         "cms_counts": lambda f: ops.cms_counts(
