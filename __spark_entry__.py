@@ -3457,6 +3457,19 @@ def q_sim_hybrid_rrf(spark, sf):
     return ops.rrf_fuse([cos, dot], k=5)
 
 
+def q_quality_domain_shift(spark, sf):
+    """Jensen-Shannon divergence between the English slice and the
+    rest of the corpus over 128 hashed token buckets — the
+    domain-shift scalar; add-half smoothed, 12-dp-decimal bucket
+    contributions summed exactly."""
+    d = _t(spark, sf, "documents")
+    return ops.domain_shift(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        n_buckets=128,
+    )
+
+
 def q_events_top_paths(spark, sf):
     """Top-20 most common 3-step event paths: user-keyed lead window,
     map-side path counts, TakeOrderedAndProject top-k (count desc,
@@ -3643,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_matryoshka_recall": q_sim_matryoshka_recall,
         "events_top_paths": q_events_top_paths,
         "etl_freshness": q_etl_freshness,
+        "quality_domain_shift": q_quality_domain_shift,
         "mm_decode_real": q_mm_decode_real,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
@@ -3868,7 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
         "approx_cms_counts", "etl_bloom_semi_join",
         "quality_dsir_weights", "sim_matryoshka_recall",
-        "events_top_paths", "etl_freshness",
+        "events_top_paths", "etl_freshness", "quality_domain_shift",
         "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
         "events_holt_forecast",
         # 15 r6-era rows
@@ -3878,12 +3892,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 12 r7-era rows (the remaining 31 open the r12 window)
+        # 11 r7-era rows (the remaining 32 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
         "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
-        "etl_normalize_nodes", "etl_semi_join_match",
+        "etl_normalize_nodes",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -8743,6 +8757,37 @@ def oracle_sql() -> dict[str, str]:
         FROM dims d, range(0, 4) AS y(y), range(0, 4) AS x(x),
              range(0, 3) AS c(c)
         GROUP BY d.doc_id, d.w, d.h
+    """
+
+    sql["quality_domain_shift"] = f"""
+        WITH ca_t AS (
+          SELECT {_H56.format(x="tok")} % 128 AS b, COUNT(*)::BIGINT AS ca
+          FROM (SELECT unnest({_TOKS}) AS tok FROM documents
+                WHERE lang = 'en') GROUP BY 1
+        ), cb_t AS (
+          SELECT {_H56.format(x="tok")} % 128 AS b, COUNT(*)::BIGINT AS cb
+          FROM (SELECT unnest({_TOKS}) AS tok FROM documents
+                WHERE lang <> 'en') GROUP BY 1
+        ), tot AS (
+          SELECT (SELECT SUM(ca) FROM ca_t)::BIGINT AS ta,
+                 (SELECT SUM(cb) FROM cb_t)::BIGINT AS tb
+        ), terms AS (
+          SELECT
+            (2.0 * COALESCE(ca, 0)::DOUBLE + 1.0)
+              / (2.0 * ta::DOUBLE + 128.0) AS p,
+            (2.0 * COALESCE(cb, 0)::DOUBLE + 1.0)
+              / (2.0 * tb::DOUBLE + 128.0) AS q,
+            ta, tb
+          FROM range(0, 128) AS sp(b)
+          LEFT JOIN ca_t ON ca_t.b = sp.b
+          LEFT JOIN cb_t ON cb_t.b = sp.b
+          CROSS JOIN tot
+        )
+        SELECT 128 AS n_buckets, ta AS tokens_a, tb AS tokens_b,
+               ROUND(SUM(ROUND(0.5 * (p * ln(p / (0.5 * (p + q))))
+                               + 0.5 * (q * ln(q / (0.5 * (p + q)))), 12)
+                         ::DECIMAL(18,12))::DOUBLE, 6) AS js_divergence
+        FROM terms GROUP BY ta, tb
     """
 
     sql["events_top_paths"] = """

@@ -213,6 +213,7 @@ HEADLINE = [
     "sim_matryoshka_recall",
     "events_top_paths",
     "etl_freshness",
+    "quality_domain_shift",
 ]
 
 

@@ -2385,3 +2385,82 @@ def dsir_weights(
             F.round(F.sum("__lr").cast("double"), 6).alias("log_weight"),
         )
     )
+
+
+def domain_shift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    n_buckets: int = 128,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """JENSEN-SHANNON divergence between two corpora's hashed token
+    distributions — the scalar every mixture/curriculum decision reads
+    ("how different is the new crawl from what we trained on?"):
+    JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q), over ``n_buckets``
+    hashed buckets with add-half smoothing, bounded [0, ln 2] and
+    symmetric. The same bounded-model trick as ``dsir_weights`` —
+    estimable at any corpus size with n_buckets of state.
+
+    Output: one row — (n_buckets, tokens_a, tokens_b, js_divergence).
+
+    Determinism: counts are exact integers; each bucket's contribution
+    evaluates in one fixed double expression order, rounds to a 12-dp
+    decimal, and the bucket sum is an exact decimal — order-free.
+
+    Scale: two bounded count tables on a literal range spine
+    (broadcast left joins), one n_buckets-row aggregation. Nothing
+    data-sized past the token counts."""
+    if int(n_buckets) < 1:
+        raise ValueError(
+            f"domain_shift: n_buckets must be >= 1 (got {n_buckets})"
+        )
+    nb = int(n_buckets)
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens_col(F.col(text_col))).alias("__tok"))
+            .withColumn("__b", h56(F.col("__tok")) % nb)
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca = counts(corpus_a, "__ca")
+    cb = counts(corpus_b, "__cb")
+    totals = ca.agg(F.sum("__ca").alias("__ta")).crossJoin(
+        cb.agg(F.sum("__cb").alias("__tb"))
+    )
+    spine = corpus_a.sparkSession.range(nb).select(
+        F.col("id").cast("long").alias("__b")
+    )
+    # smoothed densities: p = (2c+1)/(2T+B) — exact integer ratios
+    p = (
+        F.lit(2.0) * F.coalesce(F.col("__ca"), F.lit(0)).cast("double")
+        + F.lit(1.0)
+    ) / (F.lit(2.0) * F.col("__ta").cast("double") + F.lit(float(nb)))
+    q = (
+        F.lit(2.0) * F.coalesce(F.col("__cb"), F.lit(0)).cast("double")
+        + F.lit(1.0)
+    ) / (F.lit(2.0) * F.col("__tb").cast("double") + F.lit(float(nb)))
+    m = F.lit(0.5) * (p + q)
+    contrib = F.round(
+        F.lit(0.5) * (p * F.log(p / m)) + F.lit(0.5) * (q * F.log(q / m)),
+        12,
+    ).cast("decimal(18,12)")
+    return (
+        spine.join(F.broadcast(ca), "__b", "left")
+        .join(F.broadcast(cb), "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.lit(nb).alias("n_buckets"),
+            F.col("__ta").alias("tokens_a"),
+            F.col("__tb").alias("tokens_b"),
+            contrib.alias("__c"),
+        )
+        .groupBy("n_buckets", "tokens_a", "tokens_b")
+        .agg(
+            F.round(F.sum("__c").cast("double"), round_to).alias(
+                "js_divergence"
+            )
+        )
+    )

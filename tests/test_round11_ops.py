@@ -499,3 +499,22 @@ def test_freshness_report_staleness(spark):
         ).collect()
     }
     assert out2["b"]["staleness_s"] == 43200
+
+
+def test_domain_shift_properties(spark):
+    a = spark.createDataFrame(
+        [(1, "apple banana cherry date")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(2, "iron copper zinc lead")], "doc_id long, text string"
+    )
+    # identical corpora -> ~0; disjoint vocab -> clearly positive,
+    # bounded by ln 2
+    import math
+    same = ops.domain_shift(a, a, n_buckets=32).collect()[0]
+    diff = ops.domain_shift(a, b, n_buckets=32).collect()[0]
+    assert abs(same["js_divergence"]) < 1e-9
+    assert 0.0 < diff["js_divergence"] <= math.log(2) + 1e-9
+    assert diff["js_divergence"] > same["js_divergence"]
+    with pytest.raises(ValueError, match="n_buckets"):
+        ops.domain_shift(a, b, n_buckets=0)

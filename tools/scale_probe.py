@@ -303,6 +303,13 @@ def main() -> None:
         "dsir_weights": lambda d: ops.dsir_weights(
             d, d.filter(F.col("lang") == "en").limit(5000), n_buckets=128
         ),
+        # r11: JS domain shift — both corpora 10x; only the two
+        # bounded count tables survive the scans
+        "domain_shift": lambda d: ops.domain_shift(
+            d.filter(F.col("lang") == "en"),
+            d.filter(F.col("lang") != "en"),
+            n_buckets=128,
+        ),
     }
     # BPE trains EAGERLY during construction (per-round argmax
     # collects), so it is timed as a thunk — df-construction plus the
