@@ -3433,6 +3433,17 @@ def q_sim_hamming_topk(spark, sf):
     return ops.hamming_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def q_sim_hamming_topk_scale(spark, sf):
+    """The binary Hamming search on the cluster plan: per-partition
+    Arrow top-k before the exchange, k·partitions-row final window —
+    bit-identical to the reference path (integer distances + id
+    tie-break), so it shares its oracle verbatim."""
+    e = _t(spark, sf, "embeddings")
+    return ops.hamming_topk(
+        e, e.filter(F.col("vec_id") < 10), dim=64, k=5, scale=True
+    )
+
+
 def q_events_ab_cuped(spark, sf):
     """CUPED variance reduction: pre-period covariate (value sum
     before Jan 15) with pooled theta = cov/var from exact decimal
@@ -3645,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "sim_mmr_rerank": q_sim_mmr_rerank,
         "sim_hamming_topk": q_sim_hamming_topk,
+        "sim_hamming_topk_scale": q_sim_hamming_topk_scale,
         "events_ab_cuped": q_events_ab_cuped,
         "sim_hybrid_rrf": q_sim_hybrid_rrf,
         "dedup_ngram_novelty": q_dedup_ngram_novelty,
@@ -3878,7 +3890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_kn_logprob", "events_concurrency",
         "events_cusum_changepoint", "events_ab_ztest",
         "etl_table_checksum", "graph_modularity", "sim_mmr_rerank",
-        "sim_hamming_topk", "events_ab_cuped", "sim_hybrid_rrf",
+        "sim_hamming_topk", "sim_hamming_topk_scale",
+        "events_ab_cuped", "sim_hybrid_rrf",
         "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
         "approx_cms_counts", "etl_bloom_semi_join",
         "quality_dsir_weights", "sim_matryoshka_recall",
@@ -3892,12 +3905,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 11 r7-era rows (the remaining 32 open the r12 window)
+        # 10 r7-era rows (the remaining 33 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
         "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
-        "etl_normalize_nodes",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -8649,6 +8661,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, hamming, rank FROM ranked
         WHERE rank <= 5
     """
+
+    # the scale-path variant is bit-identical (integer distances, id
+    # tie-break), so it shares the reference oracle verbatim
+    sql["sim_hamming_topk_scale"] = sql["sim_hamming_topk"]
 
     # CUPED: x, y and all pooled moments are exact decimals; theta and
     # the adjusted means evaluate in the operator's expression order

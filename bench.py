@@ -202,6 +202,7 @@ HEADLINE = [
     "graph_modularity",
     "sim_mmr_rerank",
     "sim_hamming_topk",
+    "sim_hamming_topk_scale",
     "events_ab_cuped",
     "sim_hybrid_rrf",
     "dedup_ngram_novelty",

@@ -2118,6 +2118,7 @@ def hamming_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scale: bool = False,
 ) -> DataFrame:
     """Binary-embedding top-k: binarize both sides (sign bits packed
     32/long) and rank by HAMMING distance — popcount(xor) summed over
@@ -2127,11 +2128,14 @@ def hamming_topk(
 
     Output: (query_id, neighbor_id, hamming, rank).
 
-    Scale: packing is map-side; the query side broadcasts and the
-    per-query ranking window is the brute-force reference shape (swap
-    in the partial-reduction pattern of ``brute_force_topk_scale`` for
-    cluster-scale candidate counts — distances are integers either
-    way)."""
+    Scale: packing is map-side and the query side broadcasts either
+    way. ``scale=False`` ranks with the per-query window (the oracle
+    reference shape — one reducer per query); ``scale=True`` is the
+    cluster plan: every map partition first reduces its own candidates
+    to k per query (Arrow-batched ``mapInPandas``, state bounded at
+    queries × k rows), the exchange carries only partitions × queries
+    × k rows, and the final window ranks that tiny set. Integer
+    distances + id tie-break make the two paths bit-identical."""
     d = binarize_embeddings(data, dim, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("words").alias("__dw")
     )
@@ -2151,7 +2155,31 @@ def hamming_topk(
         d.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("hamming", ham)
+        .select("query_id", "neighbor_id", "hamming")
     )
+    if scale:
+        out_schema = scored.schema
+        kk = int(k)
+
+        def local_topk(batches):
+            import pandas as pd
+
+            acc = None
+            for pdf in batches:
+                both = (
+                    pdf
+                    if acc is None
+                    else pd.concat((acc, pdf), ignore_index=True)
+                )
+                both = both.sort_values(
+                    ["query_id", "hamming", "neighbor_id"],
+                    ascending=[True, True, True],
+                )
+                acc = both.groupby("query_id", sort=False).head(kk)
+            if acc is not None and len(acc):
+                yield acc
+
+        scored = scored.mapInPandas(local_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col("neighbor_id").asc()
     )

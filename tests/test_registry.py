@@ -19,7 +19,8 @@ ROUND11_NEW_OR_CHANGED = [
     "quality_kn_logprob", "events_concurrency",
     "events_cusum_changepoint", "events_ab_ztest",
     "etl_table_checksum", "graph_modularity", "sim_mmr_rerank",
-    "sim_hamming_topk", "events_ab_cuped", "sim_hybrid_rrf",
+    "sim_hamming_topk", "sim_hamming_topk_scale",
+    "events_ab_cuped", "sim_hybrid_rrf",
     "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
     "approx_cms_counts", "etl_bloom_semi_join",
     "quality_dsir_weights", "sim_matryoshka_recall",

@@ -518,3 +518,20 @@ def test_domain_shift_properties(spark):
     assert diff["js_divergence"] > same["js_divergence"]
     with pytest.raises(ValueError, match="n_buckets"):
         ops.domain_shift(a, b, n_buckets=0)
+
+
+def test_hamming_scale_path_bit_identical(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 13 + j * 7) % 17) - 8) for j in range(64)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    ).repartition(6)
+    q = emb.filter(F.col("vec_id") < 4)
+    ref = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["hamming"])
+        for r in ops.hamming_topk(emb, q, dim=64, k=5).collect()
+    )
+    sc = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["hamming"])
+        for r in ops.hamming_topk(emb, q, dim=64, k=5, scale=True).collect()
+    )
+    assert ref == sc
