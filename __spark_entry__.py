@@ -1213,6 +1213,28 @@ def q_asof_join_events(spark, sf):
     return out.select("user_id", "event_id", F.col("error_event_id_right").alias("last_error_id"))
 
 
+def q_asof_join_nearest(spark, sf):
+    """Directional as-of (pandas merge_asof parity): for each click,
+    the NEAREST error event of the same user by absolute time —
+    both-direction fills in the same single-shuffle union+window plan,
+    picked by exact integer microsecond distance, ties to backward."""
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_event_id")
+    )
+    out = ops.as_of_join(
+        clicks, errors, on="user_id", direction="nearest"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("error_event_id_right").alias("nearest_error_id"),
+    )
+
+
 def q_range_join_parts(spark, sf):
     """Pure interval join: the 3-row bins side is broadcast and the
     containment predicate runs map-side — parts never shuffle for the
@@ -3672,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_paths": q_events_top_paths,
         "etl_freshness": q_etl_freshness,
         "quality_domain_shift": q_quality_domain_shift,
+        "asof_join_nearest": q_asof_join_nearest,
         "mm_decode_real": q_mm_decode_real,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
@@ -3899,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_cms_counts", "etl_bloom_semi_join",
         "quality_dsir_weights", "sim_matryoshka_recall",
         "events_top_paths", "etl_freshness", "quality_domain_shift",
+        "asof_join_nearest",
         "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
         "events_holt_forecast",
         # 15 r6-era rows
@@ -3908,11 +3932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 10 r7-era rows (the remaining 33 open the r12 window)
+        # 9 r7-era rows (the remaining 34 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
-        "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
+        "etl_anti_join_blanks", "etl_dedup_pk",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -8776,6 +8800,36 @@ def oracle_sql() -> dict[str, str]:
         FROM dims d, range(0, 4) AS y(y), range(0, 4) AS x(x),
              range(0, 3) AS c(c)
         GROUP BY d.doc_id, d.w, d.h
+    """
+
+    # nearest as-of: DuckDB's ASOF supports both inequality
+    # directions; pick by exact integer microsecond distance, strict <
+    # so equidistant ties go backward (pandas convention)
+    sql["asof_join_nearest"] = """
+        WITH clicks AS (
+          SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click'
+        ), errors AS (
+          SELECT user_id, ts, event_id AS error_event_id FROM events
+          WHERE event_type = 'error'
+        ), b AS (
+          SELECT c.user_id, c.event_id, c.ts,
+                 e.error_event_id AS b_id, e.ts AS b_ts
+          FROM clicks c ASOF LEFT JOIN errors e
+            ON c.user_id = e.user_id AND e.ts <= c.ts
+        ), f AS (
+          SELECT c.user_id, c.event_id,
+                 e.error_event_id AS f_id, e.ts AS f_ts
+          FROM clicks c ASOF LEFT JOIN errors e
+            ON c.user_id = e.user_id AND e.ts >= c.ts
+        )
+        SELECT b.user_id, b.event_id,
+               CASE WHEN f_id IS NULL THEN b_id
+                    WHEN b_id IS NULL THEN f_id
+                    WHEN (epoch_us(f_ts) - epoch_us(b.ts))
+                         < (epoch_us(b.ts) - epoch_us(b_ts)) THEN f_id
+                    ELSE b_id END AS nearest_error_id
+        FROM b JOIN f USING (user_id, event_id)
     """
 
     sql["quality_domain_shift"] = f"""

@@ -215,6 +215,7 @@ HEADLINE = [
     "events_top_paths",
     "etl_freshness",
     "quality_domain_shift",
+    "asof_join_nearest",
 ]
 
 

@@ -25,19 +25,33 @@ def as_of_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    right_ts <= left_ts, matching on ``on``. Null right columns when
-    no prior right row exists.
+    """For each left row: columns of the matched right row on ``on``,
+    by time ``direction`` — ``backward`` (latest right_ts <= left_ts,
+    the default and the classic as-of), ``forward`` (earliest
+    right_ts >= left_ts), or ``nearest`` (whichever of the two is
+    closer by absolute time, ties to backward — pandas merge_asof
+    parity). Null right columns when no row qualifies.
 
     Implementation: union both sides with a side tag, one window
-    sorted by (ts, side) per key, forward-fill the right payload, keep
-    left rows. Exactly one shuffle (on ``on``) regardless of data
-    size; no O(n·m) theta join.
+    sorted by (ts, side) per key, forward-fill the right payload
+    (backward direction) or the mirror-ordered fill (forward), keep
+    left rows; ``nearest`` computes both fills and picks by exact
+    integer microsecond distance (timestamps required for nearest).
+    Exactly one shuffle (on ``on``) regardless of data size and
+    direction; no O(n·m) theta join.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"as_of_join: direction must be backward/forward/nearest "
+            f"(got {direction!r})"
+        )
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    r_payload = F.struct(*[F.col(c) for c in right_cols])
+    r_payload = F.struct(
+        F.col(right_ts).alias("__pts"), *[F.col(c) for c in right_cols]
+    )
     r_tag = (
         right.select(
             on,
@@ -47,17 +61,41 @@ def as_of_join(
         .withColumn("__side", F.lit(0))
     )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts → <= semantics
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.withColumn("__last_payload", F.last("__payload", ignorenulls=True).over(w))
-    out = filled.filter(F.col("__side") == 1)
+
+    def fill(ascending: bool):
+        # right rows sort before left rows at equal ts in BOTH scan
+        # directions, so <= (backward) / >= (forward) both include
+        # the equal-timestamp right row
+        order = F.col("__ts").asc() if ascending else F.col("__ts").desc()
+        w = (
+            Window.partitionBy(on)
+            .orderBy(order, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__payload", ignorenulls=True).over(w)
+
+    if direction == "backward":
+        out = unioned.withColumn("__pick", fill(True))
+    elif direction == "forward":
+        out = unioned.withColumn("__pick", fill(False))
+    else:
+        b, f = fill(True), fill(False)
+        us = F.unix_micros(F.col("__ts").cast("timestamp"))
+        b_us = F.unix_micros(b["__pts"].cast("timestamp"))
+        f_us = F.unix_micros(f["__pts"].cast("timestamp"))
+        pick = (
+            F.when(f.isNull(), b)
+            .when(b.isNull(), f)
+            # strict <: an equidistant (or equal-ts) match ties to
+            # backward, the pandas convention
+            .when((f_us - us) < (us - b_us), f)
+            .otherwise(b)
+        )
+        out = unioned.withColumn("__pick", pick)
+    out = out.filter(F.col("__side") == 1)
     for c in right_cols:
-        out = out.withColumn(f"{c}{suffix}", F.col("__last_payload")[c])
-    return out.drop("__side", "__ts", "__payload", "__last_payload")
+        out = out.withColumn(f"{c}{suffix}", F.col("__pick")[c])
+    return out.drop("__side", "__ts", "__payload", "__pick")
 
 
 def range_join(

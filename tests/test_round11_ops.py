@@ -535,3 +535,34 @@ def test_hamming_scale_path_bit_identical(spark):
         for r in ops.hamming_topk(emb, q, dim=64, k=5, scale=True).collect()
     )
     assert ref == sc
+
+
+def test_as_of_join_directions(spark):
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", 1)], "k string, ts string, lid int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 09:59:00", "before"),
+            ("u", "2024-01-01 10:00:30", "after"),
+        ],
+        "k string, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    back = ops.as_of_join(left, right, "k").collect()[0]
+    fwd = ops.as_of_join(left, right, "k", direction="forward").collect()[0]
+    near = ops.as_of_join(left, right, "k", direction="nearest").collect()[0]
+    assert back["tag_right"] == "before"
+    assert fwd["tag_right"] == "after"
+    assert near["tag_right"] == "after"  # 30s forward beats 60s back
+    # equidistant -> backward (pandas tie convention)
+    right2 = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 09:59:00", "before"),
+            ("u", "2024-01-01 10:01:00", "after"),
+        ],
+        "k string, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    near2 = ops.as_of_join(left, right2, "k", direction="nearest").collect()[0]
+    assert near2["tag_right"] == "before"
+    with pytest.raises(ValueError, match="direction"):
+        ops.as_of_join(left, right, "k", direction="sideways")
