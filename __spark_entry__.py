@@ -3436,6 +3436,35 @@ def q_graph_modularity(spark, sf):
     return ops.modularity(edges, comm)
 
 
+def q_graph_louvain_move(spark, sf):
+    """One synchronized Louvain local-move round over the 1995
+    co-purchase graph seeded with the brand partition: integer-exact
+    removal-adjusted gains S(c) = 2m·k_ic − k_i·Σtot'(c), node-keyed
+    argmax with stay-then-smaller-label ties."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.year("l_shipdate") == 1995)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    comm = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("community")
+    )
+    return ops.louvain_move(edges, comm)
+
+
 def q_sim_mmr_rerank(spark, sf):
     """Maximal-marginal-relevance diversified top-5 from a top-20
     candidate pool (λ=0.7): greedy per-step argmax of
@@ -3679,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_ztest": q_events_ab_ztest,
         "etl_table_checksum": q_etl_table_checksum,
         "graph_modularity": q_graph_modularity,
+        "graph_louvain_move": q_graph_louvain_move,
         "sim_mmr_rerank": q_sim_mmr_rerank,
         "sim_hamming_topk": q_sim_hamming_topk,
         "sim_hamming_topk_scale": q_sim_hamming_topk_scale,
@@ -3915,7 +3945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11_window = [
         "quality_kn_logprob", "events_concurrency",
         "events_cusum_changepoint", "events_ab_ztest",
-        "etl_table_checksum", "graph_modularity", "sim_mmr_rerank",
+        "etl_table_checksum", "graph_modularity", "graph_louvain_move",
+        "sim_mmr_rerank",
         "sim_hamming_topk", "sim_hamming_topk_scale",
         "events_ab_cuped", "sim_hybrid_rrf",
         "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
@@ -3932,11 +3963,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 9 r7-era rows (the remaining 34 open the r12 window)
+        # 8 r7-era rows (the remaining 35 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
-        "etl_anti_join_blanks", "etl_dedup_pk",
+        "etl_anti_join_blanks",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -8576,6 +8607,63 @@ def oracle_sql() -> dict[str, str]:
         FROM nodes LEFT JOIN deg USING (community)
         LEFT JOIN inner_e USING (community)
         CROSS JOIN m
+    """
+
+    # Louvain move: exact-integer removal-adjusted gains, HUGEINT
+    # products (Spark: decimal(38,0)); stay-then-smaller-label ties
+    sql["graph_louvain_move"] = """
+        WITH e0 AS (
+          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+          FROM (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) a
+          JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), comm AS (
+          SELECT p_partkey AS node, p_brand AS c FROM part
+        ), e AS (
+          SELECT e0.s, e0.d, cs.c AS cs, cd.c AS cd
+          FROM e0 JOIN comm cs ON e0.s = cs.node
+                  JOIN comm cd ON e0.d = cd.node
+        ), m AS (SELECT COUNT(*)::BIGINT AS m FROM e),
+        deg AS (
+          SELECT node, COUNT(*)::BIGINT AS k FROM (
+            SELECT s AS node FROM e UNION ALL SELECT d FROM e
+          ) GROUP BY node
+        ), tot AS (
+          SELECT c, SUM(k)::BIGINT AS tot
+          FROM deg JOIN comm USING (node) GROUP BY c
+        ), kic0 AS (
+          SELECT node, c, COUNT(*)::BIGINT AS kic FROM (
+            SELECT s AS node, cd AS c FROM e
+            UNION ALL SELECT d, cs FROM e
+          ) GROUP BY node, c
+        ), own AS (
+          SELECT deg.node, comm.c, 0::BIGINT AS kic
+          FROM deg JOIN comm USING (node)
+        ), cand AS (
+          SELECT node, c, MAX(kic)::BIGINT AS kic FROM (
+            SELECT * FROM kic0 UNION ALL SELECT * FROM own
+          ) GROUP BY node, c
+        ), cur AS (SELECT node, c AS cur FROM comm),
+        scored AS (
+          SELECT cand.node, cand.c, cur.cur,
+                 (2 * m.m)::HUGEINT * cand.kic
+                   - deg.k::HUGEINT
+                     * (CASE WHEN cand.c = cur.cur
+                             THEN tot.tot - deg.k ELSE tot.tot END)
+                   AS score
+          FROM cand JOIN deg USING (node) JOIN cur USING (node)
+          JOIN tot ON tot.c = cand.c CROSS JOIN m
+        ), pick AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY node
+            ORDER BY score DESC, (c = cur) DESC, c ASC) AS rn
+          FROM scored
+        )
+        SELECT node AS id, cur AS old_community, c AS new_community,
+               (c <> cur) AS moved
+        FROM pick WHERE rn = 1
     """
 
     # MMR: unrolled greedy steps — sel_1 is pure relevance, each later

@@ -216,6 +216,7 @@ HEADLINE = [
     "etl_freshness",
     "quality_domain_shift",
     "asof_join_nearest",
+    "graph_louvain_move",
 ]
 
 

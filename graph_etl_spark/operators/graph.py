@@ -1127,3 +1127,117 @@ def modularity(
             F.round(q, round_to).alias("q"),
         )
     )
+
+
+def louvain_move(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    comm_col: str = "community",
+) -> DataFrame:
+    """One SYNCHRONIZED round of Louvain local moves (Blondel et al.
+    2008, phase-1 step): every node evaluates its neighbors'
+    communities against the CURRENT partition and moves to the one
+    with the best modularity gain — the refinement step that turns any
+    seed partition (an attribute, LPA labels, CC clusters) into a
+    higher-Q one; iterate with ``modularity`` as the convergence
+    meter. Removal-adjusted standard gain: for node i with degree k_i,
+    candidate c scores S(c) = 2m·k_{i,c} − k_i·Σtot'(c) with Σtot'(c)
+    excluding i's own degree when c is i's current community — EXACT
+    integers (decimal(38,0) products), so the argmax carries no float
+    risk; ties prefer staying, then the smaller community label.
+
+    Output: (id, old_community, new_community, moved) — one row per
+    node with at least one edge.
+
+    Scale: degree/total tables are one aggregation each; k_{i,c} is
+    one (node, community)-keyed count off the community-labeled edge
+    list; the argmax is a NODE-keyed window over each node's candidate
+    communities (bounded by its distinct-neighbor-community count).
+    One scalar collect for m. No iteration inside — the caller owns
+    the loop."""
+    comm = communities.select(
+        F.col(id_col).alias("__node"), F.col(comm_col).alias("__c")
+    )
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .join(
+            comm.select(
+                F.col("__node").alias("__s"), F.col("__c").alias("__cs")
+            ),
+            "__s",
+        )
+        .join(
+            comm.select(
+                F.col("__node").alias("__d"), F.col("__c").alias("__cd")
+            ),
+            "__d",
+        )
+        .localCheckpoint(eager=False)
+    )
+    m_row = e.agg(F.count(F.lit(1)).alias("__m")).collect()[0]
+    m = int(m_row["__m"])
+    if m == 0:
+        raise ValueError("louvain_move: edge set is empty")
+    deg = (
+        e.select(F.col("__s").alias("__node"))
+        .unionByName(e.select(F.col("__d").alias("__node")))
+        .groupBy("__node")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    tot = (
+        deg.join(comm, "__node")
+        .groupBy("__c")
+        .agg(F.sum("__k").alias("__tot"))
+    )
+    k_ic = (
+        e.select(F.col("__s").alias("__node"), F.col("__cd").alias("__c"))
+        .unionByName(
+            e.select(F.col("__d").alias("__node"), F.col("__cs").alias("__c"))
+        )
+        .groupBy("__node", "__c")
+        .agg(F.count(F.lit(1)).alias("__kic"))
+    )
+    own = deg.join(comm, "__node").select(
+        "__node", "__c", F.lit(0).cast("long").alias("__kic")
+    )
+    cand = (
+        k_ic.unionByName(own)
+        .groupBy("__node", "__c")
+        .agg(F.max("__kic").alias("__kic"))
+    )
+    cur = comm.select("__node", F.col("__c").alias("__cur"))
+    scored = (
+        cand.join(deg, "__node")
+        .join(cur, "__node")
+        .join(tot, "__c")
+        .withColumn(
+            "__tot_adj",
+            F.when(
+                F.col("__c") == F.col("__cur"),
+                F.col("__tot") - F.col("__k"),
+            ).otherwise(F.col("__tot")),
+        )
+        .withColumn(
+            "__score",
+            F.lit(2 * m).cast("decimal(38,0)") * F.col("__kic")
+            - F.col("__k").cast("decimal(38,0)") * F.col("__tot_adj"),
+        )
+    )
+    pick = Window.partitionBy("__node").orderBy(
+        F.col("__score").desc(),
+        (F.col("__c") == F.col("__cur")).desc(),
+        F.col("__c").asc(),
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__node").alias("id"),
+            F.col("__cur").alias("old_community"),
+            F.col("__c").alias("new_community"),
+            (F.col("__c") != F.col("__cur")).alias("moved"),
+        )
+    )

@@ -18,7 +18,8 @@ import __spark_entry__ as entry
 ROUND11_NEW_OR_CHANGED = [
     "quality_kn_logprob", "events_concurrency",
     "events_cusum_changepoint", "events_ab_ztest",
-    "etl_table_checksum", "graph_modularity", "sim_mmr_rerank",
+    "etl_table_checksum", "graph_modularity", "graph_louvain_move",
+    "sim_mmr_rerank",
     "sim_hamming_topk", "sim_hamming_topk_scale",
     "events_ab_cuped", "sim_hybrid_rrf",
     "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",

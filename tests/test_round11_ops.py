@@ -566,3 +566,35 @@ def test_as_of_join_directions(spark):
     assert near2["tag_right"] == "before"
     with pytest.raises(ValueError, match="direction"):
         ops.as_of_join(left, right, "k", direction="sideways")
+
+
+def test_louvain_move_improves_bad_seed(spark):
+    # two 4-cliques joined by one bridge; seed puts node 4 in the
+    # WRONG community — one synchronized move round must pull it back
+    # and modularity must strictly improve
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 5)], "src long, dst long")
+    seed = spark.createDataFrame(
+        [(i, "a" if i <= 3 else ("b" if i >= 5 else "b")) for i in range(1, 9)],
+        "id long, community string",
+    )  # node 4 wrongly in b
+    moves = ops.louvain_move(edges, seed)
+    got = {r["id"]: r for r in moves.collect()}
+    assert got[4]["moved"] and got[4]["new_community"] == "a"
+    new_comm = moves.select(
+        F.col("id"), F.col("new_community").alias("community")
+    )
+    q_before = sum(r["q"] for r in ops.modularity(edges, seed).collect())
+    q_after = sum(r["q"] for r in ops.modularity(edges, new_comm).collect())
+    assert q_after > q_before
+    # a clean partition is a fixpoint: nobody moves
+    clean = spark.createDataFrame(
+        [(i, "a" if i <= 4 else "b") for i in range(1, 9)],
+        "id long, community string",
+    )
+    assert ops.louvain_move(edges, clean).filter("moved").count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        ops.louvain_move(
+            spark.createDataFrame([], "src long, dst long"), clean
+        )

@@ -428,6 +428,20 @@ def main() -> None:
     # r8 batch 4 iterative graph ops checkpoint EAGERLY per round, so
     # they are thunk-timed (construction = the iterations)
     li_thunk_cases = {
+        # r11: Louvain move — one scalar collect for m, then
+        # degree/total/k_ic aggregations + a node-keyed argmax window
+        # (bounded by distinct neighbor communities); copies are
+        # edge-disjoint with per-copy communities
+        "louvain_move": lambda f: (
+            lambda: ops.louvain_move(
+                copurchase(f).distinct(),
+                copurchase(f)
+                .select(F.col("src").alias("id"))
+                .unionByName(copurchase(f).select(F.col("dst").alias("id")))
+                .distinct()
+                .withColumn("community", F.col("id") % 25),
+            )
+        ),
         # r8 batch 6: HITS — 3 fixed rounds; per round two edge-join
         # aggregations + two in-plan max scalars
         "hits": lambda f: (lambda: ops.hits(copurchase(f), max_iter=3)),
