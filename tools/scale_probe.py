@@ -665,6 +665,18 @@ def main() -> None:
         "freshness_report": lambda f: __import__(
             "graph_etl_spark.functions", fromlist=["freshness_report"]
         ).freshness_report(f, "event_type", "ts"),
+        # r11: nearest as-of — BOTH direction fills in the one
+        # user-keyed union window; per-user histories fixed, users 10x
+        "asof_nearest": lambda f: ops.as_of_join(
+            f.filter(F.col("event_type") == "click").select(
+                "user_id", "ts", "event_id"
+            ),
+            f.filter(F.col("event_type") == "error").select(
+                "user_id", "ts", F.col("event_id").alias("err_id")
+            ),
+            on="user_id",
+            direction="nearest",
+        ),
         # r11: Count-Min — the cell table is BOUNDED (depth x width)
         # regardless of rows: the sketch property under test
         "cms_counts": lambda f: ops.cms_counts(
