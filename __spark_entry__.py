@@ -3627,6 +3627,16 @@ def q_mm_resize_real(spark, sf):
     return ops.resize_image(pngs, target_width=4, target_height=4)
 
 
+def q_dedup_minhash_audit(spark, sf):
+    """Sketch-quality audit: for every banded-LSH candidate pair, the
+    MinHash Jaccard estimate (agreeing-position fraction over 16
+    perms) beside the exact shingle Jaccard and the absolute error —
+    the num_perm justification number."""
+    return ops.minhash_jaccard_audit(
+        _t(spark, sf, "documents"), num_perm=16, bands=8
+    )
+
+
 def q_dedup_ngram_novelty(spark, sf):
     """Per-document corpus novelty: fraction of a doc's distinct
     3-gram shingles appearing in no other document — the
@@ -3715,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_cuped": q_events_ab_cuped,
         "sim_hybrid_rrf": q_sim_hybrid_rrf,
         "dedup_ngram_novelty": q_dedup_ngram_novelty,
+        "dedup_minhash_audit": q_dedup_minhash_audit,
         "mm_resize_real": q_mm_resize_real,
         "events_survival_km": q_events_survival_km,
         "approx_cms_counts": q_approx_cms_counts,
@@ -3949,7 +3960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr_rerank",
         "sim_hamming_topk", "sim_hamming_topk_scale",
         "events_ab_cuped", "sim_hybrid_rrf",
-        "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
+        "dedup_ngram_novelty", "dedup_minhash_audit",
+        "mm_resize_real", "events_survival_km",
         "approx_cms_counts", "etl_bloom_semi_join",
         "quality_dsir_weights", "sim_matryoshka_recall",
         "events_top_paths", "etl_freshness", "quality_domain_shift",
@@ -3963,11 +3975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 8 r7-era rows (the remaining 35 open the r12 window)
+        # 7 r7-era rows (the remaining 36 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
-        "etl_anti_join_blanks",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -4985,6 +4996,61 @@ def oracle_sql() -> dict[str, str]:
         FROM banded a JOIN banded b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+    """
+
+    # sketch-quality audit: estimate (agreeing signature positions)
+    # beside exact shingle Jaccard, per LSH candidate pair; the exact
+    # ratio mirrors the ngram oracle's inter/(na+nb-inter)::DOUBLE
+    sql["dedup_minhash_audit"] = f"""
+        WITH shd AS (SELECT doc_id, unnest({_sh}) AS s FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh
+                  FROM shd GROUP BY doc_id),
+        hs AS (SELECT doc_id,
+                      list_transform({_sh}, s ->
+                        ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs
+               FROM documents),
+        sigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM hs),
+        banded AS (
+          SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                 unnest([{band_exprs}]) AS band_hash
+          FROM sigs
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT p.id_a, p.id_b, COUNT(*)::BIGINT AS i
+          FROM pairs p
+          JOIN shd x ON x.doc_id = p.id_a
+          JOIN shd y ON y.doc_id = p.id_b AND y.s = x.s
+          GROUP BY 1, 2
+        ),
+        est AS (
+          SELECT p.id_a, p.id_b,
+                 list_sum(list_transform(range(1, 17),
+                   i -> CASE WHEN sa.minhash[i] = sb.minhash[i]
+                             THEN 1 ELSE 0 END))::BIGINT AS eq
+          FROM pairs p
+          JOIN sigs sa ON sa.doc_id = p.id_a
+          JOIN sigs sb ON sb.doc_id = p.id_b
+        )
+        SELECT e.id_a, e.id_b,
+               ROUND(eq::DOUBLE / 16.0, 6) AS est_jaccard,
+               ROUND(COALESCE(i.i, 0)
+                     / (sa.n_sh + sb.n_sh - COALESCE(i.i, 0))::DOUBLE, 6)
+                 AS exact_jaccard,
+               ROUND(ABS(ROUND(eq::DOUBLE / 16.0, 6)
+                         - ROUND(COALESCE(i.i, 0)
+                                 / (sa.n_sh + sb.n_sh
+                                     - COALESCE(i.i, 0))::DOUBLE, 6)), 6)
+                 AS abs_err
+        FROM est e
+        LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        JOIN sizes sa ON sa.doc_id = e.id_a
+        JOIN sizes sb ON sb.doc_id = e.id_b
     """
 
     # End-to-end dedup pipeline: the minhash pair body above, closed

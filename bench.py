@@ -217,6 +217,7 @@ HEADLINE = [
     "quality_domain_shift",
     "asof_join_nearest",
     "graph_louvain_move",
+    "dedup_minhash_audit",
 ]
 
 

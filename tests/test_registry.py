@@ -22,7 +22,8 @@ ROUND11_NEW_OR_CHANGED = [
     "sim_mmr_rerank",
     "sim_hamming_topk", "sim_hamming_topk_scale",
     "events_ab_cuped", "sim_hybrid_rrf",
-    "dedup_ngram_novelty", "mm_resize_real", "events_survival_km",
+    "dedup_ngram_novelty", "dedup_minhash_audit",
+    "mm_resize_real", "events_survival_km",
     "approx_cms_counts", "etl_bloom_semi_join",
     "quality_dsir_weights", "sim_matryoshka_recall",
     "events_top_paths", "etl_freshness", "quality_domain_shift",

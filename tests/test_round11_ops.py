@@ -598,3 +598,28 @@ def test_louvain_move_improves_bad_seed(spark):
         ops.louvain_move(
             spark.createDataFrame([], "src long, dst long"), clean
         )
+
+
+def test_minhash_audit_exact_on_identical_and_consistent(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                          # identical -> J = 1.0
+            (3, base + " extra tail words"),    # near-dup of 1/2
+            (4, "totally different content entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ops.minhash_jaccard_audit(docs, num_perm=16, bands=8).collect()
+    rows = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in rows
+    ident = rows[(1, 2)]
+    assert ident["est_jaccard"] == 1.0 and ident["exact_jaccard"] == 1.0
+    assert ident["abs_err"] == 0.0
+    for r in out:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert r["abs_err"] == pytest.approx(
+            abs(r["est_jaccard"] - r["exact_jaccard"]), abs=1e-6
+        )

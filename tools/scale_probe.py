@@ -294,6 +294,12 @@ def main() -> None:
         "table_checksum": lambda d: __import__(
             "graph_etl_spark.functions", fromlist=["table_checksum"]
         ).table_checksum(d, ["doc_id", "text"], group_col="source"),
+        # r11: sketch audit — candidates stay copy-local (disjoint
+        # tokens), signature + exact-intersection joins all candidate-
+        # or doc-sized
+        "minhash_audit": lambda d: ops.minhash_jaccard_audit(
+            d, num_perm=16, bands=8
+        ),
         # r11: novelty — disjoint per-copy tokens keep shingles
         # copy-local, so the df table grows ~Nx and the join is the
         # corpus-sized shuffle the docstring claims
