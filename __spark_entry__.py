@@ -3519,6 +3519,13 @@ def q_sim_hybrid_rrf(spark, sf):
     return ops.rrf_fuse([cos, dot], k=5)
 
 
+def q_text_langid_confusion(spark, sf):
+    """Language-ID eval: confusion matrix of the stopword heuristic's
+    prediction vs the labeled lang — counts per (label, predicted)
+    cell with a correctness flag."""
+    return ops.langid_confusion(_t(spark, sf, "documents"))
+
+
 def q_quality_domain_shift(spark, sf):
     """Jensen-Shannon divergence between the English slice and the
     rest of the corpus over 128 hashed token buckets — the
@@ -3736,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_freshness": q_etl_freshness,
         "quality_domain_shift": q_quality_domain_shift,
         "asof_join_nearest": q_asof_join_nearest,
+        "text_langid_confusion": q_text_langid_confusion,
         "mm_decode_real": q_mm_decode_real,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
@@ -3965,7 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_cms_counts", "etl_bloom_semi_join",
         "quality_dsir_weights", "sim_matryoshka_recall",
         "events_top_paths", "etl_freshness", "quality_domain_shift",
-        "asof_join_nearest",
+        "asof_join_nearest", "text_langid_confusion",
         "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
         "events_holt_forecast",
         # 15 r6-era rows
@@ -3975,10 +3983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 7 r7-era rows (the remaining 36 open the r12 window)
+        # 6 r7-era rows (the remaining 37 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
-        "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
+        "dedup_passages", "dedup_simhash_signatures",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -4911,6 +4919,26 @@ def oracle_sql() -> dict[str, str]:
                     WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
                     ELSE 'fr' END AS lang_pred
         FROM hits
+    """
+
+    sql["text_langid_confusion"] = f"""
+        WITH hits AS (
+          SELECT doc_id, lang,
+                 {_hits(en)} AS h_en, {_hits(fr)} AS h_fr,
+                 {_hits(es)} AS h_es, {_hits(de)} AS h_de
+          FROM documents
+        ), pred AS (
+          SELECT lang AS label,
+                 CASE WHEN greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+                      WHEN h_de = greatest(h_en, h_fr, h_es, h_de) THEN 'de'
+                      WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+                      WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
+                      ELSE 'fr' END AS predicted
+          FROM hits
+        )
+        SELECT label, predicted, COUNT(*)::BIGINT AS n,
+               (label = predicted) AS correct
+        FROM pred GROUP BY label, predicted
     """
 
     sql["text_fingerprint"] = f"""

@@ -218,6 +218,7 @@ HEADLINE = [
     "asof_join_nearest",
     "graph_louvain_move",
     "dedup_minhash_audit",
+    "text_langid_confusion",
 ]
 
 

@@ -974,3 +974,30 @@ def textrank_keywords(
         top.withColumn("rank", F.row_number().over(rk))
         .select(F.col("id").alias("word"), "pagerank", "rank")
     )
+
+
+def langid_confusion(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — the eval table for the stopword
+    heuristic (and the template for scoring any doc classifier whose
+    labels ride the corpus): predicted vs labeled language with counts
+    and a correctness flag, the artifact that decides whether the
+    cheap classifier is good enough to gate a 100 TB filter on.
+
+    Output: (label, predicted, n, correct) — one row per observed
+    (label, predicted) cell.
+
+    Scale: the lang_id pass is one map-side expression; the matrix is
+    one (label, predicted)-keyed aggregation over a
+    languages²-bounded key space."""
+    scored = lang_id(df, text_col=text_col, out="predicted")
+    return (
+        scored.groupBy(
+            F.col(label_col).alias("label"), F.col("predicted")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("correct", F.col("label") == F.col("predicted"))
+    )

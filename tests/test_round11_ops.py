@@ -623,3 +623,18 @@ def test_minhash_audit_exact_on_identical_and_consistent(spark):
         assert r["abs_err"] == pytest.approx(
             abs(r["est_jaccard"] - r["exact_jaccard"]), abs=1e-6
         )
+
+
+def test_langid_confusion_matrix(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to in it is that", "en"),   # english stopwords
+            (2, "der die und das ist nicht ein", "de"),
+            (3, "xyzzy qwerty plugh", "fr"),            # no hits -> 'und'
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["label"], r["predicted"]): r for r in ops.langid_confusion(docs).collect()}
+    assert out[("en", "en")]["n"] == 1 and out[("en", "en")]["correct"]
+    assert out[("de", "de")]["n"] == 1
+    assert not out[("fr", "und")]["correct"]
