@@ -3526,6 +3526,13 @@ def q_text_langid_confusion(spark, sf):
     return ops.langid_confusion(_t(spark, sf, "documents"))
 
 
+def q_text_fertility(spark, sf):
+    """Tokenizer fertility per language: BPE-ish word pieces per
+    whitespace word — the multilingual-tokenizer tax table; exact
+    integer sums, one final division."""
+    return ops.tokenizer_fertility(_t(spark, sf, "documents"))
+
+
 def q_quality_domain_shift(spark, sf):
     """Jensen-Shannon divergence between the English slice and the
     rest of the corpus over 128 hashed token buckets — the
@@ -3744,6 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_domain_shift": q_quality_domain_shift,
         "asof_join_nearest": q_asof_join_nearest,
         "text_langid_confusion": q_text_langid_confusion,
+        "text_fertility": q_text_fertility,
         "mm_decode_real": q_mm_decode_real,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
@@ -3973,7 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_cms_counts", "etl_bloom_semi_join",
         "quality_dsir_weights", "sim_matryoshka_recall",
         "events_top_paths", "etl_freshness", "quality_domain_shift",
-        "asof_join_nearest", "text_langid_confusion",
+        "asof_join_nearest", "text_langid_confusion", "text_fertility",
         "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
         "events_holt_forecast",
         # 15 r6-era rows
@@ -3983,10 +3991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 6 r7-era rows (the remaining 37 open the r12 window)
+        # 5 r7-era rows (the remaining 38 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
-        "dedup_passages", "dedup_simhash_signatures",
+        "dedup_passages",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -4919,6 +4927,18 @@ def oracle_sql() -> dict[str, str]:
                     WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
                     ELSE 'fr' END AS lang_pred
         FROM hits
+    """
+
+    sql["text_fertility"] = f"""
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(len({_TOKS}))::BIGINT AS n_words,
+               SUM(len(regexp_extract_all(text,
+                 '[A-Za-z]{{1,4}}|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT
+                 AS n_bpe_tokens,
+               ROUND(SUM(len(regexp_extract_all(text,
+                       '[A-Za-z]{{1,4}}|[0-9]+|[^A-Za-z0-9\\s]')))::DOUBLE
+                     / SUM(len({_TOKS}))::DOUBLE, 6) AS fertility
+        FROM documents GROUP BY lang
     """
 
     sql["text_langid_confusion"] = f"""

@@ -219,6 +219,7 @@ HEADLINE = [
     "graph_louvain_move",
     "dedup_minhash_audit",
     "text_langid_confusion",
+    "text_fertility",
 ]
 
 

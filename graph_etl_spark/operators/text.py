@@ -1001,3 +1001,39 @@ def langid_confusion(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("correct", F.col("label") == F.col("predicted"))
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKENIZER FERTILITY per group — subword tokens per whitespace
+    word, THE number multilingual-tokenizer reports lead with (a
+    tokenizer trained on English typically shows fertility ~1.2 on
+    English and 2-4x that on underrepresented scripts, silently
+    taxing their effective context length): BPE-ish word-piece counts
+    over whitespace word counts, aggregated per group with exact
+    integer sums and one final division.
+
+    Output: (group_col, n_docs, n_words, n_bpe_tokens, fertility).
+
+    Scale: two map-side token counts, one group-keyed
+    map-side-combined aggregation."""
+    counts = df.select(
+        F.col(group_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("__w"),
+        F.regexp_count(
+            F.col(text_col), F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]")
+        )
+        .cast("long")
+        .alias("__b"),
+    )
+    return counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__b").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("__b").cast("double") / F.sum("__w").cast("double"), 6
+        ).alias("fertility"),
+    )

@@ -27,7 +27,7 @@ ROUND11_NEW_OR_CHANGED = [
     "approx_cms_counts", "etl_bloom_semi_join",
     "quality_dsir_weights", "sim_matryoshka_recall",
     "events_top_paths", "etl_freshness", "quality_domain_shift",
-    "asof_join_nearest", "text_langid_confusion",
+    "asof_join_nearest", "text_langid_confusion", "text_fertility",
     "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
     "events_holt_forecast",
 ]

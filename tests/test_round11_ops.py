@@ -638,3 +638,18 @@ def test_langid_confusion_matrix(spark):
     assert out[("en", "en")]["n"] == 1 and out[("en", "en")]["correct"]
     assert out[("de", "de")]["n"] == 1
     assert not out[("fr", "und")]["correct"]
+
+
+def test_tokenizer_fertility_penalizes_symbol_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "plain four char word text here", "en"),
+            (2, "internationalization comprehensibility", "de"),  # long words split
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in ops.tokenizer_fertility(docs).collect()}
+    assert out["en"]["n_docs"] == 1 and out["en"]["n_words"] == 6
+    # 'internationalization' (20 letters) -> 5 BPE-ish pieces
+    assert out["de"]["fertility"] > out["en"]["fertility"]
+    assert out["de"]["n_bpe_tokens"] == 10 and out["de"]["n_words"] == 2
