@@ -294,6 +294,8 @@ def main() -> None:
         "table_checksum": lambda d: __import__(
             "graph_etl_spark.functions", fromlist=["table_checksum"]
         ).table_checksum(d, ["doc_id", "text"], group_col="source"),
+        # r11: fertility — two map-side counts + a bounded group agg
+        "tokenizer_fertility": lambda d: ops.tokenizer_fertility(d),
         # r11: langid eval — one map-side scoring pass + a
         # languages²-bounded agg; must be ~scan-linear
         "langid_confusion": lambda d: ops.langid_confusion(d),
