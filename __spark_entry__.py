@@ -3546,6 +3546,14 @@ def q_quality_domain_shift(spark, sf):
     )
 
 
+def q_events_markov_steady_state(spark, sf):
+    """Stationary distribution of the event-type chain: 30 fixed-point
+    power-iteration steps in exact integer micro-units (the oracle
+    unrolls the identical arithmetic) — the long-run state-occupancy
+    vector behind the transition matrix."""
+    return ops.markov_steady_state(_t(spark, sf, "events"), iters=30)
+
+
 def q_events_top_paths(spark, sf):
     """Top-20 most common 3-step event paths: user-keyed lead window,
     map-side path counts, TakeOrderedAndProject top-k (count desc,
@@ -3752,6 +3760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": q_asof_join_nearest,
         "text_langid_confusion": q_text_langid_confusion,
         "text_fertility": q_text_fertility,
+        "events_markov_steady_state": q_events_markov_steady_state,
         "mm_decode_real": q_mm_decode_real,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
@@ -3982,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_dsir_weights", "sim_matryoshka_recall",
         "events_top_paths", "etl_freshness", "quality_domain_shift",
         "asof_join_nearest", "text_langid_confusion", "text_fertility",
+        "events_markov_steady_state",
         "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
         "events_holt_forecast",
         # 15 r6-era rows
@@ -3991,10 +4001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
         "text_winnow_fingerprints", "unpivot_part",
-        # 5 r7-era rows (the remaining 38 open the r12 window)
+        # 4 r7-era rows (the remaining 39 open the r12 window)
         "dedup_incremental", "dedup_minhash_lsh_pairs",
         "dedup_minhash_signatures", "dedup_neardup_survivors",
-        "dedup_passages",
     ]
     ordered = {k: registry[k] for k in r11_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -9063,6 +9072,67 @@ def oracle_sql() -> dict[str, str]:
                                + 0.5 * (q * ln(q / (0.5 * (p + q)))), 12)
                          ::DECIMAL(18,12))::DOUBLE, 6) AS js_divergence
         FROM terms GROUP BY ta, tb
+    """
+
+    # steady state: 30 unrolled power-iteration steps in EXACT integer
+    # micro-units — (v*p)//1e12 per term, floor-div on positives, the
+    # same arithmetic the operator's driver-side Python loop runs
+    _U = "1000000000000"
+    mk_steps = []
+    for k in range(1, 31):
+        mk_steps.append(
+            f"""v{k} AS MATERIALIZED (
+          SELECT s.state, COALESCE(agg.m, 0)::HUGEINT AS v
+          FROM sts s LEFT JOIN (
+            SELECT p.nxt AS state,
+                   SUM((v.v * p.pm) // {_U})::HUGEINT AS m
+            FROM p JOIN v{k - 1} v ON v.state = p.cur
+            GROUP BY p.nxt
+          ) agg ON agg.state = s.state
+        )"""
+        )
+    mk_body = ",\n        ".join(mk_steps)
+    sql["events_markov_steady_state"] = f"""
+        WITH stream AS MATERIALIZED (
+          SELECT event_type AS cur,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ), cnt AS MATERIALIZED (
+          SELECT cur, nxt, COUNT(*)::BIGINT AS c FROM stream
+          WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ), sts AS MATERIALIZED (
+          SELECT DISTINCT state FROM (
+            SELECT cur AS state FROM cnt UNION SELECT nxt FROM cnt
+          )
+        ), tt AS MATERIALIZED (
+          SELECT s.state, COALESCE(t.t, 0)::BIGINT AS t
+          FROM sts s LEFT JOIN (
+            SELECT cur, SUM(c)::BIGINT AS t FROM cnt GROUP BY cur
+          ) t ON t.cur = s.state
+        ), p AS MATERIALIZED (
+          SELECT cnt.cur, cnt.nxt,
+                 ((2 * cnt.c::HUGEINT * {_U} + tt.t)
+                   // (2 * tt.t))::HUGEINT AS pm
+          FROM cnt JOIN tt ON tt.state = cnt.cur
+          UNION ALL
+          SELECT state, state, {_U}::HUGEINT FROM tt WHERE t = 0
+        ), nst AS (SELECT COUNT(*)::BIGINT AS n FROM sts),
+        r1 AS (
+          SELECT state, row_number() OVER (ORDER BY state) AS rn FROM sts
+        ),
+        v0 AS MATERIALIZED (
+          SELECT r1.state,
+                 ({_U} // n + CASE WHEN rn = 1 THEN {_U} % n ELSE 0 END)
+                   ::HUGEINT AS v
+          FROM r1 CROSS JOIN nst
+        ),
+        {mk_body}
+        SELECT s.state, tt.t AS n_out, v30.v::BIGINT AS stationary_micro,
+               v30.v::DOUBLE / 1000000000000.0 AS stationary
+        FROM sts s JOIN tt ON tt.state = s.state
+        JOIN v30 ON v30.state = s.state
     """
 
     sql["events_top_paths"] = """

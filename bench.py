@@ -220,6 +220,7 @@ HEADLINE = [
     "dedup_minhash_audit",
     "text_langid_confusion",
     "text_fertility",
+    "events_markov_steady_state",
 ]
 
 

@@ -947,3 +947,84 @@ def top_paths(
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(int(k))
     )
+
+
+def markov_steady_state(
+    events: DataFrame,
+    iters: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain — the
+    long-run "where do users spend their time" vector that
+    ``event_transitions``' matrix implies: power iteration in EXACT
+    integer micro-units (10^12 per unit of probability mass), so every
+    step is floor/half-up integer arithmetic that Python, Spark, and a
+    SQL oracle reproduce bit-for-bit — no float accumulation anywhere.
+    Transition rows half-up-round to micro-units; a state with no
+    outgoing transitions self-loops (mass is conserved up to the
+    documented sub-1e-9 rounding drift per step); the start vector is
+    uniform with the remainder milli-units assigned to the
+    lexicographically first state.
+
+    Output: (state, n_out, stationary_micro, stationary) — n_out the
+    state's outgoing transition count, stationary_micro the EXACT
+    integer mass, stationary its double view (micro → nearest double →
+    one IEEE division by 1e12, the same two steps on every engine — no
+    rounding call whose half-way convention could differ).
+
+    Scale: the DISTRIBUTED work is the corpus-wide consecutive-pair
+    count (one user-keyed lead window + one bounded aggregation); the
+    chain itself is states²-bounded, collected once and iterated
+    driver-side in exact ints — the literal-centroid convention for
+    dimension-sized model state."""
+    U = 10**12
+    if int(iters) < 1:
+        raise ValueError(
+            f"markov_steady_state: iters must be >= 1 (got {iters})"
+        )
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    stream = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .withColumn("__nxt", F.lead(type_col).over(w))
+        .filter(F.col("__nxt").isNotNull())
+    )
+    counts = (
+        stream.groupBy(
+            F.col(type_col).alias("__cur"), F.col("__nxt")
+        ).agg(F.count(F.lit(1)).alias("__c"))
+    ).collect()
+    states = sorted(
+        {r["__cur"] for r in counts} | {r["__nxt"] for r in counts}
+    )
+    if not states:
+        raise ValueError("markov_steady_state: no transitions in input")
+    t = {s: 0 for s in states}
+    for r in counts:
+        t[r["__cur"]] += int(r["__c"])
+    p: dict[tuple[str, str], int] = {}
+    for r in counts:
+        cur, nxt, c = r["__cur"], r["__nxt"], int(r["__c"])
+        # half-up micro-unit probability: (2cU + t) // (2t)
+        p[(cur, nxt)] = (2 * c * U + t[cur]) // (2 * t[cur])
+    for s in states:
+        if t[s] == 0:
+            p[(s, s)] = U  # dangling state self-loops
+    n = len(states)
+    v = {s: U // n for s in states}
+    v[states[0]] += U % n
+    for _ in range(int(iters)):
+        nv = {s: 0 for s in states}
+        for (cur, nxt), pm in p.items():
+            nv[nxt] += (v[cur] * pm) // U
+        v = nv
+    spark = events.sparkSession
+    rows = [(s, t[s], v[s], float(v[s]) / float(U)) for s in states]
+    return spark.createDataFrame(
+        rows,
+        "state string, n_out long, stationary_micro long, stationary double",
+    )

@@ -28,6 +28,7 @@ ROUND11_NEW_OR_CHANGED = [
     "quality_dsir_weights", "sim_matryoshka_recall",
     "events_top_paths", "etl_freshness", "quality_domain_shift",
     "asof_join_nearest", "text_langid_confusion", "text_fertility",
+    "events_markov_steady_state",
     "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
     "events_holt_forecast",
 ]

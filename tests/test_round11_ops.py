@@ -653,3 +653,23 @@ def test_tokenizer_fertility_penalizes_symbol_text(spark):
     # 'internationalization' (20 letters) -> 5 BPE-ish pieces
     assert out["de"]["fertility"] > out["en"]["fertility"]
     assert out["de"]["n_bpe_tokens"] == 10 and out["de"]["n_words"] == 2
+
+
+def test_markov_steady_state_two_state_chain(spark):
+    # one user cycling A A B: P(A->A)=P(A->B)=1/2, P(B->A)=1 ->
+    # stationary (2/3, 1/3)
+    seq = ["A", "A", "B"] * 12
+    rows = [
+        (i, 1, f"2024-01-01 10:{i:02d}:00", et) for i, et in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["state"]: r for r in ops.markov_steady_state(ev, iters=30).collect()}
+    assert out["A"]["stationary"] == pytest.approx(2 / 3, abs=2e-3)
+    assert out["B"]["stationary"] == pytest.approx(1 / 3, abs=2e-3)
+    # exact integer masses nearly conserve (floor drift only)
+    total = out["A"]["stationary_micro"] + out["B"]["stationary_micro"]
+    assert 10**12 - total < 1000
+    with pytest.raises(ValueError, match="iters"):
+        ops.markov_steady_state(ev, iters=0)
