@@ -3685,23 +3685,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its own untouched session.
 
     Round-11 rotation (VERDICT r9 #5 policy: every query's latest
-    driver row should be <= 4 rounds old): slots 1-21 are the round-11
-    NEW queries (Kneser-Ney LM scoring, sweep-line concurrency, CUSUM
-    changepoint, A/B z-test + CUPED, order-free table checksum, Newman
-    modularity, MMR rerank, binary Hamming top-k reference + scale
-    paths, RRF hybrid fusion, n-gram novelty, REAL image resize,
+    driver row should be <= 4 rounds old): the window leads with the
+    TWENTY-FIVE round-11 NEW queries (Kneser-Ney LM scoring, sweep-line
+    concurrency, CUSUM changepoint, A/B z-test + CUPED, order-free
+    table checksum, Newman modularity + one Louvain move round, MMR
+    rerank, binary Hamming top-k reference + scale paths, RRF hybrid
+    fusion, n-gram novelty, MinHash sketch audit, REAL image resize,
     Kaplan-Meier survival, Count-Min sketch, Bloom pre-join prefilter,
     DSIR weights, Matryoshka recall, top-k path mining, freshness
-    audit, JS domain shift); slots 22-25 the queries over code CHANGED
-    this round (shard_plan — its oracle's HUGEINT cast fixes the one
-    r10 hash mismatch —, gini's decimal(38,0) overflow fix, mips_ivf's
-    empty-input guard, holt's window validation); slots 26-50 the 25
-    STALEST driver verdicts — all 15 r6-era rows and the 10
-    alphabetically-first r7-era rows (the remaining 33 r7 rows open
-    the r12 window). Overlap with the r10 window: 4 (the code-changed
-    lead slots; budget <= 5). The ordering is enforced by the
-    r11_window list at the bottom of this function and checked
-    mechanically by test_registry.test_round11_window_composition.
+    audit, JS domain shift, nearest-direction as-of, lang-ID confusion
+    matrix, tokenizer fertility, Markov steady state) plus the FOUR
+    queries over code CHANGED this round (shard_plan — its oracle's
+    HUGEINT cast fixes the one r10 hash mismatch —, gini's
+    decimal(38,0) overflow fix, mips_ivf's empty-input guard, holt's
+    window validation); the remaining slots go to the STALEST driver
+    verdicts — all 15 r6-era rows and the alphabetically-first r7-era
+    rows that fit (the rest open the r12 window). Overlap with the
+    r10 window: 4 (the code-changed lead slots; budget <= 5). The
+    ordering is enforced by the r11_window list at the bottom of this
+    function and checked mechanically by
+    test_registry.test_round11_window_composition.
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over

@@ -703,6 +703,11 @@ def main() -> None:
         "quantile_sketch": lambda f: (
             lambda: ops.quantile_summary(f, "value", [0.5, 0.9], k=64)
         ),
+        # r11: steady state — distributed pair count + a bounded
+        # driver-side integer iteration; users 10x, states fixed
+        "markov_steady_state": lambda f: (
+            lambda: ops.markov_steady_state(f, iters=30)
+        ),
         # r10: RFM — one user roll-up + three two-phase exact ranks
         # (each collects boundaries/offsets at construction)
         "rfm_segments": lambda f: (
