@@ -6420,7 +6420,7 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY 1
     """
 
-    sql["text_url_dedup"] = """
+    sql["text_url_dedup"] = r"""
         WITH planted AS (
           SELECT doc_id,
                  CASE doc_id % 4

@@ -34,7 +34,17 @@ ROUND11_NEW_OR_CHANGED = [
 ]
 
 
-def _latest_driver_round() -> dict[str, int]:
+def _latest_driver_round(before_round: int | None = None) -> dict[str, int]:
+    """Latest driver-verdict round per query, computed from the
+    CORRECTNESS_r*.json history.
+
+    ``before_round`` makes the computation ROUND-AWARE: a window
+    composed FOR round N was chosen from the history as it stood
+    BEFORE round N ran, so its staleness invariant must ignore
+    CORRECTNESS files from rounds >= N — otherwise the driver landing
+    its own round-N results would retroactively make the window's
+    entries look fresh and flip the assertion (the r11 red-test
+    failure mode; VERDICT r11 item 1)."""
     import glob
     import json
     import re
@@ -44,6 +54,8 @@ def _latest_driver_round() -> dict[str, int]:
     # r* not r0*: CORRECTNESS_r10.json and later must count too
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if before_round is not None and r >= before_round:
+            continue
         for k in json.load(open(f)):
             latest[k] = r
     return latest
@@ -58,32 +70,41 @@ def test_every_query_has_an_oracle():
 
 
 def test_round11_window_composition():
-    """The new/changed round-11 queries lead the window; every slot
-    not taken by them goes to a query whose latest driver verdict is
-    at least as stale as any query left OUT of the window — staleness
-    is computed from the CORRECTNESS_r*.json history, so the
-    rotation cannot silently skip the oldest rows. Overlap with the
-    r10 window stays within the <= 5 budget."""
+    """The round-11 window (frozen as the keys of CORRECTNESS_r11.json
+    once the driver lands it; the static list before) led with the
+    new/changed round-11 queries, and every other slot went to a query
+    whose latest PRE-r11 driver verdict was at least as stale as any
+    query left out — staleness is computed round-aware
+    (``before_round=11``) so the driver's own r11 results landing in
+    the tree cannot retroactively flip this assertion (VERDICT r11
+    item 1). Overlap with the r10 window stays within the <= 5
+    budget."""
     import json
 
-    names = list(entry.queries())
-    window = names[:50]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r11_path = os.path.join(root, "CORRECTNESS_r11.json")
+    if os.path.exists(r11_path):
+        window = list(json.load(open(r11_path)))
+    else:  # pre-driver tree: the live registry led with the r11 window
+        window = list(entry.queries())[:50]
     lead = len(ROUND11_NEW_OR_CHANGED)
-    assert names[:lead] == ROUND11_NEW_OR_CHANGED, (
-        f"leading slots wrong: {names[:lead]}"
+    assert window[:lead] == ROUND11_NEW_OR_CHANGED, (
+        f"leading slots wrong: {window[:lead]}"
     )
-    latest = _latest_driver_round()
-    rest = [q for q in window[lead:]]
-    tail = [q for q in names[50:]]
+    latest = _latest_driver_round(before_round=11)
+    rest = window[lead:]
+    in_window = set(window)
+    tail = [q for q in entry.queries() if q not in in_window]
     # every non-changed window slot must be no NEWER than every tail
-    # entry's verdict (new queries have no history and sort stalest)
+    # entry's PRE-r11 verdict (queries with no pre-r11 history — the
+    # round-11-and-later additions — sort fresh in the tail, stale in
+    # the window lead, and are excluded from `rest` by construction)
     max_in_window = max(latest.get(q, 0) for q in rest)
     min_in_tail = min(latest.get(q, 99) for q in tail)
     assert max_in_window <= min_in_tail, (
         f"window holds a fresher verdict ({max_in_window}) than the "
         f"stalest tail row ({min_in_tail}) — rotation skipped rows"
     )
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r10 = set(json.load(open(os.path.join(root, "CORRECTNESS_r10.json"))))
     assert len(set(window) & r10) <= 5, "r10-window overlap budget exceeded"
 
