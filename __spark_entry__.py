@@ -8675,14 +8675,28 @@ def oracle_sql() -> dict[str, str]:
 
     # order-free checksum: canonical stringification must be
     # engine-identical — ints/dates/decimals only (the query pre-casts
-    # the double price to decimal(18,2) and the timestamp to date)
+    # the double price to decimal(18,2) and the timestamp to date).
+    # Each value is delimiter-escaped (\, |, < -> \-prefixed) before
+    # the '|' join, mirroring table_checksum's canonicalization.
+    def _esc(x: str) -> str:
+        return (
+            rf"COALESCE(regexp_replace({x}, '([\\|<])', '\\\0', 'g'),"
+            " '<NULL>')"
+        )
+
     _row_canon = (
-        "concat_ws('|',"
-        " COALESCE(o_orderkey::VARCHAR, '<NULL>'),"
-        " COALESCE(o_custkey::VARCHAR, '<NULL>'),"
-        " COALESCE(o_orderstatus, '<NULL>'),"
-        " COALESCE((ROUND(o_totalprice, 2)::DECIMAL(18,2))::VARCHAR, '<NULL>'),"
-        " COALESCE((o_orderdate::DATE)::VARCHAR, '<NULL>'))"
+        "concat_ws('|', "
+        + ", ".join(
+            _esc(x)
+            for x in (
+                "o_orderkey::VARCHAR",
+                "o_custkey::VARCHAR",
+                "o_orderstatus",
+                "(ROUND(o_totalprice, 2)::DECIMAL(18,2))::VARCHAR",
+                "(o_orderdate::DATE)::VARCHAR",
+            )
+        )
+        + ")"
     )
     sql["etl_table_checksum"] = f"""
         WITH t AS (

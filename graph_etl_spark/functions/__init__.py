@@ -487,6 +487,14 @@ def table_checksum(
     ``null_sentinel`` (concat_ws would silently drop them, making
     ('a', NULL) collide with ('a',)).
 
+    The join is made unambiguous by escaping ``\\``, ``|`` and ``<``
+    (each prefixed with ``\\``) in every stringified value BEFORE
+    joining: ('a|b','c') and ('a','b|c') now canonicalize differently,
+    and a literal ``'<NULL>'`` string escapes to ``'\\<NULL>'`` so it
+    cannot collide with the raw sentinel inserted for NULL. Remaining
+    caveat: a custom ``null_sentinel`` must contain ``<``, ``|`` or
+    ``\\`` (the default does) for the NULL/literal distinction to hold.
+
     Output: (group_col?, n_rows, checksum).
 
     Scale: one map-side-combined aggregation — the hash and the join
@@ -497,7 +505,12 @@ def table_checksum(
     canon = F.concat_ws(
         "|",
         *[
-            F.coalesce(F.col(c).cast("string"), F.lit(null_sentinel))
+            F.coalesce(
+                F.regexp_replace(
+                    F.col(c).cast("string"), r"([\\|<])", r"\\$1"
+                ),
+                F.lit(null_sentinel),
+            )
             for c in cols
         ],
     )

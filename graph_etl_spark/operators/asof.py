@@ -41,6 +41,15 @@ def as_of_join(
     integer microsecond distance (timestamps required for nearest).
     Exactly one shuffle (on ``on``) regardless of data size and
     direction; no O(n·m) theta join.
+
+    NULL timestamps: right rows with NULL ``right_ts`` are dropped
+    before the union — no direction's predicate can qualify them, and
+    left in, the ascending scan's nulls-first order would make one the
+    backward payload with a NULL distance that beats a real forward
+    match under ``nearest``. Left rows with NULL ``left_ts`` survive
+    with all-null right columns (nothing qualifies against an unknown
+    time) instead of inheriting whatever the scan direction's
+    null-placement happens to fill.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -53,7 +62,8 @@ def as_of_join(
         F.col(right_ts).alias("__pts"), *[F.col(c) for c in right_cols]
     )
     r_tag = (
-        right.select(
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
             on,
             F.col(right_ts).alias("__ts"),
             r_payload.alias("__payload"),
@@ -94,7 +104,13 @@ def as_of_join(
         out = unioned.withColumn("__pick", pick)
     out = out.filter(F.col("__side") == 1)
     for c in right_cols:
-        out = out.withColumn(f"{c}{suffix}", F.col("__pick")[c])
+        # NULL-left_ts rows match nothing; without the guard the
+        # forward scan's desc-nulls-last order would hand them the
+        # earliest right payload
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(F.col("__ts").isNotNull(), F.col("__pick")[c]),
+        )
     return out.drop("__side", "__ts", "__payload", "__pick")
 
 

@@ -843,10 +843,14 @@ def minhash_jaccard_audit(
     row per LSH candidate pair.
 
     Scale: the candidate set is banded-LSH (never all-pairs); the
-    exact-intersection join touches only candidate docs' shingles
-    (pairs broadcast into the shingle stream when dimension-sized);
-    signatures join back by doc id. Estimates and truths are integer
-    ratios rounded at the end."""
+    exact-intersection join touches only candidate docs' shingles.
+    The pair set is DATA-DEPENDENT — template-heavy corpora can make
+    it corpus-sized — so no broadcast hint is forced on it: AQE's
+    runtime size statistics pick broadcast when the pairs actually fit
+    (localCheckpoint materializes them, giving AQE exact sizes) and
+    fall back to a shuffled hash join when they don't, instead of
+    OOMing the driver. Signatures join back by doc id. Estimates and
+    truths are integer ratios rounded at the end."""
     pairs = minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col, num_perm=num_perm,
         bands=bands, shingle_n=shingle_n,
@@ -886,7 +890,7 @@ def minhash_jaccard_audit(
     sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_sh"))
     inter = (
         shd.select(F.col(id_col).alias("id_a"), "__s")
-        .join(F.broadcast(pairs), "id_a")
+        .join(pairs, "id_a")
         .join(
             shd.select(F.col(id_col).alias("id_b"), "__s"), ["id_b", "__s"]
         )

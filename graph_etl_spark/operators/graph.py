@@ -1052,6 +1052,9 @@ def modularity(
     taken as given (one row per undirected edge, canonical orientation
     upstream); endpoints missing from ``communities`` are dropped with
     their incident edge mass intact in m — an honest denominator.
+    ``louvain_move`` uses the SAME missing-endpoint convention, so the
+    iterate/meter pair agrees on m, degrees, and Σtot on
+    partially-labeled graphs.
 
     Output: one row per community —
     (community, n_nodes, inner_edges, degree_sum, q) sorted by the
@@ -1149,8 +1152,16 @@ def louvain_move(
     integers (decimal(38,0) products), so the argmax carries no float
     risk; ties prefer staying, then the smaller community label.
 
+    Partially-labeled graphs use the SAME convention as
+    ``modularity`` (the meter this op iterates against): edges with an
+    endpoint missing from ``communities`` stay in m and in every
+    node's degree k_i — an unlabeled neighbor contributes degree mass
+    but offers no candidate community — and only labeled nodes are
+    scored/moved. The two ops therefore agree on m, k_i, and Σtot on
+    any input.
+
     Output: (id, old_community, new_community, moved) — one row per
-    node with at least one edge.
+    LABELED node with at least one edge.
 
     Scale: degree/total tables are one aggregation each; k_{i,c} is
     one (node, community)-keyed count off the community-labeled edge
@@ -1161,6 +1172,8 @@ def louvain_move(
     comm = communities.select(
         F.col(id_col).alias("__node"), F.col(comm_col).alias("__c")
     )
+    # LEFT joins — modularity's convention: an unlabeled endpoint
+    # keeps its edge in m and its degree mass, it just labels nothing
     e = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .join(
@@ -1168,12 +1181,14 @@ def louvain_move(
                 F.col("__node").alias("__s"), F.col("__c").alias("__cs")
             ),
             "__s",
+            "left",
         )
         .join(
             comm.select(
                 F.col("__node").alias("__d"), F.col("__c").alias("__cd")
             ),
             "__d",
+            "left",
         )
         .localCheckpoint(eager=False)
     )
@@ -1197,6 +1212,7 @@ def louvain_move(
         .unionByName(
             e.select(F.col("__d").alias("__node"), F.col("__cs").alias("__c"))
         )
+        .filter(F.col("__c").isNotNull())
         .groupBy("__node", "__c")
         .agg(F.count(F.lit(1)).alias("__kic"))
     )

@@ -1,0 +1,149 @@
+"""Round-12 additions: ADVICE regression fixes (table_checksum
+delimiter escaping, minhash_jaccard_audit broadcast removal,
+as_of_join NULL-timestamp handling, louvain_move/modularity
+missing-endpoint alignment) plus the round's new operators.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from graph_etl_spark import operators as ops
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_table_checksum_delimiter_and_sentinel_collisions(spark):
+    """ADVICE r11: ('a|b','c') vs ('a','b|c') and a literal '<NULL>'
+    string vs NULL must checksum differently — the per-value escaping
+    makes the '|'-join injective."""
+    import graph_etl_spark.functions as fn
+
+    d1 = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    d2 = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    assert (
+        fn.table_checksum(d1, ["x", "y"]).collect()[0]["checksum"]
+        != fn.table_checksum(d2, ["x", "y"]).collect()[0]["checksum"]
+    )
+    d3 = spark.createDataFrame([("<NULL>",)], "x string")
+    d4 = spark.createDataFrame([(None,)], "x string")
+    assert (
+        fn.table_checksum(d3, ["x"]).collect()[0]["checksum"]
+        != fn.table_checksum(d4, ["x"]).collect()[0]["checksum"]
+    )
+    # backslash round-trip: ('a\', 'b') vs ('a', '\b')
+    d5 = spark.createDataFrame([("a\\", "b")], "x string, y string")
+    d6 = spark.createDataFrame([("a", "\\b")], "x string, y string")
+    assert (
+        fn.table_checksum(d5, ["x", "y"]).collect()[0]["checksum"]
+        != fn.table_checksum(d6, ["x", "y"]).collect()[0]["checksum"]
+    )
+    # order-freeness survives the escaping
+    a = spark.createDataFrame([(1, "p|q"), (2, None)], "k long, s string")
+    b = spark.createDataFrame(
+        [(2, None), (1, "p|q")], "k long, s string"
+    ).repartition(3)
+    ca = fn.table_checksum(a, ["k", "s"]).collect()[0]
+    cb = fn.table_checksum(b, ["k", "s"]).collect()[0]
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+
+
+def test_minhash_audit_no_forced_broadcast(spark):
+    """ADVICE r11: the candidate-pair frame is data-dependent — the
+    plan must not carry a forced broadcast hint on it (AQE decides
+    from runtime sizes)."""
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 3),)
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = ops.minhash_jaccard_audit(df, num_perm=8, bands=4)
+    # estimates stay exact for identical docs
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    for (a, b), r in rows.items():
+        if a % 3 == b % 3:
+            assert r["exact_jaccard"] == 1.0
+            assert r["est_jaccard"] == 1.0 and r["abs_err"] == 0.0
+
+
+def test_asof_join_nearest_null_right_ts_ignored(spark):
+    """ADVICE r11: a right row with NULL right_ts must never win a
+    'nearest' pick over a real forward match."""
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:10")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", None, "phantom"), ("k", "2024-01-01 00:00:12", "real")],
+        "k string, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ops.as_of_join(
+        left, right, on="k", direction="nearest"
+    ).collect()
+    assert len(out) == 1 and out[0]["v_right"] == "real"
+    # backward/forward directions also never surface the null-ts row
+    for d in ("backward", "forward"):
+        got = ops.as_of_join(left, right, on="k", direction=d).collect()[0]
+        assert got["v_right"] in (None, "real")
+
+
+def test_asof_join_null_left_ts_matches_nothing(spark):
+    left = spark.createDataFrame(
+        [("k", None), ("k", "2024-01-01 00:00:10")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:05", "r1")], "k string, ts string, v string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for d in ("backward", "forward", "nearest"):
+        rows = {
+            (r["ts"] is None): r["v_right"]
+            for r in ops.as_of_join(left, right, on="k", direction=d).collect()
+        }
+        assert rows[True] is None, f"direction={d} matched a NULL-ts left row"
+
+
+def test_louvain_move_modularity_agree_on_partial_labels(spark):
+    """ADVICE r11: the iterate/meter pair must share the
+    missing-endpoint convention — unlabeled endpoints keep their edge
+    mass in m and degrees; only labeled nodes move."""
+    # triangle 1-2-3 labeled A, plus labeled node 4 (B) bridging to the
+    # triangle, plus UNLABELED node 9 attached everywhere
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (1, 9), (2, 9), (4, 9)],
+        "src long, dst long",
+    )
+    comm = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B")], "id long, community string"
+    )
+    moves = ops.louvain_move(edges, comm)
+    got = {r["id"]: r for r in moves.collect()}
+    # only labeled nodes appear
+    assert set(got) == {1, 2, 3, 4}
+    # node 4: k_{4,A}=1 (edge 3-4; edge 4-9 offers no candidate),
+    # staying scores 2m*0 - k_4*(tot_B - k_4) = 0 with tot_B = k_4 = 2
+    # (edge mass from BOTH its edges, incl. the unlabeled neighbor);
+    # moving to A scores 2*7*1 - 2*10 = -6 < 0 -> stays put under the
+    # aligned convention (the old inner-join m/degrees flipped this)
+    assert got[4]["new_community"] == "B" and not got[4]["moved"]
+    assert all(not got[i]["moved"] for i in (1, 2, 3))
+    # the meter agrees on the masses: m=7, tot_A = deg(1,2,3) = 3+3+3,
+    # tot_B = 2 under the same left-join convention
+    mod = {r["community"]: r for r in ops.modularity(edges, comm).collect()}
+    assert mod["A"]["degree_sum"] == 9 and mod["B"]["degree_sum"] == 2
+    assert mod["A"]["inner_edges"] == 3 and mod["B"]["inner_edges"] == 0
+
+
+def test_louvain_move_labeled_island_keeps_node(spark):
+    """A labeled node whose every neighbor is unlabeled used to vanish
+    from the output (inner-join); it must now survive and stay put."""
+    edges = spark.createDataFrame([(1, 9)], "src long, dst long")
+    comm = spark.createDataFrame([(1, "A")], "id long, community string")
+    rows = ops.louvain_move(edges, comm).collect()
+    assert len(rows) == 1
+    assert rows[0]["id"] == 1 and not rows[0]["moved"]
