@@ -3406,6 +3406,42 @@ def q_etl_table_checksum(spark, sf):
     )
 
 
+def q_etl_bloom_semi_join_scale(spark, sf):
+    """bloom_semi_join's PRODUCTION probe (scale=True): identical
+    build and 1024-bit filter as etl_bloom_semi_join, but the packed
+    words travel as an executor broadcast variable and the probe runs
+    inside an Arrow mapInPandas stage — no literal array in the plan,
+    so n_bits can grow with the dim (10 bits/key) without serializing
+    megabytes into every task. Bit-identical survivors by
+    construction; this row certifies it against the SAME oracle as
+    the literal twin."""
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").filter(F.col("s_nationkey") < 10)
+    passed = ops.bloom_semi_join(
+        li, supp, "l_suppkey", "s_suppkey", n_bits=1024, n_hashes=3,
+        scale=True,
+    )
+    truth = (
+        supp.select(F.col("s_suppkey").alias("l_suppkey"))
+        .distinct()
+        .withColumn("__true", F.lit(1))
+    )
+    marked = passed.join(F.broadcast(truth), "l_suppkey", "left")
+    total = li.agg(F.count(F.lit(1)).alias("n_fact"))
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("n_passed"),
+        F.sum(F.coalesce(F.col("__true"), F.lit(0))).alias("n_true_match"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "n_fact",
+        "n_passed",
+        "n_true_match",
+        (F.col("n_passed") - F.col("n_true_match")).alias(
+            "n_false_positive"
+        ),
+    )
+
+
 def q_graph_modularity(spark, sf):
     """Newman modularity of the brand partition over the 1995
     co-purchase graph — brand assortativity: q_c = e_c/m − (d_c/2m)²
@@ -3755,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival_km": q_events_survival_km,
         "approx_cms_counts": q_approx_cms_counts,
         "etl_bloom_semi_join": q_etl_bloom_semi_join,
+        "etl_bloom_semi_join_scale": q_etl_bloom_semi_join_scale,
         "quality_dsir_weights": q_quality_dsir_weights,
         "sim_matryoshka_recall": q_sim_matryoshka_recall,
         "events_top_paths": q_events_top_paths,
@@ -9370,6 +9407,9 @@ def oracle_sql() -> dict[str, str]:
                  AS n_false_positive
         FROM passed
     """
+    # the production (broadcast + mapInPandas) probe is bit-identical
+    # to the literal twin — same oracle certifies both
+    sql["etl_bloom_semi_join_scale"] = sql["etl_bloom_semi_join"]
 
     sql["dedup_ngram_novelty"] = f"""
         WITH sh AS (

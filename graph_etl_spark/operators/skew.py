@@ -287,23 +287,41 @@ def bloom_semi_join(
     dim_key: str,
     n_bits: int = 1024,
     n_hashes: int = 3,
+    scale: bool = False,
 ) -> DataFrame:
     """BLOOM-FILTER PRE-JOIN — the shuffle-avoidance pattern that
     matters most at 100 TB: build an ``n_bits`` filter from the dim
-    side's keys, embed it as a LITERAL word array (n_bits/32 packed
-    longs — one tiny collect, the literal-centroid convention), and
-    pass only fact rows whose ``n_hashes`` H56 positions are ALL set.
-    False positives possible (deterministically — same hashes on both
-    engines), false negatives never: the exact semi-join over the
-    survivors stays exact while the full fact table never shuffles on
-    a key that mostly misses. The probe is a PURE MAP-SIDE filter —
-    no explode, no join, no aggregation; duplicate fact rows keep
-    their multiplicity.
+    side's keys and pass only fact rows whose ``n_hashes`` H56
+    positions are ALL set. False positives possible (deterministically
+    — same hashes on both engines), false negatives never: the exact
+    semi-join over the survivors stays exact while the full fact table
+    never shuffles on a key that mostly misses. The probe is a PURE
+    MAP-SIDE filter — no explode, no join, no aggregation; duplicate
+    fact rows keep their multiplicity.
+
+    Two bit-identical probe mechanisms (same build, same packed words,
+    same hash positions, same survivors):
+
+    - ``scale=False`` (default, the ORACLE TWIN): the packed words are
+      embedded as a LITERAL long-array in the plan, and the bit test
+      is integer arithmetic — (wval // 2^bit) % 2 — that a SQL oracle
+      replays verbatim. The literal array puts a practical CEILING on
+      ``n_bits``: every task ships n_bits/32 literals inside the
+      serialized plan, so keep n_bits <= ~2^16 (a few KB). Good for
+      small dims and for oracle certification, wrong for a 1 M-key
+      dim whose 10 M-bit filter would embed megabytes of literals in
+      every plan broadcast.
+    - ``scale=True`` (the PRODUCTION PROBE): the packed words travel
+      once per executor as a SparkContext broadcast variable (numpy
+      int64 array, n_bits/32 * 8 bytes) and the probe runs inside an
+      Arrow ``mapInPandas`` stage — the key is stringified JVM-side
+      (cast parity with the literal path's hash input) and each Arrow
+      batch is filtered with the identical md5-position/bit test. At
+      ~10 bits/key a 100 M-key dim is a 125 MB broadcast — executor
+      memory, never plan bytes.
 
     Words pack 32 bits/long via exact power-of-two sums (the
-    ``binarize_embeddings`` convention — no sign-bit wraparound); the
-    bit test is integer arithmetic (wval // 2^bit) % 2 that a SQL
-    oracle replays verbatim.
+    ``binarize_embeddings`` convention — no sign-bit wraparound).
 
     Output: the fact rows passing the filter plus a ``bloom_pass``
     marker column.
@@ -354,8 +372,11 @@ def bloom_semi_join(
     arr = [0] * (nb // 32)
     for r in words_rows:
         arr[int(r["__w"])] = int(r["__wval"])
-    wvals = F.array(*[F.lit(int(x)).cast("long") for x in arr])
 
+    if scale:
+        return _bloom_probe_broadcast(fact, fact_key, arr, nb, nh)
+
+    wvals = F.array(*[F.lit(int(x)).cast("long") for x in arr])
     key = F.col(fact_key)
     checks = []
     for j in range(nh):
@@ -370,3 +391,59 @@ def bloom_semi_join(
         )
     cond = key.isNotNull() & _reduce(_and, checks)
     return fact.filter(cond).withColumn("bloom_pass", F.lit(True))
+
+
+def _bloom_probe_broadcast(
+    fact: DataFrame, fact_key: str, arr: list[int], nb: int, nh: int
+) -> DataFrame:
+    """bloom_semi_join's scale probe: packed words as an executor-side
+    broadcast variable, bit test per Arrow batch. Bit-identical to the
+    literal-array probe — the key string Python hashes is produced by
+    the SAME JVM cast, and md5-hex-14 == h56 by construction."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    words_bc = fact.sparkSession.sparkContext.broadcast(
+        np.asarray(arr, dtype=np.int64)
+    )
+    tagged = fact.withColumn("__kstr", F.col(fact_key).cast("string"))
+    out_schema = T.StructType(
+        list(fact.schema.fields)
+        + [T.StructField("bloom_pass", T.BooleanType(), False)]
+    )
+
+    def probe(batches):
+        import hashlib
+
+        words = words_bc.value
+        for pdf in batches:
+            ks = pdf["__kstr"]
+            keep = ks.notna().to_numpy()
+            if keep.any():
+                idx = np.flatnonzero(keep)
+                keys = ks.iloc[idx].to_numpy()
+                for j in range(nh):
+                    pre = f"{j}|".encode()
+                    pos = np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(pre + k.encode()).hexdigest()[:14],
+                                16,
+                            )
+                            % nb
+                            for k in keys
+                        ),
+                        dtype=np.int64,
+                        count=len(keys),
+                    )
+                    hit = ((words[pos // 32] >> (pos % 32)) & 1).astype(bool)
+                    keep[idx] &= hit
+                    if not keep[idx].any():
+                        break
+                    still = hit.nonzero()[0]
+                    idx, keys = idx[still], keys[still]
+            res = pdf.loc[keep].drop(columns="__kstr")
+            res["bloom_pass"] = np.ones(len(res), dtype=bool)
+            yield res
+
+    return tagged.mapInPandas(probe, schema=out_schema)

@@ -147,3 +147,52 @@ def test_louvain_move_labeled_island_keeps_node(spark):
     rows = ops.louvain_move(edges, comm).collect()
     assert len(rows) == 1
     assert rows[0]["id"] == 1 and not rows[0]["moved"]
+
+
+def test_bloom_semi_join_paths_bit_identical(spark):
+    """The broadcast/mapInPandas production probe must pass EXACTLY
+    the rows the literal-array oracle twin passes (incl. the same
+    deterministic false positives) with multiplicity."""
+    fact = spark.createDataFrame(
+        [(i % 700, i) for i in range(4000)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(i * 7,) for i in range(50)], "dk long")
+    lit_rows = sorted(
+        (r["k"], r["payload"])
+        for r in ops.bloom_semi_join(fact, dim, "k", "dk", n_bits=512).collect()
+    )
+    bc_rows = sorted(
+        (r["k"], r["payload"])
+        for r in ops.bloom_semi_join(
+            fact, dim, "k", "dk", n_bits=512, scale=True
+        ).collect()
+    )
+    assert lit_rows == bc_rows and len(lit_rows) > 0
+
+
+def test_bloom_semi_join_scale_handles_million_key_dim(spark):
+    """VERDICT r11 #2: at 1 M dim keys and ~10 bits/key the literal
+    path would serialize a 312 500-long literal array (multi-MB) into
+    every task; the broadcast probe carries it executor-side. No false
+    negatives; the probe plan is an Arrow map stage with no giant
+    literal and no exchange after the build."""
+    from graph_etl_spark.plans import plan_string
+
+    n_keys = 1_000_000
+    dim = spark.range(n_keys).withColumnRenamed("id", "dk")
+    fact = spark.range(50_000).select(
+        (F.col("id") * 40).alias("k"), F.col("id").alias("payload")
+    )  # k in [0, 2M): half are true dim keys, half misses
+    out = ops.bloom_semi_join(
+        fact, dim, "k", "dk", n_bits=10_000_000, n_hashes=3, scale=True
+    )
+    plan = plan_string(out)
+    assert "MapInPandas" in plan
+    assert len(plan) < 100_000, "plan embeds the filter as literals"
+    assert "Exchange" not in plan, "probe must stay map-side"
+    got = {r["k"] for r in out.collect()}
+    true_keys = {i * 40 for i in range(50_000) if i * 40 < n_keys}
+    assert true_keys <= got, "bloom filter produced false negatives"
+    # a 10-bits/key filter keeps the false-positive rate tiny
+    fp = len(got - true_keys)
+    assert fp < 2_500, f"false-positive blowup: {fp} of 25000 misses"
