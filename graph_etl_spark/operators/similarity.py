@@ -1952,6 +1952,25 @@ def maxsim_topk(
     )
 
 
+def mmr_candidate_pool(
+    data: DataFrame,
+    queries: DataFrame,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """mmr_rerank's pool stage, exposed so the plan guard tests the
+    exact frame the rerank executes: the distributed exact top-``pool``
+    via ``brute_force_topk_scale`` (per-partition Arrow top-k BEFORE
+    the exchange; bit-identical to the reference window path, which
+    the oracle unrolls)."""
+    return brute_force_topk_scale(
+        data, queries, k=int(pool), id_col=id_col, vec_col=vec_col,
+        round_to=round_to,
+    ).select("query_id", "neighbor_id", "cos_sim")
+
+
 def mmr_rerank(
     data: DataFrame,
     queries: DataFrame,
@@ -1978,20 +1997,24 @@ def mmr_rerank(
     BOTH engines (the oracle unrolls the same k steps).
 
     Scale: the candidate pool is the distributed exact top-``pool``
-    (TakeOrdered-shaped in the scale variant), after which EVERYTHING
-    is bounded per query: the pairwise-sim frame is pool² rows/query,
-    each greedy step is one equi-join + one query-keyed window over
-    ≤pool rows/query, all queries advancing in parallel — the k-step
-    loop costs k tiny shuffles, never a driver-side collect."""
+    via ``brute_force_topk_scale`` — every map partition Arrow-reduces
+    its candidates to ``pool`` per query BEFORE the exchange, so the
+    ranking window sees partitions × queries × pool rows instead of
+    the full scored stream (bit-identical to the reference path, which
+    the oracle unrolls). After the pool, EVERYTHING is bounded per
+    query: the pairwise-sim frame is pool² rows/query, each greedy
+    step is one equi-join + one query-keyed window over ≤pool
+    rows/query, all queries advancing in parallel — the k-step loop
+    costs k tiny shuffles, never a driver-side collect."""
     if int(k) < 1 or int(pool) < int(k):
         raise ValueError(
             f"mmr_rerank: need 1 <= k <= pool (got k={k}, pool={pool})"
         )
     lam = float(lam)
-    cands = brute_force_topk(
-        data, queries, k=int(pool), id_col=id_col, vec_col=vec_col,
+    cands = mmr_candidate_pool(
+        data, queries, pool=int(pool), id_col=id_col, vec_col=vec_col,
         round_to=round_to,
-    ).select("query_id", "neighbor_id", "cos_sim")
+    )
     vecs = data.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")
     ).withColumn("__n", norm(F.col("__vec")))

@@ -866,3 +866,21 @@ def test_cms_cell_table_broadcast(spark, entry):
     df = entry.q_approx_cms_counts(spark, SF)
     st = plan_stats(df)
     assert st.broadcast_hash_joins >= 1, formatted_plan(df)
+
+
+def test_mmr_pool_partial_reduction(spark):
+    """VERDICT r11 #6: mmr_rerank's candidate-pool stage must be the
+    partial-reduction top-k — an Arrow local-top-k (MapInPandas)
+    feeding the ranking window, not a full-stream per-query window.
+    The rerank's own output plan is all eager checkpoints (the greedy
+    loop), so the guard inspects the exposed pool-stage frame — the
+    exact code path mmr_rerank executes."""
+    from graph_etl_spark import operators as ops
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    qs = emb.limit(5)
+    p = plan_string(ops.mmr_candidate_pool(emb, qs, pool=10))
+    assert "MapInPandas" in p, "pool stage lost the local top-k reduction"
+    assert p.index("MapInPandas") > p.index("Window"), (
+        "window must rank the reduced set (plans print top-down)"
+    )
