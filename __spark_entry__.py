@@ -3501,6 +3501,37 @@ def q_graph_louvain_move(spark, sf):
     return ops.louvain_move(edges, comm)
 
 
+def q_graph_louvain_communities(spark, sf):
+    """FULL Louvain phase-1 loop (VERDICT r11 #5): three synchronized
+    move rounds over the 1995 co-purchase graph seeded with the brand
+    partition, early-stopping on the integer-exact zero-moves fixed
+    point — result-identical to the oracle's unrolled 3 rounds (a
+    converged round reproduces itself bit-for-bit). Output: final
+    (id, community) for every part."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.year("l_shipdate") == 1995)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    comm = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("community")
+    )
+    return ops.louvain_communities(edges, comm, max_rounds=3)
+
+
 def q_sim_mmr_rerank(spark, sf):
     """Maximal-marginal-relevance diversified top-5 from a top-20
     candidate pool (λ=0.7): greedy per-step argmax of
@@ -3780,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_table_checksum": q_etl_table_checksum,
         "graph_modularity": q_graph_modularity,
         "graph_louvain_move": q_graph_louvain_move,
+        "graph_louvain_communities": q_graph_louvain_communities,
         "sim_mmr_rerank": q_sim_mmr_rerank,
         "sim_hamming_topk": q_sim_hamming_topk,
         "sim_hamming_topk_scale": q_sim_hamming_topk_scale,
@@ -8841,6 +8873,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS id, cur AS old_community, c AS new_community,
                (c <> cur) AS moved
         FROM pick WHERE rn = 1
+    """
+
+    # Louvain full loop: the SAME move round unrolled 3 times (deg and
+    # m are round-invariant — part labels every node, so the labeled
+    # edge set is the full edge set each round); comm_r applies only
+    # the SEMI-SYNCHRONOUS half — picks whose (h56(node)+round) parity
+    # matches and that actually move — coalesced over comm_{r-1},
+    # exactly as the Spark loop does. A converged parity pair
+    # reproduces itself, so the Spark side's two-zero-rounds early
+    # stop is result-identical to this full unroll.
+    lv_rounds = []
+    for r in range(1, 4):
+        p = r - 1
+        lv_rounds.append(f"""tot_{r} AS (
+          SELECT c, SUM(k)::BIGINT AS tot
+          FROM deg JOIN comm_{p} USING (node) GROUP BY c
+        ), lab_{r} AS (
+          SELECT e0.s, e0.d, cs.c AS cs, cd.c AS cd
+          FROM e0 JOIN comm_{p} cs ON e0.s = cs.node
+                  JOIN comm_{p} cd ON e0.d = cd.node
+        ), cand_{r} AS (
+          SELECT node, c, MAX(kic)::BIGINT AS kic FROM (
+            SELECT node, c, COUNT(*)::BIGINT AS kic FROM (
+              SELECT s AS node, cd AS c FROM lab_{r}
+              UNION ALL SELECT d, cs FROM lab_{r}
+            ) GROUP BY node, c
+            UNION ALL
+            SELECT deg.node, comm_{p}.c, 0::BIGINT
+            FROM deg JOIN comm_{p} USING (node)
+          ) GROUP BY node, c
+        ), pick_{r} AS (
+          SELECT node, c FROM (
+            SELECT cand_{r}.node, cand_{r}.c, cur.c AS cur,
+                   (2 * m.m)::HUGEINT * cand_{r}.kic
+                     - deg.k::HUGEINT
+                       * (CASE WHEN cand_{r}.c = cur.c
+                               THEN tot_{r}.tot - deg.k
+                               ELSE tot_{r}.tot END) AS score,
+                   row_number() OVER (
+                     PARTITION BY cand_{r}.node
+                     ORDER BY (2 * m.m)::HUGEINT * cand_{r}.kic
+                                - deg.k::HUGEINT
+                                  * (CASE WHEN cand_{r}.c = cur.c
+                                          THEN tot_{r}.tot - deg.k
+                                          ELSE tot_{r}.tot END) DESC,
+                              (cand_{r}.c = cur.c) DESC,
+                              cand_{r}.c ASC) AS rn
+            FROM cand_{r}
+            JOIN deg ON deg.node = cand_{r}.node
+            JOIN comm_{p} cur ON cur.node = cand_{r}.node
+            JOIN tot_{r} ON tot_{r}.c = cand_{r}.c
+            CROSS JOIN m
+          ) WHERE rn = 1 AND c <> cur
+            AND ((('0x' || substr(md5(node::VARCHAR), 1, 14))::BIGINT
+                  + {p}) % 2) = 0
+        ), comm_{r} AS MATERIALIZED (
+          SELECT comm_{p}.node, COALESCE(pick_{r}.c, comm_{p}.c) AS c
+          FROM comm_{p} LEFT JOIN pick_{r} USING (node)
+        )""")
+    lv_body = ",\n        ".join(lv_rounds)
+    sql["graph_louvain_communities"] = f"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+          FROM (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) a
+          JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), comm_0 AS (
+          SELECT p_partkey AS node, p_brand AS c FROM part
+        ), m AS (SELECT COUNT(*)::BIGINT AS m FROM e0),
+        deg AS MATERIALIZED (
+          SELECT node, COUNT(*)::BIGINT AS k FROM (
+            SELECT s AS node FROM e0 UNION ALL SELECT d FROM e0
+          ) GROUP BY node
+        ),
+        {lv_body}
+        SELECT node AS id, c AS community FROM comm_3
     """
 
     # MMR: unrolled greedy steps — sel_1 is pure relevance, each later

@@ -1257,3 +1257,84 @@ def louvain_move(
             (F.col("__c") != F.col("__cur")).alias("moved"),
         )
     )
+
+
+def louvain_communities(
+    edges: DataFrame,
+    communities: DataFrame,
+    max_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    comm_col: str = "community",
+) -> DataFrame:
+    """FULL Louvain phase-1 loop — SEMI-SYNCHRONOUS ``louvain_move``
+    rounds to a FIXED budget with integer-exact convergence detection.
+    This turns the move/meter primitives into the end-to-end
+    community-detection capability: seed with ANY partition
+    (attribute, LPA, CC) and get the refined labels back.
+
+    Fully-synchronized moves oscillate on symmetric swaps (an
+    alternating 2-coloring can flip globally forever — the known
+    parallel-Louvain/LPA pathology), so each round only APPLIES the
+    moves of the half of the nodes whose deterministic hash parity
+    matches the round — (h56(id) + round) % 2 == 0 — the
+    semi-synchronous scheme: adjacent same-parity swaps still exist
+    but the global flip symmetry is broken and the alternating halves
+    behave like a 2-phase sequential sweep. The gate is a pure
+    engine-mirrorable expression, so a SQL oracle unrolls the exact
+    same rounds.
+
+    Convergence: TWO consecutive rounds applying zero moves is a full
+    fixed point (both parity halves declined to move against the same
+    labels — every later round reproduces the partition bit-for-bit,
+    scores being exact decimal(38,0) integers), so stopping early is
+    result-identical to unrolling the whole budget — the
+    pagerank/k-means fixed-iteration oracle convention.
+
+    Output: (id, community) — the final label for EVERY node in
+    ``communities`` (nodes without edges, or with only unlabeled
+    neighbors, keep their seed label; the missing-endpoint convention
+    is ``louvain_move``'s).
+
+    Scale: each round is one ``louvain_move`` (bounded aggregations +
+    a node-keyed argmax window) plus one label left-join, eagerly
+    checkpointed so lineage stays flat across rounds; convergence is
+    one integer count per round — no per-node driver traffic."""
+    from .text import h56
+
+    if int(max_rounds) < 1:
+        raise ValueError(
+            f"louvain_communities: max_rounds must be >= 1 (got {max_rounds})"
+        )
+    comm = communities.select(
+        F.col(id_col).alias("id"), F.col(comm_col).alias("community")
+    ).localCheckpoint(eager=True)
+    zero_streak = 0
+    for r in range(int(max_rounds)):
+        moves = louvain_move(
+            edges, comm, src=src, dst=dst, id_col="id", comm_col="community"
+        )
+        gate = (h56(F.col("id").cast("string")) + F.lit(r)) % 2 == 0
+        applied = (
+            moves.filter(F.col("moved") & gate)
+            .select("id", F.col("new_community").alias("__new"))
+            .localCheckpoint(eager=True)
+        )
+        if applied.count() == 0:
+            zero_streak += 1
+            if zero_streak >= 2:
+                break
+            continue
+        zero_streak = 0
+        comm = (
+            comm.join(applied, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__new"), F.col("community")).alias(
+                    "community"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return comm

@@ -196,3 +196,54 @@ def test_bloom_semi_join_scale_handles_million_key_dim(spark):
     # a 10-bits/key filter keeps the false-positive rate tiny
     fp = len(got - true_keys)
     assert fp < 2_500, f"false-positive blowup: {fp} of 25000 misses"
+
+
+def test_louvain_communities_converges_two_cliques(spark):
+    """Full loop: two 4-cliques joined by one bridge, each seeded with
+    one defector — the loop must repair both defectors, converge to
+    the clean two-community structure, and then hold it (fixed
+    point)."""
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 5)], "src long, dst long")
+    # defector seed: node 2 mislabeled into Y, node 6 into X
+    seed = spark.createDataFrame(
+        [(1, "X"), (2, "Y"), (3, "X"), (4, "X"),
+         (5, "Y"), (6, "X"), (7, "Y"), (8, "Y")],
+        "id long, community string",
+    )
+    out = {r["id"]: r["community"] for r in
+           ops.louvain_communities(edges, seed, max_rounds=8).collect()}
+    assert [out[i] for i in range(1, 5)] == ["X"] * 4, "clique 1 not repaired"
+    assert [out[i] for i in range(5, 9)] == ["Y"] * 4, "clique 2 not repaired"
+    # the converged labels are a fixed point: a bigger budget is a no-op
+    out2 = {r["id"]: r["community"] for r in
+            ops.louvain_communities(edges, seed, max_rounds=20).collect()}
+    assert out == out2
+
+
+def test_louvain_communities_budget_bounds_oscillation(spark):
+    """A perfectly symmetric alternating 2-coloring is the parallel
+    pathology the fixed budget exists for: the loop must terminate at
+    the budget deterministically (run-to-run identical labels), even
+    though no fixed point is reached."""
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 5)], "src long, dst long")
+    seed = spark.createDataFrame(
+        [(i, "X" if i % 2 == 0 else "Y") for i in range(1, 9)],
+        "id long, community string",
+    )
+    one = sorted((r["id"], r["community"]) for r in
+                 ops.louvain_communities(edges, seed, max_rounds=5).collect())
+    two = sorted((r["id"], r["community"]) for r in
+                 ops.louvain_communities(edges, seed, max_rounds=5).collect())
+    assert one == two and len(one) == 8
+
+
+def test_louvain_communities_validates_budget(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seed = spark.createDataFrame([(1, "A"), (2, "B")],
+                                 "id long, community string")
+    with pytest.raises(ValueError):
+        ops.louvain_communities(edges, seed, max_rounds=0)
