@@ -157,6 +157,62 @@ def probe_streaming_state(spark, n: int) -> dict:
     return {"t1": s1, "tn": sn, "ratio": round(sn / max(s1, 1), 1), "unit": "state_rows"}
 
 
+# Probe-key -> registry-query-name overrides where the mechanical
+# suffix match below fails (probe keys are operator-level; registry
+# keys carry family prefixes and sometimes different nouns). Probes
+# with NO registered twin (operator stages, adversarial worst cases)
+# map to None explicitly.
+PROBE_TO_REGISTRY = {
+    "asof_nearest": "asof_join_nearest",
+    "dup_span_scrub": "dedup_span_scrub",
+    "event_transitions": "events_markov",
+    "exact_dedup": "dedup_exact_groups",
+    "freshness_report": "etl_freshness",
+    "holt_linear": "events_holt_forecast",
+    "incremental_dedup": "dedup_incremental",
+    "l2_topk_scale": "sim_l2_topk",
+    "lsh_cosine_neardup": "sim_cosine_neardup_pairs",
+    "mg_heavy_hitters": "approx_heavy_hitters",
+    "mips_topk_scale": "sim_mips_topk",
+    "normalize_text": "text_normalize",
+    "numeric_histogram": "quality_histogram",
+    "passage_dedup": "dedup_passages",
+    "peak_concurrency": "events_concurrency",
+    "pq_adc_topk": None,  # ADC stage of sim_pq_refine_topk
+    "pq_encode": "sim_pq_codes",
+    "quality_classifier_train": "quality_clf_weights",
+    "quantize_embeddings": "sim_quantize_int8",
+    "resample_ohlc": "events_ohlc",
+    "retention_cohorts": "events_retention",
+    "session_window_stats": "events_session_windows",
+    "source_quota_cap": "quality_source_quota",
+    "source_quota_cap_megadomain": "quality_source_quota",
+    "streaming_interval_join_state": "stream_interval_join",
+    "tokenizer_fertility": "text_fertility",
+    "triangle_count": "graph_triangles",
+    "trigram_perplexity": "quality_trigram_ppl",
+}
+
+
+def registry_name_map(probe_keys) -> dict:
+    """Annotate each probe row with the registry query it certifies
+    (VERDICT r11 #8 'ratios annotated'): explicit override first, else
+    the unique registry name equal to the key or ending in '_<key>'
+    (shortest match wins — 'pagerank' must not resolve to
+    'graph_personalized_pagerank')."""
+    import __spark_entry__ as em
+
+    qnames = list(em.queries())
+    out = {}
+    for k in sorted(probe_keys):
+        if k in PROBE_TO_REGISTRY:
+            out[k] = PROBE_TO_REGISTRY[k]
+            continue
+        cands = [q for q in qnames if q == k or q.endswith("_" + k)]
+        out[k] = min(cands, key=len) if cands else None
+    return out
+
+
 def timed(df) -> float:
     best = None
     for _ in range(2):
@@ -434,6 +490,9 @@ def main() -> None:
         # per copy, so round count stays constant while edges 10x; the
         # ratio probes the per-round degree agg + semi-joins
         "kcore": lambda f: ops.kcore(copurchase(f), k=4, max_iter=15),
+        # r12 (VERDICT r11 #8): one-hop neighborhood features — one
+        # degree agg + one vertex-keyed join + one agg; scan-linear
+        "neighbor_stats": lambda f: ops.neighbor_stats(copurchase(f)),
     }
 
     # r8 batch 4 iterative graph ops checkpoint EAGERLY per round, so
@@ -476,6 +535,44 @@ def main() -> None:
         "link_prediction": lambda f: (
             lambda: ops.link_prediction_scores(
                 copurchase(f), min_common=2, max_degree=40
+            )
+        ),
+        # r12: PageRank — FIXED 5 rounds at both scales; per round one
+        # edge-keyed shuffle + the in-plan 1-row dangling broadcast
+        "pagerank": lambda f: (
+            lambda: ops.pagerank(copurchase(f), max_iter=5)
+        ),
+        # r12: personalized PageRank — per-copy seeds (min src per
+        # namespace), so the seed set grows with the copies; fixed 5
+        # rounds, same per-round shape as pagerank plus the seed join
+        "personalized_pagerank": lambda f: (
+            lambda: ops.personalized_pagerank(
+                copurchase(f),
+                copurchase(f)
+                .groupBy((F.col("src") / 100_000_000).cast("long").alias("c"))
+                .agg(F.min("src").alias("id"))
+                .select("id"),
+                max_iter=5,
+            )
+        ),
+        # r12: connected components — copies are disjoint, so the
+        # diameter (and the pointer-jump round count) stays fixed
+        # while edges 10x; probes the per-round neighbor-min join
+        "connected_components": lambda f: (
+            lambda: ops.connected_components(copurchase(f).distinct())
+        ),
+        # r12: full Louvain loop — FIXED 2-round budget at both
+        # scales (id%25 communities, same seeding as louvain_move);
+        # probes move + gated-apply + label join per round
+        "louvain_communities": lambda f: (
+            lambda: ops.louvain_communities(
+                copurchase(f).distinct(),
+                copurchase(f)
+                .select(F.col("src").alias("id"))
+                .unionByName(copurchase(f).select(F.col("dst").alias("id")))
+                .distinct()
+                .withColumn("community", F.col("id") % 25),
+                max_rounds=2,
             )
         ),
         # r8 batch 7: Bellman-Ford — fixed 4 rounds; per round one
@@ -541,6 +638,32 @@ def main() -> None:
 
     name_cases = {
         "fuzzy_pairs": lambda f: ops.fuzzy_pairs(f, col="p_name", max_dist=2),
+    }
+
+    # r12 (VERDICT r11 #8): entity resolution end-to-end — fuzzy pairs
+    # stay copy-local (the alphabet rotation), so the CC round count
+    # is constant and the ratio probes the blocked pair join + the
+    # per-round CC scans; thunk-timed (CC checkpoints eagerly)
+    def _entity_clusters(f):
+        names = (
+            f.select(F.col("p_name").alias("name"))
+            .filter(F.col("name").isNotNull())
+            .distinct()
+        )
+        pairs = ops.fuzzy_pairs(f, col="p_name", max_dist=2)
+        cc = ops.connected_components(
+            pairs.select("name_a", "name_b"),
+            vertices=names.select(F.col("name").alias("id")),
+            src="name_a",
+            dst="name_b",
+        )
+        return cc.groupBy(F.col("component").alias("entity")).agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.max("id").alias("max_variant"),
+        )
+
+    name_thunk_cases = {
+        "entity_clusters": lambda f: (lambda: _entity_clusters(f)),
     }
 
     # r8 batch 4: events-derived operators — copies namespace user and
@@ -693,6 +816,32 @@ def main() -> None:
         "cms_counts": lambda f: ops.cms_counts(
             f, "user_id", depth=4, width=64
         ),
+        # r12 (VERDICT r11 #8): cohort retention — two bounded-key
+        # aggs (per-user first-seen, then cohort x offset); users 10x
+        "retention_cohorts": lambda f: ops.retention_cohorts(f),
+        # r12: gap sessionization — per-user histories fixed length,
+        # users 10x; one user-key shuffle, two cumulative windows
+        "sessionize": lambda f: __import__(
+            "graph_etl_spark.streaming", fromlist=["sessionize"]
+        ).sessionize(f, gap_minutes=30),
+        # r12: co-visitation composition — sessionize + within-basket
+        # pair mining; per-session baskets stay fixed size (5 event
+        # types), so the pair self-join is bounded per basket
+        "covisitation": lambda f: ops.frequent_pairs(
+            __import__(
+                "graph_etl_spark.streaming", fromlist=["sessionize"]
+            )
+            .sessionize(f, gap_minutes=30)
+            .select(
+                F.concat_ws(
+                    "#", F.col("user_id"), F.col("session_id")
+                ).alias("basket"),
+                F.col("event_type").alias("item"),
+            ),
+            "basket",
+            "item",
+            min_support=5,
+        ),
     }
 
     # event-frame operators that do their work at CONSTRUCTION time
@@ -730,6 +879,18 @@ def main() -> None:
                 events.filter(F.col("user_id") % 7 == 0),
                 "user_id",
                 "user_id",
+            )
+        ),
+        # r12: the broadcast/mapInPandas production probe — same
+        # build, Arrow batch filter instead of plan literals; ratio
+        # measures the Arrow-stage fact scan alone
+        "bloom_semi_join_scale": lambda f: (
+            lambda: ops.bloom_semi_join(
+                f,
+                events.filter(F.col("user_id") % 7 == 0),
+                "user_id",
+                "user_id",
+                scale=True,
             )
         ),
     }
@@ -861,6 +1022,11 @@ def main() -> None:
         t1, tn = timed(fn(replicate_names(1))), timed(fn(replicate_names(n)))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
+    for name, fn in _sel(name_thunk_cases).items():
+        t1 = timed_thunk(fn(replicate_names(1)))
+        tn = timed_thunk(fn(replicate_names(n)))
+        result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
+        print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
     for name, fn in _sel(ev_cases).items():
         t1, tn = timed(fn(replicate_events(1))), timed(fn(replicate_events(n)))
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
@@ -883,6 +1049,43 @@ def main() -> None:
         result[name] = {"t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)}
         print(f"# {name}: {t1}s -> {tn}s (x{result[name]['ratio']})", file=sys.stderr)
 
+    # r12 (VERDICT r11 #8): corpus assembly end-to-end — the four-
+    # family composition (LSH pairs -> CC -> survivors -> token filter
+    # -> embedding scale join) over docs AND vectors replicated with
+    # CONSISTENT id namespacing (+i*10_000_000 on both doc_id and
+    # vec_id), so the final join stays copy-local; thunk-timed (CC
+    # checkpoints eagerly)
+    if only is None or "corpus_assembly" in only:
+        from graph_etl_spark.operators.text import tokens_col as _toks
+
+        def _assemble(dd, ee):
+            pairs = ops.minhash_lsh_pairs(dd, num_perm=16, bands=8)
+            clusters = ops.dedup_clusters(pairs, dd.select("doc_id"))
+            survivors = clusters.filter(
+                F.col("cluster_id") == F.col("doc_id")
+            ).select("doc_id")
+            docs = dd.select(
+                "doc_id", "lang", F.size(_toks(F.col("text"))).alias("n_tokens")
+            )
+            vec = ee.select(
+                F.col("vec_id").alias("doc_id"),
+                F.array_max(
+                    F.transform("embedding", lambda x: F.abs(x.cast("double")))
+                ).alias("scale"),
+            )
+            return survivors.join(docs, "doc_id").join(vec, "doc_id")
+
+        t1 = timed_thunk(lambda: _assemble(d1, e1))
+        tn = timed_thunk(lambda: _assemble(dn, en))
+        result["corpus_assembly"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# corpus_assembly: {t1}s -> {tn}s "
+            f"(x{result['corpus_assembly']['ratio']})",
+            file=sys.stderr,
+        )
+
     # r7: streaming interval-join STATE growth (rows, not seconds) —
     # bounded state under the watermark means ratio ~1 at Nx input
     if only is None or "streaming_interval_join_state" in only:
@@ -894,7 +1097,16 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(json.dumps({"n": n, "sf_dir": SF_DIR, "ops": result}))
+    print(
+        json.dumps(
+            {
+                "n": n,
+                "sf_dir": SF_DIR,
+                "registry_names": registry_name_map(result),
+                "ops": result,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
