@@ -3716,6 +3716,27 @@ def q_mm_resize_real(spark, sf):
     return ops.resize_image(pngs, target_width=4, target_height=4)
 
 
+def q_mm_image_ahash_dedup(spark, sf):
+    """PERCEPTUAL image dedup end-to-end: every 4 consecutive doc ids
+    share one synthesized base PNG with per-id brightness shifts —
+    byte-different payloads (md5 dedup finds nothing) that aHash
+    groups exactly, by its integer brightness invariance. Real
+    decode → grayscale → 8×8 nearest sample → floor-mean threshold →
+    two packed hash words; grouped to (hash, n_images, canonical).
+    The oracle replays the pixel formula and the full hash arithmetic
+    in SQL without touching a PNG byte."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    pngs = ops.synth_png_variant_column(d, group_size=4)
+    return (
+        ops.image_ahash(pngs)
+        .groupBy("ahash_w0", "ahash_w1")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
 def q_dedup_minhash_audit(spark, sf):
     """Sketch-quality audit: for every banded-LSH candidate pair, the
     MinHash Jaccard estimate (agreeing-position fraction over 16
@@ -3820,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_novelty": q_dedup_ngram_novelty,
         "dedup_minhash_audit": q_dedup_minhash_audit,
         "mm_resize_real": q_mm_resize_real,
+        "mm_image_ahash_dedup": q_mm_image_ahash_dedup,
         "events_survival_km": q_events_survival_km,
         "approx_cms_counts": q_approx_cms_counts,
         "etl_bloom_semi_join": q_etl_bloom_semi_join,
@@ -9175,6 +9197,50 @@ def oracle_sql() -> dict[str, str]:
         FROM dims d, range(0, 4) AS y(y), range(0, 4) AS x(x),
              range(0, 3) AS c(c)
         GROUP BY d.doc_id, d.w, d.h
+    """
+
+    # aHash image dedup: replay the variant-fixture pixel formula and
+    # the full hash arithmetic (grayscale floor-div, 8x8 nearest
+    # sample, floor mean, strict > bits, two packed words) in pure
+    # integer SQL — a hash-exact match certifies the PNG encode ->
+    # decode -> hash round trip bit-for-bit
+    _ah_chan = (
+        "((b.base * 31 + s.sy * 7 + s.sx * 3 + {c} * 11"
+        " + (s.sy * s.sx * (1 + b.base % 7)) % 97) % 250 + b.shift)"
+    )
+    _ah_gray = (
+        "(("
+        + " + ".join(_ah_chan.format(c=c) for c in range(3))
+        + ") // 3)"
+    )
+    sql["mm_image_ahash_dedup"] = f"""
+        WITH b AS (
+          SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS shift,
+                 8 + (doc_id // 4) % 9 AS w,
+                 8 + ((doc_id // 4) // 9) % 9 AS h
+          FROM documents
+        ), s AS (
+          SELECT b.doc_id, gy.i AS gy, gx.i AS gx,
+                 (gy.i * b.h) // 8 AS sy, (gx.i * b.w) // 8 AS sx
+          FROM b, range(0, 8) AS gy(i), range(0, 8) AS gx(i)
+        ), gray AS (
+          SELECT s.doc_id, s.gy, s.gx, {_ah_gray} AS g
+          FROM s JOIN b ON s.doc_id = b.doc_id
+        ), m AS (
+          SELECT doc_id, SUM(g) // 64 AS mean FROM gray GROUP BY doc_id
+        ), hash AS (
+          SELECT gray.doc_id,
+                 SUM(CASE WHEN g > mean AND gy * 8 + gx < 32
+                          THEN 1::BIGINT << (gy * 8 + gx)
+                          ELSE 0 END)::BIGINT AS ahash_w0,
+                 SUM(CASE WHEN g > mean AND gy * 8 + gx >= 32
+                          THEN 1::BIGINT << (gy * 8 + gx - 32)
+                          ELSE 0 END)::BIGINT AS ahash_w1
+          FROM gray JOIN m USING (doc_id) GROUP BY gray.doc_id
+        )
+        SELECT ahash_w0, ahash_w1, COUNT(*)::BIGINT AS n_images,
+               MIN(doc_id)::BIGINT AS canonical_doc
+        FROM hash GROUP BY ahash_w0, ahash_w1
     """
 
     # nearest as-of: DuckDB's ASOF supports both inequality

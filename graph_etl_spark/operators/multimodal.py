@@ -886,3 +886,159 @@ def resize_image(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bin_col).mapInPandas(batches, RESIZED_REAL_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash_w0", T.LongType()),
+        T.StructField("ahash_w1", T.LongType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """PERCEPTUAL AVERAGE-HASH (aHash) over the REAL PNG decode — the
+    image-dedup fingerprint: byte-identical images are a tiny subset
+    of visually-identical ones (re-encodes, brightness shifts), so
+    training-data image dedup groups by a perceptual hash, not md5.
+
+    Per image: real decode (zlib inflate + unfilter) → integer
+    grayscale g = (r+g+b)//3 (channel 0 as-is for grey; alpha
+    ignored) → ``grid``×``grid`` nearest-neighbor sample with the
+    resize_image index arithmetic (sy = y·h // grid, sx = x·w //
+    grid) → integer floor mean over the grid → bit(y,x) = 1 iff
+    sample > mean → bits packed 32/long in row-major bit order
+    (exact power-of-two sums, the binarize convention; grid=8 →
+    exactly two words).
+
+    EXACT brightness invariance, not approximate: adding d to every
+    channel shifts each integer grayscale by exactly d ((r+g+b+3d)//3
+    = g+d) and the floor mean by exactly d (floor(Σ(g+d)/64) =
+    mean+d), so every strict comparison — and the hash — is unchanged.
+    Hashes are therefore equal across brightness variants and stable
+    under re-encodes, while any structural edit flips bits.
+
+    Non-PNG payloads fall back to the declared stub row
+    (media_type 'stub', zero hash) so mixed corpora keep flowing.
+
+    Scale: one Arrow ``mapInPandas`` stage, bounded output row
+    (id + 2 longs) regardless of payload size — grouping/joining on
+    the hash downstream shuffles fingerprints, never pixels."""
+    g = int(grid)
+    if g < 1 or g * g > 64:
+        raise ValueError(
+            f"image_ahash: grid must be in [1, 8] so the hash packs "
+            f"into two longs (got {g})"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in AHASH_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                rows["doc_id"].append(int(doc_id))
+                decoded = None
+                if raw[:8] == _PNG_SIG:
+                    try:
+                        decoded = decode_png(raw)
+                    except ValueError:
+                        decoded = None
+                if decoded is None:
+                    rows["media_type"].append("stub")
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["ahash_w0"].append(0)
+                    rows["ahash_w1"].append(0)
+                    continue
+                w, h, c, px = decoded
+                px = px.reshape(h, w, c).astype(np.int64)
+                if c >= 3:
+                    gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                else:
+                    gray = px[:, :, 0]
+                sy = (np.arange(g, dtype=np.int64) * h) // g
+                sx = (np.arange(g, dtype=np.int64) * w) // g
+                samp = gray[sy][:, sx]
+                mean = int(samp.sum(dtype=np.int64)) // (g * g)
+                bits = (samp > mean).astype(np.int64).ravel()  # row-major
+                idx = np.arange(g * g, dtype=np.int64)
+                w0 = int((bits * np.where(idx < 32, 1 << (idx % 32), 0)).sum())
+                w1 = int(
+                    (bits * np.where(idx >= 32, 1 << (idx % 32), 0)).sum()
+                )
+                rows["media_type"].append("png")
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["ahash_w0"].append(w0)
+                rows["ahash_w1"].append(w1)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AHASH_SCHEMA)
+
+
+def synth_png_variant_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    group_size: int = 4,
+) -> DataFrame:
+    """Deterministic NEAR-DUP PNG fixture generator: every
+    ``group_size`` consecutive ids share one base image (geometry and
+    pixels closed-form in base = id // group_size: the
+    synth_png_column gradient plus a base-keyed bilinear term
+    (y·x·(1 + base%7)) % 97 — pure gradients all threshold to the
+    same half-plane bit pattern, so distinct bases need distinct
+    STRUCTURE, not just offsets — held to %250) and each
+    variant adds a per-id brightness shift of id % group_size — so
+    the group's payloads are byte-DIFFERENT (md5 dedup fails) but
+    perceptually identical (image_ahash groups them exactly, by the
+    documented invariance). A SQL oracle reproduces the hashes from
+    the formula alone."""
+    gs = int(group_size)
+    if gs < 1:
+        raise ValueError(
+            f"synth_png_variant_column: group_size must be >= 1 (got {gs})"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                base, shift = i // gs, i % gs
+                w, h = 8 + base % 9, 8 + (base // 9) % 9
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = (
+                    (
+                        base * 31
+                        + yy * 7
+                        + xx * 3
+                        + cc * 11
+                        + (yy * xx * (1 + base % 7)) % 97
+                    )
+                    % 250
+                    + shift
+                ).astype(np.uint8)
+                payloads.append(encode_png(w, h, px.tobytes()))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), bin_col: payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(bin_col, T.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)

@@ -247,3 +247,64 @@ def test_louvain_communities_validates_budget(spark):
                                  "id long, community string")
     with pytest.raises(ValueError):
         ops.louvain_communities(edges, seed, max_rounds=0)
+
+
+def test_image_ahash_brightness_invariant_and_structure_sensitive(spark):
+    """aHash must be EXACTLY invariant to a uniform brightness shift
+    (integer grayscale/mean shift together) and must flip on a
+    structural edit — the property that makes it an image-dedup key
+    where md5 fails."""
+    import numpy as np
+
+    from graph_etl_spark.operators.multimodal import encode_png
+
+    h, w = 10, 12
+    yy, xx, cc = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+    )
+    base = ((yy * 7 + xx * 3 + cc * 11 + (yy * xx * 3) % 97) % 240).astype(
+        np.uint8
+    )
+    bright = (base + 9).astype(np.uint8)  # uniform shift, no wrap
+    structural = base.copy()
+    structural[:5] = 255 - structural[:5]  # invert the top half
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(w, h, base.tobytes()))),
+            (2, bytearray(encode_png(w, h, bright.tobytes()))),
+            (3, bytearray(encode_png(w, h, structural.tobytes()))),
+            (4, bytearray(b"not a png")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in ops.image_ahash(df).collect()}
+    k = lambda r: (r["ahash_w0"], r["ahash_w1"])  # noqa: E731
+    assert got[1]["media_type"] == "png" and got[1]["width"] == w
+    assert k(got[1]) == k(got[2]), "brightness shift changed the hash"
+    assert k(got[1]) != k(got[3]), "structural edit did not change it"
+    assert got[4]["media_type"] == "stub" and k(got[4]) == (0, 0)
+
+
+def test_image_ahash_grid_validation(spark):
+    df = spark.createDataFrame([(1, bytearray(b""))], "doc_id long, payload binary")
+    with pytest.raises(ValueError):
+        ops.image_ahash(df, grid=9)
+    with pytest.raises(ValueError):
+        ops.image_ahash(df, grid=0)
+
+
+def test_synth_png_variants_group_exactly(spark):
+    """Every group of 4 shares an aHash; byte digests all differ
+    (md5 dedup finds nothing, the perceptual hash finds the groups)."""
+    d = spark.range(32).withColumnRenamed("id", "doc_id")
+    pngs = ops.synth_png_variant_column(d, group_size=4)
+    hashes = ops.image_ahash(pngs).collect()
+    by_group = {}
+    for r in hashes:
+        by_group.setdefault(r["doc_id"] // 4, set()).add(
+            (r["ahash_w0"], r["ahash_w1"])
+        )
+    assert all(len(v) == 1 for v in by_group.values()), "group hash split"
+    assert len({next(iter(v)) for v in by_group.values()}) == len(by_group)
+    digs = ops.attach_binary_metadata(pngs).select("content_digest").collect()
+    assert len({r["content_digest"] for r in digs}) == 32
