@@ -3673,6 +3673,18 @@ def q_approx_cms_counts(spark, sf):
     return ops.cms_counts(_t(spark, sf, "events"), "user_id", depth=4, width=64)
 
 
+def q_approx_hll_distinct(spark, sf):
+    """HyperLogLog distinct-count audit (64 registers) — the sketch
+    estimate of distinct users per event type NEXT TO the exact count:
+    register/rho from the shared H56 hash (trailing-zero CASE ladder,
+    no float log), the harmonic denominator carried as an exact
+    integer rational so aggregation order cannot move the hash, one
+    float expression at the end."""
+    return ops.hll_distinct(
+        _t(spark, sf, "events"), "event_type", "user_id", p=6
+    )
+
+
 def q_etl_bloom_semi_join(spark, sf):
     """Bloom pre-join report: a 1024-bit filter built from the
     restricted supplier dim (nations < 10) embedded as literal words,
@@ -3844,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_ahash_dedup": q_mm_image_ahash_dedup,
         "events_survival_km": q_events_survival_km,
         "approx_cms_counts": q_approx_cms_counts,
+        "approx_hll_distinct": q_approx_hll_distinct,
         "etl_bloom_semi_join": q_etl_bloom_semi_join,
         "etl_bloom_semi_join_scale": q_etl_bloom_semi_join_scale,
         "quality_dsir_weights": q_quality_dsir_weights,
@@ -9535,6 +9548,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT value, exact, estimate,
                (estimate - exact)::BIGINT AS overestimate
         FROM exact_c JOIN est USING (value)
+    """
+
+    # HLL distinct audit: same register/rho integer arithmetic as the
+    # operator — trailing-zero CASE ladder (no float log), exact
+    # integer harmonic numerator, alpha*m^2 embedded as the identical
+    # Python-computed literal, ONE float expression at the end
+    _rho_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN r % {1 << k} = {1 << (k - 1)} THEN {k}"
+            for k in range(1, 51)
+        )
+        + " ELSE 51 END"
+    )
+    _alpha_m2 = repr(0.7213 / (1.0 + 1.079 / 64) * 64 * 64)
+    sql["approx_hll_distinct"] = f"""
+        WITH vals AS (
+          SELECT event_type AS g,
+                 {_H56.format(x="user_id::VARCHAR")} AS h
+          FROM events WHERE user_id IS NOT NULL
+        ), rr AS (
+          SELECT g, h % 64 AS reg, (h // 64) AS r FROM vals
+        ), regs AS (
+          SELECT g, reg, MAX({_rho_sql}) AS m FROM rr GROUP BY g, reg
+        ), per_g AS (
+          SELECT g, MAX(m) AS maxm, COUNT(*) AS present FROM regs GROUP BY g
+        ), num AS (
+          SELECT regs.g, per_g.maxm,
+                 (64 - per_g.present)::BIGINT AS n_zero_registers,
+                 (SUM(pow(2.0, per_g.maxm - regs.m)::BIGINT)
+                  + (64 - per_g.present)
+                    * pow(2.0, per_g.maxm)::BIGINT)::BIGINT AS num
+          FROM regs JOIN per_g USING (g)
+          GROUP BY regs.g, per_g.maxm, per_g.present
+        ), exact_d AS (
+          SELECT event_type AS g,
+                 COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        ), est AS (
+          SELECT g,
+                 ROUND({_alpha_m2} * pow(2.0, maxm) / num, 6)
+                   AS hll_estimate,
+                 n_zero_registers
+          FROM num
+        )
+        SELECT exact_d.g AS event_type, exact_distinct, hll_estimate,
+               n_zero_registers,
+               ROUND(ABS(hll_estimate - exact_distinct)
+                     / exact_distinct, 6) AS rel_err
+        FROM exact_d JOIN est USING (g)
     """
 
     # bloom prefilter: the words CTE is the literal bitmap the Spark

@@ -447,3 +447,114 @@ def _bloom_probe_broadcast(
             yield res
 
     return tagged.mapInPandas(probe, schema=out_schema)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """HYPERLOGLOG DISTINCT-COUNT AUDIT — estimate next to truth (the
+    cms_counts philosophy): per group, the classic HLL register
+    estimate of ``count(distinct value)`` beside the exact count and
+    the relative error. This is the number that justifies replacing a
+    100 TB exact-distinct shuffle with a sketch (Flajolet et al. 2007,
+    the public HLL paper): registers are a BOUNDED m = 2^p-row frame
+    per group no matter the corpus.
+
+    Determinism (the reason not to just call approx_count_distinct —
+    whose HLL++ register layout is engine-private): every step is
+    engine-mirrorable integer arithmetic on the shared H56 hash.
+    register = h % m; rho = (trailing zeros of h // m) + 1, computed
+    by an explicit power-of-two CASE ladder (no float log); the
+    harmonic denominator Σ 2^-M_j is carried as the EXACT integer
+    numerator Σ 2^(maxM - M_j) over 2^maxM (order-free integer sum —
+    a float Σ would round differently under Spark's vs DuckDB's
+    nondeterministic aggregation order), absent registers contributing
+    2^maxM each. The final estimate is ONE float expression,
+    alpha·m² · 2^maxM / N, rounded at the end; alpha·m² is embedded as
+    an identical Python-computed literal on both engines. No
+    small-range/large-range corrections — the audit reports the raw
+    estimator beside the exact truth, so the corrections' engine-
+    specific ln/pow never enter the hash.
+
+    Output: (group_col, exact_distinct, hll_estimate, n_zero_registers,
+    rel_err), one row per group.
+
+    Scale: one groupBy(group, register) max-agg (map-side combined,
+    register frame bounded at groups × m), one bounded second agg, and
+    the exact-distinct branch for the audit column (drop it and the
+    sketch alone scales to any corpus)."""
+    from .text import h56
+
+    m = 1 << int(p)
+    if not (1 <= int(p) <= 12):
+        raise ValueError(f"hll_distinct: p must be in [1, 12] (got {p})")
+    # rho = trailing zeros of r (the top 56-p hash bits) + 1, via an
+    # explicit CASE ladder — r == 0 (all 56-p bits zero) gets the max
+    max_rho = 56 - int(p) + 1
+    h = h56(F.col(value_col).cast("string"))
+    # integer shift, NOT h/m: the float division would round h's 56
+    # bits to a double's 53 before the floor, corrupting low bits of r
+    r = F.shiftright(h, int(p))
+    rho = F.lit(max_rho)
+    for k in range(max_rho - 1, 0, -1):
+        rho = F.when(
+            (r % F.lit(1 << k)) == F.lit(1 << (k - 1)), F.lit(k)
+        ).otherwise(rho)
+    vals = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.pmod(h, F.lit(m)).alias("__reg"),
+        rho.alias("__rho"),
+    ).filter(F.col("v").isNotNull())
+    regs = vals.groupBy("g", "__reg").agg(F.max("__rho").alias("__m"))
+    per_g = regs.groupBy("g").agg(
+        F.max("__m").alias("__maxm"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    # exact integer numerator: present registers contribute
+    # 2^(maxM - M_j), absent ones 2^maxM each (M_j = 0)
+    num = (
+        regs.join(per_g, "g")
+        .groupBy("g", "__maxm", "__present")
+        .agg(
+            F.sum(
+                F.pow(F.lit(2.0), F.col("__maxm") - F.col("__m")).cast("long")
+            ).alias("__num_present")
+        )
+        .select(
+            "g",
+            "__maxm",
+            (F.lit(m) - F.col("__present")).alias("n_zero_registers"),
+            (
+                F.col("__num_present")
+                + (F.lit(m) - F.col("__present"))
+                * F.pow(F.lit(2.0), F.col("__maxm")).cast("long")
+            ).alias("__num"),
+        )
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha_m2 = alpha * m * m  # embedded identically in the SQL oracle
+    exact = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col).alias("g")
+    ).agg(F.countDistinct(value_col).alias("exact_distinct"))
+    est = F.round(
+        F.lit(alpha_m2) * F.pow(F.lit(2.0), F.col("__maxm")) / F.col("__num"),
+        6,
+    )
+    return (
+        exact.join(num, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "exact_distinct",
+            est.alias("hll_estimate"),
+            "n_zero_registers",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -308,3 +308,31 @@ def test_synth_png_variants_group_exactly(spark):
     assert len({next(iter(v)) for v in by_group.values()}) == len(by_group)
     digs = ops.attach_binary_metadata(pngs).select("content_digest").collect()
     assert len({r["content_digest"] for r in digs}) == 32
+
+
+def test_hll_distinct_estimates_within_sketch_error(spark):
+    """m=64 registers give sd ~= 1.04/sqrt(64) ~= 13%; the estimate
+    must land within a generous 3-sigma band of the exact count, and
+    exact_distinct must be exact."""
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5000)] + [("b", i) for i in range(40)],
+        "g string, v long",
+    )
+    got = {r["g"]: r for r in ops.hll_distinct(df, "g", "v", p=6).collect()}
+    assert got["a"]["exact_distinct"] == 5000
+    assert got["b"]["exact_distinct"] == 40
+    assert abs(got["a"]["hll_estimate"] - 5000) / 5000 < 0.4
+    assert got["a"]["rel_err"] < 0.4
+    # duplicates must not move the sketch: same distinct set, 3x rows
+    dup = df.unionAll(df).unionAll(df)
+    got2 = {r["g"]: r for r in ops.hll_distinct(dup, "g", "v", p=6).collect()}
+    assert got2["a"]["hll_estimate"] == got["a"]["hll_estimate"]
+    assert got2["b"]["hll_estimate"] == got["b"]["hll_estimate"]
+
+
+def test_hll_distinct_validates_p(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        ops.hll_distinct(df, "g", "v", p=0)
+    with pytest.raises(ValueError):
+        ops.hll_distinct(df, "g", "v", p=13)
