@@ -1609,6 +1609,23 @@ def q_graph_degrees(spark, sf):
     return ops.degrees(_nation_graph(spark, sf))
 
 
+def q_graph_betweenness(spark, sf):
+    """Sampled Brandes betweenness over the customer->nation->region
+    graph, exact for the 8 seed customers (c_custkey < 9), 4 hops:
+    synchronized multi-source BFS forward (exact integer sigma) +
+    level-by-level dependency accumulation backward; the oracle
+    unrolls the identical levels in SQL. Nations and the regions
+    bridging the seeds' shortest paths carry the mass."""
+    seeds = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 9)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("id"))
+    )
+    return ops.betweenness_sample(
+        _nation_graph(spark, sf), seeds, max_hops=4
+    )
+
+
 def q_graph_connected_components(spark, sf):
     """Dedup clustering: connected components over the n-gram-Jaccard
     near-dup pair graph; singleton docs keep their own id."""
@@ -3915,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_remap_j1": q_etl_remap_j1,
         "events_gap_fill": q_events_gap_fill,
         "graph_degrees": q_graph_degrees,
+        "graph_betweenness": q_graph_betweenness,
         "graph_pagerank": q_graph_pagerank,
         "json_extract_events": q_json_extract_events,
         "moving_avg": q_moving_avg,
@@ -5836,6 +5854,68 @@ def oracle_sql() -> dict[str, str]:
           FROM verts v),
         {ppr_body}
         SELECT id, ROUND(rank, 6) AS ppr FROM rank_10
+    """
+
+    # Sampled Brandes betweenness: the identical synchronized levels —
+    # forward BFS with exact integer sigma (each level anti-joined
+    # against every earlier one), then the backward dependency
+    # accumulation delta_l = SUM(sigma_l/sigma_{l+1} * (1 + d_{l+1}))
+    # over the edge list, rounded once at the end
+    _bt_hops = 4
+    bt_fwd = []
+    for lv in range(1, _bt_hops + 1):
+        excl = " OR ".join(
+            f"EXISTS (SELECT 1 FROM l{j} v WHERE v.s = l{lv - 1}.s "
+            f"AND v.id = e.b)"
+            for j in range(lv)
+        )
+        bt_fwd.append(
+            f"""l{lv} AS MATERIALIZED (
+          SELECT l{lv - 1}.s, e.b AS id, SUM(l{lv - 1}.sigma)::BIGINT AS sigma
+          FROM l{lv - 1} JOIN sym e ON l{lv - 1}.id = e.a
+          WHERE NOT ({excl})
+          GROUP BY l{lv - 1}.s, e.b
+        )"""
+        )
+    bt_bwd = [
+        f"d{_bt_hops} AS (SELECT s, id, 0.0 AS delta FROM l{_bt_hops})"
+    ]
+    for lv in range(_bt_hops - 1, 0, -1):
+        nx = lv + 1
+        bt_bwd.append(
+            f"""d{lv} AS MATERIALIZED (
+          SELECT c.s, c.id, COALESCE(t.v, 0.0) AS delta
+          FROM l{lv} c LEFT JOIN (
+            SELECT l{lv}.s, l{lv}.id,
+                   SUM(l{lv}.sigma::DOUBLE / w.sigma::DOUBLE
+                       * (1.0 + d.delta)) AS v
+            FROM l{lv} JOIN sym e ON l{lv}.id = e.a
+            JOIN l{nx} w ON w.s = l{lv}.s AND w.id = e.b
+            JOIN d{nx} d ON d.s = w.s AND d.id = w.id
+            GROUP BY l{lv}.s, l{lv}.id
+          ) t ON t.s = c.s AND t.id = c.id
+        )"""
+        )
+    bt_union = " UNION ALL ".join(
+        f"SELECT s, id, delta FROM d{lv}" for lv in range(1, _bt_hops + 1)
+    )
+    sql["graph_betweenness"] = f"""
+        WITH g AS MATERIALIZED ({_ngraph}),
+        sym AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM g
+            UNION ALL SELECT dst, src FROM g
+          ) WHERE a <> b
+        ),
+        l0 AS MATERIALIZED (
+          SELECT 'c' || c_custkey AS s, 'c' || c_custkey AS id,
+                 1::BIGINT AS sigma
+          FROM customer WHERE c_custkey < 9
+        ),
+        {",".join(bt_fwd)},
+        {",".join(bt_bwd)}
+        SELECT id, ROUND(SUM(delta), 6) AS betweenness
+        FROM ({bt_union}) WHERE id <> s GROUP BY id
     """
 
     # The stub decode is deterministic byte arithmetic over the payload

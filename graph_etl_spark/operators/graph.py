@@ -1338,3 +1338,122 @@ def louvain_communities(
             .localCheckpoint(eager=True)
         )
     return comm
+
+
+def betweenness_sample(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """SAMPLED BETWEENNESS CENTRALITY (Brandes 2001, restricted to a
+    seed set — the standard sampling approximation, exact for the
+    given sources): for each source s the forward sweep labels every
+    vertex within ``max_hops`` with its BFS level and its shortest-
+    path count σ_s(v); the backward sweep accumulates the dependency
+    δ_s(v) = Σ_{w: succ} σ(v)/σ(w) · (1 + δ(w)) level by level; the
+    output sums δ over sources per vertex — the bridging-importance
+    score (cut vertices, bottleneck detection) that completes the
+    centrality family next to degree/PageRank/HITS.
+
+    All sources advance in ONE synchronized frontier keyed by
+    (source, vertex): each forward level is one edge join + one
+    (source, vertex) sum-agg; each backward level joins the level's
+    rows against the next level's δ through the edge list. Levels ≤
+    max_hops bound both loops; every per-level frame is eagerly
+    checkpointed (flat lineage). σ is exact integer path counting;
+    δ divides and sums doubles, rounded once at the end.
+
+    Output: (id, betweenness) for every vertex reached by any sweep
+    (sources included — their own dependency as intermediate vertices
+    on OTHER sources' paths counts, per Brandes).
+
+    Scale: frontier frames are (sources × vertices)-bounded, the edge
+    frame is only ever the probe side of the level joins, and the
+    backward sweep touches each level's rows once — no all-pairs
+    anything; sampling density (|sources|) is the accuracy dial."""
+    if int(max_hops) < 1:
+        raise ValueError(
+            f"betweenness_sample: max_hops must be >= 1 (got {max_hops})"
+        )
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    [src_col] = sources.columns
+    seeds = sources.select(F.col(src_col).alias("s")).distinct()
+    # forward: levels[l] = (s, id, sigma) — sigma exact integers
+    level0 = seeds.select(
+        "s", F.col("s").alias("id"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint()
+    levels = [level0]
+    visited = level0.select("s", "id").localCheckpoint()
+    for _ in range(int(max_hops)):
+        cur = levels[-1]
+        nxt = (
+            cur.join(sym, cur["id"] == sym["a"])
+            .select("s", F.col("b").alias("id"), "sigma")
+            .join(visited, ["s", "id"], "left_anti")
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "id")).localCheckpoint()
+    # backward: delta over levels L-1 .. 0; sources' own rows at
+    # level 0 are excluded from the OUTPUT sum for their own sweep
+    # (Brandes accumulates only v != s), handled by dropping (s, s)
+    delta_next: DataFrame | None = None  # delta of level l+1
+    acc: DataFrame | None = None
+    for li in range(len(levels) - 1, -1, -1):
+        cur = levels[li]
+        if delta_next is None:
+            delta = cur.select("s", "id", F.lit(0.0).alias("delta"))
+        else:
+            nxt_rows = levels[li + 1].join(
+                delta_next, ["s", "id"]
+            ).select(
+                "s",
+                F.col("id").alias("w"),
+                (F.lit(1.0) + F.col("delta")).alias("__dw"),
+                F.col("sigma").alias("__sw"),
+            )
+            contrib = (
+                cur.join(sym, cur["id"] == sym["a"])
+                .select("s", "id", "sigma", F.col("b").alias("w"))
+                .join(nxt_rows, ["s", "w"])
+                .groupBy("s", "id")
+                .agg(
+                    F.sum(
+                        F.col("sigma").cast("double")
+                        / F.col("__sw").cast("double")
+                        * F.col("__dw")
+                    ).alias("delta")
+                )
+            )
+            delta = (
+                cur.select("s", "id")
+                .join(contrib, ["s", "id"], "left")
+                .select(
+                    "s", "id", F.coalesce("delta", F.lit(0.0)).alias("delta")
+                )
+            )
+        delta = delta.localCheckpoint(eager=True)
+        part = delta.filter(F.col("id") != F.col("s"))
+        acc = part if acc is None else acc.unionByName(part)
+        delta_next = delta
+    return (
+        acc.groupBy("id")
+        .agg(F.round(F.sum("delta"), round_to).alias("betweenness"))
+    )

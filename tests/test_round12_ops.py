@@ -336,3 +336,49 @@ def test_hll_distinct_validates_p(spark):
         ops.hll_distinct(df, "g", "v", p=0)
     with pytest.raises(ValueError):
         ops.hll_distinct(df, "g", "v", p=13)
+
+
+def test_betweenness_textbook_graphs(spark):
+    """Brandes on P4 (both middle vertices bridge 2 ordered pairs each
+    -> 4.0) and on a 3-leaf star (center bridges all 6 ordered leaf
+    pairs -> 6.0); endpoints/leaves score 0."""
+    p4 = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    all4 = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    got = {r["id"]: r["betweenness"] for r in
+           ops.betweenness_sample(p4, all4, max_hops=3).collect()}
+    assert got == {1: 0.0, 2: 4.0, 3: 4.0, 4: 0.0}
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    sall = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    got = {r["id"]: r["betweenness"] for r in
+           ops.betweenness_sample(star, sall, max_hops=2).collect()}
+    assert got == {0: 6.0, 1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_betweenness_hop_budget_and_frontier_early_stop(spark):
+    """A budget larger than the diameter is a no-op (the frontier
+    empties and the loop stops), and the hop budget truncates honestly
+    (hops=1 sees no length-2 paths, so nothing bridges)."""
+    p4 = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    all4 = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    full = {r["id"]: r["betweenness"] for r in
+            ops.betweenness_sample(p4, all4, max_hops=10).collect()}
+    assert full == {1: 0.0, 2: 4.0, 3: 4.0, 4: 0.0}
+    short = {r["id"]: r["betweenness"] for r in
+             ops.betweenness_sample(p4, all4, max_hops=1).collect()}
+    assert all(v == 0.0 for v in short.values())
+    with pytest.raises(ValueError):
+        ops.betweenness_sample(p4, all4, max_hops=0)
+
+
+def test_betweenness_equal_path_splitting(spark):
+    """Cycle C4 (1-2-3-4-1): opposite vertices are joined by TWO equal
+    shortest paths, so each intermediate vertex gets sigma-fraction
+    1/2 per ordered pair -> every vertex scores 2 * (1/2) * 2 = 1.0
+    summed over its two bridged pairs... exactly 1.0 each."""
+    c4 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    allv = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    got = {r["id"]: r["betweenness"] for r in
+           ops.betweenness_sample(c4, allv, max_hops=2).collect()}
+    assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
