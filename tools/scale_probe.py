@@ -169,6 +169,7 @@ PROBE_TO_REGISTRY = {
     "exact_dedup": "dedup_exact_groups",
     "freshness_report": "etl_freshness",
     "holt_linear": "events_holt_forecast",
+    "image_ahash": "mm_image_ahash_dedup",
     "incremental_dedup": "dedup_incremental",
     "l2_topk_scale": "sim_l2_topk",
     "lsh_cosine_neardup": "sim_cosine_neardup_pairs",
@@ -438,6 +439,13 @@ def main() -> None:
         "containment_pairs": lambda d: (
             lambda: ops.shingle_containment_pairs(d, threshold=0.3)
         ),
+        # r12: perceptual image hash — PNG synth + real decode + hash,
+        # two Arrow map stages with bounded output rows; pure scan
+        "image_ahash": lambda d: (
+            lambda: ops.image_ahash(
+                ops.synth_png_variant_column(d.select("doc_id"))
+            )
+        ),
     }
 
     # graph/fuzzy cases run over lineitem-derived frames: copies get
@@ -560,6 +568,19 @@ def main() -> None:
         # while edges 10x; probes the per-round neighbor-min join
         "connected_components": lambda f: (
             lambda: ops.connected_components(copurchase(f).distinct())
+        ),
+        # r12: sampled Brandes betweenness — one seed per copy (min
+        # src per namespace), 2 hops; copies disjoint keep each
+        # sweep's frontier copy-local while edges and seeds both 10x
+        "betweenness": lambda f: (
+            lambda: ops.betweenness_sample(
+                copurchase(f).distinct(),
+                copurchase(f)
+                .groupBy((F.col("src") / 100_000_000).cast("long").alias("c"))
+                .agg(F.min("src").alias("id"))
+                .select("id"),
+                max_hops=2,
+            )
         ),
         # r12: full Louvain loop — FIXED 2-round budget at both
         # scales (id%25 communities, same seeding as louvain_move);
@@ -819,6 +840,12 @@ def main() -> None:
         # r12 (VERDICT r11 #8): cohort retention — two bounded-key
         # aggs (per-user first-seen, then cohort x offset); users 10x
         "retention_cohorts": lambda f: ops.retention_cohorts(f),
+        # r12: HLL distinct audit — the register frame is BOUNDED
+        # (groups x 64) regardless of rows: the sketch property under
+        # test (the exact-distinct audit column is rows-sized)
+        "hll_distinct": lambda f: ops.hll_distinct(
+            f, "event_type", "user_id", p=6
+        ),
         # r12: gap sessionization — per-user histories fixed length,
         # users 10x; one user-key shuffle, two cumulative windows
         "sessionize": lambda f: __import__(
