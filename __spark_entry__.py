@@ -3801,27 +3801,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's later collect executes the engine's semantics on
     its own untouched session.
 
-    Round-11 rotation (VERDICT r9 #5 policy: every query's latest
+    Round-12 rotation (VERDICT r9 #5 policy: every query's latest
     driver row should be <= 4 rounds old): the window leads with the
-    TWENTY-FIVE round-11 NEW queries (Kneser-Ney LM scoring, sweep-line
-    concurrency, CUSUM changepoint, A/B z-test + CUPED, order-free
-    table checksum, Newman modularity + one Louvain move round, MMR
-    rerank, binary Hamming top-k reference + scale paths, RRF hybrid
-    fusion, n-gram novelty, MinHash sketch audit, REAL image resize,
-    Kaplan-Meier survival, Count-Min sketch, Bloom pre-join prefilter,
-    DSIR weights, Matryoshka recall, top-k path mining, freshness
-    audit, JS domain shift, nearest-direction as-of, lang-ID confusion
-    matrix, tokenizer fertility, Markov steady state) plus the FOUR
-    queries over code CHANGED this round (shard_plan — its oracle's
-    HUGEINT cast fixes the one r10 hash mismatch —, gini's
-    decimal(38,0) overflow fix, mips_ivf's empty-input guard, holt's
-    window validation); the remaining slots go to the STALEST driver
-    verdicts — all 15 r6-era rows and the alphabetically-first r7-era
-    rows that fit (the rest open the r12 window). Overlap with the
-    r10 window: 4 (the code-changed lead slots; budget <= 5). The
-    ordering is enforced by the r11_window list at the bottom of this
-    function and checked mechanically by
-    test_registry.test_round11_window_composition.
+    FIVE round-12 NEW queries (broadcast-variable Bloom probe, full
+    semi-synchronous Louvain loop, perceptual image-aHash dedup over
+    the real PNG codec, HyperLogLog distinct audit, sampled Brandes
+    betweenness) plus the EIGHT queries over code CHANGED this round
+    (table_checksum's delimiter escaping, minhash_audit's broadcast
+    removal, both as-of rows after the NULL-timestamp fix, the
+    louvain_move/modularity missing-endpoint alignment, mmr_rerank's
+    partial-reduction pool, bloom_semi_join's shared-build refactor);
+    the remaining 37 slots go to the STALEST driver verdicts — every
+    r7-era row still in the registry, computed mechanically with
+    round-aware (before_round=12) staleness. Filler overlap with the
+    r11 window: 0 (the 7 overlapping slots are all code-changed lead
+    entries, which MUST re-certify). The ordering is enforced by the
+    r12_window list at the bottom of this function and checked
+    mechanically by test_registry.test_round12_window_composition;
+    the r11 window stays asserted against CORRECTNESS_r11.json by its
+    own round-aware test.
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over
@@ -4095,42 +4093,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
     }
-    # r11 window (first 50): 7 NEW queries + 4 over code CHANGED this
-    # round (shard_plan's oracle cast — the one r10 red row —, gini's
-    # decimal(38,0) overflow fix, mips_ivf's empty guard, holt's
-    # window validation), then the 39 STALEST driver verdicts: all 15
-    # r6-era rows and the 24 alphabetically-first r7-era rows (the 19
-    # remaining r7 rows open the r12 window).
-    # test_registry.test_round11_window_composition checks this
-    # mechanically against the CORRECTNESS history.
-    r11_window = [
-        "quality_kn_logprob", "events_concurrency",
-        "events_cusum_changepoint", "events_ab_ztest",
-        "etl_table_checksum", "graph_modularity", "graph_louvain_move",
-        "sim_mmr_rerank",
-        "sim_hamming_topk", "sim_hamming_topk_scale",
-        "events_ab_cuped", "sim_hybrid_rrf",
-        "dedup_ngram_novelty", "dedup_minhash_audit",
-        "mm_resize_real", "events_survival_km",
-        "approx_cms_counts", "etl_bloom_semi_join",
-        "quality_dsir_weights", "sim_matryoshka_recall",
-        "events_top_paths", "etl_freshness", "quality_domain_shift",
-        "asof_join_nearest", "text_langid_confusion", "text_fertility",
-        "events_markov_steady_state",
-        "quality_shard_plan", "quality_gini_tokens", "sim_mips_ivf_topk",
-        "events_holt_forecast",
-        # 15 r6-era rows
-        "q5_local_supplier_volume", "quality_repetition_stats",
-        "quality_source_quota", "quality_tfidf_top_terms",
-        "range_join_parts", "rollup_lineitem", "sim_cosine_topk",
-        "sim_cosine_topk_scale", "sim_ivf_topk", "sim_ivf_trained_topk",
-        "sim_kmeans_assign", "sim_kmeans_centroids", "stats_agg",
-        "text_winnow_fingerprints", "unpivot_part",
-        # 4 r7-era rows (the remaining 39 open the r12 window)
-        "dedup_incremental", "dedup_minhash_lsh_pairs",
-        "dedup_minhash_signatures", "dedup_neardup_survivors",
+    # r12 window (first 50): the 5 NEW queries (broadcast bloom probe,
+    # full Louvain loop, perceptual image dedup, HLL distinct audit,
+    # sampled betweenness) + the 8 queries over code CHANGED this
+    # round (table_checksum escaping, minhash_audit broadcast removal,
+    # as_of_join NULL-ts handling — both asof rows —, the
+    # louvain_move/modularity convention alignment, mmr's
+    # partial-reduction pool, bloom_semi_join's shared-build refactor),
+    # then the 37 STALEST driver verdicts — ALL remaining r7-era rows,
+    # computed mechanically with before_round=12 staleness (filler
+    # overlap with the r11 window: 0; max filler round 7 == tail min).
+    # test_registry.test_round12_window_composition checks this
+    # mechanically against the CORRECTNESS history; the r11 window is
+    # frozen as the keys of CORRECTNESS_r11.json and still asserted by
+    # its own round-aware test.
+    r12_window = [
+        "etl_bloom_semi_join_scale", "graph_louvain_communities",
+        "mm_image_ahash_dedup", "approx_hll_distinct",
+        "graph_betweenness",
+        "etl_table_checksum", "dedup_minhash_audit",
+        "asof_join_nearest", "asof_join_events", "graph_modularity",
+        "graph_louvain_move", "sim_mmr_rerank", "etl_bloom_semi_join",
+        # 37 r7-era rows (alphabetical; the registry holds no older)
+        "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
+        "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
+        "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
+        "events_sessionize", "graph_connected_components",
+        "graph_triangles", "mm_binary_metadata", "pipeline_corpus_assembly",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q18_large_volume", "q19_discount_revenue", "q22_dormant_balance",
+        "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
+        "q8_market_share", "quality_bigram_logprob",
+        "quality_chunk_documents", "quality_contamination",
+        "quality_curriculum_order", "quality_gate",
+        "quality_unigram_logprob", "salted_count",
+        "sim_cosine_allpairs_ref", "sim_cosine_neardup_pairs",
+        "sim_ivfpq_topk", "sim_pq_codebooks", "sim_pq_codes",
+        "sim_pq_refine_topk", "text_bpe_merges",
     ]
-    ordered = {k: registry[k] for k in r11_window}
+    ordered = {k: registry[k] for k in r12_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
     return {name: _scoped(fn) for name, fn in ordered.items()}
 

@@ -109,6 +109,53 @@ def test_round11_window_composition():
     assert len(set(window) & r10) <= 5, "r10-window overlap budget exceeded"
 
 
+ROUND12_NEW_OR_CHANGED = [
+    "etl_bloom_semi_join_scale", "graph_louvain_communities",
+    "mm_image_ahash_dedup", "approx_hll_distinct",
+    "graph_betweenness",
+    "etl_table_checksum", "dedup_minhash_audit",
+    "asof_join_nearest", "asof_join_events", "graph_modularity",
+    "graph_louvain_move", "sim_mmr_rerank", "etl_bloom_semi_join",
+]
+
+
+def test_round12_window_composition():
+    """Round-aware from birth (VERDICT r11 #1): the r12 window is the
+    live first-50 until CORRECTNESS_r12.json lands, then frozen as its
+    keys; staleness uses only pre-r12 history either way, so the
+    driver's own results never flip this test. New/changed queries
+    lead; every filler slot is at least as stale as anything left in
+    the tail; filler slots must not overlap the r11 window (the lead's
+    code-changed entries legitimately do — changed code MUST
+    re-certify, the r11 'code-changed lead slots' precedent)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r12_path = os.path.join(root, "CORRECTNESS_r12.json")
+    if os.path.exists(r12_path):
+        window = list(json.load(open(r12_path)))
+    else:
+        window = list(entry.queries())[:50]
+    lead = len(ROUND12_NEW_OR_CHANGED)
+    assert window[:lead] == ROUND12_NEW_OR_CHANGED, (
+        f"leading slots wrong: {window[:lead]}"
+    )
+    latest = _latest_driver_round(before_round=12)
+    rest = window[lead:]
+    in_window = set(window)
+    tail = [q for q in entry.queries() if q not in in_window]
+    max_in_window = max(latest.get(q, 0) for q in rest)
+    min_in_tail = min(latest.get(q, 99) for q in tail)
+    assert max_in_window <= min_in_tail, (
+        f"window holds a fresher verdict ({max_in_window}) than the "
+        f"stalest tail row ({min_in_tail}) — rotation skipped rows"
+    )
+    r11 = set(json.load(open(os.path.join(root, "CORRECTNESS_r11.json"))))
+    assert not (set(rest) & r11), (
+        f"filler slots overlap the r11 window: {sorted(set(rest) & r11)}"
+    )
+
+
 def test_bench_headline_subset_of_registry():
     import bench
 
