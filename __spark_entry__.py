@@ -3766,6 +3766,18 @@ def q_mm_image_ahash_dedup(spark, sf):
     )
 
 
+def q_dedup_cdc_chunks(spark, sf):
+    """Content-defined chunking dedup report: boundaries where the
+    4-token rolling H56 hits a 2^4 mask (expected 16-token chunks —
+    boundaries are pure local content, so prefix edits shift
+    positions, not chunk identity), chunk hashes rolled up per doc
+    with the corpus-shared count — the shift-resistant dedup unit
+    fixed windows can't give."""
+    return ops.cdc_dedup_report(
+        _t(spark, sf, "documents"), window=4, mask_bits=4
+    )
+
+
 def q_dedup_minhash_audit(spark, sf):
     """Sketch-quality audit: for every banded-LSH candidate pair, the
     MinHash Jaccard estimate (agreeing-position fraction over 16
@@ -3803,16 +3815,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-12 rotation (VERDICT r9 #5 policy: every query's latest
     driver row should be <= 4 rounds old): the window leads with the
-    FIVE round-12 NEW queries (broadcast-variable Bloom probe, full
+    SIX round-12 NEW queries (broadcast-variable Bloom probe, full
     semi-synchronous Louvain loop, perceptual image-aHash dedup over
     the real PNG codec, HyperLogLog distinct audit, sampled Brandes
-    betweenness) plus the EIGHT queries over code CHANGED this round
+    betweenness, content-defined-chunking dedup) plus the EIGHT
+    queries over code CHANGED this round
     (table_checksum's delimiter escaping, minhash_audit's broadcast
     removal, both as-of rows after the NULL-timestamp fix, the
     louvain_move/modularity missing-endpoint alignment, mmr_rerank's
     partial-reduction pool, bloom_semi_join's shared-build refactor);
-    the remaining 37 slots go to the STALEST driver verdicts — every
-    r7-era row still in the registry, computed mechanically with
+    the remaining 36 slots go to the STALEST driver verdicts — the
+    alphabetically-first r7-era rows, computed mechanically with
     round-aware (before_round=12) staleness. Filler overlap with the
     r11 window: 0 (the 7 overlapping slots are all code-changed lead
     entries, which MUST re-certify). The ordering is enforced by the
@@ -3867,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hybrid_rrf": q_sim_hybrid_rrf,
         "dedup_ngram_novelty": q_dedup_ngram_novelty,
         "dedup_minhash_audit": q_dedup_minhash_audit,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "mm_resize_real": q_mm_resize_real,
         "mm_image_ahash_dedup": q_mm_image_ahash_dedup,
         "events_survival_km": q_events_survival_km,
@@ -4110,11 +4124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12_window = [
         "etl_bloom_semi_join_scale", "graph_louvain_communities",
         "mm_image_ahash_dedup", "approx_hll_distinct",
-        "graph_betweenness",
+        "graph_betweenness", "dedup_cdc_chunks",
         "etl_table_checksum", "dedup_minhash_audit",
         "asof_join_nearest", "asof_join_events", "graph_modularity",
         "graph_louvain_move", "sim_mmr_rerank", "etl_bloom_semi_join",
-        # 37 r7-era rows (alphabetical; the registry holds no older)
+        # 36 r7-era rows (alphabetical; the registry holds no older —
+        # text_bpe_merges, the alphabetically-last, opens the tail)
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
         "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
         "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
@@ -4129,7 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_unigram_logprob", "salted_count",
         "sim_cosine_allpairs_ref", "sim_cosine_neardup_pairs",
         "sim_ivfpq_topk", "sim_pq_codebooks", "sim_pq_codes",
-        "sim_pq_refine_topk", "text_bpe_merges",
+        "sim_pq_refine_topk",
     ]
     ordered = {k: registry[k] for k in r12_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -9730,6 +9745,57 @@ def oracle_sql() -> dict[str, str]:
     # the production (broadcast + mapInPandas) probe is bit-identical
     # to the literal twin — same oracle certifies both
     sql["etl_bloom_semi_join_scale"] = sql["etl_bloom_semi_join"]
+
+    # CDC chunking: identical rolling-window boundary rule (positions
+    # are 1-based on both sides; list_slice(greatest(1, i-3), i) ==
+    # the 4-token lag window with concat_ws null-skipping), cumulative
+    # boundary sum over the PRECEDING rows, chunk text re-hashed from
+    # the ordered string_agg
+    sql["dedup_cdc_chunks"] = f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+          WHERE len({_TOKS}) > 0
+        ), expl AS (
+          SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                 unnest(toks) AS tok, toks
+          FROM docs
+        ), tokd AS (
+          SELECT doc_id, pos, tok,
+                 array_to_string(
+                   list_slice(toks, greatest(1, pos - 3), pos), ' ') AS wtext
+          FROM expl
+        ), flagged AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN {_H56.format(x="wtext")} % 16 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM tokd
+        ), chunked AS (
+          SELECT doc_id, pos, tok,
+                 COALESCE(SUM(b) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::BIGINT AS chunk
+          FROM flagged
+        ), chunks AS (
+          SELECT doc_id, chunk, COUNT(*)::BIGINT AS n_tokens,
+                 {_H56.format(x="string_agg(tok, ' ' ORDER BY pos)")}
+                   AS chunk_hash
+          FROM chunked GROUP BY doc_id, chunk
+        ), pdh AS (
+          SELECT doc_id, chunk_hash, COUNT(*)::BIGINT AS own,
+                 SUM(n_tokens)::BIGINT AS tok
+          FROM chunks GROUP BY doc_id, chunk_hash
+        ), freq AS (
+          SELECT chunk_hash, SUM(own)::BIGINT AS cf FROM pdh GROUP BY 1
+        )
+        SELECT doc_id, SUM(own)::BIGINT AS n_chunks,
+               SUM(tok)::BIGINT AS n_chunk_tokens,
+               SUM(CASE WHEN cf > own THEN own ELSE 0 END)::BIGINT
+                 AS n_shared_chunks,
+               ROUND(SUM(CASE WHEN cf > own THEN own ELSE 0 END)::DOUBLE
+                     / SUM(own)::DOUBLE, 6) AS shared_ratio
+        FROM pdh JOIN freq USING (chunk_hash) GROUP BY doc_id
+    """
 
     sql["dedup_ngram_novelty"] = f"""
         WITH sh AS (

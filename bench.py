@@ -221,9 +221,14 @@ HEADLINE = [
     "text_langid_confusion",
     "text_fertility",
     "events_markov_steady_state",
-    # round-12: broadcast bloom probe + the full Louvain loop
+    # round-12: broadcast bloom probe, full Louvain loop, perceptual
+    # image dedup, HLL distinct audit, sampled betweenness, CDC chunks
     "etl_bloom_semi_join_scale",
     "graph_louvain_communities",
+    "mm_image_ahash_dedup",
+    "approx_hll_distinct",
+    "graph_betweenness",
+    "dedup_cdc_chunks",
 ]
 
 

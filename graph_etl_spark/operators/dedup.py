@@ -924,3 +924,134 @@ def minhash_jaccard_audit(
             F.round(F.abs(est_j - exact_j), 6).alias("abs_err"),
         )
     )
+
+
+def cdc_chunk_hashes(
+    df: DataFrame,
+    window: int = 4,
+    mask_bits: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (the storage-dedup gear/Rabin idea
+    applied to token streams): a chunk boundary falls AFTER token i
+    whenever the rolling hash of the last ``window`` tokens satisfies
+    H56(...) % 2^mask_bits == 0 — boundaries are a pure function of
+    LOCAL content, so inserting or deleting a prefix shifts which
+    positions are boundaries but not which CONTENT is (expected chunk
+    length 2^mask_bits tokens). This is the shift-resistant dedup
+    unit ``passage_dedup``'s fixed windows cannot give: prepend one
+    token to a document and every fixed window changes, while almost
+    every CDC chunk (and its hash) survives. No min/max chunk guards
+    — guards make boundary i depend on boundary i-1 (a sequential
+    scan); the pure local rule keeps the operator one declarative
+    pass AND lets a SQL oracle replay it.
+
+    Output: (id_col, chunk_idx, n_tokens, chunk_hash) — one row per
+    chunk, chunk text hashed with H56 over the space-join.
+
+    Scale: tokens explode once; the boundary flag is a map-side
+    expression over ``window - 1`` LAG columns; chunk ids are one
+    cumulative sum and the chunk roll-up one aggregation — both keyed
+    on the document, one shuffle total."""
+    w, mb = int(window), int(mask_bits)
+    if w < 1 or mb < 1:
+        raise ValueError(
+            f"cdc_chunk_hashes: window and mask_bits must be >= 1 "
+            f"(got {w}/{mb})"
+        )
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    order = Window.partitionBy(id_col).orderBy("__pos")
+    # concat_ws skips NULLs, so the first w-1 positions hash their
+    # shorter prefixes — identical semantics in the SQL oracle's
+    # list_slice(greatest(1, i-w+1), i)
+    lags = [F.lag("__tok", k).over(order) for k in range(w - 1, 0, -1)]
+    wtext = F.concat_ws(" ", *lags, F.col("__tok"))
+    flagged = toks.withColumn(
+        "__b",
+        (h56(wtext) % F.lit(1 << mb) == 0).cast("int"),
+    )
+    # boundary AFTER token i opens a new chunk at i+1: cumulative sum
+    # of the PREVIOUS rows' flags
+    cum = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = flagged.withColumn(
+        "__chunk", F.coalesce(F.sum("__b").over(cum), F.lit(0)).cast("long")
+    )
+    return (
+        chunked.groupBy(id_col, F.col("__chunk").alias("chunk_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            h56(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__pos", "__tok"))
+                        ),
+                        lambda x: x["__tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_dedup_report(
+    df: DataFrame,
+    window: int = 4,
+    mask_bits: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document CDC dedup report: chunk the corpus with
+    ``cdc_chunk_hashes`` and count, per document, how many of its
+    chunks also occur elsewhere (corpus frequency > its own
+    multiplicity... a chunk is SHARED when the corpus-wide count of
+    its hash exceeds the document's own count of it) — the
+    storage-style dedup-rate number per document.
+
+    Output: (id_col, n_chunks, n_chunk_tokens, n_shared_chunks,
+    shared_ratio) — one row per non-empty document.
+
+    Scale: the chunk frame is corpus-sized / 2^mask_bits; the
+    frequency join shuffles on the chunk hash (uniform), the report
+    is one doc-keyed aggregation."""
+    chunks = cdc_chunk_hashes(
+        df, window=window, mask_bits=mask_bits,
+        id_col=id_col, text_col=text_col,
+    )
+    per_doc_hash = chunks.groupBy(id_col, "chunk_hash").agg(
+        F.count(F.lit(1)).alias("__own"),
+        F.sum("n_tokens").alias("__tok"),
+    )
+    freq = per_doc_hash.groupBy("chunk_hash").agg(
+        F.sum("__own").alias("__cf")
+    )
+    return (
+        per_doc_hash.join(freq, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__own").cast("long").alias("n_chunks"),
+            F.sum("__tok").cast("long").alias("n_chunk_tokens"),
+            F.sum(
+                F.when(F.col("__cf") > F.col("__own"), F.col("__own"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_shared_chunks"),
+        )
+        .withColumn(
+            "shared_ratio",
+            F.round(
+                F.col("n_shared_chunks") / F.col("n_chunks").cast("double"),
+                6,
+            ),
+        )
+    )

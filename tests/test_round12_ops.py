@@ -382,3 +382,38 @@ def test_betweenness_equal_path_splitting(spark):
     got = {r["id"]: r["betweenness"] for r in
            ops.betweenness_sample(c4, allv, max_hops=2).collect()}
     assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    """The CDC property: prepend 3 tokens and most chunk hashes
+    survive (boundaries are local content), where every fixed window
+    would change. Disjoint content shares nothing."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo "
+        "sierra tango uniform victor whiskey xray yankee zulu one "
+        "two three four five six seven eight nine ten eleven twelve"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "P1 P2 P3 " + base),
+            (3, "totally different content with words nobody shares"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ops.cdc_chunk_hashes(df, window=4, mask_bits=3).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], set()).add(r["chunk_hash"])
+    shared = len(per[1] & per[2])
+    assert shared >= len(per[1]) - 2, "prefix shift destroyed chunks"
+    assert not (per[1] & per[3])
+    rep = {r["doc_id"]: r for r in
+           ops.cdc_dedup_report(df, window=4, mask_bits=3).collect()}
+    assert rep[1]["n_shared_chunks"] == shared
+    assert rep[3]["n_shared_chunks"] == 0 and rep[3]["shared_ratio"] == 0.0
+    # token accounting: every token lands in exactly one chunk
+    assert rep[1]["n_chunk_tokens"] == len(base.split())
+    with pytest.raises(ValueError):
+        ops.cdc_chunk_hashes(df, window=0)

@@ -169,6 +169,7 @@ PROBE_TO_REGISTRY = {
     "exact_dedup": "dedup_exact_groups",
     "freshness_report": "etl_freshness",
     "holt_linear": "events_holt_forecast",
+    "cdc_chunks": "dedup_cdc_chunks",
     "image_ahash": "mm_image_ahash_dedup",
     "incremental_dedup": "dedup_incremental",
     "l2_topk_scale": "sim_l2_topk",
@@ -438,6 +439,12 @@ def main() -> None:
         # jaccard (shared helper), so the same linear-growth argument
         "containment_pairs": lambda d: (
             lambda: ops.shingle_containment_pairs(d, threshold=0.3)
+        ),
+        # r12: CDC chunk dedup — explode + lag-window flags + one
+        # doc-keyed cumulative window + hash-keyed frequency join;
+        # disjoint per-copy tokens keep chunk hashes copy-local
+        "cdc_chunks": lambda d: (
+            lambda: ops.cdc_dedup_report(d, window=4, mask_bits=4)
         ),
         # r12: perceptual image hash — PNG synth + real decode + hash,
         # two Arrow map stages with bounded output rows; pure scan
