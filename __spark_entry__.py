@@ -3702,6 +3702,21 @@ def q_approx_hll_distinct(spark, sf):
     )
 
 
+def q_quality_mad_outliers(spark, sf):
+    """Robust MAD outlier gate: plant a +5000 spike on every 997th
+    event id, then flag by modified z-score 0.6745·(x−med)/MAD > 3.5
+    — exact lower-interpolation medians over 4-dp decimals, one
+    double expression at the end; a zero MAD flags any defector from
+    the median (degenerate case, NULL z)."""
+    e = _t(spark, sf, "events").withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 997 == 0, F.col("value") + F.lit(5000.0)
+        ).otherwise(F.col("value")),
+    )
+    return ops.mad_outliers(e, "event_type", "value", "event_id")
+
+
 def q_etl_bloom_semi_join(spark, sf):
     """Bloom pre-join report: a 1024-bit filter built from the
     restricted supplier dim (nations < 10) embedded as literal words,
@@ -3815,16 +3830,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-12 rotation (VERDICT r9 #5 policy: every query's latest
     driver row should be <= 4 rounds old): the window leads with the
-    SIX round-12 NEW queries (broadcast-variable Bloom probe, full
+    SEVEN round-12 NEW queries (broadcast-variable Bloom probe, full
     semi-synchronous Louvain loop, perceptual image-aHash dedup over
     the real PNG codec, HyperLogLog distinct audit, sampled Brandes
-    betweenness, content-defined-chunking dedup) plus the EIGHT
-    queries over code CHANGED this round
+    betweenness, content-defined-chunking dedup, robust MAD outliers)
+    plus the EIGHT queries over code CHANGED this round
     (table_checksum's delimiter escaping, minhash_audit's broadcast
     removal, both as-of rows after the NULL-timestamp fix, the
     louvain_move/modularity missing-endpoint alignment, mmr_rerank's
     partial-reduction pool, bloom_semi_join's shared-build refactor);
-    the remaining 36 slots go to the STALEST driver verdicts — the
+    the remaining 35 slots go to the STALEST driver verdicts — the
     alphabetically-first r7-era rows, computed mechanically with
     round-aware (before_round=12) staleness. Filler overlap with the
     r11 window: 0 (the 7 overlapping slots are all code-changed lead
@@ -3886,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival_km": q_events_survival_km,
         "approx_cms_counts": q_approx_cms_counts,
         "approx_hll_distinct": q_approx_hll_distinct,
+        "quality_mad_outliers": q_quality_mad_outliers,
         "etl_bloom_semi_join": q_etl_bloom_semi_join,
         "etl_bloom_semi_join_scale": q_etl_bloom_semi_join_scale,
         "quality_dsir_weights": q_quality_dsir_weights,
@@ -4125,11 +4141,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_bloom_semi_join_scale", "graph_louvain_communities",
         "mm_image_ahash_dedup", "approx_hll_distinct",
         "graph_betweenness", "dedup_cdc_chunks",
+        "quality_mad_outliers",
         "etl_table_checksum", "dedup_minhash_audit",
         "asof_join_nearest", "asof_join_events", "graph_modularity",
         "graph_louvain_move", "sim_mmr_rerank", "etl_bloom_semi_join",
-        # 36 r7-era rows (alphabetical; the registry holds no older —
-        # text_bpe_merges, the alphabetically-last, opens the tail)
+        # 35 r7-era rows (alphabetical; the registry holds no older —
+        # sim_pq_refine_topk and text_bpe_merges, the two
+        # alphabetically-last, open the tail)
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
         "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
         "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
@@ -4144,7 +4162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_unigram_logprob", "salted_count",
         "sim_cosine_allpairs_ref", "sim_cosine_neardup_pairs",
         "sim_ivfpq_topk", "sim_pq_codebooks", "sim_pq_codes",
-        "sim_pq_refine_topk",
     ]
     ordered = {k: registry[k] for k in r12_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -9644,6 +9661,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT value, exact, estimate,
                (estimate - exact)::BIGINT AS overestimate
         FROM exact_c JOIN est USING (value)
+    """
+
+    sql["quality_mad_outliers"] = """
+        WITH planted AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 997 = 0 THEN value + 5000.0
+                      ELSE value END AS value
+          FROM events WHERE value IS NOT NULL
+        ), r AS (
+          SELECT event_type AS g, event_id,
+                 CAST(ROUND(value, 4) AS DECIMAL(19,4)) AS v
+          FROM planted
+        ), med AS (
+          SELECT g, v AS med FROM (
+            SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM r
+          ) WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+        ), dev AS (
+          SELECT r.g, r.event_id, r.v, med.med, ABS(r.v - med.med) AS d
+          FROM r JOIN med USING (g)
+        ), mad AS (
+          SELECT g, d AS mad FROM (
+            SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM dev
+          ) WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+        ), scored AS (
+          SELECT dev.g AS event_type, dev.event_id, dev.v AS value,
+                 dev.med, mad.mad,
+                 CASE WHEN mad.mad <> 0 THEN
+                   ROUND(0.6745 * (dev.v - dev.med)::DOUBLE
+                         / mad.mad::DOUBLE, 6)
+                 END AS mod_z
+          FROM dev JOIN mad USING (g)
+        )
+        SELECT event_type, event_id, value::DOUBLE AS value,
+               med::DOUBLE AS med, mad::DOUBLE AS mad, mod_z
+        FROM scored
+        WHERE CASE WHEN mad <> 0 THEN ABS(mod_z) > 3.5
+                   ELSE value <> med END
     """
 
     # HLL distinct audit: same register/rho integer arithmetic as the

@@ -229,6 +229,7 @@ HEADLINE = [
     "approx_hll_distinct",
     "graph_betweenness",
     "dedup_cdc_chunks",
+    "quality_mad_outliers",
 ]
 
 

@@ -2464,3 +2464,95 @@ def domain_shift(
             )
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """ROBUST per-group outlier detection via the median absolute
+    deviation — the estimator that survives what breaks
+    ``zscore_outliers``: mean and stddev are themselves dragged by the
+    outliers they are supposed to flag (one 10^9 spike inflates sigma
+    until nothing else flags), while median/MAD have a 50% breakdown
+    point. Flags rows whose modified z-score (Iglewicz-Hoaglin 1993,
+    the public NIST handbook statistic) 0.6745·(x − med)/MAD exceeds
+    ``threshold`` (their recommended 3.5 default).
+
+    Determinism contract: medians are the EXACT lower-interpolation
+    order statistics over 4-dp decimals (the ``group_percentiles``
+    convention — rank floor(0.5·(n−1)) + 1, an actual element, no
+    averaging); deviations |x − med| are exact decimal arithmetic, so
+    the second median is exact too; the modified z is ONE double
+    expression (0.6745 · (x − med) / MAD) in the identical operand
+    order on both engines, rounded at the end. A zero MAD (over half
+    the group identical) flags every value differing from the median,
+    with a NULL z — the documented degenerate case.
+
+    Output: (group_col, id_col, value, med, mad, mod_z) — flagged
+    rows only, value/med/mad as the 4-dp decimals the decision used.
+
+    Scale: two exact medians = two rank windows on the group key
+    (the same partitioning, no extra exchange class) + two
+    dimension-sized median joins; the flag filter is map-side. Same
+    posture as group_percentiles: run it after aggregation at 100 TB,
+    or accept the per-group sorts."""
+    v4 = F.round(F.col(value_col), 4).cast("decimal(19,4)")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col(id_col).alias("__id"),
+            v4.alias("__v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def exact_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("__g").orderBy(F.col(col))
+        ranked = frame.select("__g", F.col(col)).withColumn(
+            "__rn", F.row_number().over(w)
+        ).withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__g")))
+        return (
+            ranked.filter(
+                F.col("__rn")
+                == (F.floor(F.lit(0.5) * (F.col("__n") - 1)) + 1)
+            )
+            .select("__g", F.col(col).alias(out))
+        )
+
+    med = exact_median(base, "__v", "__med")
+    dev = base.join(med, "__g").withColumn(
+        "__d", F.abs(F.col("__v") - F.col("__med"))
+    )
+    mad = exact_median(dev, "__d", "__mad")
+    z = F.round(
+        F.lit(0.6745)
+        * (F.col("__v") - F.col("__med")).cast("double")
+        / F.col("__mad").cast("double"),
+        6,
+    )
+    flagged = (
+        dev.join(mad, "__g")
+        .withColumn(
+            "mod_z", F.when(F.col("__mad") != 0, z)
+        )
+        .filter(
+            F.when(F.col("__mad") != 0, F.abs(F.col("mod_z")) > threshold)
+            .otherwise(F.col("__v") != F.col("__med"))
+        )
+    )
+    # decimals decide; doubles report (the group_percentiles output
+    # convention — 4-dp decimals convert to the same nearest double on
+    # both engines)
+    return flagged.select(
+        F.col("__g").alias(group_col),
+        F.col("__id").alias(id_col),
+        F.col("__v").cast("double").alias("value"),
+        F.col("__med").cast("double").alias("med"),
+        F.col("__mad").cast("double").alias("mad"),
+        "mod_z",
+    )

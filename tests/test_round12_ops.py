@@ -417,3 +417,22 @@ def test_cdc_chunks_shift_resistant(spark):
     assert rep[1]["n_chunk_tokens"] == len(base.split())
     with pytest.raises(ValueError):
         ops.cdc_chunk_hashes(df, window=0)
+
+
+def test_mad_outliers_robust_where_zscore_breaks(spark):
+    """The one-spike stress: a 10^6 spike inflates sigma so the plain
+    z-score misses a clear secondary outlier; median/MAD flag both and
+    nothing else."""
+    rows = [("g", i, 10.0 + (i % 5) * 0.1) for i in range(40)]
+    rows += [("g", 100, 1e6), ("g", 101, -500.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {r["id"] for r in
+           ops.mad_outliers(df, "g", "v", "id").collect()}
+    assert got == {100, 101}
+    # degenerate MAD=0: every defector from the median flags, NULL z
+    df2 = spark.createDataFrame(
+        [("c", i, 5.0) for i in range(10)] + [("c", 99, 6.0)],
+        "g string, id long, v double",
+    )
+    out = ops.mad_outliers(df2, "g", "v", "id").collect()
+    assert len(out) == 1 and out[0]["id"] == 99 and out[0]["mod_z"] is None

@@ -173,6 +173,7 @@ PROBE_TO_REGISTRY = {
     "image_ahash": "mm_image_ahash_dedup",
     "incremental_dedup": "dedup_incremental",
     "l2_topk_scale": "sim_l2_topk",
+    "mad_outliers": "quality_mad_outliers",
     "lsh_cosine_neardup": "sim_cosine_neardup_pairs",
     "mg_heavy_hitters": "approx_heavy_hitters",
     "mips_topk_scale": "sim_mips_topk",
@@ -847,6 +848,12 @@ def main() -> None:
         # r12 (VERDICT r11 #8): cohort retention — two bounded-key
         # aggs (per-user first-seen, then cohort x offset); users 10x
         "retention_cohorts": lambda f: ops.retention_cohorts(f),
+        # r12: robust MAD outliers — two exact-median rank windows on
+        # the 5-type group key; rows 10x per fixed group, the same
+        # parallel-per-group-sort regime as group_percentiles
+        "mad_outliers": lambda f: ops.mad_outliers(
+            f, "event_type", "value", "event_id"
+        ),
         # r12: HLL distinct audit — the register frame is BOUNDED
         # (groups x 64) regardless of rows: the sketch property under
         # test (the exact-distinct audit column is rows-sized)
