@@ -884,3 +884,46 @@ def test_mmr_pool_partial_reduction(spark):
     assert p.index("MapInPandas") > p.index("Window"), (
         "window must rank the reduced set (plans print top-down)"
     )
+
+
+def test_hll_distinct_register_agg_is_bounded_and_no_cartesian(spark, entry):
+    """The sketch side must reduce to (groups x 64) register rows via
+    map-side-combined aggs — no cartesian anywhere, and the register
+    hash arithmetic stays in whole-stage codegen."""
+    st = plan_stats(entry.q_approx_hll_distinct(spark, SF))
+    assert st.nested_loop_joins == 0
+    p = plan_string(entry.q_approx_hll_distinct(spark, SF))
+    assert "MapInPandas" not in p, "HLL must stay JVM-side"
+
+
+def test_cdc_chunks_no_cartesian_one_window_class(spark, entry):
+    """CDC chunking: explode + lag flags + one doc-keyed cumulative
+    window + hash-keyed frequency join — never a cartesian, and every
+    window partitions by the document key (no global window)."""
+    df = entry.q_dedup_cdc_chunks(spark, SF)
+    assert_no_cartesian(df)
+    fp = formatted_plan(df)
+    import re
+    for m in re.finditer(r"Window \[", fp):
+        seg = fp[m.start():m.start() + 400]
+        assert "partition" in seg.lower() or "doc_id" in seg, seg[:200]
+
+
+def test_betweenness_frontier_is_join_shaped(spark):
+    """Each forward level must be an equi-join + agg over the
+    (source, vertex) frontier — no nested-loop join against the edge
+    list."""
+    from graph_etl_spark import operators as ops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (3,)], "id long")
+    out = ops.betweenness_sample(edges, seeds, max_hops=3)
+    st = plan_stats(out)
+    assert st.nested_loop_joins == 0
+
+
+def test_mad_outliers_windows_partition_by_group(spark, entry):
+    df = entry.q_quality_mad_outliers(spark, SF)
+    assert_no_cartesian(df)
