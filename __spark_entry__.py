@@ -3855,10 +3855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the end-of-round gate.
 
     Window history: r4 window = the 50 keys of CORRECTNESS_r04.json
-    (49 green + sim_semantic_dedup_pairs no_oracle); r5-r9 windows
+    (49 green + sim_semantic_dedup_pairs no_oracle); r5-r11 windows
     = the 50 keys of their CORRECTNESS_r{N}.json (each 50/50 green);
-    r10 window = the first 50 below. After r10, the max verdict age
-    across all 179 queries is 3 rounds (r7)."""
+    r12 window = the first 50 below. After r12 lands, the max
+    pre-r12 verdict age in the tail is r7 (the r12 window absorbs 35
+    of the 72 r7-era rows; the rest rotate through r13-r14)."""
     import functools
 
     from graph_etl_spark.sources import runtime_confs

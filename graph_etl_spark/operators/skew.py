@@ -482,6 +482,10 @@ def hll_distinct(
     Output: (group_col, exact_distinct, hll_estimate, n_zero_registers,
     rel_err), one row per group.
 
+    Value stringification must be engine-identical before the hash —
+    ints, strings, dates are safe; cast raw doubles to a fixed-scale
+    decimal first (the table_checksum caveat applies here verbatim).
+
     Scale: one groupBy(group, register) max-agg (map-side combined,
     register frame bounded at groups × m), one bounded second agg, and
     the exact-distinct branch for the audit column (drop it and the
