@@ -2254,6 +2254,40 @@ def q_events_funnel(spark, sf):
     return ops.funnel_counts(e, ["signup", "view", "purchase"])
 
 
+def q_events_cohort_ltv(spark, sf):
+    """Weekly cohort LTV triangle — retention's revenue sibling: per
+    (first-seen-week cohort, offset) the distinct active users, the
+    exact 4-dp decimal value sum, and the cumulative LTV per cohort
+    (decimal-exact accumulation, doubles only in the final view)."""
+    return ops.cohort_ltv(_t(spark, sf, "events"), period_days=7)
+
+
+def q_graph_assortativity(spark, sf):
+    """Degree assortativity of the 1995 co-purchase graph: Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    exact decimal(38,0) moments, one double expression (the symmetric
+    form: variance(x) = variance(y), no sqrt)."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.year("l_shipdate") == 1995)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return ops.degree_assortativity(edges)
+
+
 def q_events_retention(spark, sf):
     """Weekly cohort retention triangle: users bucketed by first-seen
     epoch-week (integer DIV arithmetic — no calendar ambiguity),
@@ -3830,16 +3864,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-12 rotation (VERDICT r9 #5 policy: every query's latest
     driver row should be <= 4 rounds old): the window leads with the
-    SEVEN round-12 NEW queries (broadcast-variable Bloom probe, full
+    NINE round-12 NEW queries (broadcast-variable Bloom probe, full
     semi-synchronous Louvain loop, perceptual image-aHash dedup over
     the real PNG codec, HyperLogLog distinct audit, sampled Brandes
-    betweenness, content-defined-chunking dedup, robust MAD outliers)
-    plus the EIGHT queries over code CHANGED this round
+    betweenness, content-defined-chunking dedup, robust MAD outliers,
+    cohort LTV, degree assortativity) plus the EIGHT queries over
+    code CHANGED this round
     (table_checksum's delimiter escaping, minhash_audit's broadcast
     removal, both as-of rows after the NULL-timestamp fix, the
     louvain_move/modularity missing-endpoint alignment, mmr_rerank's
     partial-reduction pool, bloom_semi_join's shared-build refactor);
-    the remaining 35 slots go to the STALEST driver verdicts — the
+    the remaining 33 slots go to the STALEST driver verdicts — the
     alphabetically-first r7-era rows, computed mechanically with
     round-aware (before_round=12) staleness. Filler overlap with the
     r11 window: 0 (the 7 overlapping slots are all code-changed lead
@@ -4044,6 +4079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping_counts": q_events_hopping_counts,
         "events_markov": q_events_markov,
         "events_retention": q_events_retention,
+        "events_cohort_ltv": q_events_cohort_ltv,
+        "graph_assortativity": q_graph_assortativity,
         "events_rolling_median": q_events_rolling_median,
         "events_tumbling_counts": q_events_tumbling_counts,
         "graph_bellman_ford": q_graph_bellman_ford,
@@ -4142,13 +4179,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_bloom_semi_join_scale", "graph_louvain_communities",
         "mm_image_ahash_dedup", "approx_hll_distinct",
         "graph_betweenness", "dedup_cdc_chunks",
-        "quality_mad_outliers",
+        "quality_mad_outliers", "events_cohort_ltv",
+        "graph_assortativity",
         "etl_table_checksum", "dedup_minhash_audit",
         "asof_join_nearest", "asof_join_events", "graph_modularity",
         "graph_louvain_move", "sim_mmr_rerank", "etl_bloom_semi_join",
-        # 35 r7-era rows (alphabetical; the registry holds no older —
-        # sim_pq_refine_topk and text_bpe_merges, the two
-        # alphabetically-last, open the tail)
+        # 33 r7-era rows (alphabetical; the registry holds no older —
+        # the four alphabetically-last r7 rows open the tail)
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
         "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
         "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
@@ -4162,7 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_curriculum_order", "quality_gate",
         "quality_unigram_logprob", "salted_count",
         "sim_cosine_allpairs_ref", "sim_cosine_neardup_pairs",
-        "sim_ivfpq_topk", "sim_pq_codebooks", "sim_pq_codes",
+        "sim_ivfpq_topk",
     ]
     ordered = {k: registry[k] for k in r12_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -6716,6 +6753,62 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT b.u)::BIGINT AS n_users
         FROM base b JOIN first f ON b.u = f.u
         GROUP BY 1, 2
+    """
+
+    sql["events_cohort_ltv"] = """
+        WITH base AS (
+          SELECT user_id AS u,
+                 (epoch(ts)::BIGINT // 86400) // 7 AS p,
+                 COALESCE(CAST(ROUND(value, 4) AS DECIMAL(19,4)),
+                          0::DECIMAL(19,4)) AS v
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), first AS (
+          SELECT u, MIN(p) AS cohort_period FROM base GROUP BY u
+        ), per AS (
+          SELECT f.cohort_period, b.p - f.cohort_period AS period_offset,
+                 COUNT(DISTINCT b.u)::BIGINT AS n_users,
+                 SUM(b.v) AS pv
+          FROM base b JOIN first f ON b.u = f.u
+          GROUP BY 1, 2
+        )
+        SELECT cohort_period, period_offset, n_users,
+               pv::DOUBLE AS period_value,
+               (SUM(pv) OVER (
+                  PARTITION BY cohort_period ORDER BY period_offset
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))::DOUBLE AS cum_value
+        FROM per
+    """
+
+    sql["graph_assortativity"] = """
+        WITH e0 AS (
+          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+          FROM (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) a
+          JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), sym AS (
+          SELECT s AS a, d AS b FROM e0 UNION ALL SELECT d, s FROM e0
+        ), deg AS (
+          SELECT a AS id, COUNT(*)::BIGINT AS k FROM sym GROUP BY a
+        ), paired AS (
+          SELECT dx.k AS kx, dy.k AS ky
+          FROM sym JOIN deg dx ON sym.a = dx.id
+                   JOIN deg dy ON sym.b = dy.id
+        ), mom AS (
+          SELECT COUNT(*)::BIGINT AS m,
+                 SUM(kx::HUGEINT)::HUGEINT AS sx,
+                 SUM(kx::HUGEINT * kx::HUGEINT)::HUGEINT AS sxx,
+                 SUM(kx::HUGEINT * ky::HUGEINT)::HUGEINT AS sxy
+          FROM paired
+        )
+        SELECT (m // 2)::BIGINT AS m_edges,
+               (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+               ROUND((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     / NULLIF(m::DOUBLE * sxx::DOUBLE
+                              - sx::DOUBLE * sx::DOUBLE, 0), 6) AS r
+        FROM mom
     """
 
     sql["basket_frequent_pairs"] = """

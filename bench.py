@@ -230,6 +230,8 @@ HEADLINE = [
     "graph_betweenness",
     "dedup_cdc_chunks",
     "quality_mad_outliers",
+    "events_cohort_ltv",
+    "graph_assortativity",
 ]
 
 

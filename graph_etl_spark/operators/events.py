@@ -1028,3 +1028,62 @@ def markov_steady_state(
         rows,
         "state string, n_out long, stationary_micro long, stationary double",
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """COHORT LIFETIME-VALUE triangle — ``retention_cohorts``' revenue
+    sibling and the other half of every growth dashboard: users grouped
+    by first-seen period, their per-period value summed, and the
+    running (cumulative) value per cohort across offsets — LTV(cohort,
+    t) as the downstream payback-model consumes it.
+
+    Output: (cohort_period, period_offset, n_users, period_value,
+    cum_value) — n_users is the offset's DISTINCT active users (the
+    retention triangle rides along), values are exact 4-dp decimal
+    sums (cumulated exactly — no float accumulation across offsets),
+    periods the same epoch-day DIV buckets as retention_cohorts.
+
+    Scale: one per-user first-seen aggregation (user-keyed), one
+    (cohort, offset) aggregation, and one cumulative window whose
+    partitions are cohort-sized row counts (offsets per cohort ≤ the
+    observation span in periods — tiny), all map-side-combinable."""
+    v4 = F.round(F.col(value_col), 4).cast("decimal(19,4)")
+    base = events.filter(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.expr(
+            f"CAST(CAST({ts_col} AS LONG) / 86400 AS LONG) DIV {int(period_days)}"
+        ).alias("p"),
+        F.coalesce(v4, F.lit(0).cast("decimal(19,4)")).alias("v"),
+    )
+    first = base.groupBy("u").agg(F.min("p").alias("cohort_period"))
+    per = (
+        base.join(first, "u")
+        .groupBy(
+            "cohort_period",
+            (F.col("p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(
+            F.count_distinct(F.col("u")).alias("n_users"),
+            F.sum("v").alias("period_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_period")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort_period",
+        "period_offset",
+        "n_users",
+        F.col("period_value").cast("double").alias("period_value"),
+        F.sum("period_value").over(w).cast("double").alias("cum_value"),
+    )

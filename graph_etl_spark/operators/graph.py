@@ -1457,3 +1457,73 @@ def betweenness_sample(
         acc.groupBy("id")
         .agg(F.round(F.sum("delta"), round_to).alias("betweenness"))
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY coefficient (Newman 2002, the public
+    "Assortative mixing in networks" paper): the Pearson correlation
+    of endpoint degrees over the symmetrized edge list — positive for
+    social-style graphs (hubs befriend hubs), negative for
+    hub-and-spoke/web-style graphs; THE one-number complement to
+    ``modularity`` (is structure degree-driven?) and
+    ``neighbor_stats`` (its per-node view).
+
+    Determinism: degrees are exact integers; every moment (Σx, Σx²,
+    Σxy over the M = 2m ordered endpoint pairs — symmetric, so the x
+    and y marginals coincide) accumulates as decimal(38,0); r is ONE
+    double expression (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²) in the
+    identical operand order both engines evaluate, rounded at the end
+    (the symmetric form needs no sqrt — variance(x) = variance(y)).
+    A degree-regular graph has zero variance; r is NULL there (the
+    documented degenerate case, matching the SQL NULL division).
+
+    Output: one row — (m_edges, n_nodes, r).
+
+    Scale: one degree aggregation + two vertex-keyed joins into the
+    edge list + one 1-row moment aggregation; nothing is ever
+    all-pairs, and the moments combine map-side."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    paired = (
+        sym.join(deg.select(F.col("id").alias("a"), F.col("k").alias("kx")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("k").alias("ky")), "b")
+    )
+    kx = F.col("kx").cast("decimal(38,0)")
+    ky = F.col("ky").cast("decimal(38,0)")
+    mom = paired.agg(
+        F.count(F.lit(1)).alias("__M"),
+        F.sum(kx).alias("__sx"),
+        F.sum(kx * kx).alias("__sxx"),
+        F.sum(kx * ky).alias("__sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("__n"))
+    md = F.col("__M").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    num = md * sxy - sx * sx
+    den = md * sxx - sx * sx
+    return mom.crossJoin(F.broadcast(n_nodes)).select(
+        (F.col("__M") / 2).cast("long").alias("m_edges"),
+        F.col("__n").alias("n_nodes"),
+        # guard on the DOUBLE denominator (the same num/NULLIF(den,0)
+        # the oracle evaluates), not a decimal product that Spark's
+        # precision capping could round differently
+        F.round(F.when(den != 0.0, num / den), round_to).alias("r"),
+    )

@@ -113,6 +113,7 @@ ROUND12_NEW_OR_CHANGED = [
     "etl_bloom_semi_join_scale", "graph_louvain_communities",
     "mm_image_ahash_dedup", "approx_hll_distinct",
     "graph_betweenness", "dedup_cdc_chunks", "quality_mad_outliers",
+    "events_cohort_ltv", "graph_assortativity",
     "etl_table_checksum", "dedup_minhash_audit",
     "asof_join_nearest", "asof_join_events", "graph_modularity",
     "graph_louvain_move", "sim_mmr_rerank", "etl_bloom_semi_join",

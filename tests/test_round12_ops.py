@@ -436,3 +436,42 @@ def test_mad_outliers_robust_where_zscore_breaks(spark):
     )
     out = ops.mad_outliers(df2, "g", "v", "id").collect()
     assert len(out) == 1 and out[0]["id"] == 99 and out[0]["mod_z"] is None
+
+
+def test_degree_assortativity_textbook_values(spark):
+    """Star graph: perfectly disassortative (r = -1); regular graph:
+    zero degree variance -> NULL; a path P3 has r = -1 as well (every
+    edge joins the hub to a leaf)."""
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "src long, dst long")
+    row = ops.degree_assortativity(star).collect()[0]
+    assert (row["m_edges"], row["n_nodes"], row["r"]) == (5, 6, -1.0)
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    row = ops.degree_assortativity(k4).collect()[0]
+    assert row["r"] is None and row["m_edges"] == 6
+
+
+def test_cohort_ltv_cumulates_exactly(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 10.0),
+        (1, "2024-01-09 10:00:00", 5.0),
+        (2, "2024-01-09 11:00:00", 7.0),
+        (2, "2024-01-16 09:00:00", 3.0),
+        (3, "2024-01-09 12:00:00", None),  # null value counts a user
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {
+        (r["cohort_period"], r["period_offset"]): r
+        for r in ops.cohort_ltv(df, period_days=7).collect()
+    }
+    c1 = min(k[0] for k in got)
+    assert got[(c1, 0)]["period_value"] == 10.0
+    assert got[(c1, 1)]["cum_value"] == 15.0
+    assert got[(c1 + 1, 0)]["n_users"] == 2  # users 2 and 3
+    assert got[(c1 + 1, 0)]["period_value"] == 7.0
+    assert got[(c1 + 1, 1)]["cum_value"] == 10.0

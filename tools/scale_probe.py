@@ -164,6 +164,8 @@ def probe_streaming_state(spark, n: int) -> dict:
 # map to None explicitly.
 PROBE_TO_REGISTRY = {
     "asof_nearest": "asof_join_nearest",
+    "assortativity": "graph_assortativity",
+    "cohort_ltv": "events_cohort_ltv",
     "dup_span_scrub": "dedup_span_scrub",
     "event_transitions": "events_markov",
     "exact_dedup": "dedup_exact_groups",
@@ -509,6 +511,11 @@ def main() -> None:
         # r12 (VERDICT r11 #8): one-hop neighborhood features — one
         # degree agg + one vertex-keyed join + one agg; scan-linear
         "neighbor_stats": lambda f: ops.neighbor_stats(copurchase(f)),
+        # r12: degree assortativity — one degree agg + two
+        # vertex-keyed joins + a 1-row moment agg; scan-linear
+        "assortativity": lambda f: ops.degree_assortativity(
+            copurchase(f)
+        ),
     }
 
     # r8 batch 4 iterative graph ops checkpoint EAGERLY per round, so
@@ -848,6 +855,9 @@ def main() -> None:
         # r12 (VERDICT r11 #8): cohort retention — two bounded-key
         # aggs (per-user first-seen, then cohort x offset); users 10x
         "retention_cohorts": lambda f: ops.retention_cohorts(f),
+        # r12: cohort LTV — retention's aggs plus a cohort-keyed
+        # cumulative window over offset-count-sized partitions
+        "cohort_ltv": lambda f: ops.cohort_ltv(f),
         # r12: robust MAD outliers — two exact-median rank windows on
         # the 5-type group key; rows 10x per fixed group, the same
         # parallel-per-group-sort regime as group_percentiles
