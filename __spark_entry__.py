@@ -3827,6 +3827,15 @@ def q_dedup_cdc_chunks(spark, sf):
     )
 
 
+def q_dedup_dup_rate_by_source(spark, sf):
+    """Per-source duplicate-rate curation table: near-dup clusters
+    (MinHash LSH -> CC -> min-id canonical) with every non-canonical
+    member charged to its source — the re-crawl de-prioritization
+    number. The oracle replays the exact recursive component
+    closure."""
+    return ops.dup_rate_by_source(_t(spark, sf, "documents"))
+
+
 def q_dedup_minhash_audit(spark, sf):
     """Sketch-quality audit: for every banded-LSH candidate pair, the
     MinHash Jaccard estimate (agreeing-position fraction over 16
@@ -3864,17 +3873,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-12 rotation (VERDICT r9 #5 policy: every query's latest
     driver row should be <= 4 rounds old): the window leads with the
-    NINE round-12 NEW queries (broadcast-variable Bloom probe, full
+    TEN round-12 NEW queries (broadcast-variable Bloom probe, full
     semi-synchronous Louvain loop, perceptual image-aHash dedup over
     the real PNG codec, HyperLogLog distinct audit, sampled Brandes
     betweenness, content-defined-chunking dedup, robust MAD outliers,
-    cohort LTV, degree assortativity) plus the EIGHT queries over
-    code CHANGED this round
+    cohort LTV, degree assortativity, per-source duplicate rate)
+    plus the EIGHT queries over code CHANGED this round
     (table_checksum's delimiter escaping, minhash_audit's broadcast
     removal, both as-of rows after the NULL-timestamp fix, the
     louvain_move/modularity missing-endpoint alignment, mmr_rerank's
     partial-reduction pool, bloom_semi_join's shared-build refactor);
-    the remaining 33 slots go to the STALEST driver verdicts — the
+    the remaining 32 slots go to the STALEST driver verdicts — the
     alphabetically-first r7-era rows, computed mechanically with
     round-aware (before_round=12) staleness. Filler overlap with the
     r11 window: 0 (the 7 overlapping slots are all code-changed lead
@@ -3932,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_novelty": q_dedup_ngram_novelty,
         "dedup_minhash_audit": q_dedup_minhash_audit,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "dedup_dup_rate_by_source": q_dedup_dup_rate_by_source,
         "mm_resize_real": q_mm_resize_real,
         "mm_image_ahash_dedup": q_mm_image_ahash_dedup,
         "events_survival_km": q_events_survival_km,
@@ -4180,12 +4190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_ahash_dedup", "approx_hll_distinct",
         "graph_betweenness", "dedup_cdc_chunks",
         "quality_mad_outliers", "events_cohort_ltv",
-        "graph_assortativity",
+        "graph_assortativity", "dedup_dup_rate_by_source",
         "etl_table_checksum", "dedup_minhash_audit",
         "asof_join_nearest", "asof_join_events", "graph_modularity",
         "graph_louvain_move", "sim_mmr_rerank", "etl_bloom_semi_join",
-        # 33 r7-era rows (alphabetical; the registry holds no older —
-        # the four alphabetically-last r7 rows open the tail)
+        # 32 r7-era rows (alphabetical; the registry holds no older —
+        # the five alphabetically-last r7 rows open the tail)
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
         "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
         "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
@@ -4199,7 +4209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_curriculum_order", "quality_gate",
         "quality_unigram_logprob", "salted_count",
         "sim_cosine_allpairs_ref", "sim_cosine_neardup_pairs",
-        "sim_ivfpq_topk",
     ]
     ordered = {k: registry[k] for k in r12_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -5338,6 +5347,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cluster_id AS survivor_id, COUNT(*)::BIGINT AS n_members
         FROM assign GROUP BY cluster_id
+    """
+
+    # Per-source duplicate rate: the same exact component closure;
+    # every non-canonical cluster member charges its source
+    sql["dedup_dup_rate_by_source"] = f"""
+        WITH RECURSIVE pairs AS (
+          WITH sh AS (SELECT doc_id, {_sh} AS sh FROM documents),
+          hs AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs FROM sh),
+          sigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM hs),
+          banded AS (
+            SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                   unnest([{band_exprs}]) AS band_hash
+            FROM sigs
+          )
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ), sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+        ), assign AS (
+          SELECT d.doc_id, d.source,
+                 COALESCE(c.component, d.doc_id) AS cluster_id
+          FROM documents d
+          LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+            ON d.doc_id = c.id
+        )
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               SUM(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END)::BIGINT
+                 AS n_redundant,
+               ROUND(SUM(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END)
+                     ::DOUBLE / COUNT(*)::DOUBLE, 6) AS dup_rate
+        FROM assign GROUP BY source
     """
 
     # Corpus-assembly manifest: the same component closure, then

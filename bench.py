@@ -232,6 +232,7 @@ HEADLINE = [
     "quality_mad_outliers",
     "events_cohort_ltv",
     "graph_assortativity",
+    "dedup_dup_rate_by_source",
 ]
 
 

@@ -1055,3 +1055,55 @@ def cdc_dedup_report(
             ),
         )
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """PER-SOURCE DUPLICATE-RATE report — the curation decision table
+    a corpus run reads before re-crawling: near-dup the corpus
+    (MinHash banded-LSH pairs → connected components → min-id
+    canonical per cluster) and charge every NON-canonical member to
+    its source. A source whose rate is high re-serves content the
+    corpus already has; the number that de-prioritizes it.
+
+    Output: (source_col, n_docs, n_redundant, dup_rate) — redundant =
+    in a multi-member cluster and not its canonical survivor, so the
+    canonical copy is never charged and Σ n_redundant = docs removed
+    by the dedup.
+
+    Scale: the same shapes as ``dedup_neardup_survivors`` (bucketed
+    LSH equi-join, pointer-jumping CC) plus one doc-keyed join back to
+    the source column and a dimension-keyed aggregation."""
+    from .graph import dedup_clusters as _clusters  # local import: graph imports nothing from dedup
+
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, shingle_n=shingle_n,
+    )
+    clusters = _clusters(pairs, df.select(id_col), id_col=id_col)
+    marked = clusters.select(
+        id_col,
+        (F.col("cluster_id") != F.col(id_col)).cast("int").alias("__dup"),
+    )
+    return (
+        df.select(id_col, F.col(source_col))
+        .join(marked, id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__dup").cast("long").alias("n_redundant"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.col("n_redundant") / F.col("n_docs").cast("double"), 6
+            ),
+        )
+    )

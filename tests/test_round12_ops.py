@@ -475,3 +475,22 @@ def test_cohort_ltv_cumulates_exactly(spark):
     assert got[(c1 + 1, 0)]["n_users"] == 2  # users 2 and 3
     assert got[(c1 + 1, 0)]["period_value"] == 7.0
     assert got[(c1 + 1, 1)]["cum_value"] == 10.0
+
+
+def test_dup_rate_by_source_charges_non_canonical(spark):
+    """Three identical docs from source B vs unique docs from source A:
+    B is charged 2 redundant of 3 (the canonical survivor is free),
+    A is charged 0."""
+    text_dup = "the same exact duplicated content words repeated here"
+    rows = [
+        (1, "unique alpha text one of a kind first", "A"),
+        (2, "another unique beta text nothing shared", "A"),
+        (3, text_dup, "B"),
+        (4, text_dup, "B"),
+        (5, text_dup, "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in ops.dup_rate_by_source(df).collect()}
+    assert got["A"]["n_docs"] == 2 and got["A"]["n_redundant"] == 0
+    assert got["B"]["n_docs"] == 3 and got["B"]["n_redundant"] == 2
+    assert got["B"]["dup_rate"] == pytest.approx(2 / 3, abs=1e-6)

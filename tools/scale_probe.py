@@ -167,6 +167,7 @@ PROBE_TO_REGISTRY = {
     "assortativity": "graph_assortativity",
     "cohort_ltv": "events_cohort_ltv",
     "dup_span_scrub": "dedup_span_scrub",
+    "dup_rate_by_source": "dedup_dup_rate_by_source",
     "event_transitions": "events_markov",
     "exact_dedup": "dedup_exact_groups",
     "freshness_report": "etl_freshness",
@@ -442,6 +443,12 @@ def main() -> None:
         # jaccard (shared helper), so the same linear-growth argument
         "containment_pairs": lambda d: (
             lambda: ops.shingle_containment_pairs(d, threshold=0.3)
+        ),
+        # r12: per-source dup rate — the neardup_survivors shapes
+        # plus one doc-keyed source join; copies are token-disjoint so
+        # clusters stay copy-local
+        "dup_rate_by_source": lambda d: (
+            lambda: ops.dup_rate_by_source(d)
         ),
         # r12: CDC chunk dedup — explode + lag-window flags + one
         # doc-keyed cumulative window + hash-keyed frequency join;
