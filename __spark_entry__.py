@@ -2288,6 +2288,16 @@ def q_graph_assortativity(spark, sf):
     return ops.degree_assortativity(edges)
 
 
+def q_events_burstiness(spark, sf):
+    """Per-user burstiness B = (sigma-mu)/(sigma+mu) over inter-event
+    gaps (Goh-Barabasi): exact integer-second gaps off a
+    (ts, event_id)-ordered lag window, decimal(38,0) moments, one
+    double mean/sigma/B chain rounded at the end."""
+    return ops.burstiness(
+        _t(spark, sf, "events"), tie_cols=["event_id"]
+    )
+
+
 def q_events_retention(spark, sf):
     """Weekly cohort retention triangle: users bucketed by first-seen
     epoch-week (integer DIV arithmetic — no calendar ambiguity),
@@ -3873,17 +3883,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-12 rotation (VERDICT r9 #5 policy: every query's latest
     driver row should be <= 4 rounds old): the window leads with the
-    TEN round-12 NEW queries (broadcast-variable Bloom probe, full
+    ELEVEN round-12 NEW queries (broadcast-variable Bloom probe, full
     semi-synchronous Louvain loop, perceptual image-aHash dedup over
     the real PNG codec, HyperLogLog distinct audit, sampled Brandes
     betweenness, content-defined-chunking dedup, robust MAD outliers,
-    cohort LTV, degree assortativity, per-source duplicate rate)
-    plus the EIGHT queries over code CHANGED this round
+    cohort LTV, degree assortativity, per-source duplicate rate,
+    per-user burstiness) plus the EIGHT queries over code CHANGED
+    this round
     (table_checksum's delimiter escaping, minhash_audit's broadcast
     removal, both as-of rows after the NULL-timestamp fix, the
     louvain_move/modularity missing-endpoint alignment, mmr_rerank's
     partial-reduction pool, bloom_semi_join's shared-build refactor);
-    the remaining 32 slots go to the STALEST driver verdicts — the
+    the remaining 31 slots go to the STALEST driver verdicts — the
     alphabetically-first r7-era rows, computed mechanically with
     round-aware (before_round=12) staleness. Filler overlap with the
     r11 window: 0 (the 7 overlapping slots are all code-changed lead
@@ -4090,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": q_events_markov,
         "events_retention": q_events_retention,
         "events_cohort_ltv": q_events_cohort_ltv,
+        "events_burstiness": q_events_burstiness,
         "graph_assortativity": q_graph_assortativity,
         "events_rolling_median": q_events_rolling_median,
         "events_tumbling_counts": q_events_tumbling_counts,
@@ -4191,11 +4203,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness", "dedup_cdc_chunks",
         "quality_mad_outliers", "events_cohort_ltv",
         "graph_assortativity", "dedup_dup_rate_by_source",
+        "events_burstiness",
         "etl_table_checksum", "dedup_minhash_audit",
         "asof_join_nearest", "asof_join_events", "graph_modularity",
         "graph_louvain_move", "sim_mmr_rerank", "etl_bloom_semi_join",
-        # 32 r7-era rows (alphabetical; the registry holds no older —
-        # the five alphabetically-last r7 rows open the tail)
+        # 31 r7-era rows (alphabetical; the registry holds no older —
+        # the six alphabetically-last r7 rows open the tail)
         "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
         "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
         "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
@@ -4208,7 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_chunk_documents", "quality_contamination",
         "quality_curriculum_order", "quality_gate",
         "quality_unigram_logprob", "salted_count",
-        "sim_cosine_allpairs_ref", "sim_cosine_neardup_pairs",
+        "sim_cosine_allpairs_ref",
     ]
     ordered = {k: registry[k] for k in r12_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -6856,6 +6869,33 @@ def oracle_sql() -> dict[str, str]:
                      / NULLIF(m::DOUBLE * sxx::DOUBLE
                               - sx::DOUBLE * sx::DOUBLE, 0), 6) AS r
         FROM mom
+    """
+
+    sql["events_burstiness"] = """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events WHERE ts IS NOT NULL
+        ), agg AS (
+          SELECT user_id, COUNT(*)::BIGINT AS n_gaps,
+                 SUM(gap::HUGEINT)::HUGEINT AS sx,
+                 SUM(gap::HUGEINT * gap::HUGEINT)::HUGEINT AS sxx
+          FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        ), scored AS (
+          SELECT user_id, n_gaps,
+                 sx::DOUBLE / n_gaps::DOUBLE AS mean,
+                 sqrt((n_gaps::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      / (n_gaps::DOUBLE * n_gaps::DOUBLE)) AS sd
+          FROM agg
+        )
+        SELECT user_id, n_gaps,
+               ROUND(mean, 6) AS mean_gap_us,
+               ROUND(sd, 6) AS std_gap_us,
+               ROUND(CASE WHEN sd + mean <> 0
+                          THEN (sd - mean) / (sd + mean) END, 6)
+                 AS burstiness
+        FROM scored
     """
 
     sql["basket_frequent_pairs"] = """

@@ -233,6 +233,7 @@ HEADLINE = [
     "events_cohort_ltv",
     "graph_assortativity",
     "dedup_dup_rate_by_source",
+    "events_burstiness",
 ]
 
 

@@ -1087,3 +1087,66 @@ def cohort_ltv(
         F.col("period_value").cast("double").alias("period_value"),
         F.sum("period_value").over(w).cast("double").alias("cum_value"),
     )
+
+
+def burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """BURSTINESS coefficient per user (Goh & Barabási 2008, the
+    public "Burstiness and memory in complex systems" letter):
+    B = (σ − μ)/(σ + μ) over the user's inter-event gaps — −1 for a
+    perfectly periodic stream, → 0 for Poisson, → 1 for extreme
+    bursts; the one-number activity-pattern feature behind bot
+    detection and engagement modeling, complementing ``sessionize``
+    (which cuts on a fixed gap instead of characterizing it).
+
+    Determinism: gaps are exact integer MICROSECONDS off a (ts,
+    tie)-lag window (sub-second timestamps truncate differently
+    across engines in seconds); Σx and Σx² accumulate as
+    decimal(38,0) (order-free);
+    mean/σ/B is ONE double chain — mean = Σx/n, σ = sqrt((n·Σx² −
+    Σx·Σx)/(n·n)) (population σ, correctly-rounded IEEE sqrt both
+    engines), B = (σ − μ)/(σ + μ) — in the identical operand order,
+    rounded at the end. Users with one event have no gaps and are
+    excluded; an all-zero-gap user has σ + μ = 0 and reports NULL.
+
+    Output: (user_col, n_gaps, mean_gap_us, std_gap_us, burstiness).
+
+    Scale: one lag window + one aggregation, both on the user key —
+    the same single-shuffle class as sessionize."""
+    ties = tie_cols or []
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in ties]
+    )
+    gaps = (
+        events.filter(F.col(ts_col).isNotNull())
+        .withColumn(
+            "__gap",
+            F.unix_micros(F.col(ts_col))
+            - F.lag(F.unix_micros(F.col(ts_col))).over(w),
+        )
+        .filter(F.col("__gap").isNotNull())
+    )
+    g38 = F.col("__gap").cast("decimal(38,0)")
+    agg = gaps.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(g38).alias("__sx"),
+        F.sum(g38 * g38).alias("__sxx"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    mean = sx / nd
+    sd = F.sqrt((nd * sxx - sx * sx) / (nd * nd))
+    b = F.when((sd + mean) != 0.0, (sd - mean) / (sd + mean))
+    return agg.select(
+        user_col,
+        "n_gaps",
+        F.round(mean, round_to).alias("mean_gap_us"),
+        F.round(sd, round_to).alias("std_gap_us"),
+        F.round(b, round_to).alias("burstiness"),
+    )

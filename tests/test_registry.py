@@ -114,7 +114,7 @@ ROUND12_NEW_OR_CHANGED = [
     "mm_image_ahash_dedup", "approx_hll_distinct",
     "graph_betweenness", "dedup_cdc_chunks", "quality_mad_outliers",
     "events_cohort_ltv", "graph_assortativity",
-    "dedup_dup_rate_by_source",
+    "dedup_dup_rate_by_source", "events_burstiness",
     "etl_table_checksum", "dedup_minhash_audit",
     "asof_join_nearest", "asof_join_events", "graph_modularity",
     "graph_louvain_move", "sim_mmr_rerank", "etl_bloom_semi_join",

@@ -494,3 +494,19 @@ def test_dup_rate_by_source_charges_non_canonical(spark):
     assert got["A"]["n_docs"] == 2 and got["A"]["n_redundant"] == 0
     assert got["B"]["n_docs"] == 3 and got["B"]["n_redundant"] == 2
     assert got["B"]["dup_rate"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    """Perfectly periodic stream -> B = -1 (sigma = 0); a burst then
+    long silence -> B > 0; single-event users are excluded."""
+    rows = [(1, f"2024-01-01 00:{m:02d}:00") for m in range(0, 50, 5)]
+    rows += [(2, f"2024-01-01 00:00:0{s}") for s in range(5)]
+    rows += [(2, "2024-01-01 09:00:00"), (3, "2024-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    got = {r["user_id"]: r for r in ops.burstiness(df).collect()}
+    assert set(got) == {1, 2}, "single-event user must be excluded"
+    assert got[1]["burstiness"] == -1.0 and got[1]["std_gap_us"] == 0.0
+    assert got[2]["burstiness"] > 0.3
+    assert got[1]["n_gaps"] == 9 and got[1]["mean_gap_us"] == 300e6

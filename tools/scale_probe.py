@@ -165,6 +165,7 @@ def probe_streaming_state(spark, n: int) -> dict:
 PROBE_TO_REGISTRY = {
     "asof_nearest": "asof_join_nearest",
     "assortativity": "graph_assortativity",
+    "burstiness": "events_burstiness",
     "cohort_ltv": "events_cohort_ltv",
     "dup_span_scrub": "dedup_span_scrub",
     "dup_rate_by_source": "dedup_dup_rate_by_source",
@@ -865,6 +866,11 @@ def main() -> None:
         # r12: cohort LTV — retention's aggs plus a cohort-keyed
         # cumulative window over offset-count-sized partitions
         "cohort_ltv": lambda f: ops.cohort_ltv(f),
+        # r12: burstiness — one user-keyed lag window + one moment
+        # agg; per-user histories fixed length, users 10x
+        "burstiness": lambda f: ops.burstiness(
+            f, tie_cols=["event_id"]
+        ),
         # r12: robust MAD outliers — two exact-median rank windows on
         # the 5-type group key; rows 10x per fixed group, the same
         # parallel-per-group-sort regime as group_percentiles
