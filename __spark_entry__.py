@@ -4183,16 +4183,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
     }
-    # r12 window (first 50): the 5 NEW queries (broadcast bloom probe,
-    # full Louvain loop, perceptual image dedup, HLL distinct audit,
-    # sampled betweenness) + the 8 queries over code CHANGED this
-    # round (table_checksum escaping, minhash_audit broadcast removal,
-    # as_of_join NULL-ts handling — both asof rows —, the
-    # louvain_move/modularity convention alignment, mmr's
-    # partial-reduction pool, bloom_semi_join's shared-build refactor),
-    # then the 37 STALEST driver verdicts — ALL remaining r7-era rows,
-    # computed mechanically with before_round=12 staleness (filler
-    # overlap with the r11 window: 0; max filler round 7 == tail min).
+    # r12 window (first 50): the 11 NEW queries (broadcast bloom
+    # probe, full Louvain loop, perceptual image dedup, HLL distinct
+    # audit, sampled betweenness, CDC chunking, MAD outliers, cohort
+    # LTV, assortativity, dup-rate-by-source, burstiness) + the 8
+    # queries over code CHANGED this round (table_checksum escaping,
+    # minhash_audit broadcast removal, as_of_join NULL-ts handling —
+    # both asof rows —, the louvain_move/modularity convention
+    # alignment, mmr's partial-reduction pool, bloom_semi_join's
+    # shared-build refactor), then 31 of the STALEST driver verdicts —
+    # r7-era rows, computed mechanically with before_round=12
+    # staleness (filler overlap with the r11 window: 0; max filler
+    # round 7 == tail min).
     # test_registry.test_round12_window_composition checks this
     # mechanically against the CORRECTNESS history; the r11 window is
     # frozen as the keys of CORRECTNESS_r11.json and still asserted by
@@ -6804,7 +6806,7 @@ def oracle_sql() -> dict[str, str]:
     sql["events_retention"] = """
         WITH base AS (
           SELECT DISTINCT user_id AS u,
-                 (epoch(ts)::BIGINT // 86400) // 7 AS p
+                 (epoch_us(ts) // 86400000000) // 7 AS p
           FROM events
         ), first AS (
           SELECT u, MIN(p) AS cohort_period FROM base GROUP BY u
@@ -6818,7 +6820,7 @@ def oracle_sql() -> dict[str, str]:
     sql["events_cohort_ltv"] = """
         WITH base AS (
           SELECT user_id AS u,
-                 (epoch(ts)::BIGINT // 86400) // 7 AS p,
+                 (epoch_us(ts) // 86400000000) // 7 AS p,
                  COALESCE(CAST(ROUND(value, 4) AS DECIMAL(19,4)),
                           0::DECIMAL(19,4)) AS v
           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL

@@ -78,10 +78,11 @@ def retention_cohorts(
     period (cohort), counted in every later period they return.
 
     Output: (cohort_period long, period_offset long, n_users) where
-    periods are epoch-day DIV ``period_days`` buckets (deterministic
-    integer arithmetic — no timezone/calendar ambiguity across
-    engines) and offset 0 is the cohort period itself (n_users there
-    = cohort size).
+    periods are epoch-microsecond integer DIV buckets (exact at any
+    timestamp granularity — sub-second micros included; both engines
+    truncate toward zero, so pre-1970 rows bucket identically too; no
+    timezone/calendar ambiguity) and offset 0 is the cohort period
+    itself (n_users there = cohort size).
 
     Scale: two aggregations — per-(user) first-seen, then
     per-(cohort, offset) distinct users; both shuffle on bounded
@@ -89,7 +90,8 @@ def retention_cohorts(
     base = events.select(
         F.col(user_col).alias("u"),
         F.expr(
-            f"CAST(CAST({ts_col} AS LONG) / 86400 AS LONG) DIV {int(period_days)}"
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 86400000000"
+            f" DIV {int(period_days)}"
         ).alias("p"),
     ).distinct()
     first = base.groupBy("u").agg(F.min("p").alias("cohort_period"))
@@ -570,7 +572,7 @@ def peak_concurrency(
             "user",
         )
     )
-    keyed = bounds.withColumn("__us", F.unix_micros(F.col("ts")))
+    keyed = bounds.withColumn("__us", F.unix_micros(F.col("ts").cast("timestamp")))
     summed, _ = exact_global_cumsum(
         keyed, "delta", ["__us", "delta", "user"], out="concurrent"
     )
@@ -1047,7 +1049,9 @@ def cohort_ltv(
     cum_value) — n_users is the offset's DISTINCT active users (the
     retention triangle rides along), values are exact 4-dp decimal
     sums (cumulated exactly — no float accumulation across offsets),
-    periods the same epoch-day DIV buckets as retention_cohorts.
+    periods the same epoch-microsecond integer DIV buckets as
+    retention_cohorts (exact at any timestamp granularity; both
+    engines truncate toward zero).
 
     Scale: one per-user first-seen aggregation (user-keyed), one
     (cohort, offset) aggregation, and one cumulative window whose
@@ -1059,7 +1063,8 @@ def cohort_ltv(
     ).select(
         F.col(user_col).alias("u"),
         F.expr(
-            f"CAST(CAST({ts_col} AS LONG) / 86400 AS LONG) DIV {int(period_days)}"
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 86400000000"
+            f" DIV {int(period_days)}"
         ).alias("p"),
         F.coalesce(v4, F.lit(0).cast("decimal(19,4)")).alias("v"),
     )
@@ -1126,8 +1131,8 @@ def burstiness(
         events.filter(F.col(ts_col).isNotNull())
         .withColumn(
             "__gap",
-            F.unix_micros(F.col(ts_col))
-            - F.lag(F.unix_micros(F.col(ts_col))).over(w),
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.lag(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w),
         )
         .filter(F.col("__gap").isNotNull())
     )

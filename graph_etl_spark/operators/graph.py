@@ -1366,6 +1366,14 @@ def betweenness_sample(
     checkpointed (flat lineage). σ is exact integer path counting;
     δ divides and sums doubles, rounded once at the end.
 
+    Determinism contract: this operator is in the DOCUMENTED
+    FLOAT-CLASS (like pagerank) — the δ accumulation is plain double
+    sums whose order differs between Spark partitions and a SQL
+    oracle, so a δ landing exactly on a 6-dp rounding boundary could
+    diverge in the last digit. The exact-rational alternative (carry
+    σ-ratio sums as big rationals) is disproportionate for a sampled
+    approximation; accepted and documented instead.
+
     Output: (id, betweenness) for every vertex reached by any sweep
     (sources included — their own dependency as intermediate vertices
     on OTHER sources' paths counts, per Brandes).
@@ -1487,8 +1495,14 @@ def degree_assortativity(
     Scale: one degree aggregation + two vertex-keyed joins into the
     edge list + one 1-row moment aggregation; nothing is ever
     all-pairs, and the moments combine map-side."""
+    # canonical undirected orientation BEFORE distinct: an input that
+    # carries both (a,b) and (b,a) counts that edge's degree mass once
+    # (the betweenness_sample convention), not twice.
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
         .filter(
             F.col("a").isNotNull()
             & F.col("b").isNotNull()

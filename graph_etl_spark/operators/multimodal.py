@@ -888,16 +888,20 @@ def resize_image(
     return df.select(id_col, bin_col).mapInPandas(batches, RESIZED_REAL_SCHEMA)
 
 
-AHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("media_type", T.StringType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("ahash_w0", T.LongType()),
-        T.StructField("ahash_w1", T.LongType()),
-    ]
-)
+def _ahash_schema(id_field: T.StructField) -> T.StructType:
+    """image_ahash output schema, built around the CALLER's id column
+    (name + type preserved — the module convention; a custom id_col is
+    no longer silently renamed to doc_id)."""
+    return T.StructType(
+        [
+            id_field,
+            T.StructField("media_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("ahash_w0", T.LongType()),
+            T.StructField("ahash_w1", T.LongType()),
+        ]
+    )
 
 
 def image_ahash(
@@ -940,12 +944,14 @@ def image_ahash(
             f"into two longs (got {g})"
         )
 
+    out_schema = _ahash_schema(df.schema[id_col])
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {k.name: [] for k in AHASH_SCHEMA.fields}
+            rows = {k.name: [] for k in out_schema.fields}
             for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(payload) if payload is not None else b""
-                rows["doc_id"].append(int(doc_id))
+                rows[id_col].append(doc_id)
                 decoded = None
                 if raw[:8] == _PNG_SIG:
                     try:
@@ -982,7 +988,7 @@ def image_ahash(
                 rows["ahash_w1"].append(w1)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, bin_col).mapInPandas(batches, AHASH_SCHEMA)
+    return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
 
 
 def synth_png_variant_column(

@@ -314,11 +314,13 @@ def bloom_semi_join(
     - ``scale=True`` (the PRODUCTION PROBE): the packed words travel
       once per executor as a SparkContext broadcast variable (numpy
       int64 array, n_bits/32 * 8 bytes) and the probe runs inside an
-      Arrow ``mapInPandas`` stage — the key is stringified JVM-side
-      (cast parity with the literal path's hash input) and each Arrow
-      batch is filtered with the identical md5-position/bit test. At
-      ~10 bits/key a 100 M-key dim is a 125 MB broadcast — executor
-      memory, never plan bytes.
+      Arrow ``mapInPandas`` stage. The ``n_hashes`` bit POSITIONS are
+      computed JVM-side (the same whole-stage-codegen md5/conv
+      arithmetic as the literal path — ``pos_expr``) so the Python
+      stage is a pure vectorized numpy bitmap lookup
+      ``(words[pos >> 5] >> (pos & 31)) & 1`` with zero per-row Python
+      hashing. At ~10 bits/key a 100 M-key dim is a 125 MB broadcast —
+      executor memory, never plan bytes.
 
     Words pack 32 bits/long via exact power-of-two sums (the
     ``binarize_embeddings`` convention — no sign-bit wraparound).
@@ -374,7 +376,7 @@ def bloom_semi_join(
         arr[int(r["__w"])] = int(r["__wval"])
 
     if scale:
-        return _bloom_probe_broadcast(fact, fact_key, arr, nb, nh)
+        return _bloom_probe_broadcast(fact, fact_key, arr, nb, nh, pos_expr)
 
     wvals = F.array(*[F.lit(int(x)).cast("long") for x in arr])
     key = F.col(fact_key)
@@ -394,55 +396,46 @@ def bloom_semi_join(
 
 
 def _bloom_probe_broadcast(
-    fact: DataFrame, fact_key: str, arr: list[int], nb: int, nh: int
+    fact: DataFrame, fact_key: str, arr: list[int], nb: int, nh: int, pos_expr
 ) -> DataFrame:
     """bloom_semi_join's scale probe: packed words as an executor-side
     broadcast variable, bit test per Arrow batch. Bit-identical to the
-    literal-array probe — the key string Python hashes is produced by
-    the SAME JVM cast, and md5-hex-14 == h56 by construction."""
+    literal-array probe BY CONSTRUCTION — the ``nh`` bit positions are
+    computed with the SAME JVM ``pos_expr`` (md5/conv whole-stage
+    codegen) the literal path uses; the Python stage is only the
+    vectorized numpy bitmap lookup, no per-row hashing."""
     import numpy as np
     from pyspark.sql import types as T
 
     words_bc = fact.sparkSession.sparkContext.broadcast(
         np.asarray(arr, dtype=np.int64)
     )
-    tagged = fact.withColumn("__kstr", F.col(fact_key).cast("string"))
+    key = F.col(fact_key)
+    # -1 marks a NULL key (never passes); valid positions are >= 0, so
+    # the Python side needs no null handling and Arrow ships plain i64.
+    pos_cols = [
+        F.coalesce(pos_expr(j, key), F.lit(-1)).cast("long").alias(f"__p{j}")
+        for j in range(nh)
+    ]
+    tagged = fact.select("*", *pos_cols)
+    fact_cols = [f.name for f in fact.schema.fields]
     out_schema = T.StructType(
         list(fact.schema.fields)
         + [T.StructField("bloom_pass", T.BooleanType(), False)]
     )
 
     def probe(batches):
-        import hashlib
-
         words = words_bc.value
+        pnames = [f"__p{j}" for j in range(nh)]
         for pdf in batches:
-            ks = pdf["__kstr"]
-            keep = ks.notna().to_numpy()
-            if keep.any():
-                idx = np.flatnonzero(keep)
-                keys = ks.iloc[idx].to_numpy()
-                for j in range(nh):
-                    pre = f"{j}|".encode()
-                    pos = np.fromiter(
-                        (
-                            int(
-                                hashlib.md5(pre + k.encode()).hexdigest()[:14],
-                                16,
-                            )
-                            % nb
-                            for k in keys
-                        ),
-                        dtype=np.int64,
-                        count=len(keys),
-                    )
-                    hit = ((words[pos // 32] >> (pos % 32)) & 1).astype(bool)
-                    keep[idx] &= hit
-                    if not keep[idx].any():
-                        break
-                    still = hit.nonzero()[0]
-                    idx, keys = idx[still], keys[still]
-            res = pdf.loc[keep].drop(columns="__kstr")
+            keep = pdf[pnames[0]].to_numpy(dtype=np.int64) >= 0
+            for name in pnames:
+                if not keep.any():
+                    break
+                pos = pdf[name].to_numpy(dtype=np.int64)
+                safe = np.where(keep, pos, 0)
+                keep &= ((words[safe >> 5] >> (safe & 31)) & 1).astype(bool)
+            res = pdf.loc[keep, fact_cols]
             res["bloom_pass"] = np.ones(len(res), dtype=bool)
             yield res
 

@@ -927,3 +927,34 @@ def test_betweenness_frontier_is_join_shaped(spark):
 def test_mad_outliers_windows_partition_by_group(spark, entry):
     df = entry.q_quality_mad_outliers(spark, SF)
     assert_no_cartesian(df)
+
+
+def test_bloom_broadcast_probe_positions_jvm_side(spark):
+    """VERDICT r12 #1: the production bloom probe's nh hash positions
+    must be computed JVM-side (the md5/conv whole-stage-codegen
+    arithmetic of pos_expr) BEFORE the Arrow stage, leaving the Python
+    side a pure vectorized numpy bitmap lookup — no per-row hashlib."""
+    import inspect
+
+    from graph_etl_spark import operators as ops
+    from graph_etl_spark.operators import skew
+
+    fact = spark.createDataFrame(
+        [(i % 70, i) for i in range(400)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(i * 7,) for i in range(20)], "dk long")
+    out = ops.bloom_semi_join(fact, dim, "k", "dk", n_bits=512, scale=True)
+    p = plan_string(out)
+    assert "MapInPandas" in p
+    # the position arithmetic lives in the JVM scan->project stage
+    assert "md5" in p and "conv" in p, (
+        "hash positions must be JVM-side pos_expr columns"
+    )
+    assert p.index("MapInPandas") < p.index("md5"), (
+        "md5/conv must feed the Arrow stage (plans print top-down)"
+    )
+    # and the Python stage does zero hashing of its own
+    src = inspect.getsource(skew._bloom_probe_broadcast)
+    assert "hashlib" not in src and "md5" not in src.replace(
+        "md5/conv", ""
+    ), "per-row Python hashing crept back into the probe"
