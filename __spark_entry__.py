@@ -3593,6 +3593,58 @@ def q_graph_louvain_communities(spark, sf):
     return ops.louvain_communities(edges, comm, max_rounds=3)
 
 
+def _copurchase_1995(spark, sf):
+    """The 1995 co-purchase graph (src < dst canonical) — the shared
+    fixture of the louvain/modularity/assortativity family."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.year("l_shipdate") == 1995)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_graph_louvain_coarsen(spark, sf):
+    """Louvain PHASE 2 contraction (VERDICT r12 #4): the 1995
+    co-purchase graph contracted under the brand partition — every
+    community a super-node, parallel edges summed into exact integer
+    weights, self-loops kept as the inner-edge mass. Output: the
+    weighted community multigraph (c_src, c_dst, weight), canonical
+    c_src <= c_dst."""
+    edges = _copurchase_1995(spark, sf)
+    comm = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("community")
+    )
+    return ops.louvain_coarsen(edges, comm)
+
+
+def q_graph_louvain_two_level(spark, sf):
+    """FULL two-level Louvain (VERDICT r12 #4) — move -> contract ->
+    move: 2 semi-synchronous phase-1 rounds on the 1995 co-purchase
+    graph under the brand seed, phase-2 contraction to the weighted
+    brand graph, then 2 weighted phase-1 rounds on the contraction
+    from singleton seeds, coarse labels projected back to every part.
+    All integer-exact (decimal scores, long weights, engine-mirrorable
+    parity gates) so the oracle unrolls the identical sequence."""
+    edges = _copurchase_1995(spark, sf)
+    comm = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("community")
+    )
+    return ops.louvain_two_level(edges, comm, rounds1=2, rounds2=2)
+
+
 def q_sim_mmr_rerank(spark, sf):
     """Maximal-marginal-relevance diversified top-5 from a top-20
     candidate pool (λ=0.7): greedy per-step argmax of
@@ -3837,6 +3889,25 @@ def q_dedup_cdc_chunks(spark, sf):
     )
 
 
+def q_dedup_cdc_guarded(spark, sf):
+    """GUARDED CDC chunking (VERDICT r12 #6): the production twin —
+    candidate boundaries from the same 4-token rolling H56/2^4 rule,
+    but honored only at chunk length >= 4 and force-split at 24, so
+    the geometric tail of 1-token chunks is gone and no chunk exceeds
+    the cap. Chunk assignment walks the sparse candidate list per doc
+    inside a doc-grouped Arrow stage; flags and chunk hashes stay
+    JVM-side. Output: (doc_id, chunk_idx, n_tokens, chunk_hash). The
+    oracle replays the identical (start, candidates, n) transition
+    with a recursive CTE."""
+    return ops.cdc_chunk_hashes(
+        _t(spark, sf, "documents"),
+        window=4,
+        mask_bits=4,
+        min_tokens=4,
+        max_tokens=24,
+    )
+
+
 def q_dedup_dup_rate_by_source(spark, sf):
     """Per-source duplicate-rate curation table: near-dup clusters
     (MinHash LSH -> CC -> min-id canonical) with every non-canonical
@@ -3944,6 +4015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "graph_louvain_move": q_graph_louvain_move,
         "graph_louvain_communities": q_graph_louvain_communities,
+        "graph_louvain_coarsen": q_graph_louvain_coarsen,
+        "graph_louvain_two_level": q_graph_louvain_two_level,
         "sim_mmr_rerank": q_sim_mmr_rerank,
         "sim_hamming_topk": q_sim_hamming_topk,
         "sim_hamming_topk_scale": q_sim_hamming_topk_scale,
@@ -3952,6 +4025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_novelty": q_dedup_ngram_novelty,
         "dedup_minhash_audit": q_dedup_minhash_audit,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "dedup_cdc_guarded": q_dedup_cdc_guarded,
         "dedup_dup_rate_by_source": q_dedup_dup_rate_by_source,
         "mm_resize_real": q_mm_resize_real,
         "mm_image_ahash_dedup": q_mm_image_ahash_dedup,
@@ -9284,6 +9358,118 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS id, c AS community FROM comm_3
     """
 
+    # Louvain phase 2 (VERDICT r12 #4): contraction of the brand
+    # partition — exact integer weights, canonical orientation,
+    # self-loops kept (they are the next level's inner-edge mass)
+    sql["graph_louvain_coarsen"] = """
+        WITH e0 AS (
+          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+          FROM (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) a
+          JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), comm AS (
+          SELECT p_partkey AS node, p_brand AS c FROM part
+        )
+        SELECT LEAST(cs.c, cd.c) AS c_src,
+               GREATEST(cs.c, cd.c) AS c_dst,
+               COUNT(*)::BIGINT AS weight
+        FROM e0 JOIN comm cs ON e0.s = cs.node
+                JOIN comm cd ON e0.d = cd.node
+        GROUP BY 1, 2
+    """
+
+    # Two-level Louvain: move -> contract -> move, fully unrolled.
+    # One WEIGHT-AWARE round template serves both levels (the fine
+    # level rides w = 1, the coarse level the contraction weights);
+    # same scoring/parity/tie conventions as graph_louvain_communities.
+    def _lv_round(r: int, pfx: str) -> str:
+        p = r - 1
+        return f"""{pfx}tot_{r} AS (
+          SELECT c, SUM(k)::BIGINT AS tot
+          FROM {pfx}deg JOIN {pfx}comm_{p} USING (node) GROUP BY c
+        ), {pfx}lab_{r} AS (
+          SELECT e.s, e.d, e.w, cs.c AS cs, cd.c AS cd
+          FROM {pfx}e0 e JOIN {pfx}comm_{p} cs ON e.s = cs.node
+                         JOIN {pfx}comm_{p} cd ON e.d = cd.node
+        ), {pfx}cand_{r} AS (
+          SELECT node, c, MAX(kic)::BIGINT AS kic FROM (
+            SELECT node, c, SUM(w)::BIGINT AS kic FROM (
+              SELECT s AS node, cd AS c, w FROM {pfx}lab_{r}
+              UNION ALL SELECT d, cs, w FROM {pfx}lab_{r}
+            ) GROUP BY node, c
+            UNION ALL
+            SELECT {pfx}deg.node, {pfx}comm_{p}.c, 0::BIGINT
+            FROM {pfx}deg JOIN {pfx}comm_{p} USING (node)
+          ) GROUP BY node, c
+        ), {pfx}pick_{r} AS (
+          SELECT node, c FROM (
+            SELECT {pfx}cand_{r}.node, {pfx}cand_{r}.c, cur.c AS cur,
+                   row_number() OVER (
+                     PARTITION BY {pfx}cand_{r}.node
+                     ORDER BY (2 * {pfx}m.m)::HUGEINT * {pfx}cand_{r}.kic
+                                - {pfx}deg.k::HUGEINT
+                                  * (CASE WHEN {pfx}cand_{r}.c = cur.c
+                                          THEN {pfx}tot_{r}.tot - {pfx}deg.k
+                                          ELSE {pfx}tot_{r}.tot END) DESC,
+                              ({pfx}cand_{r}.c = cur.c) DESC,
+                              {pfx}cand_{r}.c ASC) AS rn
+            FROM {pfx}cand_{r}
+            JOIN {pfx}deg ON {pfx}deg.node = {pfx}cand_{r}.node
+            JOIN {pfx}comm_{p} cur ON cur.node = {pfx}cand_{r}.node
+            JOIN {pfx}tot_{r} ON {pfx}tot_{r}.c = {pfx}cand_{r}.c
+            CROSS JOIN {pfx}m
+          ) WHERE rn = 1 AND c <> cur
+            AND ((('0x' || substr(md5(node::VARCHAR), 1, 14))::BIGINT
+                  + {p}) % 2) = 0
+        ), {pfx}comm_{r} AS MATERIALIZED (
+          SELECT {pfx}comm_{p}.node, COALESCE({pfx}pick_{r}.c, {pfx}comm_{p}.c) AS c
+          FROM {pfx}comm_{p} LEFT JOIN {pfx}pick_{r} USING (node)
+        )"""
+
+    fine = ",\n        ".join(_lv_round(r, "") for r in (1, 2))
+    coarse = ",\n        ".join(_lv_round(r, "c") for r in (1, 2))
+    sql["graph_louvain_two_level"] = f"""
+        WITH e0 AS MATERIALIZED (
+          SELECT s, d, 1::BIGINT AS w FROM (
+            SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+            FROM (SELECT l_orderkey, l_partkey FROM lineitem
+                  WHERE year(l_shipdate) = 1995) a
+            JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+                  WHERE year(l_shipdate) = 1995) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          )
+        ), comm_0 AS (
+          SELECT p_partkey AS node, p_brand AS c FROM part
+        ), m AS (SELECT SUM(w)::BIGINT AS m FROM e0),
+        deg AS MATERIALIZED (
+          SELECT node, SUM(w)::BIGINT AS k FROM (
+            SELECT s AS node, w FROM e0 UNION ALL SELECT d, w FROM e0
+          ) GROUP BY node
+        ),
+        {fine},
+        ce0 AS MATERIALIZED (
+          SELECT LEAST(cs.c, cd.c) AS s, GREATEST(cs.c, cd.c) AS d,
+                 SUM(e.w)::BIGINT AS w
+          FROM e0 e JOIN comm_2 cs ON e.s = cs.node
+                    JOIN comm_2 cd ON e.d = cd.node
+          GROUP BY 1, 2
+        ), ccomm_0 AS (
+          SELECT DISTINCT node, node AS c FROM (
+            SELECT s AS node FROM ce0 UNION ALL SELECT d FROM ce0
+          )
+        ), cm AS (SELECT SUM(w)::BIGINT AS m FROM ce0),
+        cdeg AS MATERIALIZED (
+          SELECT node, SUM(w)::BIGINT AS k FROM (
+            SELECT s AS node, w FROM ce0 UNION ALL SELECT d, w FROM ce0
+          ) GROUP BY node
+        ),
+        {coarse}
+        SELECT comm_2.node AS id, COALESCE(cc.c, comm_2.c) AS community
+        FROM comm_2 LEFT JOIN ccomm_2 cc ON comm_2.c = cc.node
+    """
+
     # MMR: unrolled greedy steps — sel_1 is pure relevance, each later
     # step re-ranks the un-picked candidates by
     # 0.7*rel - (1.0-0.7)*max_sim_to_selected
@@ -10038,6 +10224,74 @@ def oracle_sql() -> dict[str, str]:
         FROM pdh JOIN freq USING (chunk_hash) GROUP BY doc_id
     """
 
+    # Guarded CDC (VERDICT r12 #6): same candidate rule, then the
+    # sequential min/max guard transition replayed as a recursive CTE
+    # — end(start) = first candidate with start+3 <= pos <= start+23,
+    # else a forced split at start+23 when more than 24 tokens remain,
+    # else the end of the doc (trailing runt allowed). 1-based
+    # positions; identical to the Spark twin's 0-based walk.
+    sql["dedup_cdc_guarded"] = f"""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+          WHERE len({_TOKS}) > 0
+        ), expl AS (
+          SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                 unnest(toks) AS tok, toks
+          FROM docs
+        ), flagged AS MATERIALIZED (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN {_H56.format(x="array_to_string(list_slice(toks, greatest(1, pos - 3), pos), ' ')")} % 16 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM expl
+        ), cand AS (
+          SELECT doc_id, pos FROM flagged WHERE b = 1
+        ), nn AS MATERIALIZED (
+          SELECT doc_id, COUNT(*)::BIGINT AS n FROM flagged GROUP BY doc_id
+        ), nxt AS MATERIALIZED (
+          -- first honorable candidate for EVERY potential chunk start:
+          -- keeps the recursion itself join-only (no correlated
+          -- subquery / aggregate inside the recursive term)
+          SELECT st.doc_id, st.pos::BIGINT AS start_pos,
+                 MIN(c.pos)::BIGINT AS p
+          FROM flagged st JOIN cand c
+            ON c.doc_id = st.doc_id
+           AND c.pos >= st.pos + 3 AND c.pos <= st.pos + 23
+          GROUP BY 1, 2
+        ), spans AS (
+          SELECT doc_id, 0::BIGINT AS chunk_idx, 1::BIGINT AS start_pos
+          FROM nn
+          UNION ALL
+          SELECT s.doc_id, s.chunk_idx + 1,
+                 COALESCE(nxt.p,
+                          CASE WHEN nn.n - s.start_pos + 1 > 24
+                               THEN s.start_pos + 23 ELSE nn.n END) + 1
+          FROM spans s
+          JOIN nn ON nn.doc_id = s.doc_id
+          LEFT JOIN nxt ON nxt.doc_id = s.doc_id
+                       AND nxt.start_pos = s.start_pos
+          WHERE COALESCE(nxt.p,
+                         CASE WHEN nn.n - s.start_pos + 1 > 24
+                              THEN s.start_pos + 23 ELSE nn.n END) < nn.n
+        ), spans_e AS (
+          SELECT s.doc_id, s.chunk_idx, s.start_pos,
+                 COALESCE(nxt.p,
+                          CASE WHEN nn.n - s.start_pos + 1 > 24
+                               THEN s.start_pos + 23 ELSE nn.n END)
+                   AS end_pos
+          FROM spans s
+          JOIN nn ON nn.doc_id = s.doc_id
+          LEFT JOIN nxt ON nxt.doc_id = s.doc_id
+                       AND nxt.start_pos = s.start_pos
+        )
+        SELECT f.doc_id, sp.chunk_idx,
+               COUNT(*)::BIGINT AS n_tokens,
+               {_H56.format(x="string_agg(f.tok, ' ' ORDER BY f.pos)")}
+                 AS chunk_hash
+        FROM flagged f JOIN spans_e sp
+          ON f.doc_id = sp.doc_id
+         AND f.pos BETWEEN sp.start_pos AND sp.end_pos
+        GROUP BY f.doc_id, sp.chunk_idx
+    """
     sql["dedup_ngram_novelty"] = f"""
         WITH sh AS (
           SELECT DISTINCT doc_id, s FROM (

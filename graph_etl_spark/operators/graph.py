@@ -1139,6 +1139,7 @@ def louvain_move(
     dst: str = "dst",
     id_col: str = "id",
     comm_col: str = "community",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One SYNCHRONIZED round of Louvain local moves (Blondel et al.
     2008, phase-1 step): every node evaluates its neighbors'
@@ -1168,14 +1169,29 @@ def louvain_move(
     list; the argmax is a NODE-keyed window over each node's candidate
     communities (bounded by its distinct-neighbor-community count).
     One scalar collect for m. No iteration inside — the caller owns
-    the loop."""
+    the loop.
+
+    ``weight_col`` turns every count into an exact integer-weight sum
+    (m = Σw, k_i = Σ incident w, k_{i,c} = Σw into c) — the PHASE-2
+    requirement: ``louvain_coarsen``'s contracted multigraph carries
+    integer edge multiplicities, and a self-loop (c, c, w) contributes
+    2w to c's degree and w to m (both endpoints are c), the standard
+    weighted-Louvain accounting. Weights are cast to long — INTEGER
+    weights are the contract (exact decimal scores, no float risk)."""
     comm = communities.select(
         F.col(id_col).alias("__node"), F.col(comm_col).alias("__c")
+    )
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
     )
     # LEFT joins — modularity's convention: an unlabeled endpoint
     # keeps its edge in m and its degree mass, it just labels nothing
     e = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+        )
         .join(
             comm.select(
                 F.col("__node").alias("__s"), F.col("__c").alias("__cs")
@@ -1192,15 +1208,15 @@ def louvain_move(
         )
         .localCheckpoint(eager=False)
     )
-    m_row = e.agg(F.count(F.lit(1)).alias("__m")).collect()[0]
-    m = int(m_row["__m"])
+    m_row = e.agg(F.sum("__w").alias("__m")).collect()[0]
+    m = int(m_row["__m"] or 0)
     if m == 0:
         raise ValueError("louvain_move: edge set is empty")
     deg = (
-        e.select(F.col("__s").alias("__node"))
-        .unionByName(e.select(F.col("__d").alias("__node")))
+        e.select(F.col("__s").alias("__node"), "__w")
+        .unionByName(e.select(F.col("__d").alias("__node"), "__w"))
         .groupBy("__node")
-        .agg(F.count(F.lit(1)).alias("__k"))
+        .agg(F.sum("__w").alias("__k"))
     )
     tot = (
         deg.join(comm, "__node")
@@ -1208,13 +1224,17 @@ def louvain_move(
         .agg(F.sum("__k").alias("__tot"))
     )
     k_ic = (
-        e.select(F.col("__s").alias("__node"), F.col("__cd").alias("__c"))
+        e.select(
+            F.col("__s").alias("__node"), F.col("__cd").alias("__c"), "__w"
+        )
         .unionByName(
-            e.select(F.col("__d").alias("__node"), F.col("__cs").alias("__c"))
+            e.select(
+                F.col("__d").alias("__node"), F.col("__cs").alias("__c"), "__w"
+            )
         )
         .filter(F.col("__c").isNotNull())
         .groupBy("__node", "__c")
-        .agg(F.count(F.lit(1)).alias("__kic"))
+        .agg(F.sum("__w").alias("__kic"))
     )
     own = deg.join(comm, "__node").select(
         "__node", "__c", F.lit(0).cast("long").alias("__kic")
@@ -1267,6 +1287,7 @@ def louvain_communities(
     dst: str = "dst",
     id_col: str = "id",
     comm_col: str = "community",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """FULL Louvain phase-1 loop — SEMI-SYNCHRONOUS ``louvain_move``
     rounds to a FIXED budget with integer-exact convergence detection.
@@ -1313,7 +1334,13 @@ def louvain_communities(
     zero_streak = 0
     for r in range(int(max_rounds)):
         moves = louvain_move(
-            edges, comm, src=src, dst=dst, id_col="id", comm_col="community"
+            edges,
+            comm,
+            src=src,
+            dst=dst,
+            id_col="id",
+            comm_col="community",
+            weight_col=weight_col,
         )
         gate = (h56(F.col("id").cast("string")) + F.lit(r)) % 2 == 0
         applied = (
@@ -1338,6 +1365,141 @@ def louvain_communities(
             .localCheckpoint(eager=True)
         )
     return comm
+
+
+def louvain_coarsen(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    comm_col: str = "community",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """LOUVAIN PHASE 2 — community-graph CONTRACTION (Blondel et al.
+    2008): aggregate every community to a super-node and sum parallel
+    edge multiplicities, producing the weighted multigraph the next
+    level's local moves run on. This is where the big modularity gains
+    come from on hierarchical graphs — phase-1 alone refines labels,
+    contraction lets whole communities merge in one move.
+
+    Endpoint labeling: an endpoint missing from ``communities`` keeps
+    ITS OWN id (cast to the community column's type) as a singleton
+    community — the standard Louvain initialization; pass a full
+    labeling to avoid the cast. Self-loops are KEPT as (c, c, w) rows:
+    they carry the community's inner-edge mass, which weighted
+    ``louvain_move`` counts as 2w degree / w in m — drop them and the
+    next level's modularity accounting breaks.
+
+    Output: (c_src, c_dst, weight) with canonical undirected
+    orientation (c_src <= c_dst) and weight = the exact integer count
+    (or Σ ``weight_col``) of original edges between the two
+    communities.
+
+    Scale: two label joins into the edge list + ONE community-pair
+    aggregation — the output is communities²-bounded in the worst case
+    but community-graph-sized in practice (it IS the next level's
+    input); nothing is all-pairs and the agg combines map-side."""
+    ctype = communities.schema[comm_col].dataType
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    comm = communities.select(
+        F.col(id_col).alias("__node"), F.col(comm_col).alias("__c")
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+        )
+        .join(
+            comm.select(F.col("__node").alias("__s"), F.col("__c").alias("__cs")),
+            "__s",
+            "left",
+        )
+        .join(
+            comm.select(F.col("__node").alias("__d"), F.col("__c").alias("__cd")),
+            "__d",
+            "left",
+        )
+    )
+    cs = F.coalesce(F.col("__cs"), F.col("__s").cast(ctype))
+    cd = F.coalesce(F.col("__cd"), F.col("__d").cast(ctype))
+    return (
+        e.select(
+            F.least(cs, cd).alias("c_src"),
+            F.greatest(cs, cd).alias("c_dst"),
+            "__w",
+        )
+        .groupBy("c_src", "c_dst")
+        .agg(F.sum("__w").alias("weight"))
+    )
+
+
+def louvain_two_level(
+    edges: DataFrame,
+    communities: DataFrame,
+    rounds1: int = 2,
+    rounds2: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    comm_col: str = "community",
+) -> DataFrame:
+    """FULL two-level Louvain — move → contract → move: phase-1 local
+    moves (``louvain_communities``, ``rounds1`` semi-synchronous
+    rounds), phase-2 contraction (``louvain_coarsen``), then phase-1
+    again on the weighted community graph seeded with singleton
+    communities (``rounds2`` rounds), and the coarse labels projected
+    back down: a node's final community is the coarse community its
+    level-1 community moved to.
+
+    Every stage is deterministic and integer-exact (the move scores
+    are decimal(38,0), contraction weights exact longs, the parity
+    gate engine-mirrorable), so a SQL oracle unrolls the exact same
+    move→contract→move sequence.
+
+    Output: (id, community) for every node in ``communities`` — the
+    community type is the seed label type (coarse labels ARE level-1
+    labels).
+
+    Scale: phase 1 costs rounds1 louvain_move shuffles on the full
+    graph; everything after runs on the CONTRACTED graph (communities
+    × communities bounded, typically orders of magnitude smaller) —
+    the classic Louvain cost profile."""
+    comm1 = louvain_communities(
+        edges,
+        communities,
+        max_rounds=rounds1,
+        src=src,
+        dst=dst,
+        id_col=id_col,
+        comm_col=comm_col,
+    )
+    coarse = louvain_coarsen(
+        edges, comm1, src=src, dst=dst, id_col="id", comm_col="community"
+    ).localCheckpoint(eager=True)
+    seed2 = (
+        coarse.select(F.col("c_src").alias("id"))
+        .unionByName(coarse.select(F.col("c_dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("community"))
+    )
+    comm2 = louvain_communities(
+        coarse,
+        seed2,
+        max_rounds=rounds2,
+        src="c_src",
+        dst="c_dst",
+        weight_col="weight",
+    )
+    up = comm2.select(
+        F.col("id").alias("community"), F.col("community").alias("__c2")
+    )
+    return comm1.join(up, "community", "left").select(
+        "id", F.coalesce(F.col("__c2"), F.col("community")).alias("community")
+    )
 
 
 def betweenness_sample(

@@ -164,3 +164,49 @@ def test_bench_headline_subset_of_registry():
     qs = entry.queries()
     missing = [q for q in bench.HEADLINE if q not in qs]
     assert not missing, f"bench HEADLINE references unknown queries: {missing}"
+
+
+def test_staleness_policy_self_enforcing():
+    """VERDICT r12 #3: the <=5-round re-certification policy enforces
+    itself. Two clauses, both computed from the CORRECTNESS history:
+
+    1. LANDED invariant — as of the latest landed driver round R, no
+       certified query's verdict is older than R-5. This is exactly
+       the policy statement and stays green across a driver landing
+       IFF every window absorbed its about-to-breach entries.
+    2. FORWARD gate — the LIVE window (first 50 of queries()) must
+       contain every entry that would breach the bound the moment the
+       upcoming round R+1 lands (latest <= R-5). Skipped while the
+       live window IS the just-landed round's window (post-driver,
+       pre-recomposition tree — clause 1 already holds there), so the
+       driver landing its own results never flips this test red
+       (the r11 failure mode)."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = _latest_driver_round()
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    landed = max(rounds)
+    overdue = sorted(q for q, r in latest.items() if landed - r > 5)
+    assert not overdue, (
+        f"staleness bound breached as of landed round {landed}: {overdue}"
+    )
+
+    window = list(entry.queries())[:50]
+    last_file = os.path.join(root, f"CORRECTNESS_r{landed:02d}.json")
+    if not os.path.exists(last_file):
+        last_file = os.path.join(root, f"CORRECTNESS_r{landed}.json")
+    if set(window) == set(json.load(open(last_file))):
+        return  # post-driver, pre-recomposition tree: clause 1 governs
+    must_recertify = sorted(
+        q for q, r in latest.items() if r <= landed - 5 and q not in set(window)
+    )
+    assert not must_recertify, (
+        f"these entries breach the 5-round bound when round {landed + 1} "
+        f"lands and MUST lead its window: {must_recertify}"
+    )
