@@ -578,6 +578,66 @@ def main() -> None:
         for ph, vals in phase_samples.items():
             print(f"#   .{ph}: {min(vals):.2f}s", file=sys.stderr)
 
+    def _suspect_list():
+        """(load_at_min, name) for every entry whose recorded min is
+        load-hot or uncorroborated — relative to THIS run's own load
+        envelope."""
+        flat = [x for v in all_sample_loads.values() for x in v]
+        med = sorted(flat)[len(flat) // 2] if flat else 0.0
+        thresh = max(2.0 * med, med + 4.0)
+        out = []
+        for n, samp in all_samples.items():
+            loads = all_sample_loads.get(n, [])
+            if not samp or not loads:
+                continue
+            i_min = samp.index(min(samp))
+            hot = i_min < len(loads) and loads[i_min] > thresh
+            # uncorroborated min: the recorded value has no second
+            # sample within 1.3x of it (the max/min spread would flag
+            # every query whose FIRST sample paid cold codegen — that
+            # is normal)
+            ss = sorted(samp)
+            spread = len(ss) >= 2 and ss[0] > 0 and ss[1] / ss[0] > 1.3
+            if hot or spread:
+                out.append((loads[i_min] if i_min < len(loads) else 0.0, n))
+        out.sort(reverse=True)
+        return med, out
+
+    # Post-sweep suspect re-sampling (VERDICT r12 #8): suspects are
+    # individually seconds, so one more quiet sample each either
+    # corroborates the min (clearing the spread flag) or lands a new
+    # quieter min (clearing the hot flag) — the shipped record's
+    # suspect list shrinks toward zero instead of deferring to next
+    # round's A/B. Flows are skipped (their phase sub-entries would
+    # desync from a resampled parent); two passes max.
+    def _resample(name):
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        all_samples[name].append(round(sec, 3))
+        all_sample_loads[name].append(round(os.getloadavg()[0], 2))
+        timings[name] = round(min(all_samples[name]), 3)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    for _pass in range(2):
+        _, sus = _suspect_list()
+        todo = [n for _, n in sus if n not in FLOWS]
+        if not todo:
+            break
+        print(
+            f"# resample pass {_pass + 1}: {len(todo)} suspects "
+            f"({', '.join(todo[:8])}{'...' if len(todo) > 8 else ''})",
+            file=sys.stderr,
+        )
+        for n in todo:
+            _resample(n)
+
+    flat_loads = [x for v in all_sample_loads.values() for x in v]
+
     # ".phase" sub-entries are attributions of their parent flow, not
     # additional work — exclude them from the headline total
     total = round(sum(t for n, t in timings.items() if "." not in n), 3)
@@ -640,25 +700,7 @@ def main() -> None:
     # extension policy — those are the named entries a drifted
     # subtotal should be pinned to (full arrays stay in the sidecar).
     flat_loads = [x for v in all_sample_loads.values() for x in v]
-    run_med = sorted(flat_loads)[len(flat_loads) // 2] if flat_loads else 0.0
-    load_thresh = max(2.0 * run_med, run_med + 4.0)
-    suspects = []
-    for n, samp in all_samples.items():
-        loads = all_sample_loads.get(n, [])
-        if not samp or not loads:
-            continue
-        i_min = samp.index(min(samp))
-        hot = i_min < len(loads) and loads[i_min] > load_thresh
-        # uncorroborated min: the recorded value has no second sample
-        # within 1.3x of it (the max/min spread would flag every query
-        # whose FIRST sample paid cold codegen — that is normal)
-        s = sorted(samp)
-        spread = len(s) >= 2 and s[0] > 0 and s[1] / s[0] > 1.3
-        if hot or spread:
-            suspects.append(
-                (loads[i_min] if i_min < len(loads) else 0.0, n)
-            )
-    suspects.sort(reverse=True)
+    run_med, suspects = _suspect_list()
     load_block = {
         "start": round(load_start[0], 2),
         "end": round(os.getloadavg()[0], 2),
