@@ -3908,6 +3908,65 @@ def q_dedup_cdc_guarded(spark, sf):
     )
 
 
+def q_quality_gopher_rules(spark, sf):
+    """The Gopher quality-filter battery (Rae et al. 2021, App. A):
+    per-rule boolean flags over exact integer counts/ratios — word
+    count, mean word length, symbol-to-word ratio, bullet/ellipsis
+    line ratios, alpha-word fraction, required-stopword presence —
+    plus the AND verdict; min_words=30 so the fixture splits on the
+    word-count rule."""
+    return ops.gopher_rules(_t(spark, sf, "documents"), min_words=30)
+
+
+def q_approx_hll_union(spark, sf):
+    """HLL sketch MERGE (Mergeable Summaries): per-event-type user
+    sketches merged by per-register MAX into the union estimate,
+    audited against the exact union distinct and the per-group exact
+    sum (>= union; the gap is the cross-type overlap the merge
+    deduplicates). Same engine-mirrorable estimator as
+    approx_hll_distinct."""
+    return ops.hll_union(_t(spark, sf, "events"), "event_type", "user_id", p=6)
+
+
+def q_graph_ktruss(spark, sf):
+    """4-truss of the 1995 co-purchase graph: iterative edge peeling
+    on triangle support (every surviving edge closes >= 2 triangles
+    inside the subgraph) to the fixpoint — 3 peel rounds at the test
+    scales; the oracle unrolls 6 (extra rounds past the fixpoint are
+    no-ops, the kcore convention). Output: surviving canonical edges
+    with their in-truss support."""
+    return ops.ktruss(_copurchase_1995(spark, sf), k=4)
+
+
+def q_text_char_entropy(spark, sf):
+    """Per-document character entropy (bits/char): exact character
+    counts, per-character cnt*log2(cnt) terms rounded to 6 dp and
+    summed as exact decimals (order-free), one final float expression.
+    The cheapest gibberish / filler-run signal."""
+    return ops.char_entropy(_t(spark, sf, "documents"))
+
+
+def q_dedup_overlap_pairs(spark, sf):
+    """Shard-seam dedup: docs whose LAST 8 tokens equal another doc's
+    FIRST 8 tokens — the re-chunked-crawl / split-document signature
+    MinHash and aligned-window passage dedup both miss. The corpus is
+    documents plus a deterministic continuation per doc (its 8-token
+    suffix prepended to its own text under doc_id + 1000000), so every
+    original pairs with its continuation; the join key is H56 of the
+    boundary 8-gram with a verbatim string recheck."""
+    from graph_etl_spark.operators.text import tokens_col
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = tokens_col(F.col("text"))
+    synth = d.filter(F.size(toks) >= 8).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(toks, -8, 8), " "), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+    return ops.prefix_suffix_overlap(d.unionByName(synth), k=8)
+
+
 def q_dedup_dup_rate_by_source(spark, sf):
     """Per-source duplicate-rate curation table: near-dup clusters
     (MinHash LSH -> CC -> min-id canonical) with every non-canonical
@@ -3952,28 +4011,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the driver's later collect executes the engine's semantics on
     its own untouched session.
 
-    Round-12 rotation (VERDICT r9 #5 policy: every query's latest
-    driver row should be <= 4 rounds old): the window leads with the
-    ELEVEN round-12 NEW queries (broadcast-variable Bloom probe, full
-    semi-synchronous Louvain loop, perceptual image-aHash dedup over
-    the real PNG codec, HyperLogLog distinct audit, sampled Brandes
-    betweenness, content-defined-chunking dedup, robust MAD outliers,
-    cohort LTV, degree assortativity, per-source duplicate rate,
-    per-user burstiness) plus the EIGHT queries over code CHANGED
-    this round
-    (table_checksum's delimiter escaping, minhash_audit's broadcast
-    removal, both as-of rows after the NULL-timestamp fix, the
-    louvain_move/modularity missing-endpoint alignment, mmr_rerank's
-    partial-reduction pool, bloom_semi_join's shared-build refactor);
-    the remaining 31 slots go to the STALEST driver verdicts — the
-    alphabetically-first r7-era rows, computed mechanically with
-    round-aware (before_round=12) staleness. Filler overlap with the
-    r11 window: 0 (the 7 overlapping slots are all code-changed lead
-    entries, which MUST re-certify). The ordering is enforced by the
-    r12_window list at the bottom of this function and checked
-    mechanically by test_registry.test_round12_window_composition;
-    the r11 window stays asserted against CORRECTNESS_r11.json by its
-    own round-aware test.
+    Round-13 rotation (VERDICT r9 #5 staleness policy, now
+    self-enforcing via test_registry.test_staleness_policy): the
+    window leads with the EIGHT round-13 NEW queries (Louvain phase-2
+    contraction, two-level Louvain, guarded CDC production twin,
+    Gopher rule battery, HLL sketch merge, k-truss, char entropy,
+    shard-seam overlap pairs) plus the TWELVE queries over code
+    CHANGED this round (bloom probe's JVM-side positions — both bloom
+    rows; assortativity's reversed-orientation dedup; the
+    unix_micros/NTZ-robust bucketing — retention, cohort LTV,
+    burstiness, concurrency; louvain_move/communities' weight
+    support; cdc_chunk_hashes' guarded-path refactor; image_ahash's
+    dynamic id schema; hll_distinct's shared register helper). Then
+    the EIGHT r7-era rows at the 5-round staleness ceiling (VERDICT
+    r12 #2 — they breach the bound the moment r13 lands), then 22
+    alphabetically-first r8-era fillers. Filler overlap with the r12
+    window: 0. Enforced by the r13_window list at the bottom of this
+    function and checked by
+    test_registry.test_round13_window_composition; earlier windows
+    stay asserted against their CORRECTNESS_r*.json keys by their own
+    round-aware tests.
 
     The tail is NOT trusted to a docstring promise (VERDICT r5 item
     2): tools/preflight.py mechanically runs check_oracle.py over
@@ -4026,6 +4083,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_audit": q_dedup_minhash_audit,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "dedup_cdc_guarded": q_dedup_cdc_guarded,
+        "dedup_overlap_pairs": q_dedup_overlap_pairs,
+        "quality_gopher_rules": q_quality_gopher_rules,
+        "approx_hll_union": q_approx_hll_union,
+        "graph_ktruss": q_graph_ktruss,
+        "text_char_entropy": q_text_char_entropy,
         "dedup_dup_rate_by_source": q_dedup_dup_rate_by_source,
         "mm_resize_real": q_mm_resize_real,
         "mm_image_ahash_dedup": q_mm_image_ahash_dedup,
@@ -4257,49 +4319,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
     }
-    # r12 window (first 50): the 11 NEW queries (broadcast bloom
-    # probe, full Louvain loop, perceptual image dedup, HLL distinct
-    # audit, sampled betweenness, CDC chunking, MAD outliers, cohort
-    # LTV, assortativity, dup-rate-by-source, burstiness) + the 8
-    # queries over code CHANGED this round (table_checksum escaping,
-    # minhash_audit broadcast removal, as_of_join NULL-ts handling —
-    # both asof rows —, the louvain_move/modularity convention
-    # alignment, mmr's partial-reduction pool, bloom_semi_join's
-    # shared-build refactor), then 31 of the STALEST driver verdicts —
-    # r7-era rows, computed mechanically with before_round=12
-    # staleness (filler overlap with the r11 window: 0; max filler
-    # round 7 == tail min).
-    # test_registry.test_round12_window_composition checks this
-    # mechanically against the CORRECTNESS history; the r11 window is
-    # frozen as the keys of CORRECTNESS_r11.json and still asserted by
-    # its own round-aware test.
-    r12_window = [
-        "etl_bloom_semi_join_scale", "graph_louvain_communities",
-        "mm_image_ahash_dedup", "approx_hll_distinct",
-        "graph_betweenness", "dedup_cdc_chunks",
-        "quality_mad_outliers", "events_cohort_ltv",
-        "graph_assortativity", "dedup_dup_rate_by_source",
-        "events_burstiness",
-        "etl_table_checksum", "dedup_minhash_audit",
-        "asof_join_nearest", "asof_join_events", "graph_modularity",
-        "graph_louvain_move", "sim_mmr_rerank", "etl_bloom_semi_join",
-        # 31 r7-era rows (alphabetical; the registry holds no older —
-        # the six alphabetically-last r7 rows open the tail)
-        "dedup_passages", "dedup_simhash_signatures", "dedup_span_scrub",
-        "etl_anti_join_blanks", "etl_dedup_pk", "etl_metadata_attach",
-        "etl_normalize_nodes", "etl_semi_join_match", "etl_union_sources",
-        "events_sessionize", "graph_connected_components",
-        "graph_triangles", "mm_binary_metadata", "pipeline_corpus_assembly",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q18_large_volume", "q19_discount_revenue", "q22_dormant_balance",
-        "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
-        "q8_market_share", "quality_bigram_logprob",
-        "quality_chunk_documents", "quality_contamination",
-        "quality_curriculum_order", "quality_gate",
-        "quality_unigram_logprob", "salted_count",
-        "sim_cosine_allpairs_ref",
+    # r13 window (first 50): 8 NEW + 12 code-changed lead, then the 8
+    # r7-era rows at the staleness ceiling, then 23 alphabetical
+    # r8-era fillers — composed mechanically with before_round=13
+    # staleness; checked by test_round13_window_composition and the
+    # self-enforcing staleness test. The r12 window is frozen as the
+    # keys of CORRECTNESS_r12.json and still asserted by its own
+    # round-aware test.
+    r13_window = [
+        # new (8)
+        "graph_louvain_coarsen", "graph_louvain_two_level",
+        "dedup_cdc_guarded", "quality_gopher_rules", "approx_hll_union",
+        "graph_ktruss", "text_char_entropy", "dedup_overlap_pairs",
+        # code-changed (12)
+        "etl_bloom_semi_join", "etl_bloom_semi_join_scale",
+        "graph_assortativity", "events_retention", "events_cohort_ltv",
+        "events_burstiness", "events_concurrency", "graph_louvain_move",
+        "graph_louvain_communities", "dedup_cdc_chunks",
+        "mm_image_ahash_dedup",
+        # approx_hll_distinct's operator gained the shared helper
+        "approx_hll_distinct",
+        # r7-era staleness ceiling (8)
+        "sim_cosine_neardup_pairs", "sim_ivfpq_topk", "sim_pq_codebooks",
+        "sim_pq_codes", "sim_pq_refine_topk", "text_bpe_merges",
+        "text_fuzzy_pairs", "text_quality_scores",
+        # 22 alphabetical r8-era fillers
+        "basket_frequent_pairs", "etl_cascade_delete", "etl_mask_columns",
+        "etl_profile_table", "etl_profile_table_fast", "etl_scd2_history",
+        "etl_snapshot_diff", "etl_upsert_nodes", "events_attribution",
+        "events_ewma", "events_funnel", "events_hopping_counts",
+        "events_markov", "events_rolling_median", "events_tumbling_counts",
+        "graph_bellman_ford", "graph_bfs_distances", "graph_hits",
+        "graph_kcore", "graph_label_propagation", "q11_important_supply",
+        "q12_priority_shipping",
     ]
-    ordered = {k: registry[k] for k in r12_window}
+    ordered = {k: registry[k] for k in r13_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
     return {name: _scoped(fn) for name, fn in ordered.items()}
 
@@ -10305,6 +10359,220 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
                      / COUNT(*)::DOUBLE, 6) AS novelty
         FROM sh JOIN dfreq USING (s) GROUP BY doc_id
+    """
+
+    # ----- round 13 -----
+
+    # Gopher rule battery: every count exact; ratios and flags in the
+    # same operand order as the Spark expressions (single-expression
+    # doubles); empty-doc branches mirrored via CASE
+    sql["quality_gopher_rules"] = f"""
+        WITH base AS (
+          SELECT doc_id, text, {_TOKS} AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(toks)::BIGINT AS n_words,
+                 list_sum(list_transform(toks, t -> length(t)))::BIGINT
+                   AS chsum,
+                 (length(text)
+                  - length(replace(text, '#', '')))::BIGINT AS n_hash,
+                 (length(text)
+                  - length(replace(text, '...', ''))) / 3 AS n_ell,
+                 len(lines)::BIGINT AS n_lines,
+                 len(list_filter(lines, l ->
+                     l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'
+                 ))::BIGINT AS n_bullet,
+                 len(list_filter(lines, l -> l LIKE '%...'))::BIGINT
+                   AS n_ell_end,
+                 len(list_filter(toks, t ->
+                     regexp_matches(t, '[A-Za-z]')))::BIGINT AS n_alpha,
+                 (list_contains(list_transform(toks, t -> lower(t)), 'the')::INT
+                  + list_contains(list_transform(toks, t -> lower(t)), 'be')::INT
+                  + list_contains(list_transform(toks, t -> lower(t)), 'to')::INT
+                  + list_contains(list_transform(toks, t -> lower(t)), 'of')::INT
+                  + list_contains(list_transform(toks, t -> lower(t)), 'and')::INT
+                  + list_contains(list_transform(toks, t -> lower(t)), 'that')::INT
+                  + list_contains(list_transform(toks, t -> lower(t)), 'have')::INT
+                  + list_contains(list_transform(toks, t -> lower(t)), 'with')::INT
+                 )::INT AS n_req
+          FROM base
+        ), r AS (
+          SELECT doc_id, n_words,
+                 CASE WHEN n_words > 0
+                      THEN chsum::DOUBLE / n_words ELSE 0.0 END AS mean_wl,
+                 CASE WHEN n_words > 0
+                      THEN (n_hash + n_ell) / n_words ELSE 0.0 END AS sym,
+                 CASE WHEN n_lines > 0
+                      THEN n_bullet::DOUBLE / n_lines ELSE 0.0 END AS bul,
+                 CASE WHEN n_lines > 0
+                      THEN n_ell_end::DOUBLE / n_lines ELSE 0.0 END AS ell,
+                 CASE WHEN n_words > 0
+                      THEN n_alpha::DOUBLE / n_words ELSE 0.0 END AS alpha,
+                 n_req
+          FROM m
+        )
+        SELECT doc_id, n_words,
+               ROUND(mean_wl, 4) AS mean_word_len,
+               ROUND(sym, 4) AS symbol_ratio,
+               ROUND(bul, 4) AS bullet_ratio,
+               ROUND(ell, 4) AS ellipsis_ratio,
+               ROUND(alpha, 4) AS alpha_frac,
+               n_req AS n_req_stopwords,
+               (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+               (mean_wl >= 3 AND mean_wl <= 10) AS ok_mean_word_len,
+               (sym <= 0.1) AS ok_symbol_ratio,
+               (bul <= 0.9) AS ok_bullet_lines,
+               (ell <= 0.3) AS ok_ellipsis_lines,
+               (alpha >= 0.8) AS ok_alpha_words,
+               (n_req >= 2) AS ok_req_stopwords,
+               ((n_words >= 30 AND n_words <= 100000)
+                AND (mean_wl >= 3 AND mean_wl <= 10)
+                AND (sym <= 0.1) AND (bul <= 0.9) AND (ell <= 0.3)
+                AND (alpha >= 0.8) AND (n_req >= 2)) AS admitted
+        FROM r
+    """
+
+    # HLL union: the approx_hll_distinct register arithmetic, merged
+    # across groups by per-register MAX before the estimator
+    sql["approx_hll_union"] = f"""
+        WITH vals AS (
+          SELECT event_type AS g, user_id AS v,
+                 {_H56.format(x="user_id::VARCHAR")} AS h
+          FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ), rr AS (
+          SELECT g, h % 64 AS reg, (h // 64) AS r FROM vals
+        ), regs AS (
+          SELECT g, reg, MAX({_rho_sql}) AS m FROM rr GROUP BY g, reg
+        ), merged AS (
+          SELECT reg, MAX(m) AS m FROM regs GROUP BY reg
+        ), agg AS (
+          SELECT MAX(m) AS maxm, COUNT(*) AS present FROM merged
+        ), num AS (
+          SELECT agg.maxm,
+                 (64 - agg.present)::BIGINT AS n_zero_registers,
+                 (SUM(pow(2.0, agg.maxm - merged.m)::BIGINT)
+                  + (64 - agg.present)
+                    * pow(2.0, agg.maxm)::BIGINT)::BIGINT AS num
+          FROM merged CROSS JOIN agg
+          GROUP BY agg.maxm, agg.present
+        ), exact AS (
+          SELECT COUNT(DISTINCT g)::BIGINT AS n_groups,
+                 COUNT(DISTINCT v)::BIGINT AS exact_union
+          FROM vals
+        ), per_g AS (
+          SELECT SUM(d)::BIGINT AS sum_group_exact FROM (
+            SELECT g, COUNT(DISTINCT v) AS d FROM vals GROUP BY g
+          )
+        )
+        SELECT n_groups, exact_union, sum_group_exact,
+               ROUND({_alpha_m2} * pow(2.0, maxm) / num, 6)
+                 AS hll_union_estimate,
+               n_zero_registers,
+               ROUND(ABS(ROUND({_alpha_m2} * pow(2.0, maxm) / num, 6)
+                         - exact_union) / exact_union, 6) AS rel_err
+        FROM exact CROSS JOIN per_g CROSS JOIN num
+    """
+
+    # k-truss: 6 unrolled peel rounds (fixpoint in 3 at the test
+    # scales; extra rounds are no-ops — the kcore convention). Each
+    # round: the triangle_count wedge enumeration over the surviving
+    # edges, each triangle crediting its three sides, edges under
+    # support 2 dropped.
+    kt_rounds = []
+    for i in range(1, 7):
+        pr = i - 1
+        kt_rounds.append(f"""tri_{i} AS (
+          SELECT e1.u AS tu, e1.v AS tv, e2.v AS tw
+          FROM e_{pr} e1 JOIN e_{pr} e2 ON e1.v = e2.u
+          JOIN e_{pr} e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), sup_{i} AS (
+          SELECT u, v, COUNT(*)::BIGINT AS support FROM (
+            SELECT tu AS u, tv AS v FROM tri_{i}
+            UNION ALL SELECT tv, tw FROM tri_{i}
+            UNION ALL SELECT tu, tw FROM tri_{i}
+          ) GROUP BY u, v
+        ), e_{i} AS MATERIALIZED (
+          SELECT e.u, e.v FROM e_{pr} e
+          JOIN sup_{i} s ON s.u = e.u AND s.v = e.v AND s.support >= 2
+        )""")
+    kt_body = ",\n        ".join(kt_rounds)
+    sql["graph_ktruss"] = f"""
+        WITH e_0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                          GREATEST(a.l_partkey, b.l_partkey) AS v
+          FROM (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) a
+          JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE year(l_shipdate) = 1995) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        {kt_body},
+        ftri AS (
+          SELECT e1.u AS tu, e1.v AS tv, e2.v AS tw
+          FROM e_6 e1 JOIN e_6 e2 ON e1.v = e2.u
+          JOIN e_6 e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT u, v, COUNT(*)::BIGINT AS support FROM (
+          SELECT tu AS u, tv AS v FROM ftri
+          UNION ALL SELECT tv, tw FROM ftri
+          UNION ALL SELECT tu, tw FROM ftri
+        ) t
+        WHERE EXISTS (SELECT 1 FROM e_6 WHERE e_6.u = t.u AND e_6.v = t.v)
+        GROUP BY u, v
+    """
+
+    # char entropy: exact counts; per-char terms rounded to 6 dp and
+    # summed as exact decimals (order-free), one final double
+    sql["text_char_entropy"] = """
+        WITH chars AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents
+        ), counts AS (
+          SELECT doc_id, ch, COUNT(*)::BIGINT AS cnt
+          FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+        ), per_doc AS (
+          SELECT doc_id,
+                 SUM(cnt)::BIGINT AS n_chars,
+                 COUNT(*)::BIGINT AS n_unique_chars,
+                 SUM(ROUND(cnt * log2(cnt), 6)::DECIMAL(28,6))
+                   AS s
+          FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id, n_chars, n_unique_chars,
+               ROUND(log2(n_chars) - s::DOUBLE / n_chars, 6)
+                 AS entropy_bits
+        FROM per_doc
+    """
+
+    # shard-seam overlap: originals + deterministic continuations;
+    # H56-keyed join with verbatim string recheck
+    sql["dedup_overlap_pairs"] = f"""
+        WITH orig AS (
+          SELECT doc_id, text FROM documents
+        ), synth AS (
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string(list_slice({_TOKS}, -8, 9223372036854775807), ' ')
+                   || ' ' || text AS text
+          FROM documents WHERE len({_TOKS}) >= 8
+        ), corpus AS (
+          SELECT * FROM orig UNION ALL SELECT * FROM synth
+        ), base AS (
+          SELECT doc_id,
+                 array_to_string(list_slice({_TOKS}, 1, 8), ' ') AS pre,
+                 array_to_string(list_slice({_TOKS}, -8, 9223372036854775807), ' ')
+                   AS suf,
+                 len({_TOKS}) AS n
+          FROM corpus
+        ), eligible AS (
+          SELECT * FROM base WHERE n >= 8
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.suf AS overlap_text
+        FROM eligible a JOIN eligible b
+          ON {_H56.format(x="a.suf")} = {_H56.format(x="b.pre")}
+         AND a.doc_id <> b.doc_id AND a.suf = b.pre
     """
 
     return sql

@@ -234,6 +234,16 @@ HEADLINE = [
     "graph_assortativity",
     "dedup_dup_rate_by_source",
     "events_burstiness",
+    # round-13: Louvain phase 2, guarded CDC, Gopher rule battery,
+    # HLL merge, k-truss, char entropy, shard-seam overlap
+    "graph_louvain_coarsen",
+    "graph_louvain_two_level",
+    "dedup_cdc_guarded",
+    "quality_gopher_rules",
+    "approx_hll_union",
+    "graph_ktruss",
+    "text_char_entropy",
+    "dedup_overlap_pairs",
 ]
 
 

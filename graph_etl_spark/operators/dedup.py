@@ -1195,3 +1195,58 @@ def dup_rate_by_source(
             ),
         )
     )
+
+
+def prefix_suffix_overlap(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SHARD-SEAM / CONTINUATION dedup: find ordered pairs (a, b)
+    where a's LAST ``k`` tokens equal b's FIRST ``k`` tokens — the
+    signature of re-chunked crawls, overlapping context windows, and
+    split documents whose halves were ingested as separate rows.
+    Neither MinHash (global similarity too low) nor passage dedup
+    (windows must align) catches a 10%-overlap seam; the boundary
+    k-gram equality does, exactly.
+
+    Output: (id_a, id_b, overlap_text) — a != b, both docs >= k
+    tokens, a's suffix == b's prefix VERBATIM (the H56 key only
+    routes the join; string equality re-checks, so hash collisions
+    cannot fabricate a pair).
+
+    Scale: two map-side k-token projections, ONE hash-keyed equi-join
+    (uniform H56 key, no all-pairs), string recheck map-side after
+    the join. Seam frequency is corpus-dependent but output is
+    pair-of-matching-boundaries sized, never quadratic in docs."""
+    if int(k) < 1:
+        raise ValueError(f"prefix_suffix_overlap: k must be >= 1 (got {k})")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    base = fan_out(df).select(
+        F.col(id_col),
+        F.array_join(F.slice(toks, 1, int(k)), " ").alias("__pre"),
+        F.array_join(
+            F.slice(toks, -int(k), int(k)), " "
+        ).alias("__suf"),
+        n.alias("__n"),
+    ).filter(F.col("__n") >= int(k))
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__suf").alias("__stext"),
+        h56(F.col("__suf")).alias("__h"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__pre").alias("__ptext"),
+        h56(F.col("__pre")).alias("__h"),
+    )
+    return (
+        a.join(b, "__h")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("__stext") == F.col("__ptext"))
+        )
+        .select("id_a", "id_b", F.col("__stext").alias("overlap_text"))
+    )

@@ -2556,3 +2556,103 @@ def mad_outliers(
         F.col("__mad").cast("double").alias("mad"),
         "mod_z",
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """THE GOPHER QUALITY-FILTER BATTERY (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A — the public rule set
+    most production pretraining pipelines start from), one flag per
+    rule so downstream curation can ablate rules independently
+    instead of consuming a single opaque score (``quality_score`` is
+    the composite sibling):
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio <= 0.1 (symbols: '#' and '...' runs)
+    - <= 90% of lines start with a bullet ('- ', '* ', '• ')
+    - <= 30% of lines end with an ellipsis ('...')
+    - >= 80% of words contain at least one alphabetic character
+    - at least TWO of the eight required English stopwords present
+      (the, be, to, of, and, that, have, with)
+
+    ``admitted`` is the AND of all seven. Ratios are exact integer
+    counts divided once and rounded to 4 dp; empty docs fail the
+    word-count rule and define their ratios as 0.
+
+    Output: (id_col, n_words, mean_word_len, symbol_ratio,
+    bullet_ratio, ellipsis_ratio, alpha_frac, n_req_stopwords,
+    7 rule flags, admitted).
+
+    Scale: pure map-side row expressions — no shuffle, no UDF; the
+    full battery rides one corpus scan and composes with any
+    downstream filter as a pushed predicate."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    # mean word length over token characters (exact integer sum)
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = F.when(n_words > 0, char_sum / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ell) / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.like("- %") | l.like("* %") | l.like("• %"),
+        )
+    )
+    n_ell_end = F.size(F.filter(lines, lambda l: l.like("%...")))
+    bullet_ratio = F.when(n_lines > 0, n_bullet / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    ellipsis_ratio = F.when(n_lines > 0, n_ell_end / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    req = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    low = F.transform(toks, lambda t: F.lower(t))
+    n_req = sum(
+        F.array_contains(low, w).cast("int") for w in req
+    )
+    f_words = (n_words >= min_words) & (n_words <= max_words)
+    f_wl = (mean_wl >= 3) & (mean_wl <= 10)
+    f_sym = symbol_ratio <= 0.1
+    f_bullet = bullet_ratio <= 0.9
+    f_ell = ellipsis_ratio <= 0.3
+    f_alpha = alpha_frac >= 0.8
+    f_stop = n_req >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_ratio, 4).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 4).alias("ellipsis_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_req.cast("int").alias("n_req_stopwords"),
+        f_words.alias("ok_word_count"),
+        f_wl.alias("ok_mean_word_len"),
+        f_sym.alias("ok_symbol_ratio"),
+        f_bullet.alias("ok_bullet_lines"),
+        f_ell.alias("ok_ellipsis_lines"),
+        f_alpha.alias("ok_alpha_words"),
+        f_stop.alias("ok_req_stopwords"),
+        (
+            f_words & f_wl & f_sym & f_bullet & f_ell & f_alpha & f_stop
+        ).alias("admitted"),
+    )

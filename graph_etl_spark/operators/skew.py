@@ -442,6 +442,25 @@ def _bloom_probe_broadcast(
     return tagged.mapInPandas(probe, schema=out_schema)
 
 
+def _hll_reg_rho(value_col: str, p: int):
+    """(register, rho) expressions shared by the HLL family: register
+    = h % 2^p; rho = trailing zeros of the top 56-p hash bits + 1 via
+    an explicit power-of-two CASE ladder (no float log). Integer
+    shift, NOT h/m: the float division would round h's 56 bits to a
+    double's 53 before the floor, corrupting low bits of r."""
+    from .text import h56
+
+    max_rho = 56 - p + 1
+    h = h56(F.col(value_col).cast("string"))
+    r = F.shiftright(h, p)
+    rho = F.lit(max_rho)
+    for k in range(max_rho - 1, 0, -1):
+        rho = F.when(
+            (r % F.lit(1 << k)) == F.lit(1 << (k - 1)), F.lit(k)
+        ).otherwise(rho)
+    return h, rho
+
+
 def hll_distinct(
     df: DataFrame,
     group_col: str,
@@ -483,23 +502,10 @@ def hll_distinct(
     register frame bounded at groups × m), one bounded second agg, and
     the exact-distinct branch for the audit column (drop it and the
     sketch alone scales to any corpus)."""
-    from .text import h56
-
     m = 1 << int(p)
     if not (1 <= int(p) <= 12):
         raise ValueError(f"hll_distinct: p must be in [1, 12] (got {p})")
-    # rho = trailing zeros of r (the top 56-p hash bits) + 1, via an
-    # explicit CASE ladder — r == 0 (all 56-p bits zero) gets the max
-    max_rho = 56 - int(p) + 1
-    h = h56(F.col(value_col).cast("string"))
-    # integer shift, NOT h/m: the float division would round h's 56
-    # bits to a double's 53 before the floor, corrupting low bits of r
-    r = F.shiftright(h, int(p))
-    rho = F.lit(max_rho)
-    for k in range(max_rho - 1, 0, -1):
-        rho = F.when(
-            (r % F.lit(1 << k)) == F.lit(1 << (k - 1)), F.lit(k)
-        ).otherwise(rho)
+    h, rho = _hll_reg_rho(value_col, int(p))
     vals = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).alias("v"),
@@ -552,6 +558,99 @@ def hll_distinct(
                 F.abs(est - F.col("exact_distinct"))
                 / F.col("exact_distinct"),
                 6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_union(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """HLL SKETCH MERGE — the property that makes sketches the 100 TB
+    answer (Agarwal et al. 2012, "Mergeable Summaries"): per-group
+    register tables built INDEPENDENTLY (per shard, per day, per
+    source) merge into the union's sketch by a per-register MAX — no
+    re-scan of the inputs — so "distinct users across all 365 daily
+    shards" costs 365 bounded register frames, not a year-wide exact
+    shuffle. This op demonstrates the merge next to the truth: the
+    union estimate from merged registers, the exact union distinct,
+    and the sum of per-group exact distincts (>= union; the gap is
+    the cross-group overlap the merge deduplicates).
+
+    Same engine-mirrorable estimator as ``hll_distinct`` (shared
+    register/rho arithmetic, exact-integer harmonic numerator, one
+    final float expression, no range corrections).
+
+    Output: ONE row — (n_groups, exact_union, sum_group_exact,
+    hll_union_estimate, n_zero_registers, rel_err).
+
+    Scale: the merge input is groups × 2^p register rows (bounded,
+    combines map-side); only the audit columns touch the data again —
+    drop them and the union estimate never re-scans the corpus."""
+    m = 1 << int(p)
+    if not (1 <= int(p) <= 12):
+        raise ValueError(f"hll_union: p must be in [1, 12] (got {p})")
+    h, rho = _hll_reg_rho(value_col, int(p))
+    vals = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.pmod(h, F.lit(m)).alias("__reg"),
+        rho.alias("__rho"),
+    ).filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+    # per-group sketches (what each shard would persist) ...
+    regs = vals.groupBy("g", "__reg").agg(F.max("__rho").alias("__m"))
+    # ... merged by per-register MAX: the union's sketch
+    merged = regs.groupBy("__reg").agg(F.max("__m").alias("__m"))
+    agg = merged.agg(
+        F.max("__m").alias("__maxm"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    num = (
+        merged.crossJoin(F.broadcast(agg))
+        .groupBy("__maxm", "__present")
+        .agg(
+            F.sum(
+                F.pow(F.lit(2.0), F.col("__maxm") - F.col("__m")).cast("long")
+            ).alias("__num_present")
+        )
+        .select(
+            "__maxm",
+            (F.lit(m) - F.col("__present")).alias("n_zero_registers"),
+            (
+                F.col("__num_present")
+                + (F.lit(m) - F.col("__present"))
+                * F.pow(F.lit(2.0), F.col("__maxm")).cast("long")
+            ).alias("__num"),
+        )
+    )
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    exact = vals.agg(
+        F.count_distinct("g").alias("n_groups"),
+        F.count_distinct("v").alias("exact_union"),
+    )
+    per_g = (
+        vals.groupBy("g")
+        .agg(F.count_distinct("v").alias("__d"))
+        .agg(F.sum("__d").cast("long").alias("sum_group_exact"))
+    )
+    est = F.round(
+        F.lit(alpha_m2) * F.pow(F.lit(2.0), F.col("__maxm")) / F.col("__num"),
+        6,
+    )
+    return (
+        exact.crossJoin(F.broadcast(per_g))
+        .crossJoin(F.broadcast(num))
+        .select(
+            "n_groups",
+            "exact_union",
+            "sum_group_exact",
+            est.alias("hll_union_estimate"),
+            "n_zero_registers",
+            F.round(
+                F.abs(est - F.col("exact_union")) / F.col("exact_union"), 6
             ).alias("rel_err"),
         )
     )

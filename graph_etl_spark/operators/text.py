@@ -1037,3 +1037,54 @@ def tokenizer_fertility(
             F.sum("__b").cast("double") / F.sum("__w").cast("double"), 6
         ).alias("fertility"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PER-DOCUMENT CHARACTER ENTROPY — the cheapest gibberish /
+    compression-quality signal (low entropy = repeated filler or
+    base64-ish runs dominate; Shannon 1948): H = log2(n) − (Σ_c
+    cnt_c·log2(cnt_c)) / n bits per character over the doc's exact
+    character counts.
+
+    Determinism: the per-character terms cnt·log2(cnt) are each
+    rounded to 6 dp and summed as EXACT decimals (order-free — a raw
+    float Σ would round differently under Spark's vs DuckDB's
+    aggregation order; the unigram_logprob convention), then ONE
+    float expression closes the formula, rounded at the end.
+
+    Output: (id_col, n_chars, n_unique_chars, entropy_bits) — one row
+    per non-empty document.
+
+    Scale: one explode to (doc, char) rows, one (doc, char) count agg
+    and one doc-keyed roll-up — both map-side combinable; no UDF."""
+    from ..sources import fan_out
+
+    chars = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+    ).filter(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    term = F.round(
+        F.col("__cnt") * F.log2(F.col("__cnt")), 6
+    ).cast("decimal(28,6)")
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__cnt").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chars"),
+        F.sum(term).alias("__s"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_chars",
+        "n_unique_chars",
+        F.round(
+            F.log2(F.col("n_chars"))
+            - F.col("__s").cast("double") / F.col("n_chars"),
+            6,
+        ).alias("entropy_bits"),
+    )

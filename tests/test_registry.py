@@ -210,3 +210,61 @@ def test_staleness_policy_self_enforcing():
         f"these entries breach the 5-round bound when round {landed + 1} "
         f"lands and MUST lead its window: {must_recertify}"
     )
+
+
+ROUND13_NEW_OR_CHANGED = [
+    "graph_louvain_coarsen", "graph_louvain_two_level",
+    "dedup_cdc_guarded", "quality_gopher_rules", "approx_hll_union",
+    "graph_ktruss", "text_char_entropy", "dedup_overlap_pairs",
+    "etl_bloom_semi_join", "etl_bloom_semi_join_scale",
+    "graph_assortativity", "events_retention", "events_cohort_ltv",
+    "events_burstiness", "events_concurrency", "graph_louvain_move",
+    "graph_louvain_communities", "dedup_cdc_chunks",
+    "mm_image_ahash_dedup", "approx_hll_distinct",
+]
+
+
+def test_round13_window_composition():
+    """Round-aware from birth: the r13 window is the live first-50
+    until CORRECTNESS_r13.json lands, then frozen as its keys;
+    staleness uses only pre-r13 history either way. New/changed
+    queries lead; every filler slot is at least as stale as anything
+    left in the tail; filler slots must not overlap the r12 window
+    (the code-changed lead entries legitimately do — changed code
+    MUST re-certify)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r13_path = os.path.join(root, "CORRECTNESS_r13.json")
+    if os.path.exists(r13_path):
+        window = list(json.load(open(r13_path)))
+    else:
+        window = list(entry.queries())[:50]
+    lead = len(ROUND13_NEW_OR_CHANGED)
+    assert window[:lead] == ROUND13_NEW_OR_CHANGED, (
+        f"leading slots wrong: {window[:lead]}"
+    )
+    latest = _latest_driver_round(before_round=13)
+    rest = window[lead:]
+    in_window = set(window)
+    tail = [q for q in entry.queries() if q not in in_window]
+    max_in_window = max(latest.get(q, 0) for q in rest)
+    min_in_tail = min(latest.get(q, 99) for q in tail)
+    assert max_in_window <= min_in_tail, (
+        f"window holds a fresher verdict ({max_in_window}) than the "
+        f"stalest tail row ({min_in_tail}) — rotation skipped rows"
+    )
+    r12 = set(json.load(open(os.path.join(root, "CORRECTNESS_r12.json"))))
+    assert not (set(rest) & r12), (
+        f"filler slots overlap the r12 window: {sorted(set(rest) & r12)}"
+    )
+    # VERDICT r12 #2: the eight r7-era rows at the staleness ceiling
+    # MUST be certified this round
+    ceiling = {
+        "sim_cosine_neardup_pairs", "sim_ivfpq_topk", "sim_pq_codebooks",
+        "sim_pq_codes", "sim_pq_refine_topk", "text_bpe_merges",
+        "text_fuzzy_pairs", "text_quality_scores",
+    }
+    assert ceiling <= in_window, (
+        f"r7-ceiling rows missing from the window: {ceiling - in_window}"
+    )

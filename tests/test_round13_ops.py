@@ -219,3 +219,92 @@ def test_cdc_guarded_report_plumbs_through(spark):
     rows = got.collect()
     assert len(rows) == 20
     assert all(r["n_chunks"] >= 1 for r in rows)
+
+
+def test_ktruss_k4_keeps_only_the_clique(spark):
+    """K4 + a pendant triangle: every K4 edge closes 2 triangles
+    in-subgraph (survives k=4); the pendant triangle's edges close
+    only 1 and peel away — including triangle edges that were
+    supported only through peeled edges."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (4, 6)],
+        "src long, dst long",
+    )
+    got = sorted(tuple(r) for r in ops.ktruss(edges, k=4).collect())
+    assert got == [
+        (1, 2, 2), (1, 3, 2), (1, 4, 2),
+        (2, 3, 2), (2, 4, 2), (3, 4, 2),
+    ]
+    # k=3: both the clique and the pendant triangle survive
+    got3 = {(r["u"], r["v"]) for r in ops.ktruss(edges, k=3).collect()}
+    assert got3 == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                    (4, 5), (5, 6), (4, 6)}
+
+
+def test_gopher_rules_flags(spark):
+    """Each rule trips on its crafted violator; a clean doc admits."""
+    good = "the quick brown fox and the lazy dog have come to rest " \
+           "with many other animals that be of sound mind " + \
+           " ".join(f"word{i}" for i in range(40))
+    short = "the cat and the hat be of with that have"
+    symbols = "the and of be " + "# " * 30 + " ".join(f"w{i}" for i in range(30))
+    nonalpha = "the and of be that have to with " + " ".join("123" for _ in range(60))
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, nonalpha)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ops.gopher_rules(df, min_words=50).collect()}
+    assert got[1]["admitted"], got[1]
+    assert not got[2]["ok_word_count"]
+    assert not got[3]["ok_symbol_ratio"]
+    assert not got[4]["ok_alpha_words"]
+    assert got[2]["ok_req_stopwords"] and got[2]["n_req_stopwords"] >= 2
+
+
+def test_hll_union_merge_deduplicates_overlap(spark):
+    """Three groups sharing the same 200 values: the union estimate
+    must track 200 (not 600) — the merge IS deduplication; and the
+    union estimate equals hll_distinct run on the concatenated corpus
+    (merge == rebuild, the mergeability property)."""
+    rows = [(g, v) for g in ("a", "b", "c") for v in range(200)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    u = ops.hll_union(df, "g", "v", p=6).collect()[0]
+    assert u["n_groups"] == 3 and u["exact_union"] == 200
+    assert u["sum_group_exact"] == 600
+    assert abs(u["hll_union_estimate"] - 200) / 200 < 0.25
+    single = ops.hll_distinct(
+        df.withColumn("g", F.lit("all")), "g", "v", p=6
+    ).collect()[0]
+    assert u["hll_union_estimate"] == single["hll_estimate"]
+
+
+def test_char_entropy_bounds(spark):
+    """Uniform single-char doc -> 0 bits; a doc of k equiprobable
+    chars -> log2(k) bits."""
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abababab"), (3, "abcdabcd")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ops.char_entropy(df).collect()}
+    assert got[1]["entropy_bits"] == 0.0
+    assert got[2]["entropy_bits"] == pytest.approx(1.0, abs=1e-5)
+    assert got[3]["entropy_bits"] == pytest.approx(2.0, abs=1e-5)
+    assert got[3]["n_unique_chars"] == 4
+
+
+def test_prefix_suffix_overlap_detects_seam_only(spark):
+    """a's suffix == b's prefix -> (a, b); no reverse pair, no pair
+    for sub-k docs, and a doc never pairs with itself."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "c d e f g h i j k l"),
+            (3, "short doc"),
+            (4, "c d e f g h i j"),  # exactly the 8-token prefix too
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 ops.prefix_suffix_overlap(df, k=8).collect())
+    assert got == [(1, 2), (1, 4), (4, 2)]

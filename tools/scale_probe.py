@@ -197,6 +197,11 @@ PROBE_TO_REGISTRY = {
     "louvain_coarsen": "graph_louvain_coarsen",
     "louvain_two_level": "graph_louvain_two_level",
     "cdc_guarded": "dedup_cdc_guarded",
+    "gopher_rules": "quality_gopher_rules",
+    "hll_union": "approx_hll_union",
+    "ktruss": "graph_ktruss",
+    "char_entropy": "text_char_entropy",
+    "overlap_pairs": "dedup_overlap_pairs",
     "pq_encode": "sim_pq_codes",
     "quality_classifier_train": "quality_clf_weights",
     "quantize_embeddings": "sim_quantize_int8",
@@ -312,6 +317,17 @@ def main() -> None:
         "source_quota_cap_megadomain": lambda d: ops.source_quota_cap(
             d.withColumn("source", F.lit("the-one-domain.example")), cap=10
         ),
+        # r13: Gopher rule battery — pure map-side row expressions
+        "gopher_rules": lambda d: ops.gopher_rules(d, min_words=30),
+        # r13: char entropy — one explode + two map-side-combining aggs
+        "char_entropy": lambda d: ops.char_entropy(d),
+        # r13: shard-seam overlap — two k-token projections + ONE
+        # hash-keyed equi-join; copies are token-disjoint so pairs
+        # stay copy-local
+        "overlap_pairs": lambda d: ops.prefix_suffix_overlap(d, k=8),
+        # r13: HLL merge — groups x 64 register rows then one bounded
+        # merge agg; the exact audit columns are the only data re-scan
+        "hll_union": lambda d: ops.hll_union(d, "source", "doc_id", p=6),
         # r13: guarded CDC — JVM candidate flags, doc-grouped Arrow
         # guard walk (sparse candidate list), JVM chunk-hash roll-up;
         # docs are the parallelism unit, one doc-keyed shuffle class
@@ -616,6 +632,12 @@ def main() -> None:
         # degree/total/k_ic aggregations + a node-keyed argmax window
         # (bounded by distinct neighbor communities); copies are
         # edge-disjoint with per-copy communities
+        # r13: k-truss — per round one wedge-join triangle
+        # enumeration + one (u,v) agg + one semi-join; copies are
+        # edge-disjoint so triangles stay copy-local
+        "ktruss": lambda f: (
+            lambda: ops.ktruss(copurchase(f).distinct(), k=4, max_iter=6)
+        ),
         # r13: two-level Louvain — 1 fine move round, contraction,
         # 1 weighted coarse round (rounds scale the cost linearly by
         # construction; 1+1 probes every distinct plan shape)
