@@ -958,3 +958,75 @@ def test_bloom_broadcast_probe_positions_jvm_side(spark):
     assert "hashlib" not in src and "md5" not in src.replace(
         "md5/conv", ""
     ), "per-row Python hashing crept back into the probe"
+
+
+def test_gopher_rules_is_pure_map_side(spark, entry):
+    """The rule battery must be row expressions only — no exchange,
+    no Python stage, one scan."""
+    df = entry.q_quality_gopher_rules(spark, SF)
+    p = plan_string(df)
+    assert "Exchange" not in p, "gopher rules must not shuffle"
+    assert "MapInPandas" not in p and "ArrowEval" not in p
+
+
+def test_char_entropy_aggs_only(spark, entry):
+    df = entry.q_text_char_entropy(spark, SF)
+    assert_no_cartesian(df)
+    p = plan_string(df)
+    assert "MapInPandas" not in p, "entropy must stay JVM-side"
+    assert "Window" not in p, "two aggs, no window"
+
+
+def test_hll_union_stays_jvm_side_and_bounded(spark, entry):
+    df = entry.q_approx_hll_union(spark, SF)
+    st = plan_stats(df)
+    assert st.nested_loop_joins <= 3, (
+        "only the bounded 1-row cross-joins (register-agg broadcast + "
+        "the two audit frames) are allowed"
+    )
+    p = plan_string(df)
+    assert "MapInPandas" not in p, "HLL merge must stay JVM-side"
+
+
+def test_overlap_pairs_single_equijoin_no_cartesian(spark, entry):
+    df = entry.q_dedup_overlap_pairs(spark, SF)
+    assert_no_cartesian(df)
+    p = plan_string(df)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+        "BroadcastHashJoin" in p
+    ), "seam join must be an equi-join on the hash key"
+
+
+def test_ktruss_join_shaped_no_nested_loop(spark):
+    from graph_etl_spark import operators as ops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = ops.ktruss(edges, k=3, max_iter=3)
+    st = plan_stats(out)
+    assert st.nested_loop_joins == 0
+
+
+def test_louvain_coarsen_no_cartesian_one_agg(spark):
+    from graph_etl_spark import operators as ops
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    comm = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], "id long, community string"
+    )
+    df = ops.louvain_coarsen(edges, comm)
+    assert_no_cartesian(df)
+
+
+def test_cdc_guarded_is_doc_grouped_arrow(spark, entry):
+    """The guarded walk must be the doc-GROUPED Arrow stage (not an
+    ungrouped mapInPandas that could split a doc across batches), and
+    the chunk-hash roll-up must stay JVM-side above it."""
+    df = entry.q_dedup_cdc_guarded(spark, SF)
+    assert_no_cartesian(df)
+    p = plan_string(df)
+    assert "FlatMapGroupsInPandas" in p, "guard walk must be doc-grouped"
+    assert p.index("HashAggregate") < p.index("FlatMapGroupsInPandas"), (
+        "chunk-hash roll-up must sit above the Arrow stage (JVM-side)"
+    )
