@@ -3967,6 +3967,59 @@ def q_dedup_overlap_pairs(spark, sf):
     return ops.prefix_suffix_overlap(d.unionByName(synth), k=8)
 
 
+def q_quality_k_anonymity(spark, sf):
+    """k-anonymity census over customer quasi-identifiers
+    (nation x market segment): combinations with fewer than 10 rows
+    are re-identifiable cells the curation layer must suppress or
+    generalize. One groupBy; NULLs are their own cell."""
+    return ops.k_anonymity(
+        _t(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"], k=10
+    )
+
+
+def q_quality_cohen_kappa(spark, sf):
+    """Cohen's kappa between the declared document language and the
+    stopword-heuristic prediction (lang_id) — the label-QA number
+    that nets out chance agreement: exact class counts, pe as an
+    exact integer numerator over n², one mirrored float close."""
+    pred = ops.lang_id(_t(spark, sf, "documents"))
+    return ops.cohen_kappa(pred, "lang", "lang_pred")
+
+
+def q_quality_token_budget(spark, sf):
+    """Token-budget corpus assembly: within each source, docs taken
+    in deterministic H56 priority order until the running token total
+    crosses 1000 — the admit-while-under-budget verdict with the
+    audit columns (cum_before). The realized per-source corpus lands
+    in [budget, budget + max_doc_tokens) unless the source runs dry."""
+    return ops.token_budget_fill(
+        _t(spark, sf, "documents"), budget_tokens=1000
+    )
+
+
+def q_events_ab_srm(spark, sf):
+    """Sample-ratio-mismatch guardrail for the A/B family: the SAME
+    deterministic H56(user) mod 2 assignment ab_ztest/ab_cuped use,
+    scored against the expected 50/50 with the chi-square-1 statistic
+    and the literal 3.841 critical value. The fixture's 150 users
+    split 61/89 — a genuine SRM flag."""
+    return ops.ab_srm_check(_t(spark, sf, "events"))
+
+
+def q_graph_closeness(spark, sf):
+    """Sampled harmonic closeness over the customer->nation->region
+    graph for the 8 seed customers (the betweenness fixture):
+    synchronized multi-source BFS, per-level reach counts times
+    6-dp-exact reciprocal literals — order-free decimal sums, one
+    double cast at the end."""
+    seeds = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 9)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("id"))
+    )
+    return ops.closeness_sample(_nation_graph(spark, sf), seeds, max_hops=4)
+
+
 def q_dedup_dup_rate_by_source(spark, sf):
     """Per-source duplicate-rate curation table: near-dup clusters
     (MinHash LSH -> CC -> min-id canonical) with every non-canonical
@@ -4013,10 +4066,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-13 rotation (VERDICT r9 #5 staleness policy, now
     self-enforcing via test_registry.test_staleness_policy): the
-    window leads with the EIGHT round-13 NEW queries (Louvain phase-2
-    contraction, two-level Louvain, guarded CDC production twin,
-    Gopher rule battery, HLL sketch merge, k-truss, char entropy,
-    shard-seam overlap pairs) plus the TWELVE queries over code
+    window leads with the THIRTEEN round-13 NEW queries (Louvain
+    phase-2 contraction, two-level Louvain, guarded CDC production
+    twin, Gopher rule battery, HLL sketch merge, k-truss, char
+    entropy, shard-seam overlap pairs, k-anonymity census, Cohen
+    kappa, token-budget fill, A/B sample-ratio-mismatch, harmonic
+    closeness) plus the TWELVE queries over code
     CHANGED this round (bloom probe's JVM-side positions — both bloom
     rows; assortativity's reversed-orientation dedup; the
     unix_micros/NTZ-robust bucketing — retention, cohort LTV,
@@ -4024,7 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     support; cdc_chunk_hashes' guarded-path refactor; image_ahash's
     dynamic id schema; hll_distinct's shared register helper). Then
     the EIGHT r7-era rows at the 5-round staleness ceiling (VERDICT
-    r12 #2 — they breach the bound the moment r13 lands), then 22
+    r12 #2 — they breach the bound the moment r13 lands), then 17
     alphabetically-first r8-era fillers. Filler overlap with the r12
     window: 0. Enforced by the r13_window list at the bottom of this
     function and checked by
@@ -4084,6 +4139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "dedup_cdc_guarded": q_dedup_cdc_guarded,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
+        "quality_k_anonymity": q_quality_k_anonymity,
+        "quality_cohen_kappa": q_quality_cohen_kappa,
+        "quality_token_budget": q_quality_token_budget,
+        "events_ab_srm": q_events_ab_srm,
+        "graph_closeness": q_graph_closeness,
         "quality_gopher_rules": q_quality_gopher_rules,
         "approx_hll_union": q_approx_hll_union,
         "graph_ktruss": q_graph_ktruss,
@@ -4319,7 +4379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
     }
-    # r13 window (first 50): 8 NEW + 12 code-changed lead, then the 8
+    # r13 window (first 50): 13 NEW + 12 code-changed lead, then the 8
     # r7-era rows at the staleness ceiling, then 23 alphabetical
     # r8-era fillers — composed mechanically with before_round=13
     # staleness; checked by test_round13_window_composition and the
@@ -4327,10 +4387,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys of CORRECTNESS_r12.json and still asserted by its own
     # round-aware test.
     r13_window = [
-        # new (8)
+        # new (13)
         "graph_louvain_coarsen", "graph_louvain_two_level",
         "dedup_cdc_guarded", "quality_gopher_rules", "approx_hll_union",
         "graph_ktruss", "text_char_entropy", "dedup_overlap_pairs",
+        "quality_k_anonymity", "quality_cohen_kappa",
+        "quality_token_budget", "events_ab_srm", "graph_closeness",
         # code-changed (12)
         "etl_bloom_semi_join", "etl_bloom_semi_join_scale",
         "graph_assortativity", "events_retention", "events_cohort_ltv",
@@ -4343,15 +4405,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_neardup_pairs", "sim_ivfpq_topk", "sim_pq_codebooks",
         "sim_pq_codes", "sim_pq_refine_topk", "text_bpe_merges",
         "text_fuzzy_pairs", "text_quality_scores",
-        # 22 alphabetical r8-era fillers
+        # 17 alphabetical r8-era fillers
         "basket_frequent_pairs", "etl_cascade_delete", "etl_mask_columns",
         "etl_profile_table", "etl_profile_table_fast", "etl_scd2_history",
         "etl_snapshot_diff", "etl_upsert_nodes", "events_attribution",
         "events_ewma", "events_funnel", "events_hopping_counts",
         "events_markov", "events_rolling_median", "events_tumbling_counts",
-        "graph_bellman_ford", "graph_bfs_distances", "graph_hits",
-        "graph_kcore", "graph_label_propagation", "q11_important_supply",
-        "q12_priority_shipping",
+        "graph_bellman_ford", "graph_bfs_distances",
     ]
     ordered = {k: registry[k] for k in r13_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -10362,6 +10422,143 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ----- round 13 -----
+
+    sql["quality_k_anonymity"] = """
+        SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS n_rows,
+               (COUNT(*) < 10) AS violates
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    """
+
+    # Cohen's kappa vs the lang_id prediction — the text_lang_id hits
+    # ladder inlined, then exact class counts and one mirrored float
+    sql["quality_cohen_kappa"] = f"""
+        WITH hits AS (
+          SELECT doc_id, lang,
+                 {_hits(en)} AS h_en, {_hits(fr)} AS h_fr,
+                 {_hits(es)} AS h_es, {_hits(de)} AS h_de
+          FROM documents
+        ), pred AS (
+          SELECT lang AS a,
+                 CASE WHEN greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+                      WHEN h_de = greatest(h_en, h_fr, h_es, h_de) THEN 'de'
+                      WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+                      WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
+                      ELSE 'fr' END AS b
+          FROM hits WHERE lang IS NOT NULL
+        ), nagg AS (
+          SELECT COUNT(*)::BIGINT AS n,
+                 SUM((a = b)::INT)::BIGINT AS agree
+          FROM pred
+        ), ca AS (SELECT a AS c, COUNT(*)::HUGEINT AS na FROM pred GROUP BY a),
+        cb AS (SELECT b AS c, COUNT(*)::HUGEINT AS nb FROM pred GROUP BY b),
+        pe_num AS (
+          SELECT SUM(na * nb)::HUGEINT AS pn FROM ca JOIN cb USING (c)
+        )
+        SELECT n AS n_pairs,
+               ROUND(agree::DOUBLE / n::DOUBLE, 6) AS po,
+               ROUND(pn::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS pe,
+               ROUND((agree::DOUBLE / n::DOUBLE
+                      - pn::DOUBLE / (n::DOUBLE * n::DOUBLE))
+                     / NULLIF(1.0 - pn::DOUBLE / (n::DOUBLE * n::DOUBLE), 0),
+                     6) AS kappa
+        FROM nagg CROSS JOIN pe_num
+    """
+
+    sql["quality_token_budget"] = f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 len({_TOKS})::BIGINT AS n_tokens,
+                 {_H56.format(x="doc_id::VARCHAR")} AS pri
+          FROM documents
+        ), cum AS (
+          SELECT doc_id, source, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY pri, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::BIGINT AS cum_before
+          FROM base
+        )
+        SELECT doc_id, source, n_tokens, cum_before,
+               (cum_before < 1000) AS admitted
+        FROM cum
+    """
+
+    sql["events_ab_srm"] = f"""
+        WITH users AS (
+          SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+        ), agg AS (
+          SELECT COUNT(*)::BIGINT AS n_users,
+                 SUM(({_H56.format(x="user_id::VARCHAR")} % 2 = 0)::INT)
+                   ::BIGINT AS n_control
+          FROM users
+        )
+        SELECT n_users, n_control,
+               (n_users - n_control)::BIGINT AS n_treatment,
+               ROUND(n_users::DOUBLE * 0.5, 6) AS expected_control,
+               ROUND((n_control::DOUBLE - n_users::DOUBLE * 0.5)
+                     * (n_control::DOUBLE - n_users::DOUBLE * 0.5)
+                     / (n_users::DOUBLE * 0.5)
+                     + ((n_users - n_control)::DOUBLE - n_users::DOUBLE * 0.5)
+                     * ((n_users - n_control)::DOUBLE - n_users::DOUBLE * 0.5)
+                     / (n_users::DOUBLE * 0.5), 6) AS chi2,
+               ((n_control::DOUBLE - n_users::DOUBLE * 0.5)
+                     * (n_control::DOUBLE - n_users::DOUBLE * 0.5)
+                     / (n_users::DOUBLE * 0.5)
+                     + ((n_users - n_control)::DOUBLE - n_users::DOUBLE * 0.5)
+                     * ((n_users - n_control)::DOUBLE - n_users::DOUBLE * 0.5)
+                     / (n_users::DOUBLE * 0.5)) > 3.841 AS srm_detected
+        FROM agg
+    """
+
+    # harmonic closeness: the betweenness forward-BFS unroll (same
+    # graph, same seeds, 4 levels), each level's reach count times the
+    # Python-computed 6-dp reciprocal literal, summed as exact
+    # decimals; unreached seeds coalesce to 0
+    cl_levels = []
+    for lv in range(1, 5):
+        excl = " OR ".join(
+            f"EXISTS (SELECT 1 FROM cl{j} v WHERE v.s = cl{lv - 1}.s "
+            f"AND v.id = e.b)"
+            for j in range(lv)
+        )
+        cl_levels.append(
+            f"""cl{lv} AS MATERIALIZED (
+          SELECT DISTINCT cl{lv - 1}.s, e.b AS id
+          FROM cl{lv - 1} JOIN sym e ON cl{lv - 1}.id = e.a
+          WHERE NOT ({excl})
+        )"""
+        )
+    cl_terms = " UNION ALL ".join(
+        f"SELECT s, COUNT(*)::HUGEINT AS reach, "
+        f"(COUNT(*)::HUGEINT * {round(1.0 / lv, 6)!r}::DECIMAL(18,6)) AS term "
+        f"FROM cl{lv} GROUP BY s"
+        for lv in range(1, 5)
+    )
+    sql["graph_closeness"] = f"""
+        WITH g AS MATERIALIZED ({_ngraph}),
+        sym AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM g
+            UNION ALL SELECT dst, src FROM g
+          ) WHERE a <> b
+        ),
+        cl0 AS MATERIALIZED (
+          SELECT 'c' || c_custkey AS s, 'c' || c_custkey AS id
+          FROM customer WHERE c_custkey < 9
+        ),
+        {",".join(cl_levels)},
+        terms AS ({cl_terms}),
+        per_s AS (
+          SELECT s, SUM(reach)::BIGINT AS n_reached,
+                 SUM(term) AS h
+          FROM terms GROUP BY s
+        )
+        SELECT cl0.s AS id,
+               COALESCE(per_s.n_reached, 0)::BIGINT AS n_reached,
+               COALESCE(per_s.h::DOUBLE, 0.0) AS harmonic_closeness
+        FROM cl0 LEFT JOIN per_s ON per_s.s = cl0.s
+    """
+
 
     # Gopher rule battery: every count exact; ratios and flags in the
     # same operand order as the Spark expressions (single-expression

@@ -244,6 +244,11 @@ HEADLINE = [
     "graph_ktruss",
     "text_char_entropy",
     "dedup_overlap_pairs",
+    "quality_k_anonymity",
+    "quality_cohen_kappa",
+    "quality_token_budget",
+    "events_ab_srm",
+    "graph_closeness",
 ]
 
 

@@ -1155,3 +1155,60 @@ def burstiness(
         F.round(sd, round_to).alias("std_gap_us"),
         F.round(b, round_to).alias("burstiness"),
     )
+
+
+def ab_srm_check(
+    events: DataFrame,
+    user_col: str = "user_id",
+    expected_a: float = 0.5,
+    threshold: float = 3.841,
+) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH guardrail — the pre-test every A/B
+    readout must pass (a biased assignment invalidates ``ab_ztest``
+    and ``ab_cuped`` before any lift math): users assign by the SAME
+    deterministic H56(user) mod 2 bucketing the test ops use, and the
+    observed control/treatment split is scored against the expected
+    ratio with the one-degree chi-square statistic
+    χ² = (n_a − E_a)²/E_a + (n_b − E_b)²/E_b; ``srm_detected`` fires
+    at the literal ``threshold`` (3.841 = the public χ²₁ 95% critical
+    value).
+
+    Output: one row — (n_users, n_control, n_treatment,
+    expected_control, chi2, srm_detected).
+
+    Determinism: counts exact; expected/χ² close in one mirrored
+    float expression, rounded at the end.
+
+    Scale: one distinct-user aggregation to TWO counters — nothing
+    else."""
+    from .text import h56
+
+    ratio = float(expected_a)
+    if not (0.0 < ratio < 1.0):
+        raise ValueError(
+            f"ab_srm_check: expected_a must be in (0, 1) (got {expected_a})"
+        )
+    users = (
+        events.filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("u"))
+        .distinct()
+        .select((h56(F.col("u").cast("string")) % 2 == 0).alias("__is_a"))
+    )
+    agg = users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("__is_a").cast("long")).alias("n_control"),
+    )
+    n = F.col("n_users").cast("double")
+    na = F.col("n_control").cast("double")
+    nb = n - na
+    ea = n * F.lit(ratio)
+    eb = n * F.lit(1.0 - ratio)
+    chi2 = (na - ea) * (na - ea) / ea + (nb - eb) * (nb - eb) / eb
+    return agg.select(
+        "n_users",
+        "n_control",
+        (F.col("n_users") - F.col("n_control")).alias("n_treatment"),
+        F.round(ea, 6).alias("expected_control"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(float(threshold))).alias("srm_detected"),
+    )

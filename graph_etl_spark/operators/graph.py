@@ -1791,3 +1791,100 @@ def ktruss(
     return e.join(_triangle_edge_support(e), ["u", "v"]).select(
         "u", "v", "support"
     )
+
+
+def closeness_sample(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """SAMPLED HARMONIC CLOSENESS centrality (Marchiori & Latora
+    2000; the harmonic variant is the standard fix for disconnected
+    graphs — unreachable vertices contribute 0, not a divide-by-
+    infinity): for each source s, H(s) = Σ_{v reached, v≠s} 1/d(s,v)
+    over BFS hop distances within ``max_hops`` — the "how close to
+    everything" complement of ``betweenness_sample``'s "how much in
+    between".
+
+    Determinism: distances are exact BFS levels; each level's
+    reciprocal 1/d enters as a 6-dp-rounded decimal literal
+    multiplied by the level's exact reach count, so the per-source
+    sum is order-free exact decimal arithmetic; one cast to double
+    at the end.
+
+    Output: (id, n_reached, harmonic_closeness) — one row per source
+    (sources reaching nothing score 0).
+
+    Scale: all sources advance in ONE synchronized (source, vertex)
+    frontier — per level one edge join + one distinct + one
+    anti-join against visited, eagerly checkpointed; level counts
+    aggregate map-side. Frontier frames are (sources × vertices)-
+    bounded; |sources| is the accuracy/cost dial."""
+    if int(max_hops) < 1:
+        raise ValueError(
+            f"closeness_sample: max_hops must be >= 1 (got {max_hops})"
+        )
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    [src_col] = sources.columns
+    seeds = sources.select(F.col(src_col).alias("s")).distinct()
+    frontier = seeds.select("s", F.col("s").alias("id")).localCheckpoint(
+        eager=True
+    )
+    visited = frontier
+    level_counts = []  # (depth, frame of per-source reach counts)
+    for d in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["a"])
+            .select("s", F.col("b").alias("id"))
+            .distinct()
+            .join(visited, ["s", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        level_counts.append(
+            nxt.groupBy("s").agg(
+                F.count(F.lit(1)).cast("decimal(38,0)").alias("__cnt")
+            ).select(
+                "s",
+                (
+                    F.col("__cnt")
+                    * F.lit(round(1.0 / d, 6)).cast("decimal(18,6)")
+                ).alias("__term"),
+                F.col("__cnt").cast("long").alias("__reach"),
+            )
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if not level_counts:
+        return seeds.select(
+            F.col("s").alias("id"),
+            F.lit(0).cast("long").alias("n_reached"),
+            F.lit(0.0).alias("harmonic_closeness"),
+        )
+    terms = level_counts[0]
+    for lc in level_counts[1:]:
+        terms = terms.unionByName(lc)
+    per_s = terms.groupBy("s").agg(
+        F.sum("__reach").cast("long").alias("n_reached"),
+        F.sum("__term").alias("__h"),
+    )
+    return seeds.join(per_s, "s", "left").select(
+        F.col("s").alias("id"),
+        F.coalesce("n_reached", F.lit(0).cast("long")).alias("n_reached"),
+        F.coalesce(F.col("__h").cast("double"), F.lit(0.0)).alias(
+            "harmonic_closeness"
+        ),
+    )

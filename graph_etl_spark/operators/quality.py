@@ -2656,3 +2656,154 @@ def gopher_rules(
             f_words & f_wl & f_sym & f_bullet & f_ell & f_alpha & f_stop
         ).alias("admitted"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """K-ANONYMITY audit (Sweeney 2002, the public k-anonymity paper)
+    — the training-data governance gate PII scrubbing alone can't
+    give: a row is re-identifiable when its QUASI-IDENTIFIER
+    combination (zip x age x segment ...) is shared by fewer than
+    ``k`` rows, even with every direct identifier masked. Output is
+    the full combination census so curation can suppress or
+    generalize the violating cells.
+
+    Output: (quasi_cols..., n_rows, violates) — one row per distinct
+    combination, violates = n_rows < k. NULL quasi-values group as
+    their own cell (NULL zip is itself a quasi-identifier value).
+
+    Scale: ONE groupBy on the quasi columns (map-side combined) —
+    combination-census sized output; feed it back as a broadcast
+    semi-join to suppress violating rows."""
+    if int(k) < 2:
+        raise ValueError(f"k_anonymity: k must be >= 2 (got {k})")
+    if not quasi_cols:
+        raise ValueError("k_anonymity: quasi_cols must be non-empty")
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("violates", F.col("n_rows") < int(k))
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """COHEN'S KAPPA inter-rater agreement (Cohen 1960) between two
+    label columns — the label-QA number that separates real agreement
+    from what class imbalance hands out for free: po = observed
+    agreement rate, pe = Σ_c p_a(c)·p_b(c) expected-by-chance, kappa
+    = (po − pe) / (1 − pe). Pairs with a NULL on either side are
+    excluded (unlabeled, not disagreement).
+
+    Output: one row — (n_pairs, po, pe, kappa); kappa NULL when
+    pe = 1 (both raters constant — the documented degenerate case,
+    matching SQL NULL division).
+
+    Determinism: all counts exact integers; pe's per-class products
+    are summed as exact integer numerators over n² (order-free) and
+    po/pe/kappa close in ONE mirrored float expression, rounded at
+    the end.
+
+    Scale: one per-class count aggregation for each rater + one
+    agreement count — three bounded aggs, a class-count-sized join,
+    no window."""
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    n_agree = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("long")).alias("__agree"),
+    )
+    ca = base.groupBy(F.col("__a").alias("__c")).agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    cb = base.groupBy(F.col("__b").alias("__c")).agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    # exact integer numerator of pe: Σ_c na_c * nb_c (over n²)
+    pe_num = (
+        ca.join(cb, "__c")
+        .agg(
+            F.sum(
+                F.col("__na").cast("decimal(38,0)")
+                * F.col("__nb").cast("decimal(38,0)")
+            ).alias("__pe_num")
+        )
+    )
+    n = F.col("__n").cast("double")
+    po = F.col("__agree").cast("double") / n
+    pe = F.col("__pe_num").cast("double") / (n * n)
+    return (
+        n_agree.crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("__n").alias("n_pairs"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6)
+            .alias("kappa"),
+        )
+    )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKEN-BUDGET corpus assembly — "give me exactly ~N tokens per
+    source", the final step of every data-mixing recipe after
+    ``mixture_weights`` decides the proportions: within each source,
+    docs are taken in DETERMINISTIC hash priority order until the
+    running token total crosses the budget. A doc is admitted iff the
+    cumulative token count BEFORE it is under the budget — so each
+    source lands in [budget, budget + max_doc_tokens) unless it runs
+    out of docs (reruns reproduce the same corpus bit-for-bit).
+
+    Output: (id_col, source_col, n_tokens, cum_before, admitted) —
+    every doc, with the admission verdict and its position's running
+    total (audit-friendly: Σ n_tokens over admitted rows per source
+    is the realized budget).
+
+    Scale: one token-count scan + ONE per-source window (cumulative
+    sum ordered by the hash priority). The window partitions by
+    source — a single mega-source serializes its own sort, the
+    ``source_quota_cap`` skew note applies verbatim (pre-prune
+    obviously-overflowing sources by a cheap count first at 100 TB)."""
+    from .text import h56, tokens_col
+
+    if int(budget_tokens) < 1:
+        raise ValueError(
+            f"token_budget_fill: budget_tokens must be >= 1 "
+            f"(got {budget_tokens})"
+        )
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        h56(F.col(id_col).cast("string")).alias("__pri"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("__pri", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        id_col,
+        source_col,
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")).alias(
+            "cum_before"
+        ),
+        (
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+            < int(budget_tokens)
+        ).alias("admitted"),
+    )

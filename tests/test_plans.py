@@ -1030,3 +1030,32 @@ def test_cdc_guarded_is_doc_grouped_arrow(spark, entry):
     assert p.index("HashAggregate") < p.index("FlatMapGroupsInPandas"), (
         "chunk-hash roll-up must sit above the Arrow stage (JVM-side)"
     )
+
+
+def test_k_anonymity_single_census_agg(spark, entry):
+    df = entry.q_quality_k_anonymity(spark, SF)
+    assert_no_cartesian(df)
+    p = plan_string(df)
+    assert "Window" not in p and "MapInPandas" not in p
+
+
+def test_token_budget_window_partitions_by_source(spark, entry):
+    df = entry.q_quality_token_budget(spark, SF)
+    assert_no_cartesian(df)
+    fp = formatted_plan(df)
+    import re
+    for m in re.finditer(r"Window \[", fp):
+        seg = fp[m.start():m.start() + 400]
+        assert "source" in seg, seg[:200]
+
+
+def test_closeness_frontier_join_shaped(spark):
+    from graph_etl_spark import operators as ops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (3,)], "id long")
+    out = ops.closeness_sample(edges, seeds, max_hops=3)
+    st = plan_stats(out)
+    assert st.nested_loop_joins == 0

@@ -216,6 +216,8 @@ ROUND13_NEW_OR_CHANGED = [
     "graph_louvain_coarsen", "graph_louvain_two_level",
     "dedup_cdc_guarded", "quality_gopher_rules", "approx_hll_union",
     "graph_ktruss", "text_char_entropy", "dedup_overlap_pairs",
+    "quality_k_anonymity", "quality_cohen_kappa",
+    "quality_token_budget", "events_ab_srm", "graph_closeness",
     "etl_bloom_semi_join", "etl_bloom_semi_join_scale",
     "graph_assortativity", "events_retention", "events_cohort_ltv",
     "events_burstiness", "events_concurrency", "graph_louvain_move",

@@ -308,3 +308,84 @@ def test_prefix_suffix_overlap_detects_seam_only(spark):
     got = sorted((r["id_a"], r["id_b"]) for r in
                  ops.prefix_suffix_overlap(df, k=8).collect())
     assert got == [(1, 2), (1, 4), (4, 2)]
+
+
+def test_k_anonymity_census(spark):
+    df = spark.createDataFrame(
+        [("10001", "a"), ("10001", "a"), ("10001", "a"),
+         ("10002", "b"), ("10002", None)],
+        "zip string, seg string",
+    )
+    got = {
+        (r["zip"], r["seg"]): (r["n_rows"], r["violates"])
+        for r in ops.k_anonymity(df, ["zip", "seg"], k=3).collect()
+    }
+    assert got[("10001", "a")] == (3, False)
+    assert got[("10002", "b")] == (1, True)
+    assert got[("10002", None)] == (1, True), "NULL is its own cell"
+
+
+def test_cohen_kappa_known_values(spark):
+    """Perfect agreement -> kappa 1; the classic 2x2 example checks
+    the chance correction (po=0.7, pe=0.5 -> kappa 0.4)."""
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y")] * 5, "a string, b string"
+    )
+    assert ops.cohen_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+    rows = (
+        [("p", "p")] * 4 + [("n", "n")] * 3
+        + [("p", "n")] * 1 + [("n", "p")] * 2
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = ops.cohen_kappa(df, "a", "b").collect()[0]
+    assert r["po"] == 0.7 and r["pe"] == 0.5 and r["kappa"] == 0.4
+    # both raters constant -> pe = 1 -> NULL kappa (degenerate)
+    const = spark.createDataFrame([("x", "x")] * 3, "a string, b string")
+    assert ops.cohen_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_token_budget_fill_boundary(spark):
+    """Admission = cumulative BEFORE under budget: the crossing doc is
+    admitted, everything after it is not; determinism across reruns."""
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["t"] * 10)) for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    out = ops.token_budget_fill(docs, budget_tokens=35).collect()
+    admitted = [r for r in out if r["admitted"]]
+    tot = sum(r["n_tokens"] for r in admitted)
+    assert tot == 40, "crossing doc admitted -> 4 docs x 10 tokens"
+    rerun = ops.token_budget_fill(docs, budget_tokens=35).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
+
+
+def test_ab_srm_balanced_vs_forced(spark):
+    """A forced 90/10 split must flag; the chi2 formula is exact on
+    known counts."""
+    ev = spark.createDataFrame(
+        [(i,) for i in range(1000)], "user_id long"
+    )
+    r = ops.ab_srm_check(ev).collect()[0]
+    assert r["n_users"] == 1000
+    assert r["n_control"] + r["n_treatment"] == 1000
+    na = r["n_control"]
+    exp_chi2 = round((na - 500.0) ** 2 / 500.0 * 2, 6)
+    assert r["chi2"] == pytest.approx(exp_chi2, abs=1e-6)
+
+
+def test_closeness_path_graph(spark):
+    """Path 1-2-3-4-5 from seeds {1, 3}: H(1) = 1 + 1/2 + 1/3 + 1/4,
+    H(3) = 1 + 1 + 1/2 + 1/2; an isolated seed scores 0."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (3,), (99,)], "id long")
+    got = {r["id"]: r for r in
+           ops.closeness_sample(edges, seeds, max_hops=4).collect()}
+    assert got[1]["n_reached"] == 4
+    assert got[1]["harmonic_closeness"] == pytest.approx(
+        1 + 0.5 + 0.333333 + 0.25, abs=1e-6
+    )
+    assert got[3]["harmonic_closeness"] == pytest.approx(3.0, abs=1e-6)
+    assert got[99]["n_reached"] == 0
+    assert got[99]["harmonic_closeness"] == 0.0

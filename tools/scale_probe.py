@@ -197,6 +197,11 @@ PROBE_TO_REGISTRY = {
     "louvain_coarsen": "graph_louvain_coarsen",
     "louvain_two_level": "graph_louvain_two_level",
     "cdc_guarded": "dedup_cdc_guarded",
+    "k_anonymity": "quality_k_anonymity",
+    "cohen_kappa": "quality_cohen_kappa",
+    "token_budget": "quality_token_budget",
+    "ab_srm": "events_ab_srm",
+    "closeness": "graph_closeness",
     "gopher_rules": "quality_gopher_rules",
     "hll_union": "approx_hll_union",
     "ktruss": "graph_ktruss",
@@ -316,6 +321,17 @@ def main() -> None:
         # ratio here means the single-key sort became the bottleneck.
         "source_quota_cap_megadomain": lambda d: ops.source_quota_cap(
             d.withColumn("source", F.lit("the-one-domain.example")), cap=10
+        ),
+        # r13 batch 2: kappa — three bounded aggs + class-sized join
+        "cohen_kappa": lambda d: ops.cohen_kappa(
+            ops.lang_id(d), "lang", "lang_pred"
+        ),
+        # r13 batch 2: k-anonymity — one census groupBy
+        "k_anonymity": lambda d: ops.k_anonymity(d, ["lang", "source"], k=10),
+        # r13 batch 2: budget fill — one scan + one per-source window;
+        # sources stay fixed while docs 10x (the quota-window regime)
+        "token_budget": lambda d: ops.token_budget_fill(
+            d, budget_tokens=1000
         ),
         # r13: Gopher rule battery — pure map-side row expressions
         "gopher_rules": lambda d: ops.gopher_rules(d, min_words=30),
@@ -632,6 +648,15 @@ def main() -> None:
         # degree/total/k_ic aggregations + a node-keyed argmax window
         # (bounded by distinct neighbor communities); copies are
         # edge-disjoint with per-copy communities
+        # r13 batch 2: harmonic closeness — synchronized frontier,
+        # fixed seed count while the graph 10x (copies edge-disjoint)
+        "closeness": lambda f: (
+            lambda: ops.closeness_sample(
+                copurchase(f),
+                copurchase(f).select(F.col("src").alias("id")).distinct().limit(8),
+                max_hops=3,
+            )
+        ),
         # r13: k-truss — per round one wedge-join triangle
         # enumeration + one (u,v) agg + one semi-join; copies are
         # edge-disjoint so triangles stay copy-local
@@ -857,6 +882,8 @@ def main() -> None:
     from graph_etl_spark.functions import scd2_history as _scd2
 
     ev_cases = {
+        # r13 batch 2: SRM — one distinct-user agg to two counters
+        "ab_srm": lambda e: ops.ab_srm_check(e),
         "attribution": lambda f: ops.attribution(f, "purchase", ["click", "view"]),
         "scd2_history": lambda f: _scd2(f, "user_id", "ts", "event_type"),
         # group count stays FIXED (5 event types) while rows 10x — the
