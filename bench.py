@@ -249,6 +249,9 @@ HEADLINE = [
     "quality_token_budget",
     "events_ab_srm",
     "graph_closeness",
+    "text_vocab_overlap",
+    "events_bot_users",
+    "sim_ivf_recall_curve",
 ]
 
 

@@ -1212,3 +1212,34 @@ def ab_srm_check(
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(float(threshold))).alias("srm_detected"),
     )
+
+
+def bot_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+    min_gaps: int = 5,
+    max_burstiness: float = -0.9,
+) -> DataFrame:
+    """AUTOMATION / BOT-TRAFFIC detection on inter-event timing — the
+    training-data hygiene filter upstream of every engagement-derived
+    label: human event streams are bursty (B > 0, Goh-Barabási),
+    schedulers and scrapers are metronomic (σ ≈ 0 → B → −1). A user
+    flags as a bot with at least ``min_gaps`` gaps AND burstiness at
+    or below ``max_burstiness`` — both thresholds literal so the
+    verdict is engine-mirrorable.
+
+    Output: ``burstiness``'s columns (user_id, n_gaps, mean_gap_us,
+    std_gap_us, burstiness) plus ``is_bot``.
+
+    Scale: exactly ``burstiness``'s one lag window + one aggregation;
+    the flag is a map-side expression on top."""
+    scored = burstiness(
+        events, user_col=user_col, ts_col=ts_col, tie_cols=tie_cols
+    )
+    return scored.withColumn(
+        "is_bot",
+        (F.col("n_gaps") >= int(min_gaps))
+        & (F.col("burstiness") <= float(max_burstiness)),
+    )

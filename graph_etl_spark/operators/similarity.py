@@ -2326,3 +2326,71 @@ def matryoshka_recall(
             ).alias("recall"),
         )
     )
+
+
+def ivf_recall_curve(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobes: list[int] | None = None,
+    floors: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN TUNING CURVE — recall@k of the IVF index across a sweep of
+    ``nprobes`` against the exact top-k, the measurement that picks
+    the latency/recall operating point before a 100 TB index build
+    commits to one. Recall must be NON-DECREASING in nprobe (probing
+    more lists can only add candidates — violating this means the
+    index is broken, not mistuned), and each sweep point is judged
+    against its ``floors`` entry (the ``ivf_topk`` verdict contract:
+    deterministic centroids make the booleans reproducible, and the
+    oracle checks the verdicts rather than replaying k-means).
+
+    Output: one row per nprobe — (nprobe, n_queries, k, floor,
+    recall_floor_ok, monotone_ok) where monotone_ok states hits(this
+    nprobe) >= hits(every smaller nprobe).
+
+    Scale: |nprobes| independent probed-list searches over the SAME
+    trained index (centroids train once); each is ivf_topk's bounded
+    plan; the exact baseline is one brute-force top-k reused across
+    the sweep."""
+    nps = sorted(nprobes or [1, 2, 4])
+    fls = floors or [0.2] * len(nps)
+    if len(fls) != len(nps):
+        raise ValueError(
+            f"ivf_recall_curve: floors must match nprobes "
+            f"({len(fls)} vs {len(nps)})"
+        )
+    n_q = queries.count()
+    exact = brute_force_topk(
+        data, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    rows = []
+    spark = data.sparkSession
+    hits_by_np = {}
+    for np_ in nps:
+        approx = ivf_topk(
+            data, queries, k=k, nlist=nlist, nprobe=np_,
+            id_col=id_col, vec_col=vec_col,
+        ).select("query_id", "neighbor_id")
+        hits = approx.join(exact, ["query_id", "neighbor_id"]).count()
+        hits_by_np[np_] = hits
+    for np_, fl in zip(nps, fls):
+        h = hits_by_np[np_]
+        rows.append(
+            (
+                int(np_),
+                int(n_q),
+                int(k),
+                float(fl),
+                h >= fl * n_q * k,
+                all(h >= hits_by_np[m] for m in nps if m < np_),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "nprobe int, n_queries int, k int, floor double, "
+        "recall_floor_ok boolean, monotone_ok boolean",
+    )

@@ -1088,3 +1088,78 @@ def char_entropy(
             6,
         ).alias("entropy_bits"),
     )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """PAIRWISE VOCABULARY OVERLAP between corpus groups — the
+    data-mixing diagnostic behind "is source B redundant given A?":
+    per ordered pair (a < b), the distinct-token Jaccard
+    |V_a ∩ V_b| / |V_a ∪ V_b| with the exact set sizes alongside.
+    High overlap predicts low marginal value from adding b
+    (domain_shift's token-distribution angle, restricted to set
+    membership — cheap enough to run on every ingest).
+
+    Output: (group_a, group_b, vocab_a, vocab_b, n_shared, jaccard) —
+    one row per unordered group pair that SHARES at least one token
+    (disjoint vocabularies produce no row; a zero-row pair IS the
+    answer).
+
+    ``ngram`` > 1 compares n-gram vocabularies instead of unigrams —
+    unigram vocabularies saturate on any broad corpus (function words
+    dominate), n-grams keep discriminating.
+
+    Scale: one distinct over (group, term), one group-size agg, and
+    ONE term-keyed self-join whose fan-out per term is the number
+    of groups containing it (bounded by the group count, never by
+    corpus size); output is group-pair sized."""
+    from ..sources import fan_out
+    from .dedup import shingles_of
+
+    toks = tokens_col(F.col(text_col))
+    terms = toks if int(ngram) <= 1 else shingles_of(toks, int(ngram))
+    vocab = (
+        fan_out(df)
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(terms).alias("__t"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = vocab.select(F.col("__g").alias("group_a"), "__t")
+    b = vocab.select(F.col("__g").alias("group_b"), "__t")
+    shared = (
+        a.join(b, "__t")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("vocab_a")),
+            "group_a",
+        )
+        .join(
+            sizes.select(F.col("__g").alias("group_b"), F.col("__n").alias("vocab_b")),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -218,6 +218,7 @@ ROUND13_NEW_OR_CHANGED = [
     "graph_ktruss", "text_char_entropy", "dedup_overlap_pairs",
     "quality_k_anonymity", "quality_cohen_kappa",
     "quality_token_budget", "events_ab_srm", "graph_closeness",
+    "text_vocab_overlap", "events_bot_users", "sim_ivf_recall_curve",
     "etl_bloom_semi_join", "etl_bloom_semi_join_scale",
     "graph_assortativity", "events_retention", "events_cohort_ltv",
     "events_burstiness", "events_concurrency", "graph_louvain_move",

@@ -389,3 +389,47 @@ def test_closeness_path_graph(spark):
     assert got[3]["harmonic_closeness"] == pytest.approx(3.0, abs=1e-6)
     assert got[99]["n_reached"] == 0
     assert got[99]["harmonic_closeness"] == 0.0
+
+
+def test_vocab_overlap_exact_jaccard(spark):
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("a", "x q"), ("b", "x y w"), ("c", "p p")],
+        "source string, text string",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in ops.vocab_overlap(df, "source").collect()
+    }
+    # V_a = {x,y,z,q}, V_b = {x,y,w}, shared {x,y} -> 2/5
+    r = got[("a", "b")]
+    assert (r["vocab_a"], r["vocab_b"], r["n_shared"]) == (4, 3, 2)
+    assert r["jaccard"] == 0.4
+    # c shares nothing -> no rows with c
+    assert not any("c" in k for k in got)
+
+
+def test_bot_users_flags_metronome(spark):
+    rows = [(1, f"2024-01-01 00:{m:02d}:00") for m in range(0, 40, 5)]
+    rows += [(2, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:03"),
+             (2, "2024-01-01 00:10:00"), (2, "2024-01-01 02:00:00"),
+             (2, "2024-01-01 02:00:01"), (2, "2024-01-01 09:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    got = {r["user_id"]: r for r in ops.bot_users(df).collect()}
+    assert got[1]["is_bot"] is True, "metronomic 5-min cadence flags"
+    assert got[2]["is_bot"] is False, "bursty human stream passes"
+
+
+def test_ivf_recall_curve_monotone_and_floors(spark):
+    import graph_etl_spark.operators as o
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    got = {r["nprobe"]: r for r in o.ivf_recall_curve(
+        e, q, k=5, nlist=8, nprobes=[1, 2, 4], floors=[0.2, 0.2, 0.2]
+    ).collect()}
+    assert all(got[n]["monotone_ok"] for n in (1, 2, 4))
+    assert all(got[n]["recall_floor_ok"] for n in (1, 2, 4))
+    with pytest.raises(ValueError):
+        o.ivf_recall_curve(e, q, nprobes=[1, 2], floors=[0.5])

@@ -202,6 +202,9 @@ PROBE_TO_REGISTRY = {
     "token_budget": "quality_token_budget",
     "ab_srm": "events_ab_srm",
     "closeness": "graph_closeness",
+    "vocab_overlap": "text_vocab_overlap",
+    "bot_users": "events_bot_users",
+    "ivf_recall_curve": "sim_ivf_recall_curve",
     "gopher_rules": "quality_gopher_rules",
     "hll_union": "approx_hll_union",
     "ktruss": "graph_ktruss",
@@ -322,6 +325,10 @@ def main() -> None:
         "source_quota_cap_megadomain": lambda d: ops.source_quota_cap(
             d.withColumn("source", F.lit("the-one-domain.example")), cap=10
         ),
+        # r13 batch 3: trigram vocab overlap — distinct (group, term)
+        # + one term-keyed self-join; per-copy-disjoint tokens keep
+        # the shared-term fan-out copy-local
+        "vocab_overlap": lambda d: ops.vocab_overlap(d, "lang", ngram=3),
         # r13 batch 2: kappa — three bounded aggs + class-sized join
         "cohen_kappa": lambda d: ops.cohen_kappa(
             ops.lang_id(d), "lang", "lang_pred"
@@ -884,6 +891,8 @@ def main() -> None:
     ev_cases = {
         # r13 batch 2: SRM — one distinct-user agg to two counters
         "ab_srm": lambda e: ops.ab_srm_check(e),
+        # r13 batch 3: bot flags — burstiness' lag window + one agg
+        "bot_users": lambda e: ops.bot_users(e),
         "attribution": lambda f: ops.attribution(f, "purchase", ["click", "view"]),
         "scd2_history": lambda f: _scd2(f, "user_id", "ts", "event_type"),
         # group count stays FIXED (5 event types) while rows 10x — the
@@ -1202,6 +1211,14 @@ def main() -> None:
         # r13 (VERDICT r12 #7): IVF top-k — centroid training collects
         # during construction; the timed plan is assignment + the
         # probed-list equi-join + per-query top-k
+        # r13 batch 3: the recall sweep — 3 probed searches + one
+        # exact baseline over the same trained index
+        "ivf_recall_curve": lambda e: (
+            lambda: ops.ivf_recall_curve(
+                e, e.filter(F.col("vec_id") < 10), k=5, nlist=8,
+                nprobes=[1, 2, 4], floors=[0.1, 0.1, 0.1],
+            )
+        ),
         "ivf_topk": lambda e: (
             lambda: ops.ivf_topk(
                 e, e.filter(F.col("vec_id") < 10), k=5, nlist=8, nprobe=2
