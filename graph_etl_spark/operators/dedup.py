@@ -1037,8 +1037,18 @@ def _cdc_assign_guarded(
     walk the sparse candidate-boundary list, honoring a candidate only
     at chunk length >= mn and force-splitting at mx. One doc-keyed
     shuffle (the same class the window path uses); tokens and flags
-    arrive JVM-computed, chunk hashes leave JVM-aggregated."""
+    arrive JVM-computed, chunk hashes leave JVM-aggregated.
+
+    Shape note: repartition-by-doc + sortWithinPartitions +
+    ``mapInPandas`` grouping docs INSIDE the Python function — NOT
+    ``applyInPandas``, whose per-group invocation overhead dominates
+    when groups are document-sized (measured 8.1 s -> ~2 s at sf0.1:
+    5 000 tiny pandas groups vs one vectorized pass per partition).
+    The function buffers rows only until a doc completes (docs are
+    contiguous under the sort), so partition memory is bounded by the
+    largest document plus one Arrow batch — not the partition."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql import types as T
 
     if mn < 1 or (mx is not None and mx < mn):
@@ -1056,12 +1066,12 @@ def _cdc_assign_guarded(
         ]
     )
     big = 1 << 62
+    lim = mx if mx is not None else big
 
-    def assign(pdf):
-        pdf = pdf.sort_values("__pos").reset_index(drop=True)
-        n = len(pdf)
-        cands = pdf.loc[pdf["__b"] == 1, "__pos"].to_numpy(dtype=np.int64)
-        lim = mx if mx is not None else big
+    def walk(pos: "np.ndarray", flags: "np.ndarray") -> "np.ndarray":
+        # pos is 0..n-1 sorted; returns the chunk id per position
+        n = len(pos)
+        cands = pos[flags == 1]
         bounds = []
         start, ci = 0, 0
         while start < n:
@@ -1075,16 +1085,48 @@ def _cdc_assign_guarded(
                 break  # trailing chunk runs to n-1 (may be a runt)
             bounds.append(end)
             start = end + 1
-        chunk = np.searchsorted(
-            np.asarray(bounds, dtype=np.int64),
-            pdf["__pos"].to_numpy(dtype=np.int64),
-            side="left",
+        return np.searchsorted(
+            np.asarray(bounds, dtype=np.int64), pos, side="left"
         ).astype(np.int64)
-        out = pdf[[id_col, "__pos", "__tok"]].copy()
-        out["__chunk"] = chunk
-        return out
 
-    return flagged.groupBy(id_col).applyInPandas(assign, schema=out_schema)
+    def assign(batches):
+        tail = None  # rows of the partition's still-open document(s)
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            ids = pdf[id_col]
+            last_id = ids.iloc[-1]
+            done = pdf.loc[ids != last_id]
+            tail = pdf.loc[ids == last_id]
+            if len(done):
+                yield _cdc_emit(done, id_col, walk, np)
+        if tail is not None and len(tail):
+            yield _cdc_emit(tail, id_col, walk, np)
+
+    part = flagged.repartition(F.col(id_col)).sortWithinPartitions(
+        id_col, "__pos"
+    )
+    return part.mapInPandas(assign, schema=out_schema)
+
+
+def _cdc_emit(pdf, id_col: str, walk, np):
+    """Chunk ids for a frame of COMPLETE documents (sorted by
+    (id, __pos)): one vectorized walk per doc, one output frame."""
+    chunks = np.empty(len(pdf), dtype=np.int64)
+    pos_all = pdf["__pos"].to_numpy(dtype=np.int64)
+    flag_all = pdf["__b"].to_numpy(dtype=np.int64)
+    ids = pdf[id_col].to_numpy()
+    starts = np.flatnonzero(
+        np.r_[True, ids[1:] != ids[:-1]]
+    )
+    ends = np.r_[starts[1:], len(pdf)]
+    for s0, e0 in zip(starts, ends):
+        chunks[s0:e0] = walk(pos_all[s0:e0], flag_all[s0:e0])
+    out = pdf[[id_col, "__pos", "__tok"]].copy()
+    out["__chunk"] = chunks
+    return out
 
 
 def cdc_dedup_report(

@@ -1019,16 +1019,25 @@ def test_louvain_coarsen_no_cartesian_one_agg(spark):
     assert_no_cartesian(df)
 
 
-def test_cdc_guarded_is_doc_grouped_arrow(spark, entry):
-    """The guarded walk must be the doc-GROUPED Arrow stage (not an
-    ungrouped mapInPandas that could split a doc across batches), and
-    the chunk-hash roll-up must stay JVM-side above it."""
+def test_cdc_guarded_is_doc_partitioned_arrow(spark, entry):
+    """The guarded walk must be ONE Arrow pass over doc-hash
+    partitions sorted by (doc, pos) — mapInPandas grouping docs
+    inside the function, NOT applyInPandas whose per-tiny-group
+    invocation overhead dominates (measured 8.1 s -> ~2 s at sf0.1) —
+    with the chunk-hash roll-up JVM-side above it and the doc-keyed
+    exchange + sort below it."""
     df = entry.q_dedup_cdc_guarded(spark, SF)
     assert_no_cartesian(df)
     p = plan_string(df)
-    assert "FlatMapGroupsInPandas" in p, "guard walk must be doc-grouped"
-    assert p.index("HashAggregate") < p.index("FlatMapGroupsInPandas"), (
+    assert "MapInPandas" in p, "guard walk must be the Arrow map stage"
+    assert "FlatMapGroupsInPandas" not in p, (
+        "per-group applyInPandas crept back (tiny-group overhead)"
+    )
+    assert p.index("HashAggregate") < p.index("MapInPandas"), (
         "chunk-hash roll-up must sit above the Arrow stage (JVM-side)"
+    )
+    assert p.index("MapInPandas") < p.index("Sort"), (
+        "doc-keyed sort must feed the Arrow stage"
     )
 
 
