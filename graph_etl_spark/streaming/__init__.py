@@ -430,6 +430,130 @@ def streaming_incremental_ingest(
     return writer.start()
 
 
+def cdc_ingest_sink(
+    chunk_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    mask_bits: int = 4,
+    min_tokens: int | None = 4,
+    max_tokens: int | None = 24,
+):
+    """foreachBatch sink for ``streaming_cdc_ingest``: chunk each
+    micro-batch's documents with the GUARDED content-defined chunker
+    (chunking is a pure per-document function, so per-batch chunking
+    is EXACT — no cross-batch chunk state), then mark every chunk
+    whose hash already exists in the ACCUMULATED chunk index (the
+    static-plus-admitted posture of ``incremental_ingest_sink`` at
+    CHUNK granularity: a doc arriving in batch 7 that shares chunks
+    with batch-3 docs is caught, not just byte-identical re-crawls).
+
+    Replay idempotence (foreachBatch is at-least-once): output under
+    ``batch_id=N`` partition dirs, overwritten on re-delivery; the
+    prior-index read excludes the current batch id AND every chunk
+    that itself flagged shared (first occurrences only), so a
+    re-delivered batch sees exactly the index it saw first time — a
+    chunk first seen in a later batch cannot appear in an earlier one.
+
+    Scale: chunking is the batch-sized Arrow walk; the shared-flag
+    join shuffles chunk HASHES only (at cluster scale the prior side
+    reduces to distinct hashes, partition-pruned by batch_id).
+    """
+    import os
+
+    from ..operators.dedup import cdc_chunk_hashes
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        chunks = cdc_chunk_hashes(
+            batch_df.select(id_col, text_col),
+            window=window,
+            mask_bits=mask_bits,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+        )
+        from pyspark.errors import AnalysisException
+
+        prior_hashes = None
+        try:
+            prior = spark.read.parquet(chunk_dir)
+            # the index is the FIRST-SEEN chunks only: a chunk that
+            # itself flagged shared was already represented by its
+            # first occurrence, and excluding it makes replay exactly
+            # idempotent — a chunk first seen in a LATER batch cannot
+            # exist in an earlier one, so a re-delivered batch's flags
+            # are untouched by everything that ran after it
+            prior_hashes = (
+                prior.filter(
+                    (F.col("batch_id") != batch_id)
+                    & ~F.col("shared_with_index")
+                )
+                .select("chunk_hash")
+                .distinct()
+            )
+        except AnalysisException as e:
+            msg = str(e)
+            if not (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "unable to infer schema" in msg.lower()
+            ):
+                raise
+        if prior_hashes is not None:
+            flagged = chunks.join(
+                prior_hashes.withColumn("__seen", F.lit(True)),
+                "chunk_hash",
+                "left",
+            ).select(
+                id_col,
+                "chunk_idx",
+                "n_tokens",
+                "chunk_hash",
+                F.coalesce(F.col("__seen"), F.lit(False)).alias(
+                    "shared_with_index"
+                ),
+            )
+        else:
+            flagged = chunks.select(
+                id_col,
+                "chunk_idx",
+                "n_tokens",
+                "chunk_hash",
+                F.lit(False).alias("shared_with_index"),
+            )
+        # batch_id comes from the partition DIRECTORY on read-back
+        # (the incremental_ingest_sink convention) — no duplicate column
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(chunk_dir, f"batch_id={int(batch_id)}")
+        )
+
+    return sink
+
+
+def streaming_cdc_ingest(
+    stream_docs: DataFrame,
+    chunk_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_once: bool = True,
+    **cdc_kw,
+):
+    """Guarded CDC chunking as a STREAMING ingestion stage: each
+    micro-batch's documents are chunked (per-doc pure function —
+    batch == stream bit-for-bit) and every chunk is flagged against
+    the ACCUMULATED chunk-hash index under ``chunk_dir``, which grows
+    as the stream runs. The chunk-granularity sibling of
+    ``streaming_incremental_ingest``; same stateless-per-batch
+    posture (the "state" is the chunk parquet), no watermark."""
+    writer = stream_docs.writeStream.foreachBatch(
+        cdc_ingest_sink(chunk_dir, id_col=id_col, text_col=text_col, **cdc_kw)
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def hopping_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

@@ -503,3 +503,63 @@ def test_session_window_stats_streaming_closed_sessions(spark, tmp_path):
     assert streamed, "no closed sessions emitted"
     for k, v in streamed.items():
         assert batch[k] == v
+
+
+def test_streaming_cdc_ingest_chunk_index_grows(spark, tmp_path):
+    """Chunk-granularity streaming dedup: per-batch chunking equals
+    the batch operator bit-for-bit; a batch-1 doc sharing chunks with
+    a batch-0 doc flags shared_with_index even though no byte-level
+    re-crawl occurred; a re-delivered batch overwrites itself."""
+    from graph_etl_spark.operators.dedup import cdc_chunk_hashes
+    from graph_etl_spark.streaming import cdc_ingest_sink, streaming_cdc_ingest
+
+    t0 = " ".join(f"w{j % 7}" for j in range(40))
+    t1 = " ".join(f"x{j}" for j in range(40))
+    src = str(tmp_path / "cdc_src")
+    chunks_dir = str(tmp_path / "cdc_chunks")
+    ck = str(tmp_path / "cdc_ck")
+
+    spark.createDataFrame(
+        [(1, t0), (2, t1)], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    q = streaming_cdc_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        chunks_dir, ck,
+    )
+    q.awaitTermination(60)
+    got0 = spark.read.parquet(chunks_dir)
+    # batch chunking == stream chunking, bit for bit
+    batch = cdc_chunk_hashes(
+        spark.createDataFrame([(1, t0), (2, t1)], "doc_id long, text string"),
+        min_tokens=4, max_tokens=24,
+    )
+    assert sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_hash"])
+        for r in got0.collect()
+    ) == sorted(map(tuple, batch.collect()))
+    assert not any(r["shared_with_index"] for r in got0.collect())
+
+    # batch 1: doc 3 repeats doc 1's text (different id) — every one
+    # of its chunks must flag against the GROWN chunk index
+    spark.createDataFrame(
+        [(3, t0)], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    q2 = streaming_cdc_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        chunks_dir, ck,
+    )
+    q2.awaitTermination(60)
+    got1 = spark.read.parquet(chunks_dir).collect()  # materialize NOW:
+    # the replay below overwrites batch_id=0's files in place
+    d3 = [r for r in got1 if r["doc_id"] == 3]
+    assert d3 and all(r["shared_with_index"] for r in d3)
+
+    # replay batch 0 (at-least-once): verdicts unchanged, overwritten
+    sink = cdc_ingest_sink(chunks_dir)
+    sink(spark.createDataFrame([(1, t0), (2, t1)],
+                               "doc_id long, text string"), 0)
+    got2 = spark.read.parquet(chunks_dir).collect()
+    assert not any(
+        r["shared_with_index"] for r in got2 if r["doc_id"] in (1, 2)
+    )
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got1))
