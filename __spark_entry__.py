@@ -4415,6 +4415,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
     }
+    # ROUND-14 BUDGET NOTE (for the next session): once r13 lands,
+    # the staleness histogram is {8: 30, 9: 48, 10: 45, 11: 42,
+    # 12: 40, 13: 50} — ALL 30 remaining r8-era rows breach the
+    # 5-round bound the moment r14 lands and must fill the r14
+    # window, capping r14's new+changed lead at 20; the 48 r9-era
+    # rows then own the r15 fillers. test_staleness_policy enforces
+    # this mechanically.
     # r13 window (first 50): 16 NEW + 12 code-changed lead, then the 8
     # r7-era rows at the staleness ceiling, then 23 alphabetical
     # r8-era fillers — composed mechanically with before_round=13
