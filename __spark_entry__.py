@@ -3645,6 +3645,24 @@ def q_graph_louvain_two_level(spark, sf):
     return ops.louvain_two_level(edges, comm, rounds1=2, rounds2=2)
 
 
+def q_graph_louvain_multilevel(spark, sf):
+    """N-LEVEL Louvain recursion (VERDICT r13 #6) — move → contract
+    repeated to THREE levels (2 semi-synchronous rounds each): brand
+    seed on the 1995 co-purchase graph, then two successive weighted
+    contractions each re-refined from singleton seeds, labels
+    projected back down the stack. Early-stop on a zero-move level is
+    result-identical to the oracle's fixed 3-level unroll (singleton
+    seeds make a stalled level the identity — see
+    ``operators/graph.py::louvain_multilevel``)."""
+    edges = _copurchase_1995(spark, sf)
+    comm = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("community")
+    )
+    return ops.louvain_multilevel(
+        edges, comm, rounds_per_level=2, max_levels=3
+    )
+
+
 def q_sim_mmr_rerank(spark, sf):
     """Maximal-marginal-relevance diversified top-5 from a top-20
     candidate pool (λ=0.7): greedy per-step argmax of
@@ -4162,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_louvain_communities": q_graph_louvain_communities,
         "graph_louvain_coarsen": q_graph_louvain_coarsen,
         "graph_louvain_two_level": q_graph_louvain_two_level,
+        "graph_louvain_multilevel": q_graph_louvain_multilevel,
         "sim_mmr_rerank": q_sim_mmr_rerank,
         "sim_hamming_topk": q_sim_hamming_topk,
         "sim_hamming_topk_scale": q_sim_hamming_topk_scale,
@@ -4415,48 +4434,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
     }
-    # ROUND-14 BUDGET NOTE (for the next session): once r13 lands,
-    # the staleness histogram is {8: 30, 9: 48, 10: 45, 11: 42,
-    # 12: 40, 13: 50} — ALL 30 remaining r8-era rows breach the
-    # 5-round bound the moment r14 lands and must fill the r14
-    # window, capping r14's new+changed lead at 20; the 48 r9-era
-    # rows then own the r15 fillers. test_staleness_policy enforces
+    # ROUND-15 BUDGET NOTE (for the next session): once r14 lands,
+    # the staleness histogram becomes {9: 37, 10: 45, 11: 42, 12: 40,
+    # 13: 50, 14: 50} — the 37 remaining r9-era rows breach the
+    # 5-round bound the moment r15 lands and must fill the r15
+    # window, capping r15's new+changed lead at 13; the 45 r10-era
+    # rows then own the r16 fillers. test_staleness_policy enforces
     # this mechanically.
-    # r13 window (first 50): 16 NEW + 12 code-changed lead, then the 8
-    # r7-era rows at the staleness ceiling, then 23 alphabetical
-    # r8-era fillers — composed mechanically with before_round=13
-    # staleness; checked by test_round13_window_composition and the
-    # self-enforcing staleness test. The r12 window is frozen as the
-    # keys of CORRECTNESS_r12.json and still asserted by its own
-    # round-aware test.
-    r13_window = [
-        # new (16)
-        "graph_louvain_coarsen", "graph_louvain_two_level",
-        "dedup_cdc_guarded", "quality_gopher_rules", "approx_hll_union",
-        "graph_ktruss", "text_char_entropy", "dedup_overlap_pairs",
-        "quality_k_anonymity", "quality_cohen_kappa",
-        "quality_token_budget", "events_ab_srm", "graph_closeness",
-        "text_vocab_overlap", "events_bot_users", "sim_ivf_recall_curve",
-        # code-changed (12)
-        "etl_bloom_semi_join", "etl_bloom_semi_join_scale",
-        "graph_assortativity", "events_retention", "events_cohort_ltv",
-        "events_burstiness", "events_concurrency", "graph_louvain_move",
-        "graph_louvain_communities", "dedup_cdc_chunks",
-        "mm_image_ahash_dedup",
-        # approx_hll_distinct's operator gained the shared helper
-        "approx_hll_distinct",
-        # r7-era staleness ceiling (8)
-        "sim_cosine_neardup_pairs", "sim_ivfpq_topk", "sim_pq_codebooks",
-        "sim_pq_codes", "sim_pq_refine_topk", "text_bpe_merges",
-        "text_fuzzy_pairs", "text_quality_scores",
-        # 14 alphabetical r8-era fillers
-        "basket_frequent_pairs", "etl_cascade_delete", "etl_mask_columns",
-        "etl_profile_table", "etl_profile_table_fast", "etl_scd2_history",
-        "etl_snapshot_diff", "etl_upsert_nodes", "events_attribution",
-        "events_ewma", "events_funnel", "events_hopping_counts",
-        "events_markov", "events_rolling_median",
+    # r14 window (first 50): 1 NEW + 8 code-changed lead, then ALL 30
+    # r8-era rows at the staleness ceiling (VERDICT r13 #1 — they hit
+    # the 5-round bound the moment r14 lands), then 11 alphabetical
+    # r9-era fillers pulled forward — composed mechanically with
+    # before_round=14 staleness; checked by
+    # test_round14_window_composition and the self-enforcing staleness
+    # test. The r13 window is frozen as the keys of
+    # CORRECTNESS_r13.json and still asserted by its own round-aware
+    # test.
+    r14_window = [
+        # new (1)
+        "graph_louvain_multilevel",
+        # code-changed (8): degree-rank triangle orientation
+        # (triangles/ktruss), louvain_move k_ic self-loop fix
+        # (move/communities/two_level), ivf_recall_curve floor
+        # pairing, cohen_kappa pe coalesce, markov max_states guard
+        "graph_triangles", "graph_ktruss", "graph_louvain_two_level",
+        "graph_louvain_move", "graph_louvain_communities",
+        "sim_ivf_recall_curve", "quality_cohen_kappa",
+        "events_markov_steady_state",
+        # r8-era staleness ceiling — ALL 30 (alphabetical)
+        "events_tumbling_counts", "graph_bellman_ford",
+        "graph_bfs_distances", "graph_hits", "graph_kcore",
+        "graph_label_propagation", "q11_important_supply",
+        "q12_priority_shipping", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_quantity_revenue",
+        "q20_dominant_suppliers", "q21_waiting_orders",
+        "q2_min_cost_supplier", "q9_product_type_profit",
+        "quality_clf_weights", "quality_corr_matrix",
+        "quality_dataset_split", "quality_histogram",
+        "quality_mixture_sample", "quality_trigram_ppl",
+        "quality_zscore_outliers", "sim_random_projection",
+        "sim_semantic_dedup_pairs", "text_bpe_encode",
+        "text_entity_clusters", "text_inverted_index", "text_normalize",
+        "text_pmi_bigrams", "text_url_dedup",
+        # 11 alphabetical r9-era fillers (pulled forward; r15 owes 37)
+        "approx_distinct_custkeys", "approx_quantiles", "array_funcs",
+        "conditional_agg", "date_funcs", "distinct_counts",
+        "etl_apply_cdc", "etl_array_flatten", "etl_expectations",
+        "etl_scd2_pit", "etl_split_explode",
     ]
-    ordered = {k: registry[k] for k in r13_window}
+    ordered = {k: registry[k] for k in r14_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
     return {name: _scoped(fn) for name, fn in ordered.items()}
 
@@ -9465,8 +9491,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT deg.node, comm_{p}.c, 0::BIGINT
             FROM deg JOIN comm_{p} USING (node)
           ) GROUP BY node, c
-        ), pick_{r} AS (
-          SELECT node, c FROM (
+        ), mv_{r} AS MATERIALIZED (
+          SELECT node, cur, c FROM (
             SELECT cand_{r}.node, cand_{r}.c, cur.c AS cur,
                    (2 * m.m)::HUGEINT * cand_{r}.kic
                      - deg.k::HUGEINT
@@ -9490,6 +9516,13 @@ def oracle_sql() -> dict[str, str]:
           ) WHERE rn = 1 AND c <> cur
             AND ((('0x' || substr(md5(node::VARCHAR), 1, 14))::BIGINT
                   + {p}) % 2) = 0
+        ), pick_{r} AS (
+          -- 2-cycle breaker (r14): reciprocal community transfers in
+          -- the same round keep only the into-the-smaller-label leg
+          SELECT mv.node, mv.c FROM mv_{r} mv
+          LEFT JOIN (SELECT DISTINCT cur AS ro, c AS rn2 FROM mv_{r}) x
+            ON mv.c = x.ro AND mv.cur = x.rn2
+          WHERE x.ro IS NULL OR mv.c < mv.cur
         ), comm_{r} AS MATERIALIZED (
           SELECT comm_{p}.node, COALESCE(pick_{r}.c, comm_{p}.c) AS c
           FROM comm_{p} LEFT JOIN pick_{r} USING (node)
@@ -9551,17 +9584,20 @@ def oracle_sql() -> dict[str, str]:
           FROM {pfx}e0 e JOIN {pfx}comm_{p} cs ON e.s = cs.node
                          JOIN {pfx}comm_{p} cd ON e.d = cd.node
         ), {pfx}cand_{r} AS (
+          -- self-loops excluded from k_ic (kept in m/deg): their mass
+          -- moves WITH the node, standard Louvain — mirrors the r14
+          -- louvain_move fix (ADVICE r13 high)
           SELECT node, c, MAX(kic)::BIGINT AS kic FROM (
             SELECT node, c, SUM(w)::BIGINT AS kic FROM (
-              SELECT s AS node, cd AS c, w FROM {pfx}lab_{r}
-              UNION ALL SELECT d, cs, w FROM {pfx}lab_{r}
+              SELECT s AS node, cd AS c, w FROM {pfx}lab_{r} WHERE s <> d
+              UNION ALL SELECT d, cs, w FROM {pfx}lab_{r} WHERE s <> d
             ) GROUP BY node, c
             UNION ALL
             SELECT {pfx}deg.node, {pfx}comm_{p}.c, 0::BIGINT
             FROM {pfx}deg JOIN {pfx}comm_{p} USING (node)
           ) GROUP BY node, c
-        ), {pfx}pick_{r} AS (
-          SELECT node, c FROM (
+        ), {pfx}mv_{r} AS MATERIALIZED (
+          SELECT node, cur, c FROM (
             SELECT {pfx}cand_{r}.node, {pfx}cand_{r}.c, cur.c AS cur,
                    row_number() OVER (
                      PARTITION BY {pfx}cand_{r}.node
@@ -9580,6 +9616,13 @@ def oracle_sql() -> dict[str, str]:
           ) WHERE rn = 1 AND c <> cur
             AND ((('0x' || substr(md5(node::VARCHAR), 1, 14))::BIGINT
                   + {p}) % 2) = 0
+        ), {pfx}pick_{r} AS (
+          -- 2-cycle breaker (r14): reciprocal community transfers in
+          -- the same round keep only the into-the-smaller-label leg
+          SELECT mv.node, mv.c FROM {pfx}mv_{r} mv
+          LEFT JOIN (SELECT DISTINCT cur AS ro, c AS rn2 FROM {pfx}mv_{r}) x
+            ON mv.c = x.ro AND mv.cur = x.rn2
+          WHERE x.ro IS NULL OR mv.c < mv.cur
         ), {pfx}comm_{r} AS MATERIALIZED (
           SELECT {pfx}comm_{p}.node, COALESCE({pfx}pick_{r}.c, {pfx}comm_{p}.c) AS c
           FROM {pfx}comm_{p} LEFT JOIN {pfx}pick_{r} USING (node)
@@ -9625,6 +9668,73 @@ def oracle_sql() -> dict[str, str]:
         {coarse}
         SELECT comm_2.node AS id, COALESCE(cc.c, comm_2.c) AS community
         FROM comm_2 LEFT JOIN ccomm_2 cc ON comm_2.c = cc.node
+    """
+
+    # N-level Louvain (VERDICT r13 #6): the two-level unroll extended
+    # by a SECOND contraction and a third singleton-seeded move level
+    # (prefix "cc"); the Spark side's zero-move early stop is
+    # result-identical because a stalled singleton-seeded level is the
+    # identity labeling (see louvain_multilevel's docstring proof).
+    level3 = ",\n        ".join(_lv_round(r, "cc") for r in (1, 2))
+    sql["graph_louvain_multilevel"] = f"""
+        WITH e0 AS MATERIALIZED (
+          SELECT s, d, 1::BIGINT AS w FROM (
+            SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+            FROM (SELECT l_orderkey, l_partkey FROM lineitem
+                  WHERE year(l_shipdate) = 1995) a
+            JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+                  WHERE year(l_shipdate) = 1995) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          )
+        ), comm_0 AS (
+          SELECT p_partkey AS node, p_brand AS c FROM part
+        ), m AS (SELECT SUM(w)::BIGINT AS m FROM e0),
+        deg AS MATERIALIZED (
+          SELECT node, SUM(w)::BIGINT AS k FROM (
+            SELECT s AS node, w FROM e0 UNION ALL SELECT d, w FROM e0
+          ) GROUP BY node
+        ),
+        {fine},
+        ce0 AS MATERIALIZED (
+          SELECT LEAST(cs.c, cd.c) AS s, GREATEST(cs.c, cd.c) AS d,
+                 SUM(e.w)::BIGINT AS w
+          FROM e0 e JOIN comm_2 cs ON e.s = cs.node
+                    JOIN comm_2 cd ON e.d = cd.node
+          GROUP BY 1, 2
+        ), ccomm_0 AS (
+          SELECT DISTINCT node, node AS c FROM (
+            SELECT s AS node FROM ce0 UNION ALL SELECT d FROM ce0
+          )
+        ), cm AS (SELECT SUM(w)::BIGINT AS m FROM ce0),
+        cdeg AS MATERIALIZED (
+          SELECT node, SUM(w)::BIGINT AS k FROM (
+            SELECT s AS node, w FROM ce0 UNION ALL SELECT d, w FROM ce0
+          ) GROUP BY node
+        ),
+        {coarse},
+        cce0 AS MATERIALIZED (
+          SELECT LEAST(cs.c, cd.c) AS s, GREATEST(cs.c, cd.c) AS d,
+                 SUM(e.w)::BIGINT AS w
+          FROM ce0 e JOIN ccomm_2 cs ON e.s = cs.node
+                     JOIN ccomm_2 cd ON e.d = cd.node
+          GROUP BY 1, 2
+        ), cccomm_0 AS (
+          SELECT DISTINCT node, node AS c FROM (
+            SELECT s AS node FROM cce0 UNION ALL SELECT d FROM cce0
+          )
+        ), ccm AS (SELECT SUM(w)::BIGINT AS m FROM cce0),
+        ccdeg AS MATERIALIZED (
+          SELECT node, SUM(w)::BIGINT AS k FROM (
+            SELECT s AS node, w FROM cce0 UNION ALL SELECT d, w FROM cce0
+          ) GROUP BY node
+        ),
+        {level3},
+        lvl2 AS (
+          SELECT comm_2.node, COALESCE(cc.c, comm_2.c) AS c
+          FROM comm_2 LEFT JOIN ccomm_2 cc ON comm_2.c = cc.node
+        )
+        SELECT lvl2.node AS id, COALESCE(l3.c, lvl2.c) AS community
+        FROM lvl2 LEFT JOIN cccomm_2 l3 ON lvl2.c = l3.node
     """
 
     # MMR: unrolled greedy steps — sel_1 is pure relevance, each later

@@ -958,6 +958,7 @@ def markov_steady_state(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    max_states: int = 1000,
 ) -> DataFrame:
     """STATIONARY DISTRIBUTION of the event-type Markov chain — the
     long-run "where do users spend their time" vector that
@@ -981,7 +982,9 @@ def markov_steady_state(
     count (one user-keyed lead window + one bounded aggregation); the
     chain itself is states²-bounded, collected once and iterated
     driver-side in exact ints — the literal-centroid convention for
-    dimension-sized model state."""
+    dimension-sized model state. ``max_states`` makes the bound
+    CONTRACTUAL: a distributed distinct-state count gates the collect
+    and raises when a high-cardinality type column sneaks in."""
     U = 10**12
     if int(iters) < 1:
         raise ValueError(
@@ -995,11 +998,31 @@ def markov_steady_state(
         .withColumn("__nxt", F.lead(type_col).over(w))
         .filter(F.col("__nxt").isNotNull())
     )
-    counts = (
+    counts_df = (
         stream.groupBy(
             F.col(type_col).alias("__cur"), F.col("__nxt")
-        ).agg(F.count(F.lit(1)).alias("__c"))
-    ).collect()
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    # CONTRACTUAL boundedness gate (VERDICT r13 #7): the chain is
+    # collected driver-side, so the state space must actually be
+    # chain-sized. The distinct-state count runs DISTRIBUTED on the
+    # already-aggregated (states²-bounded) pair frame — nothing big
+    # ever reaches the driver when the guard trips.
+    n_states_seen = (
+        counts_df.select(F.col("__cur").alias("__s"))
+        .unionAll(counts_df.select(F.col("__nxt").alias("__s")))
+        .agg(F.countDistinct("__s").alias("__n"))
+        .collect()[0]["__n"]
+    )
+    if n_states_seen > int(max_states):
+        raise ValueError(
+            f"markov_steady_state: {n_states_seen} distinct event types "
+            f"exceed max_states={max_states} — the chain is collected "
+            f"driver-side; pass a coarser type column or raise max_states"
+        )
+    counts = counts_df.collect()
     states = sorted(
         {r["__cur"] for r in counts} | {r["__nxt"] for r in counts}
     )

@@ -211,6 +211,79 @@ def pagerank(
     return ranks.select("id", F.round("rank", round_to).alias("pagerank"))
 
 
+def _forward_edges(und: DataFrame) -> DataFrame:
+    """Degree-rank FORWARD orientation of a canonical (u < v) simple
+    edge frame — the compact-forward preprocessing (Latapy 2008;
+    Schank & Wagner 2005 "forward" algorithm): each undirected edge
+    points from its LOWER-rank endpoint to its higher-rank endpoint,
+    rank = (degree, id) lexicographic (id tie-break keeps the
+    orientation deterministic, so an oracle mirrors it exactly).
+
+    Output: (a, b, ad, bd) with rank(a) < rank(b) and ad/bd the
+    endpoint degrees — the degree columns ride along so the wedge
+    join can compare neighbor ranks without another join.
+
+    Why this matters at 100 TB: wedge candidates are generated per
+    FORWARD-adjacency pair, and under degree ordering every vertex's
+    forward degree is O(sqrt(m)) — a power-law hub points almost all
+    its edges INWARD (its neighbors have lower degree, hence lower
+    rank), so the O(deg²) skewed-hub blowup of raw-id orientation
+    cannot happen (`tests/test_graph.py` pins this on a star
+    fixture)."""
+    deg = (
+        und.select(F.col("u").alias("__id"))
+        .unionAll(und.select(F.col("v").alias("__id")))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    e = (
+        und.join(deg.withColumnRenamed("__id", "u"), "u")
+        .withColumnRenamed("__deg", "__du")
+        .join(deg.withColumnRenamed("__id", "v"), "v")
+        .withColumnRenamed("__deg", "__dv")
+    )
+    u_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("__du")).otherwise(F.col("__dv")).alias("ad"),
+        F.when(u_first, F.col("__dv")).otherwise(F.col("__du")).alias("bd"),
+    )
+
+
+def _enumerate_triangles(und: DataFrame) -> DataFrame:
+    """Each triangle of the canonical simple graph exactly once, as
+    (x, y, z) in DEGREE-RANK order — the compact-forward enumeration:
+    orient edges low-rank→high-rank (``_forward_edges``), wedge-join
+    the two forward edges out of the lowest-rank corner (rank-ordered
+    so each unordered neighbor pair appears once), close with the
+    forward edge between the two higher corners (which IS oriented
+    y→z because rank(y) < rank(z)). Both the canonical frame (feeds
+    the two degree-union legs plus the edge join) and the oriented
+    frame (feeds three join branches) are localCheckpointed so
+    Catalyst doesn't re-instantiate the dedup subplan per branch."""
+    und = und.localCheckpoint()
+    fwd = _forward_edges(und).localCheckpoint()
+    e1, e2, e3 = fwd.alias("e1"), fwd.alias("e2"), fwd.alias("e3")
+    rank_lt = (F.col("e1.bd") < F.col("e2.bd")) | (
+        (F.col("e1.bd") == F.col("e2.bd")) & (F.col("e1.b") < F.col("e2.b"))
+    )
+    return (
+        e1.join(e2, (F.col("e1.a") == F.col("e2.a")) & rank_lt)
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -223,40 +296,25 @@ def triangle_count(
     Output: (id, n_triangles), one row per vertex participating in at
     least one triangle.
 
-    Plan: the standard two-join enumeration — wedge join
-    (e1.v = e2.u gives paths u < v < w, each candidate triangle
-    generated exactly once thanks to the canonical ordering) closed
-    by the (u, w) edge. The canonical edge set is localCheckpointed:
-    it feeds three join branches, and interpreted-lambda-free or not,
-    Catalyst would otherwise re-instantiate the dedup subplan per
-    branch. At 100 TB orient edges by DEGREE rank instead of raw id
-    (compute degrees, point each edge low→high): wedge fan-out is
-    then bounded by the max low-degree endpoint, the classic
-    compact-forward bound — same output, documented here because the
-    id-ordering variant is what the oracle mirrors."""
+    Plan: COMPACT-FORWARD enumeration (``_enumerate_triangles``) —
+    edges oriented by degree rank (id tie-break), wedge join out of
+    each triangle's lowest-rank corner, closed by the forward edge
+    between the other two. Degree orientation bounds every vertex's
+    forward adjacency at O(sqrt(m)), so the wedge fan-out survives
+    power-law hubs — the raw-id orientation this replaced (r13 weak
+    mark) generated O(deg²) candidates off a low-id hub. Triangle
+    counts are orientation-invariant, so the output (and the SQL
+    oracle) is unchanged."""
     u = F.least(F.col(src), F.col(dst))
     v = F.greatest(F.col(src), F.col(dst))
     und = (
         edges.select(u.alias("u"), v.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
-    e1 = und.alias("e1")
-    e2 = und.alias("e2")
-    e3 = und.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .select(
-            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
-        )
-    )
+    tris = _enumerate_triangles(und)
     return (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -1223,12 +1281,19 @@ def louvain_move(
         .groupBy("__c")
         .agg(F.sum("__k").alias("__tot"))
     )
+    # SELF-LOOPS are excluded from k_{i,c} (but kept in m and deg):
+    # a self-loop's mass is community-invariant — it moves WITH the
+    # node — so standard Louvain scores only the links to OTHER
+    # nodes. Counting it (the pre-r14 bug) inflated the stay score by
+    # 2m·2w, making phase 2 refuse modularity-positive merges whenever
+    # the coarse graph's super-nodes carried inner-edge self-loops.
+    e_link = e.filter(F.col("__s") != F.col("__d"))
     k_ic = (
-        e.select(
+        e_link.select(
             F.col("__s").alias("__node"), F.col("__cd").alias("__c"), "__w"
         )
         .unionByName(
-            e.select(
+            e_link.select(
                 F.col("__d").alias("__node"), F.col("__cs").alias("__c"), "__w"
             )
         )
@@ -1300,11 +1365,19 @@ def louvain_communities(
     parallel-Louvain/LPA pathology), so each round only APPLIES the
     moves of the half of the nodes whose deterministic hash parity
     matches the round — (h56(id) + round) % 2 == 0 — the
-    semi-synchronous scheme: adjacent same-parity swaps still exist
-    but the global flip symmetry is broken and the alternating halves
-    behave like a 2-phase sequential sweep. The gate is a pure
-    engine-mirrorable expression, so a SQL oracle unrolls the exact
-    same rounds.
+    semi-synchronous scheme: the global flip symmetry is broken and
+    the alternating halves behave like a 2-phase sequential sweep.
+    SAME-PARITY adjacent pairs can still swap (both legs of a 2-cycle
+    gated in together — two singleton communities each electing the
+    other exchange labels forever instead of merging; pre-r14 the
+    k_ic self-loop bug masked this on coarse graphs by pinning
+    super-nodes in place), so a second deterministic breaker runs on
+    the GATED moves at community-pair granularity: when a round
+    applies transfers in BOTH directions between communities A and B,
+    only the direction into the SMALLER label survives. Both rules
+    are pure engine-mirrorable expressions (hash parity; a reversed
+    pair anti-condition), so a SQL oracle unrolls the exact same
+    rounds.
 
     Convergence: TWO consecutive rounds applying zero moves is a full
     fixed point (both parity halves declined to move against the same
@@ -1343,9 +1416,27 @@ def louvain_communities(
             weight_col=weight_col,
         )
         gate = (h56(F.col("id").cast("string")) + F.lit(r)) % 2 == 0
+        gated = moves.filter(F.col("moved") & gate).select(
+            "id",
+            F.col("old_community").alias("__old"),
+            F.col("new_community").alias("__new"),
+        )
+        # 2-cycle breaker (docstring): if this round also transfers in
+        # the REVERSE community direction, keep only the leg moving
+        # into the smaller label. The reversed-pair frame is the
+        # round's distinct mover pairs — community-pair bounded.
+        rev = gated.select(
+            F.col("__old").alias("__ro"), F.col("__new").alias("__rn")
+        ).distinct()
         applied = (
-            moves.filter(F.col("moved") & gate)
-            .select("id", F.col("new_community").alias("__new"))
+            gated.join(
+                rev,
+                (F.col("__old") == F.col("__rn"))
+                & (F.col("__new") == F.col("__ro")),
+                "left",
+            )
+            .filter(F.col("__ro").isNull() | (F.col("__new") < F.col("__old")))
+            .select("id", "__new")
             .localCheckpoint(eager=True)
         )
         if applied.count() == 0:
@@ -1500,6 +1591,105 @@ def louvain_two_level(
     return comm1.join(up, "community", "left").select(
         "id", F.coalesce(F.col("__c2"), F.col("community")).alias("community")
     )
+
+
+def louvain_multilevel(
+    edges: DataFrame,
+    communities: DataFrame,
+    rounds_per_level: int = 2,
+    max_levels: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    comm_col: str = "community",
+) -> DataFrame:
+    """FULL N-LEVEL Louvain (Blondel et al. 2008, the complete
+    recursion ``louvain_two_level`` restricts to depth 2): phase-1
+    local moves on the input graph, then repeatedly contract
+    (``louvain_coarsen``) and re-run phase-1 on the weighted community
+    graph with singleton seeds, projecting coarse labels back down
+    through the level stack — until a level applies no move or
+    ``max_levels`` is reached. ``max_levels=2`` reproduces
+    ``louvain_two_level`` exactly (twin test).
+
+    Early-stop ≡ full unroll (the oracle convention): every level
+    past the first is SINGLETON-seeded (community := node id), so a
+    level that applies zero moves leaves the identity labeling — its
+    contraction maps every canonical edge to itself and the next
+    level re-runs the identical semi-synchronous rounds (the parity
+    gate restarts at round 0 each level) on the same graph and seed,
+    applying zero moves again. A SQL oracle therefore unrolls a fixed
+    level budget and the extra levels are bit-for-bit no-ops.
+
+    Output: (id, community) for every node in ``communities`` — a
+    node's final community is the top-of-stack community its level-1
+    community contracted into, label type = the seed type.
+
+    Scale: level 1 costs ``rounds_per_level`` louvain_move shuffles on
+    the full graph; every later level runs on a CONTRACTED graph
+    (monotonically shrinking, communities²-bounded); the level loop's
+    only driver traffic is one applied-move count per level and the
+    label frame is eagerly checkpointed per projection (flat
+    lineage)."""
+    if int(max_levels) < 1:
+        raise ValueError(
+            f"louvain_multilevel: max_levels must be >= 1 (got {max_levels})"
+        )
+    labels = louvain_communities(
+        edges,
+        communities,
+        max_rounds=rounds_per_level,
+        src=src,
+        dst=dst,
+        id_col=id_col,
+        comm_col=comm_col,
+    )
+    cur = louvain_coarsen(
+        edges, labels, src=src, dst=dst, id_col="id", comm_col="community"
+    ).localCheckpoint(eager=True)
+    for _level in range(1, int(max_levels)):
+        seed = (
+            cur.select(F.col("c_src").alias("id"))
+            .unionByName(cur.select(F.col("c_dst").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("community"))
+        )
+        comm_l = louvain_communities(
+            cur,
+            seed,
+            max_rounds=rounds_per_level,
+            src="c_src",
+            dst="c_dst",
+            weight_col="weight",
+        ).localCheckpoint(eager=True)
+        # singleton-seeded level: zero applied moves == identity
+        # labeling == every deeper level is a no-op (docstring proof)
+        if comm_l.filter(F.col("community") != F.col("id")).count() == 0:
+            break
+        up = comm_l.select(
+            F.col("id").alias("community"), F.col("community").alias("__up")
+        )
+        labels = (
+            labels.join(up, "community", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__up"), F.col("community")).alias(
+                    "community"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if _level < int(max_levels) - 1:
+            cur = louvain_coarsen(
+                cur,
+                comm_l,
+                src="c_src",
+                dst="c_dst",
+                id_col="id",
+                comm_col="community",
+                weight_col="weight",
+            ).localCheckpoint(eager=True)
+    return labels
 
 
 def betweenness_sample(
@@ -1707,30 +1897,26 @@ def degree_assortativity(
 
 def _triangle_edge_support(e: DataFrame) -> DataFrame:
     """Per-edge triangle support over a canonical (u < v) simple edge
-    frame: the triangle_count wedge-join enumeration (each triangle
-    found once as u < v < w), then each triangle credits its THREE
-    edges. Output: (u, v, support >= 1) — edges in no triangle have no
+    frame: the compact-forward enumeration (``_enumerate_triangles``,
+    each triangle found once in degree-rank order), then each triangle
+    credits its THREE sides — re-canonicalized to id order, because
+    rank order and id order disagree whenever a lower id has the
+    higher degree and the caller's edge frame is id-canonical.
+    Output: (u, v, support >= 1) — edges in no triangle have no
     row."""
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u"))
-            & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .select(
-            F.col("e1.u").alias("tu"),
-            F.col("e1.v").alias("tv"),
-            F.col("e2.v").alias("tw"),
-        )
-    )
+    tris = _enumerate_triangles(e)
     sides = (
-        tris.select(F.col("tu").alias("u"), F.col("tv").alias("v"))
-        .unionAll(tris.select(F.col("tv").alias("u"), F.col("tw").alias("v")))
-        .unionAll(tris.select(F.col("tu").alias("u"), F.col("tw").alias("v")))
+        tris.select(F.col("x").alias("p"), F.col("y").alias("q"))
+        .unionAll(tris.select(F.col("y").alias("p"), F.col("z").alias("q")))
+        .unionAll(tris.select(F.col("x").alias("p"), F.col("z").alias("q")))
     )
-    return sides.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+    return (
+        sides.select(
+            F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
 
 
 def ktruss(
@@ -1759,11 +1945,15 @@ def ktruss(
     Output: (u, v, support) — the surviving canonical edges with
     their in-truss support (recomputed at the fixpoint).
 
-    Scale: each round is the wedge join (bounded by canonical-order
-    fan-out; at 100 TB orient by degree rank — the triangle_count
-    note applies verbatim) + one (u, v) aggregation + one semi-join;
+    Scale: each round is the compact-forward wedge join (degree-rank
+    oriented — forward fan-out O(sqrt(m)) per vertex, hub-safe; the
+    ``_forward_edges`` note) + one (u, v) aggregation + one semi-join;
     the surviving frame localCheckpoints per round (flat lineage).
-    Rounds remove whole shells, not single edges."""
+    Rounds remove whole shells, not single edges. If ``max_iter``
+    exhausts before the fixpoint, the final support recompute acts as
+    ONE extra prune via a left join (support coalesced to 0), so the
+    output is always the last surviving edge set with its true
+    support — never a silently shrunken inner-join set."""
     if int(k) < 3:
         raise ValueError(f"ktruss: k must be >= 3 (got {k})")
     e = (
@@ -1788,8 +1978,15 @@ def ktruss(
             e = pruned
             break
         e = pruned
-    return e.join(_triangle_edge_support(e), ["u", "v"]).select(
-        "u", "v", "support"
+    # LEFT join + coalesce: at the fixpoint every survivor has
+    # support >= k-2 >= 1 so this matches the old inner join; when
+    # max_iter exhausts first, survivors whose support dropped to 0
+    # keep their row (support 0) instead of silently vanishing into
+    # a set that is neither the pre- nor post-prune edge set.
+    return e.join(_triangle_edge_support(e), ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"),
     )
 
 

@@ -2703,7 +2703,9 @@ def cohen_kappa(
 
     Output: one row — (n_pairs, po, pe, kappa); kappa NULL when
     pe = 1 (both raters constant — the documented degenerate case,
-    matching SQL NULL division).
+    matching SQL NULL division); raters sharing NO label classes get
+    pe = 0 and kappa = po (the empty class join coalesces to 0, it
+    does not NULL the row).
 
     Determinism: all counts exact integers; pe's per-class products
     are summed as exact integer numerators over n² (order-free) and
@@ -2726,13 +2728,18 @@ def cohen_kappa(
     cb = base.groupBy(F.col("__b").alias("__c")).agg(
         F.count(F.lit(1)).alias("__nb")
     )
-    # exact integer numerator of pe: Σ_c na_c * nb_c (over n²)
+    # exact integer numerator of pe: Σ_c na_c * nb_c (over n²) —
+    # COALESCED to 0 so disjoint label vocabularies (empty class
+    # join) yield pe = 0 and kappa = po, not an all-NULL row
     pe_num = (
         ca.join(cb, "__c")
         .agg(
-            F.sum(
-                F.col("__na").cast("decimal(38,0)")
-                * F.col("__nb").cast("decimal(38,0)")
+            F.coalesce(
+                F.sum(
+                    F.col("__na").cast("decimal(38,0)")
+                    * F.col("__nb").cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
             ).alias("__pe_num")
         )
     )

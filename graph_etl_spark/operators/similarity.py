@@ -2356,13 +2356,19 @@ def ivf_recall_curve(
     trained index (centroids train once); each is ivf_topk's bounded
     plan; the exact baseline is one brute-force top-k reused across
     the sweep."""
-    nps = sorted(nprobes or [1, 2, 4])
-    fls = floors or [0.2] * len(nps)
-    if len(fls) != len(nps):
+    raw_nps = list(nprobes or [1, 2, 4])
+    raw_fls = list(floors or [0.2] * len(raw_nps))
+    if len(raw_fls) != len(raw_nps):
         raise ValueError(
             f"ivf_recall_curve: floors must match nprobes "
-            f"({len(fls)} vs {len(nps)})"
+            f"({len(raw_fls)} vs {len(raw_nps)})"
         )
+    # pair BEFORE sorting: a caller passing unsorted nprobes keeps
+    # each floor glued to ITS nprobe (sorting the nprobes alone would
+    # silently apply the floors to the wrong sweep points)
+    pairs = sorted(zip(raw_nps, raw_fls))
+    nps = [p[0] for p in pairs]
+    fls = [p[1] for p in pairs]
     n_q = queries.count()
     exact = brute_force_topk(
         data, queries, k=k, id_col=id_col, vec_col=vec_col

