@@ -430,6 +430,182 @@ def streaming_incremental_ingest(
     return writer.start()
 
 
+def _cdc_index_dir(chunk_dir: str, index_dir: str | None) -> str:
+    return index_dir if index_dir is not None else chunk_dir.rstrip("/") + "_index"
+
+
+def _latest_cdc_index(spark, index_dir: str):
+    """Locate the newest COMPLETE compacted index version.
+
+    Returns ``(df, high_water, version)`` where ``df`` has columns
+    ``(chunk_hash, first_batch_id)`` and ``high_water`` is the largest
+    raw ``batch_id`` folded into it — or ``(None, -1, 0)`` when no
+    complete version exists. A version is complete only once its
+    ``_graft_meta.json`` is present (written LAST by the compactor),
+    so a crash mid-compaction leaves the previous version authoritative.
+
+    Listing is a driver-side directory scan of version names only —
+    O(kept versions), not O(batches); the production swap is the same
+    listing through the Hadoop FileSystem API."""
+    import json
+    import os
+
+    if not os.path.isdir(index_dir):
+        return None, -1, 0
+    best = None
+    for name in os.listdir(index_dir):
+        if not name.startswith("version="):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        meta_path = os.path.join(index_dir, name, "_graft_meta.json")
+        if not os.path.isfile(meta_path):
+            continue  # incomplete (crashed) compaction — ignore
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if best is None or v > best[1]:
+            best = (int(meta["high_water"]), v)
+    if best is None:
+        return None, -1, 0
+    high_water, version = best
+    df = spark.read.parquet(os.path.join(index_dir, f"version={version}"))
+    return df, high_water, version
+
+
+def compact_cdc_index(
+    spark,
+    chunk_dir: str,
+    index_dir: str | None = None,
+    up_to_batch: int | None = None,
+    n_buckets: int = 32,
+    keep_versions: int = 2,
+) -> dict:
+    """Fold the raw per-batch chunk dirs into a compact FIRST-SEEN
+    hash index so ``cdc_ingest_sink`` stops re-reading the whole
+    ``chunk_dir`` tree every micro-batch (the thousand-batch
+    bottleneck flagged at round 13).
+
+    The index is one distinct row per first-seen chunk hash —
+    ``(chunk_hash, first_batch_id)`` — hash-repartitioned into
+    ``n_buckets`` files (the path-based stand-in for a bucketed
+    table: the sink's probe join shuffles only the batch side once
+    both sides are hashed on ``chunk_hash``). Versions are written to
+    ``index_dir/version=K`` with a ``_graft_meta.json`` high-water
+    marker written LAST, so readers never see a half-written version
+    and a crashed compaction is simply re-run.
+
+    Idempotent under replay: a re-run folds the same raw rows and the
+    ``min(first_batch_id)`` aggregation reproduces the same index
+    byte-for-byte in value space; a call whose ``up_to_batch`` is
+    already covered returns without writing.
+
+    Scale: reads raw dirs ONLY above the previous high water
+    (partition-pruned on the ``batch_id`` directory column), keeps
+    first occurrences only (``NOT shared_with_index``), and unions
+    with the prior compact index — per-compaction work is
+    O(new batches + distinct hashes), never O(all batches)."""
+    import json
+    import os
+    import shutil
+
+    idx_dir = _cdc_index_dir(chunk_dir, index_dir)
+    prior_idx, high_water, version = _latest_cdc_index(spark, idx_dir)
+    # explicit path list: listing + read bounded to the un-compacted
+    # tail (never the whole tree); basePath keeps the batch_id column
+    batch_ids = []
+    if os.path.isdir(chunk_dir):
+        for name in os.listdir(chunk_dir):
+            if name.startswith("batch_id="):
+                try:
+                    batch_ids.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+    if up_to_batch is None:
+        up_to_batch = max(batch_ids, default=-1)
+    if up_to_batch <= high_water:
+        return {"version": version, "high_water": high_water, "wrote": False}
+    raw_paths = [
+        os.path.join(chunk_dir, f"batch_id={b}")
+        for b in batch_ids
+        if high_water < b <= up_to_batch
+    ]
+    if not raw_paths:
+        return {"version": version, "high_water": high_water, "wrote": False}
+    fresh = (
+        spark.read.option("basePath", chunk_dir)
+        .parquet(*raw_paths)
+        .filter(~F.col("shared_with_index"))
+        .select(
+            "chunk_hash", F.col("batch_id").cast("long").alias("first_batch_id")
+        )
+    )
+    if prior_idx is not None:
+        fresh = prior_idx.select("chunk_hash", "first_batch_id").unionByName(fresh)
+    merged = (
+        fresh.groupBy("chunk_hash")
+        .agg(F.min("first_batch_id").alias("first_batch_id"))
+        .repartition(n_buckets, "chunk_hash")
+    )
+    new_version = version + 1
+    out = os.path.join(idx_dir, f"version={new_version}")
+    merged.write.mode("overwrite").parquet(out)
+    with open(os.path.join(out, "_graft_meta.json"), "w") as fh:
+        json.dump({"high_water": int(up_to_batch)}, fh)
+    # prune stale versions (keep the newest `keep_versions`)
+    versions = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(idx_dir)
+        if n.startswith("version=") and n.split("=", 1)[1].isdigit()
+    )
+    for v in versions[:-keep_versions]:
+        shutil.rmtree(os.path.join(idx_dir, f"version={v}"), ignore_errors=True)
+    return {"version": new_version, "high_water": int(up_to_batch), "wrote": True}
+
+
+def prune_cdc_raw(chunk_dir: str, index_dir: str | None = None) -> list[int]:
+    """Delete raw ``batch_id=N`` dirs already folded into the newest
+    COMPLETE compact index (N <= its high water) — the retention step
+    that makes the sink's bounded read CONTRACTUAL: after pruning,
+    per-batch read work is exactly the compact index (distinct
+    first-seen hashes) plus the un-compacted tail. Flags are provably
+    unchanged (the compact index carries every first-seen hash the
+    deleted dirs contributed), including for a REPLAYED old batch —
+    its ``first_batch_id != bid`` filter reproduces the exact prior
+    view it saw originally, and its overwrite recreates the dir.
+
+    Returns the pruned batch ids. Never touches dirs above the high
+    water (not yet folded) and is a no-op without a complete index."""
+    import json
+    import os
+    import shutil
+
+    idx_dir = _cdc_index_dir(chunk_dir, index_dir)
+    # meta-only scan: reuse the version listing without reading data
+    best_hw = -1
+    if os.path.isdir(idx_dir):
+        for name in os.listdir(idx_dir):
+            meta_path = os.path.join(idx_dir, name, "_graft_meta.json")
+            if name.startswith("version=") and os.path.isfile(meta_path):
+                with open(meta_path) as fh:
+                    best_hw = max(best_hw, int(json.load(fh)["high_water"]))
+    pruned = []
+    if best_hw < 0 or not os.path.isdir(chunk_dir):
+        return pruned
+    for name in os.listdir(chunk_dir):
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b <= best_hw:
+            shutil.rmtree(os.path.join(chunk_dir, name), ignore_errors=True)
+            pruned.append(b)
+    return sorted(pruned)
+
+
 def cdc_ingest_sink(
     chunk_dir: str,
     id_col: str = "doc_id",
@@ -438,6 +614,8 @@ def cdc_ingest_sink(
     mask_bits: int = 4,
     min_tokens: int | None = 4,
     max_tokens: int | None = 24,
+    index_dir: str | None = None,
+    compact_every: int | None = None,
 ):
     """foreachBatch sink for ``streaming_cdc_ingest``: chunk each
     micro-batch's documents with the GUARDED content-defined chunker
@@ -456,12 +634,20 @@ def cdc_ingest_sink(
     chunk first seen in a later batch cannot appear in an earlier one.
 
     Scale: chunking is the batch-sized Arrow walk; the shared-flag
-    join shuffles chunk HASHES only (at cluster scale the prior side
-    reduces to distinct hashes, partition-pruned by batch_id).
+    join shuffles chunk HASHES only. The prior-index read is HYBRID:
+    the newest COMPLETE compacted index version (one distinct row per
+    first-seen hash, see ``compact_cdc_index``) plus ONLY the raw
+    batch dirs above its high-water mark — per-batch read work is
+    O(distinct hashes + un-compacted batches), never O(all batches).
+    With ``compact_every=K`` the sink folds the index itself every K
+    batches (the fold is replay-idempotent, so at-least-once delivery
+    of the triggering batch is safe).
     """
     import os
 
     from ..operators.dedup import cdc_chunk_hashes
+
+    idx_dir = _cdc_index_dir(chunk_dir, index_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -472,33 +658,52 @@ def cdc_ingest_sink(
             min_tokens=min_tokens,
             max_tokens=max_tokens,
         )
-        from pyspark.errors import AnalysisException
-
-        prior_hashes = None
-        try:
-            prior = spark.read.parquet(chunk_dir)
-            # the index is the FIRST-SEEN chunks only: a chunk that
-            # itself flagged shared was already represented by its
-            # first occurrence, and excluding it makes replay exactly
-            # idempotent — a chunk first seen in a LATER batch cannot
-            # exist in an earlier one, so a re-delivered batch's flags
-            # are untouched by everything that ran after it
-            prior_hashes = (
-                prior.filter(
-                    (F.col("batch_id") != batch_id)
-                    & ~F.col("shared_with_index")
-                )
+        bid = int(batch_id)
+        compact_idx, high_water, _v = _latest_cdc_index(spark, idx_dir)
+        prior_parts = []
+        if compact_idx is not None:
+            # a compact row first seen in THIS batch id is this
+            # batch's own output folded in — a replayed batch must
+            # not flag against itself (rows first seen LATER are by
+            # construction absent from this batch, so harmless)
+            prior_parts.append(
+                compact_idx.filter(F.col("first_batch_id") != bid)
                 .select("chunk_hash")
-                .distinct()
             )
-        except AnalysisException as e:
-            msg = str(e)
-            if not (
-                "PATH_NOT_FOUND" in msg
-                or "Path does not exist" in msg
-                or "unable to infer schema" in msg.lower()
-            ):
-                raise
+        # raw dirs strictly above the compacted high water; the
+        # explicit path list bounds BOTH file listing and read to the
+        # un-compacted tail (basePath keeps the batch_id partition
+        # column). Driver-side dirname scan — O(batch dirs) names,
+        # no data read; the production swap is the same listing via
+        # the Hadoop FileSystem API.
+        raw_paths = []
+        if os.path.isdir(chunk_dir):
+            for name in os.listdir(chunk_dir):
+                if not name.startswith("batch_id="):
+                    continue
+                try:
+                    b = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if b > high_water and b != bid:
+                    raw_paths.append(os.path.join(chunk_dir, name))
+        if raw_paths:
+            raw = spark.read.option("basePath", chunk_dir).parquet(*raw_paths)
+            # first occurrences only: a chunk that itself flagged
+            # shared was already represented by its first occurrence,
+            # and excluding it makes replay exactly idempotent — a
+            # chunk first seen in a LATER batch cannot exist in an
+            # earlier one, so a re-delivered batch's flags are
+            # untouched by everything that ran after it
+            prior_parts.append(
+                raw.filter(~F.col("shared_with_index")).select("chunk_hash")
+            )
+        prior_hashes = None
+        if prior_parts:
+            prior_hashes = prior_parts[0]
+            for part in prior_parts[1:]:
+                prior_hashes = prior_hashes.unionByName(part)
+            prior_hashes = prior_hashes.distinct()
         if prior_hashes is not None:
             flagged = chunks.join(
                 prior_hashes.withColumn("__seen", F.lit(True)),
@@ -524,8 +729,14 @@ def cdc_ingest_sink(
         # batch_id comes from the partition DIRECTORY on read-back
         # (the incremental_ingest_sink convention) — no duplicate column
         flagged.write.mode("overwrite").parquet(
-            os.path.join(chunk_dir, f"batch_id={int(batch_id)}")
+            os.path.join(chunk_dir, f"batch_id={bid}")
         )
+        if compact_every is not None and (bid + 1) % int(compact_every) == 0:
+            # idempotent fold (returns without writing when this
+            # high water is already covered — safe under replay)
+            compact_cdc_index(
+                spark, chunk_dir, index_dir=idx_dir, up_to_batch=bid
+            )
 
     return sink
 

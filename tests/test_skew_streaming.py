@@ -563,3 +563,96 @@ def test_streaming_cdc_ingest_chunk_index_grows(spark, tmp_path):
         r["shared_with_index"] for r in got2 if r["doc_id"] in (1, 2)
     )
     assert sorted(map(tuple, got2)) == sorted(map(tuple, got1))
+
+
+def test_cdc_index_compaction_twin_and_bounded_read(spark, tmp_path):
+    """VERDICT r13 Next #5: the compacted first-seen index is a DROP-IN
+    twin of the raw-tree read — flags identical with compaction on,
+    after pruning the folded raw dirs (proving the sink no longer
+    needs them), for a fresh batch AND for a replayed old batch."""
+    from graph_etl_spark.streaming import (
+        _latest_cdc_index,
+        cdc_ingest_sink,
+        compact_cdc_index,
+        prune_cdc_raw,
+    )
+
+    tA = " ".join(f"a{j % 9}" for j in range(40))
+    tB = " ".join(f"b{j}" for j in range(40))
+    tC = " ".join(f"c{j % 5}" for j in range(40))
+    tD = " ".join(f"d{j}" for j in range(40))
+    tE = " ".join(f"e{j % 7}" for j in range(40))
+    batches = [
+        [(1, tA), (2, tB)],
+        [(3, tA), (4, tC)],  # doc 3 shares every chunk with batch 0
+        [(5, tB), (6, tD)],
+        [(7, tC), (8, tE)],
+        [(9, tD), (10, tA)],
+    ]
+    plain_dir = str(tmp_path / "plain")
+    comp_dir = str(tmp_path / "comp")
+    sink_plain = cdc_ingest_sink(plain_dir)
+    sink_comp = cdc_ingest_sink(comp_dir, compact_every=2)
+
+    def run(sink, rows, bid):
+        sink(spark.createDataFrame(rows, "doc_id long, text string"), bid)
+
+    for bid, rows in enumerate(batches):
+        run(sink_plain, rows, bid)
+        run(sink_comp, rows, bid)
+
+    cols = ["doc_id", "chunk_idx", "chunk_hash", "shared_with_index", "batch_id"]
+
+    def flags(d, bid=None):
+        df = spark.read.parquet(d).select(*cols)
+        if bid is not None:
+            df = df.filter(F.col("batch_id") == bid)
+        return sorted(map(tuple, df.collect()))
+
+    # twin: identical flags with compaction folding every 2 batches
+    assert flags(plain_dir) == flags(comp_dir)
+
+    # compaction ran after batches 1 and 3 -> newest high water is 3,
+    # and the index is EXACTLY the first-seen hashes of batches 0..3
+    idx, hw, _v = _latest_cdc_index(spark, comp_dir + "_index")
+    assert hw == 3 and idx is not None
+    expect_first = {
+        (r["chunk_hash"], r["batch_id"])
+        for r in spark.read.parquet(plain_dir)
+        .filter((F.col("batch_id") <= 3) & ~F.col("shared_with_index"))
+        .collect()
+    }
+    # min(first_batch_id) per hash over the raw first occurrences
+    first_by_hash = {}
+    for h, b in expect_first:
+        first_by_hash[h] = min(first_by_hash.get(h, b), b)
+    assert {
+        (r["chunk_hash"], r["first_batch_id"]) for r in idx.collect()
+    } == set(first_by_hash.items())
+
+    # re-fold with an already-covered high water: no write (idempotent)
+    assert compact_cdc_index(spark, comp_dir, up_to_batch=3)["wrote"] is False
+
+    # an INCOMPLETE version dir (no meta — crashed compaction) is ignored
+    import os
+
+    bogus = os.path.join(comp_dir + "_index", "version=99")
+    os.makedirs(bogus, exist_ok=True)
+    assert _latest_cdc_index(spark, comp_dir + "_index")[1] == 3
+
+    # prune the folded raw dirs; the sink must not miss them
+    assert prune_cdc_raw(comp_dir) == [0, 1, 2, 3]
+    new5 = [(11, tA), (12, " ".join(f"f{j}" for j in range(40)))]
+    run(sink_plain, new5, 5)
+    run(sink_comp, new5, 5)  # doc 11 must flag via the COMPACT index
+    assert flags(plain_dir, 5) == flags(comp_dir, 5)
+    assert all(
+        r["shared_with_index"]
+        for r in spark.read.parquet(comp_dir)
+        .filter(F.col("doc_id") == 11)
+        .collect()
+    )
+
+    # replay an already-pruned batch (at-least-once): identical flags
+    run(sink_comp, batches[2], 2)
+    assert flags(plain_dir, 2) == flags(comp_dir, 2)
