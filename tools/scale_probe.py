@@ -164,6 +164,7 @@ def probe_streaming_state(spark, n: int) -> dict:
 # map to None explicitly.
 PROBE_TO_REGISTRY = {
     "asof_nearest": "asof_join_nearest",
+    "pipeline_flow": "pipeline_stage_map_load",
     "assortativity": "graph_assortativity",
     "burstiness": "events_burstiness",
     "cohort_ltv": "events_cohort_ltv",
@@ -1386,6 +1387,134 @@ def main() -> None:
         print(
             f"# corpus_assembly: {t1}s -> {tn}s "
             f"(x{result['corpus_assembly']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r14 (VERDICT r13 #3): market-basket frequent pairs — within-
+    # basket canonical self-join + pair count; namespaced copies keep
+    # candidates basket-local, so work is sum(basket_size²), linear
+    # in baskets. The quadratic this would catch is a basket-key
+    # collision collapsing copies into mega-baskets.
+    if only is None or "frequent_pairs" in only:
+        li_fp = read_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+
+        def _rep_fp(n_copies):
+            parts = [
+                li_fp.select(
+                    (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias(
+                        "l_orderkey"
+                    ),
+                    (F.col("l_partkey") + F.lit(i * 100_000_000)).alias(
+                        "l_partkey"
+                    ),
+                )
+                for i in range(n_copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        t1 = timed(
+            ops.frequent_pairs(
+                _rep_fp(1), basket_col="l_orderkey", item_col="l_partkey",
+                min_support=3,
+            )
+        )
+        tn = timed(
+            ops.frequent_pairs(
+                _rep_fp(n), basket_col="l_orderkey", item_col="l_partkey",
+                min_support=3,
+            )
+        )
+        result["frequent_pairs"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# frequent_pairs: {t1}s -> {tn}s "
+            f"(x{result['frequent_pairs']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r14 (VERDICT r13 #3): the §3 lifecycle flow (stage → automap →
+    # load) at Nx nodes+edges — write-dominated phases must scale with
+    # data; the quadratic this would catch is the J2 automap join
+    # degrading to a non-broadcast or a name-collision fan-out (names
+    # are namespaced per copy, so matches stay copy-local).
+    if only is None or "pipeline_flow" in only:
+        import shutil
+        import tempfile
+
+        import graph_etl_spark as getl
+        from graph_etl_spark.pipeline import _map_property
+
+        cust_pf = read_table(spark, SF_DIR, "customer")
+        ord_pf = read_table(spark, SF_DIR, "orders")
+
+        def _run_flow(n_copies: int) -> float:
+            cparts = [
+                cust_pf.select(
+                    (F.col("c_custkey") + F.lit(i * 100_000_000)).alias("id"),
+                    F.concat(F.col("c_name"), F.lit(f"#copy{i}")).alias(
+                        "c_name"
+                    ),
+                )
+                for i in range(n_copies)
+            ]
+            oparts = [
+                ord_pf.select(
+                    (F.col("o_orderkey") + F.lit(i * 100_000_000)).alias("id"),
+                    (F.col("o_custkey") + F.lit(i * 100_000_000)).alias(
+                        "o_custkey"
+                    ),
+                )
+                for i in range(n_copies)
+            ]
+            cust, ordn = cparts[0], oparts[0]
+            for p in cparts[1:]:
+                cust = cust.unionByName(p)
+            for p in oparts[1:]:
+                ordn = ordn.unionByName(p)
+            workdir = tempfile.mkdtemp(prefix="probe_flow_")
+            t0 = time.time()
+            try:
+                getl.init(spark, output_folder=f"{workdir}/output")
+
+                @getl.Parser(source="probe_tpch")
+                def parse_probe(ctx):
+                    ctx.save_nodes(cust, "Customer")
+                    ctx.save_nodes(ordn, "Order")
+                    placed = ordn.join(
+                        cust, ordn.o_custkey == cust.id
+                    ).select(
+                        F.col("c_name").alias("start"),
+                        ordn.id.alias("end"),
+                    )
+                    ctx.save_edges(placed, "PLACED", "Customer:c_name", "Order:id")
+
+                getl.parse(use_mapper=False)
+                store = getl.get_store()
+                _map_property(store)
+                store.flush_configs()
+                loader = getl.SparkNativeGraphLoader(
+                    spark, graph_dir=f"{workdir}/graph"
+                )
+                totals = getl.load(loader)
+                assert totals["edges"] > 0, totals
+            finally:
+                shutil.rmtree(workdir, ignore_errors=True)
+            return round(time.time() - t0, 2)
+
+        t1 = min(_run_flow(1), _run_flow(1))  # warm the flow path once
+        tn = _run_flow(n)
+        result["pipeline_flow"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# pipeline_flow: {t1}s -> {tn}s "
+            f"(x{result['pipeline_flow']['ratio']})",
             file=sys.stderr,
         )
 
