@@ -4097,6 +4097,86 @@ def q_dedup_ngram_novelty(spark, sf):
     return ops.ngram_novelty(_t(spark, sf, "documents"), n=3)
 
 
+def q_dedup_line_dedup(spark, sf):
+    """C4/RefinedWeb cross-corpus LINE dedup (round 14): 8-token
+    windows stand in for lines; a line occurring in >= 2 DISTINCT
+    documents is boilerplate and is removed from EVERY document — the
+    corpus-frequency policy, vs passage_dedup's first-occurrence-wins.
+    One distinct-pairs aggregation keyed by line hash + one equi-join
+    back + one reassembly group-by; no windows, no Python."""
+    return ops.line_dedup(
+        _t(spark, sf, "documents"), line_tokens=8, min_docs=2
+    )
+
+
+def q_text_readability(spark, sf):
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (round 14): vowel-group syllable heuristic, [.!?]-run sentence
+    count floored at 1 — the readability band filter a curation
+    pipeline runs beside the Gopher battery. Pure per-row JVM regex +
+    higher-order aggregate; zero shuffle."""
+    d = _t(spark, sf, "documents")
+    return ops.readability_scores(d.select("doc_id", "text")).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "fk_grade"
+    )
+
+
+def q_etl_compaction_plan(spark, sf):
+    """Small-file compaction planner (round 14): per-source payload
+    estimate (strings by byte length, scalars 8B), target file count
+    at a 4 KiB demo target, and the split/tiny/ok advisory — the
+    nightly table-maintenance sweep. One scan, one map-side-combined
+    aggregation; partition-count rows out."""
+    return ops.compaction_plan(
+        _t(spark, sf, "documents"), ["source"], target_bytes=4096
+    )
+
+
+def q_quality_ppl_buckets(spark, sf):
+    """CCNet head/middle/tail bucketing (round 14, Wenzek et al.
+    §4.3): the shared held-out trigram LM scores every document, then
+    ntile(3) WITHIN EACH LANGUAGE labels equal-count perplexity bands
+    — per-language because raw ppl is not comparable across
+    languages. Complements quality_ppl_gate (global TRIM): this
+    labels everything, drops nothing."""
+    d = _t(spark, sf, "documents")
+    train = ops.hash_sample(d, permille=500, salt="lm")
+    return ops.ppl_buckets(d, n_buckets=3, train_df=train)
+
+
+def q_mm_image_phash_dedup(spark, sf):
+    """DCT perceptual-hash image dedup (round 14): the frequency-
+    domain sibling of mm_image_ahash_dedup — real PNG decode → 32×32
+    nearest grid → 2-D DCT-II as two int64 matmuls against the
+    fixed-point (2^14) cosine basis → 8×8 low-frequency block minus
+    DC → lower-median threshold → one packed 63-bit hash. Integer
+    end-to-end: the oracle replays the identical arithmetic from the
+    synthetic pixel formula, and brightness variants group EXACTLY
+    (AC basis rows sum to 0 even after rounding)."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    pngs = ops.synth_png_variant_column(d, group_size=4)
+    return (
+        ops.image_phash(pngs)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+def q_events_power_analysis(spark, sf):
+    """A/B pre-experiment power analysis (round 14): baseline
+    conversion = users with >= 15 purchase events; for each relative
+    MDE in {1,2,5,10}%, the required per-arm n under the two-
+    proportion normal approximation (z literals: α=5% two-sided, 80%
+    power) and the days of observed user inflow that demand costs.
+    One user-keyed agg + two scalars + a 4-row literal fan-out."""
+    return ops.ab_power_analysis(
+        _t(spark, sf, "events"), conv_type="purchase", min_events=15
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4433,6 +4513,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "win_lag_lead": q_win_lag_lead,
         "win_rank_funcs": q_win_rank_funcs,
+        # ---- round-14 NEW queries (r15 window lead; cap 13) ----
+        "dedup_line_dedup": q_dedup_line_dedup,
+        "text_readability": q_text_readability,
+        "etl_compaction_plan": q_etl_compaction_plan,
+        "quality_ppl_buckets": q_quality_ppl_buckets,
+        "mm_image_phash_dedup": q_mm_image_phash_dedup,
+        "events_power_analysis": q_events_power_analysis,
     }
     # ROUND-15 BUDGET NOTE (for the next session): once r14 lands,
     # the staleness histogram becomes {9: 37, 10: 45, 11: 42, 12: 40,
@@ -10988,6 +11075,208 @@ def oracle_sql() -> dict[str, str]:
         FROM eligible a JOIN eligible b
           ON {_H56.format(x="a.suf")} = {_H56.format(x="b.pre")}
          AND a.doc_id <> b.doc_id AND a.suf = b.pre
+    """
+
+    # C4-style cross-corpus line dedup: 8-token windows as lines, a
+    # line in >= 2 distinct docs removed everywhere; reassembly via
+    # the dedup_passages struct-sort pattern (coalesce '' because
+    # DuckDB's array_to_string of an empty list is NULL, Spark's '').
+    sql["dedup_line_dedup"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), nz AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), lines AS (
+          SELECT doc_id, (start // 8)::BIGINT AS chunk_id,
+                 array_to_string(list_slice(toks, start + 1, start + 8), ' ')
+                   AS line
+          FROM (SELECT doc_id, toks, unnest(range(0, n, 8)) AS start FROM nz)
+        ), freq AS (
+          SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS n_docs
+          FROM lines GROUP BY md5(line)
+        ), flagged AS (
+          SELECT l.doc_id, l.chunk_id, l.line,
+                 coalesce(f.n_docs >= 2, FALSE) AS rm
+          FROM lines l LEFT JOIN freq f ON f.h = md5(l.line)
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+               SUM(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+               coalesce(array_to_string(
+                 list_transform(
+                   list_sort(list({{'chunk_id': chunk_id, 'chunk_text': line}})
+                             FILTER (NOT rm)),
+                   x -> x.chunk_text),
+                 ' '), '') AS text_kept
+        FROM flagged GROUP BY doc_id
+    """
+
+    # Flesch / Flesch-Kincaid: vowel-group syllables (floored at 1 per
+    # word), [.!?]-run sentences floored at 1; same expression order
+    # as the operator, rounded at 4.
+    sql["text_readability"] = f"""
+        WITH base AS (
+          SELECT doc_id, text, {_TOKS} AS tk,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences
+          FROM documents
+        ), syl AS (
+          SELECT doc_id, len(tk) AS nw, n_sentences,
+                 CASE WHEN len(tk) > 0 THEN
+                   list_sum(list_transform(tk, t -> greatest(
+                     len(regexp_extract_all(lower(t), '[aeiouy]+')), 1)))
+                 END AS ns
+          FROM base
+        )
+        SELECT doc_id,
+               nw::BIGINT AS n_words,
+               n_sentences::BIGINT AS n_sentences,
+               ns::BIGINT AS n_syllables,
+               CASE WHEN nw > 0 THEN
+                 ROUND(206.835 - 1.015 * (nw::DOUBLE / n_sentences::DOUBLE)
+                       - 84.6 * (ns::DOUBLE / nw::DOUBLE), 4)
+               END AS flesch,
+               CASE WHEN nw > 0 THEN
+                 ROUND(0.39 * (nw::DOUBLE / n_sentences::DOUBLE)
+                       + 11.8 * (ns::DOUBLE / nw::DOUBLE) - 15.59, 4)
+               END AS fk_grade
+        FROM syl
+    """
+
+    # Compaction planner: row size = 8 (doc_id) + strlen(text) +
+    # strlen(lang) + 8 (n_chars) — the operator's schema walk with
+    # source as the partition column; 4 KiB target, tiny = target/8.
+    sql["etl_compaction_plan"] = """
+        WITH sized AS (
+          SELECT source,
+                 8 + coalesce(strlen(text), 0)
+                   + coalesce(strlen(lang), 0) + 8 AS row_bytes
+          FROM documents
+        ), agg AS (
+          SELECT source, COUNT(*)::BIGINT AS n_rows,
+                 SUM(row_bytes)::BIGINT AS est_bytes
+          FROM sized GROUP BY source
+        )
+        SELECT source, n_rows, est_bytes,
+               greatest(1, ceil(est_bytes / 4096))::BIGINT AS n_files_target,
+               CASE WHEN est_bytes > 4096 THEN 'split'
+                    WHEN est_bytes < 512.0 THEN 'tiny'
+                    ELSE 'ok' END AS action
+        FROM agg
+    """
+
+    # CCNet head/middle/tail buckets: the shared held-out trigram
+    # chain, ntile(3) within each language over (ppl, doc_id) order.
+    sql["quality_ppl_buckets"] = f"""
+        WITH {_tri_scored}, bucketed AS (
+          SELECT s.doc_id, d.lang, s.n_tokens, s.ppl,
+                 ntile(3) OVER (
+                   PARTITION BY d.lang ORDER BY s.ppl, s.doc_id
+                 )::BIGINT AS bucket
+          FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, lang, n_tokens, ppl, bucket,
+               CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket_label
+        FROM bucketed
+    """
+
+    # DCT pHash: replay the synthetic pixel formula on the 32x32
+    # nearest grid, then the EXACT integer DCT — the same fixed-point
+    # cosine table the operator multiplies by (literal int values from
+    # the shared phash_cos_table), separable two-stage sums, 8x8 block
+    # minus DC, lower median (rn 32 of 63), 63-bit pack.
+    from graph_etl_spark.operators.multimodal import phash_cos_table
+
+    _ph_tab = phash_cos_table(32, 8)
+    _ph_vals = ", ".join(
+        f"({u}, {x}, {c})"
+        for u, row in enumerate(_ph_tab)
+        for x, c in enumerate(row)
+    )
+    sql["mm_image_phash_dedup"] = f"""
+        WITH b AS (
+          SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS shift,
+                 8 + (doc_id // 4) % 9 AS w,
+                 8 + ((doc_id // 4) // 9) % 9 AS h
+          FROM documents
+        ), ct(u, x, c) AS (VALUES {_ph_vals}),
+        s AS (
+          SELECT b.doc_id, gy.i AS gy, gx.i AS gx,
+                 (gy.i * b.h) // 32 AS sy, (gx.i * b.w) // 32 AS sx
+          FROM b, range(0, 32) AS gy(i), range(0, 32) AS gx(i)
+        ), gray AS (
+          SELECT s.doc_id, s.gy, s.gx, {_ah_gray} AS g
+          FROM s JOIN b ON s.doc_id = b.doc_id
+        ), s1 AS (
+          SELECT gray.doc_id, cy.u AS u, gray.gx,
+                 SUM(gray.g * cy.c)::BIGINT AS v1
+          FROM gray JOIN ct cy ON cy.x = gray.gy
+          GROUP BY gray.doc_id, cy.u, gray.gx
+        ), coeffs AS (
+          SELECT s1.doc_id, s1.u, cx.u AS v,
+                 SUM(s1.v1 * cx.c)::BIGINT AS coeff
+          FROM s1 JOIN ct cx ON cx.x = s1.gx
+          GROUP BY s1.doc_id, s1.u, cx.u
+        ), flat AS (
+          SELECT doc_id, u * 8 + v AS i, coeff
+          FROM coeffs WHERE u * 8 + v >= 1
+        ), med AS (
+          SELECT doc_id, coeff AS m FROM (
+            SELECT doc_id, coeff,
+                   row_number() OVER (
+                     PARTITION BY doc_id ORDER BY coeff) AS rn
+            FROM flat) WHERE rn = 32
+        ), hashes AS (
+          SELECT flat.doc_id,
+                 SUM(CASE WHEN flat.coeff > med.m
+                          THEN 1::BIGINT << (flat.i - 1)
+                          ELSE 0 END)::BIGINT AS phash
+          FROM flat JOIN med USING (doc_id) GROUP BY flat.doc_id
+        )
+        SELECT phash, COUNT(*)::BIGINT AS n_images,
+               MIN(doc_id)::BIGINT AS canonical_doc
+        FROM hashes GROUP BY phash
+    """
+
+    # A/B power analysis: conversion = >= 15 purchases; z-sum constant
+    # computed by the same Python expression as the operator; VALUES
+    # cast to DOUBLE (DuckDB would type bare 0.01 as DECIMAL).
+    _pa_zsum2 = (1.959964 + 0.841621) ** 2
+    sql["events_power_analysis"] = f"""
+        WITH per_user AS (
+          SELECT user_id AS u,
+                 (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  >= 15)::INT AS conv
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ), base AS (
+          SELECT COUNT(*)::BIGINT AS n_users, SUM(conv)::BIGINT AS n_conv
+          FROM per_user
+        ), span AS (
+          SELECT (MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+                  - MIN(epoch_us(CAST(ts AS TIMESTAMP))))
+                 / 86400000000.0 AS days
+          FROM events
+        ), mde(mde_rel) AS (
+          VALUES (0.01::DOUBLE), (0.02::DOUBLE),
+                 (0.05::DOUBLE), (0.10::DOUBLE)
+        ), calc AS (
+          SELECT mde_rel, n_conv::DOUBLE / n_users::DOUBLE AS p,
+                 n_users, days
+          FROM base, span, mde
+        )
+        SELECT mde_rel,
+               ROUND(p, 6) AS base_rate,
+               ROUND(p * (1.0 + mde_rel), 6) AS target_rate,
+               CEIL({_pa_zsum2!r}
+                    * (p * (1.0 - p)
+                       + (p * (1.0 + mde_rel)) * (1.0 - p * (1.0 + mde_rel)))
+                    / (p * mde_rel) / (p * mde_rel))::BIGINT AS n_per_arm,
+               ROUND(2.0 * CEIL({_pa_zsum2!r}
+                    * (p * (1.0 - p)
+                       + (p * (1.0 + mde_rel)) * (1.0 - p * (1.0 + mde_rel)))
+                    / (p * mde_rel) / (p * mde_rel))
+                    / (n_users::DOUBLE / days), 6) AS days_needed
+        FROM calc
     """
 
     return sql

@@ -252,6 +252,15 @@ HEADLINE = [
     "text_vocab_overlap",
     "events_bot_users",
     "sim_ivf_recall_curve",
+    # round-14: N-level Louvain, C4 line dedup, Flesch readability,
+    # compaction planner, CCNet ppl buckets, DCT pHash, A/B power
+    "graph_louvain_multilevel",
+    "dedup_line_dedup",
+    "text_readability",
+    "etl_compaction_plan",
+    "quality_ppl_buckets",
+    "mm_image_phash_dedup",
+    "events_power_analysis",
 ]
 
 

@@ -1292,3 +1292,66 @@ def prefix_suffix_overlap(
         )
         .select("id_a", "id_b", F.col("__stext").alias("overlap_text"))
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    line_tokens: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/RefinedWeb-style cross-corpus LINE dedup: a "line" that
+    occurs in ``min_docs`` or more DISTINCT documents is boilerplate
+    (navigation chrome, license banners, share buttons) and is removed
+    from EVERY document — the corpus-frequency policy, distinct from
+    ``passage_dedup``'s first-occurrence-wins. Fixed non-overlapping
+    ``line_tokens`` token windows stand in for newline-delimited lines
+    (the corpus has no newline structure; same convention as
+    passage_dedup).
+
+    Output: (id_col, n_lines, n_removed, text_kept), one row per
+    non-empty document; a document that is pure boilerplate survives
+    with empty text (drop policy is the caller's, matching C4 where
+    removal and document filtering are separate stages).
+
+    Scale: line frequencies are one hash-keyed aggregation over
+    (line-hash, doc) pairs — two-level: an exact per-doc distinct is
+    map-side combinable because a doc's lines arrive on one row — and
+    the flag join is equi-keyed on the line hash (uniform md5 keys, no
+    skew; the frequency side is distinct-lines-sized, shuffled not
+    broadcast at corpus scale). Reassembly is the same one group-by as
+    passage_dedup. No Python, no windows over the whole corpus.
+
+    Determinism: frequency thresholds don't depend on row order;
+    reassembly sorts surviving lines by position in-row."""
+    from .quality import chunk_documents
+
+    lines = chunk_documents(
+        df, chunk_tokens=line_tokens, overlap=0, id_col=id_col, text_col=text_col
+    ).withColumn("__h", F.md5("chunk_text"))
+    freq = (
+        lines.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= int(min_docs))
+        .select("__h", F.lit(True).alias("__boiler"))
+    )
+    flagged = lines.join(freq, "__h", "left").withColumn(
+        "__rm", F.coalesce(F.col("__boiler"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("__rm"), F.struct(F.col("chunk_id"), F.col("chunk_text"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("__rm"), 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )

@@ -1266,3 +1266,106 @@ def bot_users(
         (F.col("n_gaps") >= int(min_gaps))
         & (F.col("burstiness") <= float(max_burstiness)),
     )
+
+
+def ab_power_analysis(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    min_events: int = 1,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    alpha_z: float = 1.959964,
+    power_z: float = 0.841621,
+    mde_rels: tuple[float, ...] = (0.01, 0.02, 0.05, 0.10),
+    round_to: int = 6,
+) -> DataFrame:
+    """A/B sample-size calculator grounded in the table's OWN baseline:
+    measure the corpus conversion rate p once (a user converts when
+    they emit ``min_events`` or more ``conv_type`` events — the knob
+    that keeps the baseline meaningful on corpora where everyone
+    converts at least once), then for each relative
+    minimum-detectable-effect (MDE) report the required per-arm sample
+    size under the standard two-proportion normal approximation
+
+        n = (z_{α/2} + z_{power})² · (p(1−p) + p'(1−p')) / (p' − p)²,
+        p' = p·(1 + mde)
+
+    plus how many days of the table's observed distinct-user inflow
+    that demand represents — the pre-experiment feasibility row every
+    experimentation platform prints before anyone flips a flag
+    (complements ``ab_ztest``/``ab_srm``, which judge a test AFTER it
+    ran). z quantiles enter as literals (α=5% two-sided, 80% power by
+    default) — no erf inverse, deterministic everywhere.
+
+    Output: one row per MDE — (mde_rel, base_rate, target_rate,
+    n_per_arm, days_needed), n_per_arm ceil'd to a long.
+
+    Determinism: the baseline aggregation is exact integer counts;
+    the per-MDE arithmetic is one fixed expression sequence over a
+    1-row frame, rounded at the end — the oracle mirrors it verbatim.
+
+    Scale: one user-keyed aggregation + two 1-row scalars; the MDE
+    fan-out is a 4-row broadcast-joined literal frame. Nothing grows
+    with the corpus."""
+    per_user = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col(type_col) == conv_type, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                >= int(min_events)
+            )
+            .cast("int")
+            .alias("__conv")
+        )
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ-robust
+    span = events.agg(
+        ((F.max(us) - F.min(us)) / F.lit(86400000000.0)).alias("__days")
+    )
+    base = per_user.agg(
+        F.count(F.lit(1)).alias("__n_users"),
+        F.sum("__conv").alias("__n_conv"),
+    )
+    spark = events.sparkSession
+    mde = spark.createDataFrame(
+        [(float(m),) for m in mde_rels], "mde_rel double"
+    )
+    zsum2 = (float(alpha_z) + float(power_z)) ** 2
+    p = F.col("__n_conv").cast("double") / F.col("__n_users").cast("double")
+    one = base.crossJoin(span)  # both sides literally 1 row
+    out = one.crossJoin(F.broadcast(mde)).select(
+        "mde_rel",
+        F.round(p, round_to).alias("base_rate"),
+        F.round(p * (F.lit(1.0) + F.col("mde_rel")), round_to).alias(
+            "target_rate"
+        ),
+        F.ceil(
+            F.lit(zsum2)
+            * (
+                p * (F.lit(1.0) - p)
+                + (p * (F.lit(1.0) + F.col("mde_rel")))
+                * (F.lit(1.0) - p * (F.lit(1.0) + F.col("mde_rel")))
+            )
+            / (p * F.col("mde_rel")) / (p * F.col("mde_rel"))
+        ).cast("long").alias("n_per_arm"),
+        F.round(
+            F.lit(2.0)
+            * F.ceil(
+                F.lit(zsum2)
+                * (
+                    p * (F.lit(1.0) - p)
+                    + (p * (F.lit(1.0) + F.col("mde_rel")))
+                    * (F.lit(1.0) - p * (F.lit(1.0) + F.col("mde_rel")))
+                )
+                / (p * F.col("mde_rel")) / (p * F.col("mde_rel"))
+            )
+            / (F.col("__n_users").cast("double") / F.col("__days")),
+            round_to,
+        ).alias("days_needed"),
+    )
+    return out

@@ -1048,3 +1048,120 @@ def synth_png_variant_column(
         ]
     )
     return df.select(id_col).mapInPandas(batches, schema)
+
+
+_PHASH_SCALE = 1 << 14
+
+
+def phash_cos_table(n: int = 32, k: int = 8) -> list[list[int]]:
+    """Fixed-point DCT-II cosine table: C[u][x] =
+    round(cos(π·(2x+1)·u / 2n) · 2^14) — the INTEGER basis both the
+    numpy hasher and the SQL oracle multiply by, so the transform is
+    exact in int64 on both engines (no float DCT to diverge in the
+    last ulp). Rounded rows for u > 0 sum to EXACTLY 0 (the ±cos
+    pairs survive rounding with equal magnitudes), which makes every
+    AC coefficient — hence the hash, which excludes DC — exactly
+    invariant to a constant brightness shift."""
+    import math
+
+    return [
+        [
+            round(math.cos(math.pi * (2 * x + 1) * u / (2 * n)) * _PHASH_SCALE)
+            for x in range(n)
+        ]
+        for u in range(k)
+    ]
+
+
+def _phash_schema(id_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            id_field,
+            T.StructField("media_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+
+def image_phash(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    sample: int = 32,
+    block: int = 8,
+) -> DataFrame:
+    """DCT PERCEPTUAL HASH (pHash) over the real PNG decode — the
+    frequency-domain sibling of ``image_ahash``: aHash thresholds
+    spatial samples (cheap, fooled by smooth gradients), pHash
+    thresholds the image's LOW-FREQUENCY DCT coefficients, the
+    standard robust fingerprint for scaled/re-encoded image dedup.
+
+    Per image: real decode → integer grayscale (the image_ahash
+    convention) → ``sample``×``sample`` nearest-neighbor grid →
+    2-D DCT-II as two int64 matrix products with the fixed-point
+    ``phash_cos_table`` basis (scale 2^14 — max |coeff| <
+    32·255·2^28 ≈ 2^41, no overflow) → keep the top-left
+    ``block``×``block`` coefficients, DROP the DC term → bit = coeff
+    > lower-median of the remaining 63 → packed row-major into ONE
+    long (bit i−1 for flat index i). Integer end-to-end: the oracle
+    replays the identical arithmetic in SQL from the synthetic pixel
+    formula, and a constant brightness shift provably cannot change
+    any bit (AC basis rows sum to exactly 0).
+
+    Non-PNG payloads fall back to the declared stub row (media_type
+    'stub', zero hash), matching image_ahash.
+
+    Scale: one Arrow ``mapInPandas`` stage; per-image work is two
+    (8×32)·(32×32) integer matmuls; output is id + one long —
+    downstream grouping shuffles fingerprints, never pixels."""
+    n, k = int(sample), int(block)
+    if k * k - 1 > 64:
+        raise ValueError(
+            f"image_phash: block {k} needs {k * k - 1} bits > 64"
+        )
+    ctab = np.array(phash_cos_table(n, k), dtype=np.int64)  # (k, n)
+    out_schema = _phash_schema(df.schema[id_col])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in out_schema.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                rows[id_col].append(doc_id)
+                decoded = None
+                if raw[:8] == _PNG_SIG:
+                    try:
+                        decoded = decode_png(raw)
+                    except ValueError:
+                        decoded = None
+                if decoded is None:
+                    rows["media_type"].append("stub")
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["phash"].append(0)
+                    continue
+                w, h, c, px = decoded
+                px = px.reshape(h, w, c).astype(np.int64)
+                if c >= 3:
+                    gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                else:
+                    gray = px[:, :, 0]
+                sy = (np.arange(n, dtype=np.int64) * h) // n
+                sx = (np.arange(n, dtype=np.int64) * w) // n
+                samp = gray[sy][:, sx]  # (n, n) int64
+                coeffs = ctab @ samp @ ctab.T  # (k, k) exact int64
+                flat = coeffs.ravel()[1:]  # drop DC, row-major
+                med = int(np.sort(flat)[(flat.size - 1) // 2])  # lower median
+                bits = (flat > med).astype(np.int64)
+                ph = int(
+                    (bits * (np.int64(1) << np.arange(flat.size, dtype=np.int64))).sum()
+                )
+                rows["media_type"].append("image/png")
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["phash"].append(ph)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, out_schema)

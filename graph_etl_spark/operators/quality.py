@@ -2814,3 +2814,63 @@ def token_budget_fill(
             < int(budget_tokens)
         ).alias("admitted"),
     )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam3: float = 0.6,
+    lam2: float = 0.3,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet's signature bucketing (Wenzek et al. 2020 §4.3): within
+    EACH LANGUAGE, split documents into ``n_buckets`` equal-count
+    perplexity bands — head (lowest ppl, Wikipedia-like), middle,
+    tail (highest ppl, noisy) for the default 3. The per-language
+    partitioning is the point: raw perplexity is not comparable
+    across languages (different vocab sizes and token entropy), so a
+    global cut would mislabel whole languages; CCNet ships each
+    (lang, bucket) as its own corpus shard and lets the consumer pick
+    the mix. Complements ``quality_ppl_gate`` (global band TRIM):
+    this LABELS everything and drops nothing.
+
+    Output: (id_col, lang_col, n_tokens, ppl, bucket, bucket_label),
+    one row per scored document; bucket is 1-based ascending ppl,
+    labels head/middle/tail when ``n_buckets == 3`` else ``b<i>``.
+
+    Determinism: ntile over (ppl, id) order — exact tie-break, so the
+    oracle mirrors bucket boundaries row-for-row.
+
+    Scale: the LM scoring is ``trigram_perplexity`` (one per-doc
+    window shuffle + context-keyed count joins); the bucketing adds
+    ONE window partitioned by language — languages are the partition
+    key, so the sort is per-language, not global. A language so large
+    it skews one partition gets the standard two-phase fix (per-bucket
+    local ntile + offset merge) — at this registry's scale the direct
+    window is the right plan."""
+    scored = trigram_perplexity(
+        df, lam3=lam3, lam2=lam2, id_col=id_col, text_col=text_col,
+        train_df=train_df,
+    )
+    lang = df.select(id_col, lang_col)
+    w = Window.partitionBy(lang_col).orderBy("ppl", id_col)
+    out = (
+        scored.join(lang, id_col)
+        .withColumn("bucket", F.ntile(int(n_buckets)).over(w))
+    )
+    if int(n_buckets) == 3:
+        label = (
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return out.select(
+        id_col, lang_col, "n_tokens", "ppl",
+        F.col("bucket").cast("long").alias("bucket"),
+        label.alias("bucket_label"),
+    )

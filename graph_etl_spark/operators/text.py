@@ -1163,3 +1163,62 @@ def vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade — the classic cheap
+    readability filters an LLM curation pipeline runs alongside the
+    Gopher battery (readability bands correlate with document
+    register; extreme scores flag OCR noise and word salad).
+
+    Heuristics (all deterministic, no dictionary): words = whitespace
+    tokens; sentences = runs of ``[.!?]`` (floored at 1, so unpunctuated
+    corpora degrade to one-sentence documents rather than dividing by
+    zero); syllables per word = vowel-group count ``[aeiouy]+`` of the
+    lowercased word, floored at 1 (the standard approximation).
+
+      flesch   = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+      fk_grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    Output: input columns + (n_words, n_sentences, n_syllables,
+    flesch, fk_grade); empty documents yield zero words and NULL
+    scores (no silent 0.0 that would sort as "hardest").
+
+    Scale: pure per-row JVM expressions — one regexp count for
+    sentences, one higher-order transform+aggregate for syllables;
+    zero shuffle, zero Python, whole-stage-codegen friendly."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    n_sents = F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1))
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.regexp_count(F.lower(t), F.lit("[aeiouy]+")), F.lit(1)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    wps = n_words.cast("double") / n_sents.cast("double")
+    spw = syl.cast("double") / n_words.cast("double")
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_sentences", n_sents)
+        .withColumn("n_syllables", F.when(n_words > 0, syl))
+        .withColumn(
+            "flesch",
+            F.when(
+                n_words > 0,
+                F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4),
+            ),
+        )
+        .withColumn(
+            "fk_grade",
+            F.when(
+                n_words > 0,
+                F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4),
+            ),
+        )
+    )

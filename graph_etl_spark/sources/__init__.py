@@ -443,3 +443,83 @@ def file_level_stats(spark, path: str, cols: list[str]):
         .agg(*aggs)
         .withColumnRenamed("__file", "file")
     )
+
+
+def compaction_plan(
+    df,
+    partition_cols: list[str],
+    target_bytes: int = 128 * 1024 * 1024,
+    tiny_fraction: float = 0.125,
+    count_files: bool = False,
+):
+    """Small-file compaction planner — the table-maintenance advisory a
+    100 TB lakehouse runs nightly: for each value of ``partition_cols``
+    estimate the partition's uncompressed payload, derive how many
+    ``target_bytes`` output files a rewrite should produce, and flag
+    the partitions worth acting on:
+
+      - ``split``   — payload exceeds one target file (write N files)
+      - ``tiny``    — payload under ``tiny_fraction``·target (merge
+                      candidate: many such siblings = the classic
+                      small-file problem that floods the NameNode /
+                      object-store listing and starves scan parallelism)
+      - ``compact`` — (only with ``count_files=True``) more physical
+                      files than the target count: rewrite shrinks the
+                      file inventory
+      - ``ok``      — leave alone
+
+    Size model (deterministic, engine-mirrorable — no sampling, no
+    file-footer reads): per row, strings/binaries count their byte
+    length, arrays 8 bytes per element, everything else 8 bytes.
+    A heuristic for PLANNING (real parquet compresses), but monotone
+    in payload, which is what the split/tiny thresholds need.
+
+    Scale: one scan, one map-side-combinable aggregation keyed by the
+    partition columns — output is partition-count rows. The optional
+    file count rides the same agg via ``input_file_name()`` (exact
+    only when files don't interleave partitions — true for
+    directory-partitioned layouts)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    size_terms = []
+    for f in df.schema.fields:
+        if f.name in partition_cols:
+            continue
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+            size_terms.append(F.coalesce(F.octet_length(c), F.lit(0)))
+        elif isinstance(f.dataType, T.ArrayType):
+            size_terms.append(
+                F.coalesce(F.size(c) * F.lit(8), F.lit(0)).cast("int")
+            )
+        else:
+            size_terms.append(F.lit(8))
+    row_bytes = size_terms[0]
+    for t in size_terms[1:]:
+        row_bytes = row_bytes + t
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_bytes.cast("long")).alias("est_bytes"),
+    ]
+    if count_files:
+        # materialized pre-agg: input_file_name() is non-deterministic
+        # to the analyzer and may not sit inside an aggregate directly
+        df = df.withColumn("__file", F.input_file_name())
+        aggs.append(F.countDistinct(F.col("__file")).alias("n_files"))
+    plan = df.groupBy(*partition_cols).agg(*aggs)
+    n_target = F.greatest(
+        F.lit(1), F.ceil(F.col("est_bytes") / F.lit(int(target_bytes)))
+    ).cast("long")
+    plan = plan.withColumn("n_files_target", n_target)
+    action = F.when(
+        F.col("est_bytes") > F.lit(int(target_bytes)), F.lit("split")
+    ).when(
+        F.col("est_bytes") < F.lit(int(target_bytes * tiny_fraction)),
+        F.lit("tiny"),
+    )
+    if count_files:
+        action = action.when(
+            F.col("n_files") > F.col("n_files_target"), F.lit("compact")
+        )
+    return plan.withColumn("action", action.otherwise(F.lit("ok")))

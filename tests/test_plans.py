@@ -1106,3 +1106,51 @@ def test_ktruss_degree_oriented_no_cartesian(spark, entry):
     assert_no_cartesian(df)
     st = plan_stats(df)
     assert st.nested_loop_joins == 0
+
+
+def test_readability_is_pure_map_side(spark, entry):
+    """Flesch/FK must be row expressions only — no exchange, no
+    Python stage, one scan (the gopher-rules posture)."""
+    df = entry.q_text_readability(spark, SF)
+    p = plan_string(df)
+    assert "Exchange" not in p, "readability must not shuffle"
+    assert "MapInPandas" not in p and "ArrowEval" not in p
+
+
+def test_line_dedup_two_hash_joins_no_cartesian(spark, entry):
+    """Line dedup is freq-agg + one hash equi-join back + reassembly:
+    no cartesian, no window over the corpus, no Python."""
+    df = entry.q_dedup_line_dedup(spark, SF)
+    assert_no_cartesian(df)
+    p = plan_string(df)
+    assert "Window" not in p, "corpus-frequency policy needs no window"
+    assert "MapInPandas" not in p
+
+
+def test_compaction_plan_single_partial_agg(spark, entry):
+    """The planner is ONE map-side-combinable aggregation: exactly one
+    exchange (the partition-key shuffle of partial sums)."""
+    df = entry.q_etl_compaction_plan(spark, SF)
+    p = plan_string(df)
+    assert p.count("Exchange") <= 1, "planner gained an extra shuffle"
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_power_analysis_nothing_corpus_sized_shuffles(spark, entry):
+    """Power analysis reduces to two scalar frames + a 4-row literal
+    fan-out: every join is a broadcast of a bounded side (the 1-row
+    base/span frames and the MDE literals), never a shuffled join."""
+    df = entry.q_events_power_analysis(spark, SF)
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p, "a bounded frame got shuffle-joined"
+
+
+def test_image_phash_fingerprints_not_pixels(spark, entry):
+    """The only Python stages are the synth encoder and the hasher;
+    the group-by shuffles (id + one long) fingerprints, never pixels:
+    the exchange must sit ABOVE the hashing MapInPandas."""
+    df = entry.q_mm_image_phash_dedup(spark, SF)
+    p = plan_string(df)
+    assert p.count("MapInPandas") == 2, "expected synth + hash stages"
+    # the aggregate over phash is hash-based (two longs), no sort agg
+    assert "SortAggregate" not in p

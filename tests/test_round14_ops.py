@@ -1,12 +1,6 @@
-"""Round-14 additions and regression fixes: the louvain_move k_ic
-self-loop exclusion (ADVICE r13 high — phase 2 refused
-modularity-positive super-node merges), degree-rank compact-forward
-triangle orientation (VERDICT r13 weak mark — skewed-hub wedge
-blowup), N-level Louvain recursion, the ktruss max_iter-exhausted
-left-join semantics, cohen_kappa disjoint-class coalesce,
-ivf_recall_curve floor/nprobe pairing, and the markov_steady_state
-state-space guard.
-"""
+"""Round-14 additions: C4-style cross-corpus line dedup, Flesch
+readability, the small-file compaction planner, CCNet perplexity
+buckets, DCT pHash, and A/B power analysis."""
 
 from __future__ import annotations
 
@@ -21,315 +15,154 @@ from pyspark.sql import functions as F
 
 from graph_etl_spark import operators as ops
 
-SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
-
-# ---------------------------------------------------------------------------
-# Louvain self-loop fix (ADVICE r13 high)
-# ---------------------------------------------------------------------------
-
-def _paired_clique_coarse(spark):
-    """The ADVICE fixture: a 4-clique contracted under the {1,2}=A /
-    {3,4}=B pair partition — self-loops A-A and B-B carry the inner
-    edges (weight 1 each), the cross edge carries weight 4. Merging A
-    and B is strictly modularity-positive (Q: -1/6 -> 0)."""
-    return spark.createDataFrame(
-        [("A", "A", 1), ("A", "B", 4), ("B", "B", 1)],
-        "c_src string, c_dst string, weight long",
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """A line shared by two docs is removed from BOTH (corpus-frequency
+    policy, unlike passage_dedup's keep-first); a within-doc repeat
+    below min_docs survives; reassembly preserves line order."""
+    boiler = " ".join(f"b{i}" for i in range(8))
+    uniq1 = " ".join(f"u{i}" for i in range(8))
+    uniq2 = " ".join(f"v{i}" for i in range(8))
+    d = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq1}"),
+            (2, f"{uniq2} {boiler}"),
+            # doc 3: same line TWICE within one doc — 1 distinct doc,
+            # below min_docs=2, so the repeat is NOT boilerplate
+            (3, f"{uniq1.replace('u', 'w')} {uniq1.replace('u', 'w')}"),
+        ],
+        "doc_id long, text string",
     )
-
-
-def test_louvain_move_merges_selfloop_supernodes(spark):
-    """Pre-fix, a self-loop (c, c, w) leaked 2w into the node's own
-    k_{i,c}, inflating the stay score by 2m*2w and pinning both
-    super-nodes in place (moved=False) even though the merge is
-    modularity-positive. Post-fix both super-nodes elect the other's
-    community: stay scores 0, merge scores 2m*4 - 6*6 = 12 > 0."""
-    coarse = _paired_clique_coarse(spark)
-    seed = spark.createDataFrame(
-        [("A", "A"), ("B", "B")], "id string, community string"
-    )
-    moves = {
-        r["id"]: (r["new_community"], r["moved"])
-        for r in ops.louvain_move(
-            coarse, seed, src="c_src", dst="c_dst", weight_col="weight"
-        ).collect()
+    out = {
+        r["doc_id"]: r
+        for r in ops.line_dedup(d, line_tokens=8, min_docs=2).collect()
     }
-    assert moves["A"] == ("B", True)
-    assert moves["B"] == ("A", True)
+    assert out[1]["n_removed"] == 1 and out[1]["text_kept"] == uniq1
+    assert out[2]["n_removed"] == 1 and out[2]["text_kept"] == uniq2
+    assert out[3]["n_removed"] == 0 and out[3]["n_lines"] == 2
+
+    # pure-boilerplate doc survives with empty text (drop is policy)
+    d2 = spark.createDataFrame(
+        [(1, boiler), (2, boiler)], "doc_id long, text string"
+    )
+    rows = ops.line_dedup(d2, line_tokens=8, min_docs=2).collect()
+    assert all(r["text_kept"] == "" and r["n_removed"] == 1 for r in rows)
 
 
-def test_louvain_communities_merges_selfloop_supernodes(spark):
-    """End-to-end phase-2 shape: the semi-synchronous loop on the
-    coarse graph must land both super-nodes in ONE community (the
-    parity gate applies one side's move first, the other then stays)."""
-    coarse = _paired_clique_coarse(spark)
-    seed = spark.createDataFrame(
-        [("A", "A"), ("B", "B")], "id string, community string"
+def test_readability_flesch_formula(spark):
+    """Hand-checked Flesch/FK values; sentence floor at 1; empty doc
+    yields NULL scores, not a fake 0.0."""
+    d = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran!"), (2, "word"), (3, " ")],
+        "doc_id long, text string",
     )
-    out = ops.louvain_communities(
-        coarse, seed, max_rounds=3,
-        src="c_src", dst="c_dst", weight_col="weight",
-    )
-    labels = {r["community"] for r in out.collect()}
-    assert len(labels) == 1, f"super-nodes did not merge: {labels}"
+    out = {r["doc_id"]: r for r in ops.readability_scores(d).collect()}
+    r1 = out[1]
+    # 6 words, 2 sentences; syllables: the=1 cat=1 sat.=1 dog=1 ran!=1
+    # the=1 -> 6
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    assert r1["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    assert r1["fk_grade"] == round(0.39 * 3.0 + 11.8 * 1.0 - 15.59, 4)
+    assert out[2]["n_sentences"] == 1  # floor: no punctuation
+    assert out[3]["n_words"] == 0 and out[3]["flesch"] is None
 
 
-def test_louvain_move_selfloop_mass_stays_in_degree(spark):
-    """The fix removes self-loops from k_{i,c} ONLY — m and the degree
-    still count them (2w per self-loop), the weighted-Louvain
-    accounting louvain_coarsen documents. A self-loop-only node with a
-    weak outside link must therefore still prefer staying."""
-    edges = spark.createDataFrame(
-        [("A", "A", 10), ("A", "B", 1), ("B", "C", 8)],
-        "c_src string, c_dst string, weight long",
-    )
-    seed = spark.createDataFrame(
-        [("A", "A"), ("B", "B"), ("C", "C")], "id string, community string"
-    )
-    moves = {
-        r["id"]: r["moved"]
-        for r in ops.louvain_move(
-            edges, seed, src="c_src", dst="c_dst", weight_col="weight"
-        ).collect()
+def test_compaction_plan_actions_and_file_counts(spark, tmp_path):
+    """split/tiny/ok thresholds; with count_files=True a partition
+    spread over more files than its target flags 'compact'."""
+    rows = [("big", "x" * 2000, i) for i in range(30)]  # 60KB >> 4KB
+    rows += [("small", "y" * 10, i) for i in range(3)]  # 30B < 512B
+    rows += [("mid", "z" * 100, i) for i in range(30)]  # 3KB in [512,4K]
+    d = spark.createDataFrame(rows, "part string, payload string, i long")
+    plan = {
+        r["part"]: r
+        for r in ops.compaction_plan(d, ["part"], target_bytes=4096).collect()
     }
-    # m=19, deg(A)=21: stay score 0, move-to-B score 2*19*1 - 21*9 < 0
-    assert moves["A"] is False
+    assert plan["big"]["action"] == "split"
+    assert plan["big"]["n_files_target"] >= 2
+    assert plan["small"]["action"] == "tiny"
+    assert plan["mid"]["action"] == "ok"
+    # est model: strings by byte length, scalars 8B
+    assert plan["small"]["est_bytes"] == 3 * (10 + 8)
+
+    # physical file counting: 8 files for one partition, target 1
+    p = str(tmp_path / "frag")
+    d.filter(F.col("part") == "mid").repartition(8).write.parquet(p)
+    frag = spark.read.parquet(p)
+    plan2 = ops.compaction_plan(
+        frag, ["part"], target_bytes=4096, count_files=True
+    ).collect()[0]
+    assert plan2["n_files"] == 8 and plan2["n_files_target"] == 1
+    assert plan2["action"] == "compact"
 
 
-def test_louvain_communities_breaks_same_parity_swaps(spark):
-    """Two singleton super-nodes that elect each other AND share hash
-    parity used to exchange labels forever (the semi-sync gate's
-    residual 2-cycle; pre-r14 the k_ic bug masked it by pinning
-    super-nodes). The community-pair breaker must resolve every such
-    pair into ONE community — checked over many disconnected pairs so
-    both parities occur."""
-    # 20 disconnected heavy pairs: nodes (2i, 2i+1) joined by weight-4
-    # edges with weight-1 self-loops (the paired-clique contraction)
-    rows = []
-    for i in range(20):
-        a, b = 2 * i, 2 * i + 1
-        rows += [(a, a, 1), (a, b, 4), (b, b, 1)]
-    coarse = spark.createDataFrame(rows, "c_src long, c_dst long, weight long")
-    seed = spark.createDataFrame(
-        [(n, n) for n in range(40)], "id long, community long"
+def test_ppl_buckets_per_language_terciles(spark):
+    """Buckets are equal-count WITHIN each language (ntile contract:
+    sizes differ by at most 1) and ordered by perplexity: every head
+    doc's ppl <= every tail doc's ppl in the same language."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ops.ppl_buckets(
+        d, train_df=ops.hash_sample(d, permille=500, salt="lm")
     )
-    out = ops.louvain_communities(
-        coarse, seed, max_rounds=4,
-        src="c_src", dst="c_dst", weight_col="weight",
+    rows = out.collect()
+    assert len(rows) == d.filter(F.length("text") > 0).count()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = [sum(1 for r in rs if r["bucket"] == b) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        heads = [r["ppl"] for r in rs if r["bucket_label"] == "head"]
+        tails = [r["ppl"] for r in rs if r["bucket_label"] == "tail"]
+        assert max(heads) <= min(tails), lang
+
+
+def test_image_phash_brightness_invariant_structure_sensitive(spark):
+    """The documented invariance is EXACT: the 4 brightness variants of
+    one base image share one pHash; different bases (different
+    structure) produce different hashes; a non-PNG payload falls back
+    to the stub row."""
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pngs = ops.synth_png_variant_column(ids, group_size=4)
+    got = {r["doc_id"]: r for r in ops.image_phash(pngs).collect()}
+    g0 = {got[i]["phash"] for i in range(4)}
+    g1 = {got[i]["phash"] for i in range(4, 8)}
+    assert len(g0) == 1 and len(g1) == 1 and g0 != g1
+    assert all(got[i]["media_type"] == "image/png" for i in range(8))
+
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"not a png"))], "doc_id long, payload binary"
     )
-    labels = {r["id"]: r["community"] for r in out.collect()}
-    for i in range(20):
-        a, b = 2 * i, 2 * i + 1
-        assert labels[a] == labels[b], f"pair ({a},{b}) failed to merge"
+    stub = ops.image_phash(junk).collect()[0]
+    assert stub["media_type"] == "stub" and stub["phash"] == 0
 
 
-# ---------------------------------------------------------------------------
-# N-level Louvain (VERDICT r13 #6)
-# ---------------------------------------------------------------------------
+def test_phash_cos_table_ac_rows_sum_zero():
+    """The invariance precondition: every u>0 row of the rounded
+    fixed-point DCT basis sums to exactly 0 (so a constant brightness
+    shift contributes exactly nothing to any non-DC coefficient)."""
+    from graph_etl_spark.operators.multimodal import phash_cos_table
 
-def _two_triangles(spark):
-    return spark.createDataFrame(
-        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
-        "src long, dst long",
-    )
-
-
-def test_louvain_multilevel_depth2_is_two_level(spark):
-    """The max_levels=2 restriction must reproduce louvain_two_level
-    bit-for-bit (same rounds, same contraction, same projection)."""
-    edges = _two_triangles(spark)
-    seed = spark.createDataFrame(
-        [(i, f"s{i}") for i in range(1, 7)], "id long, community string"
-    )
-    two = sorted(
-        tuple(r)
-        for r in ops.louvain_two_level(
-            edges, seed, rounds1=2, rounds2=2
-        ).collect()
-    )
-    multi = sorted(
-        tuple(r)
-        for r in ops.louvain_multilevel(
-            edges, seed, rounds_per_level=2, max_levels=2
-        ).collect()
-    )
-    assert multi == two
+    tab = phash_cos_table(32, 8)
+    assert [sum(r) for r in tab[1:]] == [0] * 7
+    assert sum(tab[0]) == 32 * (1 << 14)
 
 
-def test_louvain_multilevel_early_stop_is_full_unroll(spark):
-    """Extra levels past a zero-move (singleton-seeded, hence
-    identity) level are no-ops: depth 3 and depth 6 agree — the
-    property that lets the SQL oracle unroll a fixed budget."""
-    edges = _two_triangles(spark)
-    seed = spark.createDataFrame(
-        [(i, f"s{i}") for i in range(1, 7)], "id long, community string"
-    )
-    d3 = sorted(
-        tuple(r)
-        for r in ops.louvain_multilevel(edges, seed, max_levels=3).collect()
-    )
-    d6 = sorted(
-        tuple(r)
-        for r in ops.louvain_multilevel(edges, seed, max_levels=6).collect()
-    )
-    assert d3 == d6
+def test_ab_power_analysis_monotone_and_formula(spark):
+    """n_per_arm strictly decreases as MDE grows; the 10% row matches
+    the closed form computed by hand from the measured baseline."""
+    import math
 
-
-def test_louvain_multilevel_merges_hierarchy(spark):
-    """A 4-clique seeded with PAIR communities: level 1 refines, the
-    deeper levels' contractions (whose super-nodes carry self-loops —
-    the ADVICE bug's exact shape) must finish with the whole clique in
-    one community."""
-    k4 = spark.createDataFrame(
-        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
-        "src long, dst long",
-    )
-    seed = spark.createDataFrame(
-        [(1, "X"), (2, "X"), (3, "Y"), (4, "Y")], "id long, community string"
-    )
-    out = ops.louvain_multilevel(
-        k4, seed, rounds_per_level=2, max_levels=3
-    )
-    assert len({r["community"] for r in out.collect()}) == 1
-
-
-def test_louvain_multilevel_validates_levels(spark):
-    seed = spark.createDataFrame([(1, "A")], "id long, community string")
-    with pytest.raises(ValueError, match="max_levels"):
-        ops.louvain_multilevel(_two_triangles(spark), seed, max_levels=0)
-
-
-# ---------------------------------------------------------------------------
-# Degree-rank triangle orientation (VERDICT r13 weak mark)
-# ---------------------------------------------------------------------------
-
-def test_forward_orientation_bounds_hub_fanout(spark):
-    """Skewed-hub fixture: a star whose hub has the LOWEST id — the
-    id-order pathological case (the hub kept all 30 edges forward,
-    generating O(deg²)=435 wedge candidates). Degree-rank orientation
-    points every edge leaf→hub (leaves rank below the hub), so the max
-    forward out-degree is 1 and the wedge join generates ZERO
-    candidates."""
-    from graph_etl_spark.operators.graph import _forward_edges
-
-    star = spark.createDataFrame(
-        [(0, i) for i in range(1, 31)], "u long, v long"
-    )
-    fwd = _forward_edges(star)
-    fanout = {
-        r["a"]: r["n"]
-        for r in fwd.groupBy("a").agg(F.count(F.lit(1)).alias("n")).collect()
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = {
+        r["mde_rel"]: r
+        for r in ops.ab_power_analysis(e, min_events=15).collect()
     }
-    assert 0 not in fanout, "hub kept forward edges — orientation is by id"
-    assert max(fanout.values()) == 1
-
-
-def test_forward_orientation_rank_tiebreak_is_id(spark):
-    """Equal degrees fall back to id order (deterministic, oracle-
-    mirrorable): a single edge between same-degree endpoints points
-    low-id -> high-id."""
-    from graph_etl_spark.operators.graph import _forward_edges
-
-    e = spark.createDataFrame([(7, 3)], "u long, v long")
-    # canonical frame is (u<v): build it the way callers do
-    canon = e.select(
-        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-    )
-    rows = _forward_edges(canon).collect()
-    assert [(r["a"], r["b"]) for r in rows] == [(3, 7)]
-
-
-def test_triangle_count_star_with_apex_triangles(spark):
-    """Orientation-invariance on the skewed fixture: a 20-leaf star
-    (hub 0) plus edges (1,2) and (3,4) closing two triangles through
-    the hub. Counts must match the definition regardless of the
-    enumeration order."""
-    edges = [(0, i) for i in range(1, 21)] + [(1, 2), (3, 4)]
-    df = spark.createDataFrame(edges, "src long, dst long")
-    out = {r["id"]: r["n_triangles"] for r in ops.triangle_count(df).collect()}
-    assert out == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
-
-
-def test_ktruss_support_sides_recanonicalized(spark):
-    """Edge support must come back in ID-canonical (u < v) form even
-    when rank order disagrees with id order (high-degree low-id
-    vertex): hub 1 (degree 4) in two triangles — every support row
-    must match an input edge."""
-    edges = spark.createDataFrame(
-        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (4, 5)],
-        "src long, dst long",
-    )
-    got = sorted(tuple(r) for r in ops.ktruss(edges, k=3).collect())
-    assert got == [
-        (1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 5, 1), (2, 3, 1), (4, 5, 1),
-    ]
-
-
-def test_ktruss_max_iter_exhausted_keeps_survivors(spark):
-    """K4 minus one edge at k=4: round 1 keeps only (1,2) (support 2
-    pre-prune), whose support then drops to 0. With max_iter=1 the old
-    inner join silently dropped it (output neither pre- nor post-prune
-    set); the left join keeps the true surviving edge set with its
-    recomputed support."""
-    edges = spark.createDataFrame(
-        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
-    )
-    got = sorted(
-        tuple(r) for r in ops.ktruss(edges, k=4, max_iter=1).collect()
-    )
-    assert got == [(1, 2, 0)]
-    # with the budget to converge, the 4-truss is empty
-    assert ops.ktruss(edges, k=4).count() == 0
-
-
-# ---------------------------------------------------------------------------
-# ADVICE r13 medium/low regressions
-# ---------------------------------------------------------------------------
-
-def test_ivf_recall_curve_unsorted_nprobes_keeps_floor_pairing(spark):
-    """floors must stay glued to THEIR nprobe when the caller passes
-    an unsorted sweep (pre-fix, nprobes were sorted alone and floors
-    zipped in caller order)."""
-    import random
-
-    rng = random.Random(7)
-    rows = [
-        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
-    ]
-    data = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    out = ops.ivf_recall_curve(
-        data, data.filter(F.col("vec_id") < 3),
-        k=3, nlist=2, nprobes=[2, 1], floors=[0.9, 0.1],
-    )
-    floors = {r["nprobe"]: r["floor"] for r in out.collect()}
-    assert floors == {2: 0.9, 1: 0.1}
-
-
-def test_cohen_kappa_disjoint_classes_pe_zero(spark):
-    """Raters sharing no label classes: the class join is empty, pe
-    must coalesce to 0 (not NULL the whole row) and kappa = po."""
-    df = spark.createDataFrame(
-        [("x", "p"), ("y", "q"), ("x", "q")], "a string, b string"
-    )
-    row = ops.cohen_kappa(df, "a", "b").collect()[0]
-    assert row["n_pairs"] == 3
-    assert row["po"] == 0.0
-    assert row["pe"] == 0.0
-    assert row["kappa"] == 0.0
-
-
-def test_markov_steady_state_state_space_guard(spark):
-    """VERDICT r13 #7: the chain is collected driver-side, so the
-    distinct-state count must be contractual — exceeding max_states
-    raises BEFORE anything big reaches the driver."""
-    rows = [
-        ("u1", i, f"t{i % 5}") for i in range(20)
-    ]
-    events = spark.createDataFrame(
-        rows, "user_id string, event_id long, event_type string"
-    ).withColumn("ts", F.timestamp_seconds(F.col("event_id")))
-    with pytest.raises(ValueError, match="max_states"):
-        ops.markov_steady_state(events, max_states=3)
-    out = ops.markov_steady_state(events, max_states=5)
-    assert out.count() == 5
+    ns = [rows[m]["n_per_arm"] for m in sorted(rows)]
+    assert ns == sorted(ns, reverse=True) and ns[-1] > 0
+    # closed form at mde=0.10 from the base rate
+    p = rows[0.1]["base_rate"]
+    p2 = p * 1.1
+    zsum2 = (1.959964 + 0.841621) ** 2
+    expect = math.ceil(zsum2 * (p * (1 - p) + p2 * (1 - p2)) / (p * 0.1) / (p * 0.1))
+    assert rows[0.1]["n_per_arm"] == expect
