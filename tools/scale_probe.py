@@ -164,6 +164,8 @@ def probe_streaming_state(spark, n: int) -> dict:
 # map to None explicitly.
 PROBE_TO_REGISTRY = {
     "asof_nearest": "asof_join_nearest",
+    "image_phash": "mm_image_phash_dedup",
+    "line_dedup": "dedup_line_dedup",
     "pipeline_flow": "pipeline_stage_map_load",
     "assortativity": "graph_assortativity",
     "burstiness": "events_burstiness",
@@ -1515,6 +1517,59 @@ def main() -> None:
         print(
             f"# pipeline_flow: {t1}s -> {tn}s "
             f"(x{result['pipeline_flow']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r14: C4 line dedup — the distinct (line-hash, doc) pair agg +
+    # hash equi-join back; namespaced copies keep lines copy-local so
+    # frequencies never cross copies. The quadratic this would catch
+    # is the freq join degenerating on a skewed line hash.
+    if only is None or "line_dedup" in only:
+        d_ld = read_table(spark, SF_DIR, "documents")
+        t1 = timed(ops.line_dedup(replicate_docs(d_ld, 1), line_tokens=8, min_docs=2))
+        tn = timed(ops.line_dedup(replicate_docs(d_ld, n), line_tokens=8, min_docs=2))
+        result["line_dedup"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# line_dedup: {t1}s -> {tn}s (x{result['line_dedup']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r14: DCT pHash — per-image work is constant (two 8x32 int
+    # matmuls on a 32x32 grid), so Nx images must be ~linear; the
+    # failure this would catch is the Arrow stage buffering more than
+    # a batch or the fingerprint group-by shuffling pixels.
+    if only is None or "image_phash" in only:
+        ids = read_table(spark, SF_DIR, "documents").select("doc_id")
+
+        def _phash_flow(frame):
+            pngs = ops.synth_png_variant_column(frame, group_size=4)
+            return (
+                ops.image_phash(pngs)
+                .groupBy("phash")
+                .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("c"))
+            )
+
+        def _rep_ids(n_copies):
+            parts = [
+                ids.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id")
+                )
+                for i in range(n_copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        t1 = timed(_phash_flow(_rep_ids(1)))
+        tn = timed(_phash_flow(_rep_ids(n)))
+        result["image_phash"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# image_phash: {t1}s -> {tn}s (x{result['image_phash']['ratio']})",
             file=sys.stderr,
         )
 
