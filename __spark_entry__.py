@@ -4165,6 +4165,30 @@ def q_mm_image_phash_dedup(spark, sf):
     )
 
 
+def q_mm_video_scene_cuts(spark, sf):
+    """Scene-cut detection over REAL Y4M decode (round 14): per doc a
+    multi-scene C420 clip is synthesized (luma switches pattern every
+    1 + id%3 frames — within-scene pairs bit-identical, cross-scene
+    pairs differ everywhere), decoded for real, and each consecutive
+    frame pair scored by the exact integer sum of absolute luma
+    diffs; a cut fires when mean |diff| > 8. The shot-segmentation
+    stage a video pipeline runs before per-scene frame sampling. The
+    oracle replays every diff from the luma formula alone."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    clips = ops.synth_y4m_scenes_column(d, "doc_id")
+    return ops.video_scene_cuts(clips, threshold=8.0)
+
+
+def q_events_ab_did(spark, sf):
+    """Difference-in-differences (round 14): hash-assigned variants ×
+    data-derived pre/post split (integer-microsecond midpoint), cell
+    means of purchase values via order-free decimal sums, and the DiD
+    estimate that nets out baseline group differences and the secular
+    trend. One bounds scalar broadcast-crossed + ONE conditional agg —
+    no user-keyed shuffle (DiD is event-level)."""
+    return ops.ab_diff_in_diff(_t(spark, sf, "events"))
+
+
 def q_events_power_analysis(spark, sf):
     """A/B pre-experiment power analysis (round 14): baseline
     conversion = users with >= 15 purchase events; for each relative
@@ -4520,6 +4544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ppl_buckets": q_quality_ppl_buckets,
         "mm_image_phash_dedup": q_mm_image_phash_dedup,
         "events_power_analysis": q_events_power_analysis,
+        "mm_video_scene_cuts": q_mm_video_scene_cuts,
+        "events_ab_did": q_events_ab_did,
     }
     # ROUND-15 BUDGET NOTE (for the next session): once r14 lands,
     # the staleness histogram becomes {9: 37, 10: 45, 11: 42, 12: 40,
@@ -11236,6 +11262,85 @@ def oracle_sql() -> dict[str, str]:
         SELECT phash, COUNT(*)::BIGINT AS n_images,
                MIN(doc_id)::BIGINT AS canonical_doc
         FROM hashes GROUP BY phash
+    """
+
+    # Scene cuts: replay the multi-scene luma formula — per frame
+    # pair the exact integer |diff| sum over the clip's pixels; cut
+    # iff mean |diff| > 8 (SUM > 8.0 * npix, the operator's compare).
+    sql["mm_video_scene_cuts"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 8 + (doc_id % 5) * 2 AS w,
+                 8 + ((doc_id // 5) % 5) * 2 AS h,
+                 4 + doc_id % 3 AS nf,
+                 1 + doc_id % 3 AS sl
+          FROM documents
+        ), pix AS (
+          SELECT d.doc_id, f.f, d.w, d.h,
+                 abs(((d.doc_id * 19 + (f.f // d.sl) * 97
+                       + y.y * 11 + x.x * 7) % 256)
+                     - ((d.doc_id * 19 + ((f.f - 1) // d.sl) * 97
+                         + y.y * 11 + x.x * 7) % 256)) AS ad
+          FROM dims d,
+               range(1, 6) AS f(f),
+               range(0, 16) AS y(y),
+               range(0, 16) AS x(x)
+          WHERE f.f < d.nf AND y.y < d.h AND x.x < d.w
+        )
+        SELECT doc_id, f::INT AS frame_idx, (w * h)::INT AS n_pixels,
+               SUM(ad)::BIGINT AS diff_sum,
+               (SUM(ad) > 8.0 * (w * h)) AS is_cut
+        FROM pix GROUP BY doc_id, f, w, h
+    """
+
+    # Difference-in-differences: integer-DIV microsecond midpoint,
+    # H56 variant assignment, decimal cell sums, one fixed DiD
+    # expression over UNROUNDED means, rounded at the end.
+    sql["events_ab_did"] = f"""
+        WITH bounds AS (
+          SELECT (MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+                  + MAX(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+          FROM events
+        ), base AS (
+          SELECT {_H56.format(x="user_id::VARCHAR")} % 2 AS v,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) >= b.mid)::INT AS post,
+                 ROUND(value, 4)::DECIMAL(18,4) AS x
+          FROM events, bounds b
+          WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        ), agg AS (
+          SELECT
+            SUM(CASE WHEN v = 0 AND post = 0 THEN 1 ELSE 0 END)::BIGINT
+              AS n_pre_control,
+            SUM(CASE WHEN v = 0 AND post = 1 THEN 1 ELSE 0 END)::BIGINT
+              AS n_post_control,
+            SUM(CASE WHEN v = 1 AND post = 0 THEN 1 ELSE 0 END)::BIGINT
+              AS n_pre_treat,
+            SUM(CASE WHEN v = 1 AND post = 1 THEN 1 ELSE 0 END)::BIGINT
+              AS n_post_treat,
+            (SUM(CASE WHEN v = 0 AND post = 0 THEN x END))::DOUBLE AS s00,
+            (SUM(CASE WHEN v = 0 AND post = 1 THEN x END))::DOUBLE AS s01,
+            (SUM(CASE WHEN v = 1 AND post = 0 THEN x END))::DOUBLE AS s10,
+            (SUM(CASE WHEN v = 1 AND post = 1 THEN x END))::DOUBLE AS s11
+          FROM base
+        )
+        SELECT n_pre_control, n_post_control, n_pre_treat, n_post_treat,
+          ROUND(CASE WHEN n_pre_control > 0
+                THEN s00 / n_pre_control::DOUBLE END, 6) AS mean_pre_control,
+          ROUND(CASE WHEN n_post_control > 0
+                THEN s01 / n_post_control::DOUBLE END, 6) AS mean_post_control,
+          ROUND(CASE WHEN n_pre_treat > 0
+                THEN s10 / n_pre_treat::DOUBLE END, 6) AS mean_pre_treat,
+          ROUND(CASE WHEN n_post_treat > 0
+                THEN s11 / n_post_treat::DOUBLE END, 6) AS mean_post_treat,
+          ROUND(((CASE WHEN n_post_treat > 0
+                  THEN s11 / n_post_treat::DOUBLE END)
+                 - (CASE WHEN n_pre_treat > 0
+                    THEN s10 / n_pre_treat::DOUBLE END))
+                - ((CASE WHEN n_post_control > 0
+                    THEN s01 / n_post_control::DOUBLE END)
+                   - (CASE WHEN n_pre_control > 0
+                      THEN s00 / n_pre_control::DOUBLE END)), 6) AS did
+        FROM agg
     """
 
     # A/B power analysis: conversion = >= 15 purchases; z-sum constant

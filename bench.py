@@ -261,6 +261,8 @@ HEADLINE = [
     "quality_ppl_buckets",
     "mm_image_phash_dedup",
     "events_power_analysis",
+    "mm_video_scene_cuts",
+    "events_ab_did",
 ]
 
 

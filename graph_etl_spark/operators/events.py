@@ -1369,3 +1369,96 @@ def ab_power_analysis(
         ).alias("days_needed"),
     )
     return out
+
+
+def ab_diff_in_diff(
+    events: DataFrame,
+    metric_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int = 6,
+) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES estimate — the quasi-experimental
+    complement to ``ab_ztest``/``ab_cuped``: when a change launches to
+    a hash-assigned treatment group mid-stream, the causal read is
+    (treatment post − treatment pre) − (control post − control pre),
+    which nets out both group-level baseline differences and the
+    secular time trend the raw post-period comparison confounds.
+
+    Cells: variant = H56(user) mod 2 (the deterministic bucketing the
+    A/B family shares); period = post iff the event lands at or after
+    the stream's integer-microsecond midpoint ((min+max) DIV 2 — a
+    data-derived split so the operator needs no launch timestamp;
+    pass one at the call site by filtering). Cell means are over
+    ``metric_type`` events' ``value_col``.
+
+    Output: one row — (n_pre_control, n_post_control, n_pre_treat,
+    n_post_treat, mean_pre_control, mean_post_control, mean_pre_treat,
+    mean_post_treat, did).
+
+    Determinism: values round to 4 dp and sum as DECIMAL (order-free
+    exact cell totals); every mean divides once; the DiD combination
+    is one fixed expression, rounded at the end — the oracle mirrors
+    it verbatim. Empty cells yield NULL means (and a NULL did), never
+    a silent 0.
+
+    Scale: one 1-row bounds aggregation broadcast-crossed onto the
+    stream, then ONE conditional aggregation over the metric events —
+    no user-keyed shuffle at all (DiD is event-level, unlike the
+    per-user conversion ops)."""
+    from .text import h56
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # integer DIV, not /2-then-cast: Spark truncates a double->long
+    # cast while DuckDB rounds it — DIV is exact on both engines
+    bounds = events.agg(
+        F.expr(
+            f"(min(unix_micros(cast({ts_col} as timestamp)))"
+            f" + max(unix_micros(cast({ts_col} as timestamp)))) div 2"
+        ).alias("__mid")
+    )
+    base = (
+        events.filter(
+            F.col(user_col).isNotNull() & (F.col(type_col) == metric_type)
+        )
+        .crossJoin(F.broadcast(bounds))  # 1-row scalar frame
+        .select(
+            (h56(F.col(user_col).cast("string")) % 2).alias("__v"),
+            (us >= F.col("__mid")).cast("int").alias("__post"),
+            F.round(F.col(value_col), 4).cast("decimal(18,4)").alias("__x"),
+        )
+    )
+
+    def _cell(v: int, post: int, what: str):
+        hit = (F.col("__v") == v) & (F.col("__post") == post)
+        if what == "n":
+            return F.sum(F.when(hit, 1).otherwise(0)).alias(
+                f"n_{'post' if post else 'pre'}_{'treat' if v else 'control'}"
+            )
+        return (
+            F.sum(F.when(hit, F.col("__x")))
+            .cast("double")
+            .alias(f"s_{v}_{post}")
+        )
+
+    agg = base.agg(
+        _cell(0, 0, "n"), _cell(0, 1, "n"), _cell(1, 0, "n"), _cell(1, 1, "n"),
+        _cell(0, 0, "s"), _cell(0, 1, "s"), _cell(1, 0, "s"), _cell(1, 1, "s"),
+    )
+
+    def _mean(v: int, post: int):
+        n = F.col(f"n_{'post' if post else 'pre'}_{'treat' if v else 'control'}")
+        return F.when(n > 0, F.col(f"s_{v}_{post}") / n.cast("double"))
+
+    m00, m01 = _mean(0, 0), _mean(0, 1)
+    m10, m11 = _mean(1, 0), _mean(1, 1)
+    return agg.select(
+        "n_pre_control", "n_post_control", "n_pre_treat", "n_post_treat",
+        F.round(m00, round_to).alias("mean_pre_control"),
+        F.round(m01, round_to).alias("mean_post_control"),
+        F.round(m10, round_to).alias("mean_pre_treat"),
+        F.round(m11, round_to).alias("mean_post_treat"),
+        F.round((m11 - m10) - (m01 - m00), round_to).alias("did"),
+    )

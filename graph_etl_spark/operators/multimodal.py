@@ -1165,3 +1165,117 @@ def image_phash(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
+
+
+def synth_y4m_scenes_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Deterministic MULTI-SCENE Y4M fixture (mapInPandas): the
+    ``synth_y4m_column`` geometry (w = 8 + (id % 5)·2,
+    h = 8 + ((id // 5) % 5)·2) with n_frames = 4 + id % 3 and the luma
+    pattern switching per SCENE instead of per frame —
+    scene s = f // L with scene length L = 1 + id % 3,
+    Y[f](y, x) = (id·19 + s·97 + y·11 + x·7) % 256, constant chroma.
+    Consecutive frames inside a scene are bit-identical (diff 0);
+    frames across a scene boundary differ everywhere — the ground
+    truth a scene-cut detector must reproduce, and a SQL oracle can
+    replay from the formula alone."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 8 + (i % 5) * 2, 8 + ((i // 5) % 5) * 2
+                nf, scene_len = 4 + i % 3, 1 + i % 3
+                frames = []
+                for f in range(nf):
+                    s = f // scene_len
+                    yy, xx = np.meshgrid(
+                        np.arange(h), np.arange(w), indexing="ij"
+                    )
+                    y = ((i * 19 + s * 97 + yy * 11 + xx * 7) % 256).astype(
+                        np.uint8
+                    )
+                    uv = np.full(
+                        (h // 2) * (w // 2), (i + s) % 256, dtype=np.uint8
+                    )
+                    frames.append(y.tobytes() + uv.tobytes() + uv.tobytes())
+                payloads.append(encode_y4m(w, h, frames))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), bin_col: payloads}
+            )
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(bin_col, T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    threshold: float = 8.0,
+) -> DataFrame:
+    """SCENE-CUT detection over the real Y4M decode — the shot
+    segmentation stage a video curation pipeline runs before frame
+    sampling (one representative frame per scene beats every-Nth-frame
+    when shots vary in length). Per consecutive frame pair, the exact
+    integer sum of absolute luma differences; a pair is a cut when the
+    MEAN absolute difference exceeds ``threshold`` (diff_sum >
+    threshold · n_pixels — evaluated in integers-vs-double once, no
+    per-pixel floats).
+
+    Output: one row per consecutive pair — (id_col, frame_idx of the
+    LATER frame, n_pixels, diff_sum, is_cut); single-frame clips yield
+    no rows. Non-Y4M payloads fall back to the stub row (frame_idx 0,
+    zero diff, media_type marker dropped — is_cut false).
+
+    Scale: one Arrow ``mapInPandas`` stage, per-clip work linear in
+    pixels×frames; output is frames-1 rows of five scalars per clip —
+    downstream scene grouping shuffles cut flags, never pixels."""
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_pixels", T.IntegerType()),
+            T.StructField("diff_sum", T.LongType()),
+            T.StructField("is_cut", T.BooleanType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in out_schema.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                frames = None
+                if raw[:9] == b"YUV4MPEG2":
+                    try:
+                        w, h, frames = decode_y4m(raw)
+                    except ValueError:
+                        frames = None
+                if frames is None:
+                    rows[id_col].append(doc_id)
+                    rows["frame_idx"].append(0)
+                    rows["n_pixels"].append(0)
+                    rows["diff_sum"].append(0)
+                    rows["is_cut"].append(False)
+                    continue
+                npix = w * h
+                lumas = [fr.astype(np.int64) for fr in frames]  # (h, w)
+                for f in range(1, len(lumas)):
+                    dsum = int(np.abs(lumas[f] - lumas[f - 1]).sum())
+                    rows[id_col].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["n_pixels"].append(npix)
+                    rows["diff_sum"].append(dsum)
+                    rows["is_cut"].append(dsum > thr * npix)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, out_schema)

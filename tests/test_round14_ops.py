@@ -166,3 +166,80 @@ def test_ab_power_analysis_monotone_and_formula(spark):
     zsum2 = (1.959964 + 0.841621) ** 2
     expect = math.ceil(zsum2 * (p * (1 - p) + p2 * (1 - p2)) / (p * 0.1) / (p * 0.1))
     assert rows[0.1]["n_per_arm"] == expect
+
+
+def test_video_scene_cuts_ground_truth(spark):
+    """Cuts fire exactly at scene boundaries of the multi-scene
+    fixture: doc 0 (scene length 1) cuts at every pair; doc 1
+    (length 2) cuts at even frame indices only; doc 2 (length 3)
+    cuts at frame 3 only; within-scene diffs are exactly 0. A junk
+    payload yields the stub row."""
+    ids = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    clips = ops.synth_y4m_scenes_column(ids)
+    got = {}
+    for r in ops.video_scene_cuts(clips).collect():
+        got[(r["doc_id"], r["frame_idx"])] = r
+    # doc 0: nf=4, L=1 -> pairs 1..3 all cuts
+    assert all(got[(0, f)]["is_cut"] for f in (1, 2, 3))
+    # doc 1: nf=5, L=2 -> scenes [0,1],[2,3],[4]: cuts at 2 and 4
+    assert [got[(1, f)]["is_cut"] for f in (1, 2, 3, 4)] == [
+        False, True, False, True,
+    ]
+    assert got[(1, 1)]["diff_sum"] == 0 and got[(1, 3)]["diff_sum"] == 0
+    # doc 2: nf=6, L=3 -> scenes [0..2],[3..5]: only frame 3 cuts
+    assert [got[(2, f)]["is_cut"] for f in (1, 2, 3, 4, 5)] == [
+        False, False, True, False, False,
+    ]
+
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"nope"))], "doc_id long, payload binary"
+    )
+    stub = ops.video_scene_cuts(junk).collect()[0]
+    assert (stub["frame_idx"], stub["diff_sum"], stub["is_cut"]) == (0, 0, False)
+
+
+def test_ab_diff_in_diff_nets_out_trend_and_baseline(spark):
+    """A synthetic panel with a group baseline gap (+10 for
+    treatment), a secular trend (+5 post for everyone), and a true
+    treatment effect (+3 post, treatment only): DiD recovers exactly
+    +3 while the naive post-period gap reads +13."""
+    from datetime import datetime
+
+    from graph_etl_spark.operators.text import h56
+
+    users = list(range(40))
+    rows = []
+    pre, post = datetime(2024, 1, 1), datetime(2024, 1, 9)
+    for u in users:
+        for period, ts in (("pre", pre), ("post", post)):
+            base = 20.0
+            rows.append((u, ts, "purchase", base))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    variant = (h56(F.col("user_id").cast("string")) % 2).alias("v")
+    flags = df.select("user_id", variant).distinct()
+    adj = (
+        df.join(flags, "user_id")
+        .withColumn(
+            "value",
+            F.col("value")
+            + F.when(F.col("v") == 1, 10.0).otherwise(0.0)       # baseline gap
+            + F.when(F.col("ts") >= F.lit(post), 5.0).otherwise(0.0)  # trend
+            + F.when(
+                (F.col("v") == 1) & (F.col("ts") >= F.lit(post)), 3.0
+            ).otherwise(0.0),                                     # true effect
+        )
+        .drop("v")
+    )
+    out = ops.ab_diff_in_diff(adj).collect()[0]
+    assert out["did"] == pytest.approx(3.0, abs=1e-6)
+    naive = out["mean_post_treat"] - out["mean_post_control"]
+    assert naive == pytest.approx(13.0, abs=1e-6)
+    # empty-cell safety: a stream with no treatment users yields NULL
+    # did, never a fake 0
+    ctl_only = adj.join(
+        flags.filter(F.col("v") == 0).select("user_id"), "user_id", "left_semi"
+    )
+    out2 = ops.ab_diff_in_diff(ctl_only).collect()[0]
+    assert out2["did"] is None and out2["n_pre_treat"] == 0
