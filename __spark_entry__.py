@@ -4189,6 +4189,17 @@ def q_events_ab_did(spark, sf):
     return ops.ab_diff_in_diff(_t(spark, sf, "events"))
 
 
+def q_dedup_soft_weights(spark, sf):
+    """SoftDeDup-style duplicate REWEIGHTING (round 14): keep every
+    document, weight = 1/|near-dup cluster| (banded MinHash-LSH pairs
+    -> CC -> cluster sizes), so a cluster contributes one document's
+    gradient mass regardless of copy count — the keep-everything
+    alternative to cluster-then-drop."""
+    return ops.soft_dedup_weights(
+        _t(spark, sf, "documents"), num_perm=16, bands=8
+    )
+
+
 def q_events_power_analysis(spark, sf):
     """A/B pre-experiment power analysis (round 14): baseline
     conversion = users with >= 15 purchase events; for each relative
@@ -4546,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_power_analysis": q_events_power_analysis,
         "mm_video_scene_cuts": q_mm_video_scene_cuts,
         "events_ab_did": q_events_ab_did,
+        "dedup_soft_weights": q_dedup_soft_weights,
     }
     # ROUND-15 BUDGET NOTE (for the next session): once r14 lands,
     # the staleness histogram becomes {9: 37, 10: 45, 11: 42, 12: 40,
@@ -11382,6 +11394,43 @@ def oracle_sql() -> dict[str, str]:
                     / (p * mde_rel) / (p * mde_rel))
                     / (n_users::DOUBLE / days), 6) AS days_needed
         FROM calc
+    """
+
+    # SoftDeDup reweighting: the same recursive component closure as
+    # neardup_survivors, joined back per doc with 1/size weights.
+    sql["dedup_soft_weights"] = f"""
+        WITH RECURSIVE pairs AS (
+          WITH sh AS (SELECT doc_id, {_sh} AS sh FROM documents),
+          hs AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs FROM sh),
+          sigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM hs),
+          banded AS (
+            SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                   unnest([{band_exprs}]) AS band_hash
+            FROM sigs
+          )
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ), sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+        ), assign AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+          FROM documents d
+          LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+            ON d.doc_id = c.id
+        ), sizes AS (
+          SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+          FROM assign GROUP BY cluster_id
+        )
+        SELECT a.doc_id, a.cluster_id, s.cluster_size,
+               ROUND(1.0 / s.cluster_size::DOUBLE, 6) AS weight
+        FROM assign a JOIN sizes s USING (cluster_id)
     """
 
     return sql

@@ -263,6 +263,7 @@ HEADLINE = [
     "events_power_analysis",
     "mm_video_scene_cuts",
     "events_ab_did",
+    "dedup_soft_weights",
 ]
 
 

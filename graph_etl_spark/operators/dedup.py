@@ -1355,3 +1355,50 @@ def line_dedup(
             " ",
         ).alias("text_kept"),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    num_perm: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SOFT deduplication (SoftDeDup-style REWEIGHTING): instead of
+    dropping near-duplicates, keep every document and down-weight each
+    by its duplicate-cluster size — weight = 1/|cluster| — so a
+    cluster contributes ONE document's worth of gradient mass in
+    training no matter how many copies the crawl caught. The
+    keep-everything alternative to ``dedup_clusters``-then-filter:
+    exact-dup-heavy corpora lose no coverage (rare variants inside a
+    near-dup cluster still appear), while the effective epoch count of
+    boilerplate drops to 1.
+
+    Pipeline: banded MinHash-LSH candidate pairs → connected
+    components → cluster sizes → per-doc weight, singletons weight 1.
+
+    Output: (id_col, cluster_id, cluster_size, weight), one row per
+    input document; weight = round(1/size, 6).
+
+    Scale: the pair stage is the bucketed LSH join (never all-pairs);
+    CC is the pointer-jumping loop bounded by component diameter;
+    sizes are one count agg on cluster_id and the weight join is
+    cluster-keyed. Same posture as dedup_neardup_survivors, plus one
+    bounded agg."""
+    from .graph import dedup_clusters
+
+    pairs = minhash_lsh_pairs(
+        df, num_perm=num_perm, bands=bands, id_col=id_col, text_col=text_col
+    )
+    clusters = dedup_clusters(pairs, df.select(id_col), id_col=id_col)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size").cast("double"), 6).alias(
+            "weight"
+        ),
+    )

@@ -243,3 +243,23 @@ def test_ab_diff_in_diff_nets_out_trend_and_baseline(spark):
     )
     out2 = ops.ab_diff_in_diff(ctl_only).collect()[0]
     assert out2["did"] is None and out2["n_pre_treat"] == 0
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """Each near-dup cluster contributes exactly 1.0 total weight
+    (up to the 6-dp round); singletons weigh 1; every input doc keeps
+    a row (keep-everything contract)."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [(i, base) for i in range(3)]          # one 3-copy cluster
+    rows += [(10, " ".join(f"a{i}" for i in range(60)))]   # singleton
+    rows += [(11, " ".join(f"b{i}" for i in range(60)))]   # singleton
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ops.soft_dedup_weights(d, num_perm=16, bands=8).collect()
+    assert len(out) == 5
+    got = {r["doc_id"]: r for r in out}
+    assert all(got[i]["cluster_size"] == 3 for i in range(3))
+    assert all(got[i]["weight"] == pytest.approx(1 / 3, abs=1e-6) for i in range(3))
+    assert got[10]["weight"] == 1.0 and got[11]["weight"] == 1.0
+    # cluster mass ~1 each: 3 * round(1/3) + 1 + 1
+    total = sum(r["weight"] for r in out)
+    assert total == pytest.approx(3.0, abs=1e-5)
