@@ -194,6 +194,42 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
         f"source -> {n_masked_sources} pseudonymous tokens"
     )
 
+    # 11. boilerplate LINE removal (round 14): C4-style cross-corpus
+    # line dedup on the raw docs — a line in >= 2 distinct documents
+    # is chrome, removed everywhere; report how much text it claws out
+    from graph_etl_spark.operators import line_dedup
+
+    ld = line_dedup(docs, line_tokens=8, min_docs=2)
+    ld_stats = ld.agg(
+        F.sum("n_removed").alias("removed"), F.sum("n_lines").alias("lines")
+    ).collect()[0]
+    print(
+        f"[11] line dedup removed {ld_stats['removed']} of "
+        f"{ld_stats['lines']} lines corpus-wide"
+    )
+
+    # 12. CCNet perplexity bands (round 14): per-language
+    # head/middle/tail labels over the held-out trigram LM — the
+    # shard labels a consumer mixes from
+    from graph_etl_spark.operators import hash_sample, ppl_buckets
+
+    buckets = ppl_buckets(
+        docs, train_df=hash_sample(docs, permille=500, salt="lm")
+    )
+    n_heads = buckets.filter(F.col("bucket_label") == "head").count()
+    print(f"[12] CCNet buckets: {n_heads} head docs across languages")
+
+    # 13. SOFT dedup weights (round 14): instead of dropping the near
+    # dups stage 4 found, weight every doc by 1/cluster size — total
+    # training mass equals the number of distinct contents
+    from graph_etl_spark.operators import soft_dedup_weights
+
+    weights = soft_dedup_weights(docs, num_perm=16, bands=8)
+    mass = weights.agg(
+        F.round(F.sum("weight"), 2).alias("m")
+    ).collect()[0]["m"]
+    print(f"[13] soft-dedup training mass {mass} over {n0} docs")
+
     if own_session:
         spark.stop()
     print("corpus curation demo complete")
@@ -213,6 +249,9 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
         "bm25_hits": len(hits),
         "cdc_changes": changes,
         "masked_sources": n_masked_sources,
+        "lines_removed": int(ld_stats["removed"]),
+        "head_docs": n_heads,
+        "soft_mass": float(mass),
     }
 
 

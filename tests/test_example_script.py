@@ -73,5 +73,11 @@ def test_example_corpus_curation_end_to_end(spark):
     assert out["cdc_changes"].get("added", 0) == (
         out["refreshed_docs"] - out["survivors"]
     )
+    # round-14 stages: line dedup reports a coherent removal count,
+    # every language contributes head docs, and soft-dedup mass equals
+    # the distinct-content count (<= docs_in, > 0)
+    assert out["lines_removed"] >= 0
+    assert out["head_docs"] > 0
+    assert 0 < out["soft_mass"] <= out["docs_in"]
     assert out["masked_sources"] >= 1
 
