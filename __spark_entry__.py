@@ -4565,7 +4565,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5-round bound the moment r15 lands and must fill the r15
     # window, capping r15's new+changed lead at 13; the 45 r10-era
     # rows then own the r16 fillers. test_staleness_policy enforces
-    # this mechanically.
+    # this mechanically. Round 14 added NINE new queries after its
+    # window froze (dedup_line_dedup, text_readability,
+    # etl_compaction_plan, quality_ppl_buckets, mm_image_phash_dedup,
+    # events_power_analysis, mm_video_scene_cuts, events_ab_did,
+    # dedup_soft_weights) — they are the r15 lead, 9 of the 13-slot
+    # cap; up to 4 slots remain for r15 code-changed queries.
     # r14 window (first 50): 1 NEW + 8 code-changed lead, then ALL 30
     # r8-era rows at the staleness ceiling (VERDICT r13 #1 — they hit
     # the 5-round bound the moment r14 lands), then 11 alphabetical
