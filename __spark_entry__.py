@@ -4200,6 +4200,19 @@ def q_dedup_soft_weights(spark, sf):
     )
 
 
+def q_dedup_lsh_recall_curve(spark, sf):
+    """LSH tuning curve (round 14): per band count, the fraction of
+    exact capped-Jaccard >= 0.12 pairs the banded candidates recover,
+    beside the candidate volume — the dedup-family mirror of
+    sim_ivf_recall_curve (the number that justifies a (num_perm,
+    bands) choice). Monotone: more bands -> looser buckets -> more
+    candidates and recall."""
+    return ops.minhash_recall_curve(
+        _t(spark, sf, "documents"), num_perm=16,
+        band_options=(2, 4, 8), threshold=0.12,
+    )
+
+
 def q_events_power_analysis(spark, sf):
     """A/B pre-experiment power analysis (round 14): baseline
     conversion = users with >= 15 purchase events; for each relative
@@ -4558,6 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_scene_cuts": q_mm_video_scene_cuts,
         "events_ab_did": q_events_ab_did,
         "dedup_soft_weights": q_dedup_soft_weights,
+        "dedup_lsh_recall_curve": q_dedup_lsh_recall_curve,
     }
     # ROUND-15 BUDGET NOTE (for the next session): once r14 lands,
     # the staleness histogram becomes {9: 37, 10: 45, 11: 42, 12: 40,
@@ -4569,8 +4583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window froze (dedup_line_dedup, text_readability,
     # etl_compaction_plan, quality_ppl_buckets, mm_image_phash_dedup,
     # events_power_analysis, mm_video_scene_cuts, events_ab_did,
-    # dedup_soft_weights) — they are the r15 lead, 9 of the 13-slot
-    # cap; up to 4 slots remain for r15 code-changed queries.
+    # dedup_soft_weights, dedup_lsh_recall_curve) — they are the r15
+    # lead, 10 of the 13-slot cap; 3 slots remain for r15 changes.
     # r14 window (first 50): 1 NEW + 8 code-changed lead, then ALL 30
     # r8-era rows at the staleness ceiling (VERDICT r13 #1 — they hit
     # the 5-round bound the moment r14 lands), then 11 alphabetical
@@ -11436,6 +11450,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id, a.cluster_id, s.cluster_size,
                ROUND(1.0 / s.cluster_size::DOUBLE, 6) AS weight
         FROM assign a JOIN sizes s USING (cluster_id)
+    """
+
+    # LSH tuning curve: exact capped-Jaccard truth (>= 0.12, the
+    # registered ngram threshold) vs banded candidates at 2/4/8 bands
+    # over the SAME 16-perm signature formula; counts + rounded recall.
+    _lsh_band_cfg = []
+    for _b in (2, 4, 8):
+        _w = 16 // _b
+        _bx = ", ".join(
+            f"md5(array_to_string(list_transform("
+            f"list_slice(minhash, {_i * _w + 1}, {(_i + 1) * _w}), "
+            f"x -> x::VARCHAR), ','))"
+            for _i in range(_b)
+        )
+        _lsh_band_cfg.append((_b, _bx))
+    _lsh_selects = []
+    for _b, _bx in _lsh_band_cfg:
+        _lsh_selects.append(f"""
+        SELECT {_b}::BIGINT AS bands,
+               (SELECT COUNT(*) FROM cand_{_b})::BIGINT AS n_candidates,
+               (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+               (SELECT COUNT(*) FROM truth t
+                 SEMI JOIN cand_{_b} c
+                 ON t.id_a = c.id_a AND t.id_b = c.id_b)::BIGINT AS n_hits,
+               CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+                 ROUND((SELECT COUNT(*) FROM truth t
+                        SEMI JOIN cand_{_b} c
+                        ON t.id_a = c.id_a AND t.id_b = c.id_b)::DOUBLE
+                       / (SELECT COUNT(*) FROM truth)::DOUBLE, 6)
+               END AS recall""")
+    _lsh_cands = ",\n".join(
+        f"""cand_{_b} AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM (SELECT doc_id, unnest(generate_series(0, {_b - 1})) AS band_idx,
+                       unnest([{_bx}]) AS band_hash FROM sigs) a
+          JOIN (SELECT doc_id, unnest(generate_series(0, {_b - 1})) AS band_idx,
+                       unnest([{_bx}]) AS band_hash FROM sigs) b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        )"""
+        for _b, _bx in _lsh_band_cfg
+    )
+    sql["dedup_lsh_recall_curve"] = f"""
+        WITH sh0 AS (
+          SELECT doc_id, unnest({_sh}) AS s FROM documents
+        ), dfreq AS (
+          SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s
+        ), shf AS (
+          SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq USING (s) WHERE df <= 16
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), truth AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 6) >= 0.12
+        ), sh AS (SELECT doc_id, {_sh} AS sh FROM documents),
+        hs AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs FROM sh),
+        sigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM hs),
+        {_lsh_cands}
+        {" UNION ALL ".join(_lsh_selects)}
     """
 
     return sql

@@ -264,6 +264,7 @@ HEADLINE = [
     "mm_video_scene_cuts",
     "events_ab_did",
     "dedup_soft_weights",
+    "dedup_lsh_recall_curve",
 ]
 
 

@@ -1402,3 +1402,78 @@ def soft_dedup_weights(
             "weight"
         ),
     )
+
+
+def minhash_recall_curve(
+    df: DataFrame,
+    num_perm: int = 16,
+    band_options: tuple[int, ...] = (2, 4, 8),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH TUNING CURVE — the dedup-family mirror of
+    ``ivf_recall_curve``: for each band count, how many of the EXACT
+    near-dup pairs (capped n-gram Jaccard >= ``threshold``, the
+    ground truth the LSH stage exists to approximate) the banded
+    candidates recover, beside the candidate volume that recall
+    costs. More bands = narrower band rows = looser buckets = more
+    candidates AND more recall — this curve is the number that
+    justifies a production (num_perm, bands) choice instead of
+    folklore.
+
+    Output: one row per band count, ascending —
+    (bands, n_candidates, n_truth, n_hits, recall), recall =
+    round(n_hits / n_truth, 6), NULL when no truth pairs exist.
+
+    Determinism: every column is an exact count except the final
+    rounded ratio; both pair generators emit canonical id_a < id_b
+    pairs, so the hit join is exact.
+
+    Scale: the truth side is the capped inverted-index join (linear
+    by the df-cap argument on ``ngram_jaccard_pairs``); each band
+    config is one banded bucket pass; per-config output is ONE row.
+    The curve re-signs the corpus once per config — an audit op run
+    on samples, not the hot path."""
+    truth = ngram_jaccard_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        max_shingle_df=max_shingle_df,
+    ).select("id_a", "id_b")
+    rows = None
+    for b in sorted(int(x) for x in band_options):
+        cand = minhash_lsh_pairs(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            num_perm=num_perm,
+            bands=b,
+            shingle_n=shingle_n,
+        )
+        hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(b).cast("long").alias("bands"),
+                "n_candidates",
+                "n_truth",
+                "n_hits",
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.round(
+                        F.col("n_hits").cast("double")
+                        / F.col("n_truth").cast("double"),
+                        6,
+                    ),
+                ).alias("recall"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -263,3 +263,24 @@ def test_soft_dedup_weights_mass_conservation(spark):
     # cluster mass ~1 each: 3 * round(1/3) + 1 + 1
     total = sum(r["weight"] for r in out)
     assert total == pytest.approx(3.0, abs=1e-5)
+
+
+def test_minhash_recall_curve_monotone(spark):
+    """Recall and candidate count are non-decreasing in the band
+    count (looser buckets recover strictly more truth); every hit is
+    a truth pair (recall <= 1); the truth count is band-invariant."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(
+        ops.minhash_recall_curve(
+            d, band_options=(2, 4, 8), threshold=0.12
+        ).collect(),
+        key=lambda r: r["bands"],
+    )
+    assert [r["bands"] for r in rows] == [2, 4, 8]
+    assert len({r["n_truth"] for r in rows}) == 1
+    recalls = [r["recall"] for r in rows]
+    cands = [r["n_candidates"] for r in rows]
+    assert cands == sorted(cands)
+    assert all(r is None or 0.0 <= r <= 1.0 for r in recalls)
+    real = [r for r in recalls if r is not None]
+    assert real == sorted(real)
