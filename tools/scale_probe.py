@@ -166,6 +166,7 @@ PROBE_TO_REGISTRY = {
     "asof_nearest": "asof_join_nearest",
     "image_phash": "mm_image_phash_dedup",
     "line_dedup": "dedup_line_dedup",
+    "soft_dedup_weights": "dedup_soft_weights",
     "pipeline_flow": "pipeline_stage_map_load",
     "assortativity": "graph_assortativity",
     "burstiness": "events_burstiness",
@@ -1517,6 +1518,76 @@ def main() -> None:
         print(
             f"# pipeline_flow: {t1}s -> {tn}s "
             f"(x{result['pipeline_flow']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r14: N-level Louvain — per level: bounded move rounds on the
+    # current graph + contraction; namespaced copies keep communities
+    # copy-local, so level-1 work is Nx and deeper levels are
+    # community-graph-sized. The blowup this would catch is a
+    # contraction that fails to shrink (levels re-running full-size).
+    if only is None or "louvain_multilevel" in only:
+        li_lm = read_table(spark, SF_DIR, "lineitem").filter(
+            F.expr("year(l_shipdate) = 1995")
+        ).select("l_orderkey", "l_partkey")
+
+        def _lm_edges(n_copies):
+            parts = [
+                li_lm.select(
+                    (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias("o"),
+                    (F.col("l_partkey") + F.lit(i * 100_000_000)).alias("p"),
+                )
+                for i in range(n_copies)
+            ]
+            out = parts[0]
+            for q in parts[1:]:
+                out = out.unionByName(q)
+            a, b = out.alias("a"), out.alias("b")
+            return a.join(
+                b,
+                (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+            ).select(
+                F.col("a.p").alias("src"), F.col("b.p").alias("dst")
+            ).distinct()
+
+        def _lm(frame):
+            verts = (
+                frame.select(F.col("src").alias("id"))
+                .unionByName(frame.select(F.col("dst").alias("id")))
+                .distinct()
+                .withColumn("community", F.col("id"))
+            )
+            return ops.louvain_multilevel(
+                frame, verts, rounds_per_level=2, max_levels=2
+            )
+
+        t1 = timed_thunk(lambda: _lm(_lm_edges(1)))
+        tn = timed_thunk(lambda: _lm(_lm_edges(n)))
+        result["louvain_multilevel"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# louvain_multilevel: {t1}s -> {tn}s "
+            f"(x{result['louvain_multilevel']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r14: soft dedup weights — LSH pairs + CC + size join; namespaced
+    # token copies keep clusters copy-local (linear pair volume).
+    if only is None or "soft_dedup_weights" in only:
+        d_sw = read_table(spark, SF_DIR, "documents")
+        t1 = timed_thunk(
+            lambda: ops.soft_dedup_weights(replicate_docs(d_sw, 1))
+        )
+        tn = timed_thunk(
+            lambda: ops.soft_dedup_weights(replicate_docs(d_sw, n))
+        )
+        result["soft_dedup_weights"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# soft_dedup_weights: {t1}s -> {tn}s "
+            f"(x{result['soft_dedup_weights']['ratio']})",
             file=sys.stderr,
         )
 
