@@ -1154,3 +1154,25 @@ def test_image_phash_fingerprints_not_pixels(spark, entry):
     assert p.count("MapInPandas") == 2, "expected synth + hash stages"
     # the aggregate over phash is hash-based (two longs), no sort agg
     assert "SortAggregate" not in p
+
+
+def test_soft_dedup_weights_no_cartesian(spark, entry):
+    """LSH pairs -> CC -> size join: every join equi-keyed (bucket,
+    component, or cluster_id), no nested-loop anywhere."""
+    df = entry.q_dedup_soft_weights(spark, SF)
+    assert_no_cartesian(df)
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0
+
+
+def test_lsh_recall_curve_no_cartesian(spark, entry):
+    """Truth join + three banded passes: candidates pair inside
+    buckets via array expressions (no self-join), hits are a two-key
+    semi join. The only nested-loop joins allowed are the broadcast
+    crosses of the 1-row count frames (the power-analysis posture);
+    nothing corpus-sized may shuffle-join."""
+    df = entry.q_dedup_lsh_recall_curve(spark, SF)
+    assert_no_cartesian(df)
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p, "a bounded frame got shuffle-joined"
+    assert "LeftSemi" in p, "the truth-hit semi join disappeared"
