@@ -1172,7 +1172,7 @@ def test_lsh_recall_curve_no_cartesian(spark, entry):
     crosses of the 1-row count frames (the power-analysis posture);
     nothing corpus-sized may shuffle-join."""
     df = entry.q_dedup_lsh_recall_curve(spark, SF)
-    assert_no_cartesian(df)
+    assert_no_cartesian(df, allow_broadcast_nested_loop=True)
     p = plan_string(df)
     assert "SortMergeJoin" not in p, "a bounded frame got shuffle-joined"
     assert "LeftSemi" in p, "the truth-hit semi join disappeared"
