@@ -656,3 +656,58 @@ def test_cdc_index_compaction_twin_and_bounded_read(spark, tmp_path):
     # replay an already-pruned batch (at-least-once): identical flags
     run(sink_comp, batches[2], 2)
     assert flags(plain_dir, 2) == flags(comp_dir, 2)
+
+
+def test_cdc_compaction_edges(spark, tmp_path):
+    """Version retention (keep_versions), prune-without-index no-op,
+    and fold-after-prune: the compactor only ever needs the raw tail
+    above its own high water, so pruning folded dirs cannot break the
+    NEXT fold."""
+    import os
+
+    from graph_etl_spark.streaming import (
+        _latest_cdc_index,
+        cdc_ingest_sink,
+        compact_cdc_index,
+        prune_cdc_raw,
+    )
+
+    chunk_dir = str(tmp_path / "chunks")
+    # prune with no index at all: no-op, nothing deleted
+    assert prune_cdc_raw(chunk_dir) == []
+
+    sink = cdc_ingest_sink(chunk_dir)
+    texts = [" ".join(f"t{b}_{j}" for j in range(30)) for b in range(6)]
+    for b in range(4):
+        sink(
+            spark.createDataFrame([(b, texts[b])], "doc_id long, text string"),
+            b,
+        )
+    r1 = compact_cdc_index(spark, chunk_dir, up_to_batch=1, keep_versions=1)
+    assert r1["wrote"] and r1["high_water"] == 1
+    assert prune_cdc_raw(chunk_dir) == [0, 1]
+    # fold the remaining tail AFTER the early dirs are gone
+    r2 = compact_cdc_index(spark, chunk_dir, keep_versions=1)
+    assert r2["wrote"] and r2["high_water"] == 3
+    # keep_versions=1: only the newest version directory remains
+    idx_dir = chunk_dir + "_index"
+    versions = [n for n in os.listdir(idx_dir) if n.startswith("version=")]
+    assert versions == [f"version={r2['version']}"]
+    idx, hw, _ = _latest_cdc_index(spark, idx_dir)
+    assert hw == 3
+    # all four batches' first-seen hashes present exactly once
+    rows = idx.collect()
+    assert sorted({r["first_batch_id"] for r in rows}) == [0, 1, 2, 3]
+    assert len({r["chunk_hash"] for r in rows}) == len(rows)
+    # batch 4 against the lone compact version + empty tail still flags
+    sink2 = cdc_ingest_sink(chunk_dir)
+    prune_cdc_raw(chunk_dir)
+    sink2(
+        spark.createDataFrame([(9, texts[0])], "doc_id long, text string"), 4
+    )
+    got = (
+        spark.read.parquet(chunk_dir)
+        .filter("doc_id = 9")
+        .collect()
+    )
+    assert got and all(r["shared_with_index"] for r in got)
