@@ -756,7 +756,14 @@ def streaming_cdc_ingest(
     the ACCUMULATED chunk-hash index under ``chunk_dir``, which grows
     as the stream runs. The chunk-granularity sibling of
     ``streaming_incremental_ingest``; same stateless-per-batch
-    posture (the "state" is the chunk parquet), no watermark."""
+    posture (the "state" is the chunk parquet), no watermark.
+
+    Long streams: pass ``compact_every=K`` (and optionally
+    ``index_dir``) through ``cdc_kw`` to fold the accumulated index
+    into the versioned compact form every K batches, and run
+    ``prune_cdc_raw`` on a maintenance cadence — per-batch read work
+    is then bounded by distinct first-seen hashes, not stream length
+    (see ``compact_cdc_index``)."""
     writer = stream_docs.writeStream.foreachBatch(
         cdc_ingest_sink(chunk_dir, id_col=id_col, text_col=text_col, **cdc_kw)
     ).option("checkpointLocation", checkpoint_dir)
