@@ -2841,25 +2841,112 @@ def ppl_buckets(
     one row per scored document; bucket is 1-based ascending ppl,
     labels head/middle/tail when ``n_buckets == 3`` else ``b<i>``.
 
-    Determinism: ntile over (ppl, id) order — exact tie-break, so the
-    oracle mirrors bucket boundaries row-for-row.
+    Determinism: buckets derive from the exact per-language
+    ``row_number`` over (ppl, id) order — exact tie-break, so the
+    oracle (a plain ``ntile`` window) mirrors bucket boundaries
+    row-for-row.
 
     Scale: the LM scoring is ``trigram_perplexity`` (one per-doc
-    window shuffle + context-keyed count joins); the bucketing adds
-    ONE window partitioned by language — languages are the partition
-    key, so the sort is per-language, not global. A language so large
-    it skews one partition gets the standard two-phase fix (per-bucket
-    local ntile + offset merge) — at this registry's scale the direct
-    window is the right plan."""
+    window shuffle + context-keyed count joins). The bucketing is the
+    TWO-PHASE exact rank applied WITHIN each language (VERDICT r14
+    #1) — a direct ``Window.partitionBy(lang)`` sorts each language
+    in ONE task, and a web corpus is ~half English, so at 100 TB that
+    is a half-corpus single-executor sort. Instead: phase 1 collects
+    per-language approximate ppl boundaries (one map-side-combined
+    ``percentile_approx`` agg grouped by language; collect bounded by
+    #languages × shuffle-partitions — languages are a bounded
+    vocabulary) and assigns every row a sub-bucket by broadcast-joined
+    literal comparison; phase 2 counts rows per (language, sub-bucket)
+    (tiny collect), computes per-language prefix offsets driver-side,
+    broadcasts them, and ranks within each (language, sub-bucket) —
+    so every sort is a language SHARD, never a whole language. The
+    ntile label then falls out of the exact rank and the per-language
+    total by integer arithmetic (first ``tot % n`` buckets get
+    ``tot div n + 1`` rows — the SQL ntile contract), all in exact
+    ``div`` math, no float division. Boundary quality affects shard
+    BALANCE only, never the buckets. Same (ppl, id) tie-break as the
+    direct window, so output is bit-identical."""
+    n = int(n_buckets)
     scored = trigram_perplexity(
         df, lam3=lam3, lam2=lam2, id_col=id_col, text_col=text_col,
         train_df=train_df,
     )
     lang = df.select(id_col, lang_col)
-    w = Window.partitionBy(lang_col).orderBy("ppl", id_col)
-    out = (
-        scored.join(lang, id_col)
-        .withColumn("bucket", F.ntile(int(n_buckets)).over(w))
+    joined = scored.join(lang, id_col).withColumn(
+        "__lg", F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00null"))
+    )
+    pinned = joined.localCheckpoint(eager=False)
+    spark = pinned.sparkSession
+    n_parts = max(
+        2, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    )
+    probs = [i / n_parts for i in range(1, n_parts)]
+    brows = (
+        pinned.groupBy("__lg")
+        .agg(F.percentile_approx("ppl", probs, 10000).alias("__b"))
+        .collect()
+    )
+    bounds = spark.createDataFrame(
+        [(r["__lg"], sorted(set(r["__b"] or []))) for r in brows],
+        "__lg string, __bounds array<double>",
+    )
+    ppl = F.col("ppl")
+    keyed = (
+        pinned.join(F.broadcast(bounds), "__lg")
+        .withColumn(
+            "__bkt",
+            F.when(ppl.isNull(), F.lit(-1)).otherwise(
+                F.size(F.filter("__bounds", lambda b: b <= ppl))
+            ),
+        )
+        .drop("__bounds")
+    )
+    counts = sorted(
+        (r["__lg"], r["__bkt"], r["__cnt"])
+        for r in keyed.groupBy("__lg", "__bkt")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    off_rows: list[tuple] = []
+    tot_rows: list[tuple] = []
+    prev_lg, running = None, 0
+    for lg, bkt, cnt in counts:
+        if lg != prev_lg:
+            if prev_lg is not None:
+                tot_rows.append((prev_lg, running))
+            prev_lg, running = lg, 0
+        off_rows.append((lg, int(bkt), running))
+        running += cnt
+    if prev_lg is not None:
+        tot_rows.append((prev_lg, running))
+    offs = spark.createDataFrame(
+        off_rows or [("", 0, 0)], "__lg string, __bkt int, __off long"
+    )
+    tots = spark.createDataFrame(
+        tot_rows or [("", 0)], "__lg string, __tot long"
+    )
+    w_local = Window.partitionBy("__lg", "__bkt").orderBy("ppl", id_col)
+    ranked = (
+        keyed.join(F.broadcast(offs), ["__lg", "__bkt"])
+        .join(F.broadcast(tots), "__lg")
+        .withColumn("__r", F.row_number().over(w_local) + F.col("__off"))
+        .withColumn("__q", F.expr(f"__tot div {n}"))
+        .withColumn("__rem", F.col("__tot") % n)
+    )
+    # SQL ntile from the exact rank: first rem buckets hold q+1 rows.
+    # All-integer `div` ceilings — no float division, exact at any n.
+    out = ranked.withColumn(
+        "bucket",
+        F.when(
+            F.col("__r") <= F.col("__rem") * (F.col("__q") + F.lit(1)),
+            F.expr("(__r + __q) div (__q + 1)"),
+        ).otherwise(
+            F.col("__rem")
+            + F.expr(
+                "(__r - __rem * (__q + 1) + greatest(__q, 1) - 1)"
+                " div greatest(__q, 1)"
+            )
+        ),
     )
     if int(n_buckets) == 3:
         label = (

@@ -1176,3 +1176,24 @@ def test_lsh_recall_curve_no_cartesian(spark, entry):
     p = plan_string(df)
     assert "SortMergeJoin" not in p, "a bounded frame got shuffle-joined"
     assert "LeftSemi" in p, "the truth-hit semi join disappeared"
+
+
+def test_ppl_buckets_no_whole_language_sort(spark, entry):
+    """VERDICT r14 #1: the bucketing must be the two-phase per-language
+    rank — no ntile window, and any window keyed by the language must
+    ALSO be keyed by the boundary sub-bucket, so no language is ever a
+    single-task sort (half a web corpus is English)."""
+    import re
+
+    df = entry.q_quality_ppl_buckets(spark, SF)
+    assert_no_cartesian(df)
+    fp = formatted_plan(df)
+    assert "ntile" not in fp, "direct ntile window reintroduced"
+    wins = [
+        fp[m.start():m.start() + 300]
+        for m in re.finditer(r"windowspecdefinition\(", fp)
+    ]
+    assert any("__bkt" in w for w in wins), "sharded rank window missing"
+    for w in wins:
+        if "__lg" in w:
+            assert "__bkt" in w, f"whole-language window: {w[:200]}"
