@@ -1274,6 +1274,7 @@ def ab_power_analysis(
     min_events: int = 1,
     user_col: str = "user_id",
     type_col: str = "event_type",
+    ts_col: str = "ts",
     alpha_z: float = 1.959964,
     power_z: float = 0.841621,
     mde_rels: tuple[float, ...] = (0.01, 0.02, 0.05, 0.10),
@@ -1323,7 +1324,7 @@ def ab_power_analysis(
             .alias("__conv")
         )
     )
-    us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ-robust
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))  # NTZ-robust
     span = events.agg(
         ((F.max(us) - F.min(us)) / F.lit(86400000000.0)).alias("__days")
     )

@@ -490,12 +490,18 @@ def compaction_plan(
         if isinstance(f.dataType, (T.StringType, T.BinaryType)):
             size_terms.append(F.coalesce(F.octet_length(c), F.lit(0)))
         elif isinstance(f.dataType, T.ArrayType):
+            # size(NULL) is -1 on non-ANSI sessions (never NULL), so an
+            # outer coalesce would silently subtract 8 per null row
             size_terms.append(
-                F.coalesce(F.size(c) * F.lit(8), F.lit(0)).cast("int")
+                F.when(c.isNull(), F.lit(0))
+                .otherwise(F.size(c) * F.lit(8))
+                .cast("int")
             )
         else:
             size_terms.append(F.lit(8))
-    row_bytes = size_terms[0]
+    # every column may be a partition column — the estimate is then the
+    # row count alone, not a crash
+    row_bytes = size_terms[0] if size_terms else F.lit(0)
     for t in size_terms[1:]:
         row_bytes = row_bytes + t
     aggs = [
