@@ -235,3 +235,40 @@ def test_hadoop_fs_lister_matches_local(tmp_path, spark):
     h.remove_dir(str(d / "sub"))
     assert not loc.is_dir(str(d / "sub"))
     assert h.list(str(d / "missing")) == []
+
+
+def test_records_gate_catches_truncation(tmp_path):
+    """VERDICT r14 #5: the preflight records gate passes on an intact
+    generated record, fails when the working copy shrinks or stops
+    parsing, and tolerates a brand-new (uncommitted) record."""
+    import json
+    import subprocess
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from preflight import run_records_gate
+
+    repo = str(tmp_path)
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "commit", "-q", "--allow-empty", "-m", "root"],
+                   cwd=repo, check=True)
+    rec = tmp_path / "R.json"
+    guarded = {"R.json": [("queries",)]}
+    rec.write_text(json.dumps({"queries": {"a": 1, "b": 2}}))
+    # new record, nothing at HEAD: parses -> ok
+    assert run_records_gate(repo, guarded)["ok"]
+    subprocess.run(["git", "add", "R.json"], cwd=repo, check=True)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "commit", "-q", "-m", "rec"], cwd=repo, check=True)
+    # unchanged and grown records pass
+    assert run_records_gate(repo, guarded)["ok"]
+    rec.write_text(json.dumps({"queries": {"a": 1, "b": 2, "c": 3}}))
+    assert run_records_gate(repo, guarded)["ok"]
+    # truncated record fails with the shrink spelled out
+    rec.write_text(json.dumps({"queries": {"a": 1}}))
+    out = run_records_gate(repo, guarded)
+    assert not out["ok"] and "shrank 2 -> 1" in out["R.json"]["error"]
+    # unparseable record fails
+    rec.write_text("{not json")
+    assert not run_records_gate(repo, guarded)["ok"]

@@ -119,8 +119,73 @@ print("SMOKE_SEC=%.3f" % (time.time() - t0))
     }
 
 
+# generated records that must never regress in entry count between
+# commits (VERDICT r14 #5 — round 14 twice shipped a clobbered record:
+# a truncated BENCH_SUMMARY.json and an overwritten test file). Maps
+# file -> key paths whose entry counts are compared against HEAD.
+GUARDED_RECORDS = {
+    "BENCH_SUMMARY.json": [("queries",), ("families",)],
+    "SCALE_PROBE.json": [("ops",), ("ops_20x",)],
+}
+
+
+def run_records_gate(repo: str = REPO, guarded: dict | None = None) -> dict:
+    """Each guarded generated record must (a) parse as JSON and (b)
+    carry at least as many entries under each guarded key as the
+    version committed at HEAD — a truncated or partially-overwritten
+    record fails BEFORE the snapshot commit, not in the next verdict.
+    ``repo``/``guarded`` are injectable so the guard itself is unit-
+    tested against a throwaway git tree."""
+    results, ok = {}, True
+    for fname, key_paths in (guarded or GUARDED_RECORDS).items():
+        path = os.path.join(repo, fname)
+        entry: dict = {"ok": True}
+        try:
+            with open(path) as fh:
+                cur = json.load(fh)
+        except (OSError, ValueError) as exc:
+            entry = {"ok": False, "error": f"unreadable: {exc}"}
+            results[fname], ok = entry, False
+            continue
+        head_raw = subprocess.run(
+            ["git", "show", f"HEAD:{fname}"],
+            capture_output=True,
+            text=True,
+            cwd=repo,
+        )
+        prev = None
+        if head_raw.returncode == 0:
+            try:
+                prev = json.loads(head_raw.stdout)
+            except ValueError:
+                prev = None  # HEAD itself was broken; current just needs to parse
+        for kp in key_paths:
+            cur_node, prev_node = cur, prev
+            for k in kp:
+                cur_node = cur_node.get(k, {}) if isinstance(cur_node, dict) else {}
+                prev_node = (
+                    prev_node.get(k, {}) if isinstance(prev_node, dict) else {}
+                )
+            n_cur, n_prev = len(cur_node), len(prev_node)
+            entry[".".join(kp)] = {"now": n_cur, "head": n_prev}
+            if prev is not None and n_cur < n_prev:
+                entry["ok"] = False
+                entry["error"] = (
+                    f"{'.'.join(kp)} shrank {n_prev} -> {n_cur}: record "
+                    "truncated (restore it or regenerate before committing)"
+                )
+        results[fname] = entry
+        ok = ok and entry["ok"]
+    results["ok"] = ok
+    return results
+
+
 def main() -> int:
     record: dict = {"kind": "preflight", "ts": time.time()}
+    print("== preflight 0/3: generated-record integrity ==", flush=True)
+    record["records"] = run_records_gate()
+    print(json.dumps(record["records"]))
+
     print("== preflight 1/3: all-registry oracle replica (sf0.01) ==", flush=True)
     record["oracle"] = run_oracle_gate()
     print(json.dumps(record["oracle"]))
@@ -140,7 +205,8 @@ def main() -> int:
         print(json.dumps(record["bench_smoke"]))
 
     record["ok"] = all(
-        record[k].get("ok") for k in ("oracle", "pytest", "bench_smoke")
+        record[k].get("ok")
+        for k in ("records", "oracle", "pytest", "bench_smoke")
     )
     with open(os.path.join(REPO, "PREFLIGHT.json"), "w") as f:
         json.dump(record, f, indent=2)
