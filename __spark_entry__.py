@@ -4225,6 +4225,29 @@ def q_events_power_analysis(spark, sf):
     )
 
 
+def q_dedup_semdedup(spark, sf):
+    """SemDeDup end-to-end (round 15, VERDICT r14 #8): the semantic
+    near-dup pairs (spherical k-means cells -> within-cell exact
+    cosine, the sim_semantic_dedup_pairs protocol with the same 50
+    planted 2x-scaled duplicates) connected into duplicate groups,
+    keeping exactly ONE representative (min id) per group — the
+    embedding-clustering curation stage. One row per corpus vector:
+    (vec_id, cluster_id, cluster_size, keep); every planted copy
+    clusters with its source and drops."""
+    e = _t(spark, sf, "embeddings")
+    dups = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = e.unionByName(dups)
+    return ops.semantic_dedup_survivors(
+        corpus, k=8, max_iter=2, threshold=0.95, max_cell_size=150
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4572,6 +4595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_did": q_events_ab_did,
         "dedup_soft_weights": q_dedup_soft_weights,
         "dedup_lsh_recall_curve": q_dedup_lsh_recall_curve,
+        # ---- round-15 NEW queries ----
+        "dedup_semdedup": q_dedup_semdedup,
     }
     # ROUND-15 BUDGET NOTE (for the next session): once r14 lands,
     # the staleness histogram becomes {9: 37, 10: 45, 11: 42, 12: 40,
@@ -6025,6 +6050,76 @@ def oracle_sql() -> dict[str, str]:
         FROM asn a JOIN asn b
           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
         WHERE {_sd_cos} >= 0.95
+    """
+
+    # SemDeDup end-to-end: the semantic-pair chain above feeds a
+    # recursive-CTE connected components (the dedup_soft_weights
+    # pattern), then min-id components, sizes, and the keep-one flag.
+    # Corpus ids re-derive inside `assign` because the pair CTE's
+    # nested scope owns the augmented corpus.
+    sql["dedup_semdedup"] = f"""
+        WITH RECURSIVE pairs AS (
+          WITH corpus AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))::DOUBLE[] AS raw
+            FROM embeddings WHERE vec_id < 50
+          ),
+          v AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(raw,
+                     x -> x / (CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END)) AS vec
+            FROM (
+              SELECT vec_id, raw,
+                     sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+              FROM corpus
+            )
+          ),
+          dims AS (SELECT unnest(range(1, 65)) AS pos),
+          c0 AS MATERIALIZED (
+            SELECT vec_id AS cent_id, vec AS cvec FROM v ORDER BY vec_id LIMIT 8
+          ),
+          {sd_body},
+          asn AS MATERIALIZED (
+            SELECT vec_id, vec, cent_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+              FROM (
+                SELECT vec_id, vec, cent_id,
+                       ROUND(list_sum(list_transform(range(1, 65),
+                         i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))), 6) AS dist
+                FROM v CROSS JOIN c2
+              )
+            ) WHERE rn = 1
+          )
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM asn a JOIN asn b
+            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+          WHERE {_sd_cos} >= 0.95
+        ), sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+        ), ids AS (
+          SELECT vec_id FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 FROM embeddings WHERE vec_id < 50
+        ), assign AS (
+          SELECT i.vec_id, COALESCE(c.component, i.vec_id) AS cluster_id
+          FROM ids i
+          LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+            ON i.vec_id = c.id
+        ), sizes AS (
+          SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+          FROM assign GROUP BY cluster_id
+        )
+        SELECT a.vec_id, a.cluster_id, s.cluster_size,
+               a.vec_id = a.cluster_id AS keep
+        FROM assign a JOIN sizes s USING (cluster_id)
     """
 
     # Verdict oracle: the Spark query computes aggregate IVF recall vs

@@ -265,6 +265,8 @@ HEADLINE = [
     "events_ab_did",
     "dedup_soft_weights",
     "dedup_lsh_recall_curve",
+    # round-15: SemDeDup end-to-end survivors
+    "dedup_semdedup",
 ]
 
 

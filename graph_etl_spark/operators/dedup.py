@@ -1404,6 +1404,71 @@ def soft_dedup_weights(
     )
 
 
+def semantic_dedup_survivors(
+    data: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    max_iter: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    max_cell_size: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup END-TO-END (Abbas et al. 2023): k-means the embedding
+    corpus into semantic cells, score exact cosine ONLY within each
+    cell, connect the >= ``threshold`` pairs into duplicate groups,
+    and KEEP ONE document per group — the embedding-clustering
+    curation stage the LLM-data north star calls for, composed
+    entirely from existing primitives (``similarity.
+    semantic_dedup_pairs`` for the cell-bounded pair generation,
+    ``graph.dedup_clusters`` for the component assignment).
+
+    Output: one row per input vector — (id, cluster_id, cluster_size,
+    keep); ``keep`` is True for exactly one member per duplicate
+    group (the minimum id — SemDeDup keeps an arbitrary-but-fixed
+    representative; min-id is the deterministic choice every engine
+    reproduces) and for every singleton.
+
+    Scale: pair generation is the k-means-cell equi-join (work
+    Σ n_c², never n²; ``max_cell_size`` LSH-subdivides mega-cells —
+    see ``semantic_dedup_pairs``); components are the pointer-jumping
+    loop bounded by duplicate-group diameter (near-dup groups are
+    shallow); the size/keep stage is one cluster-keyed count plus a
+    cluster-keyed join. Nothing all-pairs, nothing driver-sized
+    except the k centroid rows. Same posture as
+    ``soft_dedup_weights`` with the MinHash stage swapped for the
+    semantic one."""
+    from .graph import dedup_clusters
+    from .similarity import semantic_dedup_pairs
+
+    pairs = semantic_dedup_pairs(
+        data,
+        centroids=centroids,
+        k=k,
+        max_iter=max_iter,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        normalize=normalize,
+        max_cell_size=max_cell_size,
+        round_to=round_to,
+    )
+    clusters = dedup_clusters(
+        pairs.select("id_a", "id_b"), data.select(id_col), id_col=id_col
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def minhash_recall_curve(
     df: DataFrame,
     num_perm: int = 16,

@@ -1197,3 +1197,31 @@ def test_ppl_buckets_no_whole_language_sort(spark, entry):
     for w in wins:
         if "__lg" in w:
             assert "__bkt" in w, f"whole-language window: {w[:200]}"
+
+
+def test_semdedup_pairs_only_within_clusters(spark, entry):
+    """VERDICT r14 #8 plan guard: the survivors pipeline's pair stage
+    must join on the k-means cell key (pairs only WITHIN clusters,
+    never across). The final survivors frame hides the pair join
+    behind connected_components' eager checkpoints, so the pair stage
+    is asserted on its own plan (the exact frame the survivors op
+    consumes), and the end-to-end frame is held to no-cartesian /
+    no-nested-loop."""
+    import re
+
+    from graph_etl_spark.operators.similarity import semantic_dedup_pairs
+
+    e = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    pairs = semantic_dedup_pairs(
+        e, k=8, max_iter=2, threshold=0.95, max_cell_size=150
+    )
+    assert_no_cartesian(pairs)
+    fp = formatted_plan(pairs)
+    key_lines = [l for l in fp.splitlines() if re.search(r"(Left|Right) keys", l)]
+    pair_keys = [l for l in key_lines if "cent_id" in l]
+    assert pair_keys, "cell-keyed pair join missing"
+
+    df = entry.q_dedup_semdedup(spark, SF)
+    assert_no_cartesian(df)
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0

@@ -272,3 +272,43 @@ def test_records_gate_catches_truncation(tmp_path):
     # unparseable record fails
     rec.write_text("{not json")
     assert not run_records_gate(repo, guarded)["ok"]
+
+
+def test_semdedup_keeps_one_per_group(spark):
+    """SemDeDup end-to-end: scaled copies (cosine exactly 1.0 after L2
+    normalization) collapse into one group per source; exactly one
+    member keeps (the min id); singletons keep; keep-count equals
+    cluster-count (mass conservation of representatives)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # 6 base directions, each with 2 scaled copies -> groups of 3
+    for g in range(6):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        for c, scale in enumerate((1.0, 2.0, 4.0)):
+            rows.append((g * 10 + c, [x * scale for x in base]))
+    # 4 singletons far from everything
+    for s in range(4):
+        v = [0.0] * 8
+        v[s] = 1.0
+        rows.append((100 + s, v))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in ops.semantic_dedup_survivors(
+            d, k=4, max_iter=2, threshold=0.999
+        ).collect()
+    }
+    assert len(out) == 22
+    for g in range(6):
+        ids = [g * 10 + c for c in range(3)]
+        cl = {out[i]["cluster_id"] for i in ids}
+        assert cl == {g * 10}, (g, cl)  # min id of the group
+        assert [out[i]["keep"] for i in ids] == [True, False, False]
+        assert all(out[i]["cluster_size"] == 3 for i in ids)
+    for s in range(4):
+        r = out[100 + s]
+        assert r["keep"] and r["cluster_size"] == 1 and r["cluster_id"] == 100 + s
+    n_clusters = len({r["cluster_id"] for r in out.values()})
+    assert sum(r["keep"] for r in out.values()) == n_clusters == 10
