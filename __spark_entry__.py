@@ -4598,60 +4598,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-15 NEW queries ----
         "dedup_semdedup": q_dedup_semdedup,
     }
-    # ROUND-15 BUDGET NOTE (for the next session): once r14 lands,
-    # the staleness histogram becomes {9: 37, 10: 45, 11: 42, 12: 40,
-    # 13: 50, 14: 50} — the 37 remaining r9-era rows breach the
-    # 5-round bound the moment r15 lands and must fill the r15
-    # window, capping r15's new+changed lead at 13; the 45 r10-era
-    # rows then own the r16 fillers. test_staleness_policy enforces
-    # this mechanically. Round 14 added NINE new queries after its
-    # window froze (dedup_line_dedup, text_readability,
-    # etl_compaction_plan, quality_ppl_buckets, mm_image_phash_dedup,
-    # events_power_analysis, mm_video_scene_cuts, events_ab_did,
-    # dedup_soft_weights, dedup_lsh_recall_curve) — they are the r15
-    # lead, 10 of the 13-slot cap; 3 slots remain for r15 changes.
-    # r14 window (first 50): 1 NEW + 8 code-changed lead, then ALL 30
-    # r8-era rows at the staleness ceiling (VERDICT r13 #1 — they hit
-    # the 5-round bound the moment r14 lands), then 11 alphabetical
-    # r9-era fillers pulled forward — composed mechanically with
-    # before_round=14 staleness; checked by
-    # test_round14_window_composition and the self-enforcing staleness
-    # test. The r13 window is frozen as the keys of
-    # CORRECTNESS_r13.json and still asserted by its own round-aware
-    # test.
-    r14_window = [
-        # new (1)
-        "graph_louvain_multilevel",
-        # code-changed (8): degree-rank triangle orientation
-        # (triangles/ktruss), louvain_move k_ic self-loop fix
-        # (move/communities/two_level), ivf_recall_curve floor
-        # pairing, cohen_kappa pe coalesce, markov max_states guard
-        "graph_triangles", "graph_ktruss", "graph_louvain_two_level",
-        "graph_louvain_move", "graph_louvain_communities",
-        "sim_ivf_recall_curve", "quality_cohen_kappa",
-        "events_markov_steady_state",
-        # r8-era staleness ceiling — ALL 30 (alphabetical)
-        "events_tumbling_counts", "graph_bellman_ford",
-        "graph_bfs_distances", "graph_hits", "graph_kcore",
-        "graph_label_propagation", "q11_important_supply",
-        "q12_priority_shipping", "q15_top_supplier",
-        "q16_supplier_part_counts", "q17_small_quantity_revenue",
-        "q20_dominant_suppliers", "q21_waiting_orders",
-        "q2_min_cost_supplier", "q9_product_type_profit",
-        "quality_clf_weights", "quality_corr_matrix",
-        "quality_dataset_split", "quality_histogram",
-        "quality_mixture_sample", "quality_trigram_ppl",
-        "quality_zscore_outliers", "sim_random_projection",
-        "sim_semantic_dedup_pairs", "text_bpe_encode",
-        "text_entity_clusters", "text_inverted_index", "text_normalize",
-        "text_pmi_bigrams", "text_url_dedup",
-        # 11 alphabetical r9-era fillers (pulled forward; r15 owes 37)
-        "approx_distinct_custkeys", "approx_quantiles", "array_funcs",
-        "conditional_agg", "date_funcs", "distinct_counts",
-        "etl_apply_cdc", "etl_array_flatten", "etl_expectations",
-        "etl_scd2_pit", "etl_split_explode",
+    # ROUND-16 BUDGET NOTE (for the next session): once r15 lands,
+    # the staleness histogram becomes {10: 43, 11: 41, 12: 39, 13: 44,
+    # 14: 50, 15: 50} — the 43 remaining r10-era rows breach the
+    # 5-round bound the moment r16 lands and must fill the r16
+    # window, capping r16's new+changed lead at 7; the 41 r11-era
+    # rows then own the r17 fillers. test_staleness_policy enforces
+    # this mechanically.
+    # r15 window (first 50): the TEN r14-new queries lead (they froze
+    # out of the r14 window by design — the r14 budget note), plus ONE
+    # r15-new query (dedup_semdedup — 11 of the 13-slot cap; the four
+    # r15 code-changed queries quality_ppl_buckets,
+    # dedup_lsh_recall_curve, etl_compaction_plan,
+    # events_power_analysis are ALL already in the r14-new lead, so
+    # changed-code re-certification costs no extra slots), then ALL 37
+    # r9-era rows at the staleness ceiling (they breach the 5-round
+    # bound the moment r15 lands — VERDICT r14 #2), then 2 alphabetical
+    # r10-era fillers pulled forward; the 43 remaining r10-era rows own
+    # the r16 fillers. Composed mechanically with before_round=15
+    # staleness; checked by test_round15_window_composition and the
+    # self-enforcing staleness test. The r14 window is frozen as the
+    # keys of CORRECTNESS_r14.json and still asserted by its own
+    # round-aware test.
+    r15_window = [
+        # r14-new lead (10)
+        "dedup_line_dedup", "text_readability", "etl_compaction_plan",
+        "quality_ppl_buckets", "mm_image_phash_dedup",
+        "events_power_analysis", "mm_video_scene_cuts", "events_ab_did",
+        "dedup_soft_weights", "dedup_lsh_recall_curve",
+        # r15-new (1)
+        "dedup_semdedup",
+        # r9-era staleness ceiling — ALL 37 (alphabetical)
+        "etl_zorder_layout", "events_covisitation",
+        "events_enriched_stats", "events_ohlc", "events_ohlc_windowed",
+        "events_session_windows", "events_spike_detection",
+        "events_threshold_crossings", "graph_neighbor_stats",
+        "graph_random_walks", "mm_decode_stub", "mm_frame_sample",
+        "pandas_udf_normalize", "percentiles", "q10_returned_items",
+        "q6_forecast_revenue", "quality_boilerplate_ngrams",
+        "quality_group_percentiles", "quality_hash_sample",
+        "quality_pack_sequences", "quality_pr_curve",
+        "quality_scrub_contact", "quality_winsorize",
+        "set_except_custkeys", "set_intersect_custkeys",
+        "sim_embedding_drift", "sim_embedding_norms", "sim_ranking_eval",
+        "sql_interface_q1", "stream_ingest_admission",
+        "stream_interval_join", "string_funcs", "text_bm25_rank",
+        "text_feature_hashing", "text_fingerprint", "win_lag_lead",
+        "win_rank_funcs",
+        # 2 alphabetical r10-era fillers (pulled forward; r16 owes 43)
+        "approx_heavy_hitters", "approx_quantile_sketch",
     ]
-    ordered = {k: registry[k] for k in r14_window}
+    ordered = {k: registry[k] for k in r15_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
     return {name: _scoped(fn) for name, fn in ordered.items()}
 

@@ -325,3 +325,59 @@ def test_round14_window_composition():
     assert ceiling <= in_window, (
         f"r8-ceiling rows missing from the window: {ceiling - in_window}"
     )
+
+
+ROUND15_NEW_OR_CHANGED = [
+    # r14-new lead (first driver certification) + one r15-new query;
+    # the r15 code-changed ops (ppl_buckets two-phase rank,
+    # minhash_recall_curve truth pinning, compaction_plan guards,
+    # ab_power_analysis ts_col) all live inside this same lead
+    "dedup_line_dedup", "text_readability", "etl_compaction_plan",
+    "quality_ppl_buckets", "mm_image_phash_dedup",
+    "events_power_analysis", "mm_video_scene_cuts", "events_ab_did",
+    "dedup_soft_weights", "dedup_lsh_recall_curve",
+    "dedup_semdedup",
+]
+
+
+def test_round15_window_composition():
+    """Round-aware from birth: the r15 window is the live first-50
+    until CORRECTNESS_r15.json lands, then frozen as its keys;
+    staleness uses only pre-r15 history either way. New/changed
+    queries lead; every filler slot is at least as stale as anything
+    left in the tail; filler slots must not overlap the r14 window."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r15_path = os.path.join(root, "CORRECTNESS_r15.json")
+    if os.path.exists(r15_path):
+        window = list(json.load(open(r15_path)))
+    else:
+        window = list(entry.queries())[:50]
+    lead = len(ROUND15_NEW_OR_CHANGED)
+    assert window[:lead] == ROUND15_NEW_OR_CHANGED, (
+        f"leading slots wrong: {window[:lead]}"
+    )
+    latest = _latest_driver_round(before_round=15)
+    rest = window[lead:]
+    in_window = set(window)
+    tail = [q for q in entry.queries() if q not in in_window]
+    max_in_window = max(latest.get(q, 0) for q in rest)
+    min_in_tail = min(latest.get(q, 99) for q in tail)
+    assert max_in_window <= min_in_tail, (
+        f"window holds a fresher verdict ({max_in_window}) than the "
+        f"stalest tail row ({min_in_tail}) — rotation skipped rows"
+    )
+    r14 = set(json.load(open(os.path.join(root, "CORRECTNESS_r14.json"))))
+    assert not (set(rest) & r14), (
+        f"filler slots overlap the r14 window: {sorted(set(rest) & r14)}"
+    )
+    # VERDICT r14 #2: ALL 37 r9-era rows sit exactly at the staleness
+    # ceiling and MUST be certified this round
+    ceiling = {
+        q for q, r in _latest_driver_round(before_round=15).items() if r == 9
+    }
+    assert len(ceiling) == 37
+    assert ceiling <= in_window, (
+        f"r9-ceiling rows missing from the window: {ceiling - in_window}"
+    )
