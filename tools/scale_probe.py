@@ -189,9 +189,12 @@ PROBE_TO_REGISTRY = {
     "numeric_histogram": "quality_histogram",
     "passage_dedup": "dedup_passages",
     "peak_concurrency": "events_concurrency",
-    # the ADC shortlist stage IS sim_pq_refine_topk's scale path —
-    # the exact refine after it touches shortlist ids only (bounded)
+    # the ADC shortlist stage dominates sim_pq_refine_topk's scale
+    # path; since r15 the composed shortlist+exact-refine plan is ALSO
+    # probed directly (pq_refine_topk) — both rows certify that query
     "pq_adc_topk": "sim_pq_refine_topk",
+    "pq_refine_topk": "sim_pq_refine_topk",
+    "semdedup_survivors": "dedup_semdedup",
     "profile_table_exact": "etl_profile_table",
     "ingest_admission": "stream_ingest_admission",
     "ppl_gate": "quality_ppl_gate",
@@ -1150,6 +1153,17 @@ def main() -> None:
             ops.pq_train(e, m=4, k_codes=8, max_iter=1),
             k=5,
         ),
+        # r15 (VERDICT r14 #6): shortlist-then-refine — the ADC stage
+        # above plus the exact re-rank join; the refine shuffle is
+        # n_queries x shortlist no matter how big the corpus gets, so
+        # the Nx ratio must track the ADC scan, not the corpus join
+        "pq_refine_topk": lambda e: ops.pq_refine_topk(
+            e,
+            e.filter(F.col("vec_id") < 10),
+            ops.pq_train(e, m=4, k_codes=8, max_iter=1),
+            k=5,
+            shortlist=50,
+        ),
         # r7 (cont.): the composed IVF-PQ index — training scans are
         # untimed (eager collects during construction); the timed plan
         # is assignment + residual encode + probe join + ADC + refine,
@@ -1235,6 +1249,16 @@ def main() -> None:
         "mmr_rerank": lambda e: (
             lambda: ops.mmr_rerank(
                 e, e.filter(F.col("vec_id") < 10), k=5, pool=20
+            )
+        ),
+        # r15: SemDeDup survivors — k-means trains (bounded collects)
+        # and connected components iterates (eager checkpoints) during
+        # construction, so the thunk times the WHOLE pipeline; the
+        # decorrelated copies keep near-dup pairs copy-local, so the
+        # ratio probes the cell-join + CC plan, not pair growth
+        "semdedup_survivors": lambda e: (
+            lambda: ops.semantic_dedup_survivors(
+                e, k=8, max_iter=1, threshold=0.95, max_cell_size=150
             )
         ),
     }
