@@ -4248,6 +4248,53 @@ def q_dedup_semdedup(spark, sf):
     )
 
 
+def q_quality_domain_reweight(spark, sf):
+    """DoReMi-style domain reweighting (round 15): per source domain,
+    mean trigram NLL under the shared held-out LM, excess over the
+    corpus mean, and a softmax-tempered mixture weight
+    share*exp(excess/T) normalized over domains — harder domains
+    upweight, boilerplate drifts down. Exact decimal sums everywhere;
+    the single exp() per domain is the repo's last-ulp bet."""
+    d = _t(spark, sf, "documents")
+    train = ops.hash_sample(d, permille=500, salt="lm")
+    return ops.domain_reweight(d, temperature=1.0, train_df=train)
+
+
+def q_mm_image_phash_pairs(spark, sf):
+    """Near-duplicate image pairs (round 15): pHash Hamming <= 6 via
+    the exact pigeonhole equi-join (7 disjoint 9-bit segments of the
+    63-bit DCT fingerprint; candidates only where a segment matches,
+    recall 1.0 by construction). On the synthetic variant corpus the
+    4 brightness variants of each base share one fingerprint, so the
+    pairs are the within-group hamming-0 triangles — the oracle goes
+    all-pairs at its scale, the operator never does."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    pngs = ops.synth_png_variant_column(d, group_size=4)
+    return ops.image_phash_pairs(pngs, max_hamming=6)
+
+
+def q_sim_eval_contamination(spark, sf):
+    """Embedding-level eval-set contamination audit (round 15): for
+    every eval vector (vec_id < 20), the max cosine against a train
+    corpus that PLANTS ten 0.5x-scaled copies of the first ten eval
+    vectors (halving is FP-exact, so the planted max is cosine 1.0
+    by construction) — those ten must flag at threshold 0.999, the
+    other ten report their true nearest-train similarity. One corpus
+    scan + a map-side-combinable per-eval max; no window, no top-k
+    state — the semantic complement to quality_decontaminate."""
+    e = _t(spark, sf, "embeddings")
+    ev = e.filter(F.col("vec_id") < 20)
+    planted = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(0.5)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    train = e.filter(F.col("vec_id") >= 20).unionByName(planted)
+    return ops.embedding_contamination(train, ev, threshold=0.999)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4595,8 +4642,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_did": q_events_ab_did,
         "dedup_soft_weights": q_dedup_soft_weights,
         "dedup_lsh_recall_curve": q_dedup_lsh_recall_curve,
-        # ---- round-15 NEW queries ----
+        # ---- round-15 NEW queries (dedup_semdedup leads the r15
+        # window; the rest froze out and lead the r16 window — cap 7)
         "dedup_semdedup": q_dedup_semdedup,
+        "sim_eval_contamination": q_sim_eval_contamination,
+        "mm_image_phash_pairs": q_mm_image_phash_pairs,
+        "quality_domain_reweight": q_quality_domain_reweight,
     }
     # ROUND-16 BUDGET NOTE (for the next session): once r15 lands,
     # the staleness histogram becomes {10: 43, 11: 41, 12: 39, 13: 44,
@@ -6117,6 +6168,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id, a.cluster_id, s.cluster_size,
                a.vec_id = a.cluster_id AS keep
         FROM assign a JOIN sizes s USING (cluster_id)
+    """
+
+    # Embedding contamination: planted 0.5x copies (FP-exact halving)
+    # of the first ten eval vectors give cosine exactly 1.0; the
+    # per-eval max mirrors the struct-max tie-break (cos DESC, train
+    # id DESC).
+    sql["sim_eval_contamination"] = """
+        WITH train AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id >= 20
+          UNION ALL
+          SELECT vec_id + 200000,
+                 list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT))::DOUBLE[]
+          FROM embeddings WHERE vec_id < 10
+        ), ev AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 20
+        ), scored AS (
+          SELECT e.vec_id AS query_id, t.vec_id AS tid,
+                 ROUND(list_dot_product(e.v, t.v) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(t.v, t.v))), 4) AS cos
+          FROM ev e CROSS JOIN train t
+        ), best AS (
+          SELECT query_id, cos, tid,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, tid DESC) AS rn
+          FROM scored
+        )
+        SELECT query_id, cos AS max_cos_sim, tid AS nearest_train_id,
+               cos >= 0.999 AS contaminated
+        FROM best WHERE rn = 1
     """
 
     # Verdict oracle: the Spark query computes aggregate IVF recall vs
@@ -9104,6 +9187,38 @@ def oracle_sql() -> dict[str, str]:
                  ROUND(exp(-avg_logprob), 4) AS ppl
           FROM agg
         )"""
+    # DoReMi-ish domain reweighting: the scored chain -> per-domain
+    # exact decimal NLL sums -> excess vs the corpus mean -> tempered
+    # softmax of share*exp(excess). Expression order mirrors
+    # quality.domain_reweight exactly (round before exp; 9dp decimal
+    # raw weights before the exact normalizing sum).
+    sql["quality_domain_reweight"] = f"""
+        WITH {_tri_scored}, j AS (
+          SELECT s.doc_id, d.source, s.avg_logprob
+          FROM scored s JOIN documents d USING (doc_id)
+        ), per AS (
+          SELECT source, COUNT(*)::BIGINT AS n_docs,
+                 SUM(avg_logprob::DECIMAL(28,6)) AS dsum
+          FROM j GROUP BY source
+        ), dtot AS (
+          SELECT SUM(n_docs)::BIGINT AS dn, SUM(dsum) AS dts FROM per
+        ), x AS (
+          SELECT source, n_docs, dn,
+                 ROUND(-(dsum::DOUBLE / n_docs), 6) AS mean_nll,
+                 ROUND((-(dsum::DOUBLE / n_docs)) - (-(dts::DOUBLE / dn)), 6)
+                   AS excess
+          FROM per CROSS JOIN dtot
+        ), raw AS (
+          SELECT source, n_docs, mean_nll, excess,
+                 ROUND((n_docs::DOUBLE / dn) * exp(excess / 1.0),
+                       9)::DECIMAL(28,9) AS r
+          FROM x
+        ), s2 AS (SELECT SUM(r) AS sr FROM raw)
+        SELECT source, n_docs, mean_nll, excess,
+               ROUND(r::DOUBLE / sr::DOUBLE, 6) AS weight
+        FROM raw CROSS JOIN s2
+    """
+
     sql["quality_trigram_ppl"] = f"""
         WITH {_tri_scored}
         SELECT doc_id, n_tokens, avg_logprob, ppl FROM scored
@@ -11342,8 +11457,9 @@ def oracle_sql() -> dict[str, str]:
         for u, row in enumerate(_ph_tab)
         for x, c in enumerate(row)
     )
-    sql["mm_image_phash_dedup"] = f"""
-        WITH b AS (
+    # shared pHash CTE chain (through `hashes`): reused verbatim by
+    # the dedup grouping oracle and the r15 hamming-pairs oracle
+    _ph_chain = f"""b AS (
           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS shift,
                  8 + (doc_id // 4) % 9 AS w,
                  8 + ((doc_id // 4) // 9) % 9 AS h
@@ -11381,10 +11497,23 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1::BIGINT << (flat.i - 1)
                           ELSE 0 END)::BIGINT AS phash
           FROM flat JOIN med USING (doc_id) GROUP BY flat.doc_id
-        )
+        )"""
+    sql["mm_image_phash_dedup"] = f"""
+        WITH {_ph_chain}
         SELECT phash, COUNT(*)::BIGINT AS n_images,
                MIN(doc_id)::BIGINT AS canonical_doc
         FROM hashes GROUP BY phash
+    """
+
+    # Hamming near-dup image pairs: the same fingerprint chain, then
+    # the exact distance filter — the oracle may go all-pairs at this
+    # scale; the operator's pigeonhole join is plan-shape only.
+    sql["mm_image_phash_pairs"] = f"""
+        WITH {_ph_chain}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.phash, b.phash))::INT AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
     """
 
     # Scene cuts: replay the multi-scene luma formula — per frame

@@ -265,8 +265,12 @@ HEADLINE = [
     "events_ab_did",
     "dedup_soft_weights",
     "dedup_lsh_recall_curve",
-    # round-15: SemDeDup end-to-end survivors
+    # round-15: SemDeDup end-to-end survivors, embedding eval
+    # contamination, pHash hamming pairs, DoReMi domain reweighting
     "dedup_semdedup",
+    "sim_eval_contamination",
+    "mm_image_phash_pairs",
+    "quality_domain_reweight",
 ]
 
 

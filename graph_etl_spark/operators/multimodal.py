@@ -1167,6 +1167,84 @@ def image_phash(
     return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
 
 
+def image_phash_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    bits: int = 63,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs — pHash Hamming distance ≤
+    ``max_hamming`` via the EXACT pigeonhole equi-join: where
+    ``image_phash`` + group-by catches byte-identical fingerprints
+    only, this catches re-encodes/slight crops whose 63-bit DCT
+    fingerprints differ in a few bits (the standard image-dedup
+    query; the ``simhash_pairs`` shape applied to the pHash family).
+
+    Pigeonhole: the 63-bit hash splits into ``max_hamming + 1``
+    disjoint segments; two hashes within the distance agree on at
+    least one segment, so candidates come from an equi-join on
+    (segment_index, masked_value) — a hash-partitioned shuffle, never
+    a cartesian — and the exact ``bit_count(xor)`` filter keeps true
+    pairs. Recall is 1.0 by construction (no LSH slack).
+
+    Output: (id_a, id_b, hamming), canonical id_a < id_b.
+
+    Undecodable payloads (media_type 'stub', hash 0) are excluded —
+    they would all collide in one bucket and pair with each other
+    meaninglessly.
+
+    Scale: fingerprints (id + one long) shuffle, never pixels; per
+    segment bucket the expected candidates grow as
+    N²/2^(bits/(max_hamming+1)) — at web-crawl image counts widen the
+    fingerprint (sample/block up) before narrowing the distance."""
+    sig = (
+        image_phash(df, bin_col=bin_col, id_col=id_col)
+        .filter(F.col("media_type") != "stub")
+        .select(id_col, "phash")
+    )
+    n_seg = int(max_hamming) + 1
+    widths = [
+        bits // n_seg + (1 if i < bits % n_seg else 0) for i in range(n_seg)
+    ]
+    segs = []
+    off = 0
+    for i, w in enumerate(widths):
+        mask = ((1 << w) - 1) << off
+        segs.append(
+            F.struct(
+                F.lit(i).alias("seg_idx"),
+                F.col("phash").bitwiseAND(F.lit(mask)).alias("seg_val"),
+            )
+        )
+        off += w
+    # both self-join sides read the segmented frame; the lazy
+    # checkpoint materializes the Arrow decode stage once, not twice
+    segged = (
+        sig.select(id_col, "phash", F.explode(F.array(*segs)).alias("s"))
+        .select(id_col, "phash", "s.seg_idx", "s.seg_val")
+        .localCheckpoint(eager=False)
+    )
+    a, b = segged.alias("a"), segged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= int(max_hamming))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def synth_y4m_scenes_column(
     df: DataFrame,
     id_col: str = "doc_id",

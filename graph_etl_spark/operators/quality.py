@@ -2816,6 +2816,100 @@ def token_budget_fill(
     )
 
 
+def domain_reweight(
+    df: DataFrame,
+    temperature: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam3: float = 0.6,
+    lam2: float = 0.3,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """DoReMi-style DOMAIN REWEIGHTING from the corpus's own LM
+    signal: per training domain (``source_col``), the mean
+    negative-log-likelihood under the shared trigram LM, its EXCESS
+    over the corpus-wide mean, and a softmax-tempered mixture weight
+
+        weight ∝ share(domain) · exp(excess / temperature)
+
+    normalized over domains — harder-than-average domains (positive
+    excess ≈ DoReMi's excess loss proxy) are upweighted relative to
+    their natural share, easy/boilerplate domains drift down; at
+    ``temperature → ∞`` the weights recover the natural shares. The
+    training-mixture stage between ``mixture_sample`` (which APPLIES
+    a weighting) and the per-document quality ops.
+
+    Output: one row per domain — (source, n_docs, mean_nll, excess,
+    weight), all rounded to 6dp; weights sum to ~1.
+
+    Determinism: per-document avg_logprob is already rounded to 6dp
+    by ``trigram_perplexity``; the per-domain and global sums run as
+    EXACT decimal(28,6) aggregations (no float add-order dependence);
+    excess rounds before the single exp() per domain, and the raw
+    weights round to 9dp decimals before the exact normalizing sum —
+    the only cross-engine bet is the one exp() libm call (the
+    repo-wide last-ulp convention).
+
+    Scale: LM scoring is ``trigram_perplexity``; on top of it ONE
+    map-side-combinable agg keyed by domain, then two 1-row broadcast
+    scalars over the domains-sized frame. Nothing beyond the LM
+    stage is corpus-shuffled."""
+    scored = trigram_perplexity(
+        df, lam3=lam3, lam2=lam2, id_col=id_col, text_col=text_col,
+        train_df=train_df,
+    )
+    src = df.select(id_col, source_col)
+    per = (
+        scored.join(src, id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("avg_logprob").cast("decimal(28,6)")).alias("__s"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("__n"), F.sum("__s").alias("__ts")
+    )
+    t = float(temperature)
+    x = per.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        F.round(-(F.col("__s").cast("double") / F.col("n_docs")), 6).alias(
+            "mean_nll"
+        ),
+        F.round(
+            (-(F.col("__s").cast("double") / F.col("n_docs")))
+            - (-(F.col("__ts").cast("double") / F.col("__n"))),
+            6,
+        ).alias("excess"),
+        F.col("__n").alias("__n"),
+    )
+    raw = x.select(
+        source_col,
+        "n_docs",
+        "mean_nll",
+        "excess",
+        F.round(
+            (F.col("n_docs").cast("double") / F.col("__n"))
+            * F.exp(F.col("excess") / F.lit(t)),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("__r"),
+    )
+    s2 = raw.agg(F.sum("__r").alias("__sr"))
+    return raw.crossJoin(F.broadcast(s2)).select(
+        source_col,
+        "n_docs",
+        "mean_nll",
+        "excess",
+        F.round(
+            F.col("__r").cast("double") / F.col("__sr").cast("double"), 6
+        ).alias("weight"),
+    )
+
+
 def ppl_buckets(
     df: DataFrame,
     n_buckets: int = 3,

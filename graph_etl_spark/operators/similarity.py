@@ -96,6 +96,87 @@ def brute_force_topk(
     )
 
 
+def embedding_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-level EVAL-SET CONTAMINATION audit: for every
+    benchmark/eval vector, the maximum cosine similarity against the
+    TRAIN corpus, the train id that attains it, and a flag at
+    ``threshold`` — the semantic complement to the n-gram
+    ``decontaminate`` op (a paraphrased or reformatted leak shares no
+    13-gram but sits at cosine ~1 in embedding space; both audits run
+    before an eval score is trusted).
+
+    Output: one row per eval vector — (query_id, max_cos_sim,
+    nearest_train_id, contaminated). Ties on the max break to the
+    LARGEST train id (lexicographic struct max — deterministic on any
+    engine; the flag and max are tie-invariant).
+
+    Scale: the eval side is broadcast (benchmarks are thousands of
+    rows, not corpora); the train corpus STREAMS map-side through one
+    scan, scoring stays JVM-side, and each map partition reduces its
+    candidates to ONE row per eval query (the
+    ``brute_force_topk_scale`` Arrow partial-reduction shape with
+    k=1 — a JVM struct-max would be a SortAggregate that sorts the
+    whole scored stream map-side; the running pandas argmax keeps
+    state at n_eval rows per partition with no sort of the stream).
+    The exchange then carries partitions × n_eval 3-field rows and
+    the final struct-max aggregates that tiny set. No window over the
+    corpus, no corpus shuffle. Zero-norm rows (NaN cosine) are
+    dropped as in every exact cosine path."""
+    q = eval_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qn", norm(F.col("__qvec")))
+    d = fan_out(train).select(
+        F.col(id_col).alias("__tid"), F.col(vec_col).alias("__dvec")
+    ).withColumn("__dn", norm(F.col("__dvec")))
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .withColumn(
+            "__cos",
+            F.round(
+                dot(F.col("__qvec"), F.col("__dvec"))
+                / (F.col("__qn") * F.col("__dn")),
+                round_to,
+            ),
+        )
+        .filter(~F.isnan("__cos"))
+        .select("query_id", "__tid", "__cos")
+    )
+    out_schema = scored.schema
+
+    def local_best(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            # same order as the final struct-max: cos desc, tid desc
+            both = both.sort_values(
+                ["query_id", "__cos", "__tid"],
+                ascending=[True, False, False],
+            )
+            acc = both.groupby("query_id", sort=False).head(1)
+        if acc is not None and len(acc):
+            yield acc
+
+    part = scored.mapInPandas(local_best, out_schema)
+    best = part.groupBy("query_id").agg(
+        F.max(F.struct(F.col("__cos"), F.col("__tid"))).alias("__best")
+    )
+    return best.select(
+        "query_id",
+        F.col("__best.__cos").alias("max_cos_sim"),
+        F.col("__best.__tid").alias("nearest_train_id"),
+        (F.col("__best.__cos") >= float(threshold)).alias("contaminated"),
+    )
+
+
 def brute_force_topk_scale(
     data: DataFrame,
     queries: DataFrame,

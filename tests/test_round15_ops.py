@@ -312,3 +312,93 @@ def test_semdedup_keeps_one_per_group(spark):
         assert r["keep"] and r["cluster_size"] == 1 and r["cluster_id"] == 100 + s
     n_clusters = len({r["cluster_id"] for r in out.values()})
     assert sum(r["keep"] for r in out.values()) == n_clusters == 10
+
+
+def test_embedding_contamination_flags_planted_copy(spark):
+    """A scaled copy of an eval vector in the train corpus yields max
+    cosine 1.0 and the contaminated flag; an orthogonal eval vector
+    reports its true (low) max; ties break to the largest train id."""
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0, 0.0]),   # scaled copy of eval 1
+            (11, [0.5, 0.0, 0.0, 0.0]),   # another copy — tie at cos 1.0
+            (12, [1.0, 1.0, 0.0, 0.0]),
+            (13, [0.0, 1.0, 1.0, 0.0]),   # orthogonal to eval 2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["query_id"]: r
+        for r in ops.embedding_contamination(train, ev, threshold=0.95).collect()
+    }
+    assert out[1]["max_cos_sim"] == 1.0 and out[1]["contaminated"]
+    assert out[1]["nearest_train_id"] == 11  # largest id at the tie
+    assert out[2]["max_cos_sim"] < 0.95 and not out[2]["contaminated"]
+
+
+def test_embedding_contamination_no_corpus_window(spark):
+    """Scale posture: the per-eval max is an aggregation (map-side
+    combinable), never a window/top-k over the streamed corpus."""
+    from graph_etl_spark.plans import plan_string
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ops.embedding_contamination(
+        e.filter(F.col("vec_id") >= 20), e.filter(F.col("vec_id") < 5)
+    )
+    p = plan_string(df)
+    assert "Window" not in p
+    assert "MapInPandas" in p  # per-partition argmax before any exchange
+
+
+def test_image_phash_pairs_groups_and_stubs(spark):
+    """Brightness variants of one base pair up at hamming 0; different
+    bases don't pair (distance ~32 bits >> 6); stub payloads are
+    excluded rather than colliding in the zero bucket."""
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pngs = ops.synth_png_variant_column(ids, group_size=4)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ops.image_phash_pairs(pngs, max_hamming=6).collect()
+    }
+    expect = {
+        (a, b)
+        for g in (0, 1)
+        for a in range(g * 4, g * 4 + 4)
+        for b in range(a + 1, g * 4 + 4)
+    }
+    assert set(got) == expect
+    assert all(h == 0 for h in got.values())
+
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"nope")), (2, bytearray(b"also nope"))],
+        "doc_id long, payload binary",
+    )
+    assert ops.image_phash_pairs(junk).count() == 0
+
+
+def test_domain_reweight_upweights_hard_domains(spark):
+    """Two domains, one full of repetitive easy text, one of diverse
+    hard text: weights sum to ~1; the hard domain's weight exceeds its
+    natural share at T=1; at very high temperature the weights recover
+    the natural shares."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "easy", "the the the cat sat mat " * 4))
+    for i in range(30, 40):
+        rows.append((i, "hard", f"zq{i} wf{i * 7} xr{i * 13} vb{i * 29} " * 3))
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    train = ops.hash_sample(d, permille=500, salt="lm")
+    out = {r["source"]: r for r in ops.domain_reweight(d, train_df=train).collect()}
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    assert out["hard"]["excess"] > 0 > out["easy"]["excess"]
+    assert out["hard"]["weight"] > 10 / 40  # above natural share
+    flat = {
+        r["source"]: r
+        for r in ops.domain_reweight(d, temperature=1e9, train_df=train).collect()
+    }
+    assert abs(flat["hard"]["weight"] - 0.25) < 1e-5
+    assert abs(flat["easy"]["weight"] - 0.75) < 1e-5
