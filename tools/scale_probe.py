@@ -1251,6 +1251,15 @@ def main() -> None:
                 e, e.filter(F.col("vec_id") < 10), k=5, pool=20
             )
         ),
+        # r15: eval contamination — 10 fixed eval vectors broadcast
+        # against an Nx corpus; the per-partition Arrow argmax keeps
+        # the exchange at partitions x n_eval rows, so the ratio
+        # probes the streamed scoring scan alone
+        "eval_contamination": lambda e: (
+            lambda: ops.embedding_contamination(
+                e, e.filter(F.col("vec_id") < 10), threshold=0.999
+            )
+        ),
         # r15: SemDeDup survivors — k-means trains (bounded collects)
         # and connected components iterates (eager checkpoints) during
         # construction, so the thunk times the WHOLE pipeline; the
@@ -1665,6 +1674,58 @@ def main() -> None:
         }
         print(
             f"# image_phash: {t1}s -> {tn}s (x{result['image_phash']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r15: pHash hamming pairs — the pigeonhole self-join over Nx
+    # synthetic images; variant groups are id-local so true pairs grow
+    # linearly, and the 9-bit segment buckets bound candidates. The
+    # quadratic this would catch is a segment bucket degenerating.
+    if only is None or "phash_pairs" in only:
+        ids_pp = read_table(spark, SF_DIR, "documents").select("doc_id")
+
+        def _pp_rep(n_copies):
+            parts = [
+                ids_pp.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id")
+                )
+                for i in range(n_copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return ops.synth_png_variant_column(out, group_size=4)
+
+        t1 = timed(ops.image_phash_pairs(_pp_rep(1), max_hamming=6))
+        tn = timed(ops.image_phash_pairs(_pp_rep(n), max_hamming=6))
+        result["phash_pairs"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# phash_pairs: {t1}s -> {tn}s (x{result['phash_pairs']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r15: DoReMi domain reweighting — the trigram LM stage over Nx
+    # docs (sources fixed), then one domain-keyed agg + two 1-row
+    # scalars; the ratio probes the LM scan, everything above it is
+    # domains-sized
+    if only is None or "domain_reweight" in only:
+        d_dw = read_table(spark, SF_DIR, "documents")
+
+        def _dw(frame):
+            return ops.domain_reweight(
+                frame, train_df=ops.hash_sample(frame, permille=500, salt="lm")
+            )
+
+        t1 = timed(_dw(replicate_docs(d_dw, 1)))
+        tn = timed(_dw(replicate_docs(d_dw, n)))
+        result["domain_reweight"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# domain_reweight: {t1}s -> {tn}s "
+            f"(x{result['domain_reweight']['ratio']})",
             file=sys.stderr,
         )
 
