@@ -4248,6 +4248,17 @@ def q_dedup_semdedup(spark, sf):
     )
 
 
+def q_dedup_cluster_split(spark, sf):
+    """Leakage-free dataset split (round 15): near-dup clusters (LSH
+    pairs -> CC, the soft_weights graph) hash to train/val/test as a
+    UNIT — H56(salt||cluster_id) mod 1000 over the dataset_split
+    permille ranges — so a test doc can never have a near-copy in
+    train. Singletons reduce to dataset_split's per-doc formula."""
+    return ops.cluster_split(
+        _t(spark, sf, "documents"), num_perm=16, bands=8
+    )
+
+
 def q_quality_domain_reweight(spark, sf):
     """DoReMi-style domain reweighting (round 15): per source domain,
     mean trigram NLL under the shared held-out LM, excess over the
@@ -4648,6 +4659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_eval_contamination": q_sim_eval_contamination,
         "mm_image_phash_pairs": q_mm_image_phash_pairs,
         "quality_domain_reweight": q_quality_domain_reweight,
+        "dedup_cluster_split": q_dedup_cluster_split,
     }
     # ROUND-16 BUDGET NOTE (for the next session): once r15 lands,
     # the staleness histogram becomes {10: 43, 11: 41, 12: 39, 13: 44,
@@ -11671,6 +11683,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id, a.cluster_id, s.cluster_size,
                ROUND(1.0 / s.cluster_size::DOUBLE, 6) AS weight
         FROM assign a JOIN sizes s USING (cluster_id)
+    """
+
+    # Leakage-free cluster split: the soft-weights pair/CC chain, then
+    # dataset_split's H56 permille assignment applied to the CLUSTER id.
+    sql["dedup_cluster_split"] = f"""
+        WITH RECURSIVE pairs AS (
+          WITH sh AS (SELECT doc_id, {_sh} AS sh FROM documents),
+          hs AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs FROM sh),
+          sigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM hs),
+          banded AS (
+            SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                   unnest([{band_exprs}]) AS band_hash
+            FROM sigs
+          )
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ), sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+        ), assign AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+          FROM documents d
+          LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+            ON d.doc_id = c.id
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN bkt < 900 THEN 'train'
+                    WHEN bkt < 950 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, cluster_id,
+                 ('0x' || substr(md5('split' || cluster_id::VARCHAR), 1, 14))::BIGINT % 1000 AS bkt
+          FROM assign
+        )
     """
 
     # LSH tuning curve: exact capped-Jaccard truth (>= 0.12, the

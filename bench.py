@@ -271,6 +271,7 @@ HEADLINE = [
     "sim_eval_contamination",
     "mm_image_phash_pairs",
     "quality_domain_reweight",
+    "dedup_cluster_split",
 ]
 
 

@@ -1404,6 +1404,64 @@ def soft_dedup_weights(
     )
 
 
+def cluster_split(
+    df: DataFrame,
+    ratios_permille: dict[str, int] | None = None,
+    num_perm: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """LEAKAGE-FREE train/val/test split: near-duplicate documents
+    must land in the SAME split (a test doc whose near-copy sits in
+    train silently inflates every eval), so the split hash keys on
+    the near-dup CLUSTER id, not the document id. ``dataset_split``
+    decides from the doc id alone and cannot see duplicates; this op
+    is its dedup-aware sibling — the split every serious LM data
+    pipeline runs after near-dedup (or instead of dropping).
+
+    Pipeline: banded MinHash-LSH candidate pairs → connected
+    components → cluster id (min member id, ``dedup_clusters``) →
+    H56(salt‖cluster_id) mod 1000 against cumulative permille ranges
+    (``dataset_split``'s exact assignment formula, applied to the
+    cluster key). Singletons hash on their own id, so on a dup-free
+    corpus the assignment degenerates to ``dataset_split`` verbatim.
+
+    Output: one row per document — (id, cluster_id, split).
+
+    Scale: the pair stage is the bucketed LSH join (never all-pairs);
+    CC is pointer-jumping bounded by duplicate-group diameter; the
+    split label is a map-side expression on the cluster id. Same
+    shuffle classes as ``soft_dedup_weights``."""
+    from .graph import dedup_clusters
+
+    ratios = dict(ratios_permille or {"train": 900, "val": 50, "test": 50})
+    if sum(ratios.values()) != 1000:
+        raise ValueError(f"ratios_permille must sum to 1000, got {ratios}")
+    pairs = minhash_lsh_pairs(
+        df, num_perm=num_perm, bands=bands, id_col=id_col, text_col=text_col
+    )
+    clusters = dedup_clusters(pairs, df.select(id_col), id_col=id_col)
+    bucket = F.pmod(
+        h56(F.concat(F.lit(salt), F.col("cluster_id").cast("string"))),
+        F.lit(1000),
+    )
+    expr = None
+    lo = 0
+    for name, width in ratios.items():  # insertion order = range order
+        hi = lo + width
+        cond = bucket < hi if expr is None else (bucket >= lo) & (bucket < hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+        lo = hi
+    return clusters.withColumn(out, expr)
+
+
 def semantic_dedup_survivors(
     data: DataFrame,
     centroids: DataFrame | None = None,

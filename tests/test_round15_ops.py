@@ -402,3 +402,31 @@ def test_domain_reweight_upweights_hard_domains(spark):
     }
     assert abs(flat["hard"]["weight"] - 0.25) < 1e-5
     assert abs(flat["easy"]["weight"] - 0.75) < 1e-5
+
+
+def test_cluster_split_keeps_near_dups_together(spark):
+    """Leakage-free split: exact copies share a cluster and therefore
+    a split label; every document is labeled; on a duplicate-free
+    corpus the assignment equals dataset_split's per-doc formula."""
+    base = [" ".join(f"w{i}_{j}" for j in range(20)) for i in range(30)]
+    rows = [(i, base[i]) for i in range(30)]
+    rows += [(100 + i, base[i]) for i in range(10)]  # exact near-dups
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ops.cluster_split(d).collect()}
+    assert len(out) == 40
+    for i in range(10):
+        assert out[100 + i]["cluster_id"] == out[i]["cluster_id"] == i
+        assert out[100 + i]["split"] == out[i]["split"]
+
+    uniq = spark.createDataFrame(
+        [(i, " ".join(f"u{i}_{j}" for j in range(20))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["split"] for r in ops.cluster_split(uniq).collect()}
+    want = {
+        r["doc_id"]: r["split"] for r in ops.dataset_split(uniq).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="sum to 1000"):
+        ops.cluster_split(uniq, ratios_permille={"train": 500})
