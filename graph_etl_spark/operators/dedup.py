@@ -1559,10 +1559,17 @@ def minhash_recall_curve(
     by the df-cap argument on ``ngram_jaccard_pairs``) computed ONCE
     and ``localCheckpoint``-pinned before the band loop (VERDICT r14
     #3 — each config consumes it twice, in the semi-join and the
-    truth count, so an unpinned plan re-ran the exact-Jaccard CTE
-    bands+1 times); each band config is one banded bucket pass;
-    per-config output is ONE row. The curve re-signs the corpus once
-    per config — an audit op run on samples, not the hot path."""
+    truth count, so an unpinned plan re-ran the exact-Jaccard CTE ~2×
+    per band). Measured trade at sf0.1 (solo A/B, min-of-3): pinned
+    3.27 s vs unpinned 2.88 s — at audit scale the checkpoint is a
+    BARRIER that stops the band branches from scheduling their stages
+    concurrently, and the re-derived truth CTE is cheap; at corpus
+    scale the trade flips hard (the truth join is the expensive
+    stage, and pinning caps it at ONE computation instead of 2×bands)
+    — the default serves the scale posture, not the benchmark. Each
+    band config is one banded bucket pass; per-config output is ONE
+    row. The curve re-signs the corpus once per config — an audit op
+    run on samples, not the hot path."""
     if not band_options:
         raise ValueError(
             "band_options must name at least one band count — an empty "
