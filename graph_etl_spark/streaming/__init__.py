@@ -503,12 +503,21 @@ class HadoopFsLister:
         fs, p = self._fs_path(path)
         stream = fs.open(p)
         try:
-            out = bytearray()
-            b = stream.read()
-            while b >= 0:
-                out.append(b)
+            try:
+                # one py4j call for the whole payload (commons-io ships
+                # with Hadoop); the byte-loop fallback costs one RPC
+                # per byte and only ever reads tiny _graft_meta.json
+                data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream
+                )
+                return bytes(data).decode("utf-8")
+            except Exception:
+                out = bytearray()
                 b = stream.read()
-            return out.decode("utf-8")
+                while b >= 0:
+                    out.append(b)
+                    b = stream.read()
+                return out.decode("utf-8")
         finally:
             stream.close()
 
