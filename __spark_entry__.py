@@ -4248,6 +4248,26 @@ def q_dedup_semdedup(spark, sf):
     )
 
 
+def q_mm_audio_fingerprint_dedup(spark, sf):
+    """Energy-delta audio fingerprint dedup (round 15): real WAV
+    decode -> per-window exact integer energy -> sign of successive
+    deltas packed into one long (the Shazam-family core), grouped on
+    (n_windows, fingerprint). The polarity fixture plants a phase-
+    inverted duplicate of every base clip — energy is sign-blind, so
+    each pair PROVABLY shares a fingerprint; the oracle replays the
+    formula without touching a RIFF byte."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    wavs = ops.synth_wav_polarity_column(d, group_size=2)
+    return (
+        ops.audio_fingerprint(wavs, window_samples=8)
+        .groupBy("n_windows", "fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
 def q_dedup_cluster_split(spark, sf):
     """Leakage-free dataset split (round 15): near-dup clusters (LSH
     pairs -> CC, the soft_weights graph) hash to train/val/test as a
@@ -4660,6 +4680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_phash_pairs": q_mm_image_phash_pairs,
         "quality_domain_reweight": q_quality_domain_reweight,
         "dedup_cluster_split": q_dedup_cluster_split,
+        "mm_audio_fingerprint_dedup": q_mm_audio_fingerprint_dedup,
     }
     # ROUND-16 BUDGET NOTE (for the next session): once r15 lands,
     # the staleness histogram becomes {10: 43, 11: 41, 12: 39, 13: 44,
@@ -11526,6 +11547,39 @@ def oracle_sql() -> dict[str, str]:
                bit_count(xor(a.phash, b.phash))::INT AS hamming
         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """
+
+    # Audio fingerprint dedup: replay the polarity fixture's sample
+    # formula (the variant sign drops out of s², so the oracle scores
+    # the unsigned base), window energies, delta-sign pack, group.
+    sql["mm_audio_fingerprint_dedup"] = """
+        WITH meta AS (
+          SELECT doc_id, doc_id // 2 AS base,
+                 64 + (doc_id // 2) % 129 AS n
+          FROM documents
+        ), samp AS (
+          SELECT m.doc_id, i.i, (i.i // 8)::INT AS window_idx,
+                 ((m.base * 3571 + i.i * 9973) % 65535) - 32767 AS s
+          FROM meta m, range(0, 192) AS i(i)
+          WHERE i.i < m.n
+        ), en AS (
+          SELECT doc_id, window_idx, SUM(s * s)::BIGINT AS energy
+          FROM samp GROUP BY doc_id, window_idx
+        ), delta AS (
+          SELECT doc_id, window_idx,
+                 energy > lag(energy) OVER (
+                   PARTITION BY doc_id ORDER BY window_idx) AS up
+          FROM en
+        ), fp AS (
+          SELECT doc_id, COUNT(*)::INT AS n_windows,
+                 COALESCE(SUM(CASE WHEN up AND window_idx <= 63
+                          THEN (1::BIGINT << (window_idx - 1))
+                          ELSE 0 END), 0)::BIGINT AS fingerprint
+          FROM delta GROUP BY doc_id
+        )
+        SELECT n_windows, fingerprint, COUNT(*)::BIGINT AS n_clips,
+               MIN(doc_id)::BIGINT AS canonical_doc
+        FROM fp GROUP BY n_windows, fingerprint
     """
 
     # Scene cuts: replay the multi-scene luma formula — per frame

@@ -272,6 +272,7 @@ HEADLINE = [
     "mm_image_phash_pairs",
     "quality_domain_reweight",
     "dedup_cluster_split",
+    "mm_audio_fingerprint_dedup",
 ]
 
 

@@ -29,7 +29,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -610,6 +610,100 @@ def synth_wav_column(
         ]
     )
     return df.select(id_col).mapInPandas(batches, schema)
+
+
+def synth_wav_polarity_column(
+    df: DataFrame,
+    group_size: int = 2,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Deterministic WAV fixture with PLANTED POLARITY-INVERTED
+    duplicates: ids in the same ``group_size`` block share one base
+    signal; variant v flips the sign v times (v=0 original, v=1 phase
+    inverted — the classic re-encode artifact an energy fingerprint
+    must see through). base = id // group_size, n = 64 + base % 129,
+    sample[i] = ±(((base*3571 + i*9973) % 65535) - 32767) — the 9973
+    step wraps the range every ~6.5 samples so window energies vary
+    (a slow step makes |s| monotone and every delta sign negative),
+    and the 65535 modulus keeps the base in [-32767, 32767] so
+    negation never overflows int16 and inversion is sample-exact.
+    Closed-form in the id, so a SQL oracle replays the decoded
+    windows without the codec."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                base, variant = i // group_size, i % group_size
+                n = 64 + base % 129
+                idx = np.arange(n, dtype=np.int64)
+                s = (base * 3571 + idx * 9973) % 65535 - 32767
+                if variant % 2:
+                    s = -s
+                payloads.append(encode_wav(sample_rate, s.astype(np.int16)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), bin_col: payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(bin_col, T.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    window_samples: int = 8,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENERGY-DELTA audio fingerprint — the Shazam-family idea reduced
+    to its exact-integer core: window the clip, compute per-window
+    energy Σs² (exact int64, via the existing ``audio_window_features``
+    Arrow stage), and pack the SIGNS of successive energy deltas
+    (bit w-1 set iff e_w > e_{w-1}, first 63 deltas) into one long.
+    PROVABLY invariant to polarity inversion (energy is sign-blind)
+    and robust to constant gain in the direction production
+    fingerprints care about — the compact key for exact/near
+    re-encode audio dedup.
+
+    Output: one row per decodable clip — (id, n_windows, fingerprint);
+    dedup groups key on (n_windows, fingerprint) so clips of
+    different length never collide through the zero-pad.
+
+    Scale: decode + window is the one Arrow stage (clip-bounded
+    state); the delta/pack stage is a JVM window over
+    (clip, window_idx) — partitions are single clips (windows per
+    clip is bounded by clip length, clips are the parallelism unit)
+    — plus one map-side-combinable per-clip sum. Fingerprints
+    shuffle downstream, never samples."""
+    wf = audio_window_features(
+        df, window_samples=window_samples, bin_col=bin_col, id_col=id_col
+    )
+    w = Window.partitionBy(id_col).orderBy("window_idx")
+    delta = wf.select(
+        id_col,
+        "window_idx",
+        (F.col("energy") > F.lag("energy").over(w)).alias("__up"),
+    )
+    return delta.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_windows"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__up") & (F.col("window_idx") <= 63),
+                    F.expr("shiftleft(1L, window_idx - 1)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+            F.lit(0).cast("long"),
+        ).alias("fingerprint"),
+    )
 
 
 def encode_y4m(width: int, height: int, frames: list[bytes]) -> bytes:

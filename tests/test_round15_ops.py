@@ -430,3 +430,34 @@ def test_cluster_split_keeps_near_dups_together(spark):
 
     with pytest.raises(ValueError, match="sum to 1000"):
         ops.cluster_split(uniq, ratios_permille={"train": 500})
+
+
+def test_audio_fingerprint_polarity_invariant(spark):
+    """The planted phase-inverted duplicate of every base clip shares
+    its fingerprint EXACTLY (energy is sign-blind — provable, not
+    statistical); distinct bases mostly separate; a short clip with a
+    single window packs fingerprint 0 with n_windows 1."""
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    wavs = ops.synth_wav_polarity_column(ids, group_size=2)
+    fp = {
+        r["doc_id"]: (r["n_windows"], r["fingerprint"])
+        for r in ops.audio_fingerprint(wavs, window_samples=8).collect()
+    }
+    assert len(fp) == 40
+    for b in range(20):
+        assert fp[2 * b] == fp[2 * b + 1], b
+    assert len(set(fp.values())) >= 15  # bases separate
+
+    # raw payload check: variants really are sample-negated, not equal
+    pays = {r["doc_id"]: bytes(r["payload"]) for r in wavs.collect()}
+    assert pays[0] != pays[1]
+
+    # single-window clip: 8-sample WAV -> n_windows 1, fingerprint 0
+    from graph_etl_spark.operators.multimodal import encode_wav
+
+    tiny = spark.createDataFrame(
+        [(7, bytearray(encode_wav(16000, list(range(8)))))],
+        "doc_id long, payload binary",
+    )
+    row = ops.audio_fingerprint(tiny, window_samples=8).collect()[0]
+    assert row["n_windows"] == 1 and row["fingerprint"] == 0
