@@ -195,6 +195,7 @@ PROBE_TO_REGISTRY = {
     "pq_adc_topk": "sim_pq_refine_topk",
     "pq_refine_topk": "sim_pq_refine_topk",
     "semdedup_survivors": "dedup_semdedup",
+    "audio_fingerprint": "mm_audio_fingerprint_dedup",
     "profile_table_exact": "etl_profile_table",
     "ingest_admission": "stream_ingest_admission",
     "ppl_gate": "quality_ppl_gate",
@@ -1703,6 +1704,36 @@ def main() -> None:
         }
         print(
             f"# phash_pairs: {t1}s -> {tn}s (x{result['phash_pairs']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r15: audio fingerprint — Nx synthetic clips through the Arrow
+    # decode/window stage, a per-clip-bounded JVM window, and one
+    # per-clip agg; clips are the parallelism unit so the ratio must
+    # be ~linear
+    if only is None or "audio_fingerprint" in only:
+        ids_af = read_table(spark, SF_DIR, "documents").select("doc_id")
+
+        def _af_rep(n_copies):
+            parts = [
+                ids_af.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id")
+                )
+                for i in range(n_copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return ops.synth_wav_polarity_column(out, group_size=2)
+
+        t1 = timed(ops.audio_fingerprint(_af_rep(1), window_samples=8))
+        tn = timed(ops.audio_fingerprint(_af_rep(n), window_samples=8))
+        result["audio_fingerprint"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# audio_fingerprint: {t1}s -> {tn}s "
+            f"(x{result['audio_fingerprint']['ratio']})",
             file=sys.stderr,
         )
 
