@@ -4688,7 +4688,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5-round bound the moment r16 lands and must fill the r16
     # window, capping r16's new+changed lead at 7; the 41 r11-era
     # rows then own the r17 fillers. test_staleness_policy enforces
-    # this mechanically.
+    # this mechanically. Round 15 added FIVE new queries after its
+    # window froze (sim_eval_contamination, mm_image_phash_pairs,
+    # quality_domain_reweight, dedup_cluster_split,
+    # mm_audio_fingerprint_dedup) — they are the r16 lead, 5 of the
+    # 7-slot cap; only 2 slots remain for r16 changes, so prefer r16
+    # fixes that land inside these five (or inside r16-new queries).
     # r15 window (first 50): the TEN r14-new queries lead (they froze
     # out of the r14 window by design — the r14 budget note), plus ONE
     # r15-new query (dedup_semdedup — 11 of the 13-slot cap; the four
