@@ -230,6 +230,61 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
     ).collect()[0]["m"]
     print(f"[13] soft-dedup training mass {mass} over {n0} docs")
 
+    # 14. SEMANTIC dedup (round 15): SemDeDup end-to-end over the
+    # embedding table — k-means cells, within-cell exact cosine,
+    # connected components, keep ONE representative per semantic group
+    from graph_etl_spark.operators import semantic_dedup_survivors
+
+    sem = semantic_dedup_survivors(
+        emb, k=8, max_iter=2, threshold=0.95, max_cell_size=150
+    )
+    n_sem_kept = sem.filter("keep").count()
+    print(
+        f"[14] SemDeDup: {n_sem_kept} semantic representatives of "
+        f"{emb.count()} vectors"
+    )
+
+    # 15. LEAKAGE-FREE split (round 15): near-dup clusters move to
+    # train/val/test as a UNIT — a test doc can never have a near-copy
+    # in train (contrast stage 9's per-id split)
+    from graph_etl_spark.operators import cluster_split
+
+    csplit = {
+        r["split"]: r["n"]
+        for r in cluster_split(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(csplit.values()) == n0, csplit
+    print(f"[15] leakage-free cluster split {csplit}")
+
+    # 16. EVAL CONTAMINATION + MIXTURE WEIGHTS (round 15): audit a
+    # benchmark slice (first 20 vectors) against the train corpus in
+    # embedding space, and compute DoReMi-style per-domain mixture
+    # weights from the corpus's own LM signal
+    from graph_etl_spark.operators import (
+        domain_reweight,
+        embedding_contamination,
+    )
+
+    cont = embedding_contamination(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        threshold=0.95,
+    )
+    n_cont = cont.filter("contaminated").count()
+    dw = {
+        r["source"]: r["weight"]
+        for r in domain_reweight(
+            docs, train_df=hash_sample(docs, permille=500, salt="lm")
+        ).collect()
+    }
+    print(
+        f"[16] eval contamination {n_cont}/20 flagged; "
+        f"mixture weights {dw}"
+    )
+
     if own_session:
         spark.stop()
     print("corpus curation demo complete")
@@ -252,6 +307,10 @@ def main(spark=None, sf_dir: str | None = None) -> dict:
         "lines_removed": int(ld_stats["removed"]),
         "head_docs": n_heads,
         "soft_mass": float(mass),
+        "semantic_kept": n_sem_kept,
+        "cluster_splits": csplit,
+        "contaminated_evals": n_cont,
+        "mixture_weights": dw,
     }
 
 

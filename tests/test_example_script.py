@@ -81,3 +81,17 @@ def test_example_corpus_curation_end_to_end(spark):
     assert 0 < out["soft_mass"] <= out["docs_in"]
     assert out["masked_sources"] >= 1
 
+
+
+def test_example_curation_round15_stages(spark):
+    """Round-15 stages report coherent results: semantic survivors are
+    a nonempty subset of the vectors; the cluster split partitions the
+    corpus; contamination flags are bounded by the eval slice; the
+    mixture weights form a simplex."""
+    mod = _load_example("corpus_curation.py")
+    out = mod.main(spark=spark, sf_dir="/root/testdata/sf0.001")
+    assert 0 < out["semantic_kept"]
+    assert sum(out["cluster_splits"].values()) == out["docs_in"]
+    assert 0 <= out["contaminated_evals"] <= 20
+    w = out["mixture_weights"]
+    assert w and abs(sum(w.values()) - 1.0) < 1e-4
