@@ -6235,9 +6235,13 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY query_id ORDER BY cos DESC, tid DESC) AS rn
           FROM scored
         )
-        SELECT query_id, cos AS max_cos_sim, tid AS nearest_train_id,
-               cos >= 0.999 AS contaminated
-        FROM best WHERE rn = 1
+        -- LEFT JOIN from the eval set: an eval vector with no
+        -- scoreable pair keeps its row (NULL max, contaminated false)
+        SELECT e.vec_id AS query_id, b.cos AS max_cos_sim,
+               b.tid AS nearest_train_id,
+               COALESCE(b.cos >= 0.999, FALSE) AS contaminated
+        FROM ev e LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          ON e.vec_id = b.query_id
     """
 
     # Verdict oracle: the Spark query computes aggregate IVF recall vs

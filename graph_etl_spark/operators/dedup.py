@@ -1436,30 +1436,21 @@ def cluster_split(
     split label is a map-side expression on the cluster id. Same
     shuffle classes as ``soft_dedup_weights``."""
     from .graph import dedup_clusters
+    from .quality import dataset_split
 
-    ratios = dict(ratios_permille or {"train": 900, "val": 50, "test": 50})
-    if sum(ratios.values()) != 1000:
-        raise ValueError(f"ratios_permille must sum to 1000, got {ratios}")
     pairs = minhash_lsh_pairs(
         df, num_perm=num_perm, bands=bands, id_col=id_col, text_col=text_col
     )
     clusters = dedup_clusters(pairs, df.select(id_col), id_col=id_col)
-    bucket = F.pmod(
-        h56(F.concat(F.lit(salt), F.col("cluster_id").cast("string"))),
-        F.lit(1000),
+    # the assignment IS dataset_split, keyed on the cluster id — one
+    # formula, one validation, impossible to drift apart
+    return dataset_split(
+        clusters,
+        ratios_permille=ratios_permille,
+        id_col="cluster_id",
+        salt=salt,
+        out=out,
     )
-    expr = None
-    lo = 0
-    for name, width in ratios.items():  # insertion order = range order
-        hi = lo + width
-        cond = bucket < hi if expr is None else (bucket >= lo) & (bucket < hi)
-        expr = (
-            F.when(cond, F.lit(name))
-            if expr is None
-            else expr.when(cond, F.lit(name))
-        )
-        lo = hi
-    return clusters.withColumn(out, expr)
 
 
 def semantic_dedup_survivors(

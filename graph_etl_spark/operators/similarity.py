@@ -127,25 +127,36 @@ def embedding_contamination(
     state at n_eval rows per partition with no sort of the stream).
     The exchange then carries partitions × n_eval 3-field rows and
     the final struct-max aggregates that tiny set. No window over the
-    corpus, no corpus shuffle. Zero-norm rows (NaN cosine) are
-    dropped as in every exact cosine path."""
+    corpus, no corpus shuffle. Zero-norm pairs (NaN cosine) are
+    dropped from SCORING as in every exact cosine path, but the
+    one-row-per-eval contract survives them: an eval vector with no
+    scoreable pair (zero-norm embedding, or an empty train corpus)
+    still emits its row with NULL max/nearest and
+    ``contaminated = false`` — an audit that silently shrinks its
+    output is how a contaminated eval slips through."""
     q = eval_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     ).withColumn("__qn", norm(F.col("__qvec")))
     d = fan_out(train).select(
         F.col(id_col).alias("__tid"), F.col(vec_col).alias("__dvec")
     ).withColumn("__dn", norm(F.col("__dvec")))
+    # zero-norm guard BEFORE the division: Spark's 0/0 is NULL on
+    # non-ANSI sessions (not IEEE NaN — isnan() would leak it) and a
+    # DIVIDE_BY_ZERO error on ANSI ones; the when() keeps the division
+    # unevaluated for zero denominators in both modes
+    den = F.col("__qn") * F.col("__dn")
     scored = (
         d.crossJoin(F.broadcast(q))
         .withColumn(
             "__cos",
-            F.round(
-                dot(F.col("__qvec"), F.col("__dvec"))
-                / (F.col("__qn") * F.col("__dn")),
-                round_to,
+            F.when(
+                den > 0,
+                F.round(
+                    dot(F.col("__qvec"), F.col("__dvec")) / den, round_to
+                ),
             ),
         )
-        .filter(~F.isnan("__cos"))
+        .filter(F.col("__cos").isNotNull() & ~F.isnan("__cos"))
         .select("query_id", "__tid", "__cos")
     )
     out_schema = scored.schema
@@ -169,11 +180,17 @@ def embedding_contamination(
     best = part.groupBy("query_id").agg(
         F.max(F.struct(F.col("__cos"), F.col("__tid"))).alias("__best")
     )
-    return best.select(
-        "query_id",
-        F.col("__best.__cos").alias("max_cos_sim"),
-        F.col("__best.__tid").alias("nearest_train_id"),
-        (F.col("__best.__cos") >= float(threshold)).alias("contaminated"),
+    return (
+        q.select("query_id")
+        .join(best, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("__best.__cos").alias("max_cos_sim"),
+            F.col("__best.__tid").alias("nearest_train_id"),
+            F.coalesce(
+                F.col("__best.__cos") >= float(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
     )
 
 

@@ -512,6 +512,10 @@ class HadoopFsLister:
                 )
                 return bytes(data).decode("utf-8")
             except Exception:
+                # toByteArray may have consumed part of the stream —
+                # rewind before the byte-loop or the fallback would
+                # return tail-only content (FSDataInputStream.seek)
+                stream.seek(0)
                 out = bytearray()
                 b = stream.read()
                 while b >= 0:
@@ -627,7 +631,12 @@ def compact_cdc_index(
             "version is the readers' source of truth and cannot be pruned"
         )
     idx_dir = _cdc_index_dir(chunk_dir, index_dir)
+    # per-directory lister resolution: chunk_dir and an explicit
+    # index_dir may live on DIFFERENT filesystems (s3a chunks + local
+    # index and vice versa) — routing index maintenance through the
+    # chunk dir's scheme would write _graft_meta.json to the wrong FS
     fs = cdc_fs_lister(chunk_dir, spark, lister)
+    idx_fs = cdc_fs_lister(idx_dir, spark, lister)
     prior_idx, high_water, version = _latest_cdc_index(
         spark, idx_dir, lister=lister
     )
@@ -669,7 +678,7 @@ def compact_cdc_index(
     new_version = version + 1
     out = os.path.join(idx_dir, f"version={new_version}")
     merged.write.mode("overwrite").parquet(out)
-    fs.write_text(
+    idx_fs.write_text(
         os.path.join(out, "_graft_meta.json"),
         json.dumps({"high_water": int(up_to_batch)}),
     )
@@ -677,16 +686,19 @@ def compact_cdc_index(
     # the guard above — [:-k] with k=0 would silently keep everything)
     versions = sorted(
         int(n.split("=", 1)[1])
-        for n in fs.list(idx_dir)
+        for n in idx_fs.list(idx_dir)
         if n.startswith("version=") and n.split("=", 1)[1].isdigit()
     )
     for v in versions[:-int(keep_versions)]:
-        fs.remove_dir(os.path.join(idx_dir, f"version={v}"))
+        idx_fs.remove_dir(os.path.join(idx_dir, f"version={v}"))
     return {"version": new_version, "high_water": int(up_to_batch), "wrote": True}
 
 
 def prune_cdc_raw(
-    chunk_dir: str, index_dir: str | None = None, lister=None
+    chunk_dir: str,
+    index_dir: str | None = None,
+    lister=None,
+    spark=None,
 ) -> list[int]:
     """Delete raw ``batch_id=N`` dirs already folded into the newest
     COMPLETE compact index (N <= its high water) — the retention step
@@ -700,19 +712,24 @@ def prune_cdc_raw(
 
     Returns the pruned batch ids. Never touches dirs above the high
     water (not yet folded) and is a no-op without a complete index.
-    All FS traffic goes through the lister (``cdc_fs_lister``) — pass
-    a ``HadoopFsLister`` (or any mock) for object-store layouts."""
+    All FS traffic goes through per-directory listers
+    (``cdc_fs_lister``): pass ``spark`` so scheme-qualified paths
+    auto-route through the Hadoop FS (without it an ``s3a://`` path
+    would silently list as empty and prune NOTHING), or inject a
+    lister directly (tests, exotic stores). chunk_dir and an explicit
+    index_dir may live on different filesystems."""
     import json
     import os
 
     idx_dir = _cdc_index_dir(chunk_dir, index_dir)
-    fs = cdc_fs_lister(chunk_dir, None, lister)
+    fs = cdc_fs_lister(chunk_dir, spark, lister)
+    idx_fs = cdc_fs_lister(idx_dir, spark, lister)
     # meta-only scan: reuse the version listing without reading data
     best_hw = -1
-    for name in fs.list(idx_dir):
+    for name in idx_fs.list(idx_dir):
         meta_path = os.path.join(idx_dir, name, "_graft_meta.json")
-        if name.startswith("version=") and fs.is_file(meta_path):
-            best_hw = max(best_hw, int(json.loads(fs.read_text(meta_path))["high_water"]))
+        if name.startswith("version=") and idx_fs.is_file(meta_path):
+            best_hw = max(best_hw, int(json.loads(idx_fs.read_text(meta_path))["high_water"]))
     pruned = []
     if best_hw < 0:
         return pruned

@@ -461,3 +461,52 @@ def test_audio_fingerprint_polarity_invariant(spark):
     )
     row = ops.audio_fingerprint(tiny, window_samples=8).collect()[0]
     assert row["n_windows"] == 1 and row["fingerprint"] == 0
+
+
+def test_contamination_zero_norm_eval_keeps_its_row(spark):
+    """Code-review r15: an eval vector with NO scoreable pair (all-zero
+    embedding -> NaN cosine everywhere) still emits its audit row with
+    NULL max/nearest and contaminated=false — the output never shrinks
+    below the eval set."""
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [(10, [2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["query_id"]: r
+        for r in ops.embedding_contamination(train, ev, threshold=0.9).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["contaminated"] and out[1]["max_cos_sim"] == 1.0
+    z = out[2]
+    assert z["max_cos_sim"] is None and z["nearest_train_id"] is None
+    assert z["contaminated"] is False
+    # empty train corpus: every eval row survives, none contaminated
+    empty = train.filter("vec_id < 0")
+    rows = ops.embedding_contamination(empty, ev).collect()
+    assert len(rows) == 2 and not any(r["contaminated"] for r in rows)
+
+
+def test_cdc_lister_scheme_routing(spark):
+    """Code-review r15: cdc_fs_lister routes scheme-qualified paths
+    through the Hadoop FS (given spark), bare/file: paths through os;
+    an explicit lister always wins; prune_cdc_raw accepts spark so
+    object-store paths can auto-route instead of silently no-opping."""
+    import inspect
+
+    from graph_etl_spark.streaming import (
+        HadoopFsLister,
+        LocalFsLister,
+        cdc_fs_lister,
+        prune_cdc_raw,
+    )
+
+    assert isinstance(cdc_fs_lister("/tmp/x", spark), LocalFsLister)
+    assert isinstance(cdc_fs_lister("file:/tmp/x", spark), LocalFsLister)
+    assert isinstance(cdc_fs_lister("s3a://b/chunks", spark), HadoopFsLister)
+    marker = object()
+    assert cdc_fs_lister("s3a://b/chunks", spark, marker) is marker
+    assert "spark" in inspect.signature(prune_cdc_raw).parameters
