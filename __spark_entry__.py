@@ -11581,8 +11581,8 @@ def oracle_sql() -> dict[str, str]:
           FROM en
         ), fp AS (
           SELECT doc_id, COUNT(*)::INT AS n_windows,
-                 COALESCE(SUM(CASE WHEN up AND window_idx <= 63
-                          THEN (1::BIGINT << (window_idx - 1))
+                 COALESCE(bit_xor(CASE WHEN up
+                          THEN (1::BIGINT << ((window_idx - 1) % 63))
                           ELSE 0 END), 0)::BIGINT AS fingerprint
           FROM delta GROUP BY doc_id
         )

@@ -666,16 +666,22 @@ def audio_fingerprint(
     """ENERGY-DELTA audio fingerprint — the Shazam-family idea reduced
     to its exact-integer core: window the clip, compute per-window
     energy Σs² (exact int64, via the existing ``audio_window_features``
-    Arrow stage), and pack the SIGNS of successive energy deltas
-    (bit w-1 set iff e_w > e_{w-1}, first 63 deltas) into one long.
-    PROVABLY invariant to polarity inversion (energy is sign-blind)
-    and robust to constant gain in the direction production
-    fingerprints care about — the compact key for exact/near
-    re-encode audio dedup.
+    Arrow stage), and pack the SIGNS of successive energy deltas into
+    one long: delta w toggles bit (w-1) mod 63 (XOR fold), so the
+    first 63 deltas land on distinct bits exactly as a plain pack and
+    every later delta still CONTRIBUTES — two long clips that agree on
+    their first 63 deltas but diverge later no longer collide into one
+    dedup group (code-review r15: the silent false-merge on >64-window
+    clips). PROVABLY invariant to polarity inversion (energy is
+    sign-blind) and robust to constant gain in the direction
+    production fingerprints care about — the compact key for
+    exact/near re-encode audio dedup.
 
     Output: one row per decodable clip — (id, n_windows, fingerprint);
     dedup groups key on (n_windows, fingerprint) so clips of
-    different length never collide through the zero-pad.
+    different length never collide through the zero-pad, and the XOR
+    fold stays injective per delta GIVEN equal n_windows (two equal-
+    length clips collide only on a genuine 63-bit toggle collision).
 
     Scale: decode + window is the one Arrow stage (clip-bounded
     state); the delta/pack stage is a JVM window over
@@ -694,11 +700,15 @@ def audio_fingerprint(
     )
     return delta.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_windows"),
+        # XOR fold: bit (window_idx - 1) % 63 per up-delta — identical
+        # to the plain sum-of-distinct-bits pack for the first 63
+        # deltas (XOR of disjoint bits IS their sum), and later deltas
+        # toggle instead of vanishing
         F.coalesce(
-            F.sum(
+            F.bit_xor(
                 F.when(
-                    F.col("__up") & (F.col("window_idx") <= 63),
-                    F.expr("shiftleft(1L, window_idx - 1)"),
+                    F.col("__up"),
+                    F.expr("shiftleft(1L, (window_idx - 1) % 63)"),
                 ).otherwise(F.lit(0).cast("long"))
             ),
             F.lit(0).cast("long"),

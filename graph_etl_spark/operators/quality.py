@@ -2855,6 +2855,12 @@ def domain_reweight(
     map-side-combinable agg keyed by domain, then two 1-row broadcast
     scalars over the domains-sized frame. Nothing beyond the LM
     stage is corpus-shuffled."""
+    if float(temperature) <= 0:
+        raise ValueError(
+            f"domain_reweight: temperature must be > 0 (got {temperature}) — "
+            f"t=0 divides by zero and negative t silently inverts the "
+            f"up/down-weighting; temperature → ∞ recovers natural shares"
+        )
     scored = trigram_perplexity(
         df, lam3=lam3, lam2=lam2, id_col=id_col, text_col=text_col,
         train_df=train_df,

@@ -103,6 +103,7 @@ def embedding_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    max_eval_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-level EVAL-SET CONTAMINATION audit: for every
     benchmark/eval vector, the maximum cosine similarity against the
@@ -114,29 +115,57 @@ def embedding_contamination(
 
     Output: one row per eval vector — (query_id, max_cos_sim,
     nearest_train_id, contaminated). Ties on the max break to the
-    LARGEST train id (lexicographic struct max — deterministic on any
-    engine; the flag and max are tie-invariant).
+    LARGEST train id (lexicographic (cos, id) max — deterministic on
+    any engine; the flag and max are tie-invariant).
 
     Scale: the eval side is broadcast (benchmarks are thousands of
-    rows, not corpora); the train corpus STREAMS map-side through one
-    scan, scoring stays JVM-side, and each map partition reduces its
-    candidates to ONE row per eval query (the
-    ``brute_force_topk_scale`` Arrow partial-reduction shape with
-    k=1 — a JVM struct-max would be a SortAggregate that sorts the
-    whole scored stream map-side; the running pandas argmax keeps
-    state at n_eval rows per partition with no sort of the stream).
-    The exchange then carries partitions × n_eval 3-field rows and
-    the final struct-max aggregates that tiny set. No window over the
-    corpus, no corpus shuffle. Zero-norm pairs (NaN cosine) are
-    dropped from SCORING as in every exact cosine path, but the
-    one-row-per-eval contract survives them: an eval vector with no
-    scoreable pair (zero-norm embedding, or an empty train corpus)
-    still emits its row with NULL max/nearest and
+    rows, not corpora — ``max_eval_rows`` makes that CONTRACTUAL: a
+    distributed count gates the broadcast and raises when a
+    corpus-sized frame is passed as the eval side, the
+    ``markov_steady_state`` boundedness-gate precedent; ``None``
+    disables the extra job for callers that know). The train corpus
+    STREAMS map-side through ONE scan and the per-eval max runs
+    entirely JVM-side as a single hash aggregation: the rounded
+    cosine and the train id pack losslessly into one DECIMAL(38,0) —
+    packed = (round(cos·10^r) + 10^r)·2^64 + (tid + 2^63), order-
+    isomorphic to (cos, tid) — so ``max(packed)`` is a plain
+    map-side-combining HashAggregate (mutable fixed-width buffer; no
+    SortAggregate sort of the scored stream, no Arrow round-trip of
+    n_train × n_eval rows through Python — the r15 mapInPandas argmax
+    this replaces serialized exactly that). The exchange carries
+    partitions × n_eval packed rows; unpacking runs on the n_eval
+    result. No window over the corpus, no corpus shuffle. Zero-norm
+    pairs (NaN cosine) are dropped from SCORING as in every exact
+    cosine path, but the one-row-per-eval contract survives them: an
+    eval vector with no scoreable pair (zero-norm embedding, or an
+    empty train corpus) still emits its row with NULL max/nearest and
     ``contaminated = false`` — an audit that silently shrinks its
     output is how a contaminated eval slips through."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        train.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        raise ValueError(
+            f"embedding_contamination: train id column {id_col!r} must be "
+            f"integral (got {train.schema[id_col].dataType.simpleString()}) — "
+            f"the JVM-side max packs (cos, id) into one decimal; hash or "
+            f"dense-rank string ids first (negative_samples' index pattern)"
+        )
     q = eval_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     ).withColumn("__qn", norm(F.col("__qvec")))
+    if max_eval_rows is not None:
+        n_eval = q.count()
+        if n_eval > int(max_eval_rows):
+            raise ValueError(
+                f"embedding_contamination: eval_df has {n_eval} rows, over "
+                f"max_eval_rows={max_eval_rows} — the eval side is broadcast "
+                f"to every executor, so a corpus-sized frame here melts the "
+                f"driver; swap the sides (audit the smaller set), pre-sample, "
+                f"or raise/disable the gate if the broadcast is truly intended"
+            )
     d = fan_out(train).select(
         F.col(id_col).alias("__tid"), F.col(vec_col).alias("__dvec")
     ).withColumn("__dn", norm(F.col("__dvec")))
@@ -159,36 +188,49 @@ def embedding_contamination(
         .filter(F.col("__cos").isNotNull() & ~F.isnan("__cos"))
         .select("query_id", "__tid", "__cos")
     )
-    out_schema = scored.schema
-
-    def local_best(batches):
-        import pandas as pd
-
-        acc = None
-        for pdf in batches:
-            both = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
-            # same order as the final struct-max: cos desc, tid desc
-            both = both.sort_values(
-                ["query_id", "__cos", "__tid"],
-                ascending=[True, False, False],
-            )
-            acc = both.groupby("query_id", sort=False).head(1)
-        if acc is not None and len(acc):
-            yield acc
-
-    part = scored.mapInPandas(local_best, out_schema)
-    best = part.groupBy("query_id").agg(
-        F.max(F.struct(F.col("__cos"), F.col("__tid"))).alias("__best")
+    # lossless order-isomorphic pack of (rounded cos, tid) into ONE
+    # decimal(38,0): cos is already rounded to `round_to` decimals, so
+    # round(cos·10^r) is a small exact integer; shifting it above the
+    # 2^64 id space and offsetting both parts non-negative makes
+    # numeric max = lexicographic (cos desc, tid desc) max. A plain
+    # max over a fixed-width decimal hash-aggregates with map-side
+    # combine — the whole reduction stays in whole-stage codegen.
+    sc = 10 ** int(round_to)
+    two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")
+    off_t = F.expr("CAST('9223372036854775808' AS DECIMAL(38,0))")
+    cos_prec = len(str(2 * sc)) + 1
+    packed = (
+        (F.round(F.col("__cos") * F.lit(float(sc)), 0).cast("long") + F.lit(sc))
+        .cast(f"decimal({cos_prec},0)")
+        * two64
+        + (F.col("__tid").cast("decimal(20,0)") + off_t)
+    ).cast("decimal(38,0)")
+    best = (
+        scored.select("query_id", packed.alias("__p"))
+        .groupBy("query_id")
+        .agg(F.max("__p").alias("__best"))
+    )
+    tid_off = F.pmod(F.col("__best"), two64)
+    unpacked = best.select(
+        "query_id",
+        (
+            ((F.col("__best") - tid_off) / two64).cast("long") - F.lit(sc)
+        ).alias("__scaled"),
+        (tid_off - off_t).cast("long").alias("__tid"),
     )
     return (
         q.select("query_id")
-        .join(best, "query_id", "left")
+        .join(unpacked, "query_id", "left")
         .select(
             "query_id",
-            F.col("__best.__cos").alias("max_cos_sim"),
-            F.col("__best.__tid").alias("nearest_train_id"),
+            (F.col("__scaled").cast("double") / F.lit(float(sc))).alias(
+                "max_cos_sim"
+            ),
+            F.col("__tid").alias("nearest_train_id"),
             F.coalesce(
-                F.col("__best.__cos") >= float(threshold), F.lit(False)
+                F.col("__scaled").cast("double") / F.lit(float(sc))
+                >= float(threshold),
+                F.lit(False),
             ).alias("contaminated"),
         )
     )

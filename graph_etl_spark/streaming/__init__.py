@@ -541,13 +541,26 @@ class HadoopFsLister:
 
 def cdc_fs_lister(path: str, spark=None, lister=None):
     """Resolve the lister for a CDC directory: an explicit ``lister``
-    wins (tests inject mocks here); a scheme-qualified non-local path
-    takes the Hadoop FS route; bare paths stay on ``os``."""
+    wins (tests inject mocks here); ANY scheme-qualified path —
+    including ``file:`` — takes the Hadoop FS route (code-review r15:
+    ``os.path.isdir('file:/x')`` is False, so handing a file: URI to
+    the local lister silently listed it as empty, the exact no-op
+    failure this router exists to prevent); bare paths stay on ``os``.
+    A scheme-qualified path with NEITHER spark NOR a lister raises
+    instead of silently no-opping (code-review r15 on
+    ``prune_cdc_raw``): maintenance that quietly prunes/compacts
+    nothing is worse than one loud error."""
     if lister is not None:
         return lister
-    if spark is not None and "://" in path and not path.startswith("file:"):
+    if "://" not in path and not path.startswith("file:"):
+        return LocalFsLister()
+    if spark is not None:
         return HadoopFsLister(spark)
-    return LocalFsLister()
+    raise ValueError(
+        f"cdc_fs_lister: scheme-qualified path {path!r} needs `spark` "
+        f"(routes through the Hadoop FileSystem connector) or an explicit "
+        f"`lister` — an os-level scan would silently list it as empty"
+    )
 
 
 def _latest_cdc_index(spark, index_dir: str, lister=None):
@@ -714,10 +727,11 @@ def prune_cdc_raw(
     water (not yet folded) and is a no-op without a complete index.
     All FS traffic goes through per-directory listers
     (``cdc_fs_lister``): pass ``spark`` so scheme-qualified paths
-    auto-route through the Hadoop FS (without it an ``s3a://`` path
-    would silently list as empty and prune NOTHING), or inject a
-    lister directly (tests, exotic stores). chunk_dir and an explicit
-    index_dir may live on different filesystems."""
+    auto-route through the Hadoop FS, or inject a lister directly
+    (tests, exotic stores) — a scheme-qualified path with neither
+    RAISES rather than silently listing empty and pruning nothing
+    (code-review r15). chunk_dir and an explicit index_dir may live
+    on different filesystems."""
     import json
     import os
 

@@ -341,8 +341,11 @@ def test_embedding_contamination_flags_planted_copy(spark):
 
 
 def test_embedding_contamination_no_corpus_window(spark):
-    """Scale posture: the per-eval max is an aggregation (map-side
-    combinable), never a window/top-k over the streamed corpus."""
+    """Scale posture (tightened r16, code-review r15): the per-eval
+    max is ONE JVM hash aggregation over the packed (cos, id) decimal
+    — map-side combining, no window/top-k over the streamed corpus, no
+    SortAggregate sort of the scored stream, and no Arrow round-trip
+    of the n_train x n_eval scored rows through Python."""
     from graph_etl_spark.plans import plan_string
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -351,7 +354,10 @@ def test_embedding_contamination_no_corpus_window(spark):
     )
     p = plan_string(df)
     assert "Window" not in p
-    assert "MapInPandas" in p  # per-partition argmax before any exchange
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in p, py
 
 
 def test_image_phash_pairs_groups_and_stubs(spark):
@@ -491,11 +497,15 @@ def test_contamination_zero_norm_eval_keeps_its_row(spark):
 
 
 def test_cdc_lister_scheme_routing(spark):
-    """Code-review r15: cdc_fs_lister routes scheme-qualified paths
-    through the Hadoop FS (given spark), bare/file: paths through os;
-    an explicit lister always wins; prune_cdc_raw accepts spark so
-    object-store paths can auto-route instead of silently no-opping."""
+    """Code-review r15 (tightened r16): cdc_fs_lister routes EVERY
+    scheme-qualified path — including file: URIs, which os.path.isdir
+    cannot see — through the Hadoop FS when spark is given; bare paths
+    stay on os; an explicit lister always wins; and a scheme-qualified
+    path with neither spark nor lister RAISES instead of silently
+    listing empty (the prune-nothing failure mode)."""
     import inspect
+
+    import pytest
 
     from graph_etl_spark.streaming import (
         HadoopFsLister,
@@ -505,8 +515,14 @@ def test_cdc_lister_scheme_routing(spark):
     )
 
     assert isinstance(cdc_fs_lister("/tmp/x", spark), LocalFsLister)
-    assert isinstance(cdc_fs_lister("file:/tmp/x", spark), LocalFsLister)
+    assert isinstance(cdc_fs_lister("/tmp/x"), LocalFsLister)
+    assert isinstance(cdc_fs_lister("file:/tmp/x", spark), HadoopFsLister)
+    assert isinstance(cdc_fs_lister("file:///tmp/x", spark), HadoopFsLister)
     assert isinstance(cdc_fs_lister("s3a://b/chunks", spark), HadoopFsLister)
     marker = object()
     assert cdc_fs_lister("s3a://b/chunks", spark, marker) is marker
+    assert cdc_fs_lister("file:/tmp/x", None, marker) is marker
+    for bad in ("s3a://b/chunks", "file:/tmp/x"):
+        with pytest.raises(ValueError, match="scheme-qualified"):
+            cdc_fs_lister(bad)
     assert "spark" in inspect.signature(prune_cdc_raw).parameters
