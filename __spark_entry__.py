@@ -4326,6 +4326,49 @@ def q_sim_eval_contamination(spark, sf):
     return ops.embedding_contamination(train, ev, threshold=0.999)
 
 
+def q_mm_image_phash_pairs_wide(spark, sf):
+    """Near-duplicate image pairs over the WIDE 255-bit pHash
+    (round 16, VERDICT r15 #1): block=16 DCT fingerprint packed as 7
+    longs (phash_wide_layout: 37/37/37/36/36/36/36 bits), pigeonhole
+    = one array element per segment, exact Hamming <= 6 as the sum of
+    per-long bit_count(xor). Same brightness-variant fixture as the
+    63-bit query — the 4 variants of each base share every long (AC
+    rows of the k=16 cosine table sum to exactly 0), so the pairs are
+    the within-group hamming-0 triangles; per-segment buckets are
+    2^36-deep instead of 2^9-deep (PHASH_PROBE.json measures the
+    candidate-volume drop). The oracle replays the 16x16 integer DCT
+    and the identical layout from the pixel formula."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    pngs = ops.synth_png_variant_column(d, group_size=4)
+    return ops.image_phash_pairs_wide(pngs, max_hamming=6)
+
+
+def q_sim_clip_filter(spark, sf):
+    """CLIP-score image-text pair alignment filter (round 16, VERDICT
+    r15 #6): per pair the cosine between the paired image/text
+    embeddings, a corpus-percentile threshold from the TWO-PHASE exact
+    global rank (no unpartitioned sort), and the keep flag — the
+    cross-modal curation gate that drops mismatched captions. The
+    fixture pairs every corpus vector with an FP-exact 0.5x copy
+    (cos 1.0) except every 5th, whose text side is the REVERSED
+    embedding (deterministically misaligned); trim_percentile=0.2
+    cuts the bottom fifth. One pair join + one broadcast scalar —
+    no corpus shuffle beyond the rank's bucket exchange."""
+    e = _t(spark, sf, "embeddings")
+    pairs = e.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("img_embedding"),
+        F.when(
+            F.col("vec_id") % 5 == 0, F.reverse("embedding")
+        )
+        .otherwise(
+            F.transform("embedding", lambda x: (x * F.lit(0.5)).cast("float"))
+        )
+        .alias("txt_embedding"),
+    )
+    return ops.clip_score_filter(pairs, trim_percentile=0.2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4681,19 +4724,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_domain_reweight": q_quality_domain_reweight,
         "dedup_cluster_split": q_dedup_cluster_split,
         "mm_audio_fingerprint_dedup": q_mm_audio_fingerprint_dedup,
+        # ---- round-16 NEW queries ----
+        "mm_image_phash_pairs_wide": q_mm_image_phash_pairs_wide,
+        "sim_clip_filter": q_sim_clip_filter,
     }
-    # ROUND-16 BUDGET NOTE (for the next session): once r15 lands,
-    # the staleness histogram becomes {10: 43, 11: 41, 12: 39, 13: 44,
-    # 14: 50, 15: 50} — the 43 remaining r10-era rows breach the
-    # 5-round bound the moment r16 lands and must fill the r16
-    # window, capping r16's new+changed lead at 7; the 41 r11-era
-    # rows then own the r17 fillers. test_staleness_policy enforces
-    # this mechanically. Round 15 added FIVE new queries after its
-    # window froze (sim_eval_contamination, mm_image_phash_pairs,
+    # ROUND-17 BUDGET NOTE (for the next session): once r16 lands,
+    # the staleness histogram becomes {11: 41, 12: 39, 13: 44,
+    # 14: 50, 15: 50, 16: 50} — the 41 r11-era rows breach the
+    # 5-round bound the moment r17 lands and must fill the r17
+    # window, capping r17's new+changed lead at 9; the 39 r12-era
+    # rows then own the r18 fillers. test_staleness_policy enforces
+    # this mechanically.
+    # r16 window (first 50): the FIVE r15-new post-freeze queries
+    # lead (sim_eval_contamination, mm_image_phash_pairs,
     # quality_domain_reweight, dedup_cluster_split,
-    # mm_audio_fingerprint_dedup) — they are the r16 lead, 5 of the
-    # 7-slot cap; only 2 slots remain for r16 changes, so prefer r16
-    # fixes that land inside these five (or inside r16-new queries).
+    # mm_audio_fingerprint_dedup — VERDICT r15 #2; the r16 code
+    # changes to embedding_contamination's JVM-side reduction +
+    # broadcast gate, image_phash_pairs' narrow-segment warning,
+    # domain_reweight's temperature guard, and audio_fingerprint's
+    # XOR fold all land INSIDE these five, costing no extra slots),
+    # plus the TWO r16-new queries (mm_image_phash_pairs_wide —
+    # VERDICT r15 #1 wide pigeonhole; sim_clip_filter — VERDICT r15
+    # #6 cross-modal alignment filter), then ALL 43 r10-era rows at
+    # the staleness ceiling (they breach the 5-round bound the
+    # moment r16 lands). VERDICT r15 #7 (an exact_group_rank helper
+    # shared with ppl_buckets) was deliberately DEFERRED: it was
+    # conditional on r16 touching another per-group ranking op (none
+    # was), and a pure ppl_buckets refactor would demand a re-cert
+    # slot the 7-slot cap cannot spare this round.
     # r15 window (first 50): the TEN r14-new queries lead (they froze
     # out of the r14 window by design — the r14 budget note), plus ONE
     # r15-new query (dedup_semdedup — 11 of the 13-slot cap; the four
@@ -4709,35 +4767,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # self-enforcing staleness test. The r14 window is frozen as the
     # keys of CORRECTNESS_r14.json and still asserted by its own
     # round-aware test.
-    r15_window = [
-        # r14-new lead (10)
-        "dedup_line_dedup", "text_readability", "etl_compaction_plan",
-        "quality_ppl_buckets", "mm_image_phash_dedup",
-        "events_power_analysis", "mm_video_scene_cuts", "events_ab_did",
-        "dedup_soft_weights", "dedup_lsh_recall_curve",
-        # r15-new (1)
-        "dedup_semdedup",
-        # r9-era staleness ceiling — ALL 37 (alphabetical)
-        "etl_zorder_layout", "events_covisitation",
-        "events_enriched_stats", "events_ohlc", "events_ohlc_windowed",
-        "events_session_windows", "events_spike_detection",
-        "events_threshold_crossings", "graph_neighbor_stats",
-        "graph_random_walks", "mm_decode_stub", "mm_frame_sample",
-        "pandas_udf_normalize", "percentiles", "q10_returned_items",
-        "q6_forecast_revenue", "quality_boilerplate_ngrams",
-        "quality_group_percentiles", "quality_hash_sample",
-        "quality_pack_sequences", "quality_pr_curve",
-        "quality_scrub_contact", "quality_winsorize",
-        "set_except_custkeys", "set_intersect_custkeys",
-        "sim_embedding_drift", "sim_embedding_norms", "sim_ranking_eval",
-        "sql_interface_q1", "stream_ingest_admission",
-        "stream_interval_join", "string_funcs", "text_bm25_rank",
-        "text_feature_hashing", "text_fingerprint", "win_lag_lead",
-        "win_rank_funcs",
-        # 2 alphabetical r10-era fillers (pulled forward; r16 owes 43)
-        "approx_heavy_hitters", "approx_quantile_sketch",
+    # (the r15 window is frozen as the keys of CORRECTNESS_r15.json
+    # and asserted by its round-aware test; the static list is gone)
+    r16_window = [
+        # r15-new post-freeze lead (5) — VERDICT r15 #2
+        "sim_eval_contamination", "mm_image_phash_pairs",
+        "quality_domain_reweight", "dedup_cluster_split",
+        "mm_audio_fingerprint_dedup",
+        # r16-new (2)
+        "mm_image_phash_pairs_wide", "sim_clip_filter",
+        # r10-era staleness ceiling — ALL 43 (alphabetical)
+        "cube_agg", "dedup_containment_pairs", "dedup_exact_groups",
+        "dedup_ngram_jaccard_pairs", "dedup_simhash_pairs",
+        "etl_automap_j2", "etl_chunk_counts", "etl_fk_orphans",
+        "etl_key_skew_report", "etl_remap_j1", "events_funnel_windowed",
+        "events_gap_fill", "events_rfm_segments",
+        "events_seasonal_anomaly", "events_seasonal_profile",
+        "graph_degrees", "graph_link_prediction", "graph_node2vec_walks",
+        "graph_pagerank", "graph_personalized_pagerank",
+        "json_extract_events", "mm_audio_features", "mm_audio_windows",
+        "mm_decode_real", "mm_video_frames", "moving_avg",
+        "pivot_status", "q1_pricing_summary", "quality_negative_samples",
+        "quality_ppl_gate", "quality_quantile_normalize", "sim_l2_topk",
+        "sim_maxsim_topk", "sim_mips_topk", "sim_quantize_int8",
+        "text_lang_id", "text_llr_collocations", "text_rake_keywords",
+        "text_textrank_keywords", "text_token_stats", "text_zipf_fit",
+        "topk_orders", "win_running_total",
     ]
-    ordered = {k: registry[k] for k in r15_window}
+    ordered = {k: registry[k] for k in r16_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
     return {name: _scoped(fn) for name, fn in ordered.items()}
 
@@ -11491,22 +11548,31 @@ def oracle_sql() -> dict[str, str]:
     # cosine table the operator multiplies by (literal int values from
     # the shared phash_cos_table), separable two-stage sums, 8x8 block
     # minus DC, lower median (rn 32 of 63), 63-bit pack.
-    from graph_etl_spark.operators.multimodal import phash_cos_table
-
-    _ph_tab = phash_cos_table(32, 8)
-    _ph_vals = ", ".join(
-        f"({u}, {x}, {c})"
-        for u, row in enumerate(_ph_tab)
-        for x, c in enumerate(row)
+    from graph_etl_spark.operators.multimodal import (
+        phash_cos_table,
+        phash_wide_layout,
     )
-    # shared pHash CTE chain (through `hashes`): reused verbatim by
-    # the dedup grouping oracle and the r15 hamming-pairs oracle
-    _ph_chain = f"""b AS (
+
+    def _ph_chain_core(k: int) -> str:
+        """pHash replay CTE chain through `med` for a k×k DCT block:
+        the synthetic pixel formula on the 32×32 nearest grid, the
+        exact integer separable DCT against the shared fixed-point
+        cosine table, flat AC index u·k+v, lower median at
+        rn (k²−2)//2 + 1. k=8 feeds the 63-bit single-long oracles;
+        k=16 the wide array-of-longs one (round 16)."""
+        tab = phash_cos_table(32, k)
+        vals = ", ".join(
+            f"({u}, {x}, {c})"
+            for u, row in enumerate(tab)
+            for x, c in enumerate(row)
+        )
+        rn_med = (k * k - 2) // 2 + 1
+        return f"""b AS (
           SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS shift,
                  8 + (doc_id // 4) % 9 AS w,
                  8 + ((doc_id // 4) // 9) % 9 AS h
           FROM documents
-        ), ct(u, x, c) AS (VALUES {_ph_vals}),
+        ), ct(u, x, c) AS (VALUES {vals}),
         s AS (
           SELECT b.doc_id, gy.i AS gy, gx.i AS gx,
                  (gy.i * b.h) // 32 AS sy, (gx.i * b.w) // 32 AS sx
@@ -11525,15 +11591,19 @@ def oracle_sql() -> dict[str, str]:
           FROM s1 JOIN ct cx ON cx.x = s1.gx
           GROUP BY s1.doc_id, s1.u, cx.u
         ), flat AS (
-          SELECT doc_id, u * 8 + v AS i, coeff
-          FROM coeffs WHERE u * 8 + v >= 1
+          SELECT doc_id, u * {k} + v AS i, coeff
+          FROM coeffs WHERE u * {k} + v >= 1
         ), med AS (
           SELECT doc_id, coeff AS m FROM (
             SELECT doc_id, coeff,
                    row_number() OVER (
                      PARTITION BY doc_id ORDER BY coeff) AS rn
-            FROM flat) WHERE rn = 32
-        ), hashes AS (
+            FROM flat) WHERE rn = {rn_med}
+        )"""
+
+    # shared k=8 pHash CTE chain (through `hashes`): reused verbatim
+    # by the dedup grouping oracle and the r15 hamming-pairs oracle
+    _ph_chain = f"""{_ph_chain_core(8)}, hashes AS (
           SELECT flat.doc_id,
                  SUM(CASE WHEN flat.coeff > med.m
                           THEN 1::BIGINT << (flat.i - 1)
@@ -11556,6 +11626,78 @@ def oracle_sql() -> dict[str, str]:
                bit_count(xor(a.phash, b.phash))::INT AS hamming
         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """
+
+    # WIDE 255-bit pHash pairs (round 16): the k=16 replay packed by
+    # the SHARED phash_wide_layout into 7 longs (one per pigeonhole
+    # segment); exact Hamming = per-long bit_count(xor) summed. The
+    # oracle's per-long equi-join mirrors the operator's fingerprint
+    # layout but may go all-pairs at this scale.
+    _w_widths = phash_wide_layout(255, 7)
+    _w_offs, _o = [], 0
+    for _w in _w_widths:
+        _w_offs.append(_o)
+        _o += _w
+    _seg_vals = ", ".join(
+        f"({j}, {lo}, {w})"
+        for j, (lo, w) in enumerate(zip(_w_offs, _w_widths))
+    )
+    sql["mm_image_phash_pairs_wide"] = f"""
+        WITH {_ph_chain_core(16)},
+        seg(j, lo, w) AS (VALUES {_seg_vals}),
+        packed AS (
+          SELECT flat.doc_id, seg.j,
+                 SUM(CASE WHEN flat.coeff > med.m
+                          THEN 1::BIGINT << (flat.i - 1 - seg.lo)
+                          ELSE 0 END)::BIGINT AS val
+          FROM flat JOIN med USING (doc_id)
+          JOIN seg ON flat.i - 1 >= seg.lo AND flat.i - 1 < seg.lo + seg.w
+          GROUP BY flat.doc_id, seg.j
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(bit_count(xor(a.val, b.val)))::INT AS hamming
+        FROM packed a JOIN packed b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING SUM(bit_count(xor(a.val, b.val))) <= 6
+    """
+
+    # CLIP-score image-text alignment filter (round 16): the fixture's
+    # paired text side is the reversed embedding on every 5th vector
+    # and an FP-exact 0.5x copy otherwise; cosine at 4dp, the exact
+    # lower-interpolation percentile threshold, keep = score >= thr
+    # (NULL-score rows keep their row, keep = false).
+    sql["sim_clip_filter"] = """
+        WITH prs AS (
+          SELECT vec_id AS pair_id,
+                 embedding::DOUBLE[] AS img,
+                 CASE WHEN vec_id % 5 = 0
+                      THEN list_reverse(embedding::DOUBLE[])
+                      ELSE list_transform(
+                        embedding, x -> (x * 0.5::DOUBLE)::FLOAT)::DOUBLE[]
+                 END AS txt
+          FROM embeddings
+        ), scored AS (
+          SELECT pair_id,
+                 CASE WHEN sqrt(list_dot_product(img, img))
+                           * sqrt(list_dot_product(txt, txt)) > 0
+                      THEN ROUND(list_dot_product(img, txt)
+                           / (sqrt(list_dot_product(img, img))
+                              * sqrt(list_dot_product(txt, txt))), 4)
+                 END AS clip_score
+          FROM prs
+        ), nn AS (
+          SELECT clip_score,
+                 row_number() OVER (ORDER BY clip_score, pair_id) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM scored WHERE clip_score IS NOT NULL
+        ), thr AS (
+          SELECT MAX(CASE WHEN rn = floor(0.2 * (n - 1))::BIGINT + 1
+                          THEN clip_score END) AS t
+          FROM nn
+        )
+        SELECT pair_id, clip_score, t AS threshold,
+               COALESCE(clip_score >= t, FALSE) AS keep
+        FROM scored, thr
     """
 
     # Audio fingerprint dedup: replay the polarity fixture's sample

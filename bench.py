@@ -273,6 +273,10 @@ HEADLINE = [
     "quality_domain_reweight",
     "dedup_cluster_split",
     "mm_audio_fingerprint_dedup",
+    # round-16: wide 255-bit pHash pigeonhole pairs, CLIP-score
+    # image-text alignment filter
+    "mm_image_phash_pairs_wide",
+    "sim_clip_filter",
 ]
 
 

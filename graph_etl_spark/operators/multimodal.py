@@ -1301,13 +1301,30 @@ def image_phash_pairs(
     Scale: fingerprints (id + one long) shuffle, never pixels; per
     segment bucket the expected candidates grow as
     N²/2^(bits/(max_hamming+1)) — at web-crawl image counts widen the
-    fingerprint (sample/block up) before narrowing the distance."""
+    fingerprint BEFORE narrowing the distance:
+    ``image_phash_pairs_wide`` runs the same pigeonhole over a
+    255-bit (block=16) array-of-longs fingerprint whose segments are
+    36-37 bits each, so the narrow-segment warning below never
+    applies to it (VERDICT r15 #1; candidate-volume A/B in
+    ``PHASH_PROBE.json``)."""
+    n_seg = int(max_hamming) + 1
+    if int(bits) // n_seg < 12:
+        import warnings
+
+        warnings.warn(
+            f"image_phash_pairs: {bits}-bit hash over {n_seg} pigeonhole "
+            f"segments leaves ~{int(bits) // n_seg}-bit buckets — expected "
+            f"candidates grow as N²/2^{int(bits) // n_seg} and blow up at "
+            f"corpus scale (the simhash_pairs measured failure mode); use "
+            f"image_phash_pairs_wide (255-bit fingerprint, 36+-bit "
+            f"segments) for web-crawl image counts",
+            stacklevel=2,
+        )
     sig = (
         image_phash(df, bin_col=bin_col, id_col=id_col)
         .filter(F.col("media_type") != "stub")
         .select(id_col, "phash")
     )
-    n_seg = int(max_hamming) + 1
     widths = [
         bits // n_seg + (1 if i < bits % n_seg else 0) for i in range(n_seg)
     ]
@@ -1345,6 +1362,195 @@ def image_phash_pairs(
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= int(max_hamming))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def phash_wide_layout(total_bits: int, n_longs: int) -> list[int]:
+    """Bit widths of the wide pHash's array-of-longs packing: the
+    ``total_bits`` AC coefficients split into ``n_longs`` contiguous
+    near-equal slices (first ``total_bits % n_longs`` get the extra
+    bit), each packed LSB-first into its own long. One slice per long
+    means every pigeonhole segment is a whole array element — the
+    (segment_idx, masked_value) equi-join degenerates to
+    (array index, element), no cross-long bit surgery on either
+    engine. Shared by the operator and the SQL oracle (the
+    ``phash_cos_table`` convention)."""
+    tb, n = int(total_bits), int(n_longs)
+    if n < 1 or tb < n:
+        raise ValueError(f"phash_wide_layout: need 1 <= n_longs <= bits ({tb=}, {n=})")
+    if tb // n + (1 if tb % n else 0) > 63:
+        raise ValueError(
+            f"phash_wide_layout: {tb} bits over {n} longs needs "
+            f"{tb // n + 1} bits in one long (> 63) — raise n_longs"
+        )
+    return [tb // n + (1 if i < tb % n else 0) for i in range(n)]
+
+
+def image_phash_wide(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    sample: int = 32,
+    block: int = 16,
+    n_longs: int | None = None,
+) -> DataFrame:
+    """WIDE DCT perceptual hash — ``image_phash`` past its 64-bit
+    single-long ceiling (VERDICT r15 #1): the identical integer
+    pipeline (real PNG decode → ``sample``×``sample`` nearest grid →
+    exact fixed-point 2-D DCT-II → top-left ``block``×``block``
+    coefficients minus DC → lower-median threshold) with the
+    block²−1 bits (255 at the default block=16) packed ROW-MAJOR into
+    an ``array<long>`` laid out by ``phash_wide_layout`` — so the
+    pigeonhole segments of ``image_phash_pairs_wide`` are 36-37 bits
+    instead of 9, and candidate volume at a distance cap stops being
+    a corpus-scale hazard (N²/2³⁶ vs N²/2⁹ per segment).
+
+    Brightness invariance carries over exactly: every u>0 row of the
+    rounded cosine table sums to 0 (verified for k=16 at build time),
+    so a constant shift cannot move any AC coefficient or the median.
+
+    ``n_longs`` defaults to ceil(bits/63) (the repo's 63-bit-per-long
+    pack convention); ``image_phash_pairs_wide`` passes
+    max(max_hamming+1, that) so each segment IS one array element.
+    Non-PNG payloads fall back to the stub row (all-zero longs).
+
+    Scale: one Arrow ``mapInPandas`` stage, two (16×32)·(32×32)
+    integer matmuls per image; output is id + n_longs longs —
+    downstream joins shuffle fingerprints, never pixels."""
+    n, k = int(sample), int(block)
+    total_bits = k * k - 1
+    nl = int(n_longs) if n_longs is not None else -(-total_bits // 63)
+    widths = phash_wide_layout(total_bits, nl)
+    offs = [0]
+    for w_ in widths[:-1]:
+        offs.append(offs[-1] + w_)
+    ctab = np.array(phash_cos_table(n, k), dtype=np.int64)  # (k, n)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("media_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("phash", T.ArrayType(T.LongType())),
+        ]
+    )
+    shifts = [
+        np.int64(1) << np.arange(w_, dtype=np.int64) for w_ in widths
+    ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in out_schema.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                rows[id_col].append(doc_id)
+                decoded = None
+                if raw[:8] == _PNG_SIG:
+                    try:
+                        decoded = decode_png(raw)
+                    except ValueError:
+                        decoded = None
+                if decoded is None:
+                    rows["media_type"].append("stub")
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["phash"].append([0] * nl)
+                    continue
+                w, h, c, px = decoded
+                px = px.reshape(h, w, c).astype(np.int64)
+                if c >= 3:
+                    gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                else:
+                    gray = px[:, :, 0]
+                sy = (np.arange(n, dtype=np.int64) * h) // n
+                sx = (np.arange(n, dtype=np.int64) * w) // n
+                samp = gray[sy][:, sx]  # (n, n) int64
+                coeffs = ctab @ samp @ ctab.T  # (k, k) exact int64
+                flat = coeffs.ravel()[1:]  # drop DC, row-major
+                med = int(np.sort(flat)[(flat.size - 1) // 2])
+                bits = (flat > med).astype(np.int64)
+                rows["phash"].append(
+                    [
+                        int((bits[off : off + w_] * sh).sum())
+                        for off, w_, sh in zip(offs, widths, shifts)
+                    ]
+                )
+                rows["media_type"].append("image/png")
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
+
+
+def image_phash_pairs_wide(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    sample: int = 32,
+    block: int = 16,
+) -> DataFrame:
+    """Near-duplicate image pairs over the WIDE (255-bit) pHash — the
+    ``image_phash_pairs`` pigeonhole with the fingerprint widened
+    instead of the distance narrowed (VERDICT r15 #1): the hash is
+    laid out as max(max_hamming+1, ceil(bits/63)) longs
+    (``phash_wide_layout``), every pigeonhole segment is EXACTLY one
+    array element, and two hashes within the distance still must
+    agree on at least one segment (differing bits touch at most
+    max_hamming of the ≥ max_hamming+1 segments) — so candidates come
+    from an equi-join on (segment_idx, segment_long), recall 1.0 by
+    construction, and per-segment buckets are 2³⁶-deep instead of
+    2⁹-deep (measured A/B in ``PHASH_PROBE.json``).
+
+    Output: (id_a, id_b, hamming), canonical id_a < id_b, exact
+    Hamming = Σ_j bit_count(xor(a[j], b[j])). Stubs excluded.
+
+    Scale: fingerprints (id + ~7 longs) shuffle, never pixels; the
+    join is a hash-partitioned equi-join, never a cartesian; extra
+    segments only ever LOOSEN recall slack (already 1.0), so the
+    ceil(bits/63) floor is free."""
+    d = int(max_hamming)
+    total_bits = int(block) * int(block) - 1
+    n_seg = max(d + 1, -(-total_bits // 63))
+    sig = (
+        image_phash_wide(
+            df, bin_col=bin_col, id_col=id_col, sample=sample,
+            block=block, n_longs=n_seg,
+        )
+        .filter(F.col("media_type") != "stub")
+        .select(id_col, "phash")
+    )
+    segged = (
+        sig.select(
+            id_col, "phash", F.posexplode("phash").alias("seg_idx", "seg_val")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = segged.alias("a"), segged.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.phash"),
+            F.col("b.phash"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= d)
         .dropDuplicates(["id_a", "id_b"])
     )
 

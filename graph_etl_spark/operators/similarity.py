@@ -236,6 +236,88 @@ def embedding_contamination(
     )
 
 
+def clip_score_filter(
+    pairs: DataFrame,
+    img_col: str = "img_embedding",
+    txt_col: str = "txt_embedding",
+    id_col: str = "pair_id",
+    trim_percentile: float = 0.1,
+    round_to: int = 4,
+) -> DataFrame:
+    """CLIP-score IMAGE-TEXT ALIGNMENT FILTER — the cross-modal
+    curation gate (VERDICT r15 #6): each row carries a PAIRED image
+    embedding and text embedding (the CLIP two-tower outputs); the
+    alignment score is their cosine, and pairs scoring below the
+    corpus's ``trim_percentile`` order statistic are flagged for
+    removal — the LAION-style "CLIP filter" that drops mismatched
+    alt-text before training.
+
+    Output: one row per input pair — (id, clip_score, threshold,
+    keep). ``threshold`` is the EXACT lower-interpolation percentile
+    (the element at 1-based rank floor(p·(n−1)) + 1 of the sorted
+    non-null scores — the ``group_percentiles`` convention), so both
+    engines agree bit-for-bit with no averaging arithmetic.
+    Un-scoreable pairs (zero-norm side → undefined cosine) keep their
+    row with NULL score and ``keep = false`` — a filter that silently
+    drops rows is how a corrupt shard slips through.
+
+    Scale: scoring is one JVM ``zip_with`` dot product per pair (no
+    Python, no explode), pinned once (``localCheckpoint``) so the
+    threshold job and the output plan share the scored frame. The
+    order statistic comes from the TWO-PHASE ``exact_global_rank``
+    (percentile boundary literals → bucket-local windows + broadcast
+    prefix offsets — ZERO unpartitioned WindowExec), and the 1-row
+    threshold broadcast-crosses the output. No corpus shuffle beyond
+    the rank's bucket exchange."""
+    p = float(trim_percentile)
+    if not (0.0 <= p < 1.0):
+        raise ValueError(
+            f"clip_score_filter: trim_percentile must be in [0, 1) "
+            f"(got {trim_percentile})"
+        )
+    from .quality import exact_global_rank
+
+    den = norm(F.col("__img")) * norm(F.col("__txt"))
+    scored = (
+        pairs.select(
+            F.col(id_col),
+            F.col(img_col).alias("__img"),
+            F.col(txt_col).alias("__txt"),
+        )
+        .select(
+            id_col,
+            F.when(
+                den > 0,
+                F.round(
+                    dot(F.col("__img"), F.col("__txt")) / den, int(round_to)
+                ),
+            ).alias("clip_score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nn = scored.filter(
+        F.col("clip_score").isNotNull() & ~F.isnan("clip_score")
+    )
+    ranked, n_scored = exact_global_rank(
+        nn, "clip_score", ["clip_score", id_col], out="__r"
+    )
+    import math
+
+    target = math.floor(p * (n_scored - 1)) + 1 if n_scored > 0 else 0
+    thr = (
+        ranked.filter(F.col("__r") == F.lit(target))
+        .agg(F.max("clip_score").alias("__thr"))  # exactly 0/1 input rows
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        id_col,
+        "clip_score",
+        F.col("__thr").alias("threshold"),
+        F.coalesce(F.col("clip_score") >= F.col("__thr"), F.lit(False)).alias(
+            "keep"
+        ),
+    )
+
+
 def brute_force_topk_scale(
     data: DataFrame,
     queries: DataFrame,

@@ -381,3 +381,61 @@ def test_round15_window_composition():
     assert ceiling <= in_window, (
         f"r9-ceiling rows missing from the window: {ceiling - in_window}"
     )
+
+
+ROUND16_NEW_OR_CHANGED = [
+    # the five r15-new post-freeze queries (first driver
+    # certification — VERDICT r15 #2); the r16 code changes
+    # (contamination's JVM-side packed-decimal reduction + broadcast
+    # gate, image_phash_pairs' narrow-segment warning,
+    # domain_reweight's temperature guard, audio_fingerprint's XOR
+    # fold) all live INSIDE this lead
+    "sim_eval_contamination", "mm_image_phash_pairs",
+    "quality_domain_reweight", "dedup_cluster_split",
+    "mm_audio_fingerprint_dedup",
+    # r16-new
+    "mm_image_phash_pairs_wide", "sim_clip_filter",
+]
+
+
+def test_round16_window_composition():
+    """Round-aware from birth: the r16 window is the live first-50
+    until CORRECTNESS_r16.json lands, then frozen as its keys;
+    staleness uses only pre-r16 history either way. New/changed
+    queries lead; every filler slot is at least as stale as anything
+    left in the tail; filler slots must not overlap the r15 window."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r16_path = os.path.join(root, "CORRECTNESS_r16.json")
+    if os.path.exists(r16_path):
+        window = list(json.load(open(r16_path)))
+    else:
+        window = list(entry.queries())[:50]
+    lead = len(ROUND16_NEW_OR_CHANGED)
+    assert window[:lead] == ROUND16_NEW_OR_CHANGED, (
+        f"leading slots wrong: {window[:lead]}"
+    )
+    latest = _latest_driver_round(before_round=16)
+    rest = window[lead:]
+    in_window = set(window)
+    tail = [q for q in entry.queries() if q not in in_window]
+    max_in_window = max(latest.get(q, 0) for q in rest)
+    min_in_tail = min(latest.get(q, 99) for q in tail)
+    assert max_in_window <= min_in_tail, (
+        f"window holds a fresher verdict ({max_in_window}) than the "
+        f"stalest tail row ({min_in_tail}) — rotation skipped rows"
+    )
+    r15 = set(json.load(open(os.path.join(root, "CORRECTNESS_r15.json"))))
+    assert not (set(rest) & r15), (
+        f"filler slots overlap the r15 window: {sorted(set(rest) & r15)}"
+    )
+    # VERDICT r15 #2: ALL 43 r10-era rows sit exactly at the staleness
+    # ceiling and MUST be certified this round
+    ceiling = {
+        q for q, r in _latest_driver_round(before_round=16).items() if r == 10
+    }
+    assert len(ceiling) == 43
+    assert ceiling <= in_window, (
+        f"r10-ceiling rows missing from the window: {ceiling - in_window}"
+    )

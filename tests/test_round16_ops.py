@@ -132,3 +132,141 @@ def test_audio_fingerprint_short_clip_pack_unchanged(spark):
     row = ops.audio_fingerprint(df, window_samples=1).collect()[0]
     assert row["n_windows"] == 6
     assert row["fingerprint"] == (1 << 0) + (1 << 2)  # bits for deltas 1, 3
+
+
+# ---------------------------------------------------------------------------
+# wide pHash: layout, invariance, exactness, pigeonhole plan
+# ---------------------------------------------------------------------------
+
+
+def test_phash_wide_layout_contract():
+    assert ops.phash_wide_layout(255, 7) == [37, 37, 37, 36, 36, 36, 36]
+    assert ops.phash_wide_layout(255, 5) == [51] * 5
+    assert sum(ops.phash_wide_layout(255, 7)) == 255
+    with pytest.raises(ValueError, match="n_longs"):
+        ops.phash_wide_layout(255, 0)
+    with pytest.raises(ValueError, match="63"):
+        ops.phash_wide_layout(255, 4)  # 64-bit slices don't fit a long
+
+
+def test_image_phash_wide_brightness_invariant_and_structured(spark):
+    """The 4 brightness variants of each base share the IDENTICAL
+    7-long fingerprint (every u>0 row of the k=16 cosine table sums to
+    exactly 0); different bases differ in many bits; stubs emit the
+    declared all-zero row."""
+    d = spark.range(12).withColumnRenamed("id", "doc_id")
+    pngs = ops.synth_png_variant_column(d, group_size=4)
+    out = {r["doc_id"]: r for r in ops.image_phash_wide(pngs).collect()}
+    assert all(len(r["phash"]) == 5 for r in out.values())  # default layout
+    for base in range(3):
+        hs = {tuple(out[base * 4 + v]["phash"]) for v in range(4)}
+        assert len(hs) == 1, f"base {base} variants diverge"
+    h0, h4 = out[0]["phash"], out[4]["phash"]
+    cross = sum(bin(a ^ b).count("1") for a, b in zip(h0, h4))
+    assert cross > 6  # distinct structure, far beyond the pair cap
+    stub = spark.createDataFrame(
+        [(99, bytearray(b"not-a-png"))], "doc_id long, payload binary"
+    )
+    srow = ops.image_phash_wide(stub).collect()[0]
+    assert srow["media_type"] == "stub" and srow["phash"] == [0] * 5
+
+
+def test_image_phash_pairs_wide_exact_vs_brute_force(spark):
+    """The pigeonhole equi-join over (segment_idx, segment_long)
+    reproduces the brute-force Hamming <= d pair set exactly (recall
+    1.0 by construction) and plans as an equi-join, not a cartesian."""
+    import itertools
+
+    from graph_etl_spark.plans import plan_string
+
+    d = spark.range(24).withColumnRenamed("id", "doc_id")
+    pngs = ops.synth_png_variant_column(d, group_size=4)
+    wide = ops.image_phash_pairs_wide(pngs, max_hamming=6)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"]) for r in wide.collect()
+    )
+    byid = {
+        r["doc_id"]: r["phash"]
+        for r in ops.image_phash_wide(pngs, n_longs=7).collect()
+    }
+    bf = sorted(
+        (a, b, hm)
+        for a, b in itertools.combinations(sorted(byid), 2)
+        if (hm := sum(bin(x ^ y).count("1") for x, y in zip(byid[a], byid[b]))) <= 6
+    )
+    assert got == bf and len(got) == 6 * 6  # 6 groups x C(4,2) triangles
+    assert "CartesianProduct" not in plan_string(wide)
+
+
+def test_image_phash_pairs_warns_on_narrow_segments(spark):
+    """VERDICT r15 #1: the 63-bit/d=6 combination (9-bit buckets) now
+    warns and points at the wide variant; a wide-bucket setting stays
+    silent."""
+    import warnings
+
+    d = spark.range(4).withColumnRenamed("id", "doc_id")
+    pngs = ops.synth_png_variant_column(d, group_size=4)
+    with pytest.warns(UserWarning, match="image_phash_pairs_wide"):
+        ops.image_phash_pairs(pngs, max_hamming=6)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ops.image_phash_pairs(pngs, max_hamming=2)  # 21-bit buckets: quiet
+
+
+# ---------------------------------------------------------------------------
+# clip_score_filter: contract + plan
+# ---------------------------------------------------------------------------
+
+
+def test_clip_score_filter_threshold_and_flags(spark):
+    """Exact lower-interpolation percentile threshold; aligned pairs
+    keep, the planted misaligned pair drops, zero-norm pairs keep
+    their row with NULL score and keep=false."""
+    rows = [
+        (1, [1.0, 0.0], [2.0, 0.0]),    # cos 1.0
+        (2, [0.0, 1.0], [0.0, 0.5]),    # cos 1.0
+        (3, [1.0, 0.0], [0.0, 1.0]),    # cos 0.0 — misaligned
+        (4, [1.0, 1.0], [1.0, 0.0]),    # cos ~0.7071
+        (5, [0.0, 0.0], [1.0, 0.0]),    # zero-norm img side
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "pair_id long, img_embedding array<double>, txt_embedding array<double>",
+    )
+    out = {
+        r["pair_id"]: r
+        for r in ops.clip_score_filter(pairs, trim_percentile=0.5).collect()
+    }
+    assert len(out) == 5  # one row per input pair, zero-norm included
+    # sorted non-null scores: [0.0, 0.7071, 1.0, 1.0]; n=4 ->
+    # rank floor(0.5*3)+1 = 2 -> threshold 0.7071
+    assert out[4]["threshold"] == 0.7071
+    assert out[1]["keep"] and out[2]["keep"] and out[4]["keep"]
+    assert not out[3]["keep"] and out[3]["clip_score"] == 0.0
+    assert out[5]["clip_score"] is None and not out[5]["keep"]
+    with pytest.raises(ValueError, match="trim_percentile"):
+        ops.clip_score_filter(pairs, trim_percentile=1.0)
+
+
+def test_clip_score_filter_plan_no_corpus_shuffle_beyond_rank(spark):
+    """VERDICT r15 #6 plan guard: scoring is JVM-side (no Python
+    eval), the threshold crosses as a 1-row broadcast (never a
+    cartesian against the corpus), and ranking is the two-phase shape
+    — no unpartitioned non-bucket window."""
+    from graph_etl_spark.plans import plan_string
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = e.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("img_embedding"),
+        F.col("embedding").alias("txt_embedding"),
+    )
+    p = plan_string(ops.clip_score_filter(pairs))
+    assert "CartesianProduct" not in p
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in p, py
+    # the only window is the bucket-local rank: partitioned by __bkt
+    import re
+
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
+        assert "__bkt" in spec, f"unpartitioned window: {spec}"
