@@ -4343,6 +4343,50 @@ def q_mm_image_phash_pairs_wide(spark, sf):
     return ops.image_phash_pairs_wide(pngs, max_hamming=6)
 
 
+def q_quality_mojibake_scrub(spark, sf):
+    """Encoding-damage scrub (round 16, post-freeze — r17 window
+    lead): the fixture plants the two most common UTF-8-as-cp1252
+    mojibake sequences ('Ã©' for every 'a' on doc_id%3==0 docs,
+    'â€™' for every 'e' on doc_id%3==1 docs); fix_mojibake counts
+    markers before repair and applies the chained literal-replace
+    repair map. Pure map-side string algebra — zero shuffles; the
+    oracle replays the injection and the identical replace chain."""
+    d = _t(spark, sf, "documents")
+    damaged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.replace(F.col("text"), F.lit("a"), F.lit("Ã©")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.replace(F.col("text"), F.lit("e"), F.lit("â€™")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return ops.fix_mojibake(damaged)
+
+
+def q_sim_embedding_outliers(spark, sf):
+    """Embedding-space outlier audit (round 16, post-freeze — r17
+    window lead): diagonal Mahalanobis z² against the corpus's own
+    per-dim mean/std (exact decimal sums -> literal-array stats ->
+    pure map scoring), flag at 4.0x active dims. The fixture plants
+    five 10x-scaled copies — far off the per-dim scale, so they must
+    flag; the oracle replays stats and the 8dp-rounded decimal term
+    sum exactly."""
+    e = _t(spark, sf, "embeddings")
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 300000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(10.0)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    return ops.embedding_outliers(e.unionByName(planted), threshold=4.0)
+
+
 def q_sim_clip_filter(spark, sf):
     """CLIP-score image-text pair alignment filter (round 16, VERDICT
     r15 #6): per pair the cosine between the paired image/text
@@ -4727,6 +4771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-16 NEW queries ----
         "mm_image_phash_pairs_wide": q_mm_image_phash_pairs_wide,
         "sim_clip_filter": q_sim_clip_filter,
+        # ---- round-16 POST-FREEZE queries (r17 window lead — the
+        # r15 precedent: added after the r16 window composition
+        # froze, replica-green, first driver certification in r17)
+        "quality_mojibake_scrub": q_quality_mojibake_scrub,
+        "sim_embedding_outliers": q_sim_embedding_outliers,
     }
     # ROUND-17 BUDGET NOTE (for the next session): once r16 lands,
     # the staleness histogram becomes {11: 41, 12: 39, 13: 44,
@@ -4734,7 +4783,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5-round bound the moment r17 lands and must fill the r17
     # window, capping r17's new+changed lead at 9; the 39 r12-era
     # rows then own the r18 fillers. test_staleness_policy enforces
-    # this mechanically.
+    # this mechanically. Round 16 added TWO post-freeze queries after
+    # its window froze (quality_mojibake_scrub,
+    # sim_embedding_outliers — the r15 precedent) — they lead the r17
+    # window, 2 of the 9-slot cap; prefer r17 fixes that land inside
+    # these two (or inside r17-new queries).
     # r16 window (first 50): the FIVE r15-new post-freeze queries
     # lead (sim_eval_contamination, mm_image_phash_pairs,
     # quality_domain_reweight, dedup_cluster_split,
@@ -11698,6 +11751,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT pair_id, clip_score, t AS threshold,
                COALESCE(clip_score >= t, FALSE) AS keep
         FROM scored, thr
+    """
+
+    # Mojibake scrub (round 16, post-freeze): replay the injection
+    # (Ã© for 'a' on %3==0, â€™ for 'e' on %3==1), count each marker
+    # as (len - len(without)) / len(marker) BEFORE repair, then the
+    # identical chained literal replaces of MOJIBAKE_MAP.
+    from graph_etl_spark.operators.quality import MOJIBAKE_MAP
+
+    _mj_count = " + ".join(
+        f"(length(text) - length(replace(text, '{bad}', ''))) / {len(bad)}.0"
+        for bad, _ in MOJIBAKE_MAP
+    )
+    _mj_fixed = "text"
+    for _bad, _good in MOJIBAKE_MAP:
+        _mj_fixed = f"replace({_mj_fixed}, '{_bad}', '{_good}')"
+    sql["quality_mojibake_scrub"] = f"""
+        WITH damaged AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                        THEN replace(text, 'a', 'Ã©')
+                      WHEN doc_id % 3 = 1
+                        THEN replace(text, 'e', 'â€™')
+                      ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               COALESCE(ROUND({_mj_count}, 0), 0)::BIGINT AS n_mojibake,
+               {_mj_fixed} AS text_fixed
+        FROM damaged
+    """
+
+    # Embedding outlier audit (round 16, post-freeze): per-dim stats
+    # from the same exact decimal sums, mu/sd by the same IEEE
+    # expression order, per-dim terms rounded to 8dp and summed as
+    # decimals (add-order-free), z2 at 4dp, flag at 4.0 x active dims.
+    sql["sim_embedding_outliers"] = """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 300000 AS vec_id,
+                 list_transform(embedding,
+                                x -> (x * 10.0::DOUBLE)::FLOAT) AS embedding
+          FROM embeddings WHERE vec_id < 5
+        ), dims AS (SELECT unnest(range(1, 65)) AS pos),
+        el AS (
+          SELECT c.vec_id, d.pos,
+                 ROUND(c.embedding[d.pos]::DOUBLE, 6)::DECIMAL(28,6) AS x6
+          FROM corpus c, dims d
+        ), st AS (
+          SELECT pos, SUM(x6) AS s,
+                 SUM((x6::DECIMAL(16,6) * x6::DECIMAL(16,6))::DECIMAL(33,12))
+                   AS s2,
+                 COUNT(x6) AS n
+          FROM el GROUP BY pos
+        ), ms AS (
+          SELECT pos, s::DOUBLE / n AS mu,
+                 CASE WHEN (s2::DOUBLE / n
+                            - (s::DOUBLE / n) * (s::DOUBLE / n)) > 0
+                      THEN sqrt(s2::DOUBLE / n
+                                - (s::DOUBLE / n) * (s::DOUBLE / n))
+                      ELSE 0.0 END AS sd
+          FROM st
+        ), na AS (SELECT COUNT(*) AS n_active FROM ms WHERE sd > 0),
+        terms AS (
+          SELECT el.vec_id,
+                 CASE WHEN ms.sd > 0
+                      THEN ROUND(((el.x6::DOUBLE - ms.mu) / ms.sd)
+                                 * ((el.x6::DOUBLE - ms.mu) / ms.sd),
+                                 8)::DECIMAL(28,8)
+                      ELSE 0::DECIMAL(28,8) END AS t
+          FROM el JOIN ms USING (pos)
+        ), z AS (
+          SELECT vec_id, ROUND(SUM(t)::DOUBLE, 4) AS z2
+          FROM terms GROUP BY vec_id
+        )
+        SELECT z.vec_id, z.z2,
+               COALESCE(z.z2 > 4.0 * na.n_active, FALSE) AS is_outlier
+        FROM z, na
     """
 
     # Audio fingerprint dedup: replay the polarity fixture's sample

@@ -274,9 +274,11 @@ HEADLINE = [
     "dedup_cluster_split",
     "mm_audio_fingerprint_dedup",
     # round-16: wide 255-bit pHash pigeonhole pairs, CLIP-score
-    # image-text alignment filter
+    # image-text alignment filter, mojibake scrub, embedding outliers
     "mm_image_phash_pairs_wide",
     "sim_clip_filter",
+    "quality_mojibake_scrub",
+    "sim_embedding_outliers",
 ]
 
 

@@ -3061,3 +3061,67 @@ def ppl_buckets(
         F.col("bucket").cast("long").alias("bucket"),
         label.alias("bucket_label"),
     )
+
+
+# UTF-8-read-as-cp1252 mojibake: the classic double-encoding damage in
+# web crawls ("â€™" where ’ was meant, "Ã©" for é). Pairs are ordered
+# longest-bad-first and have disjoint lead characters (â/Ã/Â), so the
+# chained literal replace is order-safe. Printable sequences only —
+# the 0x8x/0x9x control-byte variants are dropped rather than embedded
+# in source/SQL literals.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("â€™", "’"),
+    ("â€œ", "“"),
+    ("â€“", "–"),
+    ("â€”", "—"),
+    ("â€¦", "…"),
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ã¡", "á"),
+    ("Ã³", "ó"),
+    ("Ã±", "ñ"),
+    ("Ã¼", "ü"),
+    ("Ã¶", "ö"),
+    ("Ã¤", "ä"),
+    ("Ã§", "ç"),
+]
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODING-DAMAGE scrub (ftfy's most common case as exact string
+    algebra): detect and repair UTF-8 text that was decoded as
+    Latin-1/cp1252 somewhere upstream — the "â€™"/"Ã©" mojibake that
+    survives every dedup pass and poisons tokenizers with phantom
+    multi-char sequences. ``n_mojibake`` counts marker occurrences
+    BEFORE repair (per marker: (len − len(without marker)) / len(marker),
+    summed); ``text_fixed`` applies the chained literal replacements
+    of ``MOJIBAKE_MAP``.
+
+    Exactness: literal (non-regex) replace and CHARACTER lengths on
+    both engines; the map's lead characters are disjoint so chain
+    order cannot create or destroy later markers. NULL text keeps its
+    row with count 0 and NULL text_fixed.
+
+    Output: (id, n_mojibake, text_fixed).
+
+    Scale: pure map-side row expressions (whole-stage codegen) — zero
+    shuffles, zero Python; the curation pass you run before
+    tokenization at any corpus size."""
+    t = F.col(text_col)
+    n = F.lit(0).cast("double")
+    for bad, _good in MOJIBAKE_MAP:
+        n = n + (
+            F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit("")))
+        ) / F.lit(float(len(bad)))
+    fixed = t
+    for bad, good in MOJIBAKE_MAP:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.round(n, 0).cast("long"), F.lit(0)).alias("n_mojibake"),
+        fixed.alias("text_fixed"),
+    )

@@ -1844,6 +1844,101 @@ def embedding_drift(
     )
 
 
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 4.0,
+    round_to: int = 4,
+    max_dims: int = 4096,
+) -> DataFrame:
+    """EMBEDDING-SPACE OUTLIER AUDIT — diagonal Mahalanobis: per
+    dimension the corpus mean/std (exact decimal sums, the
+    ``embedding_drift`` convention), then per vector the standardized
+    squared distance z² = Σ_d ((x_d − μ_d)/σ_d)² over the dimensions
+    with σ_d > 0, flagged when z² > ``threshold`` · n_active_dims —
+    the curation pass that catches corrupt encoders, truncated
+    vectors, and off-manifold junk before they poison ANN training
+    or retrieval indexes (complements ``embedding_norms``' pure-scale
+    view and ``embedding_drift``'s two-snapshot view).
+
+    Determinism: components round to 6 dp and sum as DECIMAL(28,6) /
+    DECIMAL(33,12) (exact on any partitioning); μ and σ derive from
+    those sums by the same IEEE expression on both engines; each
+    per-dim term rounds to 8 dp and sums as DECIMAL(28,8) (no float
+    add-order dependence across dims); z² rounds to ``round_to``.
+    Constant dimensions (σ = 0, incl. fp-negative variances) are
+    excluded from both the sum and the active-dim count. A NULL
+    vector keeps its row with NULL z² and ``is_outlier = false``.
+
+    Output: (id, z2, is_outlier).
+
+    Scale: ONE map-side posexplode aggregation bounded by vector
+    width, a dim-sized driver collect gated by ``max_dims`` (the
+    literal-centroid convention), then a PURE MAP pass — the stats
+    enter the plan as literal arrays, so scoring is zero-shuffle
+    whole-stage codegen over any corpus size."""
+    import math
+
+    d6 = F.round(F.col("__x").cast("double"), 6).cast("decimal(28,6)")
+    x2 = (d6.cast("decimal(16,6)") * d6.cast("decimal(16,6)")).cast(
+        "decimal(33,12)"
+    )
+    stats = (
+        df.select(F.posexplode(vec_col).alias("dim", "__x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(d6).alias("__s"),
+            F.sum(x2).alias("__s2"),
+            F.count(d6).alias("__n"),
+        )
+        .collect()
+    )
+    if len(stats) > int(max_dims):
+        raise ValueError(
+            f"embedding_outliers: {len(stats)} dimensions exceed "
+            f"max_dims={max_dims} — per-dim stats become plan literals; "
+            f"raise the gate only if the broadcast is truly intended"
+        )
+    mu, sd = {}, {}
+    for r in stats:
+        n = int(r["__n"])
+        if n == 0:
+            continue
+        m = float(r["__s"]) / n
+        var = float(r["__s2"]) / n - m * m
+        mu[int(r["dim"])] = m
+        sd[int(r["dim"])] = math.sqrt(var) if var > 0 else 0.0
+    dims = sorted(mu)
+    active = [d for d in dims if sd[d] > 0]
+    thr = float(threshold) * len(active)
+    mu_arr = F.array(*[F.lit(mu[d]) for d in dims])
+    sd_arr = F.array(*[F.lit(sd[d]) for d in dims])
+
+    def term(x, i):
+        z = (F.round(x.cast("double"), 6) - F.element_at(mu_arr, i + 1)) / (
+            F.element_at(sd_arr, i + 1)
+        )
+        return F.when(
+            F.element_at(sd_arr, i + 1) > 0,
+            F.round(z * z, 8).cast("decimal(28,8)"),
+        ).otherwise(F.lit(0).cast("decimal(28,8)"))
+
+    z2 = F.round(
+        F.aggregate(
+            F.transform(F.col(vec_col), term),
+            F.lit(0).cast("decimal(28,8)"),
+            lambda acc, x: (acc + x).cast("decimal(28,8)"),
+        ).cast("double"),
+        int(round_to),
+    )
+    return df.select(
+        F.col(id_col),
+        z2.alias("z2"),
+        F.coalesce(z2 > F.lit(thr), F.lit(False)).alias("is_outlier"),
+    )
+
+
 def mips_topk(
     data: DataFrame,
     queries: DataFrame,

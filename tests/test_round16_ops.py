@@ -270,3 +270,84 @@ def test_clip_score_filter_plan_no_corpus_shuffle_beyond_rank(spark):
 
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
         assert "__bkt" in spec, f"unpartitioned window: {spec}"
+
+
+# ---------------------------------------------------------------------------
+# fix_mojibake + embedding_outliers (round-16 post-freeze, r17 lead)
+# ---------------------------------------------------------------------------
+
+
+def test_fix_mojibake_counts_and_repairs(spark):
+    """Marker counting before repair, chained literal repair, NULL
+    text keeps its row at count 0, clean text passes through."""
+    d = spark.createDataFrame(
+        [
+            (1, "cafÃ© dÃ©jÃ  vu"),          # 3 x 'Ã©'? no: Ã©, Ã©, Ã  — 2 markers
+            (2, "itâ€™s â€œquotedâ€œ fine"),
+            (3, "plain ascii"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ops.fix_mojibake(d).collect()}
+    assert out[1]["n_mojibake"] == 2
+    assert out[1]["text_fixed"] == "café déjÃ  vu"  # Ã  not in the map
+    assert out[2]["n_mojibake"] == 3
+    assert out[2]["text_fixed"] == "it’s “quoted“ fine"
+    assert out[3]["n_mojibake"] == 0
+    assert out[3]["text_fixed"] == "plain ascii"
+    assert out[4]["n_mojibake"] == 0 and out[4]["text_fixed"] is None
+
+
+def test_mojibake_map_is_true_cp1252_misdecode():
+    """Every bad form in the map IS the cp1252 misdecode of its fix —
+    the map cannot drift into folklore."""
+    for bad, good in ops.MOJIBAKE_MAP:
+        assert bad == good.encode("utf-8").decode("cp1252"), (bad, good)
+
+
+def test_fix_mojibake_plan_is_pure_map(spark):
+    from graph_etl_spark.plans import plan_string
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    p = plan_string(ops.fix_mojibake(d))
+    assert "Exchange" not in p and "Window" not in p
+
+
+def test_embedding_outliers_flags_planted_scale(spark):
+    """A 10x-scaled copy sits far off every dimension's corpus scale
+    and must flag; in-distribution vectors must not; a zero-variance
+    dimension is excluded rather than dividing by zero."""
+    base = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(4)] + [1.0])
+        for i in range(40)
+    ]
+    planted = [(100, [50.0, 50.0, 50.0, 50.0, 1.0])]
+    e = spark.createDataFrame(
+        base + planted, "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in ops.embedding_outliers(e, threshold=4.0).collect()}
+    assert out[100]["is_outlier"]
+    assert sum(r["is_outlier"] for r in out.values()) == 1
+    # the constant 5th dim contributes nothing (sd=0 -> term 0)
+    assert all(r["z2"] is not None for r in out.values())
+
+
+def test_embedding_outliers_max_dims_gate(spark):
+    e = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_dims"):
+        ops.embedding_outliers(e, max_dims=2)
+
+
+def test_embedding_outliers_scoring_is_map_side(spark):
+    """After the dim-bounded stats collect, scoring is a pure map —
+    no shuffle, no Python eval in the output plan."""
+    from graph_etl_spark.plans import plan_string
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = plan_string(ops.embedding_outliers(e))
+    assert "Exchange" not in p and "Window" not in p
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in p, py
