@@ -4343,6 +4343,28 @@ def q_mm_image_phash_pairs_wide(spark, sf):
     return ops.image_phash_pairs_wide(pngs, max_hamming=6)
 
 
+def q_mm_video_keyframe_dedup(spark, sf):
+    """Video-level near-dup dedup (round 16, post-freeze — r17 window
+    lead): real Y4M decode -> scene cuts (mean |luma diff| > 8) ->
+    one keyframe per scene -> per-keyframe 63-bit DCT pHash ->
+    ordered signature string, grouped on (n_scenes, keyframe_sig).
+    The variant fixture plants a brightness-shifted duplicate of
+    every base video (pattern held to %250, so diffs and every AC
+    coefficient are provably shift-invariant) — each pair MUST share
+    a signature; the oracle replays cuts, keyframes and the integer
+    DCT from the luma formula without touching a Y4M byte."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    clips = ops.synth_y4m_variant_column(d, group_size=2)
+    return (
+        ops.video_keyframe_signature(clips)
+        .groupBy("n_scenes", "keyframe_sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
 def q_quality_mojibake_scrub(spark, sf):
     """Encoding-damage scrub (round 16, post-freeze — r17 window
     lead): the fixture plants the two most common UTF-8-as-cp1252
@@ -4776,6 +4798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # froze, replica-green, first driver certification in r17)
         "quality_mojibake_scrub": q_quality_mojibake_scrub,
         "sim_embedding_outliers": q_sim_embedding_outliers,
+        "mm_video_keyframe_dedup": q_mm_video_keyframe_dedup,
     }
     # ROUND-17 BUDGET NOTE (for the next session): once r16 lands,
     # the staleness histogram becomes {11: 41, 12: 39, 13: 44,
@@ -4783,11 +4806,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5-round bound the moment r17 lands and must fill the r17
     # window, capping r17's new+changed lead at 9; the 39 r12-era
     # rows then own the r18 fillers. test_staleness_policy enforces
-    # this mechanically. Round 16 added TWO post-freeze queries after
-    # its window froze (quality_mojibake_scrub,
-    # sim_embedding_outliers — the r15 precedent) — they lead the r17
-    # window, 2 of the 9-slot cap; prefer r17 fixes that land inside
-    # these two (or inside r17-new queries).
+    # this mechanically. Round 16 added THREE post-freeze queries
+    # after its window froze (quality_mojibake_scrub,
+    # sim_embedding_outliers, mm_video_keyframe_dedup — the r15
+    # precedent) — they lead the r17 window, 3 of the 9-slot cap;
+    # prefer r17 fixes that land inside these three (or inside
+    # r17-new queries).
     # r16 window (first 50): the FIVE r15-new post-freeze queries
     # lead (sim_eval_contamination, mm_image_phash_pairs,
     # quality_domain_reweight, dedup_cluster_split,
@@ -11751,6 +11775,90 @@ def oracle_sql() -> dict[str, str]:
         SELECT pair_id, clip_score, t AS threshold,
                COALESCE(clip_score >= t, FALSE) AS keep
         FROM scored, thr
+    """
+
+    # Video keyframe dedup (round 16, post-freeze): replay the variant
+    # fixture's luma formula — frame diffs (shift cancels) -> cut
+    # frames -> keyframes (frame 0 + cuts) -> per-keyframe integer DCT
+    # pHash on the 32x32 nearest grid (shift included; invariance is
+    # the OPERATOR's claim, the oracle replays the raw arithmetic) ->
+    # ordered signature string -> (n_scenes, sig) grouping.
+    _vk_vals = ", ".join(
+        f"({u}, {x}, {c})"
+        for u, row in enumerate(phash_cos_table(32, 8))
+        for x, c in enumerate(row)
+    )
+    sql["mm_video_keyframe_dedup"] = f"""
+        WITH v AS (
+          SELECT doc_id, doc_id // 2 AS base, doc_id % 2 AS shift,
+                 8 + ((doc_id // 2) % 5) * 2 AS w,
+                 8 + (((doc_id // 2) // 5) % 5) * 2 AS h,
+                 4 + (doc_id // 2) % 3 AS nf,
+                 1 + (doc_id // 2) % 3 AS sl
+          FROM documents
+        ), diffs AS (
+          SELECT v.doc_id, f.f, (v.w * v.h) AS npix,
+                 SUM(abs(
+                   ((v.base * 19 + (f.f // v.sl) * 97
+                     + y.y * 11 + x.x * 7) % 250)
+                   - ((v.base * 19 + ((f.f - 1) // v.sl) * 97
+                       + y.y * 11 + x.x * 7) % 250)))::BIGINT AS diff_sum
+          FROM v, range(1, 6) AS f(f), range(0, 16) AS y(y),
+               range(0, 16) AS x(x)
+          WHERE f.f < v.nf AND y.y < v.h AND x.x < v.w
+          GROUP BY v.doc_id, f.f, v.w, v.h
+        ), keyframes AS (
+          SELECT doc_id, 0 AS f FROM v
+          UNION ALL
+          SELECT doc_id, f FROM diffs WHERE diff_sum > 8.0 * npix
+        ), kf AS (
+          SELECT doc_id, f,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY f) AS scene_idx
+          FROM keyframes
+        ), ct(u, x, c) AS (VALUES {_vk_vals}),
+        grid AS (
+          SELECT kf.doc_id, kf.scene_idx, gy.i AS gy, gx.i AS gx,
+                 ((v.base * 19 + (kf.f // v.sl) * 97
+                   + ((gy.i * v.h) // 32) * 11
+                   + ((gx.i * v.w) // 32) * 7) % 250 + v.shift) AS g
+          FROM kf JOIN v USING (doc_id),
+               range(0, 32) AS gy(i), range(0, 32) AS gx(i)
+        ), g1 AS (
+          SELECT grid.doc_id, grid.scene_idx, cy.u AS u, grid.gx,
+                 SUM(grid.g * cy.c)::BIGINT AS v1
+          FROM grid JOIN ct cy ON cy.x = grid.gy
+          GROUP BY grid.doc_id, grid.scene_idx, cy.u, grid.gx
+        ), co AS (
+          SELECT g1.doc_id, g1.scene_idx, g1.u, cx.u AS vv,
+                 SUM(g1.v1 * cx.c)::BIGINT AS coeff
+          FROM g1 JOIN ct cx ON cx.x = g1.gx
+          GROUP BY g1.doc_id, g1.scene_idx, g1.u, cx.u
+        ), fl AS (
+          SELECT doc_id, scene_idx, u * 8 + vv AS i, coeff
+          FROM co WHERE u * 8 + vv >= 1
+        ), md AS (
+          SELECT doc_id, scene_idx, coeff AS m FROM (
+            SELECT doc_id, scene_idx, coeff,
+                   row_number() OVER (
+                     PARTITION BY doc_id, scene_idx ORDER BY coeff) AS rn
+            FROM fl) WHERE rn = 32
+        ), kh AS (
+          SELECT fl.doc_id, fl.scene_idx,
+                 SUM(CASE WHEN fl.coeff > md.m
+                          THEN 1::BIGINT << (fl.i - 1)
+                          ELSE 0 END)::BIGINT AS h
+          FROM fl JOIN md USING (doc_id, scene_idx)
+          GROUP BY fl.doc_id, fl.scene_idx
+        ), sig AS (
+          SELECT doc_id, COUNT(*)::INT AS n_scenes,
+                 string_agg(h::VARCHAR, ':' ORDER BY scene_idx)
+                   AS keyframe_sig
+          FROM kh GROUP BY doc_id
+        )
+        SELECT n_scenes, keyframe_sig, COUNT(*)::BIGINT AS n_videos,
+               MIN(doc_id)::BIGINT AS canonical_doc
+        FROM sig GROUP BY n_scenes, keyframe_sig
     """
 
     # Mojibake scrub (round 16, post-freeze): replay the injection

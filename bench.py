@@ -279,6 +279,7 @@ HEADLINE = [
     "sim_clip_filter",
     "quality_mojibake_scrub",
     "sim_embedding_outliers",
+    "mm_video_keyframe_dedup",
 ]
 
 

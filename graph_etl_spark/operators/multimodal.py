@@ -1602,6 +1602,156 @@ def synth_y4m_scenes_column(
     return df.select(id_col).mapInPandas(batches, out_schema)
 
 
+def synth_y4m_variant_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    group_size: int = 2,
+) -> DataFrame:
+    """Deterministic NEAR-DUP multi-scene Y4M fixture: every
+    ``group_size`` consecutive ids share one base video (geometry,
+    frame count, scene length and luma STRUCTURE all closed-form in
+    base = id // group_size — the ``synth_y4m_scenes_column`` formulas
+    with the luma pattern held to %250) and each variant adds a
+    per-id brightness shift of id % group_size, so payloads are
+    byte-DIFFERENT (md5 dedup fails) but every frame pair's |diff| is
+    shift-invariant (same scene cuts) and every keyframe's DCT hash
+    is identical (AC basis rows sum to exactly 0) — the ground truth
+    ``video_keyframe_signature`` dedup must reproduce, replayable in
+    SQL from the formula alone."""
+    gs = int(group_size)
+    if gs < 1:
+        raise ValueError(
+            f"synth_y4m_variant_column: group_size must be >= 1 (got {gs})"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                base, shift = i // gs, i % gs
+                w, h = 8 + (base % 5) * 2, 8 + ((base // 5) % 5) * 2
+                nf, scene_len = 4 + base % 3, 1 + base % 3
+                frames = []
+                for f in range(nf):
+                    s = f // scene_len
+                    yy, xx = np.meshgrid(
+                        np.arange(h), np.arange(w), indexing="ij"
+                    )
+                    y = (
+                        (base * 19 + s * 97 + yy * 11 + xx * 7) % 250 + shift
+                    ).astype(np.uint8)
+                    uv = np.full(
+                        (h // 2) * (w // 2), (base + s) % 256, dtype=np.uint8
+                    )
+                    frames.append(y.tobytes() + uv.tobytes() + uv.tobytes())
+                payloads.append(encode_y4m(w, h, frames))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), bin_col: payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(bin_col, T.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def video_keyframe_signature(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    threshold: float = 8.0,
+    sample: int = 32,
+    block: int = 8,
+) -> DataFrame:
+    """VIDEO-LEVEL near-dup fingerprint — the whole-clip signature the
+    image/audio dedup family was missing: real Y4M decode → scene
+    boundaries (the ``video_scene_cuts`` mean-|luma diff| > threshold
+    rule) → ONE keyframe per scene (its first frame) → each keyframe's
+    63-bit DCT pHash over the luma plane (the exact ``image_phash``
+    integer pipeline: ``sample``×``sample`` nearest grid, fixed-point
+    cosine table, ``block``×``block`` AC block, lower-median
+    threshold) → the ordered hashes joined into one signature string.
+    Re-encoded / brightness-shifted copies of a video share the
+    signature exactly (per-frame diffs and every AC coefficient are
+    shift-invariant); videos differing in any scene's CONTENT or in
+    scene COUNT do not.
+
+    Output: one row per decodable clip — (id, n_scenes,
+    keyframe_sig); dedup groups key on both (the ``audio_fingerprint``
+    convention). Undecodable payloads are dropped (a corrupt clip has
+    no scenes to sign).
+
+    Scale: ONE Arrow ``mapInPandas`` stage with clip-bounded state
+    (frames × pixels per clip; clips are the parallelism unit) — cut
+    detection, keyframe hashing and signature assembly are all
+    clip-local, so only (id, int, string) rows ever shuffle. Cite:
+    scene rule = ``video_scene_cuts``; hash = ``image_phash``."""
+    n, k = int(sample), int(block)
+    if k * k - 1 > 64:
+        raise ValueError(
+            f"video_keyframe_signature: block {k} needs {k * k - 1} bits > 64"
+        )
+    thr = float(threshold)
+    ctab = np.array(phash_cos_table(n, k), dtype=np.int64)  # (k, n)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_scenes", T.IntegerType()),
+            T.StructField("keyframe_sig", T.StringType()),
+        ]
+    )
+
+    def _hash_luma(luma: np.ndarray) -> int:
+        h, w = luma.shape
+        sy = (np.arange(n, dtype=np.int64) * h) // n
+        sx = (np.arange(n, dtype=np.int64) * w) // n
+        samp = luma.astype(np.int64)[sy][:, sx]
+        coeffs = ctab @ samp @ ctab.T
+        flat = coeffs.ravel()[1:]
+        med = int(np.sort(flat)[(flat.size - 1) // 2])
+        bits = (flat > med).astype(np.int64)
+        return int(
+            (bits * (np.int64(1) << np.arange(flat.size, dtype=np.int64))).sum()
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in out_schema.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                frames = None
+                if raw[:9] == b"YUV4MPEG2":
+                    try:
+                        w, h, frames = decode_y4m(raw)
+                    except ValueError:
+                        frames = None
+                if not frames:
+                    continue  # undecodable/empty: no scenes to sign
+                npix = w * h
+                hashes = [_hash_luma(frames[0])]
+                for f in range(1, len(frames)):
+                    diff = int(
+                        np.abs(
+                            frames[f].astype(np.int64)
+                            - frames[f - 1].astype(np.int64)
+                        ).sum()
+                    )
+                    if diff > thr * npix:  # the video_scene_cuts rule
+                        hashes.append(_hash_luma(frames[f]))
+                rows[id_col].append(doc_id)
+                rows["n_scenes"].append(len(hashes))
+                rows["keyframe_sig"].append(":".join(str(x) for x in hashes))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
+
+
 def video_scene_cuts(
     df: DataFrame,
     bin_col: str = "payload",

@@ -351,3 +351,67 @@ def test_embedding_outliers_scoring_is_map_side(spark):
     assert "Exchange" not in p and "Window" not in p
     for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert py not in p, py
+
+
+# ---------------------------------------------------------------------------
+# video_keyframe_signature (round-16 post-freeze, r17 lead)
+# ---------------------------------------------------------------------------
+
+
+def test_video_keyframe_signature_groups_variants(spark):
+    """Brightness-shifted variants of one base video share the exact
+    signature (diffs and AC coefficients are shift-invariant at %250);
+    different bases never collide; scene counts follow the fixture's
+    closed form ceil(nf/sl); undecodable payloads are dropped."""
+    import math
+
+    d = spark.range(20).withColumnRenamed("id", "doc_id")
+    clips = ops.synth_y4m_variant_column(d, group_size=2)
+    out = {
+        r["doc_id"]: (r["n_scenes"], r["keyframe_sig"])
+        for r in ops.video_keyframe_signature(clips).collect()
+    }
+    assert len(out) == 20
+    sigs = {}
+    for i, s in out.items():
+        sigs.setdefault(s, []).append(i)
+        base = i // 2
+        nf, sl = 4 + base % 3, 1 + base % 3
+        assert out[i][0] == math.ceil(nf / sl), i
+    assert sorted(len(v) for v in sigs.values()) == [2] * 10
+    assert all(sorted(v)[1] == sorted(v)[0] + 1 for v in sigs.values())
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"not-a-video"))], "doc_id long, payload binary"
+    )
+    assert ops.video_keyframe_signature(junk).count() == 0
+
+
+def test_video_keyframe_signature_detects_content_change(spark):
+    """A clip differing from another in ONE scene's luma content gets
+    a different signature even with equal scene counts — the dedup
+    key sees content, not just structure."""
+    from graph_etl_spark.operators.multimodal import encode_y4m
+    import numpy as np
+
+    def clip(doc_id, pattern_shift):
+        w = h = 8
+        frames = []
+        for s in range(2):  # 2 scenes x 1 frame, cut between
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            y = ((s * 97 + yy * 11 + xx * (7 + pattern_shift)) % 250).astype(
+                np.uint8
+            )
+            uv = np.zeros((h // 2) * (w // 2), dtype=np.uint8)
+            frames.append(y.tobytes() + uv.tobytes() + uv.tobytes())
+        return (doc_id, bytearray(encode_y4m(w, h, frames)))
+
+    df = spark.createDataFrame(
+        [clip(0, 0), clip(1, 0), clip(2, 150)],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r["keyframe_sig"]
+        for r in ops.video_keyframe_signature(df).collect()
+    }
+    assert out[0] == out[1]
+    assert out[0] != out[2]
