@@ -196,6 +196,11 @@ PROBE_TO_REGISTRY = {
     "pq_refine_topk": "sim_pq_refine_topk",
     "semdedup_survivors": "dedup_semdedup",
     "audio_fingerprint": "mm_audio_fingerprint_dedup",
+    "phash_pairs_wide": "mm_image_phash_pairs_wide",
+    "clip_filter": "sim_clip_filter",
+    "embedding_outliers": "sim_embedding_outliers",
+    "mojibake_scrub": "quality_mojibake_scrub",
+    "video_keyframe_dedup": "mm_video_keyframe_dedup",
     "profile_table_exact": "etl_profile_table",
     "ingest_admission": "stream_ingest_admission",
     "ppl_gate": "quality_ppl_gate",
@@ -1757,6 +1762,135 @@ def main() -> None:
         print(
             f"# domain_reweight: {t1}s -> {tn}s "
             f"(x{result['domain_reweight']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r16: WIDE pHash hamming pairs — the same pigeonhole self-join
+    # with 36/37-bit segment buckets; true pairs grow linearly and
+    # random collisions are ~zero at any corpus size (PHASH_PROBE.json
+    # A/B), so the ratio probes hash + join plan scaling alone
+    if only is None or "phash_pairs_wide" in only:
+        ids_pw = read_table(spark, SF_DIR, "documents").select("doc_id")
+
+        def _pw_rep(n_copies):
+            parts = [
+                ids_pw.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id")
+                )
+                for i in range(n_copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return ops.synth_png_variant_column(out, group_size=4)
+
+        t1 = timed(ops.image_phash_pairs_wide(_pw_rep(1), max_hamming=6))
+        tn = timed(ops.image_phash_pairs_wide(_pw_rep(n), max_hamming=6))
+        result["phash_pairs_wide"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# phash_pairs_wide: {t1}s -> {tn}s "
+            f"(x{result['phash_pairs_wide']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r16: CLIP-score filter — Nx pairs through the JVM dot product,
+    # the two-phase exact rank (collects boundaries/offsets during
+    # construction -> thunk-timed), one broadcast scalar; the ratio
+    # probes the scoring scan + bucket-local rank exchange
+    if only is None or "clip_filter" in only:
+        e_cf = read_table(spark, SF_DIR, "embeddings")
+
+        def _cf(n_copies):
+            frame = replicate_vecs(e_cf, n_copies)
+            pairs = frame.select(
+                F.col("vec_id").alias("pair_id"),
+                F.col("embedding").alias("img_embedding"),
+                F.transform(
+                    "embedding", lambda x: (x * F.lit(0.5)).cast("float")
+                ).alias("txt_embedding"),
+            )
+            return lambda: ops.clip_score_filter(pairs, trim_percentile=0.2)
+
+        t1, tn = timed_thunk(_cf(1)), timed_thunk(_cf(n))
+        result["clip_filter"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# clip_filter: {t1}s -> {tn}s "
+            f"(x{result['clip_filter']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r16: embedding outliers — ONE dim-bounded stats agg collects
+    # during construction (thunk-timed), then a pure map scoring pass;
+    # the ratio probes two corpus scans, nothing else grows
+    if only is None or "embedding_outliers" in only:
+        e_eo = read_table(spark, SF_DIR, "embeddings")
+
+        def _eo(n_copies):
+            frame = replicate_vecs(e_eo, n_copies)
+            return lambda: ops.embedding_outliers(frame)
+
+        t1, tn = timed_thunk(_eo(1)), timed_thunk(_eo(n))
+        result["embedding_outliers"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# embedding_outliers: {t1}s -> {tn}s "
+            f"(x{result['embedding_outliers']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r16: mojibake scrub — pure map-side string algebra; any ratio
+    # meaningfully above linear means codegen fell out of the plan
+    if only is None or "mojibake_scrub" in only:
+        d_mj = read_table(spark, SF_DIR, "documents")
+        t1 = timed(ops.fix_mojibake(replicate_docs(d_mj, 1)))
+        tn = timed(ops.fix_mojibake(replicate_docs(d_mj, n)))
+        result["mojibake_scrub"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# mojibake_scrub: {t1}s -> {tn}s "
+            f"(x{result['mojibake_scrub']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r16: video keyframe dedup — Nx synthetic clips through the
+    # clip-bounded Arrow signature stage + one signature-keyed agg;
+    # clips are the parallelism unit so the ratio must be ~linear
+    if only is None or "video_keyframe_dedup" in only:
+        ids_vk = read_table(spark, SF_DIR, "documents").select("doc_id")
+
+        def _vk_rep(n_copies):
+            parts = [
+                ids_vk.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id")
+                )
+                for i in range(n_copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return ops.synth_y4m_variant_column(out, group_size=2)
+
+        def _vk_flow(clips):
+            return (
+                ops.video_keyframe_signature(clips)
+                .groupBy("n_scenes", "keyframe_sig")
+                .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("c"))
+            )
+
+        t1 = timed(_vk_flow(_vk_rep(1)))
+        tn = timed(_vk_flow(_vk_rep(n)))
+        result["video_keyframe_dedup"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# video_keyframe_dedup: {t1}s -> {tn}s "
+            f"(x{result['video_keyframe_dedup']['ratio']})",
             file=sys.stderr,
         )
 
