@@ -4343,6 +4343,29 @@ def q_mm_image_phash_pairs_wide(spark, sf):
     return ops.image_phash_pairs_wide(pngs, max_hamming=6)
 
 
+def q_dedup_minhash_contamination(spark, sf):
+    """Lexical near-dup eval contamination (round 16, post-freeze —
+    r17 window lead): eval = docs < 20, train = docs >= 20 plus EXACT
+    planted copies of the first ten eval docs (signatures identical,
+    so every band collides and Jaccard is exactly 1.0) — those ten
+    must flag at threshold 0.8; evals with no LSH candidate keep
+    their row with NULL max and contaminated=false. Asymmetric banded
+    equi-join, candidate-bounded exact-Jaccard verify, shared
+    packed-decimal JVM argmax; the oracle replays signatures, bands
+    and the intersection ratio with the proven minhash CTE chain."""
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+    )
+    train = (
+        d.filter(F.col("doc_id") >= 20)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return ops.minhash_contamination(train, ev, threshold=0.8)
+
+
 def q_mm_video_keyframe_dedup(spark, sf):
     """Video-level near-dup dedup (round 16, post-freeze — r17 window
     lead): real Y4M decode -> scene cuts (mean |luma diff| > 8) ->
@@ -4799,6 +4822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_mojibake_scrub": q_quality_mojibake_scrub,
         "sim_embedding_outliers": q_sim_embedding_outliers,
         "mm_video_keyframe_dedup": q_mm_video_keyframe_dedup,
+        "dedup_minhash_contamination": q_dedup_minhash_contamination,
     }
     # ROUND-17 BUDGET NOTE (for the next session): once r16 lands,
     # the staleness histogram becomes {11: 41, 12: 39, 13: 44,
@@ -4806,12 +4830,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5-round bound the moment r17 lands and must fill the r17
     # window, capping r17's new+changed lead at 9; the 39 r12-era
     # rows then own the r18 fillers. test_staleness_policy enforces
-    # this mechanically. Round 16 added THREE post-freeze queries
+    # this mechanically. Round 16 added FOUR post-freeze queries
     # after its window froze (quality_mojibake_scrub,
-    # sim_embedding_outliers, mm_video_keyframe_dedup — the r15
-    # precedent) — they lead the r17 window, 3 of the 9-slot cap;
-    # prefer r17 fixes that land inside these three (or inside
-    # r17-new queries).
+    # sim_embedding_outliers, mm_video_keyframe_dedup,
+    # dedup_minhash_contamination — the r15 precedent) — they lead
+    # the r17 window, 4 of the 9-slot cap; prefer r17 fixes that
+    # land inside these four (or inside r17-new queries).
     # r16 window (first 50): the FIVE r15-new post-freeze queries
     # lead (sim_eval_contamination, mm_image_phash_pairs,
     # quality_domain_reweight, dedup_cluster_split,
@@ -11775,6 +11799,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT pair_id, clip_score, t AS threshold,
                COALESCE(clip_score >= t, FALSE) AS keep
         FROM scored, thr
+    """
+
+    # Lexical near-dup contamination (round 16, post-freeze): the
+    # proven minhash CTE chain run per SIDE (eval = docs < 20, train =
+    # docs >= 20 + ten planted exact copies), asymmetric band join,
+    # candidate-bounded exact Jaccard, per-eval argmax (j desc, tid
+    # desc — the packed_max_by tie order), one row per eval doc.
+    sql["dedup_minhash_contamination"] = f"""
+        WITH ev AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 20
+        ), tr AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 20
+          UNION ALL
+          SELECT doc_id + 400000 AS doc_id, text
+          FROM documents WHERE doc_id < 10
+        ),
+        eshd AS (SELECT doc_id, unnest({_sh}) AS s FROM ev),
+        tshd AS (SELECT doc_id, unnest({_sh}) AS s FROM tr),
+        esz AS (SELECT doc_id, COUNT(*)::BIGINT AS ne
+                FROM eshd GROUP BY doc_id),
+        tsz AS (SELECT doc_id, COUNT(*)::BIGINT AS nt
+                FROM tshd GROUP BY doc_id),
+        ehs AS (SELECT doc_id, list_transform({_sh}, s ->
+                  ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs FROM ev),
+        esigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM ehs),
+        ths AS (SELECT doc_id, list_transform({_sh}, s ->
+                  ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs FROM tr),
+        tsigs AS (SELECT doc_id, [{mh_list}] AS minhash FROM ths),
+        eband AS (
+          SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                 unnest([{band_exprs}]) AS band_hash
+          FROM esigs
+        ), tband AS (
+          SELECT doc_id, unnest(generate_series(0, 7)) AS band_idx,
+                 unnest([{band_exprs}]) AS band_hash
+          FROM tsigs
+        ), cands AS (
+          SELECT DISTINCT e.doc_id AS query_id, t.doc_id AS tid
+          FROM eband e JOIN tband t
+            ON e.band_idx = t.band_idx AND e.band_hash = t.band_hash
+        ), inter AS (
+          SELECT c.query_id, c.tid, COUNT(*)::BIGINT AS i
+          FROM cands c
+          JOIN eshd x ON x.doc_id = c.query_id
+          JOIN tshd y ON y.doc_id = c.tid AND y.s = x.s
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT c.query_id, c.tid,
+                 ROUND(COALESCE(i.i, 0)
+                       / (esz.ne + tsz.nt - COALESCE(i.i, 0))::DOUBLE, 6)
+                   AS j
+          FROM cands c
+          LEFT JOIN inter i
+            ON i.query_id = c.query_id AND i.tid = c.tid
+          JOIN esz ON esz.doc_id = c.query_id
+          JOIN tsz ON tsz.doc_id = c.tid
+        ), best AS (
+          SELECT query_id, j, tid FROM (
+            SELECT query_id, j, tid,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY j DESC, tid DESC) AS rn
+            FROM scored WHERE j IS NOT NULL) WHERE rn = 1
+        )
+        SELECT ev.doc_id AS query_id, best.j AS max_jaccard,
+               best.tid AS nearest_train_id,
+               COALESCE(best.j >= 0.8, FALSE) AS contaminated
+        FROM ev LEFT JOIN best ON best.query_id = ev.doc_id
     """
 
     # Video keyframe dedup (round 16, post-freeze): replay the variant

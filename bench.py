@@ -280,6 +280,7 @@ HEADLINE = [
     "quality_mojibake_scrub",
     "sim_embedding_outliers",
     "mm_video_keyframe_dedup",
+    "dedup_minhash_contamination",
 ]
 
 

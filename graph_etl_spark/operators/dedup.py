@@ -926,6 +926,112 @@ def minhash_jaccard_audit(
     )
 
 
+def minhash_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LEXICAL near-dup EVAL-SET CONTAMINATION audit — the third leg
+    of the contamination triad: ``quality.contamination_report`` flags
+    exact 13-gram leaks, ``similarity.embedding_contamination`` flags
+    semantic ones, and this flags LEXICAL near-duplicates (a
+    lightly-edited eval document shares most shingles but no long
+    n-gram and may embed differently) — the Dolma/FineWeb-style
+    MinHash decontamination pass run before an eval score is trusted.
+
+    For every eval document: banded-LSH candidates against the train
+    corpus (asymmetric equi-join on (band_idx, band_hash) — NEVER
+    all-pairs), the EXACT shingle Jaccard on candidates only
+    (intersection join touches candidate docs' shingles alone, the
+    ``minhash_jaccard_audit`` verify stage), and the per-eval max via
+    the shared ``packed_max_by`` JVM argmax (ties to the largest
+    train id). One row per eval document ALWAYS — an eval doc with no
+    LSH candidate reports NULL max/nearest and ``contaminated=false``
+    (an audit that silently shrinks its output is how a contaminated
+    eval slips through).
+
+    Output: (query_id, max_jaccard, nearest_train_id, contaminated).
+
+    Recall caveat (documented, same as every LSH pass): a true
+    near-dup pair missed by ALL bands is invisible — tune
+    (num_perm, bands) with ``minhash_recall_curve`` first.
+
+    Scale: two signature pipelines (each ONE map-side-combining agg),
+    one banded equi-join whose buckets are LSH-small, shingle joins
+    bounded to candidates, and one HashAggregate argmax. No corpus
+    cross join, no window over the stream."""
+    ev_b = _banded(
+        eval_df, text_col, id_col, num_perm, bands, shingle_n
+    ).select(
+        F.col(id_col).alias("query_id"), "band_idx", "band_hash"
+    )
+    tr_b = _banded(
+        train, text_col, id_col, num_perm, bands, shingle_n
+    ).select(
+        F.col(id_col).alias("__tid"), "band_idx", "band_hash"
+    )
+    cands = (
+        ev_b.join(tr_b, ["band_idx", "band_hash"])
+        .select("query_id", "__tid")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ev_sh = eval_df.withColumn("__toks", tokens_col(F.col(text_col))).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(shingles_of(F.col("__toks"), shingle_n)).alias("__s"),
+    )
+    tr_sh = train.withColumn("__toks", tokens_col(F.col(text_col))).select(
+        F.col(id_col).alias("__tid"),
+        F.explode(shingles_of(F.col("__toks"), shingle_n)).alias("__s"),
+    )
+    ev_n = ev_sh.groupBy("query_id").agg(F.count(F.lit(1)).alias("__ne"))
+    tr_n = tr_sh.groupBy("__tid").agg(F.count(F.lit(1)).alias("__nt"))
+    inter = (
+        ev_sh.join(cands, "query_id")
+        .join(tr_sh, ["__tid", "__s"])
+        .groupBy("query_id", "__tid")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    iv = F.coalesce(F.col("__i"), F.lit(0))
+    scored = (
+        cands.join(inter, ["query_id", "__tid"], "left")
+        .join(ev_n, "query_id")
+        .join(tr_n, "__tid")
+        .select(
+            "query_id",
+            "__tid",
+            F.round(
+                iv / (F.col("__ne") + F.col("__nt") - iv).cast("double"), 6
+            ).alias("__j"),
+        )
+        .filter(F.col("__j").isNotNull())
+    )
+    from .similarity import packed_max_by
+
+    best = packed_max_by(scored, "query_id", "__j", "__tid", round_to=6)
+    return (
+        eval_df.select(F.col(id_col).alias("query_id"))
+        .join(best, "query_id", "left")
+        .select(
+            "query_id",
+            (F.col("__scaled").cast("double") / F.lit(1e6)).alias(
+                "max_jaccard"
+            ),
+            F.col("__tid").alias("nearest_train_id"),
+            F.coalesce(
+                F.col("__scaled").cast("double") / F.lit(1e6)
+                >= float(threshold),
+                F.lit(False),
+            ).alias("contaminated"),
+        )
+    )
+
+
 def cdc_chunk_hashes(
     df: DataFrame,
     window: int = 4,

@@ -96,6 +96,57 @@ def brute_force_topk(
     )
 
 
+def packed_max_by(
+    scored: DataFrame,
+    group_col: str,
+    val_col: str,
+    tid_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Shared JVM-side argmax: per group, the (max rounded value, id
+    attaining it — ties to the LARGEST id) via ONE map-side-combining
+    HashAggregate. The rounded value and the int64 id pack losslessly
+    into one DECIMAL(38,0) — packed = (round(v·10^r) + 10^r)·2^64 +
+    (id + 2^63), order-isomorphic to (v, id) — so a plain ``max`` does
+    the whole reduction in whole-stage codegen: no SortAggregate sort
+    of the scored stream, no Arrow round-trip through Python. Callers:
+    ``embedding_contamination`` (cosine) and
+    ``dedup.minhash_contamination`` (Jaccard).
+
+    ``val_col`` must already be rounded to ``round_to`` decimals and
+    lie in [-1, 1]-ish magnitude (|v| < 10^3 keeps the pack inside
+    decimal(38,0) for round_to ≤ 15); ``tid_col`` must be integral.
+
+    Returns one row per group: (group_col, __scaled, __tid), where
+    ``__scaled / 10^round_to`` reproduces the rounded value
+    bit-for-bit (integer-to-double division is correctly rounded)."""
+    sc = 10 ** int(round_to)
+    two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")
+    off_t = F.expr("CAST('9223372036854775808' AS DECIMAL(38,0))")
+    cos_prec = len(str(2 * sc)) + 1
+    packed = (
+        (
+            F.round(F.col(val_col) * F.lit(float(sc)), 0).cast("long")
+            + F.lit(sc)
+        ).cast(f"decimal({cos_prec},0)")
+        * two64
+        + (F.col(tid_col).cast("decimal(20,0)") + off_t)
+    ).cast("decimal(38,0)")
+    best = (
+        scored.select(group_col, packed.alias("__p"))
+        .groupBy(group_col)
+        .agg(F.max("__p").alias("__best"))
+    )
+    tid_off = F.pmod(F.col("__best"), two64)
+    return best.select(
+        group_col,
+        (
+            ((F.col("__best") - tid_off) / two64).cast("long") - F.lit(sc)
+        ).alias("__scaled"),
+        (tid_off - off_t).cast("long").alias("__tid"),
+    )
+
+
 def embedding_contamination(
     train: DataFrame,
     eval_df: DataFrame,
@@ -188,35 +239,10 @@ def embedding_contamination(
         .filter(F.col("__cos").isNotNull() & ~F.isnan("__cos"))
         .select("query_id", "__tid", "__cos")
     )
-    # lossless order-isomorphic pack of (rounded cos, tid) into ONE
-    # decimal(38,0): cos is already rounded to `round_to` decimals, so
-    # round(cos·10^r) is a small exact integer; shifting it above the
-    # 2^64 id space and offsetting both parts non-negative makes
-    # numeric max = lexicographic (cos desc, tid desc) max. A plain
-    # max over a fixed-width decimal hash-aggregates with map-side
-    # combine — the whole reduction stays in whole-stage codegen.
+    # the shared lossless (rounded cos, tid) pack — see packed_max_by
     sc = 10 ** int(round_to)
-    two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")
-    off_t = F.expr("CAST('9223372036854775808' AS DECIMAL(38,0))")
-    cos_prec = len(str(2 * sc)) + 1
-    packed = (
-        (F.round(F.col("__cos") * F.lit(float(sc)), 0).cast("long") + F.lit(sc))
-        .cast(f"decimal({cos_prec},0)")
-        * two64
-        + (F.col("__tid").cast("decimal(20,0)") + off_t)
-    ).cast("decimal(38,0)")
-    best = (
-        scored.select("query_id", packed.alias("__p"))
-        .groupBy("query_id")
-        .agg(F.max("__p").alias("__best"))
-    )
-    tid_off = F.pmod(F.col("__best"), two64)
-    unpacked = best.select(
-        "query_id",
-        (
-            ((F.col("__best") - tid_off) / two64).cast("long") - F.lit(sc)
-        ).alias("__scaled"),
-        (tid_off - off_t).cast("long").alias("__tid"),
+    unpacked = packed_max_by(
+        scored, "query_id", "__cos", "__tid", round_to=round_to
     )
     return (
         q.select("query_id")

@@ -415,3 +415,76 @@ def test_video_keyframe_signature_detects_content_change(spark):
     }
     assert out[0] == out[1]
     assert out[0] != out[2]
+
+
+# ---------------------------------------------------------------------------
+# minhash_contamination (round-16 post-freeze, r17 lead)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_contamination_flags_planted_copy(spark):
+    """An exact copy of an eval doc in the train corpus collides in
+    every band and scores Jaccard 1.0; a lightly-edited near-copy
+    scores high; an unrelated eval doc keeps its row (NULL or low max,
+    not contaminated); ties break to the largest train id."""
+    ev = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "completely different subject matter about spark shuffles"),
+            (3, "zebra quantum paradox mountain seventeen violet cascade xylophone"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again today"),
+            (11, "the quick brown fox jumps over the lazy dog again today"),
+            (12, "spark shuffles are completely different subject matter about"),
+            (13, "unrelated corpus document mentioning nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["query_id"]: r
+        for r in ops.minhash_contamination(train, ev, threshold=0.8).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["max_jaccard"] == 1.0 and out[1]["contaminated"]
+    assert out[1]["nearest_train_id"] == 11  # largest id at the tie
+    assert not out[3]["contaminated"]
+
+
+def test_minhash_contamination_plan_jvm_argmax(spark):
+    """The per-eval reduction is the shared packed-decimal
+    HashAggregate — no SortAggregate of the candidate stream, no
+    Python eval, no cartesian anywhere."""
+    from graph_etl_spark.plans import plan_string
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = d.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    tr = d.filter(F.col("doc_id") >= 5).select("doc_id", "text")
+    p = plan_string(ops.minhash_contamination(tr, ev))
+    assert "CartesianProduct" not in p
+    assert "SortAggregate" not in p
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in p, py
+
+
+def test_packed_max_by_order_and_decode(spark):
+    """The shared pack is order-isomorphic to (value, id) with ties to
+    the largest id, and the decode reproduces the rounded value
+    exactly at both supported scales."""
+    from graph_etl_spark.operators.similarity import packed_max_by
+
+    df = spark.createDataFrame(
+        [(1, 0.9123, 5), (1, 0.9123, 9), (1, -0.5, 2), (2, 1.0, -7)],
+        "g int, v double, tid long",
+    )
+    for r in (4, 6):
+        out = {
+            row["g"]: row
+            for row in packed_max_by(df, "g", "v", "tid", round_to=r).collect()
+        }
+        assert out[1]["__tid"] == 9 and out[2]["__tid"] == -7
+        assert out[1]["__scaled"] / 10**r == 0.9123
+        assert out[2]["__scaled"] / 10**r == 1.0
