@@ -201,6 +201,7 @@ PROBE_TO_REGISTRY = {
     "embedding_outliers": "sim_embedding_outliers",
     "mojibake_scrub": "quality_mojibake_scrub",
     "video_keyframe_dedup": "mm_video_keyframe_dedup",
+    "minhash_contamination": "dedup_minhash_contamination",
     "profile_table_exact": "etl_profile_table",
     "ingest_admission": "stream_ingest_admission",
     "ppl_gate": "quality_ppl_gate",
@@ -1891,6 +1892,31 @@ def main() -> None:
         print(
             f"# video_keyframe_dedup: {t1}s -> {tn}s "
             f"(x{result['video_keyframe_dedup']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r16: lexical contamination — 20 fixed eval docs against an Nx
+    # train corpus (the realistic growth direction); both signature
+    # pipelines are one-agg shapes, the band join's eval side is
+    # constant, and the argmax is the shared packed HashAggregate —
+    # the ratio probes the train-side signature scan
+    if only is None or "minhash_contamination" in only:
+        d_mc = read_table(spark, SF_DIR, "documents")
+        ev_mc = d_mc.filter(F.col("doc_id") < 20).select("doc_id", "text")
+
+        def _mc(frame):
+            return ops.minhash_contamination(
+                frame.select("doc_id", "text"), ev_mc, threshold=0.8
+            )
+
+        t1 = timed(_mc(replicate_docs(d_mc, 1)))
+        tn = timed(_mc(replicate_docs(d_mc, n)))
+        result["minhash_contamination"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# minhash_contamination: {t1}s -> {tn}s "
+            f"(x{result['minhash_contamination']['ratio']})",
             file=sys.stderr,
         )
 
