@@ -4388,6 +4388,62 @@ def q_mm_video_keyframe_dedup(spark, sf):
     )
 
 
+def q_mm_audio_fingerprint_pairs(spark, sf):
+    """Fuzzy near-dup audio pairs (round 17, VERDICT r16 #2a): the
+    63-bit energy-delta fingerprint run through the exact pigeonhole
+    Hamming equi-join, BLOCKED on equal n_windows — the image_phash
+    segment machinery applied to audio. The neardup fixture plants,
+    per 3-id group, a polarity-inverted twin (provably Hamming 0) and
+    a zeroed-last-window variant (provably Hamming <= 1: only the
+    final delta sign can move); clips carry 32-64 windows so
+    unrelated fingerprints essentially never collide at distance 1.
+    The oracle replays samples, window energies, delta signs and the
+    all-pairs Hamming filter from the closed form — recall of the
+    pigeonhole join is 1.0 by construction, so the outputs match
+    exactly."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    wavs = ops.synth_wav_neardup_column(d, group_size=3)
+    return ops.audio_fingerprint_pairs(wavs, max_hamming=1, window_samples=8)
+
+
+def q_mm_video_keyframe_pairs(spark, sf):
+    """Fuzzy near-dup video pairs (round 17, VERDICT r16 #2b):
+    candidates = videos sharing an EXACT keyframe pHash at the same
+    scene index (equi-join over exploded per-scene hashes, never a
+    cartesian), verified by per-keyframe Hamming <= 6 across ALL
+    aligned scenes. The tail-variant fixture plants, per 3-id group, a
+    brightness-shifted twin (accept path: every keyframe provably
+    identical, max Hamming 0) and a divergent-last-scene variant
+    (candidate via the shared earlier scenes; kept only if the last
+    keyframes land within 6 bits — the verify filter's reject path).
+    The oracle replays cuts, keyframes, the integer DCT and the
+    all-pairs (>=1-exact-scene AND max-Hamming) rule from the luma
+    formula."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    clips = ops.synth_y4m_tail_variant_column(d, group_size=3)
+    return ops.video_keyframe_pairs(clips, max_hamming=6)
+
+
+def q_quality_token_cost_audit(spark, sf):
+    """Tokenizer-aware sequence-cost audit (round 17, VERDICT r16
+    #7): learn 3 BPE merge rounds on the corpus, encode every
+    document under the learned rules, then account each document's
+    cost at a 128-token context window — sequences when split,
+    tokens lost under truncate-to-one, padding wasted under
+    doc-isolated packing. The capacity-planning query a 100 TB corpus
+    run starts with; the audit stage is pure map-side integer
+    arithmetic on the per-doc symbol counts. The oracle re-learns the
+    rules (the text_bpe_encode unrolled chain) and replays the
+    integer ceil-div accounting."""
+    d = _t(spark, sf, "documents")
+    merges = ops.bpe_learn_merges(d, rounds=3)
+    enc = ops.bpe_encode(d, merges)
+    return ops.token_cost_audit(
+        enc.select("doc_id", F.col("n_symbols").alias("n_tokens")),
+        context_len=128,
+    )
+
+
 def q_quality_mojibake_scrub(spark, sf):
     """Encoding-damage scrub (round 16, post-freeze — r17 window
     lead): the fixture plants the two most common UTF-8-as-cp1252
@@ -4823,19 +4879,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_outliers": q_sim_embedding_outliers,
         "mm_video_keyframe_dedup": q_mm_video_keyframe_dedup,
         "dedup_minhash_contamination": q_dedup_minhash_contamination,
+        # ---- round-17 NEW queries ----
+        "mm_audio_fingerprint_pairs": q_mm_audio_fingerprint_pairs,
+        "mm_video_keyframe_pairs": q_mm_video_keyframe_pairs,
+        "quality_token_cost_audit": q_quality_token_cost_audit,
     }
-    # ROUND-17 BUDGET NOTE (for the next session): once r16 lands,
-    # the staleness histogram becomes {11: 41, 12: 39, 13: 44,
-    # 14: 50, 15: 50, 16: 50} — the 41 r11-era rows breach the
-    # 5-round bound the moment r17 lands and must fill the r17
-    # window, capping r17's new+changed lead at 9; the 39 r12-era
-    # rows then own the r18 fillers. test_staleness_policy enforces
-    # this mechanically. Round 16 added FOUR post-freeze queries
-    # after its window froze (quality_mojibake_scrub,
-    # sim_embedding_outliers, mm_video_keyframe_dedup,
-    # dedup_minhash_contamination — the r15 precedent) — they lead
-    # the r17 window, 4 of the 9-slot cap; prefer r17 fixes that
-    # land inside these four (or inside r17-new queries).
+    # ROUND-18 BUDGET NOTE (for the next session): once r17 lands,
+    # the staleness histogram becomes {12: 39, 13: 44, 14: 50,
+    # 15: 50, 16: 48, 17: 50} — the 39 r12-era rows breach the
+    # 5-round bound the moment r18 lands and must fill the r18
+    # window, capping r18's new+changed lead at 11; the 44 r13-era
+    # rows then own the r19 fillers. test_staleness_policy enforces
+    # this mechanically. Round 17 added no post-freeze queries, so
+    # the full 11-slot lead is available for r18-new and r18
+    # code-changed entries.
+    # r17 window (first 50): the FOUR r16-new post-freeze queries
+    # lead (quality_mojibake_scrub, sim_embedding_outliers,
+    # mm_video_keyframe_dedup, dedup_minhash_contamination — VERDICT
+    # r16 #1), plus the THREE r17-new queries
+    # (mm_audio_fingerprint_pairs, mm_video_keyframe_pairs — VERDICT
+    # r16 #2's fuzzy audio/video dedup; quality_token_cost_audit —
+    # VERDICT r16 #7), plus TWO r17 code-changed queries that must
+    # re-certify (sim_clip_filter — the NaN-keep fix;
+    # sim_eval_contamination — the packed_max_by domain guard; the
+    # other ADVICE r16 fixes land inside lead entries:
+    # embedding_outliers' input pinning and minhash_contamination's
+    # shared packed_max_by guard), then ALL 41 r11-era rows at the
+    # staleness ceiling (they breach the 5-round bound the moment
+    # r17 lands). Composed mechanically with before_round=17
+    # staleness; checked by test_round17_window_composition and the
+    # self-enforcing staleness test.
     # r16 window (first 50): the FIVE r15-new post-freeze queries
     # lead (sim_eval_contamination, mm_image_phash_pairs,
     # quality_domain_reweight, dedup_cluster_split,
@@ -4868,34 +4941,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # self-enforcing staleness test. The r14 window is frozen as the
     # keys of CORRECTNESS_r14.json and still asserted by its own
     # round-aware test.
-    # (the r15 window is frozen as the keys of CORRECTNESS_r15.json
-    # and asserted by its round-aware test; the static list is gone)
-    r16_window = [
-        # r15-new post-freeze lead (5) — VERDICT r15 #2
-        "sim_eval_contamination", "mm_image_phash_pairs",
-        "quality_domain_reweight", "dedup_cluster_split",
-        "mm_audio_fingerprint_dedup",
-        # r16-new (2)
-        "mm_image_phash_pairs_wide", "sim_clip_filter",
-        # r10-era staleness ceiling — ALL 43 (alphabetical)
-        "cube_agg", "dedup_containment_pairs", "dedup_exact_groups",
-        "dedup_ngram_jaccard_pairs", "dedup_simhash_pairs",
-        "etl_automap_j2", "etl_chunk_counts", "etl_fk_orphans",
-        "etl_key_skew_report", "etl_remap_j1", "events_funnel_windowed",
-        "events_gap_fill", "events_rfm_segments",
-        "events_seasonal_anomaly", "events_seasonal_profile",
-        "graph_degrees", "graph_link_prediction", "graph_node2vec_walks",
-        "graph_pagerank", "graph_personalized_pagerank",
-        "json_extract_events", "mm_audio_features", "mm_audio_windows",
-        "mm_decode_real", "mm_video_frames", "moving_avg",
-        "pivot_status", "q1_pricing_summary", "quality_negative_samples",
-        "quality_ppl_gate", "quality_quantile_normalize", "sim_l2_topk",
-        "sim_maxsim_topk", "sim_mips_topk", "sim_quantize_int8",
-        "text_lang_id", "text_llr_collocations", "text_rake_keywords",
-        "text_textrank_keywords", "text_token_stats", "text_zipf_fit",
-        "topk_orders", "win_running_total",
+    # (the r15 and r16 windows are frozen as the keys of
+    # CORRECTNESS_r15.json / CORRECTNESS_r16.json and asserted by
+    # their round-aware tests; the static lists are gone)
+    r17_window = [
+        # r16-new post-freeze lead (4) — VERDICT r16 #1
+        "quality_mojibake_scrub", "sim_embedding_outliers",
+        "mm_video_keyframe_dedup", "dedup_minhash_contamination",
+        # r17-new (3) — VERDICT r16 #2 + #7
+        "mm_audio_fingerprint_pairs", "mm_video_keyframe_pairs",
+        "quality_token_cost_audit",
+        # r17 code-changed (2) — changed code MUST re-certify
+        # (clip filter: NaN-keep fix; eval contamination: the shared
+        # packed_max_by domain guard)
+        "sim_clip_filter", "sim_eval_contamination",
+        # r11-era staleness ceiling — ALL 41 (alphabetical)
+        "approx_cms_counts", "dedup_incremental",
+        "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
+        "dedup_neardup_survivors", "dedup_ngram_novelty",
+        "etl_freshness", "events_ab_cuped", "events_ab_ztest",
+        "events_cusum_changepoint", "events_holt_forecast",
+        "events_survival_km", "events_top_paths", "mm_resize_real",
+        "q5_local_supplier_volume", "quality_domain_shift",
+        "quality_dsir_weights", "quality_gini_tokens",
+        "quality_kn_logprob", "quality_repetition_stats",
+        "quality_shard_plan", "quality_source_quota",
+        "quality_tfidf_top_terms", "range_join_parts",
+        "rollup_lineitem", "sim_cosine_topk", "sim_cosine_topk_scale",
+        "sim_hamming_topk", "sim_hamming_topk_scale", "sim_hybrid_rrf",
+        "sim_ivf_topk", "sim_ivf_trained_topk", "sim_kmeans_assign",
+        "sim_kmeans_centroids", "sim_matryoshka_recall",
+        "sim_mips_ivf_topk", "stats_agg", "text_fertility",
+        "text_langid_confusion", "text_winnow_fingerprints",
+        "unpivot_part",
     ]
-    ordered = {k: registry[k] for k in r16_window}
+    ordered = {k: registry[k] for k in r17_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
     return {name: _scoped(fn) for name, fn in ordered.items()}
 
@@ -7329,6 +7409,64 @@ def oracle_sql() -> dict[str, str]:
                SUM(len(syms))::BIGINT AS n_symbols,
                md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS encoded_fp
         FROM symsd GROUP BY doc_id
+    """
+
+    # Tokenizer-aware sequence-cost audit (round 17): the same
+    # learned-BPE encode chain reduced to per-doc symbol counts, then
+    # the exact integer ceil-div accounting at a 128-token context —
+    # sequences when split, truncate-to-one loss, doc-isolated
+    # padding waste (pad_ratio as one double division rounded to 6).
+    sql["quality_token_cost_audit"] = f"""
+        WITH words AS (
+          SELECT word, COUNT(*)::BIGINT AS cnt FROM (
+            SELECT unnest({_TOKS.replace("text", "lower(text)")}) AS word
+            FROM documents
+          ) GROUP BY word
+        ), s0 AS MATERIALIZED (
+          SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS w,
+                 cnt
+          FROM words
+        ),
+        {','.join(bpe_rounds)},
+        docw AS (
+          SELECT doc_id, i - 1 AS pos, tk[i] AS word
+          FROM (SELECT doc_id, {_TOKS.replace("text", "lower(text)")} AS tk FROM documents),
+               unnest(range(1, len(tk) + 1)) AS t(i)
+        ), e0 AS (
+          SELECT doc_id, pos,
+                 chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS w
+          FROM docw
+        ), e1 AS (
+          SELECT doc_id, pos, replace(w, chr(31)||m1.a||chr(31)||m1.b||chr(31),
+                                         chr(31)||m1.a||m1.b||chr(31)) AS w
+          FROM e0, m1
+        ), e2 AS (
+          SELECT doc_id, pos, replace(w, chr(31)||m2.a||chr(31)||m2.b||chr(31),
+                                         chr(31)||m2.a||m2.b||chr(31)) AS w
+          FROM e1, m2
+        ), e3 AS (
+          SELECT doc_id, pos, replace(w, chr(31)||m3.a||chr(31)||m3.b||chr(31),
+                                         chr(31)||m3.a||m3.b||chr(31)) AS w
+          FROM e2, m3
+        ), symsd AS (
+          SELECT doc_id, pos,
+                 list_filter(string_split(w, chr(31)), s -> s <> '') AS syms
+          FROM e3
+        ), enc AS (
+          SELECT doc_id, SUM(len(syms))::BIGINT AS n_tokens
+          FROM symsd GROUP BY doc_id
+        ), acc AS (
+          SELECT doc_id, n_tokens,
+                 GREATEST((n_tokens + 127) // 128, 1)::BIGINT AS n_sequences
+          FROM enc
+        )
+        SELECT doc_id, n_tokens, n_sequences,
+               (n_tokens > 128) AS truncated,
+               GREATEST(n_tokens - 128, 0)::BIGINT AS trunc_loss,
+               (n_sequences * 128 - n_tokens)::BIGINT AS pad_tokens,
+               ROUND((n_sequences * 128 - n_tokens)::DOUBLE
+                     / (n_sequences * 128)::DOUBLE, 6) AS pad_ratio
+        FROM acc
     """
 
     # JL random projection: plane components are embedded as the SAME
@@ -11952,6 +12090,104 @@ def oracle_sql() -> dict[str, str]:
         FROM sig GROUP BY n_scenes, keyframe_sig
     """
 
+    # Video keyframe pairs (round 17): replay the TAIL-variant fixture
+    # (group_size 3; variant 1 = +1 brightness shift, variant 2 = last
+    # scene's pattern + 131 inside the %250), per-keyframe pHash as in
+    # the dedup oracle, then the operator's exact pair rule — equal
+    # n_scenes, at least one aligned keyframe hash EXACTLY shared (the
+    # candidate contract), max aligned-keyframe Hamming <= 6.
+    sql["mm_video_keyframe_pairs"] = f"""
+        WITH v AS (
+          SELECT doc_id, doc_id // 3 AS base,
+                 CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS shift,
+                 (doc_id % 3 >= 2)::INT AS tailvar,
+                 8 + ((doc_id // 3) % 5) * 2 AS w,
+                 8 + (((doc_id // 3) // 5) % 5) * 2 AS h,
+                 4 + (doc_id // 3) % 3 AS nf,
+                 1 + (doc_id // 3) % 3 AS sl
+          FROM documents
+        ), diffs AS (
+          SELECT v.doc_id, f.f, (v.w * v.h) AS npix,
+                 SUM(abs(
+                   ((v.base * 19 + (f.f // v.sl) * 97
+                     + CASE WHEN v.tailvar = 1
+                            AND (f.f // v.sl) = ((v.nf - 1) // v.sl)
+                            THEN 131 ELSE 0 END
+                     + y.y * 11 + x.x * 7) % 250)
+                   - ((v.base * 19 + ((f.f - 1) // v.sl) * 97
+                       + CASE WHEN v.tailvar = 1
+                              AND ((f.f - 1) // v.sl) = ((v.nf - 1) // v.sl)
+                              THEN 131 ELSE 0 END
+                       + y.y * 11 + x.x * 7) % 250)))::BIGINT AS diff_sum
+          FROM v, range(1, 6) AS f(f), range(0, 16) AS y(y),
+               range(0, 16) AS x(x)
+          WHERE f.f < v.nf AND y.y < v.h AND x.x < v.w
+          GROUP BY v.doc_id, f.f, v.w, v.h
+        ), keyframes AS (
+          SELECT doc_id, 0 AS f FROM v
+          UNION ALL
+          SELECT doc_id, f FROM diffs WHERE diff_sum > 8.0 * npix
+        ), kf AS (
+          SELECT doc_id, f,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY f) AS scene_idx
+          FROM keyframes
+        ), ct(u, x, c) AS (VALUES {_vk_vals}),
+        grid AS (
+          SELECT kf.doc_id, kf.scene_idx, gy.i AS gy, gx.i AS gx,
+                 ((v.base * 19 + (kf.f // v.sl) * 97
+                   + CASE WHEN v.tailvar = 1
+                          AND (kf.f // v.sl) = ((v.nf - 1) // v.sl)
+                          THEN 131 ELSE 0 END
+                   + ((gy.i * v.h) // 32) * 11
+                   + ((gx.i * v.w) // 32) * 7) % 250 + v.shift) AS g
+          FROM kf JOIN v USING (doc_id),
+               range(0, 32) AS gy(i), range(0, 32) AS gx(i)
+        ), g1 AS (
+          SELECT grid.doc_id, grid.scene_idx, cy.u AS u, grid.gx,
+                 SUM(grid.g * cy.c)::BIGINT AS v1
+          FROM grid JOIN ct cy ON cy.x = grid.gy
+          GROUP BY grid.doc_id, grid.scene_idx, cy.u, grid.gx
+        ), co AS (
+          SELECT g1.doc_id, g1.scene_idx, g1.u, cx.u AS vv,
+                 SUM(g1.v1 * cx.c)::BIGINT AS coeff
+          FROM g1 JOIN ct cx ON cx.x = g1.gx
+          GROUP BY g1.doc_id, g1.scene_idx, g1.u, cx.u
+        ), fl AS (
+          SELECT doc_id, scene_idx, u * 8 + vv AS i, coeff
+          FROM co WHERE u * 8 + vv >= 1
+        ), md AS (
+          SELECT doc_id, scene_idx, coeff AS m FROM (
+            SELECT doc_id, scene_idx, coeff,
+                   row_number() OVER (
+                     PARTITION BY doc_id, scene_idx ORDER BY coeff) AS rn
+            FROM fl) WHERE rn = 32
+        ), kh AS (
+          SELECT fl.doc_id, fl.scene_idx,
+                 SUM(CASE WHEN fl.coeff > md.m
+                          THEN 1::BIGINT << (fl.i - 1)
+                          ELSE 0 END)::BIGINT AS h
+          FROM fl JOIN md USING (doc_id, scene_idx)
+          GROUP BY fl.doc_id, fl.scene_idx
+        ), sig AS (
+          SELECT doc_id, COUNT(*)::INT AS n_scenes FROM kh GROUP BY doc_id
+        ), pj AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 MAX(bit_count(xor(a.h, b.h)))::INT AS max_scene_hamming,
+                 bool_or(a.h = b.h) AS any_exact
+          FROM kh a JOIN kh b
+            ON a.scene_idx = b.scene_idx AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT pj.id_a::BIGINT AS id_a, pj.id_b::BIGINT AS id_b,
+               sa.n_scenes AS n_scenes, pj.max_scene_hamming
+        FROM pj
+        JOIN sig sa ON sa.doc_id = pj.id_a
+        JOIN sig sb ON sb.doc_id = pj.id_b
+        WHERE sa.n_scenes = sb.n_scenes AND pj.any_exact
+          AND pj.max_scene_hamming <= 6
+    """
+
     # Mojibake scrub (round 16, post-freeze): replay the injection
     # (Ã© for 'a' on %3==0, â€™ for 'e' on %3==1), count each marker
     # as (len - len(without)) / len(marker) BEFORE repair, then the
@@ -12061,6 +12297,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_windows, fingerprint, COUNT(*)::BIGINT AS n_clips,
                MIN(doc_id)::BIGINT AS canonical_doc
         FROM fp GROUP BY n_windows, fingerprint
+    """
+
+    # Audio fingerprint pairs (round 17): replay the neardup fixture
+    # (n = 256 + base % 257 samples; variant >= 2 zeroes the last
+    # 8-sample window; the polarity sign drops out of s²), the
+    # window-energy delta-sign pack, then the ALL-PAIRS Hamming <= 1
+    # filter blocked on equal n_windows — the operator's pigeonhole
+    # join has recall 1.0 by construction, so brute force IS its
+    # semantics.
+    sql["mm_audio_fingerprint_pairs"] = """
+        WITH meta AS (
+          SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS variant,
+                 256 + (doc_id // 3) % 257 AS n
+          FROM documents
+        ), samp AS (
+          SELECT m.doc_id, i.i, (i.i // 8)::INT AS window_idx,
+                 CASE WHEN m.variant >= 2 AND i.i >= ((m.n - 1) // 8) * 8
+                      THEN 0
+                      ELSE ((m.base * 3571 + i.i * 9973) % 65535) - 32767
+                 END AS s
+          FROM meta m, range(0, 512) AS i(i)
+          WHERE i.i < m.n
+        ), en AS (
+          SELECT doc_id, window_idx, SUM(s * s)::BIGINT AS energy
+          FROM samp GROUP BY doc_id, window_idx
+        ), delta AS (
+          SELECT doc_id, window_idx,
+                 energy > lag(energy) OVER (
+                   PARTITION BY doc_id ORDER BY window_idx) AS up
+          FROM en
+        ), fp AS (
+          SELECT doc_id, COUNT(*)::INT AS n_windows,
+                 COALESCE(bit_xor(CASE WHEN up
+                          THEN (1::BIGINT << ((window_idx - 1) % 63))
+                          ELSE 0 END), 0)::BIGINT AS fingerprint
+          FROM delta GROUP BY doc_id
+        )
+        SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+               a.n_windows AS n_windows,
+               bit_count(xor(a.fingerprint, b.fingerprint))::INT AS hamming
+        FROM fp a JOIN fp b
+          ON a.n_windows = b.n_windows AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 1
     """
 
     # Scene cuts: replay the multi-scene luma formula — per frame

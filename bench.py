@@ -281,6 +281,11 @@ HEADLINE = [
     "sim_embedding_outliers",
     "mm_video_keyframe_dedup",
     "dedup_minhash_contamination",
+    # round-17: fuzzy audio/video near-dup pairs (the cross-modal
+    # dedup matrix completed), tokenizer-aware sequence-cost audit
+    "mm_audio_fingerprint_pairs",
+    "mm_video_keyframe_pairs",
+    "quality_token_cost_audit",
 ]
 
 

@@ -657,6 +657,63 @@ def synth_wav_polarity_column(
     return df.select(id_col).mapInPandas(batches, schema)
 
 
+def synth_wav_neardup_column(
+    df: DataFrame,
+    group_size: int = 3,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Deterministic WAV fixture with PLANTED NEAR-duplicates at a
+    PROVABLE fingerprint Hamming distance: ids in the same
+    ``group_size`` block share one base signal of n = 256 + base % 257
+    samples (32-64 energy windows at window_samples=8, so
+    ``audio_fingerprint``'s delta-sign key carries 31-63 meaningful
+    bits and unrelated clips essentially never collide);
+    variant 0 is the base, variant 1 is its polarity inversion
+    (energy is sign-blind → fingerprint Hamming EXACTLY 0), variant 2
+    zeroes every sample of the LAST 8-sample window — only the final
+    window's energy changes, so only the final delta sign can move and
+    the fingerprint Hamming is PROVABLY <= 1 (the clipped-tail
+    re-encode a near-dup audio pass must still group). Variants >= 3
+    alternate inversion parity on the variant-2 signal (same bound).
+    base sample[i] = (((base·3571 + i·9973) % 65535) − 32767), the
+    ``synth_wav_polarity_column`` formula — closed-form in the id, so
+    a SQL oracle replays windows, energies and deltas without the
+    codec."""
+    gs = int(group_size)
+    if gs < 1:
+        raise ValueError(
+            f"synth_wav_neardup_column: group_size must be >= 1 (got {gs})"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                base, variant = i // gs, i % gs
+                n = 256 + base % 257
+                idx = np.arange(n, dtype=np.int64)
+                s = (base * 3571 + idx * 9973) % 65535 - 32767
+                if variant >= 2:
+                    s[((n - 1) // 8) * 8 :] = 0
+                if variant % 2:
+                    s = -s
+                payloads.append(encode_wav(sample_rate, s.astype(np.int16)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), bin_col: payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(bin_col, T.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
 def audio_fingerprint(
     df: DataFrame,
     window_samples: int = 8,
@@ -713,6 +770,106 @@ def audio_fingerprint(
             ),
             F.lit(0).cast("long"),
         ).alias("fingerprint"),
+    )
+
+
+def audio_fingerprint_pairs(
+    df: DataFrame,
+    max_hamming: int = 1,
+    window_samples: int = 8,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    bits: int = 63,
+) -> DataFrame:
+    """FUZZY near-duplicate AUDIO pairs — ``audio_fingerprint``
+    Hamming distance <= ``max_hamming`` via the exact pigeonhole
+    equi-join (VERDICT r16 #2: the cross-modal dedup matrix had fuzzy
+    pairs for text and images but only exact-signature grouping for
+    audio, so a clipped tail or one flipped energy delta broke the
+    group). The ``image_phash_pairs`` segment machinery applied to the
+    63-bit delta-sign fingerprint, BLOCKED on equal ``n_windows``:
+    clips of different window counts never pair (their fingerprints
+    are not comparable through the zero-pad — the
+    ``audio_fingerprint`` dedup-key contract), so every join bucket is
+    (n_windows, segment_idx, masked_value).
+
+    Pigeonhole: the fingerprint splits into ``max_hamming + 1``
+    disjoint bit segments; two fingerprints within the distance agree
+    on at least one segment — candidates come from a hash-partitioned
+    equi-join, never a cartesian, and the exact ``bit_count(xor)``
+    filter keeps true pairs. Recall 1.0 by construction GIVEN equal
+    n_windows.
+
+    Output: (id_a, id_b, n_windows, hamming), canonical id_a < id_b.
+
+    Scale: decode + windowing is the one Arrow stage; only
+    (id, int, long) fingerprint rows ever shuffle. A fingerprint
+    carries n_windows − 1 meaningful bits, so the narrow-segment
+    hazard is REAL for short clips: segments of < 12 meaningful bits
+    bucket as N²/2^12 per n_windows class (the ``image_phash_pairs``
+    warning, issued here on the same condition) — at corpus scale
+    either lengthen the analysis window so clips carry >= 36 windows
+    or tighten ``max_hamming``."""
+    n_seg = int(max_hamming) + 1
+    if int(bits) // n_seg < 12:
+        import warnings
+
+        warnings.warn(
+            f"audio_fingerprint_pairs: {bits}-bit fingerprint over "
+            f"{n_seg} pigeonhole segments leaves ~{int(bits) // n_seg}-bit "
+            f"buckets — expected candidates grow as N²/2^{int(bits) // n_seg} "
+            f"per n_windows class (the image_phash_pairs measured failure "
+            f"mode); tighten max_hamming or use longer clips",
+            stacklevel=2,
+        )
+    sig = audio_fingerprint(
+        df, window_samples=window_samples, bin_col=bin_col, id_col=id_col
+    )
+    widths = [
+        bits // n_seg + (1 if i < bits % n_seg else 0) for i in range(n_seg)
+    ]
+    segs = []
+    off = 0
+    for i, w in enumerate(widths):
+        mask = ((1 << w) - 1) << off
+        segs.append(
+            F.struct(
+                F.lit(i).alias("seg_idx"),
+                F.col("fingerprint").bitwiseAND(F.lit(mask)).alias("seg_val"),
+            )
+        )
+        off += w
+    # both self-join sides read the segmented frame; the lazy
+    # checkpoint materializes the Arrow decode stage once, not twice
+    segged = (
+        sig.select(
+            id_col,
+            "n_windows",
+            "fingerprint",
+            F.explode(F.array(*segs)).alias("s"),
+        )
+        .select(id_col, "n_windows", "fingerprint", "s.seg_idx", "s.seg_val")
+        .localCheckpoint(eager=False)
+    )
+    a, b = segged.alias("a"), segged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_windows") == F.col("b.n_windows"))
+            & (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_windows").alias("n_windows"),
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= int(max_hamming))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -1660,6 +1817,78 @@ def synth_y4m_variant_column(
     return df.select(id_col).mapInPandas(batches, schema)
 
 
+def synth_y4m_tail_variant_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    group_size: int = 3,
+) -> DataFrame:
+    """Deterministic Y4M fixture with BOTH accept- and reject-path
+    near-dup candidates for ``video_keyframe_pairs``: every
+    ``group_size`` consecutive ids share one base video (the
+    ``synth_y4m_variant_column`` geometry/scene formulas, luma held to
+    %250). Variant 0 is the base, variant 1 adds a +1 brightness shift
+    (every per-frame diff and every AC DCT coefficient is PROVABLY
+    shift-invariant → all keyframe hashes identical, pair Hamming 0),
+    and variant 2 replaces the LAST scene's luma pattern with
+    pattern + 131 (inside the %250) — earlier scenes stay
+    bit-identical to the base (an exact shared keyframe → the pair IS
+    a candidate) while the last keyframe hashes differently, so the
+    per-keyframe Hamming verify decides the pair. Scene structure is
+    provably preserved: within a scene frames stay identical, and at
+    the boundary into the divergent last scene every pixel diff is
+    exactly 22 or 228 (228 ≡ −22 mod 250), both > the threshold-8
+    mean, so the cut still fires and n_scenes matches the base.
+    Every base has >= 2 scenes (nf = 4 + base % 3, sl = 1 + base % 3
+    → ceil(nf/sl) ∈ {2, 3, 4}), so variant 2 always shares at least
+    scene 0. Closed-form in the id — a SQL oracle replays cuts,
+    keyframes and the integer DCT from the luma formula alone."""
+    gs = int(group_size)
+    if gs < 1:
+        raise ValueError(
+            f"synth_y4m_tail_variant_column: group_size must be >= 1 "
+            f"(got {gs})"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                base, variant = i // gs, i % gs
+                w, h = 8 + (base % 5) * 2, 8 + ((base // 5) % 5) * 2
+                nf, scene_len = 4 + base % 3, 1 + base % 3
+                shift = 1 if variant == 1 else 0
+                last_scene = (nf - 1) // scene_len
+                frames = []
+                for f in range(nf):
+                    s = f // scene_len
+                    tail = 131 if (variant >= 2 and s == last_scene) else 0
+                    yy, xx = np.meshgrid(
+                        np.arange(h), np.arange(w), indexing="ij"
+                    )
+                    y = (
+                        (base * 19 + s * 97 + tail + yy * 11 + xx * 7) % 250
+                        + shift
+                    ).astype(np.uint8)
+                    uv = np.full(
+                        (h // 2) * (w // 2), (base + s) % 256, dtype=np.uint8
+                    )
+                    frames.append(y.tobytes() + uv.tobytes() + uv.tobytes())
+                payloads.append(encode_y4m(w, h, frames))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), bin_col: payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(bin_col, T.BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
 def video_keyframe_signature(
     df: DataFrame,
     bin_col: str = "payload",
@@ -1750,6 +1979,103 @@ def video_keyframe_signature(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
+
+
+def video_keyframe_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    threshold: float = 8.0,
+    sample: int = 32,
+    block: int = 8,
+) -> DataFrame:
+    """FUZZY near-duplicate VIDEO pairs — per-keyframe pHash Hamming
+    verify over exact-keyframe candidates (VERDICT r16 #2: the video
+    family keyed dedup on the exact joined signature string, so one
+    re-encoded scene's few flipped DCT bits broke the group). Two
+    videos pair when they have EQUAL scene counts, EVERY aligned
+    keyframe pair is within ``max_hamming`` bits, and at least one
+    aligned keyframe hash matches EXACTLY — the candidate contract.
+
+    CANDIDATE semantics (documented, like the LSH pair ops): blocking
+    is the equi-join on (n_scenes, scene_idx, keyframe_hash), so a
+    pair whose EVERY keyframe drifted (no exact shared scene) is not
+    emitted — recall is heuristic by design, the price of never
+    comparing all video pairs; the per-scene pigeonhole bound says a
+    missed pair has >= n_scenes single-bit drifts, i.e. distance >=
+    n_scenes, which the ``max_hamming`` budget usually excludes
+    anyway for short videos.
+
+    Output: (id_a, id_b, n_scenes, max_scene_hamming), canonical
+    id_a < id_b; ``max_scene_hamming`` is the largest aligned-keyframe
+    Hamming distance (0 for exact re-encodes/brightness shifts).
+
+    Scale: decode + cut detection + keyframe hashing is the ONE Arrow
+    stage of ``video_keyframe_signature`` (clip-bounded state), pinned
+    once (``localCheckpoint``) and shared by the exploded candidate
+    join and both verify sides; only (id, int, hash) rows ever
+    shuffle — pixels never leave the Arrow stage. Candidates come
+    from a hash-partitioned equi-join on 63-bit hashes (bucket depth
+    N²/2⁶³ per scene slot — no narrow-segment hazard), never a
+    cartesian."""
+    sig = (
+        video_keyframe_signature(
+            df,
+            bin_col=bin_col,
+            id_col=id_col,
+            threshold=threshold,
+            sample=sample,
+            block=block,
+        )
+        .select(
+            id_col,
+            "n_scenes",
+            F.transform(
+                F.split("keyframe_sig", ":"), lambda s: s.cast("long")
+            ).alias("__hashes"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ex = sig.select(
+        id_col, "n_scenes", F.posexplode("__hashes").alias("scene_idx", "__h")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.n_scenes") == F.col("b.n_scenes"))
+            & (F.col("a.scene_idx") == F.col("b.scene_idx"))
+            & (F.col("a.__h") == F.col("b.__h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        "n_scenes",
+        F.col("__hashes").alias("__ha"),
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), F.col("__hashes").alias("__hb")
+    )
+    max_h = F.array_max(
+        F.zip_with(
+            F.col("__ha"),
+            F.col("__hb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("int"),
+        )
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "n_scenes", max_h.alias("max_scene_hamming"))
+        .filter(F.col("max_scene_hamming") <= int(max_hamming))
+    )
 
 
 def video_scene_cuts(

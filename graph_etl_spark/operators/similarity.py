@@ -102,6 +102,7 @@ def packed_max_by(
     val_col: str,
     tid_col: str,
     round_to: int = 4,
+    max_abs: float = 1.0,
 ) -> DataFrame:
     """Shared JVM-side argmax: per group, the (max rounded value, id
     attaining it — ties to the LARGEST id) via ONE map-side-combining
@@ -114,23 +115,47 @@ def packed_max_by(
     ``dedup.minhash_contamination`` (Jaccard).
 
     ``val_col`` must already be rounded to ``round_to`` decimals and
-    lie in [-1, 1]-ish magnitude (|v| < 10^3 keeps the pack inside
-    decimal(38,0) for round_to ≤ 15); ``tid_col`` must be integral.
+    satisfy |v| <= ``max_abs`` (default 1.0 — both callers pack a
+    cosine/Jaccard); the intermediate decimal is sized from
+    ``max_abs``, and a row outside the domain raises at execution
+    time (``assert_true``) instead of overflowing the cast to NULL
+    and silently vanishing from the max — the code-review r16
+    wrong-argmax hazard on non-ANSI sessions. NULL values keep the
+    pre-guard behavior (NULL pack, ignored by ``max``).
+    ``tid_col`` must be integral.
 
     Returns one row per group: (group_col, __scaled, __tid), where
     ``__scaled / 10^round_to`` reproduces the rounded value
     bit-for-bit (integer-to-double division is correctly rounded)."""
     sc = 10 ** int(round_to)
+    # digits of the max packable head round(v·sc) + sc, + 1 headroom
+    cos_prec = len(str(int(float(max_abs) * sc) + sc)) + 1
+    if cos_prec > 18:
+        raise ValueError(
+            f"packed_max_by: max_abs={max_abs} at round_to={round_to} "
+            f"needs a {cos_prec}-digit head — the (head·2^64 + id) pack "
+            f"leaves room for 18; lower round_to or max_abs"
+        )
     two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")
     off_t = F.expr("CAST('9223372036854775808' AS DECIMAL(38,0))")
-    cos_prec = len(str(2 * sc)) + 1
-    packed = (
+    in_domain = F.coalesce(
+        F.abs(F.col(val_col)) <= F.lit(float(max_abs)), F.lit(True)
+    )
+    packed = F.when(
+        F.assert_true(
+            in_domain,
+            F.lit(
+                f"packed_max_by: |{val_col}| exceeds max_abs={max_abs} — "
+                f"the decimal pack would overflow and drop the row from "
+                f"the argmax; widen max_abs to cover the value domain"
+            ),
+        ).isNull(),
         (
             F.round(F.col(val_col) * F.lit(float(sc)), 0).cast("long")
             + F.lit(sc)
         ).cast(f"decimal({cos_prec},0)")
         * two64
-        + (F.col(tid_col).cast("decimal(20,0)") + off_t)
+        + (F.col(tid_col).cast("decimal(20,0)") + off_t),
     ).cast("decimal(38,0)")
     best = (
         scored.select(group_col, packed.alias("__p"))
@@ -304,6 +329,18 @@ def clip_score_filter(
     from .quality import exact_global_rank
 
     den = norm(F.col("__img")) * norm(F.col("__txt"))
+    # NaN-poisoned embeddings (a corrupt shard) pass den > 0 — Spark
+    # orders NaN above every number, so NaN·NaN > 0 is TRUE — and a
+    # NaN clip_score would then satisfy clip_score >= threshold the
+    # same way, silently KEEPING exactly the rows the filter exists to
+    # drop (code-review r16). The isnan wrap nulls them into the
+    # documented un-scoreable contract: NULL score, keep = false. The
+    # outer when evaluates the division only where den > 0, so the
+    # ANSI divide-by-zero guard is preserved.
+    raw_score = F.when(
+        den > 0,
+        F.round(dot(F.col("__img"), F.col("__txt")) / den, int(round_to)),
+    )
     scored = (
         pairs.select(
             F.col(id_col),
@@ -312,12 +349,7 @@ def clip_score_filter(
         )
         .select(
             id_col,
-            F.when(
-                den > 0,
-                F.round(
-                    dot(F.col("__img"), F.col("__txt")) / den, int(round_to)
-                ),
-            ).alias("clip_score"),
+            F.when(~F.isnan(raw_score), raw_score).alias("clip_score"),
         )
         .localCheckpoint(eager=False)
     )
@@ -1906,6 +1938,12 @@ def embedding_outliers(
     whole-stage codegen over any corpus size."""
     import math
 
+    # pin the input once: the stats collect and the scoring map are
+    # two consumers of df — a non-deterministic input (sample/rand-
+    # derived) would otherwise be scored against stats computed from
+    # DIFFERENT rows (the exact_global_rank multi-consumer
+    # discipline; code-review r16)
+    df = df.localCheckpoint(eager=False)
     d6 = F.round(F.col("__x").cast("double"), 6).cast("decimal(28,6)")
     x2 = (d6.cast("decimal(16,6)") * d6.cast("decimal(16,6)")).cast(
         "decimal(33,12)"

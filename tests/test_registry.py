@@ -439,3 +439,60 @@ def test_round16_window_composition():
     assert ceiling <= in_window, (
         f"r10-ceiling rows missing from the window: {ceiling - in_window}"
     )
+
+
+ROUND17_NEW_OR_CHANGED = [
+    # r16-new post-freeze lead — VERDICT r16 #1
+    "quality_mojibake_scrub", "sim_embedding_outliers",
+    "mm_video_keyframe_dedup", "dedup_minhash_contamination",
+    # r17-new — VERDICT r16 #2 + #7
+    "mm_audio_fingerprint_pairs", "mm_video_keyframe_pairs",
+    "quality_token_cost_audit",
+    # r17 code-changed (NaN-keep fix; packed_max_by domain guard)
+    "sim_clip_filter", "sim_eval_contamination",
+]
+
+
+def test_round17_window_composition():
+    """Round-aware from birth: the r17 window is the live first-50
+    until CORRECTNESS_r17.json lands, then frozen as its keys;
+    staleness uses only pre-r17 history either way. New/changed
+    queries lead; every filler slot is at least as stale as anything
+    left in the tail; filler slots must not overlap the r16 window
+    (the code-changed lead entries legitimately do — changed code
+    MUST re-certify)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r17_path = os.path.join(root, "CORRECTNESS_r17.json")
+    if os.path.exists(r17_path):
+        window = list(json.load(open(r17_path)))
+    else:
+        window = list(entry.queries())[:50]
+    lead = len(ROUND17_NEW_OR_CHANGED)
+    assert window[:lead] == ROUND17_NEW_OR_CHANGED, (
+        f"leading slots wrong: {window[:lead]}"
+    )
+    latest = _latest_driver_round(before_round=17)
+    rest = window[lead:]
+    in_window = set(window)
+    tail = [q for q in entry.queries() if q not in in_window]
+    max_in_window = max(latest.get(q, 0) for q in rest)
+    min_in_tail = min(latest.get(q, 99) for q in tail)
+    assert max_in_window <= min_in_tail, (
+        f"window holds a fresher verdict ({max_in_window}) than the "
+        f"stalest tail row ({min_in_tail}) — rotation skipped rows"
+    )
+    r16 = set(json.load(open(os.path.join(root, "CORRECTNESS_r16.json"))))
+    assert not (set(rest) & r16), (
+        f"filler slots overlap the r16 window: {sorted(set(rest) & r16)}"
+    )
+    # VERDICT r16 #1: ALL 41 r11-era rows sit exactly at the staleness
+    # ceiling and MUST be certified this round
+    ceiling = {
+        q for q, r in _latest_driver_round(before_round=17).items() if r == 11
+    }
+    assert len(ceiling) == 41
+    assert ceiling <= in_window, (
+        f"r11-ceiling rows missing from the window: {ceiling - in_window}"
+    )

@@ -1,0 +1,327 @@
+"""Round-17 additions: fuzzy audio/video near-dup pairs (VERDICT r16
+#2 — the cross-modal dedup matrix completed), the tokenizer-aware
+sequence-cost audit (VERDICT r16 #7), and the code-review r16 fixes
+(clip filter NaN-keep, packed_max_by domain guard, embedding_outliers
+input pinning)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from graph_etl_spark import operators as ops
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_audio_neardup_fixture_plants_provable_pairs(spark):
+    """Per 3-id group: (v0, v1) is a polarity inversion (fingerprint
+    Hamming exactly 0) and (v*, v2) zeroes only the last window
+    (Hamming provably <= 1) — all three pairs must surface at
+    max_hamming=1 with equal n_windows."""
+    d = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    wavs = ops.synth_wav_neardup_column(d, group_size=3)
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in ops.audio_fingerprint_pairs(
+            wavs, max_hamming=1, window_samples=8
+        ).collect()
+    }
+    for base in range(3):
+        g = 3 * base
+        assert (g, g + 1) in rows, f"polarity twin missing for base {base}"
+        assert rows[(g, g + 1)]["hamming"] == 0
+        assert (g, g + 2) in rows, f"zero-tail variant missing (base {base})"
+        assert rows[(g, g + 2)]["hamming"] <= 1
+        assert (g + 1, g + 2) in rows
+        assert rows[(g + 1, g + 2)]["hamming"] <= 1
+
+
+def test_audio_fingerprint_pairs_exact_vs_brute_force(spark):
+    """Pigeonhole recall is 1.0 by construction: the op's pairs equal
+    the all-pairs (equal n_windows, Hamming <= d) brute force over
+    the same fingerprints."""
+    d = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    wavs = ops.synth_wav_neardup_column(d, group_size=3)
+    fps = ops.audio_fingerprint(wavs, window_samples=8).collect()
+    expected = set()
+    for a in fps:
+        for b in fps:
+            if (
+                a["doc_id"] < b["doc_id"]
+                and a["n_windows"] == b["n_windows"]
+                and bin(a["fingerprint"] ^ b["fingerprint"]).count("1") <= 1
+            ):
+                expected.add((a["doc_id"], b["doc_id"]))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ops.audio_fingerprint_pairs(
+            wavs, max_hamming=1, window_samples=8
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_audio_fingerprint_pairs_blocks_on_n_windows(spark):
+    """Clips of different window counts never pair, even when their
+    fingerprints are bit-identical (two constant-energy clips both
+    pack to 0): the zero-pad is not comparable."""
+    from graph_etl_spark.operators.multimodal import encode_wav
+
+    pay = [
+        (0, encode_wav(16000, np.full(32, 100, dtype=np.int16))),
+        (1, encode_wav(16000, np.full(64, 100, dtype=np.int16))),
+        # same length as clip 0 -> pairs with it at Hamming 0
+        (2, encode_wav(16000, np.full(32, 200, dtype=np.int16))),
+    ]
+    df = spark.createDataFrame(pay, "doc_id long, payload binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ops.audio_fingerprint_pairs(df, max_hamming=1).collect()
+    }
+    assert got == {(0, 2): 0}
+
+
+def test_audio_fingerprint_pairs_warns_on_narrow_segments(spark):
+    """The image_phash_pairs narrow-segment hazard is real here too:
+    63 bits over 6+ segments leaves < 12-bit buckets and must warn."""
+    d = spark.createDataFrame([(0,)], "doc_id long")
+    wavs = ops.synth_wav_neardup_column(d, group_size=3)
+    with pytest.warns(UserWarning, match="pigeonhole"):
+        ops.audio_fingerprint_pairs(wavs, max_hamming=5)
+
+
+def test_audio_fingerprint_pairs_plan_no_cartesian(spark):
+    """Candidates come from the segment equi-join — never a cartesian
+    product; fingerprints shuffle, never samples."""
+    from graph_etl_spark.plans import plan_string
+
+    d = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    wavs = ops.synth_wav_neardup_column(d, group_size=3)
+    p = plan_string(ops.audio_fingerprint_pairs(wavs, max_hamming=1))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# video_keyframe_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_video_tail_variant_fixture_accept_path(spark):
+    """(v0, v1) is a pure brightness shift: every keyframe pHash is
+    provably identical, so the pair must surface with
+    max_scene_hamming 0 and the base's scene count."""
+    d = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    clips = ops.synth_y4m_tail_variant_column(d, group_size=3)
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in ops.video_keyframe_pairs(clips, max_hamming=6).collect()
+    }
+    for base in range(3):
+        g = 3 * base
+        assert (g, g + 1) in rows, f"brightness twin missing (base {base})"
+        assert rows[(g, g + 1)]["max_scene_hamming"] == 0
+
+
+def test_video_keyframe_pairs_exact_vs_brute_force(spark):
+    """The op's pairs equal the brute force over the signatures:
+    equal n_scenes, >= 1 aligned keyframe exactly shared (the
+    candidate contract), max aligned Hamming <= d — including the
+    reject path (the divergent-last-scene variant is a candidate via
+    its shared earlier scenes but is kept only if its last keyframes
+    land within the budget)."""
+    d = spark.createDataFrame([(i,) for i in range(18)], "doc_id long")
+    clips = ops.synth_y4m_tail_variant_column(d, group_size=3)
+    sigs = ops.video_keyframe_signature(clips).collect()
+    parsed = [
+        (r["doc_id"], [int(x) for x in r["keyframe_sig"].split(":")])
+        for r in sigs
+    ]
+    expected = {}
+    for ida, ha in parsed:
+        for idb, hb in parsed:
+            if ida < idb and len(ha) == len(hb):
+                hams = [bin(x ^ y).count("1") for x, y in zip(ha, hb)]
+                if 0 in hams and max(hams) <= 6:
+                    expected[(ida, idb)] = (len(ha), max(hams))
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_scenes"], r["max_scene_hamming"])
+        for r in ops.video_keyframe_pairs(clips, max_hamming=6).collect()
+    }
+    assert got == expected
+    # the fixture plants at least the brightness twins
+    assert len(got) >= 6
+
+
+def test_video_keyframe_pairs_plan_no_cartesian(spark):
+    """Candidates come from the (n_scenes, scene_idx, hash) equi-join;
+    the verify join keys on pair ids — never a cartesian."""
+    from graph_etl_spark.plans import plan_string
+
+    d = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    clips = ops.synth_y4m_tail_variant_column(d, group_size=3)
+    p = plan_string(ops.video_keyframe_pairs(clips))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# token_cost_audit
+# ---------------------------------------------------------------------------
+
+
+def test_token_cost_audit_accounting(spark):
+    """Exact integer accounting at context_len=8: zero-token docs cost
+    one all-pad sequence, exact fits waste nothing, n_tokens = cl + 1
+    splits into 2 sequences / truncates 1 token, NULL and negative
+    counts yield NULL metrics (broken upstream count, not zeros)."""
+    df = spark.createDataFrame(
+        [(0, 0), (1, 8), (2, 9), (3, 24), (4, None), (5, -3)],
+        "doc_id long, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ops.token_cost_audit(df, context_len=8).collect()
+    }
+    assert (
+        out[0]["n_sequences"],
+        out[0]["truncated"],
+        out[0]["trunc_loss"],
+        out[0]["pad_tokens"],
+        out[0]["pad_ratio"],
+    ) == (1, False, 0, 8, 1.0)
+    assert (
+        out[1]["n_sequences"],
+        out[1]["truncated"],
+        out[1]["trunc_loss"],
+        out[1]["pad_tokens"],
+        out[1]["pad_ratio"],
+    ) == (1, False, 0, 0, 0.0)
+    assert (
+        out[2]["n_sequences"],
+        out[2]["truncated"],
+        out[2]["trunc_loss"],
+        out[2]["pad_tokens"],
+    ) == (2, True, 1, 7)
+    assert out[2]["pad_ratio"] == round(7 / 16, 6)
+    assert (out[3]["n_sequences"], out[3]["pad_tokens"]) == (3, 0)
+    for bad in (4, 5):
+        for c in (
+            "n_sequences",
+            "truncated",
+            "trunc_loss",
+            "pad_tokens",
+            "pad_ratio",
+        ):
+            assert out[bad][c] is None, (bad, c)
+
+
+def test_token_cost_audit_rejects_bad_context_len(spark):
+    df = spark.createDataFrame([(0, 1)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="context_len"):
+        ops.token_cost_audit(df, context_len=0)
+
+
+def test_token_cost_audit_plan_is_pure_map(spark):
+    """VERDICT r16 #7 plan guard: the audit stage is map-only —
+    zero shuffle, zero window, zero Python."""
+    from graph_etl_spark.plans import plan_string
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7).alias("n_tokens")
+    )
+    p = plan_string(ops.token_cost_audit(df, context_len=128))
+    assert "Exchange" not in p and "Window" not in p
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in p, py
+
+
+# ---------------------------------------------------------------------------
+# code-review r16 fixes
+# ---------------------------------------------------------------------------
+
+
+def test_clip_score_filter_nan_pairs_are_dropped_not_kept(spark):
+    """Code-review r16 (medium): NaN embeddings pass den > 0 under
+    Spark's NaN-is-largest comparisons, and a NaN clip_score would
+    satisfy >= threshold the same way — corrupt pairs must instead
+    fall into the un-scoreable contract: NULL score, keep = false."""
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),  # cos 1.0
+        (2, [0.0, 1.0], [1.0, 0.0]),  # cos 0.0
+        (3, [float("nan"), 1.0], [1.0, 0.0]),  # corrupt: NaN side
+        (4, [0.0, 0.0], [1.0, 0.0]),  # zero-norm side: NULL score
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, img_embedding array<double>, "
+        "txt_embedding array<double>"
+    )
+    out = {
+        r["pair_id"]: r
+        for r in ops.clip_score_filter(df, trim_percentile=0.0).collect()
+    }
+    assert out[3]["clip_score"] is None
+    assert out[3]["keep"] is False
+    assert out[4]["clip_score"] is None
+    assert out[4]["keep"] is False
+    # scoreable pairs are unaffected and the threshold ignores NaN rows
+    assert out[1]["keep"] is True and out[2]["keep"] is True
+
+
+def test_packed_max_by_raises_on_out_of_domain_values(spark):
+    """Code-review r16 (low): a value beyond max_abs used to overflow
+    the intermediate decimal to NULL and silently vanish from the
+    argmax — it must raise at execution time instead."""
+    df = spark.createDataFrame(
+        [("g", 5.0, 1), ("g", 0.5, 2)], "grp string, v double, tid long"
+    )
+    bad = ops.packed_max_by(df, "grp", "v", "tid", round_to=4)
+    with pytest.raises(Exception, match="max_abs"):
+        bad.collect()
+    # widening the documented domain restores the argmax
+    ok = ops.packed_max_by(
+        df, "grp", "v", "tid", round_to=4, max_abs=8.0
+    ).collect()
+    assert len(ok) == 1 and ok[0]["__tid"] == 1
+    assert ok[0]["__scaled"] == 50000
+
+
+def test_packed_max_by_null_values_still_ignored(spark):
+    """NULL values keep the pre-guard behavior: NULL pack, ignored by
+    the max (never asserted on)."""
+    df = spark.createDataFrame(
+        [("g", None, 1), ("g", 0.25, 2)], "grp string, v double, tid long"
+    )
+    out = ops.packed_max_by(df, "grp", "v", "tid", round_to=4).collect()
+    assert len(out) == 1 and out[0]["__tid"] == 2
+
+
+def test_packed_max_by_rejects_unpackable_domain():
+    """A (max_abs, round_to) combination whose head outgrows the
+    decimal(38,0) pack must raise at plan-build time."""
+    with pytest.raises(ValueError, match="max_abs"):
+        ops.packed_max_by(None, "g", "v", "t", round_to=15, max_abs=1000.0)
+
+
+def test_embedding_outliers_input_pinned_once(spark):
+    """Code-review r16 (low): the stats collect and the scoring map
+    are two consumers of the input — the op must pin it (lazy
+    localCheckpoint) so both provably see the same rows; the output
+    plan therefore scans the checkpointed RDD, not the source twice."""
+    from graph_etl_spark.plans import plan_string
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = plan_string(ops.embedding_outliers(e))
+    assert "ExistingRDD" in p or "LogicalRDD" in p
+    assert "Exchange" not in p  # scoring stays a pure map
