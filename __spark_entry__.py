@@ -12104,7 +12104,9 @@ def oracle_sql() -> dict[str, str]:
                  8 + ((doc_id // 3) % 5) * 2 AS w,
                  8 + (((doc_id // 3) // 5) % 5) * 2 AS h,
                  4 + (doc_id // 3) % 3 AS nf,
-                 1 + (doc_id // 3) % 3 AS sl
+                 1 + (doc_id // 3) % 3 AS sl,
+                 11 + 2 * ((doc_id // 3) % 97) AS sy,
+                 7 + 2 * (((doc_id // 3) // 97) % 89) AS sx
           FROM documents
         ), diffs AS (
           SELECT v.doc_id, f.f, (v.w * v.h) AS npix,
@@ -12113,12 +12115,12 @@ def oracle_sql() -> dict[str, str]:
                      + CASE WHEN v.tailvar = 1
                             AND (f.f // v.sl) = ((v.nf - 1) // v.sl)
                             THEN 131 ELSE 0 END
-                     + y.y * 11 + x.x * 7) % 250)
+                     + y.y * v.sy + x.x * v.sx) % 250)
                    - ((v.base * 19 + ((f.f - 1) // v.sl) * 97
                        + CASE WHEN v.tailvar = 1
                               AND ((f.f - 1) // v.sl) = ((v.nf - 1) // v.sl)
                               THEN 131 ELSE 0 END
-                       + y.y * 11 + x.x * 7) % 250)))::BIGINT AS diff_sum
+                       + y.y * v.sy + x.x * v.sx) % 250)))::BIGINT AS diff_sum
           FROM v, range(1, 6) AS f(f), range(0, 16) AS y(y),
                range(0, 16) AS x(x)
           WHERE f.f < v.nf AND y.y < v.h AND x.x < v.w
@@ -12139,8 +12141,8 @@ def oracle_sql() -> dict[str, str]:
                    + CASE WHEN v.tailvar = 1
                           AND (kf.f // v.sl) = ((v.nf - 1) // v.sl)
                           THEN 131 ELSE 0 END
-                   + ((gy.i * v.h) // 32) * 11
-                   + ((gx.i * v.w) // 32) * 7) % 250 + v.shift) AS g
+                   + ((gy.i * v.h) // 32) * v.sy
+                   + ((gx.i * v.w) // 32) * v.sx) % 250 + v.shift) AS g
           FROM kf JOIN v USING (doc_id),
                range(0, 32) AS gy(i), range(0, 32) AS gx(i)
         ), g1 AS (

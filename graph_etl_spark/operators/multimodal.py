@@ -1841,7 +1841,17 @@ def synth_y4m_tail_variant_column(
     mean, so the cut still fires and n_scenes matches the base.
     Every base has >= 2 scenes (nf = 4 + base % 3, sl = 1 + base % 3
     → ceil(nf/sl) ∈ {2, 3, 4}), so variant 2 always shares at least
-    scene 0. Closed-form in the id — a SQL oracle replays cuts,
+    scene 0.
+
+    The gradient steps VARY PER BASE (step_y = 11 + 2·(base % 97),
+    step_x = 7 + 2·((base // 97) % 89)): with fixed steps the pattern
+    space has period lcm(250, 75) = 750 in base, so a large corpus
+    repeats bit-identical videos and pair counts grow QUADRATICALLY
+    from content collisions — a fixture artifact the 20× scale probe
+    caught, not a plan property. Per-base steps widen the space
+    ~8,600× so planted pairs stay id-local at probe scales. The cut
+    proofs are step-independent (scene deltas are luma-constant
+    shifts). Closed-form in the id — a SQL oracle replays cuts,
     keyframes and the integer DCT from the luma formula alone."""
     gs = int(group_size)
     if gs < 1:
@@ -1858,6 +1868,7 @@ def synth_y4m_tail_variant_column(
                 base, variant = i // gs, i % gs
                 w, h = 8 + (base % 5) * 2, 8 + ((base // 5) % 5) * 2
                 nf, scene_len = 4 + base % 3, 1 + base % 3
+                sy, sx = 11 + 2 * (base % 97), 7 + 2 * ((base // 97) % 89)
                 shift = 1 if variant == 1 else 0
                 last_scene = (nf - 1) // scene_len
                 frames = []
@@ -1868,7 +1879,7 @@ def synth_y4m_tail_variant_column(
                         np.arange(h), np.arange(w), indexing="ij"
                     )
                     y = (
-                        (base * 19 + s * 97 + tail + yy * 11 + xx * 7) % 250
+                        (base * 19 + s * 97 + tail + yy * sy + xx * sx) % 250
                         + shift
                     ).astype(np.uint8)
                     uv = np.full(

@@ -1920,6 +1920,90 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r17: audio fingerprint pairs — Nx synthetic clips through the
+    # Arrow decode/window stage, then the pigeonhole segment self-join
+    # blocked on (n_windows, segment). Planted pairs are id-local so
+    # true pairs grow linearly; the quadratic this would catch is a
+    # (n_windows, segment) bucket degenerating (31-bit segments at
+    # max_hamming=1, so cross-copy collisions stay negligible).
+    if only is None or "audio_fingerprint_pairs" in only:
+        ids_ap = read_table(spark, SF_DIR, "documents").select("doc_id")
+
+        def _ap_rep(n_copies):
+            parts = [
+                ids_ap.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id")
+                )
+                for i in range(n_copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return ops.synth_wav_neardup_column(out, group_size=3)
+
+        t1 = timed(ops.audio_fingerprint_pairs(_ap_rep(1), max_hamming=1))
+        tn = timed(ops.audio_fingerprint_pairs(_ap_rep(n), max_hamming=1))
+        result["audio_fingerprint_pairs"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# audio_fingerprint_pairs: {t1}s -> {tn}s "
+            f"(x{result['audio_fingerprint_pairs']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r17: video keyframe pairs — Nx synthetic clips through the
+    # clip-bounded Arrow signature stage, the (n_scenes, scene_idx,
+    # hash) candidate equi-join, and the array-verify join; planted
+    # pairs are id-local, 63-bit hash buckets keep candidates ~linear
+    if only is None or "video_keyframe_pairs" in only:
+        ids_vp = read_table(spark, SF_DIR, "documents").select("doc_id")
+
+        def _vp_rep(n_copies):
+            parts = [
+                ids_vp.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id")
+                )
+                for i in range(n_copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return ops.synth_y4m_tail_variant_column(out, group_size=3)
+
+        t1 = timed(ops.video_keyframe_pairs(_vp_rep(1), max_hamming=6))
+        tn = timed(ops.video_keyframe_pairs(_vp_rep(n), max_hamming=6))
+        result["video_keyframe_pairs"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# video_keyframe_pairs: {t1}s -> {tn}s "
+            f"(x{result['video_keyframe_pairs']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r17: tokenizer cost audit — the learned-rule encode over Nx docs
+    # (rules fixed, the bpe_encode probe's discipline) plus the pure-
+    # map accounting stage; the ratio must track bpe_encode's
+    if only is None or "token_cost_audit" in only:
+        def _tca(frame):
+            enc = ops.bpe_encode(frame, _base_merges)
+            return ops.token_cost_audit(
+                enc.select("doc_id", F.col("n_symbols").alias("n_tokens")),
+                context_len=128,
+            )
+
+        t1 = timed_thunk(lambda: _tca(replicate_docs(d1, 1)))
+        tn = timed_thunk(lambda: _tca(replicate_docs(d1, n)))
+        result["token_cost_audit"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# token_cost_audit: {t1}s -> {tn}s "
+            f"(x{result['token_cost_audit']['ratio']})",
+            file=sys.stderr,
+        )
+
     # r7: streaming interval-join STATE growth (rows, not seconds) —
     # bounded state under the watermark means ratio ~1 at Nx input
     if only is None or "streaming_interval_join_state" in only:
