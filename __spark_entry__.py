@@ -4444,6 +4444,20 @@ def q_quality_token_cost_audit(spark, sf):
     )
 
 
+def q_quality_packing_dividend(spark, sf):
+    """Packing dividend (round 17, post-freeze — r18 window lead):
+    per pack_sequences shard, document-isolated padding (the
+    token_cost_audit policy: every doc rounded up to whole 64-token
+    sequences, empty docs cost one all-pad sequence) versus the
+    concatenate-and-split stream's tail-only padding, and the
+    dividend — the sequence compute the packer reclaims. Pure map +
+    one shard-keyed combinable agg, zero windows; the oracle replays
+    the H56 shard, the exact integer ceil-div and the one double
+    division."""
+    d = _t(spark, sf, "documents")
+    return ops.packing_dividend(d, token_budget=64, n_shards=8)
+
+
 def q_quality_mojibake_scrub(spark, sf):
     """Encoding-damage scrub (round 16, post-freeze — r17 window
     lead): the fixture plants the two most common UTF-8-as-cp1252
@@ -4883,6 +4897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_fingerprint_pairs": q_mm_audio_fingerprint_pairs,
         "mm_video_keyframe_pairs": q_mm_video_keyframe_pairs,
         "quality_token_cost_audit": q_quality_token_cost_audit,
+        # ---- round-17 POST-FREEZE queries (r18 window lead — the
+        # r15/r16 precedent: added after the r17 window composition
+        # froze, replica-green, first driver certification in r18)
+        "quality_packing_dividend": q_quality_packing_dividend,
     }
     # ROUND-18 BUDGET NOTE (for the next session): once r17 lands,
     # the staleness histogram becomes {12: 39, 13: 44, 14: 50,
@@ -4890,8 +4908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5-round bound the moment r18 lands and must fill the r18
     # window, capping r18's new+changed lead at 11; the 44 r13-era
     # rows then own the r19 fillers. test_staleness_policy enforces
-    # this mechanically. Round 17 added no post-freeze queries, so
-    # the full 11-slot lead is available for r18-new and r18
+    # this mechanically. Round 17 added ONE post-freeze query after
+    # its window froze (quality_packing_dividend — the r15/r16
+    # precedent); it leads the r18 window, 1 of the 11-slot cap, and
+    # the 39 fillers leave 10 further slots for r18-new and r18
     # code-changed entries.
     # r17 window (first 50): the FOUR r16-new post-freeze queries
     # lead (quality_mojibake_scrub, sim_embedding_outliers,
@@ -7201,6 +7221,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, shard, n_tokens,
                (shard * 1000000000 + cum_excl // 512)::BIGINT AS bin_id
         FROM c
+    """
+
+    # Packing dividend (round 17, post-freeze): same H56 shard and
+    # whitespace tokens as pack_sequences, token_cost_audit's
+    # isolated-padding policy per doc (empty docs cost one all-pad
+    # sequence), the concat-split tail pad per shard, one double
+    # division rounded to 6.
+    sql["quality_packing_dividend"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 8
+                   AS shard,
+                 len({_TOKS})::BIGINT AS n
+          FROM documents
+        ), p AS (
+          SELECT shard, n,
+                 GREATEST((n + 63) // 64, 1) * 64 - n AS iso_pad
+          FROM t
+        ), a AS (
+          SELECT shard, COUNT(*)::BIGINT AS n_docs,
+                 SUM(n)::BIGINT AS total_tokens,
+                 SUM(iso_pad)::BIGINT AS isolated_pad
+          FROM p GROUP BY shard
+        )
+        SELECT shard, n_docs, total_tokens, isolated_pad,
+               (((total_tokens + 63) // 64) * 64 - total_tokens)::BIGINT
+                 AS packed_pad,
+               (isolated_pad
+                - (((total_tokens + 63) // 64) * 64 - total_tokens))::BIGINT
+                 AS dividend,
+               ROUND((isolated_pad
+                      - (((total_tokens + 63) // 64) * 64
+                         - total_tokens))::DOUBLE
+                     / (total_tokens + isolated_pad)::DOUBLE, 6)
+                 AS dividend_ratio
+        FROM a
     """
 
     # stride 48 = chunk 64 − overlap 16; DuckDB range(0, n, 48)

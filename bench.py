@@ -286,6 +286,7 @@ HEADLINE = [
     "mm_audio_fingerprint_pairs",
     "mm_video_keyframe_pairs",
     "quality_token_cost_audit",
+    "quality_packing_dividend",
 ]
 
 

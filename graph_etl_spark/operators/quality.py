@@ -466,6 +466,91 @@ def token_cost_audit(
     )
 
 
+def packing_dividend(
+    df: DataFrame,
+    token_budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+    round_to: int = 6,
+) -> DataFrame:
+    """PACKING DIVIDEND — what ``pack_sequences``' concatenate-and-
+    split scheme actually reclaims versus document-isolated padding,
+    per shard (round 17, the ``token_cost_audit`` companion: the audit
+    prices the naive policy, this prices the upgrade — together they
+    are the capacity-planning pair a 100 TB run budgets with).
+
+    Same sharding and tokenization as ``pack_sequences`` (H56(id) mod
+    ``n_shards``, whitespace tokens), same padding conventions as
+    ``token_cost_audit`` (a zero-token document still costs one
+    all-pad sequence under isolation — rescuing those rows is part of
+    the dividend; an empty CONCATENATED stream costs nothing).
+    Per shard:
+
+    - ``isolated_pad``  — Σ over docs of max(ceil(tok/b), 1)·b − tok
+      (each doc padded to whole sequences);
+    - ``packed_pad``    — ceil(Σ tok / b)·b − Σ tok (the concat-split
+      stream pads only the shard tail — exactly the bins
+      ``pack_sequences``' cut rule produces);
+    - ``dividend``      — isolated_pad − packed_pad (>= 0 always:
+      Σ ceil >= ceil Σ), and ``dividend_ratio`` = dividend over the
+      isolated policy's total slots (the fraction of sequence compute
+      the packer saves).
+
+    Output: one row per non-empty shard — (shard, n_docs,
+    total_tokens, isolated_pad, packed_pad, dividend, dividend_ratio).
+
+    Scale: PURE MAP (the same exact integer ceil-div as
+    ``token_cost_audit``) + ONE map-side-combinable aggregation keyed
+    by shard — no window at all (``pack_sequences`` needs its
+    per-shard prefix-sum window to place documents in bins; the
+    dividend only needs the totals, so the window disappears). The
+    shuffle carries n_shards partial rows per map task."""
+    b = int(token_budget)
+    if b < 1:
+        raise ValueError(
+            f"packing_dividend: token_budget must be >= 1 (got {token_budget})"
+        )
+    from .text import h56, tokens_col
+
+    nt = F.size(tokens_col(F.col(text_col))).cast("long")
+    apb = nt + F.lit(b - 1).cast("long")
+    iso_seq = F.greatest(
+        ((apb - F.pmod(apb, F.lit(b))) / F.lit(b)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    per_doc = df.select(
+        F.pmod(h56(F.col(id_col).cast("string")), F.lit(n_shards)).alias(
+            "shard"
+        ),
+        nt.alias("__n"),
+        (iso_seq * b - nt).alias("__iso_pad"),
+    )
+    tot = F.col("total_tokens")
+    tpb = tot + F.lit(b - 1).cast("long")
+    packed_pad = (
+        ((tpb - F.pmod(tpb, F.lit(b))) / F.lit(b)).cast("long") * b - tot
+    )
+    agg = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("total_tokens"),
+        F.sum("__iso_pad").alias("isolated_pad"),
+    )
+    dividend = F.col("isolated_pad") - F.col("packed_pad")
+    return (
+        agg.withColumn("packed_pad", packed_pad)
+        .withColumn("dividend", dividend)
+        .withColumn(
+            "dividend_ratio",
+            F.round(
+                F.col("dividend").cast("double")
+                / (tot + F.col("isolated_pad")).cast("double"),
+                int(round_to),
+            ),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

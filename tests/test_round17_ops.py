@@ -325,3 +325,85 @@ def test_embedding_outliers_input_pinned_once(spark):
     p = plan_string(ops.embedding_outliers(e))
     assert "ExistingRDD" in p or "LogicalRDD" in p
     assert "Exchange" not in p  # scoring stays a pure map
+
+
+# ---------------------------------------------------------------------------
+# packing_dividend (round-17 post-freeze, r18 lead)
+# ---------------------------------------------------------------------------
+
+
+def test_packing_dividend_accounting(spark):
+    """Exact per-shard accounting at budget 4, one shard: docs of
+    1/3/6/0 tokens -> isolated slots 4+4+8+4 = 20 (the empty doc
+    costs one all-pad sequence), stream total 10 -> packed slots 12;
+    dividend = (20-10) - (12-10) = 8, ratio 8/20."""
+    rows = [
+        (0, "a"),
+        (1, "a b c"),
+        (2, "a b c d e f"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ops.packing_dividend(df, token_budget=4, n_shards=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r["n_docs"],
+        r["total_tokens"],
+        r["isolated_pad"],
+        r["packed_pad"],
+        r["dividend"],
+    ) == (4, 10, 10, 2, 8)
+    assert r["dividend_ratio"] == round(8 / 20, 6)
+
+
+def test_packing_dividend_matches_pack_sequences_bins(spark):
+    """The packed-slot count is exactly the number of stream windows
+    pack_sequences' cut rule fills: ceil(shard_tokens/budget) >= the
+    distinct bins documents START in, with equality when no doc spans
+    a window boundary."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    div = {
+        r["shard"]: r
+        for r in ops.packing_dividend(
+            docs, token_budget=64, n_shards=8
+        ).collect()
+    }
+    packed = ops.pack_sequences(docs, token_budget=64, n_shards=8)
+    from pyspark.sql import functions as F2
+
+    bins = {
+        r["shard"]: r
+        for r in packed.groupBy("shard")
+        .agg(
+            F2.countDistinct("bin_id").alias("start_bins"),
+            F2.sum("n_tokens").alias("tot"),
+        )
+        .collect()
+    }
+    assert set(div) == set(bins)
+    for s, r in div.items():
+        assert r["total_tokens"] == bins[s]["tot"]
+        stream_bins = (r["total_tokens"] + r["packed_pad"]) // 64
+        assert stream_bins >= bins[s]["start_bins"]
+        assert r["dividend"] >= 0
+
+
+def test_packing_dividend_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="token_budget"):
+        ops.packing_dividend(df, token_budget=0)
+
+
+def test_packing_dividend_plan_single_agg_no_window(spark):
+    """Plan guard: pure map + ONE shard-keyed hash aggregation — no
+    window (pack_sequences needs one; the dividend must not), no
+    Python, and partial aggregation before the one exchange."""
+    from graph_etl_spark.plans import plan_string
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_string(ops.packing_dividend(docs, token_budget=64, n_shards=8))
+    assert "Window" not in p
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in p, py
+    assert p.count("Exchange") == 1

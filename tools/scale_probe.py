@@ -2004,6 +2004,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r17 (post-freeze): packing dividend — pure map + one
+    # n_shards-keyed combinable agg over Nx docs; the ratio probes the
+    # tokenize/map scan (the shuffle is n_shards partials per task)
+    if only is None or "packing_dividend" in only:
+        t1 = timed(ops.packing_dividend(replicate_docs(d1, 1), token_budget=64, n_shards=8))
+        tn = timed(ops.packing_dividend(replicate_docs(d1, n), token_budget=64, n_shards=8))
+        result["packing_dividend"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# packing_dividend: {t1}s -> {tn}s "
+            f"(x{result['packing_dividend']['ratio']})",
+            file=sys.stderr,
+        )
+
     # r7: streaming interval-join STATE growth (rows, not seconds) —
     # bounded state under the watermark means ratio ~1 at Nx input
     if only is None or "streaming_interval_join_state" in only:
