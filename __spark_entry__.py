@@ -12373,7 +12373,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT m.doc_id, i.i, (i.i // 8)::INT AS window_idx,
                  CASE WHEN m.variant >= 2 AND i.i >= ((m.n - 1) // 8) * 8
                       THEN 0
-                      ELSE ((m.base * 3571 + i.i * 9973) % 65535) - 32767
+                      ELSE ((m.base * 3571
+                             + i.i * (9973 + 2 * (m.base % 1237)))
+                            % 65535) - 32767
                  END AS s
           FROM meta m, range(0, 512) AS i(i)
           WHERE i.i < m.n

@@ -677,10 +677,15 @@ def synth_wav_neardup_column(
     the fingerprint Hamming is PROVABLY <= 1 (the clipped-tail
     re-encode a near-dup audio pass must still group). Variants >= 3
     alternate inversion parity on the variant-2 signal (same bound).
-    base sample[i] = (((base·3571 + i·9973) % 65535) − 32767), the
-    ``synth_wav_polarity_column`` formula — closed-form in the id, so
-    a SQL oracle replays windows, energies and deltas without the
-    codec."""
+    base sample[i] = (((base·3571 + i·(9973 + 2·(base % 1237)))
+    % 65535) − 32767) — the ``synth_wav_polarity_column`` phase
+    formula with a PER-BASE sample step: with a fixed step two bases
+    with nearby phases (base·3571 mod 65535 — gaps shrink as the
+    corpus grows) produce near-equal window-energy sequences and the
+    pair set fills with phase-correlated cross-base collisions (29k
+    rows at sf0.1 vs ~5k planted); the per-base step decorrelates the
+    slopes so pairs stay id-local. Closed-form in the id, so a SQL
+    oracle replays windows, energies and deltas without the codec."""
     gs = int(group_size)
     if gs < 1:
         raise ValueError(
@@ -695,7 +700,8 @@ def synth_wav_neardup_column(
                 base, variant = i // gs, i % gs
                 n = 256 + base % 257
                 idx = np.arange(n, dtype=np.int64)
-                s = (base * 3571 + idx * 9973) % 65535 - 32767
+                step = 9973 + 2 * (base % 1237)
+                s = (base * 3571 + idx * step) % 65535 - 32767
                 if variant >= 2:
                     s[((n - 1) // 8) * 8 :] = 0
                 if variant % 2:
