@@ -4910,9 +4910,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows then own the r19 fillers. test_staleness_policy enforces
     # this mechanically. Round 17 added ONE post-freeze query after
     # its window froze (quality_packing_dividend — the r15/r16
-    # precedent); it leads the r18 window, 1 of the 11-slot cap, and
-    # the 39 fillers leave 10 further slots for r18-new and r18
-    # code-changed entries.
+    # precedent) and ONE post-freeze code change to a certified query
+    # (quality_clf_weights: _doc_features now binds __toks/__n/__hs
+    # once and counts buckets via native array_remove — the old form
+    # re-tokenized inside each of the 16 bucket lambdas; values are
+    # bit-identical, replica-green, 10.4 -> 7.3 s at sf0.1). BOTH
+    # lead the r18 window (2 of the 11-slot cap); the 39 fillers
+    # leave 9 further slots for r18-new and r18 code-changed entries.
     # r17 window (first 50): the FOUR r16-new post-freeze queries
     # lead (quality_mojibake_scrub, sim_embedding_outliers,
     # mm_video_keyframe_dedup, dedup_minhash_contamination — VERDICT

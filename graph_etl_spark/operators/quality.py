@@ -842,24 +842,37 @@ def _round_half_up(x: float, ndigits: int) -> float:
     return float(d)
 
 
-def _doc_features(text_col: str, dim: int) -> tuple[Column, Column, Column]:
-    """(features array<double> of dim+1 incl leading bias 1.0, label)
-    for the quality-classifier trainer. Features are normalized
-    hashed bag-of-words bucket frequencies (H56(token) mod dim);
-    the label distills the heuristic gate: 10 <= tokens <= 100k AND
-    duplicate-word fraction <= 0.5. Token hashes materialize ONCE per
-    row (bound column, not re-evaluated per bucket — interpreted
-    lambdas have no CSE)."""
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    hs = F.transform(toks, lambda t: F.pmod(h56(t), F.lit(dim)))
+def _doc_features(text_col: str, dim: int):
+    """(bind, feats, label) for the quality-classifier trainer/scorer:
+    ``bind`` is an ORDERED dict of columns to materialize first
+    (__toks/__n/__hs — interpreted lambdas have no CSE, so every
+    sub-expression the per-bucket loop references must be a bound
+    row lookup; the pre-r17 form re-evaluated size(tokenize(text))
+    inside each of the dim bucket lambdas — 16+ re-tokenizations per
+    row, the dominant cost of the registered 8-iteration query).
+    Features are normalized hashed bag-of-words bucket frequencies
+    (H56(token) mod dim); per-bucket counts come from the NATIVE
+    ``n − size(array_remove(__hs, b))`` (codegen) instead of an
+    interpreted filter-lambda scan. The label distills the heuristic
+    gate: 10 <= tokens <= 100k AND duplicate-word fraction <= 0.5.
+    Values are bit-identical to the pre-r17 form (same counts, same
+    rounding), so the unrolled DuckDB oracle chain is untouched."""
+    toks = F.col("__toks")
+    n = F.col("__n")
+    hs_bound = F.col("__hs")
+    bind = {
+        "__toks": tokens_col(F.col(text_col)),
+        "__n": F.size(F.col("__toks")),
+        "__hs": F.transform(
+            F.col("__toks"), lambda t: F.pmod(h56(t), F.lit(dim))
+        ),
+    }
     counts = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda b: F.when(
             n > 0,
             F.round(
-                F.size(F.filter(F.col("__hs"), lambda h: h == b)).cast("double")
-                / n,
+                (n - F.size(F.array_remove(hs_bound, b))).cast("double") / n,
                 6,
             ),
         ).otherwise(F.lit(0.0)),
@@ -882,7 +895,17 @@ def _doc_features(text_col: str, dim: int) -> tuple[Column, Column, Column]:
         ),
         counts,
     )
-    return feats, label, hs
+    return bind, feats, label
+
+
+def _bind_features(df: DataFrame, text_col: str, dim: int):
+    """Materialize the _doc_features bound columns in order and
+    return (bound_df, feats, label)."""
+    bind, feats, label = _doc_features(text_col, dim)
+    out = df
+    for name, col in bind.items():
+        out = out.withColumn(name, col)
+    return out, feats, label
 
 
 def quality_classifier_train(
@@ -917,11 +940,8 @@ def quality_classifier_train(
     updated weights round each iteration — the DuckDB oracle unrolls
     the same chain bit-for-bit (the sigmoid's exp is the same last-
     ulp bet the green unigram-logprob oracle already takes on ln)."""
-    feats, label, hs = _doc_features(text_col, dim)
-    base = (
-        df.withColumn("__hs", hs)
-        .select(feats.alias("__f"), label.alias("__y"))
-    )
+    bound, feats, label = _bind_features(df, text_col, dim)
+    base = bound.select(feats.alias("__f"), label.alias("__y"))
     if iters >= 1:
         base = base.localCheckpoint()
     n_docs = base.count()
@@ -990,7 +1010,7 @@ def quality_classifier_score(
         (r["pos"], r["weight"]) for r in weights.collect()  # dim+1 — tiny
     )
     w = [x for _, x in w_rows]
-    feats, _, hs = _doc_features(text_col, dim)
+    bound, feats, _ = _bind_features(df, text_col, dim)
     w_lit = F.expr(
         "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in w) + ")"
     )
@@ -1002,7 +1022,7 @@ def quality_classifier_score(
         ),
         6,
     )
-    return df.withColumn("__hs", hs).select(
+    return bound.select(
         F.col(id_col),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to).alias("clf_score"),
     )
