@@ -4444,6 +4444,22 @@ def q_quality_token_cost_audit(spark, sf):
     )
 
 
+def q_quality_epoch_repeat_audit(spark, sf):
+    """Epoch/repeat audit under a 110k-token budget (round 17,
+    post-freeze — r18 window lead): per source the tempered mixture
+    weight, the requested token count, the implied epoch count
+    against the source's available tokens, the over-cap flag at 4
+    epochs (the data-constrained-scaling rule of thumb), and the
+    shortfall the recipe must source elsewhere. One corpus agg
+    (mixture_weights) + arithmetic on the n_sources rows; the oracle
+    reuses the mixture CTE chain and the identical floor/round
+    order."""
+    d = _t(spark, sf, "documents")
+    return ops.epoch_repeat_audit(
+        d, budget_tokens=110_000, temperature=0.5, repeat_cap=4.0
+    )
+
+
 def q_quality_packing_dividend(spark, sf):
     """Packing dividend (round 17, post-freeze — r18 window lead):
     per pack_sequences shard, document-isolated padding (the
@@ -4901,6 +4917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r15/r16 precedent: added after the r17 window composition
         # froze, replica-green, first driver certification in r18)
         "quality_packing_dividend": q_quality_packing_dividend,
+        "quality_epoch_repeat_audit": q_quality_epoch_repeat_audit,
     }
     # ROUND-18 BUDGET NOTE (for the next session): once r17 lands,
     # the staleness histogram becomes {12: 39, 13: 44, 14: 50,
@@ -4908,15 +4925,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5-round bound the moment r18 lands and must fill the r18
     # window, capping r18's new+changed lead at 11; the 44 r13-era
     # rows then own the r19 fillers. test_staleness_policy enforces
-    # this mechanically. Round 17 added ONE post-freeze query after
-    # its window froze (quality_packing_dividend — the r15/r16
-    # precedent) and ONE post-freeze code change to a certified query
+    # this mechanically. Round 17 added TWO post-freeze queries after
+    # its window froze (quality_packing_dividend,
+    # quality_epoch_repeat_audit — the r15/r16 precedent) and ONE
+    # post-freeze code change to a certified query
     # (quality_clf_weights: _doc_features now binds __toks/__n/__hs
     # once and counts buckets via native array_remove — the old form
     # re-tokenized inside each of the 16 bucket lambdas; values are
-    # bit-identical, replica-green, 10.4 -> 7.3 s at sf0.1). BOTH
-    # lead the r18 window (2 of the 11-slot cap); the 39 fillers
-    # leave 9 further slots for r18-new and r18 code-changed entries.
+    # bit-identical, replica-green, 10.4 -> 7.3 s at sf0.1). All
+    # THREE lead the r18 window (3 of the 11-slot cap); the 39
+    # fillers leave 8 further slots for r18-new and r18 code-changed
+    # entries.
     # r17 window (first 50): the FOUR r16-new post-freeze queries
     # lead (quality_mojibake_scrub, sim_embedding_outliers,
     # mm_video_keyframe_dedup, dedup_minhash_contamination — VERDICT
@@ -7352,6 +7371,42 @@ def oracle_sql() -> dict[str, str]:
     # integer token budget, floor'd ppm rate, H56 membership — every
     # step an exactly-reproducible operation, so the sampled SET (not
     # just its size) matches bit-for-bit.
+    # Epoch/repeat audit (round 17, post-freeze): the mixture weight
+    # chain (sqrt at tau=0.5, round-9 share), requested = ONE double
+    # product floored, epochs = one round-6 double division, cap
+    # compare on the rounded epochs, shortfall via LEAST/floor.
+    sql["quality_epoch_repeat_audit"] = f"""
+        WITH per AS (
+          SELECT source, COUNT(*)::BIGINT AS n_docs,
+                 SUM(len({_TOKS}))::BIGINT AS n_tokens
+          FROM documents GROUP BY source
+        ), w AS (
+          SELECT source, n_docs, n_tokens,
+                 ROUND(sqrt(n_tokens::DOUBLE), 6)::DECIMAL(18,6) AS w6
+          FROM per
+        ), tot AS (SELECT SUM(w6) AS wtot FROM w),
+        base AS (
+          SELECT source, n_docs, n_tokens,
+                 ROUND(w6::DOUBLE / wtot::DOUBLE, 9) AS weight,
+                 FLOOR(ROUND(w6::DOUBLE / wtot::DOUBLE, 9)
+                       * 110000.0)::BIGINT AS requested_tokens
+          FROM w CROSS JOIN tot
+        )
+        SELECT source, n_docs, n_tokens, weight, requested_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN ROUND(requested_tokens::DOUBLE
+                               / n_tokens::DOUBLE, 6) END AS epochs,
+               COALESCE(CASE WHEN n_tokens > 0
+                             THEN ROUND(requested_tokens::DOUBLE
+                                        / n_tokens::DOUBLE, 6) > 4.0 END,
+                        requested_tokens > 0) AS over_cap,
+               (requested_tokens
+                - LEAST(requested_tokens,
+                        FLOOR(4.0 * n_tokens::DOUBLE)::BIGINT))::BIGINT
+                 AS shortfall_tokens
+        FROM base
+    """
+
     sql["quality_mixture_sample"] = f"""
         WITH per AS (
           SELECT source, COUNT(*)::BIGINT AS n_docs,

@@ -287,6 +287,7 @@ HEADLINE = [
     "mm_video_keyframe_pairs",
     "quality_token_cost_audit",
     "quality_packing_dividend",
+    "quality_epoch_repeat_audit",
 ]
 
 

@@ -908,6 +908,77 @@ def _bind_features(df: DataFrame, text_col: str, dim: int):
     return out, feats, label
 
 
+def epoch_repeat_audit(
+    df: DataFrame,
+    budget_tokens: int,
+    temperature: float = 0.5,
+    repeat_cap: float = 4.0,
+    source_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """EPOCH / REPEAT audit under a token budget — the
+    data-constrained-scaling accounting (Muennighoff et al. 2023:
+    past ~4 epochs, repeated tokens stop buying loss) that closes the
+    mixing family: ``mixture_weights`` says what share each source
+    SHOULD contribute; this audits whether the source can supply it
+    without over-repeating. Per source: available tokens, the
+    τ-tempered mixture weight, the requested token count
+    (weight × ``budget_tokens``), the implied epoch count
+    (requested / available), an ``over_cap`` flag at ``repeat_cap``
+    epochs, and the shortfall — tokens the budget wants from this
+    source beyond the cap, i.e. what must come from NEW data or be
+    re-allocated (the capacity-planning number a 100 TB recipe
+    starts from).
+
+    Output: (source, n_docs, n_tokens, weight, requested_tokens,
+    epochs, over_cap, shortfall_tokens); a zero-token source keeps
+    its row with NULL epochs and ``over_cap = true`` when any tokens
+    are requested of it (it cannot supply even one epoch).
+
+    Cross-engine determinism: weight is ``mixture_weights``' round-9
+    value (τ=0.5 pinned for the oracle — sqrt is correctly rounded);
+    requested = floor(weight × budget) as ONE double product; epochs
+    is one double division rounded to ``round_to``; the cap compare
+    runs on the rounded epochs.
+
+    Scale: ``mixture_weights``' single map-side-combinable
+    aggregation (n_sources result rows) plus per-row arithmetic on
+    that dimension-sized frame — nothing else touches the corpus."""
+    b = int(budget_tokens)
+    if b < 0:
+        raise ValueError(
+            f"epoch_repeat_audit: budget_tokens must be >= 0 (got {budget_tokens})"
+        )
+    cap = float(repeat_cap)
+    if cap <= 0:
+        raise ValueError(
+            f"epoch_repeat_audit: repeat_cap must be > 0 (got {repeat_cap})"
+        )
+    w = mixture_weights(
+        df, temperature=temperature, source_col=source_col, text_col=text_col
+    )
+    req = F.floor(F.col("weight") * F.lit(float(b))).cast("long")
+    avail = F.col("n_tokens")
+    epochs = F.when(
+        avail > 0,
+        F.round(req.cast("double") / avail.cast("double"), int(round_to)),
+    )
+    supply_cap = F.floor(F.lit(cap) * avail.cast("double")).cast("long")
+    return w.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "weight",
+        req.alias("requested_tokens"),
+        epochs.alias("epochs"),
+        F.coalesce(
+            epochs > F.lit(cap), req > F.lit(0).cast("long")
+        ).alias("over_cap"),
+        (req - F.least(req, supply_cap)).alias("shortfall_tokens"),
+    )
+
+
 def quality_classifier_train(
     df: DataFrame,
     dim: int = 16,

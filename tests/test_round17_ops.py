@@ -407,3 +407,69 @@ def test_packing_dividend_plan_single_agg_no_window(spark):
     for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert py not in p, py
     assert p.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# epoch_repeat_audit (round-17 post-freeze, r18 lead)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_repeat_audit_accounting(spark):
+    """Exact accounting at tau=0.5, budget 300, cap 2: two sources
+    with 100 and 400 available tokens -> weights 1/3 and 2/3 ->
+    requested 100 and 200 -> epochs 1.0 and 0.5, neither over a
+    2-epoch cap and zero shortfall; at budget 3000 the small source
+    is asked for 10 epochs -> over_cap with an 800-token shortfall."""
+    rows = [(0, "a " * 100, "s_small"), (1, "b " * 400, "s_big")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in ops.epoch_repeat_audit(
+            df, budget_tokens=300, repeat_cap=2.0
+        ).collect()
+    }
+    # weights: sqrt(100)=10, sqrt(400)=20 -> 1/3, 2/3 (round 9)
+    assert out["s_small"]["requested_tokens"] == 99  # floor(0.333333333*300)
+    assert out["s_big"]["requested_tokens"] == 200
+    assert out["s_small"]["epochs"] == 0.99
+    assert out["s_big"]["epochs"] == 0.5
+    assert not out["s_small"]["over_cap"] and not out["s_big"]["over_cap"]
+    assert out["s_small"]["shortfall_tokens"] == 0
+    out2 = {
+        r["source"]: r
+        for r in ops.epoch_repeat_audit(
+            df, budget_tokens=3000, repeat_cap=2.0
+        ).collect()
+    }
+    assert out2["s_small"]["requested_tokens"] == 999
+    assert out2["s_small"]["epochs"] == 9.99
+    assert out2["s_small"]["over_cap"]
+    assert out2["s_small"]["shortfall_tokens"] == 999 - 200  # cap 2*100
+    # the big source is asked for 2000 of its 400 tokens: 5 epochs,
+    # also over a 2-epoch cap, shortfall 2000 - 800
+    assert out2["s_big"]["epochs"] == 5.0 and out2["s_big"]["over_cap"]
+    assert out2["s_big"]["shortfall_tokens"] == 1200
+
+
+def test_epoch_repeat_audit_zero_token_source(spark):
+    """A source with docs but zero tokens keeps its row: NULL epochs,
+    over_cap true whenever any tokens are requested of it (it cannot
+    supply one epoch), shortfall = the full request."""
+    rows = [(0, "", "s_empty"), (1, "b " * 100, "s_big")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in ops.epoch_repeat_audit(df, budget_tokens=100).collect()
+    }
+    e = out["s_empty"]
+    assert e["n_tokens"] == 0 and e["epochs"] is None
+    assert e["over_cap"] == (e["requested_tokens"] > 0)
+    assert e["shortfall_tokens"] == e["requested_tokens"]
+
+
+def test_epoch_repeat_audit_validation(spark):
+    df = spark.createDataFrame([(0, "a", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="budget_tokens"):
+        ops.epoch_repeat_audit(df, budget_tokens=-1)
+    with pytest.raises(ValueError, match="repeat_cap"):
+        ops.epoch_repeat_audit(df, budget_tokens=1, repeat_cap=0)

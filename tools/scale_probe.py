@@ -2019,6 +2019,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r17 (post-freeze): epoch/repeat audit — one corpus agg
+    # (mixture_weights' map-side-combinable per-source sums) + row
+    # arithmetic on the n_sources frame; the ratio probes the scan
+    if only is None or "epoch_repeat_audit" in only:
+        t1 = timed(ops.epoch_repeat_audit(replicate_docs(d1, 1), budget_tokens=100_000))
+        tn = timed(ops.epoch_repeat_audit(replicate_docs(d1, n), budget_tokens=100_000))
+        result["epoch_repeat_audit"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# epoch_repeat_audit: {t1}s -> {tn}s "
+            f"(x{result['epoch_repeat_audit']['ratio']})",
+            file=sys.stderr,
+        )
+
     # r7: streaming interval-join STATE growth (rows, not seconds) —
     # bounded state under the watermark means ratio ~1 at Nx input
     if only is None or "streaming_interval_join_state" in only:
