@@ -7256,7 +7256,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 8
                    AS shard,
-                 len({_TOKS})::BIGINT AS n
+                 GREATEST(COALESCE(len({_TOKS}), 0), 0)::BIGINT AS n
           FROM documents
         ), p AS (
           SELECT shard, n,
@@ -7396,10 +7396,8 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_tokens > 0
                     THEN ROUND(requested_tokens::DOUBLE
                                / n_tokens::DOUBLE, 6) END AS epochs,
-               COALESCE(CASE WHEN n_tokens > 0
-                             THEN ROUND(requested_tokens::DOUBLE
-                                        / n_tokens::DOUBLE, 6) > 4.0 END,
-                        requested_tokens > 0) AS over_cap,
+               (requested_tokens
+                > FLOOR(4.0 * n_tokens::DOUBLE)::BIGINT) AS over_cap,
                (requested_tokens
                 - LEAST(requested_tokens,
                         FLOOR(4.0 * n_tokens::DOUBLE)::BIGINT))::BIGINT

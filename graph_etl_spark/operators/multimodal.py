@@ -799,23 +799,36 @@ def audio_fingerprint_pairs(
     ``audio_fingerprint`` dedup-key contract), so every join bucket is
     (n_windows, segment_idx, masked_value).
 
-    Pigeonhole: the fingerprint splits into ``max_hamming + 1``
-    disjoint bit segments; two fingerprints within the distance agree
-    on at least one segment — candidates come from a hash-partitioned
-    equi-join, never a cartesian, and the exact ``bit_count(xor)``
-    filter keeps true pairs. Recall 1.0 by construction GIVEN equal
-    n_windows.
+    Pigeonhole: per n_windows CLASS, the fingerprint's MEANINGFUL
+    bits — min(n_windows − 1, ``bits``); positions above that are
+    structurally zero — split into ``max_hamming + 1`` near-equal
+    segments (widths/offsets computed per row from n_windows, so
+    every clip in a class uses identical boundaries); two
+    fingerprints within the distance agree on at least one segment —
+    candidates come from a hash-partitioned equi-join, never a
+    cartesian, and the exact ``bit_count(xor)`` filter keeps true
+    pairs. Recall 1.0 by construction GIVEN equal n_windows.
+    Segmenting a GLOBAL [0, bits) range instead (the first-draft
+    shape, code-review r17) is wrong at scale: every segment lying
+    wholly above a short clip's meaningful bits is constant zero, so
+    each short n_windows class degenerates to a full N²/2 cross join
+    through one (class, segment, 0) bucket — with per-class widths
+    the degenerate bucket exists only for clips with fewer meaningful
+    bits than segments (< max_hamming + 1 windows), which the
+    fingerprint cannot discriminate anyway.
 
     Output: (id_a, id_b, n_windows, hamming), canonical id_a < id_b.
 
     Scale: decode + windowing is the one Arrow stage; only
-    (id, int, long) fingerprint rows ever shuffle. A fingerprint
-    carries n_windows − 1 meaningful bits, so the narrow-segment
-    hazard is REAL for short clips: segments of < 12 meaningful bits
-    bucket as N²/2^12 per n_windows class (the ``image_phash_pairs``
-    warning, issued here on the same condition) — at corpus scale
-    either lengthen the analysis window so clips carry >= 36 windows
-    or tighten ``max_hamming``."""
+    (id, int, long) fingerprint rows ever shuffle. Per-class bucket
+    depth is 2^((n_windows−1) div (max_hamming+1)) — short clips
+    still bucket shallowly (a 17-window clip at max_hamming=1 leaves
+    8-bit buckets, N²/2⁸ per class), so at corpus scale either
+    lengthen the analysis window so clips carry >= 25 windows per
+    distance unit or tighten ``max_hamming`` (the
+    ``image_phash_pairs`` narrow-segment discipline; the static
+    warning below fires on the parameter-level version of the same
+    hazard)."""
     n_seg = int(max_hamming) + 1
     if int(bits) // n_seg < 12:
         import warnings
@@ -831,20 +844,46 @@ def audio_fingerprint_pairs(
     sig = audio_fingerprint(
         df, window_samples=window_samples, bin_col=bin_col, id_col=id_col
     )
-    widths = [
-        bits // n_seg + (1 if i < bits % n_seg else 0) for i in range(n_seg)
-    ]
+    # per-class segment geometry: meaningful bits = min(nw−1, bits)
+    # (the XOR fold touches bits 0..62 only), split into n_seg
+    # near-equal slices — width_i = q + (i < r), offset_i = i·q +
+    # min(i, r) with q = eff div n_seg, r = eff mod n_seg. All JVM
+    # integer expressions; clips with equal n_windows get identical
+    # boundaries, which is all the pigeonhole argument needs.
+    eff = F.least(
+        F.greatest(F.col("n_windows").cast("long") - 1, F.lit(1).cast("long")),
+        F.lit(int(bits)).cast("long"),
+    )
+    q = ((eff - F.pmod(eff, F.lit(n_seg))) / F.lit(n_seg)).cast("long")
+    rr = F.pmod(eff, F.lit(n_seg))
     segs = []
-    off = 0
-    for i, w in enumerate(widths):
-        mask = ((1 << w) - 1) << off
+    for i in range(n_seg):
+        w_i = q + F.when(F.lit(i) < rr, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+        off_i = F.lit(i).cast("long") * q + F.least(
+            F.lit(i).cast("long"), rr
+        )
+        # (1L << w) − 1 is the w-ones mask for w <= 63 (two's-
+        # complement wrap at w = 63 still yields all-ones minus sign);
+        # call_function: the pyspark shiftleft/shiftrightunsigned
+        # wrappers accept only literal ints for numBits, the SQL
+        # expressions take columns
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), w_i.cast("int")
+        ) - F.lit(1).cast("long")
         segs.append(
             F.struct(
                 F.lit(i).alias("seg_idx"),
-                F.col("fingerprint").bitwiseAND(F.lit(mask)).alias("seg_val"),
+                F.call_function(
+                    "shiftrightunsigned",
+                    F.col("fingerprint"),
+                    off_i.cast("int"),
+                )
+                .bitwiseAND(mask)
+                .alias("seg_val"),
             )
         )
-        off += w
     # both self-join sides read the segmented frame; the lazy
     # checkpoint materializes the Arrow decode stage once, not twice
     segged = (

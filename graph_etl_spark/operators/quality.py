@@ -497,6 +497,12 @@ def packing_dividend(
       isolated policy's total slots (the fraction of sequence compute
       the packer saves).
 
+    A NULL-text row counts as a ZERO-token document (one all-pad
+    isolated sequence, nothing in the stream) — code-review r17: the
+    naive sum would keep it in ``n_docs`` while silently dropping it
+    from ``total_tokens``/``isolated_pad``, understating the isolated
+    slots the audit exists to price.
+
     Output: one row per non-empty shard — (shard, n_docs,
     total_tokens, isolated_pad, packed_pad, dividend, dividend_ratio).
 
@@ -511,9 +517,15 @@ def packing_dividend(
         raise ValueError(
             f"packing_dividend: token_budget must be >= 1 (got {token_budget})"
         )
-    from .text import h56, tokens_col
-
-    nt = F.size(tokens_col(F.col(text_col))).cast("long")
+    # NULL text -> 0 tokens (and greatest guards the legacy
+    # size(NULL) = -1 conf) — the docstring's zero-token charge
+    nt = F.greatest(
+        F.coalesce(
+            F.size(tokens_col(F.col(text_col))).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
     apb = nt + F.lit(b - 1).cast("long")
     iso_seq = F.greatest(
         ((apb - F.pmod(apb, F.lit(b))) / F.lit(b)).cast("long"),
@@ -936,11 +948,18 @@ def epoch_repeat_audit(
     its row with NULL epochs and ``over_cap = true`` when any tokens
     are requested of it (it cannot supply even one epoch).
 
+    ``over_cap`` and ``shortfall_tokens`` derive from the SAME exact
+    integer compare — over_cap ⟺ requested > floor(cap × available)
+    ⟺ shortfall > 0 — never from the display-rounded ``epochs``
+    (code-review r17: an epochs value that rounds down to exactly the
+    cap would otherwise read over_cap=false next to a positive
+    shortfall, and a consumer re-allocating shortfall only for
+    flagged sources would silently drop those tokens).
+
     Cross-engine determinism: weight is ``mixture_weights``' round-9
     value (τ=0.5 pinned for the oracle — sqrt is correctly rounded);
     requested = floor(weight × budget) as ONE double product; epochs
-    is one double division rounded to ``round_to``; the cap compare
-    runs on the rounded epochs.
+    is one double division rounded to ``round_to`` (informational).
 
     Scale: ``mixture_weights``' single map-side-combinable
     aggregation (n_sources result rows) plus per-row arithmetic on
@@ -972,9 +991,7 @@ def epoch_repeat_audit(
         "weight",
         req.alias("requested_tokens"),
         epochs.alias("epochs"),
-        F.coalesce(
-            epochs > F.lit(cap), req > F.lit(0).cast("long")
-        ).alias("over_cap"),
+        (req > supply_cap).alias("over_cap"),
         (req - F.least(req, supply_cap)).alias("shortfall_tokens"),
     )
 

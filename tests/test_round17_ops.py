@@ -473,3 +473,37 @@ def test_epoch_repeat_audit_validation(spark):
         ops.epoch_repeat_audit(df, budget_tokens=-1)
     with pytest.raises(ValueError, match="repeat_cap"):
         ops.epoch_repeat_audit(df, budget_tokens=1, repeat_cap=0)
+
+
+def test_epoch_repeat_audit_flag_consistent_with_shortfall(spark):
+    """Code-review r17: over_cap and shortfall derive from the SAME
+    exact integer compare — over_cap <=> shortfall > 0 — never from
+    the display-rounded epochs (which can round down to exactly the
+    cap while a positive shortfall exists)."""
+    # requested = floor(2/3 * 6000001) = 4000000; supply cap =
+    # floor(4.0 * 1000000)... build the boundary directly instead:
+    # avail 1000, cap 4 -> supply 4000; budgets straddling it
+    rows = [(0, "a " * 1000, "s"), (1, "b " * 1000, "t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for budget in (7998, 8000, 8004):
+        out = ops.epoch_repeat_audit(
+            df, budget_tokens=budget, repeat_cap=4.0
+        ).collect()
+        for r in out:
+            assert r["over_cap"] == (r["shortfall_tokens"] > 0), (
+                budget, r
+            )
+
+
+def test_packing_dividend_null_text_charged_as_zero_tokens(spark):
+    """Code-review r17: a NULL-text row costs one all-pad isolated
+    sequence (zero tokens in the stream) instead of silently dropping
+    out of the totals while still counting in n_docs."""
+    rows = [(0, None), (1, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ops.packing_dividend(df, token_budget=4, n_shards=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # isolated: NULL doc -> 1 all-pad seq (4), 3-token doc -> pad 1
+    assert (r["n_docs"], r["total_tokens"], r["isolated_pad"]) == (2, 3, 5)
+    assert r["packed_pad"] == 1 and r["dividend"] == 4
