@@ -1634,6 +1634,30 @@ def q_graph_connected_components(spark, sf):
     return ops.dedup_clusters(pairs, d.select("doc_id"))
 
 
+def q_graph_scc(spark, sf):
+    """Strongly connected components over the DIRECTED shingle-
+    containment graph: edge a → b when A is contained in B at ≥ 0.3
+    (each ≥-threshold direction of `shingle_containment_pairs`
+    contributes an edge). SCCs = mutual-containment clusters — the
+    near-identical documents that quote each other — while one-way
+    quote/boilerplate chains stay transient singletons; the directed
+    analog of dedup_clusters' undirected components, and the Markov
+    recurrent-class decomposition applied to dedup. Runs trim +
+    forward-backward coloring with hashed-order pointer-jumped
+    fixpoints (operators/graph.py strongly_connected_components);
+    oracle = recursive transitive closure + mutual-reachability min.
+    47 verts / 23 SCCs at sf0.01; 516 verts / 272 SCCs at sf0.1."""
+    d = _t(spark, sf, "documents")
+    pairs = ops.shingle_containment_pairs(d, threshold=0.3)
+    e1 = pairs.filter(F.col("containment_a") >= 0.3).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    e2 = pairs.filter(F.col("containment_b") >= 0.3).select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+    )
+    return ops.strongly_connected_components(e1.unionByName(e2))
+
+
 def q_graph_triangles(spark, sf):
     """Per-part triangle counts over the order co-purchase graph (two
     parts in one order share an undirected edge, 1995 shipments —
@@ -3682,6 +3706,18 @@ def q_sim_hamming_topk(spark, sf):
     return ops.hamming_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def q_sim_binary_rerank(spark, sf):
+    """Binary-quantization serving cascade: sign-bit Hamming prefilter
+    keeps 20 candidates/query (integer distances, id ties), exact
+    float cosine re-ranks the shortlist to top-5. The full-precision
+    corpus column never shuffles — the shortlist broadcasts to it.
+    Oracle replays the identical two-stage ranking in SQL."""
+    e = _t(spark, sf, "embeddings")
+    return ops.binary_rerank_topk(
+        e, e.filter(F.col("vec_id") < 10), dim=64, k=5, prefilter_factor=4
+    )
+
+
 def q_sim_hamming_topk_scale(spark, sf):
     """The binary Hamming search on the cluster plan: per-partition
     Arrow top-k before the exchange, k·partitions-row final window —
@@ -4918,6 +4954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # froze, replica-green, first driver certification in r18)
         "quality_packing_dividend": q_quality_packing_dividend,
         "quality_epoch_repeat_audit": q_quality_epoch_repeat_audit,
+        "graph_scc": q_graph_scc,
+        "sim_binary_rerank": q_sim_binary_rerank,
     }
     # ROUND-18 BUDGET NOTE (for the next session): once r17 lands,
     # the staleness histogram becomes {12: 39, 13: 44, 14: 50,
@@ -4925,16 +4963,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5-round bound the moment r18 lands and must fill the r18
     # window, capping r18's new+changed lead at 11; the 44 r13-era
     # rows then own the r19 fillers. test_staleness_policy enforces
-    # this mechanically. Round 17 added TWO post-freeze queries after
-    # its window froze (quality_packing_dividend,
-    # quality_epoch_repeat_audit — the r15/r16 precedent) and ONE
-    # post-freeze code change to a certified query
+    # this mechanically. Round 17 added FOUR post-freeze queries
+    # after its window froze (quality_packing_dividend,
+    # quality_epoch_repeat_audit, graph_scc, sim_binary_rerank — the
+    # r15/r16 precedent) and ONE post-freeze code change to a
+    # certified query
     # (quality_clf_weights: _doc_features now binds __toks/__n/__hs
     # once and counts buckets via native array_remove — the old form
     # re-tokenized inside each of the 16 bucket lambdas; values are
     # bit-identical, replica-green, 10.4 -> 7.3 s at sf0.1). All
-    # THREE lead the r18 window (3 of the 11-slot cap); the 39
-    # fillers leave 8 further slots for r18-new and r18 code-changed
+    # FIVE lead the r18 window (5 of the 11-slot cap); the 39
+    # fillers leave 6 further slots for r18-new and r18 code-changed
     # entries.
     # r17 window (first 50): the FOUR r16-new post-freeze queries
     # lead (quality_mojibake_scrub, sim_embedding_outliers,
@@ -6772,6 +6811,54 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
           ON d.doc_id = c.id
+    """
+
+    # SCC over the directed containment graph: the pairs CTE is the
+    # dedup_containment_pairs body; direction filters turn each
+    # ≥-threshold containment side into an edge; recursive closure +
+    # mutual reachability gives scc_id = min mutually-reachable id
+    sql["graph_scc"] = """
+        WITH RECURSIVE pairs AS (
+          WITH sh0 AS (
+            SELECT doc_id, unnest(list_distinct(CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) >= 3 THEN list_transform(range(1, len(list_filter(string_split(text, ' '), t -> t <> '')) - 1), i -> array_to_string(list_slice(list_filter(string_split(text, ' '), t -> t <> ''), i, i + 2), ' ')) ELSE [array_to_string(list_filter(string_split(text, ' '), t -> t <> ''), ' ')] END)) AS s FROM documents
+          ), dfreq AS (
+            SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s
+          ), sh AS (
+            SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq USING (s) WHERE df <= 16
+          ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+          ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          )
+          SELECT id_a, id_b,
+                 ROUND(inter / sa.n_sh::DOUBLE, 6) AS containment_a,
+                 ROUND(inter / sb.n_sh::DOUBLE, 6) AS containment_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE GREATEST(ROUND(inter / sa.n_sh::DOUBLE, 6),
+                         ROUND(inter / sb.n_sh::DOUBLE, 6)) >= 0.3
+        ), g AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs WHERE containment_a >= 0.3
+          UNION
+          SELECT id_b, id_a FROM pairs WHERE containment_b >= 0.3
+        ), verts AS (
+          SELECT DISTINCT id FROM (
+            SELECT src AS id FROM g UNION ALL SELECT dst FROM g
+          )
+        ), reach(a, b) AS (
+          SELECT src, dst FROM g
+          UNION
+          SELECT r.a, g.dst FROM reach r JOIN g ON r.b = g.src
+        ), mutual AS (
+          SELECT r1.a AS id, MIN(r1.b) AS mn
+          FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+          GROUP BY r1.a
+        )
+        SELECT v.id, LEAST(v.id, COALESCE(m.mn, v.id)) AS scc_id
+        FROM verts v LEFT JOIN mutual m USING (id)
     """
 
     # PageRank: 10 unrolled power iterations (no recursive aggregation)
@@ -10653,6 +10740,46 @@ def oracle_sql() -> dict[str, str]:
     # the scale-path variant is bit-identical (integer distances, id
     # tie-break), so it shares the reference oracle verbatim
     sql["sim_hamming_topk_scale"] = sql["sim_hamming_topk"]
+
+    # binary-prefilter -> exact-rerank cascade: the hamming CTE chain
+    # is the sim_hamming_topk oracle at the 20-candidate shortlist,
+    # then exact cosine re-ranks the shortlist to top-5
+    sql["sim_binary_rerank"] = f"""
+        WITH packed AS (
+          SELECT vec_id,
+            list_sum(list_transform(range(0, 32),
+              i -> CASE WHEN embedding[i + 1] > 0
+                        THEN pow(2, i)::BIGINT ELSE 0 END))::BIGINT AS w0,
+            list_sum(list_transform(range(32, 64),
+              i -> CASE WHEN embedding[i + 1] > 0
+                        THEN pow(2, i - 32)::BIGINT ELSE 0 END))::BIGINT AS w1
+          FROM embeddings
+        ), hscored AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                 (bit_count(xor(d.w0, q.w0))
+                  + bit_count(xor(d.w1, q.w1)))::BIGINT AS hamming
+          FROM packed q JOIN packed d
+            ON q.vec_id < 10 AND d.vec_id <> q.vec_id
+        ), hranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY hamming, neighbor_id)::INT AS hrank
+          FROM hscored
+        ), shortlist AS (
+          SELECT query_id, neighbor_id, hamming FROM hranked WHERE hrank <= 20
+        ), rescored AS (
+          SELECT s.query_id, s.neighbor_id, s.hamming, {_cos} AS cos_sim
+          FROM shortlist s
+          JOIN embeddings a ON a.vec_id = s.query_id
+          JOIN embeddings b ON b.vec_id = s.neighbor_id
+          WHERE NOT isnan({_cos})
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)::INT AS rank
+          FROM rescored
+        )
+        SELECT query_id, neighbor_id, hamming, cos_sim, rank
+        FROM ranked WHERE rank <= 5
+    """
 
     # CUPED: x, y and all pooled moments are exact decimals; theta and
     # the adjusted means evaluate in the operator's expression order

@@ -2594,6 +2594,78 @@ def hamming_topk(
     )
 
 
+def binary_rerank_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    prefilter_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """BINARY-PREFILTER → EXACT-RERANK cascade — the production
+    binary-quantization serving pattern (rank the corpus by the 32×-
+    compressed sign-bit Hamming distance, then re-score ONLY the
+    oversampled shortlist with exact float cosine; recall loss is
+    bounded by the ``prefilter_factor`` oversample, the dial every
+    binary-quantized vector store exposes).
+
+    Stage 1: ``hamming_topk`` keeps k × prefilter_factor candidates
+    per query — integer distances with id tie-break, so the shortlist
+    boundary is deterministic and engine-identical.
+    Stage 2: the shortlist joins back to the raw vectors and re-ranks
+    by exact cosine (``round_to``-dp rounded, desc, id tie-break);
+    zero-norm candidates (NaN cosine) drop in the rerank — the
+    ``brute_force_topk`` contract.
+
+    Output: (query_id, neighbor_id, hamming, cos_sim, rank ≤ k).
+
+    Scale: the corpus is scanned once map-side by the packed-word
+    Hamming stage (queries broadcast); the float vectors of the
+    corpus are touched only via the shortlist join — the shortlist
+    (queries × k·factor rows) broadcasts to the data side, so the
+    full-precision embedding column never shuffles. This is the
+    architectural point of the cascade at 100 TB: the exact-cosine
+    stage's input is shortlist-sized, not corpus-sized."""
+    if int(prefilter_factor) < 1:
+        raise ValueError(
+            "binary_rerank_topk: prefilter_factor must be >= 1 "
+            f"(got {prefilter_factor})"
+        )
+    m = int(k) * int(prefilter_factor)
+    cand = hamming_topk(
+        data, queries, dim, k=m, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", "hamming")
+    dvec = data.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__dvec")
+    ).withColumn("__dn", norm(F.col("__dvec")))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qn", norm(F.col("__qvec")))
+    scored = (
+        dvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qvec"), F.col("__dvec"))
+                / (F.col("__qn") * F.col("__dn")),
+                int(round_to),
+            ),
+        )
+        .filter(~F.isnan("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "hamming", "cos_sim", "rank")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 5,

@@ -68,3 +68,42 @@ def get_spark(
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
+
+
+def stats_free_checkpoint(df):
+    """Eager localCheckpoint that DROPS inherited plan statistics.
+
+    ``Dataset.localCheckpoint`` carries the originating plan's
+    estimated statistics onto the checkpointed ``LogicalRDD``
+    (``originStats``). In join-iterate loops that estimate compounds
+    multiplicatively round over round — the ``sizeInBytes`` digit
+    count DOUBLES per round whenever a round's plan references its
+    input twice (measured on this build: 75 → 187 → 410 → 857 → 1750
+    digits over five fixpoint rounds) — until Catalyst's size
+    estimation spends whole seconds multiplying million-digit
+    BigIntegers and the driver spins at 100%% single-core inside
+    ``SizeInBytesOnlyStatsPlanVisitor``. Deep-iterating operators
+    (nested fixpoints, 15+ round loops) must checkpoint through THIS
+    helper, which rebuilds the frame from the checkpointed RDD via
+    ``internalCreateDataFrame`` so the leaf resets to default
+    statistics. AQE's runtime statistics still drive join-strategy
+    selection, so dropping the compile-time estimate costs nothing at
+    execution time (the checkpointed exchange's declared partitioning
+    is dropped too — irrelevant in loops that reshuffle on join keys
+    every round). Falls back to the plain eager checkpoint if the
+    internal JVM constructor is ever unavailable."""
+    from pyspark.sql import DataFrame
+
+    snap = df.localCheckpoint(eager=True)
+    try:
+        spark = snap.sparkSession
+        jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+            snap.schema.json()
+        )
+        jrdd = snap._jdf.queryExecution().toRdd()
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jschema, False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:  # pragma: no cover - internal API drift
+        return snap

@@ -507,3 +507,173 @@ def test_packing_dividend_null_text_charged_as_zero_tokens(spark):
     # isolated: NULL doc -> 1 all-pad seq (4), 3-token doc -> pad 1
     assert (r["n_docs"], r["total_tokens"], r["isolated_pad"]) == (2, 3, 5)
     assert r["packed_pad"] == 1 and r["dividend"] == 4
+
+
+# ---------------------------------------------------------------------------
+# strongly_connected_components (round-17 post-freeze, r18 lead)
+# ---------------------------------------------------------------------------
+
+
+def test_scc_hand_graph(spark):
+    """Two cycles joined by a one-way bridge, a tail, a self-loop-only
+    vertex, and a pure ancestor: every SCC exact, scc_id = numeric
+    min member, self-loop vertex kept as a singleton."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4), (3, 6), (7, 7), (8, 1)],
+        "src long, dst long",
+    )
+    rows = sorted(
+        (r.id, r.scc_id)
+        for r in ops.strongly_connected_components(edges).collect()
+    )
+    assert rows == [
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 7), (8, 8),
+    ]
+
+
+def test_scc_adversarial_reversed_cycle_converges(spark):
+    """Regression for the raw-id-order degeneracy: on a cycle whose
+    ids ascend AGAINST the edge direction, min-label propagation under
+    the id order moves 1 vertex/round (min(v, v+1) = v keeps every
+    label at self, so pointer jumping never engages) and a 40-vertex
+    cycle would blow the round budget. The hashed label order must
+    converge within the default max_iter."""
+    n = 40
+    edges = spark.createDataFrame(
+        [(i % n + 1, i) for i in range(1, n + 1)], "src long, dst long"
+    )
+    rows = ops.strongly_connected_components(edges).collect()
+    assert len(rows) == n
+    assert {r.scc_id for r in rows} == {1}
+
+
+def test_scc_nonconvergence_raises(spark):
+    """A silently-partial labeling must never escape: max_iter=0
+    starves the forward fixpoint and the RuntimeError surfaces."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="label propagation"):
+        ops.strongly_connected_components(edges, max_iter=0)
+
+
+def test_scc_isolated_and_extra_vertices_are_singletons(spark):
+    """Caller-supplied vertices with no edges settle as singletons in
+    the first trim."""
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    extra = spark.createDataFrame([(9,), (10,)], "id long")
+    rows = sorted(
+        (r.id, r.scc_id)
+        for r in ops.strongly_connected_components(
+            edges, vertices=extra
+        ).collect()
+    )
+    assert rows == [(1, 1), (2, 1), (9, 9), (10, 10)]
+
+
+def test_stats_free_checkpoint_blocks_size_estimate_compounding(spark):
+    """Regression for the Catalyst BigInteger spin: a plain
+    localCheckpoint inherits the origin plan's sizeInBytes, which
+    compounds multiplicatively through join-iterate rounds (measured
+    doubling digit counts per round until the driver pins a core
+    multiplying million-digit numbers). The stats-free checkpoint
+    must keep the estimate's digit count FLAT across rounds."""
+    from graph_etl_spark.session import stats_free_checkpoint
+
+    df = spark.createDataFrame([(i, i) for i in range(10)], "id long, v long")
+    frame = stats_free_checkpoint(df)
+    for _ in range(3):
+        lookup = frame.select(
+            F.col("id").alias("__jid"), F.col("v").alias("__jv")
+        )
+        frame = stats_free_checkpoint(
+            frame.join(lookup, frame["v"] == F.col("__jid"), "left").select(
+                "id", F.coalesce("__jv", "v").alias("v")
+            )
+        )
+    digits = len(
+        str(
+            frame._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    )
+    assert digits < 30, f"size estimate compounding returned: {digits} digits"
+
+
+# ---------------------------------------------------------------------------
+# binary_rerank_topk (round-17 post-freeze, r18 lead)
+# ---------------------------------------------------------------------------
+
+
+def _vec_frame(spark):
+    import math
+
+    rows = []
+    for i in range(12):
+        rows.append(
+            (i, [math.cos(0.37 * i + 0.11 * j) for j in range(8)])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_binary_rerank_full_shortlist_equals_brute_force(spark):
+    """With the shortlist oversampled past the corpus size the
+    cascade must reproduce exact brute-force cosine top-k (same
+    ranking rule: rounded cosine desc, id asc)."""
+    e = _vec_frame(spark)
+    q = e.filter(F.col("vec_id") < 3)
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ops.brute_force_topk(e, q, k=4).collect()
+    }
+    casc = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ops.binary_rerank_topk(
+            e, q, dim=8, k=4, prefilter_factor=100
+        ).collect()
+    }
+    assert casc == brute
+
+
+def test_binary_rerank_shortlist_is_hamming_bounded(spark):
+    """Every returned neighbor must come from the Hamming-top-m
+    shortlist (m = k * prefilter_factor), and ranks are dense 1..k
+    per query by rounded cosine desc."""
+    e = _vec_frame(spark)
+    q = e.filter(F.col("vec_id") < 2)
+    short = {
+        (r.query_id, r.neighbor_id)
+        for r in ops.hamming_topk(e, q, dim=8, k=6).collect()
+    }
+    out = ops.binary_rerank_topk(
+        e, q, dim=8, k=3, prefilter_factor=2
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in out} <= short
+    for qid in (0, 1):
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == [1, 2, 3]
+        sims = [r.cos_sim for r in sorted(
+            (r for r in out if r.query_id == qid), key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_binary_rerank_rejects_bad_factor(spark):
+    e = _vec_frame(spark)
+    with pytest.raises(ValueError, match="prefilter_factor"):
+        ops.binary_rerank_topk(e, e.limit(1), dim=8, prefilter_factor=0)
+
+
+def test_binary_rerank_plan_corpus_vectors_never_shuffle(spark):
+    """The cascade's point at scale: the full-precision corpus column
+    reaches the rerank only via broadcast joins — no SortMergeJoin /
+    ShuffledHashJoin anywhere, no Python eval, no cartesian."""
+    from graph_etl_spark.plans import plan_string
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = plan_string(
+        ops.binary_rerank_topk(e, e.filter(F.col("vec_id") < 5), dim=64)
+    )
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in p, py

@@ -1204,6 +1204,14 @@ def main() -> None:
         "hamming_topk": lambda e: ops.hamming_topk(
             e, e.filter(F.col("vec_id") < 10), dim=64, k=5
         ),
+        # r17 (post-freeze): binary prefilter -> exact rerank — the
+        # corpus 10x's through the map-side Hamming scan while the
+        # rerank input stays shortlist-sized (queries x k*factor);
+        # must track hamming_topk's ratio, not the corpus
+        "binary_rerank": lambda e: ops.binary_rerank_topk(
+            e, e.filter(F.col("vec_id") < 10), dim=64, k=5,
+            prefilter_factor=4,
+        ),
         # r11: Matryoshka eval — two broadcast-query scans + a k-row
         # join; candidates 10x
         "matryoshka_recall": lambda e: ops.matryoshka_recall(
@@ -2031,6 +2039,57 @@ def main() -> None:
         print(
             f"# epoch_repeat_audit: {t1}s -> {tn}s "
             f"(x{result['epoch_repeat_audit']['ratio']})",
+            file=sys.stderr,
+        )
+
+    # r17 (post-freeze): strongly connected components — Nx the
+    # 1995 part-sequence graph with namespaced part/order keys, so
+    # copies are edge-disjoint: SCC structure (and therefore trim
+    # depth, phase count, and fixpoint round count) stays constant
+    # per copy while edges Nx. The ratio probes the per-round scans
+    # of the trim/color/settle loops; locally the floor is the
+    # ~35-round × small-job overhead (rounds are data-independent),
+    # so sub-linear ratios are EXPECTED until data cost dominates.
+    if only is None or "scc" in only:
+        from pyspark.sql import Window as _W
+
+        li_scc = read_table(spark, SF_DIR, "lineitem").filter(
+            F.expr("year(l_shipdate) = 1995")
+        ).select("l_orderkey", "l_linenumber", "l_partkey")
+
+        def _scc_edges(n_copies):
+            parts = [
+                li_scc.select(
+                    (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias(
+                        "l_orderkey"
+                    ),
+                    "l_linenumber",
+                    (F.col("l_partkey") + F.lit(i * 100_000_000)).alias(
+                        "l_partkey"
+                    ),
+                )
+                for i in range(n_copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            w = _W.partitionBy("l_orderkey").orderBy("l_linenumber")
+            nxt = F.lead("l_partkey").over(w)
+            return out.select(
+                F.col("l_partkey").alias("src"), nxt.alias("dst")
+            ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+
+        t1 = timed_thunk(
+            lambda: ops.strongly_connected_components(_scc_edges(1))
+        )
+        tn = timed_thunk(
+            lambda: ops.strongly_connected_components(_scc_edges(n))
+        )
+        result["scc"] = {
+            "t1": t1, "tn": tn, "ratio": round(tn / max(t1, 1e-6), 1)
+        }
+        print(
+            f"# scc: {t1}s -> {tn}s (x{result['scc']['ratio']})",
             file=sys.stderr,
         )
 
