@@ -1648,7 +1648,12 @@ def q_graph_scc(spark, sf):
     oracle = recursive transitive closure + mutual-reachability min.
     47 verts / 23 SCCs at sf0.01; 516 verts / 272 SCCs at sf0.1."""
     d = _t(spark, sf, "documents")
-    pairs = ops.shingle_containment_pairs(d, threshold=0.3)
+    # pinned once: both direction filters AND the SCC's vertex/edge
+    # derivations re-reference this frame — unpinned, the shingle
+    # inverted-index pipeline would execute ~4x
+    pairs = ops.shingle_containment_pairs(d, threshold=0.3).localCheckpoint(
+        eager=True
+    )
     e1 = pairs.filter(F.col("containment_a") >= 0.3).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
