@@ -2881,6 +2881,33 @@ def q_quality_pr_curve(spark, sf):
     return ops.pr_curve(scored, "quality", "__y", [0.3, 0.5, 0.7, 0.9])
 
 
+def q_quality_calibration_bins(spark, sf):
+    """Reliability diagram + ECE terms for a Platt-scaled heuristic:
+    the English-stopword ratio mapped through sigmoid(40·sr − 2) as a
+    claimed P(english), audited against the true (lang == 'en')
+    label — the textbook calibration question (can this score be
+    read as a probability?) over 10 equal-width bins with exact
+    counts, decimal-exact confidences, and SUM(ece_term) = the
+    expected calibration error (Guo et al. 2017). 9 non-empty bins
+    and ECE ≈ 0.23/0.26 at sf0.01/0.1 — measurably miscalibrated,
+    which is the point of the audit. One tiny groupBy + a 1-row
+    broadcast total; pr_curve picks thresholds, this checks trust."""
+    d = _t(spark, sf, "documents")
+    scored = (
+        ops.quality_score(d)
+        .withColumn(
+            "p_en",
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.col("stopword_ratio") * 40 - 2))),
+                6,
+            ),
+        )
+        .withColumn("__y", F.col("lang") == "en")
+    )
+    return ops.calibration_bins(scored, "p_en", "__y", n_bins=10)
+
+
 def q_sim_embedding_drift(spark, sf):
     """Per-dimension drift between two embedding snapshots (even vs
     odd vec_ids as the stand-in populations): decimal-exact dimension
@@ -4961,6 +4988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_epoch_repeat_audit": q_quality_epoch_repeat_audit,
         "graph_scc": q_graph_scc,
         "sim_binary_rerank": q_sim_binary_rerank,
+        "quality_calibration_bins": q_quality_calibration_bins,
     }
     # ROUND-18 BUDGET NOTE (for the next session): once r17 lands,
     # the staleness histogram becomes {12: 39, 13: 44, 14: 50,
@@ -4968,17 +4996,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5-round bound the moment r18 lands and must fill the r18
     # window, capping r18's new+changed lead at 11; the 44 r13-era
     # rows then own the r19 fillers. test_staleness_policy enforces
-    # this mechanically. Round 17 added FOUR post-freeze queries
+    # this mechanically. Round 17 added FIVE post-freeze queries
     # after its window froze (quality_packing_dividend,
-    # quality_epoch_repeat_audit, graph_scc, sim_binary_rerank — the
-    # r15/r16 precedent) and ONE post-freeze code change to a
+    # quality_epoch_repeat_audit, graph_scc, sim_binary_rerank,
+    # quality_calibration_bins — the r15/r16 precedent) and ONE post-freeze code change to a
     # certified query
     # (quality_clf_weights: _doc_features now binds __toks/__n/__hs
     # once and counts buckets via native array_remove — the old form
     # re-tokenized inside each of the 16 bucket lambdas; values are
     # bit-identical, replica-green, 10.4 -> 7.3 s at sf0.1). All
-    # FIVE lead the r18 window (5 of the 11-slot cap); the 39
-    # fillers leave 6 further slots for r18-new and r18 code-changed
+    # SIX lead the r18 window (6 of the 11-slot cap); the 39
+    # fillers leave 5 further slots for r18-new and r18 code-changed
     # entries.
     # r17 window (first 50): the FOUR r16-new post-freeze queries
     # lead (quality_mojibake_scrub, sim_embedding_outliers,
@@ -8790,6 +8818,48 @@ def oracle_sql() -> dict[str, str]:
                      THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6)
                  AS recall
         FROM counts
+    """
+
+    # calibration: the quality_score stopword ratio (4-dp rounded, the
+    # op's output contract) Platt-mapped through sigmoid(40*sr - 2) as
+    # a claimed P(english), binned into 10 equal-width buckets; scores
+    # sum as DECIMAL(28,6) of their 6-dp rounding (order-free exact),
+    # one double division per ratio
+    sql["quality_calibration_bins"] = f"""
+        WITH base AS (
+          SELECT doc_id, lang = 'en' AS y,
+                 len({_TOKS}) AS n_tok,
+                 len(list_filter({_TOKS}, t -> lower(t) IN
+                   ('the','and','of','to','a','in','is','it','you','that'))) AS stop_hits
+          FROM documents
+        ), ratios AS (
+          SELECT doc_id, y,
+                 ROUND(CASE WHEN n_tok > 0
+                       THEN stop_hits / n_tok::DOUBLE ELSE 0.0 END, 4) AS sr
+          FROM base
+        ), q AS (
+          SELECT doc_id, y,
+                 ROUND(1.0 / (1.0 + exp(-(sr * 40 - 2))), 6) AS p_en
+          FROM ratios
+        ), binned AS (
+          SELECT LEAST(GREATEST(FLOOR(p_en * 10), 0), 9)::INT AS bin,
+                 CAST(ROUND(p_en, 6) AS DECIMAL(28,6)) AS s,
+                 CASE WHEN COALESCE(y, FALSE) THEN 1 ELSE 0 END AS yy
+          FROM q WHERE p_en IS NOT NULL
+        ), per AS (
+          SELECT bin, COUNT(*)::BIGINT AS n, SUM(s) AS ss,
+                 SUM(yy)::BIGINT AS pos
+          FROM binned GROUP BY bin
+        ), tot AS (SELECT SUM(n)::BIGINT AS nn FROM per)
+        SELECT bin,
+               ROUND(bin / 10.0, 6) AS bin_lo,
+               ROUND((bin + 1) / 10.0, 6) AS bin_hi,
+               n,
+               ROUND(ss::DOUBLE / n, 6) AS avg_score,
+               ROUND(pos::DOUBLE / n, 6) AS pos_rate,
+               ROUND(pos::DOUBLE / n - ss::DOUBLE / n, 6) AS gap,
+               ROUND((n::DOUBLE / nn) * ABS(pos::DOUBLE / n - ss::DOUBLE / n), 6) AS ece_term
+        FROM per, tot
     """
 
     _rw_step = """

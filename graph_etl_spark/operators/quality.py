@@ -2338,6 +2338,85 @@ def pr_curve(
     return out
 
 
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """RELIABILITY DIAGRAM rows + expected-calibration-error terms for
+    a scored binary classifier — the companion to ``pr_curve``:
+    precision/recall picks the operating point, calibration says
+    whether the scores can be TRUSTED as probabilities (a classifier
+    gating a 100 TB corpus on score ≥ 0.7 had better mean ~70%
+    positives in that band; Guo et al. 2017's ECE measures exactly
+    the deviation).
+
+    Scores bin into ``n_bins`` equal-width [0, 1] buckets
+    (bin = clamp(floor(score·n_bins), 0, n_bins−1) — out-of-range
+    scores land in the end bins); per non-empty bin: row count, mean
+    predicted score (confidence), empirical positive rate (accuracy),
+    the signed gap (accuracy − confidence), and
+    ece_term = (n/N)·|gap| so that SUM(ece_term) over the output IS
+    the ECE. NULL scores are excluded — an un-scoreable row can't
+    claim a bin; NULL labels count as negatives (``cast boolean``
+    then ``coalesce false``, the pr_curve contract).
+
+    Determinism: scores sum as DECIMAL(28,6) of their 6-dp rounding
+    (order-free exact aggregation, the house pattern), so confidence
+    is one double division in both engines; bin assignment is IEEE
+    double floor — identical arithmetic either side.
+
+    Output: (bin, bin_lo, bin_hi, n, avg_score, pos_rate, gap,
+    ece_term), one row per NON-EMPTY bin.
+
+    Scale: one map-side-combining groupBy over ≤ n_bins groups plus a
+    1-row broadcast total — no window, no second scan of the data."""
+    if int(n_bins) < 1:
+        raise ValueError(
+            f"calibration_bins: n_bins must be >= 1 (got {n_bins})"
+        )
+    nb = int(n_bins)
+    sc = F.col(score_col).cast("double")
+    y = F.coalesce(F.col(label_col).cast("boolean"), F.lit(False))
+    b = F.least(
+        F.greatest(F.floor(sc * nb), F.lit(0)), F.lit(nb - 1)
+    ).cast("int")
+    binned = df.filter(sc.isNotNull()).select(
+        b.alias("bin"),
+        F.round(sc, 6).cast("decimal(28,6)").alias("__s"),
+        y.cast("int").alias("__y"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__s").alias("__ss"),
+        F.sum("__y").alias("__pos"),
+    )
+    tot = per.agg(F.sum("n").alias("__N"))
+    conf = F.col("__ss").cast("double") / F.col("n")
+    acc = F.col("__pos").cast("double") / F.col("n")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(F.col("bin").cast("double") / nb, 6).alias("bin_lo"),
+            F.round((F.col("bin") + 1).cast("double") / nb, 6).alias(
+                "bin_hi"
+            ),
+            "n",
+            F.round(conf, int(round_to)).alias("avg_score"),
+            F.round(acc, int(round_to)).alias("pos_rate"),
+            F.round(acc - conf, int(round_to)).alias("gap"),
+            F.round(
+                (F.col("n").cast("double") / F.col("__N"))
+                * F.abs(acc - conf),
+                int(round_to),
+            ).alias("ece_term"),
+        )
+    )
+
+
 def winsorize(
     df: DataFrame,
     group_col: str,

@@ -677,3 +677,90 @@ def test_binary_rerank_plan_corpus_vectors_never_shuffle(spark):
     assert "ShuffledHashJoin" not in p
     for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert py not in p, py
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins + lang_id_confidence (round-17 post-freeze, r18 lead)
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_exact_accounting(spark):
+    """Hand-checkable reliability rows: bins, counts, confidences,
+    positive rates, and ECE terms all exact."""
+    rows = [
+        (0.05, True),   # bin 0
+        (0.15, False),  # bin 1
+        (0.17, True),   # bin 1
+        (0.95, True),   # bin 9
+        (0.99, True),   # bin 9
+        (1.00, True),   # clamps into bin 9
+    ]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = {
+        r.bin: r
+        for r in ops.calibration_bins(df, "score", "y", n_bins=10).collect()
+    }
+    assert set(out) == {0, 1, 9}
+    assert out[0].n == 1 and out[0].pos_rate == 1.0 and out[0].avg_score == 0.05
+    assert out[1].n == 2 and out[1].pos_rate == 0.5 and out[1].avg_score == 0.16
+    assert out[9].n == 3 and out[9].pos_rate == 1.0
+    assert out[9].avg_score == round((0.95 + 0.99 + 1.0) / 3, 6)
+    assert out[1].gap == round(0.5 - 0.16, 6)
+    # ece_term = (n/N) * |gap|
+    assert out[1].ece_term == round((2 / 6) * abs(0.5 - 0.16), 6)
+    assert out[0].bin_lo == 0.0 and out[0].bin_hi == 0.1
+
+
+def test_calibration_bins_null_contract_and_clamp(spark):
+    """NULL scores are excluded entirely; NULL labels count as
+    negatives; out-of-range scores land in the end bins."""
+    rows = [
+        (None, True),    # excluded
+        (-0.3, True),    # clamps to bin 0
+        (1.7, None),     # clamps to bin 9, NULL label -> negative
+    ]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = {
+        r.bin: r
+        for r in ops.calibration_bins(df, "score", "y", n_bins=10).collect()
+    }
+    assert set(out) == {0, 9}
+    assert out[0].n == 1 and out[0].pos_rate == 1.0
+    assert out[9].n == 1 and out[9].pos_rate == 0.0
+    with pytest.raises(ValueError, match="n_bins"):
+        ops.calibration_bins(df, "score", "y", n_bins=0)
+
+
+def test_calibration_bins_plan_single_agg_no_window(spark):
+    """One map-side-combining groupBy + a 1-row broadcast total: no
+    window, no Python eval, no cartesian against the data."""
+    from graph_etl_spark.plans import plan_string
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = ops.quality_score(d).withColumn("__y", F.col("lang") == "en")
+    p = plan_string(ops.calibration_bins(scored, "quality", "__y"))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in p, py
+
+
+def test_lang_id_confidence_matches_lang_id_and_null_contract(spark):
+    """Winner identical to lang_id on every row; conf = best/total
+    hits; zero-hit rows get 'und' with NULL confidence."""
+    rows = [
+        (1, "the cat and the dog of it", "en"),
+        (2, "le chat et la porte des idées", "fr"),
+        (3, "zzz qqq xxx", "de"),          # no stopwords at all
+        (4, "the la", "en"),               # tie -> 'en' (lex smallest)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base = {r.doc_id: r.lang_pred for r in ops.lang_id(df).collect()}
+    out = {r.doc_id: r for r in ops.lang_id_confidence(df).collect()}
+    for i in (1, 2, 3, 4):
+        assert out[i].lang_pred == base[i]
+    assert out[3].lang_pred == "und" and out[3].lang_conf is None
+    # 'la' hits BOTH the fr and es inventories, so total = 3 hits
+    # (en:1, fr:1, es:1) and the winning share is 1/3
+    assert out[4].lang_pred == "en" and out[4].lang_conf == 0.333333
+    assert out[1].lang_conf == 1.0

@@ -356,6 +356,16 @@ def main() -> None:
         ),
         # r13: Gopher rule battery — pure map-side row expressions
         "gopher_rules": lambda d: ops.gopher_rules(d, min_words=30),
+        # r17 (post-freeze): reliability bins — one <=10-group
+        # map-side-combining agg + a 1-row broadcast total; must be
+        # scan-linear
+        "calibration_bins": lambda d: ops.calibration_bins(
+            ops.quality_score(d).withColumn(
+                "__y", F.col("lang") == "en"
+            ),
+            "quality",
+            "__y",
+        ),
         # r13: char entropy — one explode + two map-side-combining aggs
         "char_entropy": lambda d: ops.char_entropy(d),
         # r13: shard-seam overlap — two k-token projections + ONE
