@@ -2343,7 +2343,6 @@ def calibration_bins(
     score_col: str,
     label_col: str,
     n_bins: int = 10,
-    round_to: int = 6,
 ) -> DataFrame:
     """RELIABILITY DIAGRAM rows + expected-calibration-error terms for
     a scored binary classifier — the companion to ``pr_curve``:
@@ -2359,9 +2358,14 @@ def calibration_bins(
     predicted score (confidence), empirical positive rate (accuracy),
     the signed gap (accuracy − confidence), and
     ece_term = (n/N)·|gap| so that SUM(ece_term) over the output IS
-    the ECE. NULL scores are excluded — an un-scoreable row can't
-    claim a bin; NULL labels count as negatives (``cast boolean``
-    then ``coalesce false``, the pr_curve contract).
+    the ECE. NULL **and NaN** scores are excluded — an un-scoreable
+    row can't claim a bin (a NaN would otherwise floor into bin 0
+    while its decimal-cast score silently dropped from the sum,
+    corrupting every ratio — and error outright on ANSI sessions);
+    NULL labels count as negatives (``cast boolean`` then ``coalesce
+    false``, the pr_curve contract). Outputs round to the house 6 dp
+    (matching the DECIMAL(28,6) exact score aggregation — a wider
+    output rounding would advertise precision the sum doesn't have).
 
     Determinism: scores sum as DECIMAL(28,6) of their 6-dp rounding
     (order-free exact aggregation, the house pattern), so confidence
@@ -2383,7 +2387,7 @@ def calibration_bins(
     b = F.least(
         F.greatest(F.floor(sc * nb), F.lit(0)), F.lit(nb - 1)
     ).cast("int")
-    binned = df.filter(sc.isNotNull()).select(
+    binned = df.filter(sc.isNotNull() & ~F.isnan(sc)).select(
         b.alias("bin"),
         F.round(sc, 6).cast("decimal(28,6)").alias("__s"),
         y.cast("int").alias("__y"),
@@ -2405,13 +2409,13 @@ def calibration_bins(
                 "bin_hi"
             ),
             "n",
-            F.round(conf, int(round_to)).alias("avg_score"),
-            F.round(acc, int(round_to)).alias("pos_rate"),
-            F.round(acc - conf, int(round_to)).alias("gap"),
+            F.round(conf, 6).alias("avg_score"),
+            F.round(acc, 6).alias("pos_rate"),
+            F.round(acc - conf, 6).alias("gap"),
             F.round(
                 (F.col("n").cast("double") / F.col("__N"))
                 * F.abs(acc - conf),
-                int(round_to),
+                6,
             ).alias("ece_term"),
         )
     )

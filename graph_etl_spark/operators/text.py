@@ -118,10 +118,12 @@ def lang_id_confidence(
     """``lang_id`` with a CONFIDENCE column: the winning language's
     stopword-hit share of ALL stopword hits (best / total) — the
     probability-shaped score a calibration audit needs (feed to
-    ``calibration_bins`` against pred == truth). Winner contract is
-    identical to ``lang_id`` (most hits wins, ties to the
-    lexicographically smaller language); zero hits → 'und' with NULL
-    confidence, so un-scoreable rows stay un-scored (the
+    ``calibration_bins`` against pred == truth). The winner column
+    comes from ``lang_id`` ITSELF (no duplicated tie-break logic to
+    drift out of sync); the confidence needs only the hit counts —
+    the winner's count is ``greatest`` of them, tie-break-free by
+    construction (equal-hit ties share the max). Zero hits → 'und'
+    with NULL confidence, so un-scoreable rows stay un-scored (the
     calibration NULL contract). Pure map-side, one pass.
 
     Output: original columns + (lang_pred, lang_conf ∈ (0, 1], 6 dp).
@@ -131,26 +133,16 @@ def lang_id_confidence(
     def _hits(sw: list[str]):
         return F.size(F.filter(toks, lambda t: t.isin(sw)))
 
-    hit_cols = {lang: _hits(sw) for lang, sw in LANG_STOPWORDS.items()}
-    total = None
-    for lang in sorted(LANG_STOPWORDS):
-        total = hit_cols[lang] if total is None else total + hit_cols[lang]
-    best = None
-    for lang in sorted(LANG_STOPWORDS):  # later (greater) langs lose ties
-        cand = F.struct(
-            hit_cols[lang].alias("hits"),
-            F.lit(-ord(lang[0]) * 256 - ord(lang[1])).alias("tie"),
-            F.lit(lang).alias("lang"),
-        )
-        best = cand if best is None else F.greatest(best, cand)
-    return df.withColumn(
-        "lang_pred",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
-    ).withColumn(
+    hit_cols = [_hits(sw) for _, sw in sorted(LANG_STOPWORDS.items())]
+    total = hit_cols[0]
+    for h in hit_cols[1:]:
+        total = total + h
+    best_hits = F.greatest(*hit_cols)
+    return lang_id(df, text_col=text_col, out="lang_pred").withColumn(
         "lang_conf",
         F.when(
             total > 0,
-            F.round(best["hits"].cast("double") / total.cast("double"), 6),
+            F.round(best_hits.cast("double") / total.cast("double"), 6),
         ),
     )
 

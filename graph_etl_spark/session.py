@@ -81,7 +81,7 @@ def stats_free_checkpoint(df):
     input twice (measured on this build: 75 → 187 → 410 → 857 → 1750
     digits over five fixpoint rounds) — until Catalyst's size
     estimation spends whole seconds multiplying million-digit
-    BigIntegers and the driver spins at 100%% single-core inside
+    BigIntegers and the driver spins at 100% single-core inside
     ``SizeInBytesOnlyStatsPlanVisitor``. Deep-iterating operators
     (nested fixpoints, 15+ round loops) must checkpoint through THIS
     helper, which rebuilds the frame from the checkpointed RDD via

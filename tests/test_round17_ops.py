@@ -764,3 +764,18 @@ def test_lang_id_confidence_matches_lang_id_and_null_contract(spark):
     # (en:1, fr:1, es:1) and the winning share is 1/3
     assert out[4].lang_pred == "en" and out[4].lang_conf == 0.333333
     assert out[1].lang_conf == 1.0
+
+
+def test_calibration_bins_nan_scores_are_excluded(spark):
+    """Code-review regression: a NaN score floored into bin 0 while
+    its decimal-cast value silently dropped from the sum — inflating
+    n and N and corrupting avg_score/gap/ece_term (and erroring
+    outright on ANSI sessions). NaN rows must be excluded exactly
+    like NULLs."""
+    rows = [(float("nan"), True), (0.05, True)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = ops.calibration_bins(df, "score", "y", n_bins=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.bin == 0 and r.n == 1 and r.avg_score == 0.05
+    assert r.ece_term == round(abs(1.0 - 0.05), 6)  # N=1, not 2
