@@ -1496,7 +1496,11 @@ def soft_dedup_weights(
     pairs = minhash_lsh_pairs(
         df, num_perm=num_perm, bands=bands, id_col=id_col, text_col=text_col
     )
-    clusters = dedup_clusters(pairs, df.select(id_col), id_col=id_col)
+    # pinned: the size aggregation AND the weight join both read the
+    # cluster frame — unpinned, the id join behind it would run twice
+    clusters = dedup_clusters(pairs, df.select(id_col), id_col=id_col).localCheckpoint(
+        eager=False
+    )
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -1610,9 +1614,14 @@ def semantic_dedup_survivors(
         max_cell_size=max_cell_size,
         round_to=round_to,
     )
+    # pin the pair frame: connected_components reads its edge input
+    # twice (the symmetrization union), and this pipeline's top is a
+    # fresh cell-join + cosine projection with no reusable exchange —
+    # unpinned, the whole within-cell scoring pass executes twice
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     clusters = dedup_clusters(
-        pairs.select("id_a", "id_b"), data.select(id_col), id_col=id_col
-    )
+        pairs, data.select(id_col), id_col=id_col
+    ).localCheckpoint(eager=False)  # two consumers: sizes agg + keep join
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -63,6 +63,12 @@ def connected_components(
     Raises RuntimeError if ``max_iter`` rounds pass without reaching
     the fixpoint — a silently-partial labeling would propagate wrong
     cluster assignments into dedup_clusters."""
+    # NOTE for callers: both symmetrization legs read the edge plan.
+    # A distinct-/exchange-topped pipeline (the banded-LSH generators)
+    # is deduplicated by Spark's ReuseExchange and costs nothing extra;
+    # a plan whose top is fresh compute (a cell-join cosine generator)
+    # executes twice — such callers pin their pair frame first
+    # (see semantic_dedup_survivors).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -175,27 +181,39 @@ def pagerank(
     IEEE-double results stay bit-identical."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).localCheckpoint(eager=False)
+    out_deg = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
+    # Loop-invariant hoisting (optimization guide §2.4): the edge list,
+    # the out-degree join, and the dangling-vertex set never change
+    # across iterations. Pre-join out_deg into the edges ONCE (each
+    # round then pays a single rank join instead of two), and mark the
+    # dangling vertices (no out-edge) with a static flag carried on the
+    # rank frame — the per-round anti-join disappears; the dangling sum
+    # aggregates the SAME rank values, just located by flag.
+    ew = e.join(out_deg.withColumnRenamed("id", "a"), "a").localCheckpoint(
+        eager=False
     )
     verts = (
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))
         .distinct()
+        .join(
+            out_deg.select("id", F.lit(True).alias("__has_out")), "id", "left"
+        )
         .persist()
     )
     n = verts.count()
-    out_deg = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(max_iter):
         contrib = (
-            e.join(ranks.withColumnRenamed("id", "a"), "a")
-            .join(out_deg.withColumnRenamed("id", "a"), "a")
+            ew.join(ranks.select(F.col("id").alias("a"), "rank"), "a")
             .select(F.col("b").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("in_sum"))
         )
         dangling = (
-            ranks.join(out_deg, "id", "left_anti")
+            ranks.filter(F.col("__has_out").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
         rank_expr = (
@@ -206,7 +224,7 @@ def pagerank(
         ranks = (
             verts.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dangling))
-            .select("id", rank_expr.alias("rank"))
+            .select("id", "__has_out", rank_expr.alias("rank"))
             .localCheckpoint(eager=True)
         )
     verts.unpersist()
@@ -1043,6 +1061,16 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank: seeds must be non-empty")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).localCheckpoint(eager=False)
+    out_deg = e.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    # Same loop-invariant hoisting as ``pagerank`` (guide §2.4):
+    # out_deg pre-joined into the edge list once, dangling vertices
+    # located by a static flag on the rank frame instead of a per-round
+    # anti-join — the per-round plan is one rank join + one aggregate.
+    ew = e.join(out_deg.withColumnRenamed("id", "a"), "a").localCheckpoint(
+        eager=False
     )
     verts = (
         e.select(F.col("a").alias("id"))
@@ -1050,20 +1078,19 @@ def personalized_pagerank(
         .unionByName(sdf.select("id"))
         .distinct()
         .join(F.broadcast(sdf), "id", "left")
+        .join(
+            out_deg.select("id", F.lit(True).alias("__has_out")), "id", "left"
+        )
         .persist()
-    )
-    out_deg = e.groupBy(F.col("a").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
     )
     ranks = verts.withColumn(
         "rank",
         F.when(F.col("__seed").isNotNull(), F.lit(1.0 / s)).otherwise(F.lit(0.0)),
-    ).select("id", "__seed", "rank")
+    ).select("id", "__seed", "__has_out", "rank")
 
     for _ in range(max_iter):
         contrib = (
-            e.join(ranks.withColumnRenamed("id", "a").select("a", "rank"), "a")
-            .join(out_deg.withColumnRenamed("id", "a"), "a")
+            ew.join(ranks.select(F.col("id").alias("a"), "rank"), "a")
             .select(
                 F.col("b").alias("id"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
@@ -1071,7 +1098,7 @@ def personalized_pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("in_sum"))
         )
-        dangling = ranks.join(out_deg, "id", "left_anti").agg(
+        dangling = ranks.filter(F.col("__has_out").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
         rank_expr = (
@@ -1085,7 +1112,7 @@ def personalized_pagerank(
         ranks = (
             verts.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dangling))
-            .select("id", "__seed", rank_expr.alias("rank"))
+            .select("id", "__seed", "__has_out", rank_expr.alias("rank"))
             .localCheckpoint(eager=True)
         )
     verts.unpersist()
@@ -1192,6 +1219,38 @@ def modularity(
     )
 
 
+def _louvain_edges(
+    edges: DataFrame, src: str, dst: str, weight_col: str | None
+) -> DataFrame:
+    """(__s, __d, __w) projection of the caller's edge frame — the
+    label-independent half of ``louvain_move``'s input."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    return edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    )
+
+
+def _louvain_invariants(e_raw: DataFrame) -> tuple[int, DataFrame]:
+    """(m, deg) from the projected edge frame: total weight and the
+    per-node incident-weight table. Both are LABEL-INDEPENDENT (they
+    never read a community column), so loop callers compute them once
+    and reuse them across move rounds; both are exact long sums, so
+    the values are identical whichever round computes them."""
+    m_row = e_raw.agg(F.sum("__w").alias("__m")).collect()[0]
+    m = int(m_row["__m"] or 0)
+    deg = (
+        e_raw.select(F.col("__s").alias("__node"), "__w")
+        .unionByName(e_raw.select(F.col("__d").alias("__node"), "__w"))
+        .groupBy("__node")
+        .agg(F.sum("__w").alias("__k"))
+    )
+    return m, deg
+
+
 def louvain_move(
     edges: DataFrame,
     communities: DataFrame,
@@ -1200,6 +1259,7 @@ def louvain_move(
     id_col: str = "id",
     comm_col: str = "community",
     weight_col: str | None = None,
+    _prepared: tuple[DataFrame, int, DataFrame] | None = None,
 ) -> DataFrame:
     """One SYNCHRONIZED round of Louvain local moves (Blondel et al.
     2008, phase-1 step): every node evaluates its neighbors'
@@ -1237,46 +1297,26 @@ def louvain_move(
     integer edge multiplicities, and a self-loop (c, c, w) contributes
     2w to c's degree and w to m (both endpoints are c), the standard
     weighted-Louvain accounting. Weights are cast to long — INTEGER
-    weights are the contract (exact decimal scores, no float risk)."""
-    comm = communities.select(
-        F.col(id_col).alias("__node"), F.col(comm_col).alias("__c")
-    )
-    w = (
-        F.col(weight_col).cast("long")
-        if weight_col is not None
-        else F.lit(1).cast("long")
-    )
-    # LEFT joins — modularity's convention: an unlabeled endpoint
-    # keeps its edge in m and its degree mass, it just labels nothing
-    e = (
-        edges.select(
-            F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    weights are the contract (exact decimal scores, no float risk).
+
+    ``_prepared`` (private, loop callers only): a
+    ``(e_raw, m, deg)`` triple from ``_louvain_invariants`` — the
+    projected edge frame, total weight, and degree table are all
+    LABEL-INDEPENDENT, so a round loop (``louvain_communities``)
+    computes them once instead of re-running the caller's edge plan,
+    the m aggregation, and the degree shuffle every round. Values are
+    exact integer sums — identical whichever path computes them."""
+    if _prepared is not None:
+        e_raw, m, deg = _prepared
+    else:
+        e_raw = _louvain_edges(edges, src, dst, weight_col).localCheckpoint(
+            eager=False
         )
-        .join(
-            comm.select(
-                F.col("__node").alias("__s"), F.col("__c").alias("__cs")
-            ),
-            "__s",
-            "left",
-        )
-        .join(
-            comm.select(
-                F.col("__node").alias("__d"), F.col("__c").alias("__cd")
-            ),
-            "__d",
-            "left",
-        )
-        .localCheckpoint(eager=False)
-    )
-    m_row = e.agg(F.sum("__w").alias("__m")).collect()[0]
-    m = int(m_row["__m"] or 0)
+        m, deg = _louvain_invariants(e_raw)
     if m == 0:
         raise ValueError("louvain_move: edge set is empty")
-    deg = (
-        e.select(F.col("__s").alias("__node"), "__w")
-        .unionByName(e.select(F.col("__d").alias("__node"), "__w"))
-        .groupBy("__node")
-        .agg(F.sum("__w").alias("__k"))
+    comm = communities.select(
+        F.col(id_col).alias("__node"), F.col(comm_col).alias("__c")
     )
     tot = (
         deg.join(comm, "__node")
@@ -1289,17 +1329,29 @@ def louvain_move(
     # nodes. Counting it (the pre-r14 bug) inflated the stay score by
     # 2m·2w, making phase 2 refuse modularity-positive merges whenever
     # the coarse graph's super-nodes carried inner-edge self-loops.
-    e_link = e.filter(F.col("__s") != F.col("__d"))
-    k_ic = (
+    #
+    # k_ic via ONE label join: double each non-loop edge into its two
+    # (node, neighbor) directions first, then label the NEIGHBOR side
+    # only — equivalent to the former two-sided left-label join + union
+    # (an unlabeled neighbor contributed no k_ic row there either, via
+    # the isNotNull filter; the inner join drops the same rows), at one
+    # join and no per-round labeled-edge materialization. The missing-
+    # endpoint convention is untouched: m and deg come from e_raw.
+    e_link = e_raw.filter(F.col("__s") != F.col("__d"))
+    dbl = e_link.select(
+        F.col("__s").alias("__node"), F.col("__d").alias("__nbr"), "__w"
+    ).unionByName(
         e_link.select(
-            F.col("__s").alias("__node"), F.col("__cd").alias("__c"), "__w"
+            F.col("__d").alias("__node"), F.col("__s").alias("__nbr"), "__w"
         )
-        .unionByName(
-            e_link.select(
-                F.col("__d").alias("__node"), F.col("__cs").alias("__c"), "__w"
-            )
+    )
+    k_ic = (
+        dbl.join(
+            comm.select(
+                F.col("__node").alias("__nbr"), F.col("__c")
+            ),
+            "__nbr",
         )
-        .filter(F.col("__c").isNotNull())
         .groupBy("__node", "__c")
         .agg(F.sum("__w").alias("__kic"))
     )
@@ -1406,6 +1458,17 @@ def louvain_communities(
     comm = communities.select(
         F.col(id_col).alias("id"), F.col(comm_col).alias("community")
     ).localCheckpoint(eager=True)
+    # Loop-invariant hoisting (optimization guide §2.4): the projected
+    # edge frame, m, and the degree table never change across rounds —
+    # materialize the edges ONCE (the caller's plan can be an expensive
+    # self-join) and compute m/deg once, instead of per round. deg is
+    # lazily checkpointed so round 2+ reuses round 1's shuffle output.
+    e_raw = _louvain_edges(edges, src, dst, weight_col).localCheckpoint(
+        eager=False
+    )
+    m, deg = _louvain_invariants(e_raw)
+    deg = deg.localCheckpoint(eager=False)
+    prepared = (e_raw, m, deg)
     zero_streak = 0
     for r in range(int(max_rounds)):
         moves = louvain_move(
@@ -1416,12 +1479,21 @@ def louvain_communities(
             id_col="id",
             comm_col="community",
             weight_col=weight_col,
+            _prepared=prepared,
         )
         gate = (h56(F.col("id").cast("string")) + F.lit(r)) % 2 == 0
-        gated = moves.filter(F.col("moved") & gate).select(
-            "id",
-            F.col("old_community").alias("__old"),
-            F.col("new_community").alias("__new"),
+        # pin the gated movers: BOTH the reversed-pair frame and the
+        # breaker join below read this frame — unpinned, the whole
+        # louvain_move scoring pipeline (joins + argmax window) would
+        # execute twice per round
+        gated = (
+            moves.filter(F.col("moved") & gate)
+            .select(
+                "id",
+                F.col("old_community").alias("__old"),
+                F.col("new_community").alias("__new"),
+            )
+            .localCheckpoint(eager=False)
         )
         # 2-cycle breaker (docstring): if this round also transfers in
         # the REVERSE community direction, keep only the leg moving
@@ -1561,6 +1633,9 @@ def louvain_two_level(
     graph; everything after runs on the CONTRACTED graph (communities
     × communities bounded, typically orders of magnitude smaller) —
     the classic Louvain cost profile."""
+    # one materialization of the caller's edge plan (often an expensive
+    # self-join) shared by phase 1's rounds AND the phase-2 contraction
+    edges = edges.select(src, dst).localCheckpoint(eager=False)
     comm1 = louvain_communities(
         edges,
         communities,
@@ -1637,6 +1712,10 @@ def louvain_multilevel(
         raise ValueError(
             f"louvain_multilevel: max_levels must be >= 1 (got {max_levels})"
         )
+    # one materialization of the caller's edge plan shared by level 1's
+    # rounds AND the first contraction (deeper levels run on eagerly
+    # checkpointed contracted graphs already)
+    edges = edges.select(src, dst).localCheckpoint(eager=False)
     labels = louvain_communities(
         edges,
         communities,
