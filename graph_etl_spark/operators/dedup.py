@@ -186,12 +186,20 @@ def _banded(
     num_perm: int,
     bands: int,
     shingle_n: int,
+    _sig: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band_idx, band_hash) — the banded-LSH bucket keys over the
     MinHash signature, shared by the pair generator and the
-    incremental (batch-vs-index) path."""
+    incremental (batch-vs-index) path. ``_sig`` (private, sweep
+    callers): a precomputed ``minhash_signature`` frame — the
+    signature is BAND-INDEPENDENT, so a band sweep signs the corpus
+    once instead of once per configuration."""
     rows_per_band = num_perm // bands
-    sig = minhash_signature(df, text_col, id_col, num_perm, shingle_n)
+    sig = (
+        _sig
+        if _sig is not None
+        else minhash_signature(df, text_col, id_col, num_perm, shingle_n)
+    )
     band_arr = F.array(
         *[
             F.struct(
@@ -221,6 +229,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    _sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over the MinHash
     signature: docs sharing any band hash become a candidate pair.
@@ -232,7 +241,7 @@ def minhash_lsh_pairs(
     are small by design; a pathological giant bucket means the corpus
     is near-identical and pairwise output is inherently quadratic.
     """
-    banded = _banded(df, text_col, id_col, num_perm, bands, shingle_n)
+    banded = _banded(df, text_col, id_col, num_perm, bands, shingle_n, _sig=_sig)
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -1693,6 +1702,13 @@ def minhash_recall_curve(
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
+    # the MinHash signature is BAND-INDEPENDENT: sign the corpus once
+    # and pin it — each sweep configuration then pays only its banding
+    # + bucket pass (previously the shingle/md5/min pipeline re-ran per
+    # configuration)
+    sig = minhash_signature(
+        df, text_col, id_col, num_perm, shingle_n
+    ).localCheckpoint(eager=False)
     rows = None
     for b in sorted(int(x) for x in band_options):
         cand = minhash_lsh_pairs(
@@ -1702,6 +1718,7 @@ def minhash_recall_curve(
             num_perm=num_perm,
             bands=b,
             shingle_n=shingle_n,
+            _sig=sig,
         )
         hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
         row = (

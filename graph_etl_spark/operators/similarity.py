@@ -942,6 +942,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_to: int = 4,
     centroids: DataFrame | None = None,
+    _prepared: tuple | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: deterministic centroids (the nlist
     lowest-id vectors — a fixed, reproducible 'training'), assign every
@@ -955,14 +956,23 @@ def ivf_topk(
     At cluster scale the assignment partitions the data by list id
     (write-time clustering); queries then prune partitions — the
     parquet-partition analog of a vector index.
+
+    ``_prepared`` (private, sweep callers only): a
+    ``(cent_rows, assigned)`` pair from a previous construction — the
+    collected centroids and the assigned/normed corpus frame are
+    NPROBE-INDEPENDENT, so a sweep (``ivf_recall_curve``) builds them
+    once instead of re-collecting and re-assigning per sweep point.
     """
-    if centroids is None:
-        centroids = (
-            data.orderBy(id_col)
-            .limit(nlist)
-            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        )
-    cent_rows = centroids.select("cent_id", "cent_vec").collect()  # nlist rows — tiny, deliberate
+    if _prepared is not None:
+        cent_rows, assigned = _prepared
+    else:
+        if centroids is None:
+            centroids = (
+                data.orderBy(id_col)
+                .limit(nlist)
+                .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+            )
+        cent_rows = centroids.select("cent_id", "cent_vec").collect()  # nlist rows — tiny, deliberate
     cent_arr = F.array(
         *[
             F.struct(
@@ -982,13 +992,15 @@ def ivf_topk(
         )
         return F.slice(F.reverse(F.array_sort(scored)), 1, n)
 
-    # per-row norm hoist (see brute_force_topk) — bit-identical cosine,
-    # the O(dim) norm fold runs once per row, not once per candidate
-    assigned = fan_out(data).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__dvec"),
-        nearest_lists(F.col(vec_col), 1)[0]["cent_id"].alias("list_id"),
-    ).withColumn("__dn", norm(F.col("__dvec")))
+    if _prepared is None:
+        # per-row norm hoist (see brute_force_topk) — bit-identical
+        # cosine, the O(dim) norm fold runs once per row, not once per
+        # candidate
+        assigned = fan_out(data).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__dvec"),
+            nearest_lists(F.col(vec_col), 1)[0]["cent_id"].alias("list_id"),
+        ).withColumn("__dn", norm(F.col("__dvec")))
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
@@ -1633,7 +1645,13 @@ def ivfpq_topk(
             ),
             lambda a, b: a - b,
         ),
-    )
+    ).localCheckpoint(eager=False)
+    # pinned: THREE consumers read the assigned/residual frame —
+    # pq_train's Lloyd pass, pq_encode, and the cent_id attach join —
+    # and its plan (argmin over literal centroids + O(dim) residual
+    # zip per row) would otherwise execute once per consumer. At
+    # cluster scale this is the same corpus-sized pin the PQ trainer
+    # itself makes (train on a hash_sample slice there).
     books = pq_train(
         assigned, m=m, k_codes=k_codes, max_iter=pq_iter,
         id_col=id_col, vec_col="__res", round_to=round_to,
@@ -2828,11 +2846,56 @@ def ivf_recall_curve(
     ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
     rows = []
     spark = data.sparkSession
+    # the trained index is SHARED across sweep points (docstring): the
+    # centroid collect and the assigned/normed corpus pass are
+    # nprobe-independent, so build them once and checkpoint the
+    # assignment — each sweep point then pays only its probes + join.
+    centroids = (
+        data.orderBy(id_col)
+        .limit(nlist)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    cent_rows = centroids.select("cent_id", "cent_vec").collect()  # nlist rows
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["cent_id"]).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r["cent_vec"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+    nearest1 = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    cent_arr,
+                    lambda c: F.struct(
+                        F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
+                        c["cent_id"].alias("cent_id"),
+                    ),
+                )
+            )
+        ),
+        1,
+        1,
+    )[0]["cent_id"]
+    assigned = (
+        fan_out(data)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__dvec"),
+            nearest1.alias("list_id"),
+        )
+        .withColumn("__dn", norm(F.col("__dvec")))
+        .localCheckpoint(eager=True)
+    )
     hits_by_np = {}
     for np_ in nps:
         approx = ivf_topk(
             data, queries, k=k, nlist=nlist, nprobe=np_,
             id_col=id_col, vec_col=vec_col,
+            _prepared=(cent_rows, assigned),
         ).select("query_id", "neighbor_id")
         hits = approx.join(exact, ["query_id", "neighbor_id"]).count()
         hits_by_np[np_] = hits

@@ -353,22 +353,25 @@ def bloom_semi_join(
         .filter(F.col("__k").isNotNull())
         .distinct()
     )
-    bits = None
-    for j in range(nh):
-        part = dim_keys.select(pos_expr(j, F.col("__k")).alias("__pos"))
-        bits = part if bits is None else bits.unionByName(part)
+    # ONE pass over the dim keys: all n_hashes positions as an exploded
+    # array (previously n_hashes separate union legs re-reading the
+    # keys), packed per word with bit_or — OR of 2^bit over all rows is
+    # identical to the former distinct + sum of distinct powers, minus
+    # one dedup shuffle.
+    bits = dim_keys.select(
+        F.explode(
+            F.array(*[pos_expr(j, F.col("__k")) for j in range(nh)])
+        ).alias("__pos")
+    )
     words_rows = (
         bits.select(
             (F.col("__pos") / 32).cast("long").alias("__w"),
-            (F.col("__pos") % 32).alias("__bit"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 32).cast("int")
+            ).alias("__b"),
         )
-        .distinct()
         .groupBy("__w")
-        .agg(
-            F.sum(F.pow(F.lit(2.0), F.col("__bit")).cast("long")).alias(
-                "__wval"
-            )
-        )
+        .agg(F.bit_or("__b").alias("__wval"))
         .collect()
     )
     arr = [0] * (nb // 32)
@@ -376,7 +379,18 @@ def bloom_semi_join(
         arr[int(r["__w"])] = int(r["__wval"])
 
     if scale:
-        return _bloom_probe_broadcast(fact, fact_key, arr, nb, nh, pos_expr)
+        # the Arrow probe stage evaluates n_hashes md5/conv folds per
+        # fact row and cannot be pushed below an exchange, so an
+        # under-split local scan serializes it onto one core — fan_out
+        # splits it (no-op at cluster scale). The literal path below is
+        # a plain Filter that Catalyst pushes into the scan regardless,
+        # so fanning it out buys nothing (measured neutral) and is
+        # skipped.
+        from ..sources import fan_out
+
+        return _bloom_probe_broadcast(
+            fan_out(fact), fact_key, arr, nb, nh, pos_expr
+        )
 
     wvals = F.array(*[F.lit(int(x)).cast("long") for x in arr])
     key = F.col(fact_key)

@@ -34,6 +34,27 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Respect the advisory partition size when coalescing instead
+        # of maximizing parallelism (Spark's own production
+        # recommendation for this flag): tiny post-shuffle partitions
+        # otherwise keep every stage at defaultParallelism task count,
+        # and at cluster scale the M×R shuffle-block blowup (guide
+        # §2.2) is exactly what this avoids. The ADVISORY SIZE is
+        # data-relative and env-tunable: the local default (256k)
+        # keeps post-shuffle stages of the ~10 MB bench inputs at a
+        # handful of well-filled partitions — the same partitions-per-
+        # input-byte ratio a production run gets from the usual
+        # 64-256m advisory against multi-GB shuffles. Set
+        # SPARK_GRAFT_ADVISORY_PARTITION=256m (or similar) on a
+        # cluster.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "256k"),
+        )
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
         # Arrow for pandas_udf / applyInPandas extension operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -61,6 +82,14 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # experiment/cluster override hook: SPARK_GRAFT_EXTRA_CONFS holds
+    # ';'-separated key=value pairs layered between the defaults above
+    # and the caller's extra_confs (the caller still wins) — lets a
+    # bench A/B or a cluster submit flip a conf without editing code
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     if master is not None:
