@@ -1318,11 +1318,10 @@ def louvain_move(
     comm = communities.select(
         F.col(id_col).alias("__node"), F.col(comm_col).alias("__c")
     )
-    tot = (
-        deg.join(comm, "__node")
-        .groupBy("__c")
-        .agg(F.sum("__k").alias("__tot"))
-    )
+    # ONE deg⋈comm join shared by tot, the stay-candidate rows, and the
+    # argmax attach (previously three separate joins against deg/cur)
+    labeled_deg = deg.join(comm, "__node").localCheckpoint(eager=False)
+    tot = labeled_deg.groupBy("__c").agg(F.sum("__k").alias("__tot"))
     # SELF-LOOPS are excluded from k_{i,c} (but kept in m and deg):
     # a self-loop's mass is community-invariant — it moves WITH the
     # node — so standard Louvain scores only the links to OTHER
@@ -1355,7 +1354,7 @@ def louvain_move(
         .groupBy("__node", "__c")
         .agg(F.sum("__w").alias("__kic"))
     )
-    own = deg.join(comm, "__node").select(
+    own = labeled_deg.select(
         "__node", "__c", F.lit(0).cast("long").alias("__kic")
     )
     cand = (
@@ -1363,10 +1362,13 @@ def louvain_move(
         .groupBy("__node", "__c")
         .agg(F.max("__kic").alias("__kic"))
     )
-    cur = comm.select("__node", F.col("__c").alias("__cur"))
     scored = (
-        cand.join(deg, "__node")
-        .join(cur, "__node")
+        cand.join(
+            labeled_deg.select(
+                "__node", "__k", F.col("__c").alias("__cur")
+            ),
+            "__node",
+        )
         .join(tot, "__c")
         .withColumn(
             "__tot_adj",
