@@ -3256,8 +3256,14 @@ def q_sim_pq_codes(spark, sf):
     the same unrolled codebooks (array fingerprinted to md5 + scalar
     probes, the signature-query convention)."""
     e = _t(spark, sf, "embeddings")
-    books = ops.pq_train(e, m=4, k_codes=8, max_iter=2)
-    enc = ops.pq_encode(e, books)
+    # ONE pinned cast corpus shared by train + encode (guide §2.4):
+    # the cast expression is identical, so codes are bit-identical
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__pqv"),
+    ).localCheckpoint(eager=False)
+    books = ops.pq_train(e, m=4, k_codes=8, max_iter=2, _vecs=vecs)
+    enc = ops.pq_encode(e, books, _vecs=vecs)
     return enc.select(
         "vec_id",
         F.md5(
@@ -3276,18 +3282,24 @@ def q_sim_pq_refine_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     k = 5
-    books = ops.pq_train(e, m=4, k_codes=16, max_iter=2)
-    ref = ops.pq_refine_topk(e, q, books, k=k, shortlist=100).select(
-        "query_id", "neighbor_id"
-    )
+    # ONE pinned cast corpus shared by the PQ trainer, the ADC encode,
+    # the refine join, AND the exact reference below (guide §2.4): the
+    # cast expression is identical everywhere, so every stage sees the
+    # exact same doubles — previously each stage re-cast the raw scan.
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__pqv"),
+    ).localCheckpoint(eager=False)
+    books = ops.pq_train(e, m=4, k_codes=16, max_iter=2, _vecs=vecs)
+    ref = ops.pq_refine_topk(
+        e, q, books, k=k, shortlist=100, _vecs=vecs
+    ).select("query_id", "neighbor_id")
     # exact squared-L2 top-k reference, same tiebreak contract
-    d = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("__dv"),
+    d = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("__pqv").alias("__dv")
     )
-    qq = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("__qv"),
+    qq = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("__pqv").alias("__qv")
     )
     dist = F.round(
         F.aggregate(
@@ -5059,38 +5071,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the r15 and r16 windows are frozen as the keys of
     # CORRECTNESS_r15.json / CORRECTNESS_r16.json and asserted by
     # their round-aware tests; the static lists are gone)
-    r17_window = [
-        # r16-new post-freeze lead (4) — VERDICT r16 #1
-        "quality_mojibake_scrub", "sim_embedding_outliers",
-        "mm_video_keyframe_dedup", "dedup_minhash_contamination",
-        # r17-new (3) — VERDICT r16 #2 + #7
-        "mm_audio_fingerprint_pairs", "mm_video_keyframe_pairs",
-        "quality_token_cost_audit",
-        # r17 code-changed (2) — changed code MUST re-certify
-        # (clip filter: NaN-keep fix; eval contamination: the shared
-        # packed_max_by domain guard)
-        "sim_clip_filter", "sim_eval_contamination",
-        # r11-era staleness ceiling — ALL 41 (alphabetical)
-        "approx_cms_counts", "dedup_incremental",
-        "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
-        "dedup_neardup_survivors", "dedup_ngram_novelty",
-        "etl_freshness", "events_ab_cuped", "events_ab_ztest",
-        "events_cusum_changepoint", "events_holt_forecast",
-        "events_survival_km", "events_top_paths", "mm_resize_real",
-        "q5_local_supplier_volume", "quality_domain_shift",
-        "quality_dsir_weights", "quality_gini_tokens",
-        "quality_kn_logprob", "quality_repetition_stats",
-        "quality_shard_plan", "quality_source_quota",
-        "quality_tfidf_top_terms", "range_join_parts",
-        "rollup_lineitem", "sim_cosine_topk", "sim_cosine_topk_scale",
-        "sim_hamming_topk", "sim_hamming_topk_scale", "sim_hybrid_rrf",
-        "sim_ivf_topk", "sim_ivf_trained_topk", "sim_kmeans_assign",
-        "sim_kmeans_centroids", "sim_matryoshka_recall",
-        "sim_mips_ivf_topk", "stats_agg", "text_fertility",
-        "text_langid_confusion", "text_winnow_fingerprints",
-        "unpivot_part",
+    # (the r17 window is frozen as the keys of CORRECTNESS_r17.json
+    # and asserted by its round-aware test; the static list is gone)
+    # r18 window (first 50): the ELEVEN r17/r18 code-changed queries
+    # lead — VERDICT r17 #2: the Louvain k_ic restructure + pagerank
+    # dangling-flag rewrite (355cbed) and the clf_weights
+    # featurization (e2ae856) shipped AFTER the last oracle preflight
+    # and the r17 driver window covered none of them; bloom_semi_join
+    # (word-pack rewrite) and ivf_recall_curve (shared _ivf_prepare —
+    # also re-certifying ivf_topk's routing expression after the r18
+    # helper extraction) complete the r17-changed set, and
+    # graph_hits/graph_ktruss carry r18's loop-body changes (per-round
+    # pins; fixpoint support reuse). Then ALL 39 r12-era rows at the
+    # staleness ceiling (they breach the 5-round bound the moment r18
+    # lands). Budget note: 39 + 11 = 50 exactly, so the five r17-new
+    # post-freeze queries (graph_scc, sim_binary_rerank,
+    # quality_calibration_bins, quality_packing_dividend,
+    # quality_epoch_repeat_audit — never driver-certified) do NOT fit;
+    # their certification evidence is local instead:
+    # tools/check_oracle.py (the driver's own gate replicated at
+    # sf0.01) plus committed tools/result_hash.py fingerprints at
+    # sf0.001/0.01/0.1 (plans/r18/ + OPTIMIZATION_r18.md).
+    r18_window = [
+        # r17 code-changed, uncertified (9) — VERDICT r17 #2
+        "graph_louvain_move", "graph_louvain_communities",
+        "graph_louvain_two_level", "graph_louvain_multilevel",
+        "graph_pagerank", "graph_personalized_pagerank",
+        "quality_clf_weights", "etl_bloom_semi_join",
+        "sim_ivf_recall_curve",
+        # r18 code-changed (2) — changed code MUST re-certify
+        "graph_hits", "graph_ktruss",
+        # r12-era staleness ceiling — ALL 39 (alphabetical)
+        "asof_join_events", "asof_join_nearest",
+        "dedup_dup_rate_by_source", "dedup_minhash_audit",
+        "dedup_passages", "dedup_simhash_signatures",
+        "dedup_span_scrub", "etl_anti_join_blanks", "etl_dedup_pk",
+        "etl_metadata_attach", "etl_normalize_nodes",
+        "etl_semi_join_match", "etl_table_checksum",
+        "etl_union_sources", "events_sessionize", "graph_betweenness",
+        "graph_connected_components", "graph_modularity",
+        "mm_binary_metadata", "pipeline_corpus_assembly",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q18_large_volume", "q19_discount_revenue",
+        "q22_dormant_balance", "q3_shipping_priority",
+        "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+        "quality_bigram_logprob", "quality_chunk_documents",
+        "quality_contamination", "quality_curriculum_order",
+        "quality_gate", "quality_mad_outliers",
+        "quality_unigram_logprob", "salted_count",
+        "sim_cosine_allpairs_ref", "sim_mmr_rerank",
     ]
-    ordered = {k: registry[k] for k in r17_window}
+    ordered = {k: registry[k] for k in r18_window}
     ordered.update({k: v for k, v in registry.items() if k not in ordered})
     return {name: _scoped(fn) for name, fn in ordered.items()}
 

@@ -288,6 +288,12 @@ HEADLINE = [
     "quality_token_cost_audit",
     "quality_packing_dividend",
     "quality_epoch_repeat_audit",
+    # round-18: the three r17-registered queries that never made the
+    # bench record (VERDICT r17 #5) — every registered headline-family
+    # query should appear on one self-proving record
+    "graph_scc",
+    "sim_binary_rerank",
+    "quality_calibration_bins",
 ]
 
 
@@ -835,12 +841,15 @@ def main() -> None:
         slim = {n: t for n, t in timings.items() if "." not in n}
         summary["queries"] = slim
         line = json.dumps(summary)
+    # The omitted-entry COUNT lives at top level, NOT inside the
+    # queries dict: r17's driver record parsed the in-dict count as a
+    # 204-second query timing (VERDICT r17 #4). Top-level addition only;
+    # the queries dict holds seconds and nothing else.
     while len(line) > 1900 and summary["queries"]:
         q = dict(summary["queries"])
-        q.pop("queries_omitted", None)
         keep = sorted(q, key=q.get, reverse=True)[: max(0, len(q) - 10)]
         summary["queries"] = {n: q[n] for n in keep}
-        summary["queries"]["queries_omitted"] = len(timings) - len(keep)
+        summary["omitted_count"] = len(timings) - len(keep)
         summary["full_record"] = "BENCH_SUMMARY.json"
         line = json.dumps(summary)
     print(line)

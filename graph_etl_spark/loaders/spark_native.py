@@ -20,9 +20,10 @@ from J1's full-outer remap don't reach the sink tables.
 from __future__ import annotations
 
 import os
+import uuid
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import non_empty_endpoints
@@ -65,6 +66,24 @@ class SparkNativeGraphLoader(Loader):
     def _append(self, df: DataFrame, path: str) -> None:
         df.write.mode("append").parquet(path)
 
+    def _append_counted(self, df: DataFrame, path: str) -> int:
+        """Append + row count in ONE action: the count rides the write
+        via ``df.observe`` (guide §1 — the old count-then-write pair
+        executed the whole semi/anti-join pipeline twice per file).
+        Behavior parity with the old ``if count: append`` gate: a
+        zero-row append must not conjure an empty table directory into
+        existence (``os.path.isdir`` gates MATCH/upsert semantics), so
+        a path this call CREATED for zero rows is removed again."""
+        existed = os.path.isdir(path)
+        obs = Observation(f"loader_rows_{uuid.uuid4().hex}")
+        self._append(df.observe(obs, F.count(F.lit(1)).alias("rows")), path)
+        count = int(obs.get["rows"])
+        if count == 0 and not existed:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        return count
+
     # -- Loader interface -----------------------------------------------------------
 
     def load_nodes(
@@ -91,9 +110,7 @@ class SparkNativeGraphLoader(Loader):
         if os.path.isdir(path):
             existing = self.spark.read.parquet(path).select(primary_key)
             df = df.join(existing, on=primary_key, how="left_anti")
-        count = df.count()
-        if count:
-            self._append(df, path)
+        count = self._append_counted(df, path)
         self._node_keys[label] = primary_key
         return count
 
@@ -148,10 +165,9 @@ class SparkNativeGraphLoader(Loader):
         if self.metadata_strategy == "as_property":
             for k, v in (metadatas or {}).items():
                 df = df.withColumn(f"meta_{k}", F.lit(v))
-        count = df.count()
-        if count:
-            self._append(df.drop("__edge_type"), self._edge_table_path(edge_type))
-        return count
+        return self._append_counted(
+            df.drop("__edge_type"), self._edge_table_path(edge_type)
+        )
 
     # -- finalize metadata dim (as_edge strategy) ------------------------------------
 

@@ -1683,8 +1683,10 @@ def minhash_recall_curve(
     stage, and pinning caps it at ONE computation instead of 2×bands)
     — the default serves the scale posture, not the benchmark. Each
     band config is one banded bucket pass; per-config output is ONE
-    row. The curve re-signs the corpus once per config — an audit op
-    run on samples, not the hot path."""
+    row. The MinHash signature is band-independent, so the corpus is
+    signed ONCE and the checkpoint-pinned signature frame is shared
+    across every band configuration (``_sig``) — an audit op run on
+    samples, not the hot path."""
     if not band_options:
         raise ValueError(
             "band_options must name at least one band count — an empty "

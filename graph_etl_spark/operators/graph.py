@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
-from ..session import stats_free_checkpoint
+from ..session import release_checkpoint, stats_free_checkpoint
 
 
 def degrees(
@@ -221,12 +221,16 @@ def pagerank(
             + F.lit(damping) * F.col("__dangling") / F.lit(float(n))
             + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
         )
+        prev = ranks
         ranks = (
             verts.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dangling))
             .select("id", "__has_out", rank_expr.alias("rank"))
             .localCheckpoint(eager=True)
         )
+        # superseded rank frame: release its blocks (ADVICE r17 —
+        # per-round checkpoints otherwise accumulate across max_iter)
+        release_checkpoint(prev)
     verts.unpersist()
     return ranks.select("id", F.round("rank", round_to).alias("pagerank"))
 
@@ -645,10 +649,19 @@ def hits(
         return F.round(c, 9).cast("decimal(28,9)")
 
     for _ in range(max(1, int(max_iter))):
+        # Pin the edge-shuffle aggregates (guide §2.4): auth_raw is
+        # read by its own max-agg, by the normalized auth join, and —
+        # through auth — by hub_raw AND the round-end scores join;
+        # unpinned, one round evaluated the e⋈scores shuffle up to 4×
+        # (the same subtree under different parents defeats exchange
+        # reuse). Pinned, each round pays exactly its two edge-keyed
+        # aggregations. Lazy pins: the round-end eager checkpoint
+        # materializes them, values bit-identical.
         auth_raw = (
             e.join(scores.withColumnRenamed("id", "a"), "a")
             .groupBy(F.col("b").alias("id"))
             .agg(F.sum(_dec(F.col("hub"))).cast("double").alias("__raw"))
+            .localCheckpoint(eager=False)
         )
         auth_max = auth_raw.agg(F.max("__raw").alias("__amax"))
         auth = (
@@ -660,11 +673,13 @@ def hits(
                     F.coalesce(F.col("__raw"), F.lit(0.0)) / F.col("__amax"), 9
                 ).alias("authority"),
             )
+            .localCheckpoint(eager=False)
         )
         hub_raw = (
             e.join(auth.withColumnRenamed("id", "b"), "b")
             .groupBy(F.col("a").alias("id"))
             .agg(F.sum(_dec(F.col("authority"))).cast("double").alias("__raw"))
+            .localCheckpoint(eager=False)
         )
         hub_max = hub_raw.agg(F.max("__raw").alias("__hmax"))
         hub = (
@@ -677,7 +692,11 @@ def hits(
                 ).alias("hub"),
             )
         )
+        prev = scores
         scores = hub.join(auth, "id").localCheckpoint(eager=True)
+        # round frames are dead once the new scores materialize
+        for p in (auth_raw, auth, hub_raw, prev):
+            release_checkpoint(p)
     return scores.select(
         "id", F.round("hub", round_to).alias("hub"),
         F.round("authority", round_to).alias("authority"),
@@ -1109,12 +1128,15 @@ def personalized_pagerank(
             ).otherwise(F.lit(0.0))
             + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
         )
+        prev = ranks
         ranks = (
             verts.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dangling))
             .select("id", "__seed", "__has_out", rank_expr.alias("rank"))
             .localCheckpoint(eager=True)
         )
+        # superseded rank frame: release its blocks (ADVICE r17)
+        release_checkpoint(prev)
     verts.unpersist()
     sdf.unpersist()
     return ranks.select("id", F.round("rank", round_to).alias("ppr"))
@@ -1260,6 +1282,7 @@ def louvain_move(
     comm_col: str = "community",
     weight_col: str | None = None,
     _prepared: tuple[DataFrame, int, DataFrame] | None = None,
+    _pins: list | None = None,
 ) -> DataFrame:
     """One SYNCHRONIZED round of Louvain local moves (Blondel et al.
     2008, phase-1 step): every node evaluates its neighbors'
@@ -1305,7 +1328,13 @@ def louvain_move(
     LABEL-INDEPENDENT, so a round loop (``louvain_communities``)
     computes them once instead of re-running the caller's edge plan,
     the m aggregation, and the degree shuffle every round. Values are
-    exact integer sums — identical whichever path computes them."""
+    exact integer sums — identical whichever path computes them.
+
+    ``_pins`` (private, loop callers only): frames this call pins with
+    a lazy localCheckpoint are appended here so the caller can release
+    their blocks (``release_checkpoint``) once the round's consumers
+    have materialized — otherwise a round loop accumulates checkpoint
+    storage linearly with round count (ADVICE r17)."""
     if _prepared is not None:
         e_raw, m, deg = _prepared
     else:
@@ -1321,6 +1350,8 @@ def louvain_move(
     # ONE deg⋈comm join shared by tot, the stay-candidate rows, and the
     # argmax attach (previously three separate joins against deg/cur)
     labeled_deg = deg.join(comm, "__node").localCheckpoint(eager=False)
+    if _pins is not None:
+        _pins.append(labeled_deg)
     tot = labeled_deg.groupBy("__c").agg(F.sum("__k").alias("__tot"))
     # SELF-LOOPS are excluded from k_{i,c} (but kept in m and deg):
     # a self-loop's mass is community-invariant — it moves WITH the
@@ -1473,6 +1504,11 @@ def louvain_communities(
     prepared = (e_raw, m, deg)
     zero_streak = 0
     for r in range(int(max_rounds)):
+        # per-round pinned frames: released at the end of the round,
+        # once their consumers have materialized — unreleased, the
+        # checkpoint blocks accumulate linearly with round count
+        # (ADVICE r17)
+        pins: list = []
         moves = louvain_move(
             edges,
             comm,
@@ -1482,6 +1518,7 @@ def louvain_communities(
             comm_col="community",
             weight_col=weight_col,
             _prepared=prepared,
+            _pins=pins,
         )
         gate = (h56(F.col("id").cast("string")) + F.lit(r)) % 2 == 0
         # pin the gated movers: BOTH the reversed-pair frame and the
@@ -1497,6 +1534,7 @@ def louvain_communities(
             )
             .localCheckpoint(eager=False)
         )
+        pins.append(gated)
         # 2-cycle breaker (docstring): if this round also transfers in
         # the REVERSE community direction, keep only the leg moving
         # into the smaller label. The reversed-pair frame is the
@@ -1515,12 +1553,16 @@ def louvain_communities(
             .select("id", "__new")
             .localCheckpoint(eager=True)
         )
+        pins.append(applied)
         if applied.count() == 0:
+            for p in pins:
+                release_checkpoint(p)
             zero_streak += 1
             if zero_streak >= 2:
                 break
             continue
         zero_streak = 0
+        prev_comm = comm
         comm = (
             comm.join(applied, "id", "left")
             .select(
@@ -1531,6 +1573,14 @@ def louvain_communities(
             )
             .localCheckpoint(eager=True)
         )
+        # the new label frame is materialized: this round's pins and
+        # the superseded label frame are dead weight from here on
+        for p in pins:
+            release_checkpoint(p)
+        release_checkpoint(prev_comm)
+    # loop invariants are consumed; only the returned labels stay pinned
+    release_checkpoint(e_raw)
+    release_checkpoint(deg)
     return comm
 
 
@@ -2053,20 +2103,36 @@ def ktruss(
         .localCheckpoint()
     )
     need = int(k) - 2
+    # n_edges tracks |e| across rounds so the fixpoint test costs one
+    # count (of the just-checkpointed pruned frame) instead of two;
+    # sup is pinned per round so that at the fixpoint the final
+    # support recompute — the most expensive pass, a full wedge
+    # enumeration — reuses the round's already-materialized support
+    # (pre-prune e == post-prune e there, so the frames are identical
+    # by construction). Guide §2.4: don't recompute what the loop
+    # already proved.
+    n_edges = e.count()
+    final_sup = None
     for _ in range(max(1, int(max_iter))):
-        sup = _triangle_edge_support(e)
+        sup = _triangle_edge_support(e).localCheckpoint(eager=False)
         keep = sup.filter(F.col("support") >= need).select("u", "v")
         pruned = e.join(keep, ["u", "v"], "left_semi").localCheckpoint()
-        if pruned.count() == e.count():
-            e = pruned
-            break
+        n_pruned = pruned.count()
+        release_checkpoint(e)
         e = pruned
+        if n_pruned == n_edges:
+            final_sup = sup
+            break
+        release_checkpoint(sup)
+        n_edges = n_pruned
+    if final_sup is None:
+        final_sup = _triangle_edge_support(e)
     # LEFT join + coalesce: at the fixpoint every survivor has
     # support >= k-2 >= 1 so this matches the old inner join; when
     # max_iter exhausts first, survivors whose support dropped to 0
     # keep their row (support 0) instead of silently vanishing into
     # a set that is neither the pre- nor post-prune edge set.
-    return e.join(_triangle_edge_support(e), ["u", "v"], "left").select(
+    return e.join(final_sup, ["u", "v"], "left").select(
         "u",
         "v",
         F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"),

@@ -932,6 +932,68 @@ def _kmeans_fit(
     return cents, assigned
 
 
+def _ivf_cent_arr(cent_rows: list) -> Column:
+    """Literal array<struct<cent_id, cvec>> over collected centroid
+    rows — the in-plan index every IVF consumer scores against."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r["cent_id"]).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r["cent_vec"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+
+def _ivf_nearest_lists(cent_arr: Column, vec: Column, n: int) -> Column:
+    """The n nearest centroids of ``vec`` by round-6 cosine (struct
+    sort desc, cent_id tiebreak) — THE routing expression. Shared by
+    ivf_topk and ivf_recall_curve so the sweep can never desynchronize
+    from the operator it measures (ADVICE r17)."""
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(cosine(vec, c["cvec"]), 6).alias("sim"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+
+def _ivf_prepare(
+    data: DataFrame,
+    nlist: int,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame | None = None,
+) -> tuple:
+    """Collect centroids and build the assigned/normed corpus frame —
+    the NPROBE-INDEPENDENT half of the IVF plan, built once per index
+    (a sweep reuses it across every sweep point). Returns
+    (cent_rows, assigned)."""
+    if centroids is None:
+        centroids = (
+            data.orderBy(id_col)
+            .limit(nlist)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        )
+    cent_rows = centroids.select("cent_id", "cent_vec").collect()  # nlist rows — tiny, deliberate
+    cent_arr = _ivf_cent_arr(cent_rows)
+    # per-row norm hoist (see brute_force_topk) — bit-identical cosine,
+    # the O(dim) norm fold runs once per row, not once per candidate
+    assigned = (
+        fan_out(data)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__dvec"),
+            _ivf_nearest_lists(cent_arr, F.col(vec_col), 1)[0]["cent_id"].alias("list_id"),
+        )
+        .withColumn("__dn", norm(F.col("__dvec")))
+    )
+    return cent_rows, assigned
+
+
 def ivf_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -966,47 +1028,19 @@ def ivf_topk(
     if _prepared is not None:
         cent_rows, assigned = _prepared
     else:
-        if centroids is None:
-            centroids = (
-                data.orderBy(id_col)
-                .limit(nlist)
-                .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-            )
-        cent_rows = centroids.select("cent_id", "cent_vec").collect()  # nlist rows — tiny, deliberate
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r["cent_id"]).alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in r["cent_vec"]]).alias("cvec"),
-            )
-            for r in cent_rows
-        ]
-    )
-
-    def nearest_lists(vec: Column, n: int) -> Column:
-        scored = F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                F.round(cosine(vec, c["cvec"]), 6).alias("sim"), c["cent_id"].alias("cent_id")
-            ),
+        cent_rows, assigned = _ivf_prepare(
+            data, nlist, id_col, vec_col, centroids=centroids
         )
-        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
-
-    if _prepared is None:
-        # per-row norm hoist (see brute_force_topk) — bit-identical
-        # cosine, the O(dim) norm fold runs once per row, not once per
-        # candidate
-        assigned = fan_out(data).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__dvec"),
-            nearest_lists(F.col(vec_col), 1)[0]["cent_id"].alias("list_id"),
-        ).withColumn("__dn", norm(F.col("__dvec")))
+    cent_arr = _ivf_cent_arr(cent_rows)
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        F.explode(F.transform(nearest_lists(F.col(vec_col), nprobe), lambda s: s["cent_id"])).alias(
-            "list_id"
-        ),
+        F.explode(
+            F.transform(
+                _ivf_nearest_lists(cent_arr, F.col(vec_col), nprobe),
+                lambda s: s["cent_id"],
+            )
+        ).alias("list_id"),
     ).withColumn("__qn", norm(F.col("__qvec")))
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
@@ -1243,6 +1277,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    _vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011): the vector
     is split into ``m`` contiguous subspaces and each subspace gets its
@@ -1266,22 +1301,36 @@ def pq_train(
     distances round to ``round_to`` BEFORE the argmin with the smaller
     code as tiebreak; centroid components round each iteration; a code
     whose membership empties keeps its previous centroid.
+
+    ``_vecs`` (private, shared-pass callers only): a pre-cast
+    ``(id_col, "__pqv" array<double>)`` corpus frame — typically a
+    checkpoint-pinned cast shared with ``pq_encode``/the refine join,
+    so one query builds the cast corpus ONCE instead of once per PQ
+    stage (guide §2.4). Values are identical either way (the cast is
+    the same expression).
     """
-    vecs = data.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    )
-    first = vecs.select(F.size("vec").alias("d")).first()
-    if first is None:  # degenerate: empty corpus -> empty codebooks
+    if _vecs is not None:
+        vecs = _vecs.select(
+            F.col(id_col).alias("vec_id"), F.col("__pqv").alias("vec")
+        )
+    else:
+        vecs = data.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        )
+    # the seed collect doubles as the dim probe (one corpus-scan job,
+    # not two): the k_codes lowest-id rows carry the vectors whose
+    # length IS the dim
+    seed = vecs.orderBy("vec_id").limit(k_codes).collect()  # k rows — tiny, deliberate
+    if not seed:  # degenerate: empty corpus -> empty codebooks
         return vecs.sparkSession.createDataFrame(
             [], "subspace int, code int, cvec array<double>"
         )
-    dim = first["d"]
+    dim = len(seed[0]["vec"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
 
-    seed = vecs.orderBy("vec_id").limit(k_codes).collect()  # k rows — tiny, deliberate
     books: dict[int, list[tuple]] = {
         s: [
             (code, list(r["vec"])[s * sub_dim : (s + 1) * sub_dim])
@@ -1289,10 +1338,11 @@ def pq_train(
         ]
         for s in range(m)
     }
-    if max_iter >= 2:
+    if max_iter >= 2 and _vecs is None:
         # same rationale as _kmeans_fit: iterations 2..n re-scan the
         # cast corpus; materialize it once (partition-preserving, so
-        # the round-6 averages are bit-identical)
+        # the round-6 averages are bit-identical). A caller-supplied
+        # _vecs is already pinned by the caller — don't double-pin.
         vecs = vecs.localCheckpoint()
     for _ in range(max(0, max_iter)):
         assigned = vecs.select(
@@ -1373,18 +1423,23 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    _vecs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, codes array<int>) — each vector compressed to its
     per-subspace nearest-code ids. Zero-join, zero-shuffle codegen
     projection over literal codebooks (the ``kmeans_assign`` posture):
     the corpus streams map-side, m argmins per row. Same determinism
-    contract as pq_train."""
+    contract as pq_train; ``_vecs`` shares a pre-cast corpus frame
+    (see pq_train)."""
     books = _collect_books(codebooks)
     m = len(books)
-    vecs = data.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
-    )
+    if _vecs is not None:
+        vecs = _vecs.select(id_col, F.col("__pqv").alias("__vec"))
+    else:
+        vecs = data.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+        )
     if m == 0:  # degenerate: no codebooks -> no codes
         return vecs.filter(F.lit(False)).select(
             id_col, F.array().cast("array<int>").alias("codes")
@@ -1411,6 +1466,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    _vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by Asymmetric Distance Computation: the query
     stays a full vector, the corpus is its PQ codes, and
@@ -1470,7 +1526,10 @@ def pq_adc_topk(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qvec"),
     ).withColumn("__dt", F.array(*[_dt_row(s) for s in range(m)]))
-    enc = pq_encode(data, codebooks, id_col=id_col, vec_col=vec_col, round_to=round_to)
+    enc = pq_encode(
+        data, codebooks, id_col=id_col, vec_col=vec_col, round_to=round_to,
+        _vecs=_vecs,
+    )
     scored = (
         enc.withColumnRenamed(id_col, "neighbor_id")
         .crossJoin(F.broadcast(q.select("query_id", "__dt")))
@@ -1509,6 +1568,7 @@ def pq_refine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    _vecs: DataFrame | None = None,
 ) -> DataFrame:
     """PQ shortlist-then-refine top-k — how production PQ indexes are
     actually queried: the O(m)-per-pair ADC scan produces a
@@ -1534,11 +1594,17 @@ def pq_refine_topk(
         id_col=id_col,
         vec_col=vec_col,
         round_to=round_to,
+        _vecs=_vecs,
     ).select("query_id", "neighbor_id")
-    d = data.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__dvec"),
-    )
+    if _vecs is not None:
+        d = _vecs.select(
+            F.col(id_col).alias("neighbor_id"), F.col("__pqv").alias("__dvec")
+        )
+    else:
+        d = data.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__dvec"),
+        )
     qq = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qvec"),
@@ -1652,12 +1718,18 @@ def ivfpq_topk(
     # zip per row) would otherwise execute once per consumer. At
     # cluster scale this is the same corpus-sized pin the PQ trainer
     # itself makes (train on a hash_sample slice there).
+    # the residuals are ALREADY doubles on the pinned frame — hand
+    # them to the PQ stages as the shared pre-cast corpus so pq_train
+    # doesn't re-checkpoint its own projection of a pinned frame and
+    # skips the separate dim-probe job (guide §2.4)
+    res_vecs = assigned.select(id_col, F.col("__res").alias("__pqv"))
     books = pq_train(
         assigned, m=m, k_codes=k_codes, max_iter=pq_iter,
-        id_col=id_col, vec_col="__res", round_to=round_to,
+        id_col=id_col, vec_col="__res", round_to=round_to, _vecs=res_vecs,
     )
     enc = pq_encode(
-        assigned, books, id_col=id_col, vec_col="__res", round_to=round_to
+        assigned, books, id_col=id_col, vec_col="__res", round_to=round_to,
+        _vecs=res_vecs,
     ).join(assigned.select(id_col, "cent_id"), id_col)
 
     # query side: nprobe nearest coarse lists, residual per probed list
@@ -2848,48 +2920,13 @@ def ivf_recall_curve(
     spark = data.sparkSession
     # the trained index is SHARED across sweep points (docstring): the
     # centroid collect and the assigned/normed corpus pass are
-    # nprobe-independent, so build them once and checkpoint the
-    # assignment — each sweep point then pays only its probes + join.
-    centroids = (
-        data.orderBy(id_col)
-        .limit(nlist)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
-    cent_rows = centroids.select("cent_id", "cent_vec").collect()  # nlist rows
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r["cent_id"]).alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in r["cent_vec"]]).alias("cvec"),
-            )
-            for r in cent_rows
-        ]
-    )
-    nearest1 = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    cent_arr,
-                    lambda c: F.struct(
-                        F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("sim"),
-                        c["cent_id"].alias("cent_id"),
-                    ),
-                )
-            )
-        ),
-        1,
-        1,
-    )[0]["cent_id"]
-    assigned = (
-        fan_out(data)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__dvec"),
-            nearest1.alias("list_id"),
-        )
-        .withColumn("__dn", norm(F.col("__dvec")))
-        .localCheckpoint(eager=True)
-    )
+    # nprobe-independent, so build them once via the SAME construction
+    # ivf_topk uses (_ivf_prepare — ADVICE r17: a hand-copied
+    # assignment expression would silently desynchronize the sweep
+    # from the operator it measures) and checkpoint the assignment —
+    # each sweep point then pays only its probes + join.
+    cent_rows, assigned = _ivf_prepare(data, nlist, id_col, vec_col)
+    assigned = assigned.localCheckpoint(eager=True)
     hits_by_np = {}
     for np_ in nps:
         approx = ivf_topk(

@@ -34,26 +34,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Respect the advisory partition size when coalescing instead
-        # of maximizing parallelism (Spark's own production
-        # recommendation for this flag): tiny post-shuffle partitions
-        # otherwise keep every stage at defaultParallelism task count,
-        # and at cluster scale the M×R shuffle-block blowup (guide
-        # §2.2) is exactly what this avoids. The ADVISORY SIZE is
-        # data-relative and env-tunable: the local default (256k)
-        # keeps post-shuffle stages of the ~10 MB bench inputs at a
-        # handful of well-filled partitions — the same partitions-per-
-        # input-byte ratio a production run gets from the usual
-        # 64-256m advisory against multi-GB shuffles. Set
-        # SPARK_GRAFT_ADVISORY_PARTITION=256m (or similar) on a
-        # cluster.
+        # AQE coalescing posture. Local default = Spark default
+        # (parallelismFirst=true, advisory 64m): the r17 record proved
+        # that forcing size-based coalescing locally (parallelismFirst
+        # =false + a 256k advisory) collapses every post-shuffle stage
+        # of the ~10 MB inputs to a handful of partitions — the suite
+        # went parallelism-flat (8-core total == 32-core total) and
+        # 163/235 bench entries regressed >10%. On a real cluster the
+        # size-based posture IS right (guide §2.2: 64-256m advisory
+        # against multi-GB shuffles avoids the M×R shuffle-block
+        # blowup), so both knobs stay env-tunable: set
+        # SPARK_GRAFT_COALESCE_PARALLELISM_FIRST=false and
+        # SPARK_GRAFT_ADVISORY_PARTITION=256m on a cluster submit.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "false"),
-        )
-        .config(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "256k"),
+            os.environ.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "true"),
         )
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
         # Arrow for pandas_udf / applyInPandas extension operators.
@@ -82,6 +77,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Cluster-posture advisory partition size: applied ONLY when set,
+    # so local runs keep Spark's 64m default (see coalescing note above).
+    advisory = os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION")
+    if advisory:
+        builder = builder.config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory
+        )
     # experiment/cluster override hook: SPARK_GRAFT_EXTRA_CONFS holds
     # ';'-separated key=value pairs layered between the defaults above
     # and the caller's extra_confs (the caller still wins) — lets a
@@ -97,6 +99,24 @@ def get_spark(
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
+
+
+def release_checkpoint(df) -> None:
+    """Unpersist the RDD blocks behind a ``localCheckpoint``-ed frame.
+
+    A checkpointed Dataset's analyzed plan is a ``LogicalRDD`` whose
+    ``rdd`` field IS the persisted RDD, so dropping its blocks is one
+    ``unpersist(blocking=false)`` away. Iterative operators that pin a
+    frame per round (Louvain's gated movers, labeled-degree joins)
+    otherwise accumulate checkpoint blocks linearly with round count
+    (ADVICE r17) — call this once the round's consumers have
+    materialized. Safe no-op on any other plan shape or if the
+    internal accessor ever drifts: worst case the blocks live until
+    the context's usual cleanup, exactly as before."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - internal API drift
+        pass
 
 
 def stats_free_checkpoint(df):

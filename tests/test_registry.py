@@ -496,3 +496,64 @@ def test_round17_window_composition():
     assert ceiling <= in_window, (
         f"r11-ceiling rows missing from the window: {ceiling - in_window}"
     )
+
+
+ROUND18_NEW_OR_CHANGED = [
+    # r17 code-changed, uncertified — VERDICT r17 #2 (355cbed Louvain/
+    # pagerank rewrites, e2ae856 clf featurization, dc734c2 bloom
+    # word-pack + ivf sweep reuse all postdate the r17 oracle window)
+    "graph_louvain_move", "graph_louvain_communities",
+    "graph_louvain_two_level", "graph_louvain_multilevel",
+    "graph_pagerank", "graph_personalized_pagerank",
+    "quality_clf_weights", "etl_bloom_semi_join",
+    "sim_ivf_recall_curve",
+    # r18 code-changed (per-round pins; ktruss fixpoint support reuse)
+    "graph_hits", "graph_ktruss",
+]
+
+
+def test_round18_window_composition():
+    """Round-aware from birth: the r18 window is the live first-50
+    until CORRECTNESS_r18.json lands, then frozen as its keys;
+    staleness uses only pre-r18 history either way. Changed queries
+    lead (VERDICT r17 #2 — the r17 rewrites shipped past the last
+    oracle run); every filler slot is at least as stale as anything
+    left in the tail; filler slots must not overlap the r17 window."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r18_path = os.path.join(root, "CORRECTNESS_r18.json")
+    if os.path.exists(r18_path):
+        window = list(json.load(open(r18_path)))
+    else:
+        window = list(entry.queries())[:50]
+    lead = len(ROUND18_NEW_OR_CHANGED)
+    assert window[:lead] == ROUND18_NEW_OR_CHANGED, (
+        f"leading slots wrong: {window[:lead]}"
+    )
+    latest = _latest_driver_round(before_round=18)
+    rest = window[lead:]
+    in_window = set(window)
+    tail = [q for q in entry.queries() if q not in in_window]
+    max_in_window = max(latest.get(q, 0) for q in rest)
+    min_in_tail = min(latest.get(q, 99) for q in tail)
+    assert max_in_window <= min_in_tail, (
+        f"window holds a fresher verdict ({max_in_window}) than the "
+        f"stalest tail row ({min_in_tail}) — rotation skipped rows"
+    )
+    r17 = set(json.load(open(os.path.join(root, "CORRECTNESS_r17.json"))))
+    assert not (set(rest) & r17), (
+        f"filler slots overlap the r17 window: {sorted(set(rest) & r17)}"
+    )
+    # VERDICT r17 #2 budget note: ALL 39 r12-era rows sit exactly at
+    # the staleness ceiling and MUST be certified this round — with
+    # the 11 changed-code lead slots that fills the window to exactly
+    # 50, so the five r17-new post-freeze queries are certified
+    # locally instead (check_oracle + result_hash artifacts).
+    ceiling = {
+        q for q, r in _latest_driver_round(before_round=18).items() if r == 12
+    }
+    assert len(ceiling) == 39
+    assert ceiling <= in_window, (
+        f"r12-ceiling rows missing from the window: {ceiling - in_window}"
+    )

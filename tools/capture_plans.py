@@ -1,11 +1,25 @@
-"""Capture .explain("formatted") for declared queries into plans/r17/.
+"""Capture .explain("formatted") for declared queries into plans/r<N>/.
 
 Usage: python tools/capture_plans.py <suffix> query [query ...]
-  suffix: "before" or "after" — writes plans/r17/<query>_<suffix>.txt
+  suffix: "before" or "after" — writes plans/r<N>/<query>_<suffix>.txt
+
+Env:
+  SPARK_GRAFT_PLAN_ROUND   round dir number (default 18)
+  SPARK_GRAFT_PLAN_UNROLL  "1" → monkeypatch DataFrame.localCheckpoint
+                           (and stats_free_checkpoint) to identity so
+                           ITERATIVE operators expose their loop-body
+                           plan instead of a post-checkpoint
+                           `Scan ExistingRDD` leaf (VERDICT r17 #3:
+                           the r17 pagerank dumps showed nothing about
+                           the loop the commit rewrote). Unrolled
+                           captures re-execute driver-side probes
+                           (counts/collects) against full lineage —
+                           slower, evidence-only, never a bench path.
 
 Runs on the bench session settings (sf0.1 by default) so the plan
 matches what the bench times. Plans are captured WITHOUT executing
-the query (AdaptiveSparkPlan isFinalPlan=false is expected).
+the final query action (AdaptiveSparkPlan isFinalPlan=false is
+expected).
 """
 
 from __future__ import annotations
@@ -28,8 +42,27 @@ def main() -> None:
 
     spark = get_spark("graph-etl-plan-capture", extra_confs={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+
+    unroll = os.environ.get("SPARK_GRAFT_PLAN_UNROLL") == "1"
+    if unroll:
+        from pyspark.sql import DataFrame
+
+        import graph_etl_spark.session as sess
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+        sess.stats_free_checkpoint = lambda df: df
+        # operators bind these by name at import time — patch them too
+        import graph_etl_spark.operators.graph as gmod
+
+        gmod.stats_free_checkpoint = lambda df: df
+
     qs = entrymod.queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17")
+    rnd = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "18")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        f"r{rnd}",
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = qs[name](spark, SF_DIR)
