@@ -49,6 +49,11 @@ def main() -> None:
 
         import graph_etl_spark.session as sess
 
+        # patch the CONCRETE class of a live frame — on Spark 4 the
+        # classic session's DataFrame subclass shadows a patch on the
+        # pyspark.sql.DataFrame base
+        cls = type(spark.range(1))
+        cls.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
         DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
         sess.stats_free_checkpoint = lambda df: df
         # operators bind these by name at import time — patch them too
